@@ -1,0 +1,241 @@
+"""Aggregation / sort / top-k / window parity queries (SURVEY.md §2.4-§2.5).
+
+Float note: every computed double (avg/sum) is rounded identically on
+both sides — double summation order differs between Spark's partial+final
+hash aggregation and DuckDB's, so unrounded values can drift in the last
+ulp and break the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.operators import top_k, top_n_per_group
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+@register(
+    "q_count",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    description="A1: count(*) (etl_script.py:100,120)",
+    tags=("parity",),
+)
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "q_count_distinct",
+    oracle="SELECT count(DISTINCT o_custkey) AS n_customers FROM orders",
+    description="A2: exact distinct count (app.py:47)",
+    tags=("parity",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_customers"))
+
+
+@register(
+    "q_avg_global",
+    oracle="SELECT round(avg(l_extendedprice), 6) AS avg_price FROM lineitem",
+    description="A3: global mean; Spark avg ignores NULLs like pandas mean skips NaN (app.py:48)",
+    tags=("parity",),
+)
+def q_avg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_price"))
+
+
+@register(
+    "q_groupby_avg",
+    oracle="""
+SELECT l_returnflag, round(avg(l_discount), 6) AS avg_discount, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="A4: group-by mean, partial+final hash agg (app.py:57)",
+    tags=("parity",),
+)
+def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_groupby_avg_sorted",
+    oracle="""
+SELECT o_orderpriority, round(avg(o_totalprice), 6) AS avg_price
+FROM orders GROUP BY o_orderpriority ORDER BY avg_price DESC
+""",
+    description="A5: group-by mean + sort (app.py:74); order-insensitive hash, sort kept for parity",
+    tags=("parity",),
+)
+def q_groupby_avg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+        .orderBy(F.desc("avg_price"))
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    description="O1+O2: top-k fused to TakeOrderedAndProject; unique-key tiebreak for determinism (app.py:95-101)",
+    tags=("parity",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+@register(
+    "q_topn_per_group",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM customer
+) WHERE rn <= 3
+""",
+    description="Window top-N per group: one shuffle on the group key, no global sort (SURVEY §2.8)",
+    tags=("parity", "window"),
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return top_n_per_group(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        partition_by=["c_nationkey"],
+        order_by=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        n=3,
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
+       CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS price_rank
+FROM lineitem
+""",
+    description=(
+        "Window aggregates: running sum + rank within order. RANGE frame (not ROWS): "
+        "(l_orderkey, l_linenumber) is not unique in the fixtures, and a ROWS frame over "
+        "tied sort keys is tie-order-dependent; RANGE includes peers, so it is deterministic."
+    ),
+    tags=("window",),
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w_sum = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w_sum), 4).alias("running_qty"),
+        F.rank().over(w_rank).cast("long").alias("price_rank"),
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="Pivot on linestatus; oracle expressed as conditional aggregation (same result)",
+    tags=("extra-relational",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    description="ROLLUP grouping sets (subtotals + grand total)",
+    tags=("extra-relational",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_stats_summary",
+    oracle="""
+SELECT round(min(l_quantity), 4)                         AS min_qty,
+       round(max(l_quantity), 4)                         AS max_qty,
+       round(stddev_samp(l_quantity), 6)                 AS std_qty,
+       round(var_samp(l_quantity), 6)                    AS var_qty,
+       round(sum(l_quantity), 4)                         AS sum_qty,
+       round(quantile_cont(l_quantity, 0.5), 6)          AS median_qty
+FROM lineitem
+""",
+    description="Statistical aggregates: min/max/stddev/variance/median (exact percentile)",
+    tags=("extra-agg",),
+)
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+    )
+
+
+@register(
+    "q_approx_count_distinct",
+    description=(
+        "A2 at scale: HyperLogLog approximate distinct — the 100 TB-friendly variant. "
+        "No oracle: HLL estimates are engine-specific; correctness asserted in tests "
+        "(±5% of exact) instead."
+    ),
+    tags=("extra-agg", "approx"),
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )

@@ -1,0 +1,302 @@
+"""Core scan/projection/filter/join parity queries (SURVEY.md §2.10).
+
+One named query per operator row of SURVEY.md §2.1-§2.3, each with a
+DuckDB oracle. All run on the driver fixtures (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.operators import (
+    coerce_numeric,
+    drop_columns,
+    drop_null_rows,
+    filter_eq,
+    normalize_columns,
+    project,
+)
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+@register(
+    "q_scan_project",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    description="S1+P5: columnar scan with projection pruned into the reader",
+    tags=("parity",),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return project(c, ["c_custkey", "c_name", "c_mktsegment"])
+
+
+@register(
+    "q_select_star",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    description="P7/S3: SELECT * passthrough (app.py:31)",
+    tags=("parity",),
+)
+def q_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region").select("*")
+
+
+@register(
+    "q_normalize_columns",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    description="P1: rename-all through strip/lower/underscore convention (etl_script.py:74-75)",
+    tags=("parity",),
+)
+def q_normalize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ugly = li.select(
+        F.col("l_orderkey").alias(" L OrderKey "),
+        F.col("l_linenumber").alias("L LineNumber"),
+        F.col("l_quantity").alias("L/Quantity"),
+        F.col("l_returnflag").alias("  L RETURNFLAG"),
+    )
+    # toDF rename collapses into the scan: still a 4-column parquet read.
+    return normalize_columns(ugly).toDF(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "q_try_cast_coerce",
+    oracle="""
+WITH raw AS (
+    SELECT CASE WHEN l_linenumber % 4 = 0 THEN 'N/A'
+                ELSE CAST(l_quantity AS VARCHAR) END AS qty_str
+    FROM lineitem
+)
+SELECT count(*)                                        AS n_rows,
+       count(TRY_CAST(qty_str AS DOUBLE))              AS n_parsed,
+       count(*) - count(TRY_CAST(qty_str AS DOUBLE))   AS n_nulls,
+       round(avg(TRY_CAST(qty_str AS DOUBLE)), 6)      AS avg_qty
+FROM raw
+""",
+    description="P2/F2: to_numeric(errors='coerce') ≡ try_cast; NULL on unparseable (etl_script.py:79-86)",
+    tags=("parity",),
+)
+def q_try_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.when(F.col("l_linenumber") % 4 == 0, F.lit("N/A"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("qty_str")
+    )
+    coerced = coerce_numeric(raw.withColumn("qty", F.col("qty_str")), ["qty"])
+    return coerced.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("qty").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("qty")).alias("n_nulls"),
+        F.round(F.avg("qty"), 6).alias("avg_qty"),
+    )
+
+
+@register(
+    "q_dropna",
+    oracle="""
+WITH raw AS (
+    SELECT CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_quantity END AS qty,
+           CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_extendedprice END AS price
+    FROM lineitem
+)
+SELECT count(*) AS n_kept, round(sum(qty), 4) AS sum_qty
+FROM raw WHERE qty IS NOT NULL AND price IS NOT NULL
+""",
+    description="P3: dropna(subset=[...]) (etl_script.py:93)",
+    tags=("parity",),
+)
+def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.when(F.col("l_linenumber") % 4 == 0, None).otherwise(F.col("l_quantity")).alias("qty"),
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("price"),
+    )
+    kept = drop_null_rows(raw, ["qty", "price"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("qty"), 4).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_filter_eq",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+    description="P4: equality filter, pushed into the parquet scan (etl_script.py:99)",
+    tags=("parity",),
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return filter_eq(li, "l_returnflag", "R").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@register(
+    "q_drop_cols",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders",
+    description="P6: drop columns (etl_script.py:112)",
+    tags=("parity",),
+)
+def q_drop_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return drop_columns(o, ["o_orderstatus", "o_orderdate"])
+
+
+@register(
+    "q_inner_join",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    description="J1: inner equi-join, dimension side broadcast (etl_script.py:119)",
+    tags=("parity",),
+)
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_left_join",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 100000
+""",
+    description="Left outer join with a non-equi residual condition",
+    tags=("extra-relational",),
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 100000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    description="Left-semi join (EXISTS): no fact-side duplication, broadcastable",
+    tags=("extra-relational",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    description="Left-anti join (NOT EXISTS): customers with no orders",
+    tags=("extra-relational",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    description="Set op: UNION (distinct) of two key sets",
+    tags=("extra-relational",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    description="Set op: INTERSECT of customer and supplier nations",
+    tags=("extra-relational",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name)                                   AS name_upper,
+       trim(lower(c_mktsegment))                       AS seg_lower,
+       regexp_replace(c_name, '[0-9]+', '#', 'g')      AS name_masked,
+       length(c_name)                                  AS name_len,
+       substr(c_name, 1, 8)                            AS name_prefix,
+       concat(c_name, ':', c_mktsegment)               AS name_seg
+FROM customer
+""",
+    description="F1 data-level equivalents: trim/lower/upper/regexp_replace/length/substr/concat",
+    tags=("parity",),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+    )
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT)  AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       count(*)                        AS n_orders,
+       round(sum(o_totalprice), 2)     AS total_price
+FROM orders GROUP BY 1, 2
+""",
+    description="Date/time functions: year/month extraction + monthly rollup",
+    tags=("parity",),
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

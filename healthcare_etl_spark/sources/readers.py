@@ -1,0 +1,97 @@
+"""Schema'd readers (SURVEY.md §2.1 S1/S3).
+
+The reference extracts with ``pd.read_csv(path, encoding='utf-8',
+dtype={'Facility ID': str})`` (reference ``etl_app/etl_script.py:49,52``)
+— i.e. inference with explicit per-column overrides. At scale we invert
+that: explicit schemas always (no inference pass over 100 TB), and
+parquet as the columnar default so Catalyst can push filters and prune
+columns down into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events`` needs special handling: its ``ts`` column is parquet
+    ``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects
+    outright. We read nanos as ``long`` (runtime conf) and convert to a
+    microsecond timestamp JVM-side — lossless for this data (verified:
+    every value is µs-granular), and identical to what DuckDB produces
+    when it truncates ns -> µs on read. The conversion stays inside
+    whole-stage codegen; no Python round-trip.
+    """
+    path = f"{str(sf_dir).rstrip('/')}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    except Exception:
+        # Fallback for sessions where the legacy conf is unavailable:
+        # decode through Arrow on the driver. Only acceptable because the
+        # events fixture is small; the conf path above is the scale path.
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        pdf = tbl.to_pandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return spark.createDataFrame(pdf)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each fixture table as a temp view for ``spark.sql`` use."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    *,
+    header: bool = True,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """CSV scan (S1) mirroring reference ``etl_script.py:49,52``.
+
+    PERMISSIVE mode matches pandas' tolerance of malformed rows; an
+    explicit schema replaces the reference's ``dtype={'Facility ID':
+    str}`` override (never let inference turn zero-padded IDs numeric).
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
