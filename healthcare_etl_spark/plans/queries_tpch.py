@@ -70,7 +70,11 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 20
 """,
-    description="TPC-H Q3 shape: selective dim filter -> broadcast join chain -> agg -> fused top-k",
+    description=(
+        "TPC-H Q3 shape: selective filters -> join chain -> agg -> fused top-k. "
+        "orders/customer are fact-sized at scale, so no forced broadcast: AQE "
+        "converts to broadcast at runtime when the filtered side is actually small."
+    ),
     tags=("bench", "parity"),
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,8 +84,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -112,7 +116,12 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name
 """,
-    description="TPC-H Q5 shape: 6-way star join, all dimensions broadcast, single fact shuffle for the agg",
+    description=(
+        "TPC-H Q5 shape: 6-way star join. lineitem/orders/customer are all huge at "
+        "scale -> shuffle joins under AQE; only the true dimensions "
+        "(supplier/nation/region) get broadcast hints. Forcing orders/customer "
+        "broadcasts measured 4x slower here and would OOM a real cluster."
+    ),
     tags=("bench", "parity"),
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,8 +132,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
