@@ -1,0 +1,19 @@
+from healthcare_etl_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from healthcare_etl_spark.functions.text import (
+    char_fingerprint,
+    punct_count,
+    token_count_bpe,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "tokens",
+    "word_shingles",
+    "token_count_bpe",
+    "punct_count",
+    "char_fingerprint",
+]

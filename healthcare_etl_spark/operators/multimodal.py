@@ -1,0 +1,98 @@
+"""Multimodal (binary) column operators.
+
+Images / audio / video ride through Spark as opaque ``binary`` columns
+plus typed metadata — the schema-on-read pattern used by large-scale
+multimodal training pipelines (the bytes never parse on the JVM; only
+Arrow batches cross to Python where a decode library would run).
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked stub: ``decode_stub=True`` produces deterministic fake
+features with the REAL plumbing — ``mapInPandas`` over Arrow batches,
+explicit output schema, per-batch vectorized processing — so swapping
+in PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature_norm", T.DoubleType(), True),
+    ]
+)
+
+
+def attach_media(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from any source by treating a column's UTF-8
+    bytes as the opaque payload (the fixtures ship no real media).
+
+    Checksum/size are computed JVM-side (``md5``/``octet_length``) —
+    metadata extraction never leaves codegen.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_and_featurize(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
+    """Decode payloads and emit per-item features via ``mapInPandas``.
+
+    Arrow-batched: each Python task receives pandas batches, vectorizes
+    over them, yields feature frames. Partitioning, schema, and batch
+    shape are production-real; only the pixel/sample decode is stubbed.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real decode needs PIL/ffmpeg, not present in this container; "
+            "run with decode_stub=True"
+        )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["n_bytes"].astype("int64")
+            # Deterministic fake decode: dimensions/features derived from
+            # payload length. A real kernel would do
+            # PIL.Image.open(io.BytesIO(b)) here.
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n,
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "feature_norm": (n % 997).astype("float64") / 997.0,
+                }
+            )
+
+    src = media.select("media_id", "media_type", "n_bytes")
+    return src.mapInPandas(featurize, schema=FEATURE_SCHEMA)

@@ -1,0 +1,104 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All built-in expressions (regexp_count / split / higher-order array
+functions) — the per-document feature pass over a 100 TB corpus stays
+inside whole-stage codegen with zero Python.
+
+- ``text_stats``: per-document structural features.
+- ``quality_score``: composite [0,1] heuristic (length, alpha ratio,
+  punctuation density, stopword ratio) in the spirit of C4/Gopher-style
+  quality filters.
+- ``language_id``: stopword-overlap heuristic language guesser. The
+  per-language stopword lists are tiny and ship as literal arrays in
+  the plan (broadcast-by-construction, no join).
+- ``fingerprint``: deterministic rolling-hash document fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    char_fingerprint,
+    punct_count,
+    token_count_bpe,
+    tokens,
+)
+
+# Deliberately small, deterministic stopword profiles. Real pipelines
+# would plug fastText lid.176 here via mapInPandas; the operator shape
+# (text column in, lang + confidence out) is what matters.
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "por", "con", "una", "para"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "que", "dans", "pour", "une", "sur"],
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append structural feature columns to each document row."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        token_count_bpe(t).alias("n_bpe_tokens"),
+        punct_count(t).alias("n_punct"),
+        stable_round(
+            (F.length(t) - (n_tok - 1)) / F.when(n_tok > 0, n_tok).otherwise(1), 6
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1], rounded to 6dp.
+
+    0.35 * min(n_tokens/100, 1)        -- enough content
+    0.35 * unique_ratio                -- not degenerate repetition
+    0.30 * (1 - punct_density)         -- not symbol soup
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.when(n_tok > 0, n_tok).otherwise(1.0)
+    punct_density = punct_count(t).cast("double") / F.when(F.length(t) > 0, F.length(t)).otherwise(1)
+    score = (
+        F.lit(0.35) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(0.35) * uniq_ratio
+        + F.lit(0.30) * (1.0 - punct_density)
+    )
+    return df.withColumn("quality_score", stable_round(score, 6))
+
+
+def _overlap_score(toks: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-overlap language guess; 'und' when no profile matches.
+
+    Ties break by profile order (en > es > de > fr) via strictly-greater
+    comparison — deterministic.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    langs = list(STOPWORD_PROFILES)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = _overlap_score(toks, STOPWORD_PROFILES[lang])
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return df.withColumn(out_col, best_lang).withColumn(f"{out_col}_score", best_score)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic 31-bit rolling-hash fingerprint per document."""
+    return df.withColumn(out_col, char_fingerprint(F.col(text_col)))

@@ -1,1 +1,154 @@
-"""Placeholder — filled in as operators land."""
+"""Dedup queries over the ``documents`` fixture (extension surface).
+
+Even the MinHash-LSH pipeline is oracle-checked: every step (polynomial
+shingle hash, the 64 permutations, band folding, bucket join, exact
+Jaccard verify) is deterministic arithmetic, so the DuckDB oracle SQL —
+generated from the same coefficient table — reproduces it bit-for-bit.
+SimHash stays rows-only (mirroring 31 bit-sums in SQL buys nothing; its
+determinism is unit-tested instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from healthcare_etl_spark.functions.text import FINGERPRINT_MOD as P
+from healthcare_etl_spark.operators.dedup import (
+    BAND_R,
+    N_BANDS,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_coefficients,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+# Shared SQL fragments (DuckDB): word 3-shingle sets and their hashes.
+_SHINGLES_SQL = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM tok
+)
+"""
+
+_POLY = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({x}, ''), c -> ord(c)::BIGINT)), (acc, y) -> (acc * 31 + y) % 2147483647)"
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+    description="Exact dedup: hash-groupBy on content, keep min id (one shuffle)",
+    tags=("dedup", "extension"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+common AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
+    FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       (round((n_common::DOUBLE / (na + nb - n_common)) * 1000000.0) / 1000000.0) AS jaccard
+FROM common
+WHERE (round((n_common::DOUBLE / (na + nb - n_common)) * 1000000.0) / 1000000.0) >= 0.5
+""",
+    description="Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index self-join",
+    tags=("dedup", "extension"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.5)
+
+
+def _minhash_oracle_sql() -> str:
+    """Generate the DuckDB mirror of the full MinHash-LSH pipeline from
+    the same coefficient table the Spark operator uses."""
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {P}))"
+        for a, b in minhash_coefficients()
+    )
+    band_exprs = ", ".join(
+        f"{j}::BIGINT * {P} + list_reduce(list_prepend(0::BIGINT, "
+        f"list_slice(sig, {j * BAND_R + 1}, {j * BAND_R + BAND_R})), "
+        f"(acc, v) -> (acc * 31 + v) % {P})"
+        for j in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hashed AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, x -> {_POLY.format(x="x")}) AS h
+    FROM sh
+),
+sigs AS (
+    SELECT doc_id, shingles,
+           [{sig_exprs}] AS sig
+    FROM hashed
+),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS bk FROM sigs),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+),
+verified AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) AS jac
+    FROM cand
+    JOIN sigs a ON a.doc_id = doc_a
+    JOIN sigs b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, (round(jac * 1000000.0) / 1000000.0) AS jaccard
+FROM verified WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+"""
+
+
+register(
+    "q_dedup_minhash",
+    oracle=_minhash_oracle_sql(),
+    description=(
+        "MinHash(64) + LSH(16 bands x 4) candidate pairs, exact-Jaccard verified. "
+        "The scale path: bucket join is ~linear in corpus size; skewed buckets "
+        "handled by AQE skew-join"
+    ),
+    tags=("dedup", "extension"),
+)(lambda spark, sf_dir: minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5))
+
+
+@register(
+    "q_dedup_simhash",
+    description=(
+        "SimHash(31-bit) near-dup pairs, hamming <= 2 via pigeonhole band join. "
+        "Rows-only check: 31 per-bit sums are impractical to mirror in SQL; "
+        "determinism + planted-pair recall unit-tested. Note: the fixture corpus "
+        "draws all documents from one small vocabulary, so simhash (a "
+        "distribution-of-words sketch) is inherently noisy here — planted "
+        "near-dups land at hamming 0-2 but share that range with topically "
+        "similar non-dups; MinHash is the precise operator for this corpus."
+    ),
+    tags=("dedup", "extension"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=2)

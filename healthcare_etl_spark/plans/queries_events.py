@@ -1,1 +1,178 @@
-"""Placeholder — filled in as operators land."""
+"""Event-time queries over the ``events`` fixture (extension surface).
+
+Tumbling/sliding windows, sessionization, JSON extraction, as-of join.
+The batch forms here are oracle-checked; streaming variants with
+watermarks live in ``healthcare_etl_spark.streaming`` and are asserted
+equivalent to these batch plans in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.operators.asof import asof_join
+from healthcare_etl_spark.operators.sessionize import session_stats
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "q_event_windows",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)              AS n_events,
+       round(sum(value), 4)  AS sum_value,
+       round(avg(value), 6)  AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Tumbling 1h event-time window aggregate (batch form of the streaming job)",
+    tags=("events", "extension"),
+)
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "q_event_windows_sliding",
+    oracle="""
+-- sliding(width=1h, step=30m) == union of two tumbling grids offset by 30m
+WITH grids AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start, value
+    FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM grids GROUP BY 1
+""",
+    description="Sliding window (1h width, 30m step); each event lands in 2 windows",
+    tags=("events", "extension"),
+)
+def q_event_windows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM gaps
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')              AS session_start,
+       count(*)                                            AS n_events,
+       round(epoch(max(ts)) - epoch(min(ts)), 3)           AS duration_sec
+FROM sessions GROUP BY user_id, session_seq
+""",
+    description="Gap-based sessionization (30m): lag + running-sum window, one shuffle on user_id",
+    tags=("events", "extension"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id"
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*)                                             AS n,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+FROM events GROUP BY event_type
+""",
+    description="JSON extraction from events.props (F.get_json_object), aggregated",
+    tags=("events", "extension"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.expr("try_cast(get_json_object(props, '$.k') as double)")), 6).alias(
+            "avg_k"
+        ),
+        F.max(F.expr("try_cast(get_json_object(props, '$.k') as bigint)")).alias("max_k"),
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+WITH daily_rates AS (
+    SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS day,
+           round(avg(o_totalprice), 6) AS rate
+    FROM orders GROUP BY 1
+)
+SELECT e.event_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       r.rate
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') e
+ASOF JOIN daily_rates r ON e.ts >= r.day
+""",
+    description=(
+        "As-of join (most recent daily rate <= event time) — Spark-lacks-it operator "
+        "built from union + last-ignorenulls window (operators.asof)"
+    ),
+    tags=("events", "extension"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("ts")
+    ).agg(F.round(F.avg("o_totalprice"), 6).alias("rate"))
+    joined = asof_join(ev, daily, on="ts", value_cols=["rate"])
+    return joined.select(
+        "event_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        "rate",
+    ).filter(F.col("rate").isNotNull())

@@ -1,1 +1,89 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search queries over the ``embeddings`` fixture (extension).
+
+The DuckDB oracle mirrors the exact fold order of the Spark expressions
+(``zip_with``+``aggregate`` vs ``list_zip``+``list_reduce``, both strict
+left-to-right, elements cast to double before multiplying), so the
+cosine scores are bit-identical and hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk, neardup_pairs
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+# DuckDB fragments mirroring functions.vectors (fold order preserved).
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), s -> s[1]::DOUBLE * s[2]::DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+)
+_COS = f"({_DOT} / ({_NORM.format(v='{a}')} * {_NORM.format(v='{b}')}))"
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+    SELECT query_id, neighbor_id,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS cosine
+    FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+    description=(
+        "Exact brute-force cosine top-10 per query vector (queries broadcast, corpus "
+        "streams through codegen; per-query top-k window). The ANN baseline."
+    ),
+    tags=("similarity", "extension"),
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return cosine_topk(queries, corpus, k=10)
+
+
+@register(
+    "q_sim_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       (round({_COS.format(a="a.embedding", b="b.embedding")} * 1000000.0) / 1000000.0) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE (round({_COS.format(a="a.embedding", b="b.embedding")} * 1000000.0) / 1000000.0) >= 0.3
+""",
+    description="Embedding-cosine near-dup pairs (threshold 0.3), exact all-pairs form",
+    tags=("similarity", "dedup", "extension"),
+)
+def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.3)
+
+
+@register(
+    "q_sim_ann_lsh",
+    description=(
+        "Random-hyperplane LSH ANN top-10 (8 planes, seed 42): bucket equi-join "
+        "replaces the cross join — the 100 TB path. Rows-only check; recall vs the "
+        "exact baseline is unit-tested."
+    ),
+    tags=("similarity", "extension", "approx"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_ann_topk(queries, corpus, k=10)

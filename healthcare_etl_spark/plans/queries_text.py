@@ -1,1 +1,124 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the ``documents`` fixture (extension).
+
+The oracle SQL mirrors each Spark expression exactly — same regexes
+(Java regex vs RE2 agree on these constructs), same fold order for the
+rolling hash — so even the fingerprint is hash-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+)
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+@register(
+    "q_text_stats",
+    oracle=r"""
+SELECT doc_id,
+       length(text)                                       AS n_chars,
+       len(string_split(text, ' '))                       AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))    AS n_punct,
+       (round(((length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' '))) * 1000000.0) / 1000000.0) AS avg_token_len,
+       len(list_distinct(string_split(text, ' ')))        AS n_unique_tokens
+FROM documents
+""",
+    description="Per-document structural features: chars/tokens/BPE-ish tokens/punct/uniqueness",
+    tags=("text", "extension"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_stats(docs).drop("text")
+
+
+@register(
+    "q_quality_score",
+    oracle=r"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)     AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE)                                    AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       (round((0.35 * least(n_tok / 100.0, 1.0)
+           + 0.35 * (n_uniq / CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END)
+           + 0.30 * (1.0 - n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END))
+           * 1000000.0) / 1000000.0) AS quality_score
+FROM feats
+""",
+    description="Composite document quality heuristic (C4/Gopher-style filter score)",
+    tags=("text", "extension"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs).select("doc_id", "quality_score")
+
+
+@register(
+    "q_lang_profile",
+    oracle="""
+SELECT lang,
+       count(*)                 AS n_docs,
+       round(avg(n_chars), 6)   AS avg_chars,
+       round(sum(n_chars), 1)   AS total_chars
+FROM documents GROUP BY lang
+""",
+    description="Corpus language distribution (declared lang column)",
+    tags=("text", "extension"),
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.sum("n_chars").cast("double"), 1).alias("total_chars"),
+    )
+
+
+@register(
+    "q_lang_id",
+    description=(
+        "Heuristic language-ID (stopword-overlap argmax). Rows-only check: the "
+        "heuristic's literal stopword arrays are impractical to mirror in SQL; "
+        "deterministic behavior is unit-tested on constructed sentences instead."
+    ),
+    tags=("text", "extension"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return language_id(docs).select("doc_id", "lang_pred", "lang_pred_score")
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+           (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS fingerprint
+FROM documents
+""",
+    description=(
+        "Rolling-hash document fingerprint; identical left-to-right fold in Spark "
+        "(aggregate) and DuckDB (list_reduce), so value-hash-checked"
+    ),
+    tags=("text", "extension"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(docs).select("doc_id", "fingerprint")

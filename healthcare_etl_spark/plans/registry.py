@@ -59,6 +59,10 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_similarity  # noqa: F401
     import healthcare_etl_spark.plans.queries_multimodal  # noqa: F401
 
+    from healthcare_etl_spark.streaming.windows import register_streaming_queries
+
+    register_streaming_queries()
+
 
 def get_registry() -> dict[str, Query]:
     _load_all_modules()

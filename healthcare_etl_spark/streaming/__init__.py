@@ -1,0 +1,11 @@
+from healthcare_etl_spark.streaming.windows import (
+    run_streaming_sessionization,
+    run_streaming_tumbling,
+    streaming_events,
+)
+
+__all__ = [
+    "streaming_events",
+    "run_streaming_tumbling",
+    "run_streaming_sessionization",
+]

@@ -1,0 +1,148 @@
+"""Structured Streaming variants of the event-time operators.
+
+The batch queries in ``plans.queries_events`` are the oracle-checked
+semantics; these jobs run the SAME aggregations as streams with
+watermarks. For the fixture replay (file source, one batch,
+``availableNow`` semantics) the results must equal the batch plans —
+asserted in tests.
+
+Scale notes: watermark + windowed agg is incremental state in the state
+store, partitioned by (window, key) — the standard unbounded-input
+answer to the batch plans' full-shuffle. ``session_window`` handles
+gap-sessionization with merging state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.sources import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as an unbounded stream via the file source.
+
+    The ns-timestamp workaround applies here too: read ``ts`` as long
+    nanos with an explicit schema, convert to a µs timestamp in the
+    first select — identical values to the batch reader.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = load_table(spark, sf_dir, "events").schema  # post-conversion schema
+    raw_schema = ", ".join(
+        f"{f.name} BIGINT" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
+        for f in batch_schema.fields
+    )
+    # FileStreamSource needs a directory; select just the events table
+    # from the fixture dir with a glob filter.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(str(sf_dir).rstrip("/"))
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    query_name: str = "stream_tumbling",
+) -> DataFrame:
+    """Run the tumbling-window count/sum as a stream to completion and
+    return the materialized result (memory sink, complete mode).
+    """
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def run_streaming_sessionization(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Gap-based sessions via ``session_window`` (merging window state).
+
+    Returns (user_id, session_start, n_events) — comparable to the batch
+    ``session_stats`` output for in-order replay.
+    """
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def register_streaming_queries() -> None:
+    """Register streaming jobs in the main registry (rows-only checks —
+    the driver can execute them; equivalence to the oracle-checked batch
+    plans is asserted in tests)."""
+    from healthcare_etl_spark.plans.registry import register
+
+    register(
+        "q_stream_tumbling",
+        description=(
+            "Structured Streaming tumbling-window agg (watermark + memory sink, run to "
+            "completion). Equals the oracle-checked batch q_event_windows on replay; "
+            "equivalence unit-tested."
+        ),
+        tags=("streaming", "extension"),
+    )(lambda spark, sf_dir: run_streaming_tumbling(spark, sf_dir, query_name="q_stream_tumbling_sink"))
+
+    register(
+        "q_stream_sessions",
+        description=(
+            "Structured Streaming session_window gap sessionization (merging state). "
+            "Matches batch sessionize counts on in-order replay; unit-tested."
+        ),
+        tags=("streaming", "extension"),
+    )(lambda spark, sf_dir: run_streaming_sessionization(spark, sf_dir, query_name="q_stream_sessions_sink"))

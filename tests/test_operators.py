@@ -1,0 +1,103 @@
+"""Semantics edge tests for the operator library (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.operators import (
+    broadcast_inner_join,
+    coerce_numeric,
+    drop_null_rows,
+    normalize_column_name,
+    normalize_columns,
+)
+
+
+def test_normalize_column_name():
+    # reference etl_script.py:74 convention
+    assert normalize_column_name(" Facility ID ") == "facility_id"
+    assert normalize_column_name("City/Town") == "city_town"
+    assert normalize_column_name("  Excess Readmission Ratio") == "excess_readmission_ratio"
+    assert normalize_column_name("already_clean") == "already_clean"
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([(1, 2)], [" A Col ", "B/Col"])
+    assert normalize_columns(df).columns == ["a_col", "b_col"]
+
+
+def test_coerce_numeric_sentinels(spark):
+    # pandas to_numeric(errors='coerce') behavior: unparseable -> NULL
+    df = spark.createDataFrame(
+        [("1.5",), ("N/A",), ("Too Few to Report",), ("  2.25 ",), (None,)], ["x"]
+    )
+    out = coerce_numeric(df, ["x", "missing_col"]).collect()
+    vals = [r.x for r in out]
+    assert vals == [1.5, None, None, 2.25, None]
+
+
+def test_drop_null_rows_subset(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0, None), (None, 1.0, 1.0), (1.0, None, 1.0), (2.0, 2.0, 2.0)],
+        ["a", "b", "c"],
+    )
+    kept = drop_null_rows(df, ["a", "b"]).collect()
+    assert sorted((r.a, r.b) for r in kept) == [(1.0, 1.0), (2.0, 2.0)]
+
+
+def test_join_duplicate_keys_cross_product(spark):
+    # pd.merge cross-products duplicate keys; Spark must match (SURVEY §7.3)
+    left = spark.createDataFrame([("k", 1), ("k", 2)], ["id", "l"])
+    right = spark.createDataFrame([("k", 10), ("k", 20)], ["id", "r"])
+    out = broadcast_inner_join(left, right, on="id")
+    assert out.count() == 4
+    # joined on name -> single key column, like pandas' on='facility_id'
+    assert out.columns.count("id") == 1
+
+
+def test_inner_join_drops_nonmatching(spark):
+    left = spark.createDataFrame([("a", 1), ("b", 2)], ["id", "l"])
+    right = spark.createDataFrame([("a", 10)], ["id", "r"])
+    assert broadcast_inner_join(left, right, on="id").count() == 1
+
+
+def test_approx_count_distinct_tolerance(spark, sf_smoke):
+    from healthcare_etl_spark.sources import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_partkey", rsd=0.01)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_csv_reader_explicit_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from healthcare_etl_spark.sources import read_csv
+
+    p = tmp_path / "facilities.csv"
+    p.write_text("Facility ID,Score\n010001,1.5\n020002,N/A\n")
+    schema = T.StructType(
+        [
+            T.StructField("Facility ID", T.StringType()),
+            T.StructField("Score", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema)
+    rows = df.collect()
+    # leading zeros preserved (the reference's dtype={'Facility ID': str} lesson)
+    assert rows[0]["Facility ID"] == "010001"
+
+
+def test_write_table_overwrite(spark, tmp_path):
+    from healthcare_etl_spark.sources import write_table
+
+    out = str(tmp_path / "t")
+    df1 = spark.range(5)
+    df2 = spark.range(3)
+    write_table(df1, out)
+    write_table(df2, out)  # if_exists='replace' semantics (etl_script.py:168)
+    assert spark.read.parquet(out).count() == 3
