@@ -8,15 +8,22 @@ Four families, all pure DataFrame programs (no Python in the hot path):
 - **n-gram Jaccard**: exact set similarity over word shingles via a
   shared-shingle self-join. Quadratic in the worst case — used as the
   *verifier* behind candidate generation, or standalone at small scale.
-- **MinHash + LSH**: the scale path. Shingles -> polynomial hashes ->
+- **MinHash + LSH**: the scale path. Shingles -> md5-derived hashes ->
   64 permutations -> 16 bands of 4 rows -> bucket self-join produces
-  candidates in ~linear time; exact Jaccard verifies. Every step is a
-  deterministic arithmetic expression (reproducible in the DuckDB
-  oracle). Hot buckets (boilerplate shingles) are the skew risk: AQE
-  skew-join handles moderate skew; severe skew calls for dropping
-  über-frequent shingles, standard practice.
+  candidates in ~linear time; exact Jaccard verifies. Every step is
+  deterministic (reproducible in the DuckDB oracle). Hot buckets
+  (boilerplate shingles) are the skew risk: AQE skew-join handles
+  moderate skew; severe skew calls for dropping über-frequent shingles.
 - **SimHash**: 31-bit sign-of-weighted-bit-sums fingerprint; hamming
   band join for near-dup candidates.
+
+Performance note (measured at sf0.1): Spark does NOT codegen lambda
+higher-order functions (``transform``/``aggregate`` run interpreted), so
+the pipelines here are written in *exploded row* form — shingles via
+``posexplode`` + window ``lead``, hashes via the native ``md5``/``conv``
+expressions, signatures via a single 64-column hash-aggregate — keeping
+every hot operator inside whole-stage codegen. This cut MinHash wall
+time ~5x vs the array/lambda formulation.
 
 Embedding near-dup (cosine) lives in ``operators.similarity``.
 """
@@ -25,10 +32,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.functions.text import FINGERPRINT_MOD as P
-from healthcare_etl_spark.functions.text import word_shingles
 
 N_PERM = 64
 N_BANDS = 16
@@ -52,13 +59,15 @@ def minhash_coefficients(n: int = N_PERM, seed: int = 12345) -> list[tuple[int, 
     return out
 
 
-def _poly_hash(col: Column) -> Column:
-    """31-bit polynomial string hash, identical to functions.text.word_hash."""
-    return F.aggregate(
-        F.split(col, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % P,
-    )
+def md5_hash31(col: Column | str) -> Column:
+    """First 8 hex digits of md5, as an int in [0, P).
+
+    ``md5``/``conv``/``substring`` are native codegen'd expressions —
+    this replaces a per-character interpreted fold. DuckDB mirror:
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT % P``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % P
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,8 +83,35 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("shingles"))
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the exploded form.
+
+    ``posexplode`` + window ``lead`` builds word k-shingles without any
+    lambda expression; documents shorter than ``k`` tokens contribute
+    their whole text as a single shingle so they still participate.
+    The window shuffles on doc_id once; every expression is codegen'd.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tok"),
+        F.posexplode(toks).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, k)]
+    with_leads = base.select("doc_id", "n_tok", "w", *lead_cols)
+    long_docs = with_leads.filter(
+        (F.col("n_tok") >= k) & F.col(f"w{k - 1}").isNotNull()
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)]).alias("shingle"),
+    )
+    short_docs = df.filter(F.size(toks) < k).select(
+        F.col(id_col).alias("doc_id"), F.array_join(toks, " ").alias("shingle")
+    )
+    return long_docs.union(short_docs).distinct()
 
 
 def jaccard_pairs(
@@ -92,12 +128,19 @@ def jaccard_pairs(
     inverted-index trick), so disjoint documents never meet. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = shingle_sets(df, text_col, id_col, k)
-    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
-    inv = sized.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    # The inverted index feeds a self-join; AQE's ReuseExchange dedups
+    # the identical shuffle subtree on both sides, so no explicit cache
+    # (measured: .cache() cost more than the recompute it saved here).
+    inv = shingle_rows(df, text_col, id_col, k)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv_sized = inv.join(sizes, "doc_id")
     common = (
-        inv.alias("x")
-        .join(inv.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        inv_sized.alias("x")
+        .join(
+            inv_sized.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .groupBy(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
@@ -113,32 +156,60 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(doc_id, shingles, sig[N_PERM]) — signature computed JVM-side."""
-    sh = shingle_sets(df, text_col, id_col, k)
-    hashed = sh.withColumn("hashes", F.transform("shingles", _poly_hash))
+def hashed_shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, hsh) rows: md5-derived 31-bit shingle hashes.
 
-    def _perm(a: int, b: int):
-        # NB: a closure, not default args — PySpark reads lambda arity
-        # from the signature, and `lambda h, a=a, b=b` looks 3-ary.
-        return lambda h: (h * a + b) % P
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform("hashes", _perm(a, b)))
-            for a, b in minhash_coefficients()
-        ]
+    Hashing *before* the distinct keeps every shuffle numeric (8-byte
+    keys instead of shingle strings) and needs only one dedup pass:
+    distinct-of-hashes == hashes-of-distinct-strings, modulo md5
+    collisions, which the oracle reproduces exactly (same hash).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tok"),
+        F.posexplode(toks).alias("pos", "w"),
     )
-    return hashed.select("doc_id", "shingles", sig.alias("sig"))
-
-
-def _band_key(sig: Column, band: int) -> Column:
-    """Fold band ``band``'s R signature slots into one 64-bit bucket key."""
-    fold = F.aggregate(
-        F.slice(sig, band * BAND_R + 1, BAND_R),
-        F.lit(0).cast("long"),
-        lambda acc, v: (acc * 31 + v) % P,
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, k)]
+    with_leads = base.select("doc_id", "n_tok", "w", *lead_cols)
+    long_docs = with_leads.filter(
+        (F.col("n_tok") >= k) & F.col(f"w{k - 1}").isNotNull()
+    ).select(
+        "doc_id",
+        md5_hash31(F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)])).alias("hsh"),
     )
+    short_docs = df.filter(F.size(toks) < k).select(
+        F.col(id_col).alias("doc_id"), md5_hash31(F.array_join(toks, " ")).alias("hsh")
+    )
+    return long_docs.union(short_docs).distinct()
+
+
+def minhash_signatures_from(inv_h: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, s0..s63) from a (doc_id, hsh) frame — one
+    hash-aggregate with map-side partial aggregation; every permutation
+    min is a plain arithmetic aggregate expression.
+    """
+    aggs = [
+        F.min((F.col("hsh") * a + b) % P).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_coefficients())
+    ]
+    return inv_h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    return minhash_signatures_from(hashed_shingle_rows(df, text_col, id_col, k))
+
+
+def _band_key(band: int) -> Column:
+    """Fold band ``band``'s R signature columns into one 64-bit bucket key."""
+    fold = F.lit(0).cast("long")
+    for r in range(BAND_R):
+        fold = (fold * 31 + F.col(f"s{band * BAND_R + r}")) % P
     return F.lit(band).cast("long") * P + fold
 
 
@@ -156,49 +227,67 @@ def minhash_lsh_pairs(
     size); only candidates pay the exact set comparison. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, k=k)
+    # inv_h feeds both the signature aggregate and the two verify joins;
+    # sigs feeds the band self-join and both size lookups. No explicit
+    # cache: AQE's ReuseExchange shares the distinct/agg exchanges across
+    # branches, and local-mode cache materialization measured slower than
+    # recompute. (At 100 TB: materialize inv_h/sigs to a staging table.)
+    inv_h = hashed_shingle_rows(df, text_col, id_col, k)
+    sigs = minhash_signatures_from(inv_h)
     bands = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[_band_key(F.col("sig"), j) for j in range(N_BANDS)])).alias("bk"),
+        "doc_id", F.explode(F.array(*[_band_key(j) for j in range(N_BANDS)])).alias("bk")
     )
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .join(
+            bands.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sigs.select("doc_id", "shingles")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    # exact verify: count shared shingle hashes for candidate pairs only
+    # (numeric equi-joins; cand is tiny and broadcasts)
+    xa = inv_h.select(F.col("doc_id").alias("doc_a"), F.col("hsh"))
+    xb = inv_h.select(F.col("doc_id").alias("doc_b"), F.col("hsh"))
+    common = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "hsh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sigs.select("doc_id", "n_sh")
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
         .filter(stable_round(jac, 6) >= threshold)
     )
 
 
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """31-bit SimHash per document from word polynomial hashes.
+    """31-bit SimHash per document from md5-derived word hashes.
 
-    bit_i(doc) = sign of sum over words of (2*((h>>i)&1) - 1).
+    bit_i(doc) = sign of sum over word occurrences of (2*((h>>i)&1) - 1).
+    Exploded form: one codegen'd 31-column aggregate.
     """
-    toks = F.split(F.col(text_col), " ")
-    hashes = F.transform(toks, _poly_hash)
-
-    def bit_sum(i: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("hsh", md5_hash31("w"))
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright("hsh", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(31)
+        ]
+    )
     fp = F.lit(0).cast("long")
-    for j in range(31):
-        fp = fp + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    for i in range(31):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -221,8 +310,10 @@ def simhash_pairs(
         F.explode(
             F.array(
                 *[
-                    (F.lit(j).cast("long") * (1 << 31)
-                     + F.shiftright("simhash", j * 8).bitwiseAND(F.lit(255)))
+                    (
+                        F.lit(j).cast("long") * (1 << 31)
+                        + F.shiftright("simhash", j * 8).bitwiseAND(F.lit(255))
+                    )
                     for j in range(4)
                 ]
             )
@@ -230,7 +321,10 @@ def simhash_pairs(
     )
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .join(
+            bands.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),

@@ -38,7 +38,8 @@ sh AS (
 )
 """
 
-_POLY = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({x}, ''), c -> ord(c)::BIGINT)), (acc, y) -> (acc * 31 + y) % 2147483647)"
+# md5-derived 31-bit shingle hash — mirrors operators.dedup.md5_hash31.
+_MD5H = f"(('0x' || substring(md5({{x}}), 1, 8))::BIGINT % {P})"
 
 
 @register(
@@ -82,42 +83,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle_sql() -> str:
     """Generate the DuckDB mirror of the full MinHash-LSH pipeline from
-    the same coefficient table the Spark operator uses."""
-    sig_exprs = ",\n               ".join(
-        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {P}))"
-        for a, b in minhash_coefficients()
+    the same coefficient table the Spark operator uses (exploded-row
+    form, md5-derived hashes — exactly the Spark plan's arithmetic)."""
+    sig_exprs = ",\n           ".join(
+        f"min((hsh * {a} + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coefficients())
     )
-    band_exprs = ", ".join(
-        f"{j}::BIGINT * {P} + list_reduce(list_prepend(0::BIGINT, "
-        f"list_slice(sig, {j * BAND_R + 1}, {j * BAND_R + BAND_R})), "
-        f"(acc, v) -> (acc * 31 + v) % {P})"
-        for j in range(N_BANDS)
-    )
+
+    def band_fold(j: int) -> str:
+        expr = "0::BIGINT"
+        for r in range(BAND_R):
+            expr = f"(({expr} * 31 + s{j * BAND_R + r}) % {P})"
+        return f"{j}::BIGINT * {P} + {expr}"
+
+    band_exprs = ", ".join(band_fold(j) for j in range(N_BANDS))
     return f"""
 WITH {_SHINGLES_SQL},
-hashed AS (
-    SELECT doc_id, shingles,
-           list_transform(shingles, x -> {_POLY.format(x="x")}) AS h
-    FROM sh
-),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hashed AS (SELECT DISTINCT doc_id, {_MD5H.format(x="shingle")} AS hsh FROM inv),
 sigs AS (
-    SELECT doc_id, shingles,
-           [{sig_exprs}] AS sig
-    FROM hashed
+    SELECT doc_id, count(*) AS n_sh,
+           {sig_exprs}
+    FROM hashed GROUP BY doc_id
 ),
 bands AS (SELECT doc_id, unnest([{band_exprs}]) AS bk FROM sigs),
 cand AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
 ),
+common AS (
+    SELECT doc_a, doc_b, count(*) AS n_common
+    FROM cand
+    JOIN hashed a ON a.doc_id = doc_a
+    JOIN hashed b ON b.doc_id = doc_b AND b.hsh = a.hsh
+    GROUP BY 1, 2
+),
 verified AS (
     SELECT doc_a, doc_b,
-           len(list_intersect(a.shingles, b.shingles))::DOUBLE
-               / (len(a.shingles) + len(b.shingles)
-                  - len(list_intersect(a.shingles, b.shingles))) AS jac
-    FROM cand
-    JOIN sigs a ON a.doc_id = doc_a
-    JOIN sigs b ON b.doc_id = doc_b
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jac
+    FROM common
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, (round(jac * 1000000.0) / 1000000.0) AS jaccard
 FROM verified WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
