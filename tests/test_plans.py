@@ -1,0 +1,104 @@
+"""Physical-plan assertions — the scale contract, enforced in CI.
+
+Correctness tests prove the answers match; these prove the *plans* are
+the ones that survive a 100x scale-up: filters reach the parquet scan,
+projections prune the read schema, dimensions broadcast, fact tables
+don't, and top-k never becomes a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from healthcare_etl_spark.plans.registry import get_registry
+
+
+def plan_of(spark, sf, name: str) -> str:
+    import contextlib
+    import io
+
+    df = get_registry()[name].fn(spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_filter_eq")
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "").replace("'", "")
+
+
+def test_column_pruning(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_scan_project")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    # only the 3 projected columns are read, not all 5
+    assert "c_custkey" in read_schema[0] and "c_acctbal" not in read_schema[0]
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_etl_replica_broadcasts_dimension_not_fact(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_etl_replica")
+    # both joins broadcast (nation into customer, dim into fact); count
+    # tree nodes ("BroadcastHashJoin Inner"), not detail-section repeats
+    assert plan.count("BroadcastHashJoin Inner") == 2
+    # ... and the streaming (probe) side — node (1), the first scan in the
+    # tree — is the fact table, never under a BroadcastExchange.
+    scan1 = plan.split("(1) Scan parquet")[1]
+    assert "orders.parquet" in scan1.split("ReadSchema")[0]
+    # bonus: the coerce/dropna/filter chain collapsed into the scan filter
+    # (predicate pushdown through the whole normalize pipeline)
+    assert "atleastnnonnulls" in plan
+
+
+def test_q5_does_not_broadcast_fact_tables(spark, sf_smoke):
+    """lineitem and orders are fact-sized at scale: neither may sit under
+    a *statically planned* BroadcastExchange (AQE may still convert at
+    runtime from observed sizes, which is exactly the point)."""
+    plan = plan_of(spark, sf_smoke, "q_tpch_q5")
+    for segment in plan.split("BroadcastExchange")[1:]:
+        scan_line = next(
+            (ln for ln in segment.splitlines() if "Scan parquet" in ln), ""
+        )
+        assert "lineitem" not in scan_line
+
+
+def test_groupby_has_partial_aggregation(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_tpch_q1")
+    # partial (map-side) + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_window_single_shuffle(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_topn_per_group")
+    # one hashpartitioning exchange on the group key, then sort+window
+    # ("Exchange (" counts tree nodes; the detail section prints "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+    assert "Window" in plan
+    # Spark 3.5+ pushes the rank limit below the shuffle (per-partition
+    # pre-filtering) — keep it that way
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_no_python_in_plan(spark, sf_smoke):
+    """The dedup hot path must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython / mapInPandas operators anywhere in the plan."""
+    plan = plan_of(spark, sf_smoke, "q_dedup_minhash")
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"]:
+        assert marker not in plan
+
+
+def test_multimodal_uses_arrow_python(spark, sf_smoke):
+    """The featurize kernel is the one sanctioned Python operator — it
+    must go through Arrow (MapInPandas), never row-at-a-time python UDF."""
+    plan = plan_of(spark, sf_smoke, "q_multimodal_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
