@@ -300,3 +300,29 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "q_sql_surface",
+    oracle="""
+SELECT n_name AS nation, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    description=(
+        "The spark.sql(...) entry point (SURVEY §3.3): same Catalyst plan as the "
+        "DataFrame API, registered over temp views — the engine's SQL surface"
+    ),
+    tags=("parity", "sql"),
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name AS nation, count(*) AS n_customers,
+               round(avg(c_acctbal), 6) AS avg_acctbal
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -1,0 +1,128 @@
+"""Corpus-level token analytics over ``documents`` (extension surface).
+
+The n-gram/TF-IDF shapes every training-data pipeline runs: global token
+frequencies, document frequency, TF-IDF scoring — all exploded-row
+groupBy/join plans (one shuffle per aggregation level, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+@register(
+    "q_token_topk",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT w AS token, count(*) AS freq
+FROM tok GROUP BY w
+ORDER BY freq DESC, token ASC
+LIMIT 20
+""",
+    description="Global token frequency top-20 (explode -> groupBy -> fused top-k)",
+    tags=("text", "extension"),
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_bigram_topk",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM tok WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS freq
+FROM bg GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+""",
+    description="Corpus bigram frequency top-20 (window-lead n-gram generation)",
+    tags=("text", "extension"),
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n_tok"), F.posexplode(toks).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        base.select("n_tok", "w", F.lead("w", 1).over(w).alias("w1"))
+        .filter((F.col("n_tok") >= 2) & F.col("w1").isNotNull())
+        .select(F.concat_ws(" ", "w", "w1").alias("bigram"))
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+    SELECT doc_id, w, count(*) AS n FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS n_docs FROM tok GROUP BY w),
+n AS (SELECT count(*) AS total_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.w AS term,
+           (round((tf.n * ln(total_docs / n_docs)) * 1000000.0) / 1000000.0) AS tfidf
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rn
+    FROM scored
+) WHERE rn <= 3 AND doc_id < 50
+""",
+    description=(
+        "TF-IDF top-3 terms per document (doc_id < 50): term frequency x inverse "
+        "document frequency; df table broadcast into the scoring join"
+    ),
+    tags=("text", "extension"),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    total_docs = docs.count()  # scalar, fixture-scale; at 100 TB use a broadcast agg
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    df_tbl = words.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        (F.round((F.col("n") * F.log(F.lit(float(total_docs)) / F.col("n_docs"))) * 1e6) / 1e6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf")
+    )

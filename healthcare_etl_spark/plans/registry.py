@@ -55,13 +55,16 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_tpch  # noqa: F401
     import healthcare_etl_spark.plans.queries_events  # noqa: F401
     import healthcare_etl_spark.plans.queries_text  # noqa: F401
+    import healthcare_etl_spark.plans.queries_corpus  # noqa: F401
     import healthcare_etl_spark.plans.queries_dedup  # noqa: F401
     import healthcare_etl_spark.plans.queries_similarity  # noqa: F401
     import healthcare_etl_spark.plans.queries_multimodal  # noqa: F401
 
+    from healthcare_etl_spark.streaming.stateful import register_stateful_queries
     from healthcare_etl_spark.streaming.windows import register_streaming_queries
 
     register_streaming_queries()
+    register_stateful_queries()
 
 
 def get_registry() -> dict[str, Query]:

@@ -1,4 +1,4 @@
 from healthcare_etl_spark.sources.readers import TABLE_NAMES, load_table, read_csv
-from healthcare_etl_spark.sources.writers import write_jdbc, write_table
+from healthcare_etl_spark.sources.writers import materialize, write_jdbc, write_table
 
-__all__ = ["TABLE_NAMES", "load_table", "read_csv", "write_table", "write_jdbc"]
+__all__ = ["TABLE_NAMES", "load_table", "materialize", "read_csv", "write_table", "write_jdbc"]

@@ -56,6 +56,23 @@ def write_bucketed_table(
     )
 
 
+def materialize(df: DataFrame, storage_level: str = "MEMORY_AND_DISK") -> DataFrame:
+    """Cache/materialize (SURVEY.md §2.1 S5) — the reference memoizes its
+    loaded table with ``@st.cache_data`` (reference ``dashboard_app/app.py:28``)
+    so dashboard interactions don't re-scan.
+
+    Spark equivalent: ``persist`` + an eager count to populate. Note the
+    local-mode caveat measured in this repo: for cheap-to-recompute
+    lineages AQE's ReuseExchange often beats an explicit cache — persist
+    only what several *jobs* (not branches of one job) will reuse.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(getattr(StorageLevel, storage_level))
+    df.count()
+    return df
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

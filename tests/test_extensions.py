@@ -161,3 +161,51 @@ def test_multimodal_stub_deterministic(spark, sf_smoke):
 
     with pytest.raises(NotImplementedError):
         decode_and_featurize(media, decode_stub=False)
+
+
+def test_stateful_profiles_equal_batch(spark, sf_smoke):
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.stateful import run_stateful_user_profiles
+
+    out = run_stateful_user_profiles(spark, sf_smoke, query_name="t_stateful_eq")
+    ev = load_table(spark, sf_smoke, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("bn"), F.round(F.sum("value"), 4).alias("bv")
+    )
+    j = out.join(batch, "user_id")
+    assert out.count() == batch.count()
+    assert (
+        j.filter(
+            (F.col("n_events") != F.col("bn"))
+            | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
+        ).count()
+        == 0
+    )
+
+
+def test_pandas_udf_cosine_matches_builtin(spark, sf_smoke):
+    """The Arrow-vectorized kernel path must agree with the codegen'd
+    built-in expression path (two implementations, one semantic)."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T
+    from healthcare_etl_spark.functions.vectors import cosine_similarity
+    from healthcare_etl_spark.sources import load_table
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack(a.values).astype("float64")
+        vb = np.stack(b.values).astype("float64")
+        num = (va * vb).sum(axis=1)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(num / den)
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(100)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(500)
+    both = pairs.select(
+        cosine_similarity("ea", "eb").alias("builtin"),
+        cos_udf("ea", "eb").alias("arrow"),
+    ).toPandas()
+    assert (abs(both["builtin"] - both["arrow"]) < 1e-9).all()
