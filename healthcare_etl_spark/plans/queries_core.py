@@ -326,3 +326,36 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "q_upsert_latest",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+) WHERE rn = 1
+""",
+    description=(
+        "Upsert compaction (operators.scale.latest_snapshot): newest order per "
+        "customer — the batch MERGE/latest-wins pattern, one shuffle + "
+        "WindowGroupLimit"
+    ),
+    tags=("extra-relational", "scale"),
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import latest_snapshot
+
+    o = load_table(spark, sf_dir, "orders")
+    latest = latest_snapshot(
+        o, key="o_custkey", order_by=[F.desc("o_orderdate"), F.desc("o_orderkey")]
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
