@@ -239,3 +239,21 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
     )
+
+
+@register(
+    "q_approx_quantiles",
+    description=(
+        "Approximate quantiles (KLL/GK-style percentile_approx) over lineitem "
+        "price — the sketch path for 100 TB percentiles. Rows-only: estimates "
+        "are engine-specific; accuracy vs exact percentile is unit-tested."
+    ),
+    tags=("extra-agg", "approx"),
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    )

@@ -176,3 +176,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts"),
         "rate",
     ).filter(F.col("rate").isNotNull())
+
+
+@register(
+    "q_window_distinct_users",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)  AS n_users,
+       count(*)                 AS n_events
+FROM events GROUP BY 1
+""",
+    description="Daily distinct users (exact): per-window count-distinct; HLL variant is q_approx_quantiles' sibling at scale",
+    tags=("events", "extension"),
+)
+def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

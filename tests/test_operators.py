@@ -101,3 +101,17 @@ def test_write_table_overwrite(spark, tmp_path):
     write_table(df1, out)
     write_table(df2, out)  # if_exists='replace' semantics (etl_script.py:168)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_approx_quantiles_accuracy(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_queries
+    from healthcare_etl_spark.sources import load_table
+
+    approx = get_queries()["q_approx_quantiles"](spark, sf_smoke).first()
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    ).first()
+    assert abs(approx.p50 - exact.p50) / exact.p50 < 0.01
+    assert abs(approx.p95 - exact.p95) / exact.p95 < 0.01
