@@ -92,7 +92,13 @@ def shingle_rows(
     lambda expression; documents shorter than ``k`` tokens contribute
     their whole text as a single shingle so they still participate.
     The window shuffles on doc_id once; every expression is codegen'd.
+
+    The input is spread across the cluster first: corpus fixtures arrive
+    as one small parquet file (one scan partition), and this subtree is
+    evaluated once per downstream branch — without the repartition the
+    tokenize/window pass runs near-serially several times over.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -165,7 +171,9 @@ def hashed_shingle_rows(
     keys instead of shingle strings) and needs only one dedup pass:
     distinct-of-hashes == hashes-of-distinct-strings, modulo md5
     collisions, which the oracle reproduces exactly (same hash).
+    (Same single-file parallelism note as ``shingle_rows``.)
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc_id"),
