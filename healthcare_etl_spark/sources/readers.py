@@ -95,3 +95,22 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> DataFrame:
+    """JSON-lines scan with a mandatory explicit schema.
+
+    Inference over JSON requires a full extra pass of the data — never
+    acceptable at 100 TB, so unlike ``read_csv`` there is no inference
+    fallback here.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar with predicate pushdown, like parquet."""
+    return spark.read.orc(path)

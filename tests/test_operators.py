@@ -115,3 +115,25 @@ def test_approx_quantiles_accuracy(spark, sf_smoke):
     ).first()
     assert abs(approx.p50 - exact.p50) / exact.p50 < 0.01
     assert abs(approx.p95 - exact.p95) / exact.p95 < 0.01
+
+
+def test_json_and_orc_roundtrip(spark, sf_smoke, tmp_path):
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.readers import read_json, read_orc
+
+    src = load_table(spark, sf_smoke, "region")
+    jp, op = str(tmp_path / "r_json"), str(tmp_path / "r_orc")
+    src.write.json(jp)
+    src.write.orc(op)
+    back_j = read_json(spark, jp, "r_regionkey INT, r_name STRING")
+    back_o = read_orc(spark, op)
+    assert sorted(r.r_name for r in back_j.collect()) == sorted(
+        r.r_name for r in src.collect()
+    )
+    assert back_o.count() == src.count()
+    # ORC pushdown works like parquet
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back_o.filter(F.col("r_regionkey") == 1).explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
