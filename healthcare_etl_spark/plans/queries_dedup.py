@@ -142,19 +142,53 @@ register(
 )(lambda spark, sf_dir: minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5))
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of the full SimHash pipeline (31 bit-sums, sign
+    fingerprint, 4-band pigeonhole candidates, popcount verify)."""
+    bit_sums = ",\n           ".join(
+        f"sum(((hsh >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(31)
+    )
+    fp_expr = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(31))
+    band_exprs = ", ".join(
+        f"{j}::BIGINT * 2147483648 + ((simhash >> {j * 8}) & 255)" for j in range(4)
+    )
+    return f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hashed AS (SELECT doc_id, {_MD5H.format(x="w")} AS hsh FROM words),
+sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, ({fp_expr})::BIGINT AS simhash FROM sums),
+bands AS (SELECT doc_id, simhash, unnest([{band_exprs}]) AS bk FROM fp),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.simhash AS ha, y.simhash AS hb
+    FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+"""
+
+
 @register(
     "q_dedup_simhash",
+    oracle=_simhash_oracle_sql(),
     description=(
-        "SimHash(31-bit) near-dup pairs, hamming <= 2 via pigeonhole band join. "
-        "Rows-only check: 31 per-bit sums are impractical to mirror in SQL; "
-        "determinism + planted-pair recall unit-tested. Note: the fixture corpus "
-        "draws all documents from one small vocabulary, so simhash (a "
-        "distribution-of-words sketch) is inherently noisy here — planted "
-        "near-dups land at hamming 0-2 but share that range with topically "
-        "similar non-dups; MinHash is the precise operator for this corpus."
+        "SimHash(31-bit) near-dup pairs, hamming <= 2 via pigeonhole band join — "
+        "oracle-checked (md5-derived word hashes, 31 bit-sums, popcount all "
+        "mirrored in SQL). Note: the fixture corpus draws all documents from one "
+        "small vocabulary, so simhash (a distribution-of-words sketch) is "
+        "inherently noisy here — planted near-dups land at hamming 0-2 but share "
+        "that range with topically similar non-dups; MinHash is the precise "
+        "operator for this corpus."
     ),
     tags=("dedup", "extension"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=2)
+    pairs = simhash_pairs(docs, max_hamming=2)
+    from pyspark.sql import functions as F
+
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))

@@ -41,20 +41,37 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+)
+SELECT media_type,
+       count(*) AS n_items,
+       (round(avg((n_bytes % 997) / 997.0) * 1000000.0) / 1000000.0) AS avg_feature_norm,
+       CAST(max(n_bytes % 640 + 1) AS INT) AS max_width,
+       CAST(max(n_bytes % 480 + 1) AS INT) AS max_height
+FROM media GROUP BY media_type
+""",
     description=(
         "Decode/featurize via mapInPandas (Arrow batches) with a clearly-marked stub "
         "decode kernel — real schema/partitioning/batch plumbing, fake pixels. "
-        "Rows-only check; kernel determinism unit-tested."
+        "Oracle-checked: the stub's deterministic arithmetic is mirrored in SQL, so "
+        "the Arrow round-trip itself is verified end-to-end."
     ),
     tags=("multimodal", "extension"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(docs, id_col="doc_id", text_col="text")
     feats = decode_and_featurize(media, decode_stub=True)
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg("feature_norm"), 6).alias("avg_feature_norm"),
+        stable_round(F.avg("feature_norm"), 6).alias("avg_feature_norm"),
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )

@@ -73,12 +73,53 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(emb, threshold=0.3)
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB mirror of the hyperplane-LSH ANN: the seeded planes are
+    inlined as list literals (full-precision repr round-trips to the
+    identical double), the sign-bit bucket and the cosine fold reproduce
+    the Spark expressions exactly."""
+    from healthcare_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64, seed=42)
+
+    def plane_dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip(embedding, [{lits}]), "
+            "s -> s[1]::DOUBLE * s[2]::DOUBLE)), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM bucketed WHERE vec_id >= 5),
+scored AS (
+    SELECT query_id, neighbor_id,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS cosine
+    FROM c JOIN q USING (bucket)
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
 @register(
     "q_sim_ann_lsh",
+    oracle=_ann_lsh_oracle_sql(),
     description=(
         "Random-hyperplane LSH ANN top-10 (8 planes, seed 42): bucket equi-join "
-        "replaces the cross join — the 100 TB path. Rows-only check; recall vs the "
-        "exact baseline is unit-tested."
+        "replaces the cross join — the 100 TB path. Oracle-checked (planes inlined "
+        "into the SQL); recall vs the exact baseline is unit-tested."
     ),
     tags=("similarity", "extension", "approx"),
 )

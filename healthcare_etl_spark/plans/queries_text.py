@@ -88,18 +88,61 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of the stopword-overlap heuristic. The Python loop
+    keeps the FIRST language whose score strictly exceeds all previous,
+    i.e. the first maximizer in profile order — expressed as a CASE
+    chain with >= against all later languages."""
+    from healthcare_etl_spark.operators.text_analysis import STOPWORD_PROFILES
+
+    langs = list(STOPWORD_PROFILES)
+    scores = ",\n           ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in STOPWORD_PROFILES[lang])
+        + f"]))::BIGINT AS s_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{other}" for other in langs[i + 1 :]]
+        cond = f"s_{lang} > 0"
+        if later:
+            cond += f" AND s_{lang} >= greatest({', '.join(later)})"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_chain = "\n           ".join(cases)
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           {scores}
+    FROM toks
+)
+SELECT doc_id,
+       CASE {case_chain}
+            ELSE 'und' END AS lang_pred,
+       greatest({all_scores}, 0)::BIGINT AS lang_pred_score
+FROM scored
+"""
+
+
 @register(
     "q_lang_id",
+    oracle=_lang_id_oracle_sql(),
     description=(
-        "Heuristic language-ID (stopword-overlap argmax). Rows-only check: the "
-        "heuristic's literal stopword arrays are impractical to mirror in SQL; "
-        "deterministic behavior is unit-tested on constructed sentences instead."
+        "Heuristic language-ID (stopword-overlap argmax, first-maximizer tie "
+        "break) — oracle-checked with the stopword tables inlined into the SQL."
     ),
     tags=("text", "extension"),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return language_id(docs).select("doc_id", "lang_pred", "lang_pred_score")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", "lang_pred", F.col("lang_pred_score").cast("long").alias("lang_pred_score")
+    )
 
 
 @register(
