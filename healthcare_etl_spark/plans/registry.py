@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_events  # noqa: F401
     import healthcare_etl_spark.plans.queries_text  # noqa: F401
     import healthcare_etl_spark.plans.queries_corpus  # noqa: F401
+    import healthcare_etl_spark.plans.queries_subqueries  # noqa: F401
     import healthcare_etl_spark.plans.queries_dedup  # noqa: F401
     import healthcare_etl_spark.plans.queries_similarity  # noqa: F401
     import healthcare_etl_spark.plans.queries_multimodal  # noqa: F401

@@ -102,3 +102,16 @@ def test_multimodal_uses_arrow_python(spark, sf_smoke):
     plan = plan_of(spark, sf_smoke, "q_multimodal_features")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_correlated_subquery_decorrelates_to_join(spark, sf_smoke):
+    """The correlated scalar subquery must compile to aggregate + join
+    (Catalyst decorrelation), never per-row subquery re-execution."""
+    plan = plan_of(spark, sf_smoke, "q_correlated_subquery")
+    assert "Join" in plan
+    assert "HashAggregate" in plan
+
+
+def test_exists_subquery_becomes_semi_join(spark, sf_smoke):
+    plan = plan_of(spark, sf_smoke, "q_tpch_q4_shape")
+    assert "LeftSemi" in plan
