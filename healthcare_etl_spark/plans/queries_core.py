@@ -359,3 +359,37 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
     )
+
+
+@register(
+    "q_profile",
+    oracle="""
+SELECT 'c_custkey' AS "column",
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT c_custkey) AS n_distinct,
+       min(CAST(c_custkey AS VARCHAR)) AS min_str,
+       max(CAST(c_custkey AS VARCHAR)) AS max_str
+FROM customer
+UNION ALL
+SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT c_name), min(c_name), max(c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT c_nationkey),
+       min(CAST(c_nationkey AS VARCHAR)), max(CAST(c_nationkey AS VARCHAR)) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment) FROM customer
+""",
+    description=(
+        "Single-pass column profiler (operators.quality.profile): nulls, distinct, "
+        "min/max per column as long-form rows — the data-quality pass every "
+        "ingest pipeline runs"
+    ),
+    tags=("quality", "extension"),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.quality import profile
+
+    c = load_table(spark, sf_dir, "customer")
+    return profile(c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
