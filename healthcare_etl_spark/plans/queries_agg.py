@@ -257,3 +257,42 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
     )
+
+
+@register(
+    "q_grouped_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           avg(o_totalprice) OVER (PARTITION BY o_custkey)         AS mu,
+           stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS sigma,
+           count(*) OVER (PARTITION BY o_custkey)                  AS n
+    FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       (round((CASE WHEN n > 1 AND sigma > 0
+                    THEN (o_totalprice - mu) / sigma ELSE 0.0 END) * 1000000.0)
+        / 1000000.0) AS zscore
+FROM stats
+""",
+    description=(
+        "Per-customer z-score of order totals via window aggregates — the "
+        "built-in form of a grouped normalization; an applyInPandas "
+        "implementation is cross-checked against it in tests"
+    ),
+    tags=("window", "extra-agg"),
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    mu = F.avg("o_totalprice").over(w)
+    sigma = F.stddev_samp("o_totalprice").over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = F.when((n > 1) & (sigma > 0), (F.col("o_totalprice") - mu) / sigma).otherwise(0.0)
+    return o.select(
+        "o_orderkey", "o_custkey", stable_round(z, 6).alias("zscore")
+    )

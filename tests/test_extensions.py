@@ -209,3 +209,37 @@ def test_pandas_udf_cosine_matches_builtin(spark, sf_smoke):
         cos_udf("ea", "eb").alias("arrow"),
     ).toPandas()
     assert (abs(both["builtin"] - both["arrow"]) < 1e-9).all()
+
+
+def test_apply_in_pandas_zscore_matches_builtin(spark, sf_smoke):
+    """Grouped-map (applyInPandas) kernel must agree with the built-in
+    window-expression z-score — the two sanctioned implementations of a
+    grouped normalization."""
+    import pandas as pd
+    from healthcare_etl_spark.plans.registry import get_queries
+    from healthcare_etl_spark.sources import load_table
+
+    builtin = (
+        get_queries()["q_grouped_zscore"](spark, sf_smoke)
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu, sigma, n = pdf["o_totalprice"].mean(), pdf["o_totalprice"].std(), len(pdf)
+        z = (pdf["o_totalprice"] - mu) / sigma if n > 1 and sigma > 0 else 0.0
+        return pd.DataFrame(
+            {"o_orderkey": pdf["o_orderkey"], "o_custkey": pdf["o_custkey"],
+             "zscore": (z * 1e6).round() / 1e6}
+        )
+
+    o = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    grouped = (
+        o.groupBy("o_custkey")
+        .applyInPandas(zscore, schema="o_orderkey long, o_custkey long, zscore double")
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert (abs(builtin["zscore"] - grouped["zscore"]) < 1e-9).all()
