@@ -243,3 +243,21 @@ def test_apply_in_pandas_zscore_matches_builtin(spark, sf_smoke):
         .reset_index(drop=True)
     )
     assert (abs(builtin["zscore"] - grouped["zscore"]) < 1e-9).all()
+
+
+def test_stream_to_parquet_exactly_once(spark, sf_smoke, tmp_path):
+    """foreachBatch parquet sink: all events land once; re-running the
+    same stream from a fresh checkpoint replaces epochs idempotently
+    (no duplication)."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.sinks import run_stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    table = run_stream_to_parquet(spark, sf_smoke, out, ckpt)
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert table.count() == n_events
+    assert table.select("event_id").distinct().count() == n_events
+
+    # replay with a fresh checkpoint: epochs overwrite, rows don't double
+    table2 = run_stream_to_parquet(spark, sf_smoke, out, str(tmp_path / "ckpt2"))
+    assert table2.count() == n_events
