@@ -1,0 +1,80 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+Near-dup detection emits *pairs*; the pipeline step that actually drops
+documents needs *clusters* (transitively connected groups) with one
+keeper each. Connected components is the canonical iterative Spark
+algorithm: small-step minimum-label propagation, one join + aggregate
+per round, converging in O(graph diameter) rounds.
+
+Scale notes: each round is a shuffle on the node id — fully distributed;
+the driver only runs the (tiny) convergence loop. Diameter of near-dup
+graphs is small in practice (dup clusters are cliques or short chains),
+so rounds stay in the single digits. For billion-edge graphs the
+large-star/small-star variant halves rounds; the propagation skeleton is
+the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the pair graph with its component's min id.
+
+    Returns (node, component). Deterministic: min-label propagation has
+    a unique fixpoint. Raises if not converged within ``max_iter``
+    (diameter bound exceeded — raise the bound, not the stakes).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # convergence: component sum strictly decreases until fixpoint
+        old_sum = labels.agg(F.sum("component")).first()[0]
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels = new_labels
+        if old_sum == new_sum:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Cluster near-dup pairs; mark the keeper (min doc id) per cluster.
+
+    Returns (doc_id, cluster_id, is_keeper) for every document that
+    appears in at least one pair — the rows a dedup pipeline uses to
+    drop ``is_keeper = false`` documents.
+    """
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

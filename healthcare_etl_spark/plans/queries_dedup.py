@@ -192,3 +192,52 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _clusters_oracle_sql() -> str:
+    """Recursive-CTE mirror of min-label connected components over the
+    exact-Jaccard near-dup pairs (same pair query as q_dedup_ngram_jaccard)."""
+    return f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+common AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
+    FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    WHERE (round((n_common::DOUBLE / (na + nb - n_common)) * 1000000.0) / 1000000.0) >= 0.5
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_id,
+       src = least(src, min(dst)) AS is_keeper
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_clusters_oracle_sql(),
+    description=(
+        "Near-dup clustering: connected components (iterative min-label "
+        "propagation) over exact-Jaccard pairs, keeper = min doc per cluster — "
+        "the step that actually drops duplicates. Oracle via recursive CTE."
+    ),
+    tags=("dedup", "extension", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)

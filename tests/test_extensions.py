@@ -261,3 +261,17 @@ def test_stream_to_parquet_exactly_once(spark, sf_smoke, tmp_path):
     # replay with a fresh checkpoint: epochs overwrite, rows don't double
     table2 = run_stream_to_parquet(spark, sf_smoke, out, str(tmp_path / "ckpt2"))
     assert table2.count() == n_events
+
+
+def test_connected_components_chain_and_clique(spark):
+    from healthcare_etl_spark.operators.graph import connected_components, dedup_clusters
+
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    keepers = {r.doc_id for r in dedup_clusters(pairs).collect() if r.is_keeper}
+    assert keepers == {1, 10, 20}
