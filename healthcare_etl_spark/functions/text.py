@@ -69,11 +69,7 @@ def char_fingerprint(text: Column | str) -> Column:
     )
 
 
-def word_hash(word: Column) -> Column:
-    """Polynomial hash of a single word (for minhash/simhash pipelines)."""
-    chars = F.split(word, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD,
-    )
+# NB: the dedup pipelines hash words/shingles with the native md5-based
+# ``operators.dedup.md5_hash31`` (codegen'd); the per-char polynomial
+# fold above is kept only for the document fingerprint, where the
+# rolling-hash semantics are the point.

@@ -1,11 +1,12 @@
 """Dedup queries over the ``documents`` fixture (extension surface).
 
-Even the MinHash-LSH pipeline is oracle-checked: every step (polynomial
-shingle hash, the 64 permutations, band folding, bucket join, exact
-Jaccard verify) is deterministic arithmetic, so the DuckDB oracle SQL —
-generated from the same coefficient table — reproduces it bit-for-bit.
-SimHash stays rows-only (mirroring 31 bit-sums in SQL buys nothing; its
-determinism is unit-tested instead).
+Every pipeline here is oracle-checked, including the sketch-based ones:
+each step (md5-derived shingle/word hashes, the 64 MinHash permutations,
+band folding, bucket joins, SimHash bit-sums, exact-Jaccard verify, and
+the connected-components clustering) is deterministic arithmetic, so the
+DuckDB oracle SQL — generated from the same constants the Spark
+operators use — reproduces the results bit-for-bit (recursive CTE for
+the iterative clustering).
 """
 
 from __future__ import annotations

@@ -128,3 +128,30 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return lsh_ann_topk(queries, corpus, k=10)
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+SELECT label, i AS pos,
+       (round(avg(embedding[i + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS centroid_val
+FROM embeddings CROSS JOIN range(64) t(i)
+GROUP BY label, i
+""",
+    description=(
+        "Per-label embedding centroids (element-wise mean), long form "
+        "(label, pos, value): posexplode -> groupBy(label, pos) -> avg. The "
+        "vector-aggregation pattern behind IVF coarse quantizers / k-means steps."
+    ),
+    tags=("similarity", "extension"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        stable_round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val")
+    )

@@ -275,3 +275,22 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     keepers = {r.doc_id for r in dedup_clusters(pairs).collect() if r.is_keeper}
     assert keepers == {1, 10, 20}
+
+
+def test_stream_stream_funnel_equals_batch(spark, sf_smoke):
+    from healthcare_etl_spark.streaming.joins import batch_funnel, run_stream_stream_funnel
+
+    batch = (
+        batch_funnel(spark, sf_smoke)
+        .toPandas()
+        .sort_values(["signup_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    stream = (
+        run_stream_stream_funnel(spark, sf_smoke, query_name="t_funnel_eq")
+        .toPandas()
+        .sort_values(["signup_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    assert len(batch) > 0
+    pd.testing.assert_frame_equal(batch, stream[batch.columns])
