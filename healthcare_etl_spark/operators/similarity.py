@@ -145,3 +145,81 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """(cell, centroid: array<double>) — element-wise mean per cell.
+
+    Long-form explode -> groupBy(cell, pos) -> avg -> ordered reassembly.
+    Centroid components are stable-rounded to 6dp so both engines (and
+    any re-run) agree bit-for-bit on the coarse quantizer.
+    """
+    exploded = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    long = exploded.groupBy("cell", "pos").agg(
+        stable_round(F.avg(F.col("val").cast("double")), 6).alias("v")
+    )
+    return long.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN (nprobe=1): assign each query to its nearest cell
+    centroid, score only that cell's vectors.
+
+    The corpus is pre-partitioned by cell (here the ``label`` column
+    stands in for a trained coarse quantizer's assignments — at 100 TB
+    you'd k-means once and bucket the table by cell at write time, so
+    the probe is a partition-pruned scan, no shuffle at query time).
+    """
+    cents = label_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell")
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            stable_round(cosine_similarity("q_vec", "centroid"), 6).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_vec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = c.join(F.broadcast(assign), "cell").select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

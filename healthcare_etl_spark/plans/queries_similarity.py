@@ -155,3 +155,55 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(
         stable_round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val")
     )
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=f"""
+WITH cent_long AS (
+    -- centroids come from the indexed corpus only (vec_id >= 5)
+    SELECT label AS cell, i AS pos,
+           (round(avg(embedding[i + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+    WHERE vec_id >= 5
+    GROUP BY label, i
+),
+cents AS (SELECT cell, list(v ORDER BY pos) AS centroid FROM cent_long GROUP BY cell),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+assign AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (round({_COS.format(a="q.qv", b="c.centroid")} * 1000000.0) / 1000000.0) DESC,
+                   c.cell ASC) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT a.query_id, e.vec_id AS neighbor_id,
+           (round({_COS.format(a="q.qv", b="e.embedding")} * 1000000.0) / 1000000.0) AS cosine
+    FROM assign a
+    JOIN embeddings e ON e.label = a.cell AND e.vec_id >= 5
+    JOIN q ON q.query_id = a.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+    description=(
+        "IVF-style ANN (nprobe=1): query -> nearest label-centroid -> search only "
+        "that cell. At scale: cells are bucketed at write time, so the probe is a "
+        "partition-pruned scan. Oracle-checked end to end (stable-rounded "
+        "centroids as the coarse quantizer)."
+    ),
+    tags=("similarity", "extension", "approx"),
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(queries, corpus, k=10)
