@@ -44,16 +44,18 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
+    # counts are long: the SQL-standard width for length/count results,
+    # and the only safe width for 100 TB corpora
     return df.select(
         "*",
-        F.length(t).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        token_count_bpe(t).alias("n_bpe_tokens"),
-        punct_count(t).alias("n_punct"),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        token_count_bpe(t).cast("long").alias("n_bpe_tokens"),
+        punct_count(t).cast("long").alias("n_punct"),
         stable_round(
             (F.length(t) - (n_tok - 1)) / F.when(n_tok > 0, n_tok).otherwise(1), 6
         ).alias("avg_token_len"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
     )
 
 

@@ -270,7 +270,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("name_upper"),
         F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
         F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
     )

@@ -152,8 +152,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     )
-    return exploded.groupBy("label", "pos").agg(
-        stable_round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val")
+    return (
+        exploded.groupBy(F.col("label"), F.col("pos").cast("long").alias("pos"))
+        .agg(stable_round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
     )
 
 
