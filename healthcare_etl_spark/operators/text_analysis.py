@@ -104,3 +104,33 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Deterministic 31-bit rolling-hash fingerprint per document."""
     return df.withColumn(out_col, char_fingerprint(F.col(text_col)))
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test) by content hash.
+
+    The assignment depends only on (salt, key) — stable across runs,
+    engines, partitionings, and cluster sizes, which is what makes
+    held-out sets trustworthy in a 100 TB pipeline (row-order-dependent
+    sampling is not reproducible under re-partitioning). Uses the
+    md5-derived hash so the assignment is reproducible anywhere,
+    including the DuckDB oracle.
+    """
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = md5_hash31(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * 1000))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr.otherwise(list(fractions)[0]))

@@ -165,3 +165,40 @@ FROM documents
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "q_hash_split",
+    oracle="""
+WITH assigned AS (
+    SELECT doc_id,
+           (('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2147483647) % 1000 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket >= 0 AND bucket < 800 THEN 'train'
+            WHEN bucket >= 800 AND bucket < 900 THEN 'val'
+            WHEN bucket >= 900 AND bucket < 1000 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM assigned GROUP BY 1
+""",
+    description=(
+        "Deterministic train/val/test split by salted content hash — stable under "
+        "re-partitioning and across engines (unlike row-order sampling); the "
+        "reproducible-held-out-set primitive for training pipelines"
+    ),
+    tags=("text", "extension"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.text_analysis import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(docs, key_col="doc_id")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

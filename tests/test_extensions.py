@@ -294,3 +294,23 @@ def test_stream_stream_funnel_equals_batch(spark, sf_smoke):
     )
     assert len(batch) > 0
     pd.testing.assert_frame_equal(batch, stream[batch.columns])
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_smoke):
+    from healthcare_etl_spark.operators.text_analysis import hash_split
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, key_col="doc_id").collect()}
+    # stable across runs and partitionings
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7), key_col="doc_id").collect()
+    }
+    assert a == b
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < train_frac < 0.9
+    # different salt -> different assignment (not accidentally constant)
+    c = {r.doc_id: r.split for r in hash_split(docs, key_col="doc_id", salt="v2").collect()}
+    assert a != c
