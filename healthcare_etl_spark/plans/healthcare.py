@@ -227,3 +227,53 @@ def etl_replica_by_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("hospital_ownership").agg(
         F.round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
     )
+
+
+@register(
+    "q_etl_metrics",
+    oracle=f"""
+WITH final AS ({ETL_REPLICA_SQL})
+SELECT count(DISTINCT facility_id) AS total_hospitals,
+       round(avg(excess_readmission_ratio), 3) AS avg_ratio
+FROM final
+""",
+    description="Dashboard metric tiles (A2+A3 over the flagship output) — app.py:45-48",
+    tags=("parity",),
+)
+def etl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = heart_failure_readmissions(spark, sf_dir)
+    return df.agg(
+        F.countDistinct("facility_id").alias("total_hospitals"),
+        F.round(F.avg("excess_readmission_ratio"), 3).alias("avg_ratio"),
+    )
+
+
+@register(
+    "q_etl_topn_by_state",
+    oracle=f"""
+WITH final AS ({ETL_REPLICA_SQL})
+SELECT state, facility_id, facility_name, excess_readmission_ratio
+FROM (
+    SELECT state, facility_id, facility_name, excess_readmission_ratio,
+           row_number() OVER (PARTITION BY state
+               ORDER BY excess_readmission_ratio DESC, facility_id ASC) AS rn
+    FROM final
+) WHERE rn <= 3
+""",
+    description=(
+        "Top-3 facilities per state by readmission ratio — the window-function "
+        "generalization of the dashboard's sorted table (SURVEY §2.8 note), over "
+        "the flagship output"
+    ),
+    tags=("parity", "window"),
+)
+def etl_topn_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators import top_n_per_group
+
+    df = heart_failure_readmissions(spark, sf_dir)
+    return top_n_per_group(
+        df.select("state", "facility_id", "facility_name", "excess_readmission_ratio"),
+        partition_by=["state"],
+        order_by=[F.desc("excess_readmission_ratio"), F.asc("facility_id")],
+        n=3,
+    )
