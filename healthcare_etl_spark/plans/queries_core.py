@@ -203,13 +203,23 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+)
 """,
-    description="Left-anti join (NOT EXISTS): customers with no orders",
+    description=(
+        "Left-anti join (NOT EXISTS): customers with no orders since 1999 "
+        "(date-scoped so the result is non-empty — every fixture customer has "
+        "at least one all-time order, and a vacuously-empty check proves nothing)"
+    ),
     tags=("extra-relational",),
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
     c = load_table(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 

@@ -1,0 +1,236 @@
+"""Training-data pipeline operators: set ops, cube, sampling, decontamination.
+
+Rounds out the LLM-data-pipeline surface (BASELINE.md extension table)
+with the remaining shapes a corpus pipeline runs:
+
+- set difference (``EXCEPT``) — churn-style cohort comparison;
+- CUBE grouping — all-margins rollup of a fact table in one pass;
+- deterministic stratified sampling — per-stratum rates keyed on a
+  cross-engine md5 hash, so the sample is reproducible on any engine
+  and stable under repartitioning (no ``rand()``);
+- train/test decontamination — flag training documents sharing any
+  8-token n-gram with a held-out split (the standard benchmark-leak
+  check); n-grams generated shuffle-free per doc via one window;
+- repetition-based quality (Gopher-style) — top-token fraction per
+  document as a repetitiveness signal.
+
+All five are oracle-checked; the hash split uses the same md5 bridge as
+q_hash_split (conv(substring(md5(x),1,8),16,10) == DuckDB
+('0x' || ...)::BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+def _doc_hash(col: str = "doc_id"):
+    """Cross-engine deterministic uniform hash of a document id -> [0, 100)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+
+
+_DOC_HASH_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@register(
+    "q_except",
+    oracle="""
+SELECT o_custkey AS custkey
+FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey AS custkey
+FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+""",
+    description=(
+        "Set difference (EXCEPT, distinct semantics): customers active before "
+        "1997 who never ordered after — both sides aggregate to distinct keys "
+        "before the anti join, so the shuffle carries keys, not fact rows"
+    ),
+    tags=("setops", "parity"),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    before = o.filter(F.col("o_orderdate") < cut).select(F.col("o_custkey").alias("custkey"))
+    after = o.filter(F.col("o_orderdate") >= cut).select(F.col("o_custkey").alias("custkey"))
+    return before.subtract(after)
+
+
+@register(
+    "q_cube",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT)      AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    description=(
+        "CUBE over (returnflag, linestatus): all four grouping margins in one "
+        "logical pass (Spark expands to a union of grouping sets over a single "
+        "shuffle); NULL margin keys labeled 'ALL' on both engines"
+    ),
+    tags=("agg", "parity"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_DOC_HASH_SQL} < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END)
+""",
+    description=(
+        "Deterministic stratified sample: 10% of 'en' docs, 30% of every other "
+        "language, keyed on an md5 hash of doc_id — reproducible across engines "
+        "and runs, stable under repartitioning (rand()-based sampling is "
+        "neither); downsampling the majority stratum is the standard corpus "
+        "rebalancing move"
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return docs.filter(_doc_hash() < rate).select("doc_id", "lang")
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text, ({_DOC_HASH_SQL} % 10 = 0) AS is_test
+    FROM documents
+),
+tok AS (SELECT doc_id, is_test, string_split(text, ' ') AS t FROM split),
+grams AS (
+    SELECT doc_id, is_test,
+           unnest(list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM tok WHERE len(t) >= 8
+),
+test_grams AS (SELECT DISTINCT g FROM grams WHERE is_test)
+SELECT grams.doc_id, CAST(count(DISTINCT grams.g) AS BIGINT) AS n_shared_grams
+FROM grams JOIN test_grams ON grams.g = test_grams.g
+WHERE NOT grams.is_test
+GROUP BY grams.doc_id
+""",
+    description=(
+        "Train/test decontamination: hash-split documents 90/10, then flag every "
+        "training doc sharing an 8-token n-gram with the held-out split (the "
+        "standard benchmark-leak check before LLM training). N-grams are built "
+        "shuffle-free per doc with a single window (7 leads, one sort), the "
+        "held-out gram set is distinct-reduced before the equi-join, and at 100 TB "
+        "the gram join keys on a hash of the gram rather than the string itself"
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixture parquet is a single row group -> a bare scan is one task; spread
+    # the raw docs before the tokenize/explode hot path (same idiom as dedup).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    split = docs.select(
+        "doc_id", "text", ((_doc_hash() % 10) == 0).alias("is_test")
+    )
+    toks = F.split("text", " ")
+    base = split.select(
+        "doc_id",
+        "is_test",
+        F.size(toks).alias("n_tok"),
+        F.posexplode(toks).alias("pos", "w"),
+    ).filter(F.col("n_tok") >= 8)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, 8)]
+    grams = (
+        base.select("doc_id", "is_test", *parts)
+        .filter(F.col("w7").isNotNull())
+        .select(
+            "doc_id",
+            "is_test",
+            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, 8)]).alias("g"),
+        )
+    )
+    test_grams = grams.filter(F.col("is_test")).select("g").distinct()
+    return (
+        grams.filter(~F.col("is_test"))
+        .join(test_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q_repetition_quality",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+agg AS (
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT)  AS top_c,
+           CAST(sum(c) AS BIGINT)  AS n_tok,
+           CAST(count(*) AS BIGINT) AS n_uniq
+    FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tok, n_uniq,
+       (round((top_c * 1.0 / n_tok) * 1000000.0) / 1000000.0) AS top_token_frac,
+       (top_c * 1.0 / n_tok) > 0.1 AS is_repetitive
+FROM agg
+""",
+    description=(
+        "Gopher-style repetition quality signal: per-document top-token fraction "
+        "(max unigram frequency / token count) and unique-token count; docs with "
+        "one token above 10% of mass are flagged repetitive. Two hash "
+        "aggregations, both partial-aggregated map-side; no Python in the path"
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_uniq"),
+    )
+    frac = F.col("top_c") / F.col("n_tok")
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        stable_round(frac, 6).alias("top_token_frac"),
+        (frac > 0.1).alias("is_repetitive"),
+    )

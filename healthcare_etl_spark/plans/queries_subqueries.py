@@ -27,9 +27,9 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
-WHERE l_extendedprice > 2 * (SELECT avg(l_extendedprice) FROM lineitem)
+WHERE l_extendedprice > 1.8 * (SELECT avg(l_extendedprice) FROM lineitem)
 """,
-    description="Uncorrelated scalar subquery: items above 2x global average price",
+    description="Uncorrelated scalar subquery: items above 1.8x global average price",
     tags=("subquery", "extra-relational"),
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +38,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM v_lineitem
-        WHERE l_extendedprice > 2 * (SELECT avg(l_extendedprice) FROM v_lineitem)
+        WHERE l_extendedprice > 1.8 * (SELECT avg(l_extendedprice) FROM v_lineitem)
         """
     )
 
