@@ -197,3 +197,52 @@ def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <  p.ts
+GROUP BY p.event_id
+""",
+    description=(
+        "Time-range join (click attribution): clicks by the same user in the "
+        "hour before each purchase. The oracle uses a plain inequality join; "
+        "the Spark plan is operators.rangejoin.banded_range_join — bucketed "
+        "into band-width buckets and executed as a hash equi-join on "
+        "(user_id, bucket) + precise filter, because a raw interval join "
+        "would be a BroadcastNestedLoopJoin (O(L x R) per user, impossible "
+        "at 100 TB)"
+    ),
+    tags=("events", "extension"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.rangejoin import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    return (
+        banded_range_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="p_ts",
+            right_ts="c_ts",
+            lower_seconds=-3600.0,
+            upper_seconds=0.0,
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )

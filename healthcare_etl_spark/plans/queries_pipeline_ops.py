@@ -175,6 +175,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_test",
             F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, 8)]).alias("g"),
         )
+        # Both branches (train grams + held-out gram set) consume this
+        # subtree; materialize once instead of running the tokenize/window
+        # pass twice (same trade as the dedup operators — on a real
+        # cluster this is a staging table / reliable checkpoint).
+        .localCheckpoint(eager=True)
     )
     test_grams = grams.filter(F.col("is_test")).select("g").distinct()
     return (

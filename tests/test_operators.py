@@ -137,3 +137,65 @@ def test_json_and_orc_roundtrip(spark, sf_smoke, tmp_path):
     with contextlib.redirect_stdout(buf):
         back_o.filter(F.col("r_regionkey") == 1).explain("formatted")
     assert "PushedFilters" in buf.getvalue()
+
+
+# --- banded range join ------------------------------------------------------
+
+
+def _range_join_inputs(spark, sf_smoke):
+    from healthcare_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    return purchases, clicks
+
+
+def test_banded_range_join_equals_naive(spark, sf_smoke):
+    """The banded equi-join rewrite returns exactly the nested-loop result."""
+    from healthcare_etl_spark.operators.rangejoin import banded_range_join
+
+    purchases, clicks = _range_join_inputs(spark, sf_smoke)
+    banded = banded_range_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_seconds=-7200.0, upper_seconds=0.0,
+    ).select("purchase_id", "c_ts")
+    lo = F.col("p_ts") - F.expr("INTERVAL 2 HOURS")
+    naive = (
+        purchases.join(clicks, "user_id")
+        .filter((F.col("c_ts") >= lo) & (F.col("c_ts") < F.col("p_ts")))
+        .select("purchase_id", "c_ts")
+    )
+    b = sorted(map(tuple, banded.collect()))
+    n = sorted(map(tuple, naive.collect()))
+    assert b == n and len(b) > 0
+
+
+def test_banded_range_join_no_nested_loop(spark, sf_smoke):
+    """The physical plan must be an equi-join, never BroadcastNestedLoopJoin."""
+    from healthcare_etl_spark.operators.rangejoin import banded_range_join
+
+    purchases, clicks = _range_join_inputs(spark, sf_smoke)
+    out = banded_range_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_seconds=-3600.0, upper_seconds=0.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_banded_range_join_rejects_bad_args(spark, sf_smoke):
+    from healthcare_etl_spark.operators.rangejoin import banded_range_join
+
+    purchases, clicks = _range_join_inputs(spark, sf_smoke)
+    with pytest.raises(ValueError):
+        banded_range_join(purchases, clicks, on="user_id", left_ts="p_ts",
+                          right_ts="c_ts", lower_seconds=0.0, upper_seconds=0.0)
+    with pytest.raises(ValueError):
+        banded_range_join(purchases, purchases, on="user_id", left_ts="p_ts",
+                          right_ts="p_ts")

@@ -115,3 +115,27 @@ def test_correlated_subquery_decorrelates_to_join(spark, sf_smoke):
 def test_exists_subquery_becomes_semi_join(spark, sf_smoke):
     plan = plan_of(spark, sf_smoke, "q_tpch_q4_shape")
     assert "LeftSemi" in plan
+
+
+def test_q16_anti_join_broadcasts(spark, sf_smoke):
+    """NOT IN (small supplier set) must execute as a broadcast anti join."""
+    plan = plan_of(spark, sf_smoke, "q_tpch_q16_shape")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q21_decorrelated_no_subquery_loop(spark, sf_smoke):
+    """EXISTS/NOT-EXISTS semantics via one grouped pass — no nested loop,
+    no repeated lineitem subquery per row."""
+    plan = plan_of(spark, sf_smoke, "q_tpch_q21_shape")
+    assert "NestedLoop" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_decontaminate_single_gram_pass(spark, sf_smoke):
+    """Gram generation is checkpointed: the final plan consumes the
+    materialized grams instead of running the tokenize/window tree twice."""
+    df = get_registry()["q_decontaminate"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # both branches read the checkpointed RDD
+    assert "NestedLoop" not in plan
