@@ -296,3 +296,32 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "o_custkey", stable_round(z, 6).alias("zscore")
     )
+
+
+@register(
+    "q_group_median",
+    oracle="""
+SELECT l_returnflag,
+       (round(quantile_cont(l_quantity, 0.5) * 1000000.0) / 1000000.0)      AS median_qty,
+       (round(quantile_cont(l_extendedprice, 0.25) * 1000000.0) / 1000000.0) AS p25_price,
+       (round(quantile_cont(l_extendedprice, 0.75) * 1000000.0) / 1000000.0) AS p75_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description=(
+        "Exact grouped percentiles (median / IQR): Spark percentile() and "
+        "DuckDB quantile_cont() both linearly interpolate, so values match "
+        "after stable rounding. Exact percentile requires a per-group sort — "
+        "the approx_percentile sketch (q_approx_quantiles) is the 100 TB path"
+    ),
+    tags=("agg", "parity"),
+)
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        stable_round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        stable_round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75_price"),
+    )

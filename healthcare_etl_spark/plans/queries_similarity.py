@@ -208,3 +208,77 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ivf_topk(queries, corpus, k=10)
+
+
+@register(
+    "q_sim_quantized_topk",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv,
+           greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) AS qs
+    FROM embeddings WHERE vec_id < 5
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv,
+           greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) AS cs
+    FROM embeddings WHERE vec_id >= 5
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           (round((CAST(list_sum(list_transform(list_zip(
+                      list_transform(qv, x -> CAST(floor(CAST(x AS DOUBLE) / qs * 127.0 + 0.5) AS BIGINT)),
+                      list_transform(cv, x -> CAST(floor(CAST(x AS DOUBLE) / cs * 127.0 + 0.5) AS BIGINT))
+                  ), s -> s[1] * s[2])) AS DOUBLE)
+                  * qs * cs / (127.0 * 127.0)) * 1000000.0) / 1000000.0) AS qdot
+    FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, qdot, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+    description=(
+        "Int8-quantized dot-product top-10 per query: per-vector symmetric "
+        "scalar quantization (scale = max|x|, floor(v+0.5) so rounding is "
+        "bit-identical cross-engine), integer dot products (exact, no float "
+        "summation order), dequantized score. The 100 TB ANN memory path: 4x "
+        "smaller vectors and integer SIMD kernels; recall vs exact cosine "
+        "asserted in tests"
+    ),
+    tags=("similarity", "extension"),
+)
+def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.functions.vectors import dot_int, max_abs, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_q = emb.select(
+        "vec_id",
+        "embedding",
+        max_abs("embedding").alias("s"),
+    ).select(
+        "vec_id", "s", quantize_int8("embedding", F.col("s")).alias("qvec")
+    )
+    queries = with_q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("s").alias("qs"), F.col("qvec").alias("qq")
+    )
+    corpus = with_q.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("s").alias("cs"), F.col("qvec").alias("cq")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        stable_round(
+            dot_int("qq", "cq").cast("double") * F.col("qs") * F.col("cs") / F.lit(127.0 * 127.0),
+            6,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )

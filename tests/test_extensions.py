@@ -314,3 +314,26 @@ def test_hash_split_deterministic_and_proportional(spark, sf_smoke):
     # different salt -> different assignment (not accidentally constant)
     c = {r.doc_id: r.split for r in hash_split(docs, key_col="doc_id", salt="v2").collect()}
     assert a != c
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_smoke):
+    """Int8 quantization must preserve most of the exact top-10 neighborhood."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    reg = get_registry()
+    exact = reg["q_sim_topk"].fn(spark, sf_smoke).select("query_id", "neighbor_id").collect()
+    quant = (
+        reg["q_sim_quantized_topk"].fn(spark, sf_smoke)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    e, q = defaultdict(set), defaultdict(set)
+    for r in exact:
+        e[r.query_id].add(r.neighbor_id)
+    for r in quant:
+        q[r.query_id].add(r.neighbor_id)
+    assert e and set(e) == set(q)
+    recalls = [len(e[k] & q[k]) / len(e[k]) for k in e]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
