@@ -134,3 +134,31 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn("split", expr.otherwise(list(fractions)[0]))
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB/others): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Regex-redact PII spans (emails, phone-shaped, SSN-shaped numbers).
+
+    A standard pre-training cleaning pass. Chained ``regexp_replace``
+    stays inside whole-stage codegen — per-row Python redaction would be
+    the classic 100x UDF mistake on a 100 TB corpus. Pattern order
+    matters (SSN before phone would double-match); callers own the list.
+    """
+    col: Column = F.col(text_col)
+    for pat, tag in patterns:
+        col = F.regexp_replace(col, pat, tag)
+    return df.withColumn(out_col, col)

@@ -202,3 +202,61 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "q_redact_pii",
+    oracle=r"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted
+    FROM seeded
+)
+SELECT doc_id,
+       right(redacted, 48)             AS tail,
+       contains(redacted, '<EMAIL>')   AS has_email,
+       contains(redacted, '<PHONE>')   AS has_phone
+FROM red
+""",
+    description=(
+        "PII redaction (emails, phone-shaped numbers, SSN-shaped numbers) via "
+        "chained regexp_replace — whole-stage codegen, no Python. The fixture "
+        "corpus carries no organic PII, so deterministic synthetic PII is "
+        "appended per doc first; every row must come back redacted. Patterns "
+        "are Java-regex/RE2-portable (no backrefs or lookaround)"
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.text_analysis import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = redact_pii(seeded)
+    return red.select(
+        "doc_id",
+        F.right(F.col("redacted"), F.lit(48)).alias("tail"),
+        F.col("redacted").contains("<EMAIL>").alias("has_email"),
+        F.col("redacted").contains("<PHONE>").alias("has_phone"),
+    )

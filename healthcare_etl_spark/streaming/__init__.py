@@ -1,4 +1,5 @@
 from healthcare_etl_spark.streaming.windows import (
+    run_streaming_dedup,
     run_streaming_sessionization,
     run_streaming_tumbling,
     streaming_events,
@@ -7,5 +8,6 @@ from healthcare_etl_spark.streaming.windows import (
 __all__ = [
     "streaming_events",
     "run_streaming_tumbling",
+    "run_streaming_dedup",
     "run_streaming_sessionization",
 ]

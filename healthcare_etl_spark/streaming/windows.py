@@ -122,6 +122,46 @@ def run_streaming_sessionization(
     return spark.table(query_name)
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "2 hours",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type), reduced to survivor counts per event_type.
+
+    The streaming answer to the batch dedup operators for unbounded
+    input: state keeps one entry per key and expires it once the
+    watermark passes, so memory is bounded by the active-key set — the
+    only dedup that works on an infinite stream. WHICH duplicate
+    survives is order-dependent, so only key-level output (survivor
+    counts) is exposed; on a one-batch replay state never expires
+    mid-batch, making the counts exactly batch count-distinct
+    (asserted in tests).
+    """
+    ev = streaming_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(query_name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+
+
 def register_streaming_queries() -> None:
     """Register streaming jobs in the main registry (rows-only checks —
     the driver can execute them; equivalence to the oracle-checked batch
@@ -146,3 +186,13 @@ def register_streaming_queries() -> None:
         ),
         tags=("streaming", "extension"),
     )(lambda spark, sf_dir: run_streaming_sessionization(spark, sf_dir, query_name="q_stream_sessions_sink"))
+
+    register(
+        "q_stream_dedup",
+        description=(
+            "Structured Streaming dedup (dropDuplicatesWithinWatermark on "
+            "(user_id, event_type)) reduced to survivor counts; equals batch "
+            "count-distinct on one-batch replay, unit-tested."
+        ),
+        tags=("streaming", "dedup", "extension"),
+    )(lambda spark, sf_dir: run_streaming_dedup(spark, sf_dir, query_name="q_stream_dedup_sink"))

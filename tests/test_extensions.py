@@ -337,3 +337,23 @@ def test_quantized_topk_recall_vs_exact(spark, sf_smoke):
     assert e and set(e) == set(q)
     recalls = [len(e[k] & q[k]) / len(e[k]) for k in e]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_streaming_dedup_equals_batch_count_distinct(spark, sf_smoke):
+    """One-batch replay: dropDuplicatesWithinWatermark survivor counts ==
+    batch count-distinct per event_type."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming import run_streaming_dedup
+
+    got = {
+        r.event_type: r.n_unique_users
+        for r in run_streaming_dedup(spark, sf_smoke, query_name="t_stream_dedup").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 5
