@@ -325,3 +325,35 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
         stable_round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75_price"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL')            AS returnflag,
+       coalesce(CAST(year(l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
+       CAST(count(*) AS BIGINT)                 AS n,
+       round(sum(l_quantity), 4)                AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)), (l_returnflag), ())
+""",
+    description=(
+        "Explicit GROUPING SETS (custom margins, not the full cube): "
+        "(flag, year), (flag), and grand total in one Expand + single "
+        "shuffle — three margins for one pass over the fact table"
+    ),
+    tags=("agg", "parity"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL')                        AS returnflag,
+               coalesce(CAST(year(l_shipdate) AS STRING), 'ALL')    AS ship_year,
+               count(*)                                             AS n,
+               round(sum(l_quantity), 4)                            AS sum_qty
+        FROM v_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)), (l_returnflag), ())
+        """
+    )
