@@ -37,7 +37,18 @@ def salted_join(
     salt value (explode of a literal range — cheap for dimension-sized
     rights). The join key becomes (key, salt), so one hot key occupies
     ``n_salts`` tasks instead of one.
+
+    Only left-preserving join types are supported: the right side is
+    replicated ``n_salts`` times, so right/full-outer would emit each
+    unmatched right row once per salt.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the salted right side is "
+            f"replicated {n_salts}x, which duplicates unmatched right rows under "
+            f"right/full joins. Use one of {sorted(allowed)}."
+        )
     salt = (F.xxhash64(*[F.col(c) for c in left.columns]) % n_salts + n_salts) % n_salts
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_salted = right.withColumn(
@@ -109,10 +120,19 @@ def scd2_merge(
         .withColumn(end_col, F.col("__close_ts"))
         .drop("__close_ts")
     )
+    # New versions take the updated compare_cols from the update row and
+    # every other dim attribute (surrogate keys, non-tracked columns)
+    # from the matched open row, so arbitrary dim schemas round-trip.
+    passthrough = [
+        c
+        for c in dim.columns
+        if c not in {key, effective_col, end_col, *compare_cols}
+    ]
     new_versions = (
         joined.filter(F.col(f"u.{update_ts_col}").isNotNull() & changed_cond)
         .select(
             F.col(f"d.{key}").alias(key),
+            *[F.col(f"d.{c}").alias(c) for c in passthrough],
             *[F.col(f"u.{c}").alias(c) for c in compare_cols],
             F.col(f"u.{update_ts_col}").alias(effective_col),
             F.lit(open_end_value).alias(end_col),

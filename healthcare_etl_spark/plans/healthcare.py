@@ -36,6 +36,7 @@ from healthcare_etl_spark.operators import (
     normalize_columns,
     project,
 )
+from healthcare_etl_spark.functions.rounding import stable_round, stable_round_sql
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
 
@@ -67,8 +68,13 @@ def readmissions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 10 == 0, F.lit("Too Few to Report"))
         .otherwise(F.floor(F.col("o_totalprice") / 1000).cast("string"))
         .alias("Number of Discharges"),
+        # stable_round, not engine-native round: o_totalprice/300000 + 0.7
+        # lands exactly on the 4dp half boundary for ~1/3000 orders, where
+        # Spark's BigDecimal HALF_UP and DuckDB's std::round disagree.
         F.when(F.col("o_orderkey") % 13 == 0, F.lit("N/A"))
-        .otherwise(F.round(F.col("o_totalprice") / 300000 + 0.7, 4).cast("string"))
+        .otherwise(
+            stable_round(F.col("o_totalprice") / 300000 + 0.7, 4).cast("string")
+        )
         .alias("Excess Readmission Ratio"),
         F.when(F.col("o_orderkey") % 3 == 0, F.lit("1")).alias("Footnote"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("Start Date"),
@@ -87,7 +93,8 @@ SELECT lpad(CAST(o_custkey AS VARCHAR), 6, '0') AS facility_id,
             ELSE CAST(CAST(floor(o_totalprice / 1000) AS BIGINT) AS VARCHAR) END
            AS number_of_discharges,
        CASE WHEN o_orderkey % 13 = 0 THEN 'N/A'
-            ELSE CAST(round(o_totalprice / 300000 + 0.7, 4) AS VARCHAR) END
+            ELSE CAST((round((o_totalprice / 300000 + 0.7) * 10000.0) / 10000.0)
+                      AS VARCHAR) END
            AS excess_readmission_ratio,
        CASE WHEN o_orderkey % 3 = 0 THEN '1' END   AS footnote,
        strftime(o_orderdate, '%Y-%m-%d')           AS start_date,
@@ -245,6 +252,35 @@ def etl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(
         F.countDistinct("facility_id").alias("total_hospitals"),
         F.round(F.avg("excess_readmission_ratio"), 3).alias("avg_ratio"),
+    )
+
+
+@register(
+    "q_format_number",
+    oracle=(
+        "WITH final AS (" + ETL_REPLICA_SQL + ")\n"
+        "SELECT state,\n"
+        "       format('{:,}', count(DISTINCT facility_id)) AS n_hospitals_fmt,\n"
+        "       format('{:.3f}', "
+        + stable_round_sql("avg(excess_readmission_ratio)", 3)
+        + ") AS avg_ratio_fmt\n"
+        "FROM final\n"
+        "GROUP BY state\n"
+    ),
+    description=(
+        "F3 numeric display formatting — thousands separator + fixed 3dp "
+        "(reference app.py:47-48 f'{{n:,}}' / f'{{mean:.3f}}' tiles), as "
+        "format_number over stable-rounded aggregates"
+    ),
+    tags=("parity",),
+)
+def etl_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = heart_failure_readmissions(spark, sf_dir)
+    return df.groupBy("state").agg(
+        F.format_number(F.countDistinct("facility_id"), 0).alias("n_hospitals_fmt"),
+        F.format_number(stable_round(F.avg("excess_readmission_ratio"), 3), 3).alias(
+            "avg_ratio_fmt"
+        ),
     )
 
 

@@ -189,13 +189,17 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q11_shape",
     oracle="""
 WITH val AS (
-    SELECT p_brand, sum(l_extendedprice * l_quantity) AS value
+    SELECT p_brand,
+           (round((sum(l_extendedprice * l_quantity)) * 1000000.0) / 1000000.0) AS value
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
 )
 SELECT p_brand, round(value, 2) AS value
 FROM val
-WHERE value > (SELECT sum(l_extendedprice * l_quantity) * 0.02 FROM lineitem)
+WHERE value > (
+    SELECT (round((sum(l_extendedprice * l_quantity) * 0.02) * 1000000.0) / 1000000.0)
+    FROM lineitem
+)
 """,
     description=(
         "TPC-H Q11 shape: inventory-value concentration — brands whose shipped "
@@ -208,12 +212,16 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     value = F.col("l_extendedprice") * F.col("l_quantity")
+    # Both the per-brand sums and the 2% threshold are stable-rounded to
+    # 6dp on both engines before the comparison — an unrounded double sum
+    # landing within one ulp of the threshold could otherwise flip the
+    # filter between Spark and DuckDB (same idiom as q17/q22).
     per_brand = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(value).alias("value"))
+        .agg(stable_round(F.sum(value), 6).alias("value"))
     )
-    threshold = li.agg((F.sum(value) * F.lit(0.02)).alias("threshold"))
+    threshold = li.agg(stable_round(F.sum(value) * F.lit(0.02), 6).alias("threshold"))
     return (
         per_brand.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
@@ -226,7 +234,8 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           (round((sum(l_extendedprice * (1 - l_discount))) * 1000000.0) / 1000000.0)
+               AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -248,8 +257,15 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
+    # total_revenue is stable-rounded to 6dp on both engines BEFORE the
+    # max/equality comparison: Spark recomputes the aggregate in both
+    # branches with nondeterministic shuffle-combine order, and DuckDB
+    # sums in yet another order, so last-ulp drift on the raw double sum
+    # could drop the top supplier on one side (same idiom as q17/q22).
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (

@@ -49,6 +49,18 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_salts_used == 8
 
 
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    from healthcare_etl_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([("a", 1)], ["k", "v"])
+    right = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "r"])
+    for how in ("right", "right_outer", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="not supported"):
+            salted_join(left, right, on="k", how=how)
+
+
 def test_latest_snapshot(spark):
     from healthcare_etl_spark.operators.scale import latest_snapshot
 
@@ -87,6 +99,34 @@ def test_scd2_merge(spark):
         ("h2", "Acute", "2020-01-01 00:00:00"),          # historical untouched
     }
     assert out.count() == 4
+
+
+def test_scd2_merge_carries_untracked_columns(spark):
+    """Dim columns outside key+compare_cols (surrogate keys, non-tracked
+    attributes) must survive into the new version rows."""
+    from healthcare_etl_spark.operators.scale import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (101, "h1", "Acute", "TX", "2020-01-01 00:00:00", "9999-12-31 00:00:00"),
+            (102, "h2", "Critical", "CA", "2020-01-01 00:00:00", "9999-12-31 00:00:00"),
+        ],
+        ["sk", "facility_id", "hospital_type", "state", "effective_from", "effective_to"],
+    )
+    updates = spark.createDataFrame(
+        [("h1", "2024-06-01 00:00:00", "Rehab")],
+        ["facility_id", "update_ts", "hospital_type"],
+    )
+    out = scd2_merge(dim, updates, key="facility_id", compare_cols=["hospital_type"])
+    assert set(out.columns) == set(dim.columns)
+    new_open = out.filter(
+        (F.col("facility_id") == "h1") & (F.col("effective_to") == "9999-12-31 00:00:00")
+    ).collect()
+    assert len(new_open) == 1
+    r = new_open[0]
+    # untracked columns carried from the matched dim row
+    assert (r.sk, r.state, r.hospital_type) == (101, "TX", "Rehab")
+    assert r.effective_from == "2024-06-01 00:00:00"
 
 
 def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
