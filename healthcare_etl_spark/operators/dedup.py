@@ -17,13 +17,23 @@ Four families, all pure DataFrame programs (no Python in the hot path):
 - **SimHash**: 31-bit sign-of-weighted-bit-sums fingerprint; hamming
   band join for near-dup candidates.
 
-Performance note (measured at sf0.1): Spark does NOT codegen lambda
-higher-order functions (``transform``/``aggregate`` run interpreted), so
-the pipelines here are written in *exploded row* form — shingles via
-``posexplode`` + window ``lead``, hashes via the native ``md5``/``conv``
-expressions, signatures via a single 64-column hash-aggregate — keeping
-every hot operator inside whole-stage codegen. This cut MinHash wall
-time ~5x vs the array/lambda formulation.
+Performance notes (measured at sf0.1):
+
+- Spark does NOT codegen lambda higher-order functions (``transform``/
+  ``aggregate`` run interpreted), so the pipelines here are written in
+  *exploded row* form — hashes via the native ``md5``/``conv``
+  expressions, signatures via a single 64-column hash-aggregate —
+  keeping every hot operator inside whole-stage codegen. This cut
+  MinHash wall time ~5x vs the array/lambda formulation.
+- Shingles are built with ``arrays_zip`` over shifted ``slice``\ s of
+  the token array (shingle i = (t[i], t[i+1], t[i+2])), not a window
+  ``lead`` — no ordering shuffle, measured ~1.4x faster.
+- The input is hash-partitioned by doc_id up front, so the shingle
+  ``distinct`` and the signature ``groupBy(doc_id)`` both satisfy their
+  required distributions from that one exchange: the whole scan ->
+  shingle -> distinct -> 64-min-signature pipeline runs with a single
+  shuffle (verified: 1 Exchange in the executed plan). The same
+  partitioning strategy is what you'd bucket by at 100 TB.
 
 Embedding near-dup (cosine) lives in ``operators.similarity``.
 """
@@ -32,8 +42,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.functions.text import FINGERPRINT_MOD as P
 
@@ -83,41 +91,65 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _shingle_text_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, shingle) rows (NOT distinct) — the exploded zip form.
+
+    Word k-shingles as ``arrays_zip`` over shifted ``slice``\ s of the
+    token array: shingle i = (t[i], ..., t[i+k-1]); ``arrays_zip`` null-
+    pads the shifted arrays, so rows whose last member is null are the
+    (k-1) tail positions and are filtered. Documents shorter than ``k``
+    tokens contribute their whole text as a single shingle (the
+    ``pos == 0`` row) so they still participate. No window, no ordering
+    shuffle — every expression is codegen'd.
+
+    The input is hash-partitioned by doc_id first. That serves two
+    needs at once: the corpus fixtures arrive as one small parquet file
+    (one scan partition) so downstream work needs spreading, and the
+    doc_id partitioning lets the callers' ``distinct`` and
+    ``groupBy(doc_id)`` aggregates run with no further exchange.
+    """
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("t"), F.size(toks).alias("n_tok")
+    )
+    zipped = F.arrays_zip(
+        F.col("t").alias("w0"),
+        *[
+            F.slice("t", j + 1, F.greatest(F.col("n_tok") - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, k)
+        ],
+    )
+    z = base.select(
+        "doc_id",
+        "n_tok",
+        F.array_join("t", " ").alias("whole"),
+        F.posexplode(zipped).alias("pos", "z"),
+    )
+    return z.filter(
+        ((F.col("n_tok") >= k) & F.col(f"z.w{k - 1}").isNotNull())
+        | ((F.col("n_tok") < k) & (F.col("pos") == 0))
+    ).select(
+        "doc_id",
+        F.when(F.col("n_tok") < k, F.col("whole"))
+        .otherwise(F.concat_ws(" ", *[f"z.w{j}" for j in range(k)]))
+        .alias("shingle"),
+    )
+
+
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows — the exploded form.
+    """Distinct (doc_id, shingle) rows — see ``_shingle_text_rows``.
 
-    ``posexplode`` + window ``lead`` builds word k-shingles without any
-    lambda expression; documents shorter than ``k`` tokens contribute
-    their whole text as a single shingle so they still participate.
-    The window shuffles on doc_id once; every expression is codegen'd.
-
-    The input is spread across the cluster first: corpus fixtures arrive
-    as one small parquet file (one scan partition), and this subtree is
-    evaluated once per downstream branch — without the repartition the
-    tokenize/window pass runs near-serially several times over.
+    The distinct is exchange-free: the input is already hash-partitioned
+    by doc_id, which satisfies the (doc_id, shingle) clustering.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tok"),
-        F.posexplode(toks).alias("pos", "w"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, k)]
-    with_leads = base.select("doc_id", "n_tok", "w", *lead_cols)
-    long_docs = with_leads.filter(
-        (F.col("n_tok") >= k) & F.col(f"w{k - 1}").isNotNull()
-    ).select(
-        "doc_id",
-        F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)]).alias("shingle"),
-    )
-    short_docs = df.filter(F.size(toks) < k).select(
-        F.col(id_col).alias("doc_id"), F.array_join(toks, " ").alias("shingle")
-    )
-    return long_docs.union(short_docs).distinct()
+    return _shingle_text_rows(df, text_col, id_col, k).distinct()
 
 
 def jaccard_pairs(
@@ -166,32 +198,21 @@ def hashed_shingle_rows(
 ) -> DataFrame:
     """Distinct (doc_id, hsh) rows: md5-derived 31-bit shingle hashes.
 
-    Hashing *before* the distinct keeps every shuffle numeric (8-byte
-    keys instead of shingle strings) and needs only one dedup pass:
-    distinct-of-hashes == hashes-of-distinct-strings, modulo md5
+    Hashing *before* the distinct keeps every downstream shuffle numeric
+    (8-byte keys instead of shingle strings) and needs only one dedup
+    pass: distinct-of-hashes == hashes-of-distinct-strings, modulo md5
     collisions, which the oracle reproduces exactly (same hash).
-    (Same single-file parallelism note as ``shingle_rows``.)
+
+    Single-exchange: the doc_id partitioning from ``_shingle_text_rows``
+    satisfies both this distinct and the signature ``groupBy(doc_id)``
+    downstream, so scan -> shingle -> distinct -> signatures is one
+    shuffle total.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tok"),
-        F.posexplode(toks).alias("pos", "w"),
+    return (
+        _shingle_text_rows(df, text_col, id_col, k)
+        .select("doc_id", md5_hash31("shingle").alias("hsh"))
+        .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [F.lead("w", j).over(w).alias(f"w{j}") for j in range(1, k)]
-    with_leads = base.select("doc_id", "n_tok", "w", *lead_cols)
-    long_docs = with_leads.filter(
-        (F.col("n_tok") >= k) & F.col(f"w{k - 1}").isNotNull()
-    ).select(
-        "doc_id",
-        md5_hash31(F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)])).alias("hsh"),
-    )
-    short_docs = df.filter(F.size(toks) < k).select(
-        F.col(id_col).alias("doc_id"), md5_hash31(F.array_join(toks, " ")).alias("hsh")
-    )
-    return long_docs.union(short_docs).distinct()
 
 
 def minhash_signatures_from(inv_h: DataFrame) -> DataFrame:
@@ -234,18 +255,23 @@ def minhash_lsh_pairs(
     size); only candidates pay the exact set comparison. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    # inv_h feeds both the signature aggregate and the two verify joins;
-    # sigs feeds the band self-join and both size lookups. Exchanges are
-    # NOT reused across branches (each requires a different partitioning),
-    # so materialize once with localCheckpoint: it stores the RDD blocks
-    # directly and truncates lineage — measured ~1.6x faster end-to-end
-    # than recompute, while .cache()'s columnar InMemoryRelation was
-    # slower than either. (On a real cluster where executors can be lost,
-    # use a reliable checkpoint / staging table instead.)
+    # inv_h feeds the signature aggregate and the two verify joins, each
+    # needing a different partitioning, so exchanges are not reusable
+    # across branches — materialize once with localCheckpoint: it stores
+    # the RDD blocks directly and truncates lineage — measured ~1.6x
+    # faster end-to-end than recompute, while .cache()'s columnar
+    # InMemoryRelation was slower than either. (On a real cluster where
+    # executors can be lost, use a reliable checkpoint / staging table.)
+    # The checkpoint preserves the doc_id partitioning, so the signature
+    # aggregate on top of it still needs no exchange.
     inv_h = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
-    sigs = minhash_signatures_from(inv_h).localCheckpoint(eager=True)
+    # sigs is consumed only by the band explode below (set sizes ride
+    # along as n_sh through the band join), so it needs no checkpoint.
+    sigs = minhash_signatures_from(inv_h)
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*[_band_key(j) for j in range(N_BANDS)])).alias("bk")
+        "doc_id",
+        "n_sh",
+        F.explode(F.array(*[_band_key(j) for j in range(N_BANDS)])).alias("bk"),
     )
     cand = (
         bands.alias("x")
@@ -253,25 +279,28 @@ def minhash_lsh_pairs(
             bands.alias("y"),
             (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
         .distinct()
     )
     # exact verify: count shared shingle hashes for candidate pairs only
-    # (numeric equi-joins; cand is tiny and broadcasts)
+    # (numeric equi-joins; cand is tiny and broadcasts, so neither inv_h
+    # scan shuffles)
     xa = inv_h.select(F.col("doc_id").alias("doc_a"), F.col("hsh"))
     xb = inv_h.select(F.col("doc_id").alias("doc_b"), F.col("hsh"))
     common = (
         cand.join(xa, "doc_a")
         .join(xb, ["doc_b", "hsh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sigs.select("doc_id", "n_sh")
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
+        common.select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
         .filter(stable_round(jac, 6) >= threshold)
     )
 

@@ -25,23 +25,41 @@ def connected_components(
     *,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's min id.
 
     Returns (node, component). Deterministic: min-label propagation has
     a unique fixpoint. Raises if not converged within ``max_iter``
     (diameter bound exceeded — raise the bound, not the stakes).
+
+    Iteration discipline (the two classic iterative-Spark traps):
+
+    - **One action per round.** The convergence check needs this round's
+      label sum and last round's — last round's is remembered on the
+      driver instead of re-executing the previous DAG a second time.
+    - **Bounded lineage.** ``labels`` feeds two branches of the next
+      round (the neighbor aggregate and the join), so its lineage would
+      double every round; ``localCheckpoint`` every ``checkpoint_every``
+      rounds truncates it (the convergence action materializes the
+      blocks, so the lazy checkpoint costs no extra job). ``edges`` is
+      checkpointed once up front — it is re-read every round and its
+      upstream (e.g. the full MinHash pipeline) must not re-execute per
+      round. On a real cluster use reliable ``checkpoint()``/staging
+      tables; local block storage is the single-JVM equivalent.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    for _ in range(max_iter):
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for i in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -56,12 +74,14 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
         # convergence: component sum strictly decreases until fixpoint
-        old_sum = labels.agg(F.sum("component")).first()[0]
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

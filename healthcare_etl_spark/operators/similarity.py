@@ -35,6 +35,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query row. Returns
     (query_id, neighbor_id, cosine, rank); ties break on neighbor_id.
+
+    Shuffle-light despite the global window: the ``row_number() <= k``
+    pattern triggers Catalyst's rank-limit pushdown, which inserts a
+    *partial* ``WindowGroupLimit`` before the exchange — every scan
+    partition pre-truncates to its local top-k per query, so the shuffle
+    moves at most ``n_partitions * n_queries * k`` rows instead of
+    ``|corpus| * |queries|``. Plan-asserted in tests/test_plans.py.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

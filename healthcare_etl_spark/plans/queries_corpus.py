@@ -109,16 +109,27 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    total_docs = docs.count()  # scalar, fixture-scale; at 100 TB use a broadcast agg
+    # total_docs as a broadcast 1-row aggregate cross-joined into the
+    # scoring plan — the whole query stays lazy (zero jobs at build
+    # time) instead of paying a driver-side count() per invocation.
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("total_docs"))
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
-    df_tbl = words.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = (
+        words.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+    )
     scored = tf.join(F.broadcast(df_tbl), "term").select(
         "doc_id",
         "term",
-        (F.round((F.col("n") * F.log(F.lit(float(total_docs)) / F.col("n_docs"))) * 1e6) / 1e6).alias(
-            "tfidf"
-        ),
+        (
+            F.round(
+                (F.col("n") * F.log(F.col("total_docs") / F.col("n_docs"))) * 1e6
+            )
+            / 1e6
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

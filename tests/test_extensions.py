@@ -277,6 +277,27 @@ def test_connected_components_chain_and_clique(spark):
     assert keepers == {1, 10, 20}
 
 
+def test_connected_components_long_path_bounded_lineage(spark):
+    """Path of 50 nodes: diameter 49 forces ~49 propagation rounds.
+
+    Without per-round checkpointing the labels lineage doubles every
+    round (2^49 plan nodes — the job would never finish); this test
+    completing in bounded time is the lineage check, and the labels
+    prove full propagation to the far end of the chain.
+    """
+    from healthcare_etl_spark.operators.graph import connected_components
+
+    n = 50
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iter=n + 2).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_stream_stream_funnel_equals_batch(spark, sf_smoke):
     from healthcare_etl_spark.streaming.joins import batch_funnel, run_stream_stream_funnel
 

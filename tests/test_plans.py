@@ -88,6 +88,57 @@ def test_window_single_shuffle(spark, sf_smoke):
     assert "WindowGroupLimit" in plan
 
 
+def test_cosine_topk_pretruncates_before_shuffle(spark, sf_smoke):
+    """Exact top-k must not shuffle all |corpus|x|queries| scored rows:
+    Catalyst's rank-limit pushdown inserts a Partial WindowGroupLimit
+    below the exchange so each partition ships at most k rows/query."""
+    df = get_registry()["q_sim_topk"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Partial" in plan and "WindowGroupLimit" in plan
+    partial_idx = plan.index("Partial")
+    exchange_idx = plan.index("Exchange hashpartitioning")
+    # tree prints top-down: the partial limit must sit BELOW (after) the
+    # exchange line, i.e. executed before it
+    assert partial_idx > exchange_idx
+
+
+def test_minhash_signature_pipeline_single_exchange(spark, sf_smoke):
+    """scan -> zip-shingle -> distinct -> 64-min signatures must run with
+    exactly one shuffle: the up-front doc_id hash partitioning satisfies
+    both the distinct and the signature groupBy distributions."""
+    from healthcare_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        minhash_signatures_from,
+    )
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sigs = minhash_signatures_from(hashed_shingle_rows(docs))
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the up-front repartition, nothing else
+    assert "Window" not in plan  # shingles come from arrays_zip, not lead()
+
+
+def test_tfidf_builds_lazily(spark, sf_smoke):
+    """Building the TF-IDF plan must trigger no Spark jobs beyond the
+    parquet footer read every load_table pays (the corpus count is a
+    broadcast 1-row aggregate inside the plan, not a driver action)."""
+    from healthcare_etl_spark.sources import load_table
+
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None))
+
+    before = n_jobs()
+    load_table(spark, sf_smoke, "documents")
+    footer_jobs = n_jobs() - before
+
+    before = n_jobs()
+    get_registry()["q_tfidf_topterms"].fn(spark, sf_smoke)
+    assert n_jobs() - before <= footer_jobs
+
+
 def test_minhash_no_python_in_plan(spark, sf_smoke):
     """The dedup hot path must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython / mapInPandas operators anywhere in the plan."""
