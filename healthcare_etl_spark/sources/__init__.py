@@ -1,4 +1,17 @@
-from healthcare_etl_spark.sources.readers import TABLE_NAMES, load_table, read_csv
+from healthcare_etl_spark.sources.readers import (
+    TABLE_NAMES,
+    load_table,
+    read_csv,
+    read_jdbc,
+)
 from healthcare_etl_spark.sources.writers import materialize, write_jdbc, write_table
 
-__all__ = ["TABLE_NAMES", "load_table", "materialize", "read_csv", "write_table", "write_jdbc"]
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "materialize",
+    "read_csv",
+    "read_jdbc",
+    "write_table",
+    "write_jdbc",
+]

@@ -114,3 +114,40 @@ def read_json(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — columnar with predicate pushdown, like parquet."""
     return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: dict | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan (S3) mirroring reference ``app.py:31-32``
+    (``pd.read_sql`` over an engine connection).
+
+    The reference reads the whole table through one connection; at scale
+    pass ``partition_column``/bounds/``num_partitions`` so Spark issues
+    one range-bounded query per partition and the read parallelizes
+    across executors. Without them the read is a single-connection scan
+    (fine for dimension tables only).
+
+    Round-trip with ``writers.write_jdbc`` is smoke-tested against
+    embedded Derby (the JDBC database shipped in Spark's own jars) in
+    ``tests/test_operators.py``.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for key, val in (properties or {}).items():
+        reader = reader.option(key, val)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    return reader.load()

@@ -103,6 +103,42 @@ def test_write_table_overwrite(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path, sf_smoke):
+    """Live JDBC sink + scan (S2/S3 reference etl_script.py:164-168,
+    app.py:31-32) against embedded Derby — the JDBC database shipped in
+    Spark's own jars, so no external service is needed. Covers overwrite
+    (write twice, second replaces) and read-back equality."""
+    from healthcare_etl_spark.sources import load_table, read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/smokedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    nation = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(nation, url, "nation_sink", properties=props)
+    # overwrite semantics: second write replaces, not appends
+    write_jdbc(nation, url, "nation_sink", properties=props)
+
+    back = read_jdbc(spark, url, "nation_sink", properties=props)
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+    # partitioned parallel read: same rows, several range-bounded queries
+    back_par = read_jdbc(
+        spark,
+        url,
+        "nation_sink",
+        properties=props,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=30,
+        num_partitions=4,
+    )
+    assert back_par.rdd.getNumPartitions() == 4
+    assert back_par.count() == nation.count()
+
+
 def test_approx_quantiles_accuracy(spark, sf_smoke):
     from healthcare_etl_spark.plans.registry import get_queries
     from healthcare_etl_spark.sources import load_table
