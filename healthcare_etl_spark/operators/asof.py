@@ -31,15 +31,18 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``right[on] <= left[on]`` (direction='backward'), optionally within
+    ``right[on] <= left[on]`` (direction='backward') or the smallest
+    ``right[on] >= left[on]`` (direction='forward'), optionally within
     ``by`` groups. Right-side columns in ``value_cols`` are carried.
 
     Ties on ``on`` between a left and right row: the right value at the
-    exact same time IS visible (<=), matching ``pd.merge_asof`` and
-    DuckDB ``ASOF JOIN`` defaults.
+    exact same time IS visible (<= / >=), matching ``pd.merge_asof``
+    and DuckDB ``ASOF JOIN`` defaults. Forward is the time-mirrored
+    window (descending order, same carry), so both directions are one
+    shuffle on (by, on).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = by or []
     value_cols = value_cols or [c for c in right.columns if c != on and c not in by]
 
@@ -56,10 +59,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows sort before left rows at equal time => value at ts is visible
+    # right rows sort before left rows at equal time => value at ts is
+    # visible; forward mirrors the time axis and carries the same way
+    time_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(time_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

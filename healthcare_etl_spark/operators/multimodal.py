@@ -96,3 +96,108 @@ def decode_and_featurize(media: DataFrame, *, decode_stub: bool = True) -> DataF
 
     src = media.select("media_id", "media_type", "n_bytes")
     return src.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    target_w: int = 64,
+    target_h: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize pass: binary-in / binary-out ``mapInPandas``.
+
+    The production shape for thumbnailing 100 TB of images: payloads
+    stream through Arrow batches, each Python task emits transformed
+    payloads, nothing ever collects to the driver. The stub "resize"
+    deterministically caps the payload at ``target_w * target_h`` bytes
+    (a real kernel decodes, resamples, re-encodes in the same spot).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real resize needs PIL/ffmpeg, not present in this container; "
+            "run with decode_stub=True"
+        )
+    cap = int(target_w) * int(target_h)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"].map(lambda b: bytes(b)[:cap])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "out_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "payload": payload,
+                    "n_bytes_out": payload.map(len).astype("int64"),
+                }
+            )
+
+    src = media.select("media_id", "media_type", "payload")
+    return src.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_ts", T.DoubleType(), True),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, max_frames: int = 4) -> DataFrame:
+    """Frame sampling: one video row expands to ``n_frames`` frame rows —
+    the row-expanding ``mapInPandas`` shape (a Python-side explode over
+    Arrow batches), which is how video corpora become frame datasets at
+    scale.
+
+    Deterministic stub kernel: ``n_frames = n_bytes % max_frames + 1``,
+    frame timestamps spread uniformly over a fake ``n_bytes/1000`` s
+    duration, frame bytes sliced from the payload (16-byte strides). A
+    real kernel seeks keyframes with ffmpeg in the same spot; schema,
+    expansion, and batch shape are production-real.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            n_frames = (n_bytes % max_frames + 1).astype("int32")
+            rep = pdf.loc[pdf.index.repeat(n_frames)]
+            rep_n = n_frames.loc[rep.index]
+            frame_idx = rep.groupby(level=0).cumcount().astype("int32")
+            duration_s = rep["payload"].map(len).astype("int64") / 1000.0
+            yield pd.DataFrame(
+                {
+                    "media_id": rep["media_id"].to_numpy(),
+                    "frame_idx": frame_idx.to_numpy(),
+                    "n_frames": rep_n.to_numpy(),
+                    "frame_ts": (
+                        frame_idx.to_numpy() * duration_s.to_numpy() / rep_n.to_numpy()
+                    ),
+                    "frame_bytes": [
+                        bytes(b)[i * 16 : i * 16 + 16]
+                        for b, i in zip(rep["payload"], frame_idx)
+                    ],
+                }
+            )
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from healthcare_etl_spark.operators.multimodal import attach_media, decode_and_featurize
+from healthcare_etl_spark.operators.multimodal import (
+    attach_media,
+    decode_and_featurize,
+    resize_media,
+    sample_frames,
+)
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
 
@@ -74,4 +79,81 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.avg("feature_norm"), 6).alias("avg_feature_norm"),
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
+    )
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+)
+SELECT media_type,
+       count(*) AS n_items,
+       sum(least(n_bytes, 4096))::BIGINT AS total_bytes_out
+FROM media GROUP BY media_type
+""",
+    description=(
+        "Resize pass: binary-in/binary-out mapInPandas over Arrow batches with a "
+        "stub kernel capping payloads at 64x64 bytes — the thumbnailing shape for "
+        "100 TB image corpora. Oracle mirrors the deterministic byte-cap arithmetic, "
+        "verifying the binary Arrow round-trip end-to-end."
+    ),
+    tags=("multimodal", "extension"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, id_col="doc_id", text_col="text")
+    resized = resize_media(media, target_w=64, target_h=64)
+    return resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes_out").alias("total_bytes_out"),
+    )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+),
+vids AS (
+    SELECT media_id, n_bytes, (n_bytes % 4 + 1)::INT AS n_frames
+    FROM media WHERE media_type = 'video'
+),
+fr AS (
+    SELECT media_id, n_frames, n_bytes,
+           unnest(range(n_frames))::INT AS frame_idx
+    FROM vids
+)
+SELECT media_id, frame_idx, n_frames,
+       (round(((frame_idx * (n_bytes / 1000.0)) / n_frames) * 1000000.0) / 1000000.0)
+           AS frame_ts
+FROM fr
+""",
+    description=(
+        "Video frame sampling: one row expands to n_frames rows inside a "
+        "row-expanding mapInPandas (Python-side explode over Arrow batches) — how "
+        "video corpora become frame datasets. Stub kernel, deterministic frame "
+        "count/timestamps mirrored in SQL via unnest(range(...))."
+    ),
+    tags=("multimodal", "extension"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, id_col="doc_id", text_col="text")
+    vids = media.filter(F.col("media_type") == "video")
+    frames = sample_frames(vids, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        stable_round(F.col("frame_ts"), 6).alias("frame_ts"),
     )

@@ -98,6 +98,26 @@ def test_asof_join_matches_pandas(spark):
     assert got["rate"].tolist() == expected["rate"].tolist()
 
 
+def test_asof_join_forward_matches_pandas(spark):
+    from healthcare_etl_spark.operators.asof import asof_join
+
+    left = pd.DataFrame({"t": [1.0, 2.5, 3.0, 9.9], "ev": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"t": [0.5, 2.5, 7.0], "rate": [10.0, 20.0, 30.0]})
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", direction="forward"
+    )
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = (
+        asof_join(sl, sr, on="t", value_cols=["rate"], direction="forward")
+        .orderBy("t")
+        .toPandas()
+    )
+    # NaN != NaN; compare with null-safe pandas equality
+    assert got["rate"].equals(expected["rate"])
+
+
 def test_asof_join_with_key(spark):
     from healthcare_etl_spark.operators.asof import asof_join
 
@@ -161,6 +181,45 @@ def test_multimodal_stub_deterministic(spark, sf_smoke):
 
     with pytest.raises(NotImplementedError):
         decode_and_featurize(media, decode_stub=False)
+
+
+def test_multimodal_resize_caps_payload(spark, sf_smoke):
+    from healthcare_etl_spark.operators.multimodal import attach_media, resize_media
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    media = attach_media(docs, id_col="doc_id", text_col="text")
+    out = resize_media(media, target_w=8, target_h=8).collect()
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(out) == 50
+    for r in out:
+        assert r.n_bytes_out <= 64
+        # stub resize = deterministic truncation of the original payload
+        assert bytes(r.payload) == src[r.media_id][:64]
+        assert (r.out_w, r.out_h) == (8, 8)
+
+
+def test_multimodal_frame_sampling_expands_rows(spark, sf_smoke):
+    from healthcare_etl_spark.operators.multimodal import attach_media, sample_frames
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    media = attach_media(docs, id_col="doc_id", text_col="text")
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    frames = sample_frames(media, max_frames=4).collect()
+
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(src)
+    for mid, rows in by_media.items():
+        n_frames = len(src[mid]) % 4 + 1
+        assert len(rows) == n_frames
+        assert sorted(r.frame_idx for r in rows) == list(range(n_frames))
+        for r in rows:
+            assert r.n_frames == n_frames
+            assert bytes(r.frame_bytes) == src[mid][r.frame_idx * 16 : r.frame_idx * 16 + 16]
+            assert r.frame_ts >= 0.0
 
 
 def test_stateful_profiles_equal_batch(spark, sf_smoke):
