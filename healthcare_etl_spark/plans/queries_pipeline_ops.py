@@ -239,3 +239,141 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(frac, 6).alias("top_token_frac"),
         (frac > 0.1).alias("is_repetitive"),
     )
+
+
+# The full training-corpus preparation chain as ONE lazy Catalyst plan.
+# Shingle CTE fragments mirror operators.dedup.shingle_rows (zip-slice
+# k-shingles with the whole-text fallback for short docs).
+_PIPELINE_SQL = r"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)     AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE)                                    AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           (round((0.35 * least(n_tok / 100.0, 1.0)
+               + 0.35 * (n_uniq / CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END)
+               + 0.30 * (1.0 - n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END))
+               * 1000000.0) / 1000000.0) AS quality_score
+    FROM feats
+),
+kept AS (
+    SELECT d.doc_id, d.text, s.quality_score
+    FROM documents d JOIN scored s USING (doc_id)
+    WHERE d.lang = 'en' AND s.quality_score >= 0.6
+),
+sh AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept)
+),
+inv AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sized AS (SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+    FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+neardup AS (
+    SELECT DISTINCT p.doc_b
+    FROM pairs p JOIN sized a ON p.doc_a = a.doc_id
+                 JOIN sized b ON p.doc_b = b.doc_id
+    WHERE (round((n_common::DOUBLE / (a.n_sh + b.n_sh - n_common)) * 1000000.0)
+           / 1000000.0) >= 0.5
+),
+deduped AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM neardup)),
+held AS (
+    SELECT doc_id, text FROM documents
+    WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) % 10 = 0
+),
+train AS (
+    SELECT * FROM deduped
+    WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) % 10 != 0
+),
+held_grams AS (
+    SELECT DISTINCT unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS g
+    FROM (SELECT string_split(text, ' ') AS t FROM held)
+),
+train_grams AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+),
+contaminated AS (
+    SELECT DISTINCT tg.doc_id FROM train_grams tg JOIN held_grams hg ON tg.g = hg.g
+)
+SELECT doc_id, quality_score FROM train
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND (('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % 2147483647) % 1000 < 800
+"""
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=_PIPELINE_SQL,
+    description=(
+        "Flagship LLM-corpus preparation pipeline as one lazy plan: quality "
+        "filter (composite heuristic >= 0.6) -> language filter (en) -> "
+        "near-dup removal (3-gram Jaccard >= 0.5, inverted-index join) -> "
+        "held-out exclusion + 8-gram decontamination (anti-join on shared "
+        "grams) -> deterministic hash split (train 80%). Every stage is a "
+        "narrow map or key-partitioned join/agg; nothing touches the driver. "
+        "Each stage is also oracle-checked standalone (q_quality_score, "
+        "q_dedup_ngram_jaccard, q_decontaminate, q_hash_split)."
+    ),
+    tags=("text", "dedup", "extension", "parity", "flagship"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import jaccard_pairs, shingle_rows
+    from healthcare_etl_spark.operators.text_analysis import hash_split, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1-2. quality + language gate (narrow maps fused into the scan)
+    kept = (
+        quality_score(docs)
+        .filter((F.col("lang") == "en") & (F.col("quality_score") >= 0.6))
+        .select("doc_id", "text", "quality_score")
+    )
+
+    # 3. near-dup removal: exact 3-gram Jaccard via inverted-index join;
+    # drop the higher doc_id of every pair >= 0.5
+    neardup = (
+        jaccard_pairs(kept, threshold=0.5, k=3).select("doc_b").distinct()
+    )
+    deduped = kept.join(
+        neardup, kept.doc_id == neardup.doc_b, "left_anti"
+    )
+
+    # 4. held-out exclusion + 8-gram decontamination
+    held = docs.filter(_doc_hash() % 10 == 0)
+    train = deduped.filter(_doc_hash() % 10 != 0)
+    held_grams = (
+        shingle_rows(held, text_col="text", id_col="doc_id", k=8)
+        .select("shingle")
+        .distinct()
+    )
+    train_grams = shingle_rows(
+        train.select("doc_id", "text"), text_col="text", id_col="doc_id", k=8
+    )
+    contaminated = train_grams.join(held_grams, "shingle").select("doc_id").distinct()
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    # 5. deterministic split, keep the training fraction
+    return (
+        hash_split(clean, key_col="doc_id")
+        .filter(F.col("split") == "train")
+        .select("doc_id", "quality_score")
+    )

@@ -130,10 +130,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- corpus statistics
     "q_token_topk",
     "q_tfidf_topterms",
-    # -- pipeline ops
+    # -- pipeline ops (q_corpus_pipeline = the full quality->lang->dedup->
+    #    decontaminate->split chain as one lazy plan)
     "q_sample_stratified",
     "q_decontaminate",
-    "q_repetition_quality",
+    "q_corpus_pipeline",
     # -- events
     "q_event_windows",
     "q_sessionize",
