@@ -180,6 +180,69 @@ def label_centroids(
     )
 
 
+def kmeans_lloyd(
+    corpus: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means: Lloyd iterations under cosine similarity — the
+    trained coarse quantizer behind IVF indexing, and the clustering
+    step of cluster-balanced corpus sampling.
+
+    Deterministic end-to-end: centroids initialize from the ``k``
+    lowest-id vectors, assignment similarity is stable-rounded to 6dp
+    with cluster-id tie-break, so any engine (including the unrolled-CTE
+    DuckDB oracle) reproduces the same clustering.
+
+    Iteration discipline (same as ``operators.graph``): each round is
+    [broadcast centroids -> codegen'd scoring -> per-vector argmax
+    window -> element-wise mean re-aggregate]; the k-row centroid frame
+    is ``localCheckpoint``\ ed per round, so lineage stays bounded. The
+    corpus itself is scanned once per iteration (the Lloyd minimum) and
+    never shuffled whole — the per-round shuffles move only the n*k
+    scored rows (argmax window, pre-truncated to 1 row/vector/partition
+    by the partial WindowGroupLimit) and the k*dim centroid sums.
+    Returns (vec_id, cluster, cosine) at the final assignment.
+    """
+    pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cents = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("centroid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
+    assign = None
+    for i in range(n_iter):
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cluster",
+            stable_round(cosine_similarity("v", "centroid"), 6).alias("cos"),
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster", "cos")
+        )
+        if i < n_iter - 1:
+            exploded = assign.select("cluster", F.posexplode("v").alias("pos", "val"))
+            long = exploded.groupBy("cluster", "pos").agg(
+                stable_round(F.avg(F.col("val").cast("double")), 6).alias("m")
+            )
+            cents = (
+                long.groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assign.select("vec_id", "cluster", F.col("cos").alias("cosine"))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

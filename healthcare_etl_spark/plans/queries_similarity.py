@@ -282,3 +282,58 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "qdot", "rank")
     )
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=f"""
+WITH pts AS (SELECT vec_id, embedding AS v FROM embeddings),
+c0 AS (
+    SELECT vec_id::INT AS cluster, embedding AS centroid
+    FROM embeddings WHERE vec_id < 4
+),
+s1 AS (
+    SELECT p.vec_id, p.v, c.cluster,
+           (round({_COS.format(a="p.v", b="c.centroid")} * 1000000.0) / 1000000.0) AS cos
+    FROM pts p CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, v, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cluster ASC) AS rn
+        FROM s1
+    ) WHERE rn = 1
+),
+c1_long AS (
+    SELECT cluster, i AS pos,
+           (round(avg(v[i + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS m
+    FROM a1 CROSS JOIN range(64) t(i)
+    GROUP BY cluster, i
+),
+c1 AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1_long GROUP BY cluster),
+s2 AS (
+    SELECT p.vec_id, c.cluster,
+           (round({_COS.format(a="p.v", b="c.centroid")} * 1000000.0) / 1000000.0) AS cos
+    FROM pts p CROSS JOIN c1 c
+)
+SELECT vec_id, cluster, cos AS cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, cluster ASC) AS rn
+    FROM s2
+) WHERE rn = 1
+""",
+    description=(
+        "Spherical k-means (k=4, 2 Lloyd iterations under cosine): broadcast "
+        "centroids -> codegen scoring -> per-vector argmax -> element-wise mean "
+        "re-aggregate, corpus scanned once per iteration and never shuffled. The "
+        "trained-coarse-quantizer step behind IVF / cluster-balanced sampling. "
+        "Iterations unrolled as CTEs in the DuckDB oracle, so the full iterative "
+        "algorithm is value-hash-checked."
+    ),
+    tags=("similarity", "extension", "iterative"),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=4, n_iter=2)

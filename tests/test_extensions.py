@@ -183,6 +183,27 @@ def test_multimodal_stub_deterministic(spark, sf_smoke):
         decode_and_featurize(media, decode_stub=False)
 
 
+def test_kmeans_lloyd_improves_and_is_deterministic(spark, sf_smoke):
+    """Every vector assigned exactly once; a Lloyd update cannot lower the
+    mean assignment similarity; two runs agree exactly."""
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    one = kmeans_lloyd(emb, k=4, n_iter=1).toPandas()
+    two = kmeans_lloyd(emb, k=4, n_iter=2).toPandas()
+    assert len(one) == len(two) == n
+    assert set(two["cluster"]) <= {0, 1, 2, 3}
+    # monotone non-decreasing objective (mean cosine to assigned centroid)
+    assert two["cosine"].mean() >= one["cosine"].mean() - 1e-9
+    again = kmeans_lloyd(emb, k=4, n_iter=2).toPandas()
+    pd.testing.assert_frame_equal(
+        two.sort_values("vec_id").reset_index(drop=True),
+        again.sort_values("vec_id").reset_index(drop=True),
+    )
+
+
 def test_multimodal_resize_caps_payload(spark, sf_smoke):
     from healthcare_etl_spark.operators.multimodal import attach_media, resize_media
     from healthcare_etl_spark.sources import load_table
