@@ -27,8 +27,11 @@ from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
 
 # Shared SQL fragments (DuckDB): word 3-shingle sets and their hashes.
-_SHINGLES_SQL = """
-tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Parameterized on the source relation so the same chain can run over
+# ``documents`` or over an upstream CTE (see q_corpus_pipeline).
+def _shingles_sql(source: str = "documents") -> str:
+    return f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
 sh AS (
     SELECT doc_id,
            list_distinct(CASE WHEN len(t) >= 3
@@ -38,6 +41,9 @@ sh AS (
     FROM tok
 )
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 # md5-derived 31-bit shingle hash — mirrors operators.dedup.md5_hash31.
 _MD5H = f"(('0x' || substring(md5({{x}}), 1, 8))::BIGINT % {P})"
@@ -82,10 +88,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.5)
 
 
-def _minhash_oracle_sql() -> str:
-    """Generate the DuckDB mirror of the full MinHash-LSH pipeline from
-    the same coefficient table the Spark operator uses (exploded-row
-    form, md5-derived hashes — exactly the Spark plan's arithmetic)."""
+def _minhash_ctes(source: str = "documents") -> str:
+    """The MinHash-LSH pipeline as a CTE chain (no leading WITH), ending
+    in ``verified(doc_a, doc_b, jac)`` — generated from the same
+    coefficient table the Spark operator uses (exploded-row form,
+    md5-derived hashes — exactly the Spark plan's arithmetic).
+    Composable: q_dedup_minhash wraps it directly; q_corpus_pipeline
+    runs it over a filtered upstream CTE."""
     sig_exprs = ",\n           ".join(
         f"min((hsh * {a} + {b}) % {P}) AS s{i}"
         for i, (a, b) in enumerate(minhash_coefficients())
@@ -98,8 +107,7 @@ def _minhash_oracle_sql() -> str:
         return f"{j}::BIGINT * {P} + {expr}"
 
     band_exprs = ", ".join(band_fold(j) for j in range(N_BANDS))
-    return f"""
-WITH {_SHINGLES_SQL},
+    return f"""{_shingles_sql(source)},
 inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 hashed AS (SELECT DISTINCT doc_id, {_MD5H.format(x="shingle")} AS hsh FROM inv),
 sigs AS (
@@ -125,7 +133,12 @@ verified AS (
     FROM common
     JOIN sigs sa ON sa.doc_id = doc_a
     JOIN sigs sb ON sb.doc_id = doc_b
-)
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT doc_a, doc_b, (round(jac * 1000000.0) / 1000000.0) AS jaccard
 FROM verified WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
 """

@@ -242,9 +242,17 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The full training-corpus preparation chain as ONE lazy Catalyst plan.
-# Shingle CTE fragments mirror operators.dedup.shingle_rows (zip-slice
-# k-shingles with the whole-text fallback for short docs).
-_PIPELINE_SQL = r"""
+# The near-dup stage reuses the MinHash-LSH CTE chain (generated from
+# the Spark operator's own coefficients) over the filtered `kept` set —
+# the banded candidate-generation scale path, not the quadratic
+# inverted-index join; 8-gram CTEs mirror operators.dedup.shingle_rows.
+
+
+def _pipeline_sql() -> str:
+    from healthcare_etl_spark.plans.queries_dedup import _minhash_ctes
+
+    return (
+        r"""
 WITH feats AS (
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok,
@@ -266,27 +274,12 @@ kept AS (
     FROM documents d JOIN scored s USING (doc_id)
     WHERE d.lang = 'en' AND s.quality_score >= 0.6
 ),
-sh AS (
-    SELECT doc_id,
-           unnest(CASE WHEN len(t) >= 3
-                  THEN list_transform(range(1, len(t) - 1),
-                                      i -> array_to_string(t[i:i+2], ' '))
-                  ELSE [array_to_string(t, ' ')] END) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept)
-),
-inv AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sized AS (SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id),
-pairs AS (
-    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-    FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-    GROUP BY 1, 2
-),
+"""
+        + _minhash_ctes(source="kept")
+        + r""",
 neardup AS (
-    SELECT DISTINCT p.doc_b
-    FROM pairs p JOIN sized a ON p.doc_a = a.doc_id
-                 JOIN sized b ON p.doc_b = b.doc_id
-    WHERE (round((n_common::DOUBLE / (a.n_sh + b.n_sh - n_common)) * 1000000.0)
-           / 1000000.0) >= 0.5
+    SELECT DISTINCT doc_b FROM verified
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
 ),
 deduped AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM neardup)),
 held AS (
@@ -318,25 +311,27 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
   AND (('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % 2147483647) % 1000 < 800
 """
+    )
 
 
 @register(
     "q_corpus_pipeline",
-    oracle=_PIPELINE_SQL,
+    oracle=_pipeline_sql(),
     description=(
         "Flagship LLM-corpus preparation pipeline as one lazy plan: quality "
         "filter (composite heuristic >= 0.6) -> language filter (en) -> "
-        "near-dup removal (3-gram Jaccard >= 0.5, inverted-index join) -> "
-        "held-out exclusion + 8-gram decontamination (anti-join on shared "
-        "grams) -> deterministic hash split (train 80%). Every stage is a "
-        "narrow map or key-partitioned join/agg; nothing touches the driver. "
-        "Each stage is also oracle-checked standalone (q_quality_score, "
-        "q_dedup_ngram_jaccard, q_decontaminate, q_hash_split)."
+        "near-dup removal (MinHash-LSH banded candidates + exact-Jaccard "
+        "verify >= 0.5 — the linear-ish scale path) -> held-out exclusion + "
+        "8-gram decontamination (anti-join on shared grams) -> deterministic "
+        "hash split (train 80%). Every stage is a narrow map or "
+        "key-partitioned join/agg; nothing touches the driver. Each stage is "
+        "also oracle-checked standalone (q_quality_score, q_dedup_minhash, "
+        "q_decontaminate, q_hash_split)."
     ),
     tags=("text", "dedup", "extension", "parity", "flagship"),
 )
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.dedup import jaccard_pairs, shingle_rows
+    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs, shingle_rows
     from healthcare_etl_spark.operators.text_analysis import hash_split, quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -348,10 +343,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "quality_score")
     )
 
-    # 3. near-dup removal: exact 3-gram Jaccard via inverted-index join;
-    # drop the higher doc_id of every pair >= 0.5
+    # 3. near-dup removal via MinHash-LSH (banded candidate generation,
+    # exact-Jaccard verify); drop the higher doc_id of every pair >= 0.5
     neardup = (
-        jaccard_pairs(kept, threshold=0.5, k=3).select("doc_b").distinct()
+        minhash_lsh_pairs(kept, threshold=0.5, k=3).select("doc_b").distinct()
     )
     deduped = kept.join(
         neardup, kept.doc_id == neardup.doc_b, "left_anti"
