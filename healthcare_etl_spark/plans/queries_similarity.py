@@ -284,10 +284,10 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_kmeans_clusters",
-    oracle=f"""
-WITH pts AS (SELECT vec_id, embedding AS v FROM embeddings),
+# k-means CTE chain (2 unrolled Lloyd iterations, k=4), ending in
+# ``a2(vec_id, cluster, cos)`` — reused by q_kmeans_clusters and the
+# cluster-balanced sampling composition below.
+_KMEANS_CTES = f"""pts AS (SELECT vec_id, embedding AS v FROM embeddings),
 c0 AS (
     SELECT vec_id::INT AS cluster, embedding AS centroid
     FROM embeddings WHERE vec_id < 4
@@ -315,12 +315,21 @@ s2 AS (
     SELECT p.vec_id, c.cluster,
            (round({_COS.format(a="p.v", b="c.centroid")} * 1000000.0) / 1000000.0) AS cos
     FROM pts p CROSS JOIN c1 c
-)
-SELECT vec_id, cluster, cos AS cosine FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY cos DESC, cluster ASC) AS rn
-    FROM s2
-) WHERE rn = 1
+),
+a2 AS (
+    SELECT vec_id, cluster, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cluster ASC) AS rn
+        FROM s2
+    ) WHERE rn = 1
+)"""
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cluster, cos AS cosine FROM a2
 """,
     description=(
         "Spherical k-means (k=4, 2 Lloyd iterations under cosine): broadcast "
@@ -337,3 +346,52 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=4, n_iter=2)
+
+
+@register(
+    "q_cluster_balanced_sample",
+    oracle=f"""
+WITH {_KMEANS_CTES},
+keyed AS (
+    SELECT vec_id, cluster,
+           ('0x' || substring(md5('cbs:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483647 AS skey
+    FROM a2
+)
+SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           CAST(row_number() OVER (PARTITION BY cluster
+                ORDER BY skey ASC, vec_id ASC) AS BIGINT) AS rn
+    FROM keyed
+) WHERE rn <= 50
+""",
+    description=(
+        "Cluster-balanced corpus sampling: up to 50 vectors per k-means cluster, "
+        "chosen by deterministic salted content hash (repartition-stable, no "
+        "rand()) — the diversity-preserving downsampling move for training "
+        "corpora. Composes the k-means assignment with a per-cluster "
+        "WindowGroupLimit-pre-truncated top-N."
+    ),
+    tags=("similarity", "extension", "sampling"),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, k=4, n_iter=2)
+    skey = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2147483647
+    )
+    w = Window.partitionBy("cluster").orderBy(skey.asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 50)
+        .select("vec_id", "cluster")
+    )

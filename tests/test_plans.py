@@ -139,6 +139,33 @@ def test_tfidf_builds_lazily(spark, sf_smoke):
     assert n_jobs() - before <= footer_jobs
 
 
+def test_corpus_pipeline_plan_hygiene(spark, sf_smoke):
+    """The end-to-end corpus pipeline must stay JVM-side and join-safe:
+    no Python eval operators, no nested-loop joins (the anti-joins and
+    gram joins are all hash joins), no cartesian products."""
+    df = get_registry()["q_corpus_pipeline"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]:
+        assert marker not in plan, marker
+    assert "NestedLoop" not in plan
+
+
+def test_kmeans_no_corpus_shuffle_per_round(spark, sf_smoke):
+    """k-means rounds broadcast the centroids; the corpus-side join must
+    be a broadcast nested-loop over the tiny centroid frame (k rows),
+    never an exchange of the corpus for the join itself."""
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    df = kmeans_lloyd(emb, k=4, n_iter=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only hash exchange is the per-vector argmax window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan  # rn=1 pre-truncated before the shuffle
+
+
 def test_minhash_no_python_in_plan(spark, sf_smoke):
     """The dedup hot path must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython / mapInPandas operators anywhere in the plan."""
