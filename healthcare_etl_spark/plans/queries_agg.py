@@ -357,3 +357,72 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "q_corr_cov",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description=(
+        "Bivariate statistical aggregates per group: Pearson correlation, "
+        "sample/population covariance, OLS slope — single-pass partial-aggregable "
+        "moments, so map-side combine applies at any scale"
+    ),
+    tags=("extra-agg",),
+)
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_on_qty"),
+    )
+
+
+@register(
+    "q_window_analytics",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS INT)                                   AS price_quartile,
+       (round(percent_rank() OVER w * 1000000.0) / 1000000.0)         AS pct_rank,
+       (round(cume_dist() OVER w * 1000000.0) / 1000000.0)            AS cume,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2)              AS gap_to_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+    description=(
+        "Rank-family window analytics in one pass: quartile bucketing (ntile), "
+        "percent_rank, cume_dist, and gap-to-previous (lag) per priority class — "
+        "one shuffle on the partition key, deterministic via the unique "
+        "o_orderkey tiebreak"
+    ),
+    tags=("window",),
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "gap_to_prev"
+        ),
+    )
