@@ -103,6 +103,27 @@ def test_write_table_overwrite(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_materialize_persists_and_serves_reads(spark, sf_smoke):
+    """S5 (reference app.py:28 @st.cache_data): materialize() must leave
+    the frame persisted at the requested level, populated (eager), and
+    still correct on re-read; unpersist restores the unmaterialized
+    state."""
+    from healthcare_etl_spark.sources import load_table, materialize
+
+    n = load_table(spark, sf_smoke, "nation")
+    expected = n.count()
+    cached = materialize(n, storage_level="MEMORY_AND_DISK")
+    try:
+        lvl = cached.storageLevel
+        assert lvl.useMemory and lvl.useDisk
+        # eager: the count inside materialize populated the cache
+        assert cached.count() == expected
+        assert {r.n_name for r in cached.collect()} == {r.n_name for r in n.collect()}
+    finally:
+        cached.unpersist(blocking=True)
+    assert not cached.storageLevel.useMemory
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path, sf_smoke):
     """Live JDBC sink + scan (S2/S3 reference etl_script.py:164-168,
     app.py:31-32) against embedded Derby — the JDBC database shipped in
