@@ -5,9 +5,9 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 per-query wall seconds plus total. Each query is timed around the full
 action (plan -> execute -> count-to-driver); after a warm-up pass of
 the session (JVM + codegen warm at the smallest SF), each query runs
-twice at the target SF and the best time is reported — steady-state
-measurement, since the first run at a new SF pays one-time AQE
-re-plan/codegen costs and this host shows heavy neighbor contention
+three times at the target SF and the best time is reported —
+steady-state measurement, since the first run at a new SF pays one-time
+AQE re-plan/codegen costs and this host shows heavy neighbor contention
 (identical runs can swing several-fold).
 """
 
@@ -75,7 +75,7 @@ def main() -> None:
         if fn is None:
             continue
         best = float("inf")
-        for _rep in range(2):
+        for _rep in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
