@@ -114,12 +114,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_clusters",
-    # -- similarity family
+    # -- similarity family (q_kmeans_clusters = iterative Lloyd k-means,
+    #    the hardest cross-engine check in the family)
     "q_sim_topk",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_quantized_topk",
-    "q_sim_neardup",
+    "q_kmeans_clusters",
     # -- text analysis family
     "q_text_stats",
     "q_quality_score",
