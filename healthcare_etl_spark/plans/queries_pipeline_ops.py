@@ -291,20 +291,28 @@ train AS (
     WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) % 10 != 0
 ),
 held_grams AS (
-    SELECT DISTINCT unnest(CASE WHEN len(t) >= 8
-           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
-           ELSE [array_to_string(t, ' ')] END) AS g
-    FROM (SELECT string_split(text, ' ') AS t FROM held)
+    SELECT DISTINCT (('0x' || substring(md5(g), 1, 8))::BIGINT % 2147483647) AS ghash
+    FROM (
+        SELECT unnest(CASE WHEN len(t) >= 8
+               THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+        FROM (SELECT string_split(text, ' ') AS t FROM held)
+    )
 ),
 train_grams AS (
     SELECT DISTINCT doc_id,
-           unnest(CASE WHEN len(t) >= 8
-           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
-           ELSE [array_to_string(t, ' ')] END) AS g
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+           (('0x' || substring(md5(g), 1, 8))::BIGINT % 2147483647) AS ghash
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 8
+               THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+    )
 ),
 contaminated AS (
-    SELECT DISTINCT tg.doc_id FROM train_grams tg JOIN held_grams hg ON tg.g = hg.g
+    SELECT DISTINCT tg.doc_id
+    FROM train_grams tg JOIN held_grams hg ON tg.ghash = hg.ghash
 )
 SELECT doc_id, quality_score FROM train
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -331,7 +339,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     tags=("text", "dedup", "extension", "parity", "flagship"),
 )
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs, shingle_rows
+    from healthcare_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        minhash_lsh_pairs,
+    )
     from healthcare_etl_spark.operators.text_analysis import hash_split, quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -352,18 +363,21 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup, kept.doc_id == neardup.doc_b, "left_anti"
     )
 
-    # 4. held-out exclusion + 8-gram decontamination
+    # 4. held-out exclusion + 8-gram decontamination. The gram join keys
+    # on the md5-derived 31-bit hash, not the gram string — at 100 TB the
+    # shuffle moves 8-byte keys instead of ~60-byte n-grams (mirrored
+    # identically in the oracle, collisions included).
     held = docs.filter(_doc_hash() % 10 == 0)
     train = deduped.filter(_doc_hash() % 10 != 0)
     held_grams = (
-        shingle_rows(held, text_col="text", id_col="doc_id", k=8)
-        .select("shingle")
+        hashed_shingle_rows(held, text_col="text", id_col="doc_id", k=8)
+        .select("hsh")
         .distinct()
     )
-    train_grams = shingle_rows(
+    train_grams = hashed_shingle_rows(
         train.select("doc_id", "text"), text_col="text", id_col="doc_id", k=8
     )
-    contaminated = train_grams.join(held_grams, "shingle").select("doc_id").distinct()
+    contaminated = train_grams.join(held_grams, "hsh").select("doc_id").distinct()
     clean = train.join(contaminated, "doc_id", "left_anti")
 
     # 5. deterministic split, keep the training fraction
