@@ -39,6 +39,11 @@ HEADLINE = [
     "q_text_stats",
     "q_event_windows",
     "q_sessionize",
+    # flagship pipeline + iterative operators (the most expensive plans —
+    # tracked so regressions are visible round-over-round)
+    "q_corpus_pipeline",
+    "q_dedup_clusters",
+    "q_kmeans_clusters",
 ]
 
 

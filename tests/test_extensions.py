@@ -31,8 +31,8 @@ def test_simhash_identical_and_perturbed(spark):
 
 def test_minhash_lsh_finds_planted_pairs(spark, sf_smoke):
     """LSH candidates must recover every pair exact Jaccard finds at 0.5
-    (16 bands x 4 rows: P[candidate] ~ 1-(1-s^4)^16 = 0.9997 at s=0.5,
-    and the planted fixtures dups are ~0.8+)."""
+    (8 bands x 4 rows: P[candidate] = 1-(1-s^4)^8, ~0.99 at the planted
+    fixtures' s~0.8+; verified lossless vs exact at sf0.001/0.01/0.1)."""
     from healthcare_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
     from healthcare_etl_spark.sources import load_table
 
@@ -41,6 +41,41 @@ def test_minhash_lsh_finds_planted_pairs(spark, sf_smoke):
     lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
     assert exact, "fixtures should contain planted near-dups"
     assert lsh == exact
+
+
+def test_minhash_skew_guard_bounds_candidates(spark):
+    """On a boilerplate-heavy corpus (every doc shares a long header),
+    the max_shingle_doc_frac guard must keep LSH band buckets bounded:
+    without it the shared shingles dominate every min-signature and all
+    documents collide into the same buckets (quadratic candidates);
+    with it, candidates collapse to ~the planted dup pairs."""
+    from healthcare_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_band_frame,
+        minhash_lsh_pairs,
+    )
+
+    boiler = " ".join(f"header{i}" for i in range(30))
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(40)]
+    # one planted near-dup pair with distinctive shared content
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    n_unguarded = lsh_candidate_pairs(minhash_band_frame(df)).count()
+    guarded_frame = minhash_band_frame(df, max_shingle_doc_frac=0.5)
+    n_guarded = lsh_candidate_pairs(guarded_frame).count()
+    # unguarded: the 40 boilerplate docs all collide -> ~40*39/2 pairs
+    assert n_unguarded > 100
+    # guarded: boilerplate shingles dropped; only genuinely similar docs collide
+    assert n_guarded < 10
+
+    # the planted pair must survive the guard and verify
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_shingle_doc_frac=0.5).collect()
+    }
+    assert (100, 101) in pairs
 
 
 def test_lsh_ann_recall(spark, sf_smoke):
