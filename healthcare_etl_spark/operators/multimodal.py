@@ -134,7 +134,9 @@ def resize_media(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payload = pdf["payload"].map(lambda b: bytes(b)[:cap])
+            # NULL payloads pass through as NULL (with NULL n_bytes_out)
+            # rather than raising inside the Arrow task.
+            payload = pdf["payload"].map(lambda b: None if b is None else bytes(b)[:cap])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -142,7 +144,7 @@ def resize_media(
                     "out_w": pd.Series([target_w] * len(pdf), dtype="int32"),
                     "out_h": pd.Series([target_h] * len(pdf), dtype="int32"),
                     "payload": payload,
-                    "n_bytes_out": payload.map(len).astype("int64"),
+                    "n_bytes_out": payload.map(lambda b: None if b is None else len(b)),
                 }
             )
 
@@ -178,6 +180,9 @@ def sample_frames(media: DataFrame, *, max_frames: int = 4) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL payloads behave as empty media (one empty frame) rather
+            # than raising inside the Arrow task.
+            pdf = pdf.assign(payload=pdf["payload"].map(lambda b: b"" if b is None else b))
             n_bytes = pdf["payload"].map(len).astype("int64")
             n_frames = (n_bytes % max_frames + 1).astype("int32")
             rep = pdf.loc[pdf.index.repeat(n_frames)]

@@ -207,9 +207,17 @@ def kmeans_lloyd(
     by the partial WindowGroupLimit) and the k*dim centroid sums.
     Returns (vec_id, cluster, cosine) at the final assignment.
     """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    cents = pts.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("centroid")
+    # Seed from the k lowest ids (TakeOrderedAndProject — not `vec_id < k`,
+    # which silently under-seeds when ids are not contiguous from 0).
+    # Cluster labels are the seed ids: 0..k-1 on the contiguous fixtures,
+    # so the unrolled-CTE oracle reproduces them exactly.
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("centroid"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
     assign = None

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from healthcare_etl_spark.functions.rounding import stable_round, stable_round_sql
 from healthcare_etl_spark.operators import top_k, top_n_per_group
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
@@ -361,29 +362,31 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corr_cov",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qty_price,
-       round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qty_price,
-       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty
+       {stable_round_sql("corr(l_quantity, l_extendedprice)", 6)}       AS corr_qty_price,
+       {stable_round_sql("covar_samp(l_quantity, l_extendedprice)", 4)} AS covs_qty_price,
+       {stable_round_sql("covar_pop(l_quantity, l_extendedprice)", 4)}  AS covp_qty_price,
+       {stable_round_sql("regr_slope(l_extendedprice, l_quantity)", 6)} AS slope_price_on_qty
 FROM lineitem
 GROUP BY l_returnflag
 """,
     description=(
         "Bivariate statistical aggregates per group: Pearson correlation, "
         "sample/population covariance, OLS slope — single-pass partial-aggregable "
-        "moments, so map-side combine applies at any scale"
+        "moments, so map-side combine applies at any scale. Rounded with the "
+        "stable_round idiom on both sides (engine-native round() differs at "
+        "half-boundaries)"
     ),
     tags=("extra-agg",),
 )
 def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qty_price"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_on_qty"),
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        stable_round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qty_price"),
+        stable_round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qty_price"),
+        stable_round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_on_qty"),
     )
 
 

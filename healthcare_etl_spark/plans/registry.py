@@ -74,12 +74,20 @@ def _load_all_modules() -> None:
 
 # The driver's correctness gate oracle-checks the FIRST 50 registered
 # queries (registration order == dict order).  This list curates that
-# window: SURVEY.md §2 core rows first, then at least one oracle-backed
-# query per extension family (dedup, similarity, text, corpus, pipeline
-# ops, events, multimodal), so every first-class component gets a hard
-# cross-engine signal each round.  Everything else keeps its in-repo
-# oracle-harness test; rows-only (non-SQL-expressible) queries register
-# last so they never burn a checked slot on `no_oracle`.
+# window.  Rotation policy: the 22 SURVEY.md §2 core rows stay pinned
+# every round (reference parity must never lose driver signal); the
+# remaining 28 slots ROTATE each round over the oracle-backed extension
+# queries so that every one of them regains a driver-green row at most
+# a couple of rounds apart.  Round 2 covered the extension families
+# (dedup/similarity/text/corpus/pipeline/events/multimodal — all green
+# in CORRECTNESS_r02); round 3 swaps those slots for the deep TPC-H
+# shapes, set-ops, pivot/rollup/cube/grouping-sets, subqueries,
+# as-of/range joins, sampling/quality and multimodal kernels that were
+# last driver-checked in round 1.  Queries outside the window keep
+# their in-repo DuckDB-parity test (tests/test_oracle_parity.py runs
+# ALL oracle-backed queries at sf0.001 and, under -m sf001, at sf0.01);
+# rows-only (non-SQL-expressible) queries register last so they never
+# burn a checked slot on `no_oracle`.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- SURVEY.md §2 core (reference parity; must stay green every round)
     "q_etl_replica",
@@ -104,49 +112,54 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_string_funcs",
     "q_sql_surface",
     "q_format_number",
-    # -- windows + flagship TPC-H agg
-    "q_topn_per_group",
-    "q_window_running_sum",
-    "q_tpch_q1",
-    # -- dedup family
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_clusters",
-    # -- similarity family (q_kmeans_clusters = iterative Lloyd k-means,
-    #    the hardest cross-engine check in the family)
-    "q_sim_topk",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_sim_quantized_topk",
-    "q_kmeans_clusters",
-    # -- text analysis family
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_hash_split",
-    "q_redact_pii",
-    # -- corpus statistics
-    "q_token_topk",
-    "q_tfidf_topterms",
-    # -- pipeline ops (q_corpus_pipeline = the full quality->lang->dedup->
-    #    decontaminate->split chain as one lazy plan)
-    "q_sample_stratified",
-    "q_decontaminate",
-    "q_corpus_pipeline",
-    # -- events
-    "q_event_windows",
-    "q_sessionize",
-    "q_json_extract",
-    # -- multimodal
-    "q_multimodal_features",
+    # -- round-3 rotation: deep TPC-H shapes (the complex ones: EXISTS/
+    #    NOT-EXISTS, threshold subqueries, left-join-count, decorrelated
+    #    correlated forms)
+    "q_tpch_q7_shape",
+    "q_tpch_q8_shape",
+    "q_tpch_q9_shape",
+    "q_tpch_q11_shape",
+    "q_tpch_q13_shape",
+    "q_tpch_q15_shape",
+    "q_tpch_q16_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q18_shape",
+    "q_tpch_q20_shape",
+    "q_tpch_q21_shape",
+    "q_tpch_q22_shape",
+    # -- set operations
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    # -- multi-dimensional grouping
+    "q_pivot",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    # -- subqueries
+    "q_scalar_subquery",
+    "q_correlated_subquery",
+    # -- temporal joins
+    "q_asof_join",
+    "q_range_join",
+    # -- sampling / quality / statistics
+    "q_cluster_balanced_sample",
+    "q_repetition_quality",
+    "q_corr_cov",
+    # -- multimodal kernels (Arrow-batched mapInPandas plumbing)
+    "q_multimodal_resize",
+    "q_multimodal_frames",
 )
 
 
 def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
     """Window names first, then remaining oracle-backed, then rows-only."""
+    missing = [name for name in DRIVER_WINDOW if name not in reg]
+    if missing:
+        raise KeyError(
+            "DRIVER_WINDOW names not present in the registry (renamed or "
+            f"unregistered?): {missing}"
+        )
     out: dict[str, Query] = {}
     for name in DRIVER_WINDOW:
         out[name] = reg[name]

@@ -239,6 +239,55 @@ def test_kmeans_lloyd_improves_and_is_deterministic(spark, sf_smoke):
     )
 
 
+def test_kmeans_seeds_from_lowest_ids_and_guards_n_iter(spark):
+    """Non-contiguous vec_ids must still yield exactly k centroids (seeded
+    from the k lowest ids, not `vec_id < k`); n_iter < 1 is rejected."""
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+    rows = [
+        (10, [1.0, 0.0]),
+        (20, [0.9, 0.1]),
+        (30, [0.0, 1.0]),
+        (40, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_lloyd(df, k=2, n_iter=2).toPandas()
+    assert len(out) == 4
+    # two clusters, labeled by the two lowest seed ids
+    assert set(out["cluster"]) == {10, 20}
+
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_lloyd(df, k=2, n_iter=0)
+
+
+def test_multimodal_null_payloads_pass_through(spark):
+    """NULL payloads must not raise inside the Arrow kernels: resize
+    propagates NULL, frame sampling treats NULL as empty media."""
+    from healthcare_etl_spark.operators.multimodal import resize_media, sample_frames
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abcdef" * 20)), (2, "image", None)], schema
+    )
+    resized = {r.media_id: r for r in resize_media(df, target_w=2, target_h=2).collect()}
+    assert bytes(resized[1].payload) == b"abcd" and resized[1].n_bytes_out == 4
+    assert resized[2].payload is None and resized[2].n_bytes_out is None
+
+    frames = sample_frames(df, max_frames=4).collect()
+    null_frames = [r for r in frames if r.media_id == 2]
+    assert len(null_frames) == 1
+    assert null_frames[0].n_frames == 1
+    assert bytes(null_frames[0].frame_bytes) == b""
+
+
 def test_multimodal_resize_caps_payload(spark, sf_smoke):
     from healthcare_etl_spark.operators.multimodal import attach_media, resize_media
     from healthcare_etl_spark.sources import load_table
