@@ -256,19 +256,26 @@ def ivf_topk(
     corpus: DataFrame,
     *,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
     dim: int = 64,
 ) -> DataFrame:
-    """IVF-style ANN (nprobe=1): assign each query to its nearest cell
-    centroid, score only that cell's vectors.
+    """IVF-style ANN: assign each query to its ``nprobe`` nearest cell
+    centroids, score only those cells' vectors.
 
     The corpus is pre-partitioned by cell (here the ``label`` column
     stands in for a trained coarse quantizer's assignments — at 100 TB
     you'd k-means once and bucket the table by cell at write time, so
     the probe is a partition-pruned scan, no shuffle at query time).
+    ``nprobe`` is the standard recall/latency knob: each extra probed
+    cell linearly grows the scored candidate set (each corpus vector
+    lives in exactly one cell, so probes never produce duplicate
+    pairs) and monotonically raises recall toward the exact scan.
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cents = label_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     w_assign = Window.partitionBy("query_id").orderBy(
@@ -283,7 +290,7 @@ def ivf_topk(
             stable_round(cosine_similarity("q_vec", "centroid"), 6).alias("cent_cos"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_vec", "cell")
     )
     c = corpus.select(

@@ -211,6 +211,56 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_ann_ivf_probe2",
+    oracle=f"""
+WITH cent_long AS (
+    SELECT label AS cell, i AS pos,
+           (round(avg(embedding[i + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+    WHERE vec_id >= 5
+    GROUP BY label, i
+),
+cents AS (SELECT cell, list(v ORDER BY pos) AS centroid FROM cent_long GROUP BY cell),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+assign AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (round({_COS.format(a="q.qv", b="c.centroid")} * 1000000.0) / 1000000.0) DESC,
+                   c.cell ASC) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT a.query_id, e.vec_id AS neighbor_id,
+           (round({_COS.format(a="q.qv", b="e.embedding")} * 1000000.0) / 1000000.0) AS cosine
+    FROM assign a
+    JOIN embeddings e ON e.label = a.cell AND e.vec_id >= 5
+    JOIN q ON q.query_id = a.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+    description=(
+        "IVF-style ANN with multi-probe (nprobe=2): query -> 2 nearest "
+        "label-centroids -> search both cells. The standard production recall "
+        "knob over q_sim_ann_ivf; recall lift vs the exact scan is unit-tested."
+    ),
+    tags=("similarity", "extension", "approx"),
+)
+def q_sim_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(queries, corpus, k=10, nprobe=2)
+
+
+@register(
     "q_sim_quantized_topk",
     oracle="""
 WITH q AS (

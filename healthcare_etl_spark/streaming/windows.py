@@ -22,27 +22,42 @@ from healthcare_etl_spark.sources import load_table
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_events(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    glob: str = "events.parquet",
+    schema_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """``events`` as an unbounded stream via the file source.
 
     The ns-timestamp workaround applies here too: read ``ts`` as long
     nanos with an explicit schema, convert to a µs timestamp in the
     first select — identical values to the batch reader.
+
+    ``max_files_per_trigger=1`` replays a multi-file directory as one
+    micro-batch per file (file order = modification time) — the
+    multi-batch harness the watermark-eviction tests use.
+    ``schema_dir`` lets those tests borrow the fixture schema while
+    streaming from a synthetic directory.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = load_table(spark, sf_dir, "events").schema  # post-conversion schema
+    batch_schema = load_table(spark, schema_dir or sf_dir, "events").schema
     raw_schema = ", ".join(
         f"{f.name} BIGINT" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
         for f in batch_schema.fields
     )
     # FileStreamSource needs a directory; select just the events table
     # from the fixture dir with a glob filter.
-    stream = (
+    reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(str(sf_dir).rstrip("/"))
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(str(sf_dir).rstrip("/"))
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -53,11 +68,22 @@ def run_streaming_tumbling(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     query_name: str = "stream_tumbling",
+    output_mode: str = "complete",
+    source_opts: dict | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Run the tumbling-window count/sum as a stream to completion and
-    return the materialized result (memory sink, complete mode).
+    return the materialized result (memory sink; ``complete`` mode for
+    the fixture-replay equivalence checks, ``append`` for the
+    multi-batch watermark tests — append only emits a window once the
+    watermark passes its end, and evicts its state then).
+
+    ``progress_sink`` (a list) receives the query's progress dicts
+    before shutdown — the state-store metrics there
+    (``numRowsDroppedByWatermark``, ``numRowsTotal``) are the hard
+    evidence that late rows are dropped and state is evicted.
     """
-    ev = streaming_events(spark, sf_dir)
+    ev = streaming_events(spark, sf_dir, **(source_opts or {}))
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -73,13 +99,15 @@ def run_streaming_tumbling(
         )
     )
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
     )
     try:
         q.processAllAvailable()
+        if progress_sink is not None:
+            progress_sink.extend(q.recentProgress)
     finally:
         q.stop()
     return spark.table(query_name)
@@ -128,6 +156,8 @@ def run_streaming_dedup(
     *,
     watermark: str = "2 hours",
     query_name: str = "stream_dedup",
+    source_opts: dict | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Streaming dedup via ``dropDuplicatesWithinWatermark`` on
     (user_id, event_type), reduced to survivor counts per event_type.
@@ -141,7 +171,7 @@ def run_streaming_dedup(
     mid-batch, making the counts exactly batch count-distinct
     (asserted in tests).
     """
-    ev = streaming_events(spark, sf_dir)
+    ev = streaming_events(spark, sf_dir, **(source_opts or {}))
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
@@ -153,6 +183,8 @@ def run_streaming_dedup(
     )
     try:
         q.processAllAvailable()
+        if progress_sink is not None:
+            progress_sink.extend(q.recentProgress)
     finally:
         q.stop()
     return (

@@ -189,6 +189,156 @@ def test_streaming_tumbling_equals_batch(spark, sf_smoke):
     pd.testing.assert_frame_equal(batch, stream[batch.columns])
 
 
+def _write_events_parquet(path, rows, mtime):
+    """Synthetic events file matching the fixture schema (ns timestamps,
+    written via pyarrow — Spark itself cannot write timestamp[ns])."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(path))
+    os.utime(str(path), (mtime, mtime))
+
+
+def test_streaming_tumbling_multibatch_watermark_eviction(spark, sf_smoke, tmp_path):
+    """Multi-batch replay (one file per micro-batch): the watermark set
+    by earlier batches must (a) drop a later batch's late row, (b)
+    finalize+emit closed windows in append mode, (c) evict their state —
+    leaving only the open window. Watermark updates take effect at batch
+    boundaries (eviction runs at batch end against the watermark
+    committed at batch start), so the late row arrives two batches after
+    the rows that advanced the watermark past it."""
+    import datetime
+
+    from healthcare_etl_spark.streaming import run_streaming_tumbling
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    # batch 0: two rows in the 10:00 window, one at 12:00 -> watermark
+    # advances to 11:50 for batch 1
+    _write_events_parquet(
+        tmp_path / "events_b1.parquet",
+        [(1, at(5), 1, "A", 1.0), (2, at(10), 2, "A", 1.0), (3, at(120), 3, "B", 1.0)],
+        mtime=1_000_000,
+    )
+    # batch 1: 14:00 advances the watermark to 13:50; at batch end the
+    # closed 10:00 window (end 11:00 <= 11:50) is emitted and evicted
+    _write_events_parquet(
+        tmp_path / "events_b2.parquet",
+        [(4, at(240), 5, "C", 1.0)],
+        mtime=1_000_100,
+    )
+    # batch 2: a LATE row at 10:30 (far below the 13:50 watermark, its
+    # window already evicted -> dropped) plus 14:30 (keeps a window open)
+    _write_events_parquet(
+        tmp_path / "events_b3.parquet",
+        [(5, at(30), 4, "A", 1.0), (6, at(270), 6, "C", 1.0)],
+        mtime=1_000_200,
+    )
+
+    progress: list = []
+    out = run_streaming_tumbling(
+        spark,
+        str(tmp_path),
+        query_name="t_multibatch_tumble",
+        output_mode="append",
+        source_opts=dict(
+            glob="events_b*.parquet", schema_dir=sf_smoke, max_files_per_trigger=1
+        ),
+        progress_sink=progress,
+    )
+    rows = {(r.window_start, r.event_type): r.n_events for r in out.collect()}
+    # the late 10:30 row was dropped: the finalized 10:00 window counts 2, not 3
+    assert rows[("2024-01-01 10:00:00", "A")] == 2
+    # the 12:00 window finalized once the watermark passed 13:00
+    assert rows[("2024-01-01 12:00:00", "B")] == 1
+    # the 14:00 window is still open -> not emitted in append mode
+    assert not any(ws.startswith("2024-01-01 14") for ws, _ in rows)
+
+    # hard state-store evidence from query progress
+    import json as _json
+
+    def as_dict(p):
+        return p if isinstance(p, dict) else _json.loads(p.json)
+
+    prog = [as_dict(p) for p in progress]
+    n_input_batches = sum(1 for p in prog if p["numInputRows"] > 0)
+    assert n_input_batches >= 3, "expected one micro-batch per file"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0) for p in prog for op in p["stateOperators"]
+    )
+    assert dropped >= 1, "late row must be dropped by the watermark"
+    final_state = [op["numRowsTotal"] for op in prog[-1]["stateOperators"]]
+    assert final_state and final_state[0] <= 1, (
+        "closed windows must be evicted; only the open 14:00 window may remain"
+    )
+
+
+def test_streaming_dedup_state_eviction_across_batches(spark, sf_smoke, tmp_path):
+    """dropDuplicatesWithinWatermark keeps state only within the
+    watermark delay: a key re-arriving after its state expired is
+    re-emitted (bounded state), a duplicate within the delay is not."""
+    import datetime
+
+    from healthcare_etl_spark.streaming import run_streaming_dedup
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    # batch 0: key (1,A) at 10:00; key (2,B) at 12:00 -> watermark 11:50
+    _write_events_parquet(
+        tmp_path / "events_b1.parquet",
+        [(1, at(0), 1, "A", 1.0), (2, at(120), 2, "B", 1.0)],
+        mtime=1_000_000,
+    )
+    # batch 1: filler at 12:10; at batch end (1,A)'s state (expiry
+    # 10:10 < watermark 11:50) is evicted
+    _write_events_parquet(
+        tmp_path / "events_b2.parquet",
+        [(3, at(130), 3, "C", 1.0)],
+        mtime=1_000_100,
+    )
+    # batch 2: (1,A) again at 12:30 -> state was evicted -> re-emitted;
+    # (2,B) again at 12:05 -> state alive (expiry 12:10 > watermark 12:00)
+    # -> suppressed
+    _write_events_parquet(
+        tmp_path / "events_b3.parquet",
+        [(4, at(150), 1, "A", 1.0), (5, at(125), 2, "B", 1.0)],
+        mtime=1_000_200,
+    )
+
+    progress: list = []
+    out = run_streaming_dedup(
+        spark,
+        str(tmp_path),
+        watermark="10 minutes",
+        query_name="t_multibatch_dedup",
+        source_opts=dict(
+            glob="events_b*.parquet", schema_dir=sf_smoke, max_files_per_trigger=1
+        ),
+        progress_sink=progress,
+    )
+    counts = {r.event_type: r.n_unique_users for r in out.collect()}
+    assert counts["A"] == 2, "expired key must be re-emitted (state was evicted)"
+    assert counts["B"] == 1, "duplicate within the watermark must be suppressed"
+
+
 def test_streaming_sessions_counts(spark, sf_smoke):
     from healthcare_etl_spark.plans.registry import get_queries
     from healthcare_etl_spark.streaming import run_streaming_sessionization
@@ -216,6 +366,40 @@ def test_multimodal_stub_deterministic(spark, sf_smoke):
 
     with pytest.raises(NotImplementedError):
         decode_and_featurize(media, decode_stub=False)
+
+
+def test_ivf_multiprobe_recall_monotone(spark, sf_smoke):
+    """nprobe is the IVF recall knob: recall vs the exact scan must be
+    monotone in nprobe, and probing every cell must equal the exact
+    top-k exactly (same stable-rounded scores, same tie-breaks)."""
+    from healthcare_etl_spark.operators.similarity import cosine_topk, ivf_topk
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    n_cells = corpus.select("label").distinct().count()
+
+    def topk_sets(df):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets(cosine_topk(queries, corpus, k=10))
+    recalls = []
+    for nprobe in (1, 2, n_cells):
+        approx = topk_sets(ivf_topk(queries, corpus, k=10, nprobe=nprobe))
+        recalls.append(
+            sum(len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact)
+            / len(exact)
+        )
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[1] > recalls[0] or recalls[0] == 1.0, recalls
+    assert recalls[2] == 1.0, recalls
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(queries, corpus, k=10, nprobe=0)
 
 
 def test_kmeans_lloyd_improves_and_is_deterministic(spark, sf_smoke):
