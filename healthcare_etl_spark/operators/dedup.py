@@ -172,18 +172,29 @@ def jaccard_pairs(
     Pairs are generated only for documents sharing >= 1 shingle (the
     inverted-index trick), so disjoint documents never meet. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Jaccard is computed over the 31-bit *hashed* shingle sets (standard
+    shingle hashing; the DuckDB oracle hashes identically, so the rare
+    md5 collision is reproduced bit-for-bit on both engines). The
+    inverted-index self-join therefore shuffles 8-byte hash keys, not
+    shingle strings — the 100 TB shuffle-width argument — and the
+    shared-shingle count folds into the join's immediate ``groupBy``
+    (one aggregation over the join output; measured faster at sf0.1
+    than the carried-set/``array_intersect`` form that wins for
+    MinHash, because here the join output IS the intersection — no
+    second verify pass exists to eliminate).
     """
-    # The inverted index feeds a self-join: materialize once (see the
-    # localCheckpoint note in minhash_lsh_pairs).
-    inv = shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # sizes is one row per document — AQE broadcasts it at fixture scale;
+    # at cluster scale this join co-partitions on doc_id (no hard-coded
+    # broadcast: a billion-document sizes frame must be allowed to shuffle).
+    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inv_sized = inv.join(sizes, "doc_id")
     common = (
         inv_sized.alias("x")
         .join(
             inv_sized.alias("y"),
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            (F.col("x.hsh") == F.col("y.hsh")) & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .groupBy(
             F.col("x.doc_id").alias("doc_a"),

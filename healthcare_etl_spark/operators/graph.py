@@ -55,8 +55,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    # Fused first round: with component(v) initialized to v, round 1's
+    # neighbor-min is just min(neighbor id), so the initial labels can be
+    # computed directly as least(node, min(neighbor)) in ONE aggregate —
+    # saving a full join round (every node of a pair graph has >= 1
+    # neighbor, so no node is lost).
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.col("u"), F.min("v")).alias("component")
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for i in range(max_iter):

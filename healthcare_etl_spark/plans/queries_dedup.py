@@ -1,7 +1,7 @@
 """Dedup queries over the ``documents`` fixture (extension surface).
 
 Every pipeline here is oracle-checked, including the sketch-based ones:
-each step (md5-derived shingle/word hashes, the 64 MinHash permutations,
+each step (md5-derived shingle/word hashes, the MinHash permutations,
 band folding, bucket joins, SimHash bit-sums, exact-Jaccard verify, and
 the connected-components clustering) is deterministic arithmetic, so the
 DuckDB oracle SQL — generated from the same constants the Spark
@@ -43,7 +43,6 @@ sh AS (
 """
 
 
-_SHINGLES_SQL = _shingles_sql()
 
 # md5-derived 31-bit shingle hash — mirrors operators.dedup.md5_hash31.
 _MD5H = f"(('0x' || substring(md5({{x}}), 1, 8))::BIGINT % {P})"
@@ -63,24 +62,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
+def _jaccard_pairs_ctes(source: str = "documents") -> str:
+    """The exact-Jaccard pair pipeline as a CTE chain (no leading WITH),
+    ending in ``jpairs(doc_a, doc_b, jac)``. Jaccard runs over 31-bit
+    md5-derived shingle-hash sets — exactly the Spark operator's
+    arithmetic (collisions included), and the same hashed form the
+    MinHash verify uses."""
+    return f"""{_shingles_sql(source)},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hashed AS (SELECT DISTINCT doc_id, {_MD5H.format(x="shingle")} AS hsh FROM inv),
+sized AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+    FROM hashed x JOIN hashed y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jac
+    FROM common
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+)"""
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-WITH {_SHINGLES_SQL},
-sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
-inv AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
-common AS (
-    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
-    FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-    GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b,
-       (round((n_common::DOUBLE / (na + nb - n_common)) * 1000000.0) / 1000000.0) AS jaccard
-FROM common
-WHERE (round((n_common::DOUBLE / (na + nb - n_common)) * 1000000.0) / 1000000.0) >= 0.5
+WITH {_jaccard_pairs_ctes()}
+SELECT doc_a, doc_b, (round(jac * 1000000.0) / 1000000.0) AS jaccard
+FROM jpairs
+WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
 """,
-    description="Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index self-join",
+    description=(
+        "Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index "
+        "self-join on 31-bit shingle hashes (8-byte shuffle keys; oracle hashes "
+        "identically so collisions reproduce bit-for-bit)"
+    ),
     tags=("dedup", "extension"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +166,10 @@ register(
     "q_dedup_minhash",
     oracle=_minhash_oracle_sql(),
     description=(
-        "MinHash(64) + LSH(16 bands x 4) candidate pairs, exact-Jaccard verified. "
-        "The scale path: bucket join is ~linear in corpus size; skewed buckets "
-        "handled by AQE skew-join"
+        "MinHash(32) + LSH(8 bands x 4) candidate pairs, exact-Jaccard verified "
+        "via array_intersect over carried shingle-hash sets. The scale path: "
+        "bucket join is ~linear in corpus size; skewed buckets handled by AQE "
+        "skew-join plus the max_shingle_doc_frac boilerplate guard"
     ),
     tags=("dedup", "extension"),
 )(lambda spark, sf_dir: minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5))
@@ -212,18 +231,10 @@ def _clusters_oracle_sql() -> str:
     """Recursive-CTE mirror of min-label connected components over the
     exact-Jaccard near-dup pairs (same pair query as q_dedup_ngram_jaccard)."""
     return f"""
-WITH RECURSIVE {_SHINGLES_SQL},
-sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
-inv AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
-common AS (
-    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
-    FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-    GROUP BY 1, 2, 3, 4
-),
+WITH RECURSIVE {_jaccard_pairs_ctes()},
 pairs AS (
-    SELECT doc_a, doc_b FROM common
-    WHERE (round((n_common::DOUBLE / (na + nb - n_common)) * 1000000.0) / 1000000.0) >= 0.5
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
 ),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
