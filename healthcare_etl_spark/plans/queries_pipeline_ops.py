@@ -12,9 +12,17 @@ with the remaining shapes a corpus pipeline runs:
   8-token n-gram with a held-out split (the standard benchmark-leak
   check); n-grams generated shuffle-free per doc via one window;
 - repetition-based quality (Gopher-style) — top-token fraction per
-  document as a repetitiveness signal.
+  document as a repetitiveness signal;
+- unigram log-probability scoring — the cheap stand-in for LM
+  perplexity filtering, scored against the corpus's own unigram
+  distribution;
+- chunked sequence packing — concatenate-in-hash-order and split into
+  fixed token-budget context windows, per shard (how corpora become
+  fixed-length pretraining sequences);
+- the flagship q_corpus_pipeline — quality -> language -> MinHash
+  near-dup -> decontaminate -> split, as ONE lazy plan.
 
-All five are oracle-checked; the hash split uses the same md5 bridge as
+All are oracle-checked; the hash split uses the same md5 bridge as
 q_hash_split (conv(substring(md5(x),1,8),16,10) == DuckDB
 ('0x' || ...)::BIGINT).
 """
@@ -340,7 +348,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.dedup import (
-        hashed_shingle_rows,
+        _pruned_hashed_rows,
         minhash_lsh_pairs,
     )
     from healthcare_etl_spark.operators.text_analysis import hash_split, quality_score
@@ -366,16 +374,18 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4. held-out exclusion + 8-gram decontamination. The gram join keys
     # on the md5-derived 31-bit hash, not the gram string — at 100 TB the
     # shuffle moves 8-byte keys instead of ~60-byte n-grams (mirrored
-    # identically in the oracle, collisions included).
+    # identically in the oracle, collisions included). Distincts are
+    # placed minimally: the held side reduces to the gram-hash set in ONE
+    # aggregate, the train side stays non-distinct (duplicate gram rows
+    # only multiply the pre-distinct contaminated rows, and the doc_id
+    # distinct dedupes them anyway).
     held = docs.filter(_doc_hash() % 10 == 0)
     train = deduped.filter(_doc_hash() % 10 != 0)
     held_grams = (
-        hashed_shingle_rows(held, text_col="text", id_col="doc_id", k=8)
-        .select("hsh")
-        .distinct()
+        _pruned_hashed_rows(held, "text", "doc_id", 8, None).select("hsh").distinct()
     )
-    train_grams = hashed_shingle_rows(
-        train.select("doc_id", "text"), text_col="text", id_col="doc_id", k=8
+    train_grams = _pruned_hashed_rows(
+        train.select("doc_id", "text"), "text", "doc_id", 8, None
     )
     contaminated = train_grams.join(held_grams, "hsh").select("doc_id").distinct()
     clean = train.join(contaminated, "doc_id", "left_anti")
@@ -385,4 +395,114 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split(clean, key_col="doc_id")
         .filter(F.col("split") == "train")
         .select("doc_id", "quality_score")
+    )
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       (round(avg(ln(cnt::DOUBLE / n)) * 1000000.0) / 1000000.0) AS avg_logprob
+FROM words JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    description=(
+        "Corpus-model quality proxy: per-document mean unigram log-probability "
+        "under the corpus's own unigram distribution (the cheap stand-in for LM "
+        "perplexity filtering — unusually improbable token streams score low). "
+        "Three shuffles, all key-partitioned (word-frequency agg, word join, "
+        "per-doc agg); the corpus-total count stays a lazy broadcast 1-row "
+        "aggregate, same discipline as TF-IDF"
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = words.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            stable_round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# Chunked sequence packing: concatenate documents in a deterministic
+# hash order and split the stream into fixed token-budget context
+# windows — the standard way LLM pretraining data becomes fixed-length
+# training sequences. Packing is inherently sequential, so it shards
+# first (hash of doc_id) and packs each shard independently: one
+# shuffle on the shard key, a per-shard running-sum window, and every
+# document gets (shard, chunk index where it starts, offset inside the
+# chunk). At cluster scale the shard count tracks the executor count;
+# the per-shard window is the irreducible sequential piece.
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+@register(
+    "q_pack_chunks",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           {_DOC_HASH_SQL} AS h,
+           ({_DOC_HASH_SQL} % {_PACK_SHARDS}) AS shard
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tok,
+           sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS chunk,
+       CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS chunk_offset,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM c
+""",
+    description=(
+        "Chunked sequence packing for LLM pretraining: documents concatenate in "
+        "deterministic hash order within each of 8 shards and the stream splits "
+        "into 2048-token context windows; output is each document's (shard, "
+        "chunk, offset) placement. One shuffle on the shard key + a per-shard "
+        "running-sum window — the sequential part of packing bounded to a shard"
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        _doc_hash().alias("h"),
+    ).withColumn("shard", (F.col("h") % _PACK_SHARDS).cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "shard",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("chunk"),
+        (start % _PACK_BUDGET).cast("long").alias("chunk_offset"),
+        F.col("n_tok").cast("long").alias("n_tok"),
     )
