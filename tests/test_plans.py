@@ -166,6 +166,31 @@ def test_kmeans_no_corpus_shuffle_per_round(spark, sf_smoke):
     assert "WindowGroupLimit" in plan  # rn=1 pre-truncated before the shuffle
 
 
+def test_pack_chunks_single_shuffle_window(spark, sf_smoke):
+    """Chunked packing must be one shard-key exchange feeding one
+    running-sum window — the irreducible sequential piece stays bounded
+    to a shard; no extra exchanges, no Python."""
+    df = get_registry()["q_pack_chunks"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]:
+        assert marker not in plan, marker
+
+
+def test_unigram_logprob_plan_hygiene(spark, sf_smoke):
+    """The logprob scorer must stay JVM-side, partial-aggregate the word
+    frequency map-side, and keep the corpus total a broadcast 1-row
+    aggregate (BroadcastExchange / BroadcastNestedLoopJoin over one row),
+    not a driver action."""
+    df = get_registry()["q_unigram_logprob"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan  # map-side combine on the frequency agg
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    for marker in ["BatchEvalPython", "ArrowEvalPython"]:
+        assert marker not in plan, marker
+
+
 def test_minhash_no_python_in_plan(spark, sf_smoke):
     """The dedup hot path must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython / mapInPandas operators anywhere in the plan."""
