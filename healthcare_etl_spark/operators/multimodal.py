@@ -5,11 +5,17 @@ plus typed metadata — the schema-on-read pattern used by large-scale
 multimodal training pipelines (the bytes never parse on the JVM; only
 Arrow batches cross to Python where a decode library would run).
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked stub: ``decode_stub=True`` produces deterministic fake
-features with the REAL plumbing — ``mapInPandas`` over Arrow batches,
-explicit output schema, per-batch vectorized processing — so swapping
-in PIL/ffmpeg is a one-function change.
+The container has no image/audio codecs, so the pixel/sample *decode*
+kernels are clearly-marked stubs: ``decode_stub=True`` produces
+deterministic fake features with the REAL plumbing — ``mapInPandas``
+over Arrow batches, explicit output schema, per-batch vectorized
+processing — so swapping in PIL/ffmpeg is a one-function change.
+
+Header-level metadata extraction, by contrast, is REAL: container
+formats keep dimensions in fixed header layouts, which need no codec —
+``encode_png_media`` writes byte-valid PNG containers (signature +
+IHDR + CRC-32) and ``parse_image_dims`` parses PNG/JPEG/GIF headers
+(magic bytes, endian fields, JPEG marker walk) to recover dimensions.
 """
 
 from __future__ import annotations
@@ -206,3 +212,133 @@ def sample_frames(media: DataFrame, *, max_frames: int = 4) -> DataFrame:
 
     src = media.select("media_id", "payload")
     return src.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+PNG_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+# JPEG start-of-frame markers that carry dimensions (baseline, progressive,
+# and the other SOFn variants; C4/C8/CC are not SOF).
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def encode_png_media(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wrap each row's UTF-8 text bytes in a REAL PNG container.
+
+    The header is byte-valid PNG: 8-byte signature, then an IHDR chunk
+    with correct big-endian length, dimensions, and CRC-32 (the tail is
+    the raw text bytes, standing in for compressed pixel data — header
+    parsers don't touch it). Dimensions derive deterministically from
+    the byte length (``n % 640 + 1`` x ``n % 480 + 1``, the same
+    arithmetic as the stub featurizer), so an oracle can predict them
+    without parsing. This is an honest-to-goodness binary ENCODE kernel
+    over Arrow batches — no codec library involved, just the container
+    format.
+    """
+    import struct
+    import zlib
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(mid: int, text: str) -> bytes:
+            body = ("" if text is None else text).encode("utf-8")
+            n = len(body)
+            w, h = n % 640 + 1, n % 480 + 1
+            ihdr_data = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            ihdr = (
+                struct.pack(">I", len(ihdr_data))
+                + b"IHDR"
+                + ihdr_data
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+            )
+            return PNG_SIGNATURE + ihdr + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [one(m, t) for m, t in zip(pdf[id_col], pdf[text_col])],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode, schema=PNG_MEDIA_SCHEMA
+    )
+
+
+def _parse_dims(b) -> tuple[str, int | None, int | None]:
+    """Parse (format, width, height) from an image header — REAL binary
+    parsing of the PNG / JPEG / GIF container layouts (magic bytes,
+    big/little-endian fields, JPEG marker walk). Unknown or truncated
+    payloads come back ('unknown', None, None); None payloads
+    ('missing', None, None). Needs no codec library: dimensions live in
+    the fixed header layout, not the compressed stream.
+    """
+    import struct
+
+    if b is None:
+        return ("missing", None, None)
+    b = bytes(b)
+    if b.startswith(PNG_SIGNATURE) and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in _JPEG_SOF_MARKERS:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    return ("unknown", None, None)
+
+
+def parse_image_dims(media: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """Extract (format, width, height) from binary payload headers via
+    ``mapInPandas`` — the real metadata-extraction kernel for a 100 TB
+    image corpus (header inspection only; bytes never parse on the JVM
+    and the compressed stream is never decoded, so throughput is
+    I/O-bound, not codec-bound).
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_dims(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=IMAGE_DIMS_SCHEMA
+    )

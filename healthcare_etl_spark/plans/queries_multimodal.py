@@ -157,3 +157,33 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         stable_round(F.col("frame_ts"), 6).alias("frame_ts"),
     )
+
+
+@register(
+    "q_multimodal_png_dims",
+    oracle="""
+SELECT doc_id AS media_id,
+       'png' AS format,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+FROM documents
+""",
+    description=(
+        "REAL binary container round-trip (no stub arithmetic in the parse "
+        "path): encode_png_media wraps each text payload in a byte-valid PNG "
+        "container (signature + IHDR with correct big-endian fields and CRC-32) "
+        "and parse_image_dims recovers the dimensions by actually parsing the "
+        "header layout — two chained Arrow kernels, bytes never parse on the "
+        "JVM. The oracle predicts the dimensions arithmetically from the text "
+        "length, so a parse bug cannot hash-match."
+    ),
+    tags=("multimodal", "extension"),
+)
+def q_multimodal_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import (
+        encode_png_media,
+        parse_image_dims,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_image_dims(encode_png_media(docs))

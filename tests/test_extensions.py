@@ -472,6 +472,78 @@ def test_multimodal_null_payloads_pass_through(spark):
     assert bytes(null_frames[0].frame_bytes) == b""
 
 
+def test_parse_image_dims_real_headers(spark):
+    """parse_image_dims must really parse container layouts: hand-built
+    PNG / JPEG (SOF0 after other segments) / GIF byte strings with known
+    dimensions, plus truncated and missing payloads."""
+    import struct
+    import zlib
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_spark.operators.multimodal import parse_image_dims
+
+    ihdr_data = struct.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+        + b"fakebody"
+    )
+    # JPEG: SOI, APP0 segment (skipped), then SOF0 carrying 200x320
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 200, 320) + b"\x03"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"rest"
+    gif = b"GIF89a" + struct.pack("<HH", 640, 350) + b"tail"
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(jpeg)),
+            (3, bytearray(gif)),
+            (4, bytearray(b"not an image at all")),
+            (5, None),
+            (6, bytearray(b"\x89PNG\r\n\x1a\nTRUNC")),
+        ],
+        schema,
+    )
+    got = {r.media_id: (r.format, r.width, r.height) for r in parse_image_dims(df).collect()}
+    assert got[1] == ("png", 320, 200)
+    assert got[2] == ("jpeg", 320, 200)
+    assert got[3] == ("gif", 640, 350)
+    assert got[4] == ("unknown", None, None)
+    assert got[5] == ("missing", None, None)
+    assert got[6] == ("unknown", None, None)  # truncated PNG: no IHDR to read
+
+
+def test_png_roundtrip_encode_then_parse(spark):
+    """encode_png_media output must be parseable by an INDEPENDENT
+    reference check (struct-level header inspection), not just our own
+    parser — proving the container bytes are really PNG-shaped."""
+    import struct
+
+    from healthcare_etl_spark.operators.multimodal import encode_png_media
+
+    df = spark.createDataFrame([(7, "hello world")], ["doc_id", "text"])
+    row = encode_png_media(df).collect()[0]
+    b = bytes(row.payload)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    (ihdr_len,) = struct.unpack(">I", b[8:12])
+    assert ihdr_len == 13 and b[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", b[16:24])
+    n = len("hello world".encode())
+    assert (w, h) == (n % 640 + 1, n % 480 + 1)
+    assert b.endswith(b"hello world")
+
+
 def test_multimodal_resize_caps_payload(spark, sf_smoke):
     from healthcare_etl_spark.operators.multimodal import attach_media, resize_media
     from healthcare_etl_spark.sources import load_table
