@@ -19,6 +19,8 @@ with the remaining shapes a corpus pipeline runs:
 - chunked sequence packing — concatenate-in-hash-order and split into
   fixed token-budget context windows, per shard (how corpora become
   fixed-length pretraining sequences);
+- passage-level dedup — RefinedWeb-style sub-document dedup over
+  16-token passages, reported as a per-document duplicated fraction;
 - the flagship q_corpus_pipeline — quality -> language -> MinHash
   near-dup -> decontaminate -> split, as ONE lazy plan.
 
@@ -505,4 +507,85 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _PACK_BUDGET).cast("long").alias("chunk"),
         (start % _PACK_BUDGET).cast("long").alias("chunk_offset"),
         F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+# Sub-document (passage-level) dedup: the RefinedWeb-style move that
+# exact/MinHash doc-level dedup misses — boilerplate passages repeated
+# ACROSS distinct documents. Documents split into consecutive 16-token
+# passages; a passage is a duplicate if an earlier (doc_id, passage_idx)
+# emitted the same content. Reported per document as a duplicated-
+# passage fraction (the filter signal: drop or trim docs above a
+# threshold).
+_PASSAGE_TOKENS = 16
+
+
+@register(
+    "q_passage_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+    SELECT doc_id, i AS pidx,
+           array_to_string(t[i * {_PASSAGE_TOKENS} + 1 : i * {_PASSAGE_TOKENS} + {_PASSAGE_TOKENS}], ' ') AS passage
+    FROM tok, unnest(range((len(t) + {_PASSAGE_TOKENS} - 1) // {_PASSAGE_TOKENS})) AS u(i)
+),
+h AS (
+    SELECT doc_id, pidx,
+           (('0x' || substring(md5(passage), 1, 8))::BIGINT % 2147483647) AS hsh
+    FROM p
+),
+keeper AS (SELECT hsh, min(doc_id * 100000 + pidx) AS kkey FROM h GROUP BY hsh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN doc_id * 100000 + pidx <> kkey THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_passages,
+       (round((sum(CASE WHEN doc_id * 100000 + pidx <> kkey THEN 1 ELSE 0 END)
+               * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS dup_frac
+FROM h JOIN keeper USING (hsh)
+GROUP BY doc_id
+""",
+    description=(
+        "Passage-level dedup (RefinedWeb-style sub-document dedup): documents "
+        "split into consecutive 16-token passages, a passage counts as duplicate "
+        "when an earlier (doc, position) emitted identical content, and each "
+        "document reports its duplicated-passage fraction. Passage identity is "
+        "a 31-bit md5 hash (8-byte shuffle keys, mirrored in the oracle); one "
+        "explode + one hash-agg + one key join, all partial-aggregated"
+    ),
+    tags=("text", "dedup", "extension", "parity"),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(_PASSAGE_TOKENS)).cast("int") - 1,
+            )
+        ).alias("pidx"),
+    )
+    h = base.select(
+        "doc_id",
+        "pidx",
+        md5_hash31(
+            F.array_join(
+                F.slice("t", F.col("pidx") * _PASSAGE_TOKENS + 1, _PASSAGE_TOKENS), " "
+            )
+        ).alias("hsh"),
+    )
+    okey = F.col("doc_id") * 100000 + F.col("pidx")
+    keeper = h.groupBy("hsh").agg(F.min(okey).alias("kkey"))
+    joined = h.join(keeper, "hsh")
+    is_dup = (okey != F.col("kkey")).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(is_dup).alias("n_dup_passages"),
+        stable_round(F.sum(is_dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
     )
