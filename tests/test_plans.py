@@ -242,3 +242,30 @@ def test_decontaminate_single_gram_pass(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # both branches read the checkpointed RDD
     assert "NestedLoop" not in plan
+
+
+def test_driver_window_invariants():
+    """The driver oracle-checks the FIRST 50 registered queries. The
+    curated window must stay exactly 50 names, all registered, all
+    oracle-backed, with the 22 reference-parity rows pinned up front —
+    a rename or a rows-only query slipping in silently burns a checked
+    slot."""
+    from healthcare_etl_spark.plans.registry import DRIVER_WINDOW, get_registry
+
+    reg = get_registry()
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(reg)[:50] == list(DRIVER_WINDOW)
+    for name in DRIVER_WINDOW:
+        assert reg[name].oracle is not None, f"{name} is rows-only but in the window"
+    core = DRIVER_WINDOW[:22]
+    for name in (
+        "q_etl_replica",
+        "q_scan_project",
+        "q_inner_join",
+        "q_count",
+        "q_groupby_avg_sorted",
+        "q_topk",
+        "q_format_number",
+    ):
+        assert name in core, f"§2-core row {name} must stay pinned"
