@@ -16,9 +16,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def stable_round(col: Column, digits: int = 6) -> Column:
+def stable_round(col: Column | str, digits: int = 6) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
     scale = float(10**digits)
-    return F.round(col * scale) / scale
+    return F.round(c * scale) / scale
 
 
 def stable_round_sql(expr: str, digits: int = 6) -> str:

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
 from pyspark.sql.window import Window
 
 
@@ -55,7 +57,7 @@ def session_stats(
     return s.groupBy(key, "session_seq").agg(
         F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double")), 3).alias(
+        stable_round(F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double")), 3).alias(
             "duration_sec"
         ),
     )

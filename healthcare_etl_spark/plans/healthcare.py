@@ -203,7 +203,7 @@ register(
     oracle=f"""
 WITH final AS ({ETL_REPLICA_SQL})
 SELECT state,
-       round(avg(excess_readmission_ratio), 6) AS avg_ratio,
+       (round((avg(excess_readmission_ratio)) * 1000000.0) / 1000000.0) AS avg_ratio,
        count(*) AS n_rows
 FROM final GROUP BY state
 """,
@@ -213,7 +213,7 @@ FROM final GROUP BY state
 def etl_replica_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = heart_failure_readmissions(spark, sf_dir)
     return df.groupBy("state").agg(
-        F.round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio"),
+        stable_round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -223,7 +223,7 @@ def etl_replica_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH final AS ({ETL_REPLICA_SQL})
 SELECT hospital_ownership,
-       round(avg(excess_readmission_ratio), 6) AS avg_ratio
+       (round((avg(excess_readmission_ratio)) * 1000000.0) / 1000000.0) AS avg_ratio
 FROM final GROUP BY hospital_ownership
 """,
     description="Dashboard ownership bar-chart aggregate (A5) — app.py:74",
@@ -232,7 +232,7 @@ FROM final GROUP BY hospital_ownership
 def etl_replica_by_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = heart_failure_readmissions(spark, sf_dir)
     return df.groupBy("hospital_ownership").agg(
-        F.round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
+        stable_round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
     )
 
 
@@ -241,7 +241,7 @@ def etl_replica_by_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH final AS ({ETL_REPLICA_SQL})
 SELECT count(DISTINCT facility_id) AS total_hospitals,
-       round(avg(excess_readmission_ratio), 3) AS avg_ratio
+       (round((avg(excess_readmission_ratio)) * 1000.0) / 1000.0) AS avg_ratio
 FROM final
 """,
     description="Dashboard metric tiles (A2+A3 over the flagship output) — app.py:45-48",
@@ -251,7 +251,7 @@ def etl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = heart_failure_readmissions(spark, sf_dir)
     return df.agg(
         F.countDistinct("facility_id").alias("total_hospitals"),
-        F.round(F.avg("excess_readmission_ratio"), 3).alias("avg_ratio"),
+        stable_round(F.avg("excess_readmission_ratio"), 3).alias("avg_ratio"),
     )
 
 

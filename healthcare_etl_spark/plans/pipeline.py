@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.plans.healthcare import heart_failure_readmissions
 from healthcare_etl_spark.sources import write_table
+from healthcare_etl_spark.functions.rounding import stable_round
 
 
 def run_etl_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
@@ -34,13 +35,13 @@ def dashboard_aggregates(table: DataFrame) -> dict[str, DataFrame]:
     return {
         "metrics": table.agg(
             F.countDistinct("facility_id").alias("total_hospitals"),
-            F.round(F.avg("excess_readmission_ratio"), 3).alias("avg_ratio"),
+            stable_round(F.avg("excess_readmission_ratio"), 3).alias("avg_ratio"),
         ),
         "by_state": table.groupBy("state").agg(
-            F.round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
+            stable_round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
         ),
         "by_ownership": table.groupBy("hospital_ownership").agg(
-            F.round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
+            stable_round(F.avg("excess_readmission_ratio"), 6).alias("avg_ratio")
         ),
         "top_hospitals": table.orderBy(
             F.desc("excess_readmission_ratio"), F.asc("facility_id")

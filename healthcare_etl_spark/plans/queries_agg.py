@@ -40,19 +40,19 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_avg_global",
-    oracle="SELECT round(avg(l_extendedprice), 6) AS avg_price FROM lineitem",
+    oracle="SELECT (round((avg(l_extendedprice)) * 1000000.0) / 1000000.0) AS avg_price FROM lineitem",
     description="A3: global mean; Spark avg ignores NULLs like pandas mean skips NaN (app.py:48)",
     tags=("parity",),
 )
 def q_avg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_price"))
+    return li.agg(stable_round(F.avg("l_extendedprice"), 6).alias("avg_price"))
 
 
 @register(
     "q_groupby_avg",
     oracle="""
-SELECT l_returnflag, round(avg(l_discount), 6) AS avg_discount, count(*) AS n
+SELECT l_returnflag, (round((avg(l_discount)) * 1000000.0) / 1000000.0) AS avg_discount, count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """,
     description="A4: group-by mean, partial+final hash agg (app.py:57)",
@@ -61,7 +61,7 @@ FROM lineitem GROUP BY l_returnflag
 def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        stable_round(F.avg("l_discount"), 6).alias("avg_discount"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -69,7 +69,7 @@ def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_groupby_avg_sorted",
     oracle="""
-SELECT o_orderpriority, round(avg(o_totalprice), 6) AS avg_price
+SELECT o_orderpriority, (round((avg(o_totalprice)) * 1000000.0) / 1000000.0) AS avg_price
 FROM orders GROUP BY o_orderpriority ORDER BY avg_price DESC
 """,
     description="A5: group-by mean + sort (app.py:74); order-insensitive hash, sort kept for parity",
@@ -79,7 +79,7 @@ def q_groupby_avg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
-        .agg(F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+        .agg(stable_round(F.avg("o_totalprice"), 6).alias("avg_price"))
         .orderBy(F.desc("avg_price"))
     )
 
@@ -129,8 +129,8 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_sum",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
+       (round((sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0) / 10000.0) AS running_qty,
        CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS price_rank
 FROM lineitem
 """,
@@ -154,7 +154,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_quantity").over(w_sum), 4).alias("running_qty"),
+        stable_round(F.sum("l_quantity").over(w_sum), 4).alias("running_qty"),
         F.rank().over(w_rank).cast("long").alias("price_rank"),
     )
 
@@ -163,8 +163,8 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
 SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F
+       (round((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 10000.0) / 10000.0) AS qty_O,
+       (round((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 10000.0) / 10000.0) AS qty_F
 FROM lineitem GROUP BY l_returnflag
 """,
     description="Pivot on linestatus; oracle expressed as conditional aggregation (same result)",
@@ -175,7 +175,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 4))
+        .agg(stable_round(F.sum("l_quantity"), 4))
     )
     return piv.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
@@ -186,7 +186,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+       (round((sum(l_extendedprice)) * 100.0) / 100.0) AS sum_price, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     description="ROLLUP grouping sets (subtotals + grand total)",
@@ -195,7 +195,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        stable_round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -203,12 +203,12 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stats_summary",
     oracle="""
-SELECT round(min(l_quantity), 4)                         AS min_qty,
-       round(max(l_quantity), 4)                         AS max_qty,
-       round(stddev_samp(l_quantity), 6)                 AS std_qty,
-       round(var_samp(l_quantity), 6)                    AS var_qty,
-       round(sum(l_quantity), 4)                         AS sum_qty,
-       round(quantile_cont(l_quantity, 0.5), 6)          AS median_qty
+SELECT (round((min(l_quantity)) * 10000.0) / 10000.0)                         AS min_qty,
+       (round((max(l_quantity)) * 10000.0) / 10000.0)                         AS max_qty,
+       (round((stddev_samp(l_quantity)) * 1000000.0) / 1000000.0)                 AS std_qty,
+       (round((var_samp(l_quantity)) * 1000000.0) / 1000000.0)                    AS var_qty,
+       (round((sum(l_quantity)) * 10000.0) / 10000.0)                         AS sum_qty,
+       (round((quantile_cont(l_quantity, 0.5)) * 1000000.0) / 1000000.0)          AS median_qty
 FROM lineitem
 """,
     description="Statistical aggregates: min/max/stddev/variance/median (exact percentile)",
@@ -217,12 +217,12 @@ FROM lineitem
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.min("l_quantity"), 4).alias("min_qty"),
-        F.round(F.max("l_quantity"), 4).alias("max_qty"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        stable_round(F.min("l_quantity"), 4).alias("min_qty"),
+        stable_round(F.max("l_quantity"), 4).alias("max_qty"),
+        stable_round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        stable_round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        stable_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        stable_round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
     )
 
 
@@ -334,7 +334,7 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(l_returnflag, 'ALL')            AS returnflag,
        coalesce(CAST(year(l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
        CAST(count(*) AS BIGINT)                 AS n,
-       round(sum(l_quantity), 4)                AS sum_qty
+       (round((sum(l_quantity)) * 10000.0) / 10000.0)                AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)), (l_returnflag), ())
 """,
@@ -353,7 +353,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(l_returnflag, 'ALL')                        AS returnflag,
                coalesce(CAST(year(l_shipdate) AS STRING), 'ALL')    AS ship_year,
                count(*)                                             AS n,
-               round(sum(l_quantity), 4)                            AS sum_qty
+               (round((sum(l_quantity)) * 10000.0) / 10000.0)                            AS sum_qty
         FROM v_gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)), (l_returnflag), ())
         """
@@ -398,7 +398,7 @@ SELECT o_orderkey,
        CAST(ntile(4) OVER w AS INT)                                   AS price_quartile,
        (round(percent_rank() OVER w * 1000000.0) / 1000000.0)         AS pct_rank,
        (round(cume_dist() OVER w * 1000000.0) / 1000000.0)            AS cume,
-       round(o_totalprice - lag(o_totalprice) OVER w, 2)              AS gap_to_prev
+       (round((o_totalprice - lag(o_totalprice) OVER w) * 100.0) / 100.0)              AS gap_to_prev
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
 """,
@@ -425,7 +425,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("price_quartile"),
         stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
         stable_round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+        stable_round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
             "gap_to_prev"
         ),
     )

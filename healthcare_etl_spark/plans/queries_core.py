@@ -19,6 +19,7 @@ from healthcare_etl_spark.operators import (
 )
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.functions.rounding import stable_round
 
 
 @register(
@@ -73,7 +74,7 @@ WITH raw AS (
 SELECT count(*)                                        AS n_rows,
        count(TRY_CAST(qty_str AS DOUBLE))              AS n_parsed,
        count(*) - count(TRY_CAST(qty_str AS DOUBLE))   AS n_nulls,
-       round(avg(TRY_CAST(qty_str AS DOUBLE)), 6)      AS avg_qty
+       (round((avg(TRY_CAST(qty_str AS DOUBLE))) * 1000000.0) / 1000000.0)      AS avg_qty
 FROM raw
 """,
     description="P2/F2: to_numeric(errors='coerce') ≡ try_cast; NULL on unparseable (etl_script.py:79-86)",
@@ -91,7 +92,7 @@ def q_try_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("qty").alias("n_parsed"),
         (F.count(F.lit(1)) - F.count("qty")).alias("n_nulls"),
-        F.round(F.avg("qty"), 6).alias("avg_qty"),
+        stable_round(F.avg("qty"), 6).alias("avg_qty"),
     )
 
 
@@ -103,7 +104,7 @@ WITH raw AS (
            CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_extendedprice END AS price
     FROM lineitem
 )
-SELECT count(*) AS n_kept, round(sum(qty), 4) AS sum_qty
+SELECT count(*) AS n_kept, (round((sum(qty)) * 10000.0) / 10000.0) AS sum_qty
 FROM raw WHERE qty IS NOT NULL AND price IS NOT NULL
 """,
     description="P3: dropna(subset=[...]) (etl_script.py:93)",
@@ -120,7 +121,7 @@ def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = drop_null_rows(raw, ["qty", "price"])
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.sum("qty"), 4).alias("sum_qty"),
+        stable_round(F.sum("qty"), 4).alias("sum_qty"),
     )
 
 
@@ -292,7 +293,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(o_orderdate) AS INT)  AS order_year,
        CAST(month(o_orderdate) AS INT) AS order_month,
        count(*)                        AS n_orders,
-       round(sum(o_totalprice), 2)     AS total_price
+       (round((sum(o_totalprice)) * 100.0) / 100.0)     AS total_price
 FROM orders GROUP BY 1, 2
 """,
     description="Date/time functions: year/month extraction + monthly rollup",
@@ -307,7 +308,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -315,7 +316,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sql_surface",
     oracle="""
-SELECT n_name AS nation, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+SELECT n_name AS nation, count(*) AS n_customers, (round((avg(c_acctbal)) * 1000000.0) / 1000000.0) AS avg_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
@@ -331,7 +332,7 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name AS nation, count(*) AS n_customers,
-               round(avg(c_acctbal), 6) AS avg_acctbal
+               (round((avg(c_acctbal)) * 1000000.0) / 1000000.0) AS avg_acctbal
         FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         """

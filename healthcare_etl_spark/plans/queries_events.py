@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.operators.asof import asof_join
 from healthcare_etl_spark.operators.sessionize import session_stats
+from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
 
@@ -25,8 +26,8 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)              AS n_events,
-       round(sum(value), 4)  AS sum_value,
-       round(avg(value), 6)  AS avg_value
+       (round((sum(value)) * 10000.0) / 10000.0)  AS sum_value,
+       (round((avg(value)) * 1000000.0) / 1000000.0)  AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -39,8 +40,8 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
+            stable_round(F.avg("value"), 6).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
@@ -64,7 +65,7 @@ WITH grids AS (
 )
 SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*)             AS n_events,
-       round(sum(value), 4) AS sum_value
+       (round((sum(value)) * 10000.0) / 10000.0) AS sum_value
 FROM grids GROUP BY 1
 """,
     description="Sliding window (1h width, 30m step); each event lands in 2 windows",
@@ -76,7 +77,7 @@ def q_event_windows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
@@ -104,7 +105,7 @@ sessions AS (
 SELECT user_id, session_seq,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S')              AS session_start,
        count(*)                                            AS n_events,
-       round(epoch(max(ts)) - epoch(min(ts)), 3)           AS duration_sec
+       (round((epoch(max(ts)) - epoch(min(ts))) * 1000.0) / 1000.0)           AS duration_sec
 FROM sessions GROUP BY user_id, session_seq
 """,
     description="Gap-based sessionization (30m): lag + running-sum window, one shuffle on user_id",
@@ -122,7 +123,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*)                                             AS n,
-       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       (round((avg(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))) * 1000000.0) / 1000000.0) AS avg_k,
        max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
 FROM events GROUP BY event_type
 """,
@@ -133,7 +134,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.expr("try_cast(get_json_object(props, '$.k') as double)")), 6).alias(
+        stable_round(F.avg(F.expr("try_cast(get_json_object(props, '$.k') as double)")), 6).alias(
             "avg_k"
         ),
         F.max(F.expr("try_cast(get_json_object(props, '$.k') as bigint)")).alias("max_k"),
@@ -145,7 +146,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily_rates AS (
     SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS day,
-           round(avg(o_totalprice), 6) AS rate
+           (round((avg(o_totalprice)) * 1000000.0) / 1000000.0) AS rate
     FROM orders GROUP BY 1
 )
 SELECT e.event_id,
@@ -169,7 +170,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("ts")
-    ).agg(F.round(F.avg("o_totalprice"), 6).alias("rate"))
+    ).agg(stable_round(F.avg("o_totalprice"), 6).alias("rate"))
     joined = asof_join(ev, daily, on="ts", value_cols=["rate"])
     return joined.select(
         "event_id",

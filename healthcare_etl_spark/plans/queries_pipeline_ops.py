@@ -79,7 +79,7 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        CAST(count(*) AS BIGINT)      AS n,
-       round(sum(l_extendedprice), 2) AS sum_price
+       (round((sum(l_extendedprice)) * 100.0) / 100.0) AS sum_price
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -96,7 +96,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -435,9 +435,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            stable_round(
-                F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6
-            ).alias("avg_logprob"),
+            stable_round(F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6).alias("avg_logprob"),
         )
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.functions.rounding import stable_round
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -132,7 +133,7 @@ def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q18_shape",
     oracle="""
-SELECT c_custkey, o_orderkey, round(sum_qty, 4) AS sum_qty
+SELECT c_custkey, o_orderkey, (round((sum_qty) * 10000.0) / 10000.0) AS sum_qty
 FROM (
     SELECT c.c_custkey, o.o_orderkey, sum(l.l_quantity) AS sum_qty
     FROM customer c
@@ -151,7 +152,7 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
         """
-        SELECT c_custkey, o_orderkey, round(sum_qty, 4) AS sum_qty
+        SELECT c_custkey, o_orderkey, (round((sum_qty) * 10000.0) / 10000.0) AS sum_qty
         FROM (
             SELECT c.c_custkey, o.o_orderkey, sum(l.l_quantity) AS sum_qty
             FROM v_customer c
@@ -174,7 +175,7 @@ WITH src AS (
            o_totalprice
     FROM orders
 )
-SELECT status, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT status, count(*) AS n, (round((sum(o_totalprice)) * 100.0) / 100.0) AS total
 FROM src GROUP BY status
 """,
     description=(
@@ -193,5 +194,5 @@ def q_null_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return src.groupBy("status").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total"),
     )

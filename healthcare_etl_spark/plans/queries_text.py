@@ -18,6 +18,7 @@ from healthcare_etl_spark.operators.text_analysis import (
 )
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.functions.rounding import stable_round
 
 
 @register(
@@ -72,8 +73,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        count(*)                 AS n_docs,
-       round(avg(n_chars), 6)   AS avg_chars,
-       round(sum(n_chars), 1)   AS total_chars
+       (round((avg(n_chars)) * 1000000.0) / 1000000.0)   AS avg_chars,
+       (round((sum(n_chars)) * 10.0) / 10.0)   AS total_chars
 FROM documents GROUP BY lang
 """,
     description="Corpus language distribution (declared lang column)",
@@ -83,8 +84,8 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.sum("n_chars").cast("double"), 1).alias("total_chars"),
+        stable_round(F.avg("n_chars"), 6).alias("avg_chars"),
+        stable_round(F.sum("n_chars").cast("double"), 1).alias("total_chars"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
 
@@ -20,13 +21,13 @@ from healthcare_etl_spark.sources import load_table
     "q_tpch_q1",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       (round((sum(l_quantity)) * 10000.0) / 10000.0)                                        AS sum_qty,
+       (round((sum(l_extendedprice)) * 100.0) / 100.0)                                   AS sum_base_price,
+       (round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0)                AS sum_disc_price,
+       (round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0) / 100.0)  AS sum_charge,
+       (round((avg(l_quantity)) * 1000000.0) / 1000000.0)                                        AS avg_qty,
+       (round((avg(l_extendedprice)) * 1000000.0) / 1000000.0)                                   AS avg_price,
+       (round((avg(l_discount)) * 1000000.0) / 1000000.0)                                        AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,13 +43,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            stable_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            stable_round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            stable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -58,7 +59,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       (round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM customer
@@ -92,7 +93,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -106,7 +107,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       (round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +143,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -152,7 +153,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q6",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT (round((sum(l_extendedprice * l_discount)) * 100.0) / 100.0) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -172,7 +173,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+            stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
         )
     )
 
@@ -180,7 +181,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q10_shape",
     oracle="""
-SELECT c_custkey, c_name, round(revenue, 2) AS revenue, n_name
+SELECT c_custkey, c_name, (round((revenue) * 100.0) / 100.0) AS revenue, n_name
 FROM (
     SELECT c.c_custkey, c.c_name, n.n_name,
            sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
@@ -209,7 +210,7 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_raw"))
         .select(
-            "c_custkey", "c_name", F.round("rev_raw", 2).alias("revenue"), "n_name"
+            "c_custkey", "c_name", stable_round("rev_raw", 2).alias("revenue"), "n_name"
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -279,7 +280,7 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q19_shape",
     oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT (round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
@@ -298,5 +299,5 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("p_size").between(1, 50) & (F.col("l_quantity") >= 45))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )

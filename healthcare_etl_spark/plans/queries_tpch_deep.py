@@ -30,7 +30,7 @@ from healthcare_etl_spark.sources import load_table
 @register(
     "q_tpch_q7_shape",
     oracle="""
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, (round((sum(volume)) * 100.0) / 100.0) AS revenue
 FROM (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
@@ -74,7 +74,7 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -142,7 +142,7 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q9_shape",
     oracle="""
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year, (round((sum(amount)) * 100.0) / 100.0) AS sum_profit
 FROM (
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
            l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
@@ -181,7 +181,7 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(stable_round(F.sum(amount), 2).alias("sum_profit"))
     )
 
 
@@ -194,7 +194,7 @@ WITH val AS (
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
 )
-SELECT p_brand, round(value, 2) AS value
+SELECT p_brand, (round((value) * 100.0) / 100.0) AS value
 FROM val
 WHERE value > (
     SELECT (round((sum(l_extendedprice * l_quantity) * 0.02) * 1000000.0) / 1000000.0)
@@ -225,7 +225,7 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_brand.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
-        .select("p_brand", F.round("value", 2).alias("value"))
+        .select("p_brand", stable_round("value", 2).alias("value"))
     )
 
 
@@ -241,7 +241,7 @@ WITH revenue AS (
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name, (round((total_revenue) * 100.0) / 100.0) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
@@ -263,16 +263,14 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums in yet another order, so last-ulp drift on the raw double sum
     # could drop the top supplier on one side (same idiom as q17/q22).
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        stable_round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-        ).alias("total_revenue")
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select("s_suppkey", "s_name", stable_round("total_revenue", 2).alias("total_revenue"))
     )
 
 
@@ -314,7 +312,7 @@ def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q17_shape",
     oracle="""
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT (round((sum(l_extendedprice) / 7.0) * 100.0) / 100.0) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN (
@@ -342,7 +340,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+        .agg(stable_round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
 
 
@@ -442,7 +440,7 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q22_shape",
     oracle="""
-SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, (round((sum(c_acctbal)) * 100.0) / 100.0) AS totacctbal
 FROM (
     SELECT c_nationkey % 5 AS cntrycode, c_acctbal
     FROM customer
@@ -483,6 +481,6 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.sources import load_table
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -89,7 +90,7 @@ def run_streaming_tumbling(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
