@@ -74,18 +74,26 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Fault isolation (round-4 lesson): one broken query must never zero
+    # out the whole round's bench signal. Each query is timed in its own
+    # try/except; failures are reported per-query and the rest keep
+    # running.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         best = float("inf")
-        for _rep in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 4)
+        try:
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            per_query[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # derive sf from the dir name when possible (e.g. .../sf0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -96,18 +104,17 @@ def main() -> None:
         sf_val = sf
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+        "cpus": cpus,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_etl_spark.functions.timeutils import ts_micros
+
 
 def banded_range_join(
     left: DataFrame,
@@ -41,8 +43,9 @@ def banded_range_join(
     ``[left.left_ts + lower_seconds, left.left_ts + upper_seconds)`` for the
     same ``on`` key.
 
-    All timestamp arithmetic is in microseconds (``unix_micros``), matching
-    the fixtures' native granularity. Column names must be disjoint apart
+    All timestamp arithmetic is in microseconds (``timeutils.ts_micros``,
+    which accepts TIMESTAMP and TIMESTAMP_NTZ alike), matching the
+    fixtures' native granularity. Column names must be disjoint apart
     from ``on`` (alias/select beforehand, as with any self-join).
     """
     if upper_seconds <= lower_seconds:
@@ -53,8 +56,8 @@ def banded_range_join(
     lo_us = int(lower_seconds * 1_000_000)
     hi_us = int(upper_seconds * 1_000_000)
 
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    l_us = ts_micros(left_ts)
+    r_us = ts_micros(right_ts)
 
     r_b = right.withColumn("__bucket", F.floor(r_us / band_us))
     # Buckets overlapped by [l+lo, l+hi): window span == band width, so a

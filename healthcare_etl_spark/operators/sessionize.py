@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.functions.timeutils import ts_seconds
 from pyspark.sql.window import Window
 
 
@@ -38,7 +39,7 @@ def sessionize(
     if order_tiebreak:
         order.append(F.col(order_tiebreak))
     w = Window.partitionBy(key).orderBy(*order)
-    gap_sec = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    gap_sec = ts_seconds(ts) - F.lag(ts_seconds(ts)).over(w)
     is_new = F.when(gap_sec.isNull() | (gap_sec > gap_minutes * 60.0), 1).otherwise(0)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(is_new).over(w_run))
@@ -57,7 +58,7 @@ def session_stats(
     return s.groupBy(key, "session_seq").agg(
         F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
-        stable_round(F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double")), 3).alias(
+        stable_round(F.max(ts_seconds(ts)) - F.min(ts_seconds(ts)), 3).alias(
             "duration_sec"
         ),
     )

@@ -79,15 +79,18 @@ def _load_all_modules() -> None:
 # remaining 28 slots ROTATE each round over the oracle-backed extension
 # queries so that every one of them regains a driver-green row at most
 # a couple of rounds apart.  Round 2 covered the extension families
-# (dedup/similarity/text/corpus/pipeline/events/multimodal — all green
-# in CORRECTNESS_r02); round 3 swaps those slots for the deep TPC-H
-# shapes, set-ops, pivot/rollup/cube/grouping-sets, subqueries,
-# as-of/range joins, sampling/quality and multimodal kernels that were
-# last driver-checked in round 1.  Queries outside the window keep
-# their in-repo DuckDB-parity test (tests/test_oracle_parity.py runs
-# ALL oracle-backed queries at sf0.001 and, under -m sf001, at sf0.01);
-# rows-only (non-SQL-expressible) queries register last so they never
-# burn a checked slot on `no_oracle`.
+# (dedup/similarity/text/corpus/pipeline/events/multimodal); round 3
+# swapped in the deep TPC-H shapes, set-ops, grouping, subqueries,
+# temporal joins and multimodal kernels (all green in CORRECTNESS_r03/
+# r04 except the round-4 ts regression); round 5 keeps q_range_join and
+# q_sessionize in-window to prove the TIMESTAMP_NTZ fix and rotates the
+# remaining slots back to the extension families last driver-checked in
+# round 2 (dedup, similarity, text/corpus, pipeline ops, events).
+# Queries outside the window keep their in-repo DuckDB-parity test
+# (tests/test_oracle_parity.py runs ALL oracle-backed queries at
+# sf0.001 and, under -m sf001, at sf0.01); rows-only (non-SQL-
+# expressible) queries register last so they never burn a checked slot
+# on `no_oracle`.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- SURVEY.md §2 core (reference parity; must stay green every round)
     "q_etl_replica",
@@ -112,43 +115,41 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_string_funcs",
     "q_sql_surface",
     "q_format_number",
-    # -- round-3 rotation: deep TPC-H shapes (the complex ones: EXISTS/
-    #    NOT-EXISTS, threshold subqueries, left-join-count, decorrelated
-    #    correlated forms)
-    "q_tpch_q7_shape",
-    "q_tpch_q8_shape",
-    "q_tpch_q9_shape",
-    "q_tpch_q11_shape",
-    "q_tpch_q13_shape",
-    "q_tpch_q15_shape",
-    "q_tpch_q16_shape",
-    "q_tpch_q17_shape",
-    "q_tpch_q18_shape",
-    "q_tpch_q20_shape",
-    "q_tpch_q21_shape",
-    "q_tpch_q22_shape",
-    # -- set operations
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    # -- multi-dimensional grouping
-    "q_pivot",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    # -- subqueries
-    "q_scalar_subquery",
-    "q_correlated_subquery",
-    # -- temporal joins
-    "q_asof_join",
+    # -- round-5: the two round-4 ts casualties stay in-window to prove
+    #    the TIMESTAMP_NTZ fix with a driver-green row
     "q_range_join",
-    # -- sampling / quality / statistics
-    "q_cluster_balanced_sample",
-    "q_repetition_quality",
-    "q_corr_cov",
-    # -- multimodal kernels (Arrow-batched mapInPandas plumbing)
-    "q_multimodal_resize",
-    "q_multimodal_frames",
+    "q_sessionize",
+    # -- rotation: dedup family (last driver-checked round 2)
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    # -- similarity / ANN family
+    "q_sim_topk",
+    "q_sim_neardup",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_quantized_topk",
+    "q_kmeans_clusters",
+    # -- text / corpus analytics
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_token_topk",
+    "q_tfidf_topterms",
+    "q_corpus_pipeline",
+    # -- training-data pipeline ops
+    "q_hash_split",
+    "q_sample_stratified",
+    "q_decontaminate",
+    "q_unigram_logprob",
+    "q_pack_chunks",
+    "q_passage_dedup",
+    # -- event-time (streaming-adjacent batch forms)
+    "q_event_windows",
+    "q_funnel_join",
 )
 
 

@@ -58,12 +58,23 @@ def configure_session(spark: SparkSession) -> SparkSession:
     Safe to call on a session we did not create (the verify driver owns
     its own session): only runtime-settable SQL confs are touched.
 
-    - ``nanosAsLong``: the ``events`` fixture stores ``timestamp[ns]``
-      which Spark's parquet reader rejects; reading nanos as long and
-      converting (see ``sources.readers.load_table``) is lossless here
-      because the fixture's timestamps are µs-granular.
+    Timestamp normalization policy (the canonical type is TIMESTAMP with
+    the session tz pinned to UTC — one type at the read boundary so no
+    downstream operator ever branches on it):
+
+    - ``inferTimestampNTZ.enabled=false``: the fixtures store plain
+      ``timestamp[us]`` parquet, which Spark 4.x would otherwise read as
+      ``TIMESTAMP_NTZ`` (a type ``unix_micros`` and double-casts reject).
+      With the conf off, µs parquet reads as plain ``TIMESTAMP``; under
+      the UTC session tz the wall-clock values are identical to what
+      DuckDB's naive timestamps produce.
+    - ``nanosAsLong=true``: kept as a guarded fallback for producers that
+      write ``TIMESTAMP(NANOS)`` (the pre-round-4 fixture did) — Spark's
+      reader rejects nanos outright, so we read them as long and convert
+      in ``sources.readers.load_table``.
     """
     try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - non-settable conf on some builds

@@ -28,31 +28,61 @@ TABLE_NAMES = [
 ]
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every ``timestamp_ntz`` column to plain ``timestamp``.
+
+    The engine's canonical event-time type is TIMESTAMP with the session
+    tz pinned to UTC (see ``session.configure_session``). When the
+    ``inferTimestampNTZ.enabled=false`` conf took effect this is a no-op;
+    when it could not be set (foreign session) the cast is value-
+    preserving under the UTC session tz — wall-clock fields are kept,
+    and downstream ``unix_micros``/double arithmetic stays legal. The
+    cast is a projection only: pushdown/pruning into the scan is
+    unaffected.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events`` needs special handling: its ``ts`` column is parquet
-    ``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects
-    outright. We read nanos as ``long`` (runtime conf) and convert to a
-    microsecond timestamp JVM-side — lossless for this data (verified:
-    every value is µs-granular), and identical to what DuckDB produces
-    when it truncates ns -> µs on read. The conversion stays inside
-    whole-stage codegen; no Python round-trip.
+    Timestamp columns (``events.ts``, ``orders.o_orderdate``,
+    ``lineitem.l_shipdate`` — all ``timestamp[us]`` parquet) are
+    normalized to one canonical type, plain ``TIMESTAMP`` under the UTC
+    session tz, at this boundary so no operator downstream branches on
+    the producer's physical type. Three producer encodings are handled:
+
+    - ``timestamp[us]`` + ``inferTimestampNTZ=false`` -> TIMESTAMP
+      directly (today's fixture, zero-cost path);
+    - ``timestamp[us]`` read as TIMESTAMP_NTZ (conf not settable) ->
+      defensive cast, value-preserving under UTC;
+    - ``TIMESTAMP(NANOS)`` (the pre-round-4 fixture) -> rejected by
+      Spark's vectorized reader, so read as long nanos (legacy conf) and
+      converted JVM-side; lossless for µs-granular data and identical to
+      DuckDB's ns->µs truncation on read.
     """
     path = f"{str(sf_dir).rstrip('/')}/{name}.parquet"
     if name != "events":
-        return spark.read.parquet(path)
+        return _normalize_timestamps(spark.read.parquet(path))
 
     try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - non-settable on some builds
+        pass
+    try:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_timestamps(df)
     except Exception:
-        # Fallback for sessions where the legacy conf is unavailable:
-        # decode through Arrow on the driver. Only acceptable because the
-        # events fixture is small; the conf path above is the scale path.
+        # Fallback for sessions where neither conf is available AND the
+        # file is nanos-typed: decode through Arrow on the driver. Only
+        # acceptable because the events fixture is small; the conf path
+        # above is the scale path.
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(path)

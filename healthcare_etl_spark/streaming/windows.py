@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
-from healthcare_etl_spark.sources import load_table
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -33,21 +32,39 @@ def streaming_events(
 ) -> DataFrame:
     """``events`` as an unbounded stream via the file source.
 
-    The ns-timestamp workaround applies here too: read ``ts`` as long
-    nanos with an explicit schema, convert to a µs timestamp in the
-    first select — identical values to the batch reader.
+    The stream schema is DERIVED from what the batch reader actually
+    produced — never hard-coded. ``load_table`` already normalizes
+    ``ts`` to the canonical TIMESTAMP for every producer encoding; the
+    only case needing stream-side replication is the nanos fixture,
+    where the batch read yields raw ``bigint`` nanos before conversion —
+    detected by probing the UN-normalized read, and only then does the
+    stream read BIGINT + div-1000. (Round-4 lesson: unconditionally
+    assuming nanos silently divided µs values by 1000 — timestamps came
+    out 1000x too small with no error raised.)
 
     ``max_files_per_trigger=1`` replays a multi-file directory as one
     micro-batch per file (file order = modification time) — the
     multi-batch harness the watermark-eviction tests use.
-    ``schema_dir`` lets those tests borrow the fixture schema while
-    streaming from a synthetic directory.
+    ``schema_dir`` is the probe fallback for a stream directory that has
+    no files yet at start time.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = load_table(spark, schema_dir or sf_dir, "events").schema
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - non-settable on some builds
+        pass
+    # Probe the files that will actually be streamed — a synthetic test
+    # dir may carry a different physical ts type than the fixture.
+    try:
+        raw_batch = spark.read.parquet(f"{str(sf_dir).rstrip('/')}/{glob}")
+    except Exception:
+        raw_batch = spark.read.parquet(
+            f"{str(schema_dir or sf_dir).rstrip('/')}/events.parquet"
+        )
+    raw_ts_type = dict(raw_batch.dtypes).get("ts")
+    nanos_as_long = raw_ts_type == "bigint"
     raw_schema = ", ".join(
-        f"{f.name} BIGINT" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
-        for f in batch_schema.fields
+        f"{f.name} {f.dataType.simpleString()}" for f in raw_batch.schema.fields
     )
     # FileStreamSource needs a directory; select just the events table
     # from the fixture dir with a glob filter.
@@ -59,7 +76,11 @@ def streaming_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(str(sf_dir).rstrip("/"))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos_as_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif raw_ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_streaming_tumbling(

@@ -269,3 +269,16 @@ def test_driver_window_invariants():
         "q_format_number",
     ):
         assert name in core, f"§2-core row {name} must stay pinned"
+
+
+def test_keyless_asof_join_no_single_partition_exchange(spark, sf_smoke):
+    """The keyless as-of join must never sort the unioned data in ONE
+    partition (the round-4 scale sin): the two-phase bucketed carry
+    windows by __bucket and fixes bucket boundaries via broadcast joins
+    over metadata-sized summaries, so no Exchange SinglePartition may
+    appear anywhere in the executed plan."""
+    df = get_registry()["q_asof_join"].fn(spark, sf_smoke)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__bucket" in plan
