@@ -39,6 +39,10 @@ HEADLINE = [
     "q_text_stats",
     "q_event_windows",
     "q_sessionize",
+    # temporal joins (round-5: NTZ fix + keyless-asof bucketed rewrite —
+    # tracked so the scale-shaped plans stay fast)
+    "q_range_join",
+    "q_asof_join",
     # flagship pipeline + iterative operators (the most expensive plans —
     # tracked so regressions are visible round-over-round)
     "q_corpus_pipeline",

@@ -404,3 +404,51 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     return profile(c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
+@register(
+    "q_csv_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name)              AS first_name
+FROM nation GROUP BY n_regionkey
+""",
+    description=(
+        "S1 literal: the CSV reader itself (readers.read_csv, reference "
+        "etl_script.py:49,52 pd.read_csv with dtype override) on a CSV "
+        "materialization of nation, aggregated. The query materializes "
+        "the CSV from the parquet fixture first (25 rows, deterministic "
+        "content) so the oracle row exercises the actual CSV scan path — "
+        "explicit schema, no inference, PERMISSIVE mode."
+    ),
+    tags=("parity",),
+)
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_spark.sources.readers import read_csv
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    csv_dir = os.path.join(tempfile.gettempdir(), "healthcare_etl_spark_csv", sf_tag)
+    nation.write.mode("overwrite").option("header", True).csv(csv_dir)
+
+    # types mirror the parquet fixture (int32) so the round-trip is exact
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, csv_dir, schema=schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -115,6 +115,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_string_funcs",
     "q_sql_surface",
     "q_format_number",
+    # -- S1 literal: the CSV reader itself, oracle-checked (round 5+)
+    "q_csv_scan",
     # -- round-5: the two round-4 ts casualties stay in-window to prove
     #    the TIMESTAMP_NTZ fix with a driver-green row
     "q_range_join",
@@ -130,7 +132,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_sim_neardup",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
-    "q_sim_quantized_topk",
     "q_kmeans_clusters",
     # -- text / corpus analytics
     "q_text_stats",

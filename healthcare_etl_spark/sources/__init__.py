@@ -4,6 +4,11 @@ from healthcare_etl_spark.sources.readers import (
     read_csv,
     read_jdbc,
 )
+from healthcare_etl_spark.sources.retry import (
+    read_jdbc_with_retry,
+    with_retry,
+    write_jdbc_with_retry,
+)
 from healthcare_etl_spark.sources.writers import materialize, write_jdbc, write_table
 
 __all__ = [
@@ -12,6 +17,9 @@ __all__ = [
     "materialize",
     "read_csv",
     "read_jdbc",
+    "read_jdbc_with_retry",
+    "with_retry",
     "write_table",
     "write_jdbc",
+    "write_jdbc_with_retry",
 ]

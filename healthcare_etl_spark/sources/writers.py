@@ -86,9 +86,9 @@ def write_jdbc(
     """JDBC sink with overwrite semantics (reference ``etl_script.py:168``).
 
     The reference's retry-connect loop (``etl_script.py:144-160``) is a
-    connector-availability concern, not an operator; on Spark, failed
-    tasks retry automatically and the caller owns connection-level
-    retries.
+    connector-availability concern, not an operator; Spark retries
+    failed *tasks* automatically, and the driver-side connect retry is
+    ``sources.retry.write_jdbc_with_retry`` (S4).
     """
     props = {"batchsize": str(batch_size), **(properties or {})}
     out = df.repartition(num_partitions) if num_partitions else df

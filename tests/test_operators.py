@@ -298,3 +298,71 @@ def test_event_time_operators_accept_timestamp_ntz(spark):
     joined = asof_join(ev.select("event_id", "ts"), rates, on="ts", value_cols=["rate"])
     got_rates = {r["event_id"]: r["rate"] for r in joined.collect()}
     assert got_rates == {1: 1.0, 2: 1.0, 3: 2.0}
+
+
+def test_with_retry_semantics():
+    """S4 (reference etl_script.py:133-155): bounded attempts, fixed
+    delay between failures, success short-circuits, exhaustion re-raises
+    the last error. Injected sleep keeps the test wall-clock-free."""
+    from healthcare_etl_spark.sources import with_retry
+
+    calls = {"n": 0}
+    delays: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("db not up yet")
+        return "ok"
+
+    assert with_retry(flaky, attempts=5, delay_seconds=10.0, sleep=delays.append) == "ok"
+    assert calls["n"] == 3
+    assert delays == [10.0, 10.0]  # no sleep after the success
+
+    calls["n"] = 0
+    delays.clear()
+    with pytest.raises(ConnectionError):
+        with_retry(
+            lambda: (_ for _ in ()).throw(ConnectionError("down")),
+            attempts=4, delay_seconds=2.5, sleep=delays.append,
+        )
+    assert delays == [2.5, 2.5, 2.5]  # attempts-1 sleeps, then re-raise
+
+    with pytest.raises(ValueError):
+        with_retry(lambda: 1, attempts=0)
+
+
+def test_jdbc_retry_wrappers_live_derby(spark, tmp_path, sf_smoke):
+    """read/write_jdbc_with_retry against embedded Derby: a bad URL
+    burns the full attempt budget and re-raises; the good URL succeeds
+    (attempt 1, no sleeps) and round-trips the rows."""
+    from healthcare_etl_spark.sources import (
+        load_table,
+        read_jdbc_with_retry,
+        write_jdbc_with_retry,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/retrydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = load_table(spark, sf_smoke, "nation").select("n_nationkey", "n_name")
+
+    delays: list[float] = []
+    write_jdbc_with_retry(
+        nation, url, "nation_retry", properties=props,
+        attempts=3, delay_seconds=1.0, sleep=delays.append,
+    )
+    back = read_jdbc_with_retry(
+        spark, url, "nation_retry", properties=props,
+        attempts=3, delay_seconds=1.0, sleep=delays.append,
+    )
+    assert back.count() == nation.count()
+    assert delays == []  # both succeeded on the first attempt
+
+    # non-creatable database: every attempt fails, delay recorded between
+    bad_url = f"jdbc:derby:{tmp_path}/missingdb"  # no ;create=true
+    with pytest.raises(Exception):
+        read_jdbc_with_retry(
+            spark, bad_url, "nope", properties=props,
+            attempts=2, delay_seconds=0.5, sleep=delays.append,
+        )
+    assert delays == [0.5]
