@@ -46,6 +46,43 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 
+# Per-path cache of the detected epoch granularity for bigint ts columns
+# (one tiny sampling job per distinct file, not per query).
+_EPOCH_UNIT_CACHE: dict[str, int] = {}
+
+
+def _epoch_to_micros(spark: SparkSession, path: str, df: DataFrame):
+    """Column expression converting a raw BIGINT epoch ``ts`` to epoch µs,
+    detecting the producer's granularity from data magnitude.
+
+    The round-4 regression class: a reader that *assumes* one granularity
+    (``div 1000`` for nanos) silently corrupts values 1000x when the
+    producer switches — no error is ever raised. Magnitude
+    disambiguates unambiguously for any date between 1973 and 2100+
+    (epoch seconds ~1e8-9, millis ~1e11-12, micros ~1e14-15, nanos
+    ~1e17-18 — three orders of magnitude apart per step). The sampled
+    decision is cached per file path so repeated loads pay nothing.
+    """
+    unit = _EPOCH_UNIT_CACHE.get(path)
+    if unit is None:
+        sample = df.select(F.abs(F.col("ts")).alias("v")).filter("v IS NOT NULL").first()
+        mag = sample["v"] if sample is not None else 10**15
+        if mag >= 10**17:
+            unit = 1_000  # nanos: integer-divide down to µs
+        elif mag >= 10**14:
+            unit = 1  # already µs
+        elif mag >= 10**11:
+            unit = -1_000  # millis: multiply up
+        else:
+            unit = -1_000_000  # seconds
+        _EPOCH_UNIT_CACHE[path] = unit
+    if unit > 1:
+        return F.expr(f"ts div {unit}")
+    if unit == 1:
+        return F.col("ts")
+    return F.col("ts") * F.lit(-unit)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
@@ -76,7 +113,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(_epoch_to_micros(spark, path, df)))
         return _normalize_timestamps(df)
     except Exception:
         # Fallback for sessions where neither conf is available AND the

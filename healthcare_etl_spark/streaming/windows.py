@@ -55,12 +55,12 @@ def streaming_events(
         pass
     # Probe the files that will actually be streamed — a synthetic test
     # dir may carry a different physical ts type than the fixture.
+    probe_path = f"{str(sf_dir).rstrip('/')}/{glob}"
     try:
-        raw_batch = spark.read.parquet(f"{str(sf_dir).rstrip('/')}/{glob}")
+        raw_batch = spark.read.parquet(probe_path)
     except Exception:
-        raw_batch = spark.read.parquet(
-            f"{str(schema_dir or sf_dir).rstrip('/')}/events.parquet"
-        )
+        probe_path = f"{str(schema_dir or sf_dir).rstrip('/')}/events.parquet"
+        raw_batch = spark.read.parquet(probe_path)
     raw_ts_type = dict(raw_batch.dtypes).get("ts")
     nanos_as_long = raw_ts_type == "bigint"
     raw_schema = ", ".join(
@@ -77,7 +77,12 @@ def streaming_events(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(str(sf_dir).rstrip("/"))
     if nanos_as_long:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # granularity detected from the probed batch data, not assumed
+        from healthcare_etl_spark.sources.readers import _epoch_to_micros
+
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(_epoch_to_micros(spark, probe_path, raw_batch))
+        )
     elif raw_ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream

@@ -366,3 +366,47 @@ def test_jdbc_retry_wrappers_live_derby(spark, tmp_path, sf_smoke):
             attempts=2, delay_seconds=0.5, sleep=delays.append,
         )
     assert delays == [0.5]
+
+
+def test_bigint_epoch_granularity_detection(spark, tmp_path):
+    """The raw-BIGINT ts fallback must detect the producer's epoch
+    granularity from data magnitude instead of assuming nanos (the
+    round-4 silent-corruption class: div-1000 applied to µs values made
+    every timestamp 1000x too small with no error raised). Four files,
+    same instant encoded as s/ms/µs/ns, must all read back identical."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from healthcare_etl_spark.sources import load_table
+
+    instant = datetime.datetime(2024, 3, 1, 12, 34, 56, 789000, tzinfo=datetime.timezone.utc)
+    epoch_us = int(instant.timestamp() * 1_000_000)
+    # coarser units can't carry sub-unit precision; expected = truncated
+    encodings = {
+        "s": (epoch_us // 1_000_000, instant.replace(microsecond=0)),
+        "ms": (epoch_us // 1_000, instant),
+        "us": (epoch_us, instant),
+        "ns": (epoch_us * 1_000, instant),
+    }
+    for unit, (raw, expected) in encodings.items():
+        d = tmp_path / unit
+        d.mkdir()
+        # int64 column named ts with NO parquet logical type — Spark
+        # reads it as plain bigint, triggering the detection path
+        table = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([raw], pa.int64()),
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        got = load_table(spark, str(d), "events").select("ts").first()["ts"]
+        assert got.replace(tzinfo=datetime.timezone.utc) == expected, (
+            f"{unit}: {got} != {expected}"
+        )
