@@ -798,3 +798,56 @@ def test_streaming_dedup_equals_batch_count_distinct(spark, sf_smoke):
         .collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_streaming_source_ts_equals_batch(spark, sf_smoke):
+    """Source-level guard for the round-4 silent-ts-corruption class:
+    the streamed events source must yield EXACTLY the batch reader's
+    timestamps (min/max/count), whatever the file's physical ts type.
+    Every streaming job consumes this source, so this single equality
+    protects them all from a wrong-granularity conversion that the
+    ts-insensitive job-level assertions would miss."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.windows import streaming_events
+
+    ev = streaming_events(spark, sf_smoke)
+    q = (
+        ev.select("ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_source_ts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_source_ts").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("ts").alias("n")
+    ).first()
+    want = load_table(spark, sf_smoke, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("ts").alias("n")
+    ).first()
+    assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
+
+
+def test_stateful_profiles_last_seen_equals_batch_max_ts(spark, sf_smoke):
+    """The ts-derived output of the stateful operator (last_seen) must
+    equal the batch max event time per user — the assertion the round-4
+    breakage showed was missing (counts/sums pass even when every
+    timestamp is 1000x off)."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.stateful import run_stateful_user_profiles
+
+    out = run_stateful_user_profiles(spark, sf_smoke, query_name="t_stateful_ts")
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("want_last"))
+    )
+    mism = (
+        out.join(batch, "user_id")
+        .filter(F.col("last_seen") != F.col("want_last"))
+        .count()
+    )
+    assert mism == 0
