@@ -282,3 +282,28 @@ def test_keyless_asof_join_no_single_partition_exchange(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(__bucket" in plan
+
+
+@pytest.mark.sf001
+def test_plan_hygiene_sweep_no_cartesian_no_row_python(spark, sf_smoke):
+    """Fleet-wide invariant over every batch query's executed plan:
+    no CartesianProduct (an unbanded/unkeyed join would explode at any
+    scale) and no BatchEvalPython (row-at-a-time Python in the hot path;
+    the sanctioned Python escape hatches are Arrow-batched —
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas). Benign
+    patterns deliberately NOT flagged: Exchange SinglePartition (the
+    final reduce of an already-partial global aggregate) and
+    BroadcastNestedLoopJoin (tiny broadcast probe sides in the
+    similarity/asof operators). Runs under the heavy marker — it plans
+    and executes all ~110 batch queries."""
+    reg = get_registry()
+    offenders = {}
+    for name, q in reg.items():
+        if name.startswith("q_stream"):
+            continue  # streaming jobs need a sink; covered by their own tests
+        df = q.fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [f for f in ("CartesianProduct", "BatchEvalPython") if f in plan]
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}
