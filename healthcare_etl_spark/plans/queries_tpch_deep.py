@@ -484,3 +484,78 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q2_shape",
+    oracle="""
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           (round((min(l_extendedprice / l_quantity)) * 1000000.0) / 1000000.0) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+euro AS (
+    SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+    FROM costs c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+best AS (
+    SELECT l_partkey, min(unit_cost) AS min_cost FROM euro GROUP BY l_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.unit_cost
+FROM euro e
+JOIN best b ON e.l_partkey = b.l_partkey AND e.unit_cost = b.min_cost
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_size <= 15 AND p.p_type LIKE '%OMY'
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+""",
+    description=(
+        "TPC-H Q2 shape: minimum-cost supplier per part within one region — "
+        "the correlated-min subquery written decorrelated (per-part min join), "
+        "completing the 1-22 TPC-H shape sweep. No partsupp in the fixtures, "
+        "so supply cost is proxied as min lineitem unit price per "
+        "(part, supplier), stable-rounded before the cross-engine equality "
+        "join. Dimension chain supplier->nation->region broadcast; the "
+        "(part,supplier) cost agg and per-part min are the only fact shuffles. "
+        "ORDER BY is a total key so LIMIT 100 is deterministic on both engines."
+    ),
+    tags=("tpch", "parity"),
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        stable_round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    euro = costs.join(F.broadcast(dims), costs.l_suppkey == dims.s_suppkey)
+    best = euro.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    wanted = p.filter((F.col("p_size") <= 15) & F.col("p_type").like("%OMY")).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        euro.join(
+            best,
+            (euro.l_partkey == best.b_partkey) & (euro.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(wanted), euro.l_partkey == wanted.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -851,3 +851,27 @@ def test_stateful_profiles_last_seen_equals_batch_max_ts(spark, sf_smoke):
         .count()
     )
     assert mism == 0
+
+
+def test_hll_rollup_accuracy(spark, sf_smoke):
+    """The merged daily-sketch estimate must land within 5% of the exact
+    per-event_type distinct user count — proving the union-merge path
+    loses nothing beyond normal HLL error (sketches are mergeable, so a
+    rollup from the daily table equals a sketch over raw events)."""
+    from healthcare_etl_spark.plans.registry import get_queries
+    from healthcare_etl_spark.sources import load_table
+
+    got = {
+        r.event_type: r.approx_users
+        for r in get_queries()["q_hll_rollup"](spark, sf_smoke).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) == 5
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(1, 0.05 * n), (et, got[et], n)
