@@ -6,6 +6,7 @@ from healthcare_etl_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from healthcare_etl_spark.functions.timeutils import ts_micros, ts_seconds
 
 __all__ = [
     "dot",
@@ -16,4 +17,6 @@ __all__ = [
     "token_count_bpe",
     "punct_count",
     "char_fingerprint",
+    "ts_micros",
+    "ts_seconds",
 ]
