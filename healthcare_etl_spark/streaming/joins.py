@@ -90,6 +90,55 @@ def batch_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stream_static_enrichment(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_name: str = "stream_enrich",
+) -> DataFrame:
+    """Stream-static join: streaming purchases enriched with a static
+    per-user profile dimension (historic event count per user).
+
+    The stream-static join is STATELESS — no watermark state is kept;
+    the static side is re-planned (and here broadcast) into every
+    micro-batch, which is the standard dimension-enrichment pattern for
+    unbounded pipelines. Per-day output totals must equal the batch
+    join on replay (unit-tested).
+    """
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    user_dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hist"))
+    )
+    ev = streaming_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    enriched = ev.join(F.broadcast(user_dim), "user_id", "inner")
+    agg_ready = enriched.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        (F.col("value") * F.col("n_hist")).alias("weighted"),
+    )
+    q = (
+        agg_ready.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(query_name)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            stable_round(F.sum("weighted"), 4).alias("weighted_value"),
+        )
+    )
+
+
 def register_join_queries() -> None:
     from healthcare_etl_spark.plans.registry import register
 
@@ -123,3 +172,14 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ),
         tags=("streaming", "extension"),
     )(lambda spark, sf_dir: run_stream_stream_funnel(spark, sf_dir, query_name="q_stream_funnel_sink"))
+
+    register(
+        "q_stream_enrich",
+        description=(
+            "Stream-static broadcast join: streaming purchases enriched with a "
+            "static per-user profile dimension (stateless, static side re-planned "
+            "per micro-batch). Rows-only; equality with the batch join on replay "
+            "is unit-tested."
+        ),
+        tags=("streaming", "extension"),
+    )(lambda spark, sf_dir: run_stream_static_enrichment(spark, sf_dir, query_name="q_stream_enrich_sink"))

@@ -875,3 +875,37 @@ def test_hll_rollup_accuracy(spark, sf_smoke):
     assert set(got) == set(exact) and len(got) == 5
     for et, n in exact.items():
         assert abs(got[et] - n) <= max(1, 0.05 * n), (et, got[et], n)
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_smoke):
+    """The stream-static broadcast join (static per-user profile onto
+    streaming purchases) must produce exactly the batch join's per-day
+    totals on replay (stateless join — no watermark, the static
+    dimension is re-planned into each micro-batch)."""
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.joins import run_stream_static_enrichment
+
+    got = {
+        r.day: (r.n_purchases, r.weighted_value)
+        for r in run_stream_static_enrichment(
+            spark, sf_smoke, query_name="t_stream_enrich"
+        ).collect()
+    }
+    user_dim = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hist"))
+    )
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(user_dim), "user_id", "inner")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            stable_round(F.sum(F.col("value") * F.col("n_hist")), 4).alias("weighted_value"),
+        )
+    )
+    want = {r.day: (r.n_purchases, r.weighted_value) for r in batch.collect()}
+    assert got == want and len(got) > 0
