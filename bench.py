@@ -82,6 +82,25 @@ def main() -> None:
     # out the whole round's bench signal. Each query is timed in its own
     # try/except; failures are reported per-query and the rest keep
     # running.
+    def _release_blocks() -> None:
+        # Per-query isolation: the iterative operators (connected
+        # components, k-means) localCheckpoint intermediates, and those
+        # blocks outlive the query that made them. Left in place they
+        # pile up across the headline loop and degrade later queries
+        # (measured: q_dedup_clusters 5.1s contaminated vs 1.85s clean
+        # at sf0.1). gc.collect() drops the Python-side refs so Spark's
+        # ContextCleaner can free broadcasts, then any still-persisted
+        # RDD is unpersisted explicitly.
+        import gc
+
+        gc.collect()
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
+
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -98,6 +117,7 @@ def main() -> None:
             per_query[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 - report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        _release_blocks()
 
     # derive sf from the dir name when possible (e.g. .../sf0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
