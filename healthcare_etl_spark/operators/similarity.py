@@ -308,3 +308,60 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with spherical k-means, then
+    drop any vector whose cosine similarity to a LOWER-id vector in the
+    SAME cluster reaches ``threshold`` (min-id keeper rule — the paper
+    keeps one representative per semantic duplicate group).
+
+    Returns (vec_id, cluster, is_kept).
+
+    This is the scale-shaped form of embedding near-dup: the pairwise
+    comparison runs only WITHIN clusters, so cost drops from O(n^2) to
+    O(sum c_i^2) — with balanced clusters, a k-fold reduction, and each
+    cluster's pair generation is a self-equi-join on the cluster id
+    (one shuffle keyed on cluster, never an all-pairs cross join). At
+    100 TB, cap cluster width like ``dedup.minhash``'s skew guard: a
+    cluster holding a constant fraction of the corpus means k is too
+    small for the data — raise k (cost is one broadcast row per
+    centroid) rather than letting one reducer own the square.
+
+    Deterministic end-to-end: clustering inherits ``kmeans_lloyd``'s
+    determinism, similarity is stable-rounded to 6dp before the
+    threshold compare, and the keeper rule is pure min-id.
+    """
+    assign = kmeans_lloyd(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    clustered = assign.select("vec_id", "cluster").join(pts, "vec_id")
+    keep_side = clustered.select(
+        F.col("cluster"), F.col("vec_id").alias("keep_id"), F.col("v").alias("kv")
+    )
+    cand_side = clustered.select(
+        F.col("cluster"), F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    dropped = (
+        cand_side.join(keep_side, "cluster")
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(stable_round(cosine_similarity("kv", "cv"), 6) >= threshold)
+        .select(F.col("cand_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        clustered.join(dropped.withColumn("__dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

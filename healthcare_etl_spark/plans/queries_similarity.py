@@ -445,3 +445,37 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("vec_id", "cluster")
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+WITH {_KMEANS_CTES},
+clustered AS (
+    SELECT a2.vec_id, a2.cluster, p.v
+    FROM a2 JOIN pts p ON a2.vec_id = p.vec_id
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM clustered a JOIN clustered b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE (round({_COS.format(a="a.v", b="b.v")} * 1000000.0) / 1000000.0) >= 0.3
+)
+SELECT c.vec_id, c.cluster, (d.vec_id IS NULL) AS is_kept
+FROM clustered c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+""",
+    description=(
+        "SemDeDup semantic deduplication (arXiv:2303.09540): spherical k-means "
+        "clusters the embeddings, then pairwise cosine runs only WITHIN each "
+        "cluster (self-equi-join on cluster id — O(sum c_i^2), not O(n^2)); any "
+        "vector within 0.3 cosine of a lower-id same-cluster vector is dropped "
+        "(min-id keeper). The full iterative clustering + intra-cluster prune is "
+        "value-hash-checked via unrolled CTEs."
+    ),
+    tags=("similarity", "dedup", "extension", "iterative"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=4, n_iter=2, threshold=0.3)
