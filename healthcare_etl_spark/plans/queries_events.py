@@ -247,3 +247,50 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(F.count(F.lit(1)).alias("n_clicks"))
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR event_type <> prev_type
+),
+intervals AS (
+    SELECT user_id, event_type, ts AS vf,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+    FROM changes
+)
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (vt IS NULL) AS is_current
+FROM intervals
+""",
+    description=(
+        "SCD type-2 history construction: compress each user's event_type "
+        "change log into validity intervals (valid_from inclusive, valid_to "
+        "exclusive, is_current for the open run). Both windows share the "
+        "(user_id; ts, event_id) sort, so the whole operator is one shuffle on "
+        "the entity key — the incremental-warehouse counterpart to the "
+        "reference's replace-the-table loads."
+    ),
+    tags=("events", "extension"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scd import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", _TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT).alias("valid_to"),
+        "is_current",
+    )
