@@ -137,3 +137,104 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tfidf")
     )
+
+
+# Fixed query-term set for the BM25 ranking query. A real search surface
+# parameterizes these; fixing them keeps the query oracle-checkable.
+_BM25_TERMS = ("join", "hash", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+tf AS (
+    SELECT doc_id, w, count(*) AS tf FROM tok
+    WHERE w IN ('join', 'hash', 'filter')
+    GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+    SELECT tf.doc_id, tf.w,
+           (round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) * 1000000.0) / 1000000.0) AS s
+    FROM tf
+    JOIN dfreq ON tf.w = dfreq.w
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+),
+agg AS (
+    SELECT doc_id,
+           (round((coalesce(max(CASE WHEN w = 'join'   THEN s END), 0.0)
+                 + coalesce(max(CASE WHEN w = 'hash'   THEN s END), 0.0)
+                 + coalesce(max(CASE WHEN w = 'filter' THEN s END), 0.0)) * 1000000.0) / 1000000.0) AS score
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM agg
+) WHERE rank <= 20
+""",
+    description=(
+        "BM25 document ranking (k1=1.2, b=0.75, Lucene idf) for a fixed "
+        "3-term query: tf per (doc, term), df broadcast into the scoring "
+        "join, corpus stats (N, avgdl) as a lazy 1-row broadcast. Per-doc "
+        "score sums the per-term scores in FIXED term order via conditional "
+        "aggregation — no engine-dependent float summation order — so the "
+        "ranking is value-hash-checkable. Global top-20 rides the "
+        "TakeOrderedAndProject rank-limit path."
+    ),
+    tags=("text", "extension"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "w",
+            stable_round(idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / norm, 6).alias("s"),
+        )
+    )
+    term_sum = None
+    for t in _BM25_TERMS:
+        part = F.coalesce(F.max(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0))
+        term_sum = part if term_sum is None else term_sum + part
+    agg = scored.groupBy("doc_id").agg(stable_round(term_sum, 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
