@@ -591,3 +591,95 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_dup).alias("n_dup_passages"),
         stable_round(F.sum(is_dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
     )
+
+
+@register(
+    "q_mixture_balance",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM counts),
+rates AS (
+    SELECT lang, (1000 * min_cnt) // cnt AS keep_permille
+    FROM counts CROSS JOIN m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE (('0x' || substring(md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000)
+      < r.keep_permille
+""",
+    description=(
+        "Data mixture balancing: downsample every language stratum to the "
+        "size of the smallest one, with per-stratum keep rates DERIVED FROM "
+        "THE DATA (integer permille arithmetic — no float thresholds to "
+        "drift cross-engine) and membership decided by a salted md5 hash of "
+        "doc_id, so the sample is reproducible on any engine and stable "
+        "under repartitioning. The per-stratum rate table is k rows, "
+        "broadcast into the filter — the corpus is scanned once, never "
+        "shuffled. The standard move for equalizing language (or domain) "
+        "mixture before LLM training."
+    ),
+    tags=("text", "extension", "sampling", "parity"),
+)
+def q_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("min_cnt"))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "lang", F.expr("(1000 * min_cnt) div cnt").alias("keep_permille")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix-v1:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("keep_permille"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_train_shards",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id,
+           (('0x' || substring(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483647) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(h % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM keyed
+""",
+    description=(
+        "Deterministic training-export sharding: every document gets a salted "
+        "md5 hash; shard = hash mod 8, within-shard position = rank by (hash, "
+        "doc_id). This is the global-shuffle-then-shard step before writing "
+        "training files — hash order is a reproducible pseudo-random permutation "
+        "(no rand(), identical on every engine/run/partitioning), and at 100 TB "
+        "the same plan writes via partitionBy(shard) + sortWithinPartitions(h) "
+        "with no global sort."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        md5_hash31(F.concat(F.lit("shard-v1:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = Window.partitionBy(F.col("h") % 8).orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("h") % 8).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
