@@ -127,9 +127,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_clusters",
-    # -- similarity / ANN family
+    # -- similarity / ANN family (q_semantic_dedup is new in round 5 —
+    #    it replaces the O(n^2) q_sim_neardup slot with the clustered
+    #    scale path; neardup keeps its in-repo parity test)
     "q_sim_topk",
-    "q_sim_neardup",
+    "q_semantic_dedup",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_kmeans_clusters",
@@ -138,19 +140,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_quality_score",
     "q_lang_id",
     "q_fingerprint",
-    "q_token_topk",
+    "q_bm25_search",
     "q_tfidf_topterms",
     "q_corpus_pipeline",
-    # -- training-data pipeline ops
-    "q_hash_split",
-    "q_sample_stratified",
+    # -- training-data pipeline ops (round-5 additions swap in for their
+    #    nearest established sibling: train_shards for hash_split,
+    #    mixture_balance for sample_stratified — the swapped-out queries
+    #    keep their in-repo parity tests)
+    "q_train_shards",
+    "q_mixture_balance",
     "q_decontaminate",
     "q_unigram_logprob",
     "q_pack_chunks",
     "q_passage_dedup",
-    # -- event-time (streaming-adjacent batch forms)
+    # -- event-time (streaming-adjacent batch forms; scd2 new round 5)
     "q_event_windows",
-    "q_funnel_join",
+    "q_scd2_intervals",
 )
 
 

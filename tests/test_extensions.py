@@ -909,3 +909,119 @@ def test_stream_static_enrichment_equals_batch(spark, sf_smoke):
     )
     want = {r.day: (r.n_purchases, r.weighted_value) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_drops_near_duplicates_within_cluster(spark):
+    """Two near-identical vectors land in one cluster; the higher id is
+    dropped. An orthogonal vector survives. Keeper rule is min-id."""
+    from healthcare_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [0.99, 0.01, 0.0, 0.0]),   # near-dup of seed 0
+        (11, [0.0, 0.0, 0.98, 0.02]),   # near-dup of seed 2
+        (12, [-1.0, 0.5, 0.5, 0.0]),    # near nothing
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, k=4, n_iter=1, threshold=0.9).collect()}
+    assert len(out) == len(rows)
+    # seeds keep (min id in their cluster), near-dups drop
+    for seed in (0, 1, 2, 3):
+        assert out[seed].is_kept
+    assert not out[10].is_kept
+    assert not out[11].is_kept
+    assert out[12].is_kept
+    # determinism
+    out2 = {r.vec_id: r for r in semantic_dedup(df, k=4, n_iter=1, threshold=0.9).collect()}
+    assert {k: (v.cluster, v.is_kept) for k, v in out.items()} == {
+        k: (v.cluster, v.is_kept) for k, v in out2.items()
+    }
+
+
+def test_scd2_intervals_collapse_runs_and_tiebreak(spark):
+    from healthcare_etl_spark.operators.scd import scd2_intervals
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: a,a,b,b,a -> 3 intervals
+        (1, "a", t(0), 100),
+        (1, "a", t(10), 101),
+        (1, "b", t(20), 102),
+        (1, "b", t(30), 103),
+        (1, "a", t(40), 104),
+        # user 2: tie at t(0) — event_id orders x before y
+        (2, "y", t(0), 201),
+        (2, "x", t(0), 200),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = scd2_intervals(df, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    got = sorted(
+        ((r.user_id, r.event_type, r.valid_from.second,
+          None if r.valid_to is None else r.valid_to.second, r.is_current)
+         for r in out.collect())
+    )
+    assert got == [
+        (1, "a", 0, 20, False),
+        (1, "a", 40, None, True),
+        (1, "b", 20, 40, False),
+        (2, "x", 0, 0, False),   # closed by y at the same timestamp
+        (2, "y", 0, None, True),
+    ]
+
+
+def test_mixture_balance_equalizes_and_is_repartition_stable(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    q = get_queries()["q_mixture_balance"]
+    out = q(spark, sf_smoke)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from healthcare_etl_spark.sources import load_table
+
+    raw = {
+        r.lang: r.n
+        for r in load_table(spark, sf_smoke, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    m = min(raw.values())
+    # every stratum lands near the smallest one (binomial noise only):
+    # at permille granularity the expected kept count is within
+    # (m/1000) rounding of m, plus sampling noise ~ 4*sqrt(m).
+    for lang, n in counts.items():
+        assert abs(n - m) <= max(6, int(4 * m**0.5)), (lang, n, m)
+    # determinism: same ids on every run (hash-keyed, not rand())
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in q(spark, sf_smoke).collect())
+    assert ids1 == ids2
+
+
+def test_train_shards_positions_contiguous_and_deterministic(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    out = get_queries()["q_train_shards"](spark, sf_smoke).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # every doc exactly once
+    assert len({r.doc_id for r in out}) == len(out)
+
+
+def test_bm25_ranks_term_rich_docs_first(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    rows = get_queries()["q_bm25_search"](spark, sf_smoke).collect()
+    assert 0 < len(rows) <= 20
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)

@@ -307,3 +307,45 @@ def test_plan_hygiene_sweep_no_cartesian_no_row_python(spark, sf_smoke):
         if hits:
             offenders[name] = hits
     assert offenders == {}
+
+
+def test_scd2_single_shuffle_on_entity_key(spark, sf_smoke):
+    """Both SCD2 windows share the (user_id; ts, event_id) sort, so the
+    operator must compile to exactly one hashpartitioning Exchange —
+    the one-shuffle-per-entity-key contract that survives 100 TB."""
+    plan = plan_of(spark, sf_smoke, "q_scd2_intervals")
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window (") == 2
+
+
+def test_mixture_balance_broadcasts_rates_corpus_unshuffled(spark, sf_smoke):
+    """The k-row per-stratum rate table broadcasts; the documents scan
+    must never hit a hashpartitioning exchange on the big side (only
+    the tiny aggregate builds do, pre-broadcast)."""
+    plan = plan_of(spark, sf_smoke, "q_mixture_balance")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # the corpus-side probe of the broadcast join is a bare scan: no
+    # SortMergeJoin anywhere in the plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_train_shards_single_shuffle(spark, sf_smoke):
+    """Hash -> shard -> within-shard rank is one exchange on the shard
+    key (the write path then maps to partitionBy(shard) with
+    sortWithinPartitions, still shuffle-once)."""
+    plan = plan_of(spark, sf_smoke, "q_train_shards")
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning" in plan
+
+
+def test_semantic_dedup_intra_cluster_join_not_cross_join(spark, sf_smoke):
+    """The SemDeDup prune must pair vectors through an equi-join on the
+    cluster id — never a cartesian/nested-loop over the corpus (the
+    O(n^2) shape it exists to avoid). The only nested-loop joins allowed
+    are the broadcast 1-row/k-row centroid combines from k-means."""
+    plan = plan_of(spark, sf_smoke, "q_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    # cluster-keyed equi-join present (SortMergeJoin or ShuffledHashJoin
+    # on cluster, or broadcast at fixture scale)
+    assert "Join" in plan
