@@ -9,6 +9,11 @@ reference's data model is snapshot-only (reference
 SCD2 is the incremental counterpart a 100 TB warehouse needs so history
 survives reloads.
 
+Sibling operator: ``operators.scale.scd2_merge`` APPLIES a batch of
+updates to an existing SCD2 dimension (close-out + append). This module
+CONSTRUCTS the dimension from a raw change log in one pass — use this
+for the initial build / full rebuild, the merge for incremental loads.
+
 Scale shape: both windows partition on the entity key, so the whole
 operator is ONE shuffle on the key (Catalyst folds the consecutive
 same-key windows into a single Exchange + two Window nodes over the
