@@ -48,6 +48,13 @@ HEADLINE = [
     "q_corpus_pipeline",
     "q_dedup_clusters",
     "q_kmeans_clusters",
+    # round-5 additions: semantic dedup composes the iterative k-means
+    # with an intra-cluster join; the others are cheap but newly tracked
+    "q_semantic_dedup",
+    "q_bm25_search",
+    "q_scd2_intervals",
+    "q_mixture_balance",
+    "q_train_shards",
 ]
 
 

@@ -103,3 +103,87 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def connected_components_two_phase(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round scale path.
+
+    ``connected_components`` above propagates labels one hop per round:
+    O(diameter) rounds, ideal for near-dup graphs (cliques and short
+    chains). On high-diameter graphs (paths, meshes, web graphs) the
+    alternating star operations contract whole subtrees per round and
+    converge in O(log n) rounds instead:
+
+    - **large-star** (per node u over its symmetric neighborhood):
+      connect every neighbor LARGER than u to the neighborhood minimum
+      ``m = min(N(u) + {u})``;
+    - **small-star**: connect every neighbor smaller than u (and u
+      itself) to the minimum of that smaller set.
+
+    Both steps are a groupBy on the node + a re-join — the same
+    shuffle-on-node shape as label propagation, two of them per round.
+    Terminates when the edge multiset is stable, at which point every
+    component is a star whose center is the component minimum; the
+    label read-off is one final aggregate. Returns (node, component),
+    identical to ``connected_components`` (asserted in tests).
+    """
+    e = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for i in range(max_iter):
+        # ---- large-star: symmetric view, group on u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star over large-star's output (edges stored big->small)
+        e2 = large.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        small_mins = e2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e2.join(small_mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(small_mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        if (i + 1) % checkpoint_every == 0:
+            small = small.localCheckpoint(eager=False)
+        # one action per round: edge count + order-insensitive signature
+        # (bit_xor, not sum — hash sums overflow under ANSI arithmetic)
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("sig"),
+        ).first()
+        sig = (row["n"], row["sig"])
+        e = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"two-phase CC did not converge in {max_iter} rounds")
+    # stars: every edge is (node -> component min); nodes that are
+    # centers appear only on the v side
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    )
+    return nodes.groupBy("node").agg(F.min("component").alias("component"))

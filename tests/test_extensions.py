@@ -1025,3 +1025,42 @@ def test_bm25_ranks_term_rich_docs_first(spark, sf_smoke):
     scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_two_phase_cc_equals_label_propagation(spark):
+    import random
+
+    from healthcare_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    random.seed(11)
+    cases = {
+        "chain+clique": [(1, 2), (2, 3), (4, 5), (10, 11), (11, 12), (12, 10)],
+        "star": [(0, i) for i in range(1, 10)],
+        "random": [
+            (a, b)
+            for a, b in (
+                (random.randint(0, 200), random.randint(0, 200)) for _ in range(150)
+            )
+            if a != b
+        ],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        lp = {(r.node, r.component) for r in connected_components(df).collect()}
+        tp = {(r.node, r.component) for r in connected_components_two_phase(df).collect()}
+        assert lp == tp, name
+
+
+def test_two_phase_cc_logarithmic_rounds_on_long_path(spark):
+    """A 200-node path has diameter 200: label propagation needs ~200
+    rounds, the alternating star algorithm O(log n). max_iter=12 would
+    fail for the former and must pass for the latter."""
+    from healthcare_etl_spark.operators.graph import connected_components_two_phase
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(200)], ["doc_a", "doc_b"])
+    out = connected_components_two_phase(df, max_iter=12).collect()
+    assert len(out) == 201
+    assert {r.component for r in out} == {0}
