@@ -261,3 +261,148 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("redacted").contains("<EMAIL>").alias("has_email"),
         F.col("redacted").contains("<PHONE>").alias("has_phone"),
     )
+
+
+# Shared feature fragment for the gate/funnel queries — textually
+# identical to q_quality_score's features so the two stay in lockstep.
+_GATE_FEATS_SQL = r"""feats AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)     AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE)                                    AS n_chars
+    FROM documents
+),
+rules AS (
+    SELECT doc_id,
+           (n_tok < 5) AS r_short,
+           ((round((0.35 * least(n_tok / 100.0, 1.0)
+               + 0.35 * (n_uniq / CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END)
+               + 0.30 * (1.0 - n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END))
+               * 1000000.0) / 1000000.0) < 0.5) AS r_quality,
+           ((n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.3) AS r_punct,
+           ((n_uniq / CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END) < 0.3) AS r_repetitive
+    FROM feats
+)"""
+
+
+def _gate_rules(docs: DataFrame) -> DataFrame:
+    """Spark mirror of ``_GATE_FEATS_SQL``'s rules CTE."""
+    from healthcare_etl_spark.functions.text import punct_count, tokens
+
+    t = F.col("text")
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_punct = punct_count(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    safe_tok = F.when(n_tok > 0, n_tok).otherwise(F.lit(1.0))
+    safe_chars = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    qscore = stable_round(
+        F.lit(0.35) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(0.35) * (n_uniq / safe_tok)
+        + F.lit(0.30) * (1.0 - n_punct / safe_chars),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        (n_tok < 5).alias("r_short"),
+        (qscore < 0.5).alias("r_quality"),
+        ((n_punct / safe_chars) > 0.3).alias("r_punct"),
+        ((n_uniq / safe_tok) < 0.3).alias("r_repetitive"),
+    )
+
+
+@register(
+    "q_quality_gate",
+    oracle=f"""
+WITH {_GATE_FEATS_SQL}
+SELECT doc_id,
+       (NOT (r_short OR r_quality OR r_punct OR r_repetitive)) AS passes,
+       CASE WHEN r_short THEN 'too_short'
+            WHEN r_quality THEN 'low_quality'
+            WHEN r_punct THEN 'symbol_soup'
+            WHEN r_repetitive THEN 'repetitive'
+            ELSE NULL END AS fail_reason
+FROM rules
+""",
+    description=(
+        "Per-document quality gate: ordered filter rules (too_short -> "
+        "low_quality -> symbol_soup -> repetitive) with the FIRST failing "
+        "rule reported as fail_reason — the keep/drop decision record a "
+        "corpus-cleaning run writes next to its output for auditability. "
+        "One scan, no shuffle, all codegen'd expressions."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _gate_rules(docs)
+    fail = (
+        F.when(F.col("r_short"), F.lit("too_short"))
+        .when(F.col("r_quality"), F.lit("low_quality"))
+        .when(F.col("r_punct"), F.lit("symbol_soup"))
+        .when(F.col("r_repetitive"), F.lit("repetitive"))
+    )
+    return r.select(
+        "doc_id",
+        (
+            ~(F.col("r_short") | F.col("r_quality") | F.col("r_punct") | F.col("r_repetitive"))
+        ).alias("passes"),
+        fail.alias("fail_reason"),
+    )
+
+
+@register(
+    "q_filter_funnel",
+    oracle=f"""
+WITH {_GATE_FEATS_SQL},
+surv AS (
+    SELECT count(*) AS n0,
+           sum(CASE WHEN NOT r_short THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN NOT r_short AND NOT r_quality THEN 1 ELSE 0 END) AS n2,
+           sum(CASE WHEN NOT r_short AND NOT r_quality AND NOT r_punct THEN 1 ELSE 0 END) AS n3,
+           sum(CASE WHEN NOT r_short AND NOT r_quality AND NOT r_punct AND NOT r_repetitive THEN 1 ELSE 0 END) AS n4
+    FROM rules
+)
+SELECT stage, n_in, n_out, n_in - n_out AS dropped FROM (
+    SELECT 1 AS ord, 'too_short' AS stage,  n0 AS n_in, n1 AS n_out FROM surv
+    UNION ALL SELECT 2, 'low_quality', n1, n2 FROM surv
+    UNION ALL SELECT 3, 'symbol_soup', n2, n3 FROM surv
+    UNION ALL SELECT 4, 'repetitive',  n3, n4 FROM surv
+) ORDER BY ord
+""",
+    description=(
+        "Filter-funnel observability: per-stage in/out/dropped counts for the "
+        "ordered quality gate — the attrition report every corpus-cleaning run "
+        "publishes. Computed as conditional sums in ONE aggregate over one scan "
+        "(no per-stage passes), then unpivoted to 4 rows."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _gate_rules(docs)
+    s1 = ~F.col("r_short")
+    s2 = s1 & ~F.col("r_quality")
+    s3 = s2 & ~F.col("r_punct")
+    s4 = s3 & ~F.col("r_repetitive")
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'too_short',  n0, n1, "
+            "2, 'low_quality', n1, n2, "
+            "3, 'symbol_soup', n2, n3, "
+            "4, 'repetitive',  n3, n4) AS (ord, stage, n_in, n_out)"
+        )
+    )
+    return stages.select(
+        "stage", "n_in", "n_out", (F.col("n_in") - F.col("n_out")).alias("dropped")
+    ).orderBy("ord")
