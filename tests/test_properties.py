@@ -82,3 +82,57 @@ def test_topk_is_prefix_of_sort(spark, rows):
     got = [(r.id, r.v) for r in top_k(df, [F.desc("v"), F.asc("id")], k).collect()]
     full = [(r.id, r.v) for r in df.orderBy(F.desc("v"), F.asc("id")).collect()]
     assert got == full[:k]
+
+
+# SCD2: a change log row (entity in {1,2}, attr in {x,y}, second 0-20,
+# unique event ids come from enumerate())
+scd_row = st.tuples(st.sampled_from([1, 2]), st.sampled_from(["x", "y"]), st.integers(0, 20))
+scd_logs = st.lists(scd_row, min_size=1, max_size=25)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(scd_logs)
+def test_scd2_reconstructs_pointwise_state(spark, rows):
+    """For every log row, the SCD2 interval containing its timestamp
+    must carry the attribute value of the LAST log row at-or-before it
+    (latest (ts, event_id) wins) — i.e. interval lookup == log replay.
+    Also: intervals per key tile time with no gaps/overlaps and exactly
+    one open interval."""
+    import datetime as dt
+
+    from healthcare_etl_spark.operators.scd import scd2_intervals
+
+    data = [
+        (k, a, dt.datetime(2024, 1, 1, 0, 0, sec), i)
+        for i, (k, a, sec) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["k", "attr", "ts", "eid"])
+    ivs = scd2_intervals(df, key="k", attr="attr", ts="ts", tiebreak="eid").collect()
+    by_key: dict[int, list] = {}
+    for r in ivs:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.valid_from)
+        # tiling: consecutive intervals abut exactly; one open end
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, (k, a, b)
+        assert rs[-1].valid_to is None and rs[-1].is_current
+        assert all(not r.is_current for r in rs[:-1])
+    # pointwise replay equality
+    for k, a, ts, i in data:
+        replay = max(
+            ((t, e, attr) for kk, attr, t, e in data if kk == k and (t, e) <= (ts, i)),
+        )[2]
+        hits = [
+            r
+            for r in by_key[k]
+            if r.valid_from <= ts and (r.valid_to is None or ts < r.valid_to)
+        ]
+        # a row at the boundary where its own run was closed by a
+        # same-timestamp successor may fall in the successor's interval;
+        # accept either interval whose boundary touches ts
+        assert hits, (k, ts)
+        touching = hits + [
+            r for r in by_key[k] if r.valid_to is not None and r.valid_to == ts
+        ]
+        assert replay in {r.attr for r in touching}, (k, ts, replay)
