@@ -470,3 +470,46 @@ def simhash_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental dedup: MinHash-LSH candidates between a NEW batch and
+    an EXISTING corpus only — never within either side.
+
+    The continuous-ingestion form of ``minhash_lsh_pairs``: when a daily
+    batch lands, in-batch duplicates are handled by the self form while
+    this checks the batch against everything already accepted. Cost is
+    |new| x |corpus| restricted to shared LSH buckets — candidate
+    generation joins the (small) new band frame against the corpus band
+    frame on the bucket key, so the corpus is never self-joined and the
+    new side is typically broadcastable. At 100 TB the corpus band frame
+    is a maintained TABLE (append bands of accepted docs per batch), so
+    each increment pays only its own shingling plus one bucket join.
+
+    Returns (doc_id, dup_of, jaccard): new-batch doc, the corpus doc it
+    duplicates, exact verified Jaccard >= threshold.
+    """
+    bn = minhash_band_frame(new_df, text_col=text_col, id_col=id_col, k=k)
+    bc = minhash_band_frame(corpus_df, text_col=text_col, id_col=id_col, k=k)
+    bands_new = bn.select(F.col("doc_id").alias("doc_id"), F.explode("bks").alias("bk"))
+    bands_cor = bc.select(F.col("doc_id").alias("dup_of"), F.explode("bks").alias("bk"))
+    cand = bands_new.join(bands_cor, "bk").select("doc_id", "dup_of").distinct()
+    sa = bn.select(F.col("doc_id"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("na"))
+    sb = bc.select(
+        F.col("doc_id").alias("dup_of"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("nb")
+    )
+    joined = cand.join(sa, "doc_id").join(sb, "dup_of")
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
+    return (
+        joined.select("doc_id", "dup_of", stable_round(jac, 6).alias("jaccard"))
+        .filter(stable_round(jac, 6) >= threshold)
+    )

@@ -294,3 +294,52 @@ def q_dedup_clusters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH {_minhash_ctes()},
+split AS (
+    SELECT doc_id,
+           (('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100) % 10 = 0 AS is_new
+    FROM documents
+)
+SELECT CASE WHEN sa.is_new THEN doc_a ELSE doc_b END AS doc_id,
+       CASE WHEN sa.is_new THEN doc_b ELSE doc_a END AS dup_of,
+       (round(jac * 1000000.0) / 1000000.0) AS jaccard
+FROM verified
+JOIN split sa ON sa.doc_id = doc_a
+JOIN split sb ON sb.doc_id = doc_b
+WHERE sa.is_new <> sb.is_new
+  AND (round(jac * 1000000.0) / 1000000.0) >= 0.5
+""",
+    description=(
+        "Incremental (cross-corpus) dedup: MinHash-LSH candidates between a "
+        "new batch (10% hash split, the same md5 split as q_decontaminate) and "
+        "the existing corpus only — the band join crosses the two band frames, "
+        "never self-joins the corpus, which is the continuous-ingestion shape "
+        "(at scale the corpus band frame is a maintained table and each batch "
+        "pays only its own shingling + one bucket join). Exact-Jaccard "
+        "verified, same arithmetic as q_dedup_minhash."
+    ),
+    tags=("dedup", "extension", "parity"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    ) % 10 == 0
+    new_batch = docs.filter(is_new)
+    corpus = docs.filter(~is_new)
+    return minhash_lsh_pairs_cross(new_batch, corpus, threshold=0.5)
