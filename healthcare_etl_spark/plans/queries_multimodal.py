@@ -187,3 +187,34 @@ def q_multimodal_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return parse_image_dims(encode_png_media(docs))
+
+
+@register(
+    "q_multimodal_wav_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       'wav' AS format,
+       CAST(([8000, 16000, 22050, 44100, 48000])[octet_length(encode(text)) % 5 + 1] AS INT)
+           AS sample_rate,
+       CAST(octet_length(encode(text)) % 2 + 1 AS INT) AS channels,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(octet_length(encode(text)) // ((octet_length(encode(text)) % 2 + 1) * 2) AS BIGINT)
+           AS n_frames
+FROM documents
+""",
+    description=(
+        "REAL audio container round-trip: encode_wav_media wraps each text "
+        "payload in a byte-valid RIFF/WAVE file (little-endian sizes, PCM fmt "
+        "chunk, padded chunk walk) and parse_wav_meta recovers sample rate / "
+        "channels / bit depth / frame count by actually walking the chunk "
+        "list — the audio sibling of q_multimodal_png_dims. Oracle predicts "
+        "every field arithmetically from the text length, so a parse bug "
+        "cannot hash-match."
+    ),
+    tags=("multimodal", "extension"),
+)
+def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import encode_wav_media, parse_wav_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_wav_meta(encode_wav_media(docs))

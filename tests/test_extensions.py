@@ -1064,3 +1064,32 @@ def test_two_phase_cc_logarithmic_rounds_on_long_path(spark):
     out = connected_components_two_phase(df, max_iter=12).collect()
     assert len(out) == 201
     assert {r.component for r in out} == {0}
+
+
+def test_wav_roundtrip_and_malformed_payloads(spark):
+    """Parse recovers exactly the encoded parameters; truncated, junk,
+    and missing payloads classify without raising."""
+    from healthcare_etl_spark.operators.multimodal import (
+        encode_wav_media,
+        parse_wav_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 37), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.media_id: r for r in parse_wav_meta(encode_wav_media(docs)).collect()}
+    for i, text in ((1, "hello world"), (2, "x" * 37), (3, "")):
+        n = len(text.encode())
+        r = out[i]
+        assert r.format == "wav"
+        assert r.sample_rate == (8000, 16000, 22050, 44100, 48000)[n % 5]
+        assert r.channels == n % 2 + 1
+        assert r.bits_per_sample == 16
+        assert r.n_frames == n // (r.channels * 2)
+
+    bad = spark.createDataFrame(
+        [(10, b"RIFF\x00\x00"), (11, b"not audio at all"), (12, None)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.format for r in parse_wav_meta(bad).collect()}
+    assert got == {10: "unknown", 11: "unknown", 12: "missing"}
