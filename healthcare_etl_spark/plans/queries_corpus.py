@@ -238,3 +238,109 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("doc_id", "score", "rank")
     )
+
+
+# Count-min sketch geometry for q_cms_counts: 4 hash rows x 1024
+# buckets. Salted md5 bucket hashes — deterministic, so the whole
+# sketch (and its estimates) is oracle-checkable, unlike an opaque
+# binary sketch blob.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_PROBES = ("join", "hash", "filter", "scan", "zzz_absent_token")
+
+
+def _cms_bucket_sql(i: int, x: str) -> str:
+    return (
+        f"(('0x' || substring(md5('cms{i}:' || {x}), 1, 8))::BIGINT % {_CMS_WIDTH})"
+    )
+
+
+@register(
+    "q_cms_counts",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+rows_ AS (
+    SELECT i, bucket, count(*) AS c FROM (
+        SELECT unnest(range({_CMS_DEPTH})) AS i, w FROM tok
+    ) t, LATERAL (SELECT CASE
+            WHEN i = 0 THEN {_cms_bucket_sql(0, "w")}
+            WHEN i = 1 THEN {_cms_bucket_sql(1, "w")}
+            WHEN i = 2 THEN {_cms_bucket_sql(2, "w")}
+            ELSE {_cms_bucket_sql(3, "w")} END AS bucket)
+    GROUP BY i, bucket
+),
+probes AS (SELECT unnest(['join', 'hash', 'filter', 'scan', 'zzz_absent_token']) AS token),
+probe_cells AS (
+    SELECT token, i, CASE
+        WHEN i = 0 THEN {_cms_bucket_sql(0, "token")}
+        WHEN i = 1 THEN {_cms_bucket_sql(1, "token")}
+        WHEN i = 2 THEN {_cms_bucket_sql(2, "token")}
+        ELSE {_cms_bucket_sql(3, "token")} END AS bucket
+    FROM probes CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS i)
+)
+SELECT token, min(coalesce(c, 0)) AS est_count
+FROM probe_cells LEFT JOIN rows_ USING (i, bucket)
+GROUP BY token
+""",
+    description=(
+        "Count-min sketch as a first-class DataFrame: 4 salted-hash rows x "
+        "1024 buckets built in ONE partial-aggregated groupBy over the token "
+        "stream (the sketch table is mergeable — counts add across batches/"
+        "partitions, the same union-merge contract as the HLL rollup), then "
+        "point estimates = min over rows for a fixed probe set. Deterministic "
+        "md5 bucket hashes make the whole sketch oracle-checkable; accuracy "
+        "vs exact counts is unit-tested (CMS never underestimates)."
+    ),
+    tags=("text", "extension", "sketch", "parity"),
+)
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+
+    # Raw 32-bit md5 prefix mod width — NOT md5_hash31 (whose extra %P
+    # layer would shift buckets relative to the oracle's arithmetic).
+    def bucket(i: int, col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), col)), 1, 8), 16, 10)
+            .cast("long")
+            % _CMS_WIDTH
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i, F.col("w")).alias("bucket"))
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.i", "cell.bucket")
+    sketch = cells.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probe_rows = [(t, i) for t in _CMS_PROBES for i in range(_CMS_DEPTH)]
+    probes = spark.createDataFrame(probe_rows, ["token", "i"]).select(
+        "token",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), F.col("i").cast("string"), F.lit(":"), F.col("token")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
+    )
+    return est

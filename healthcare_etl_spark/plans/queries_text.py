@@ -359,10 +359,10 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_GATE_FEATS_SQL},
 surv AS (
     SELECT count(*) AS n0,
-           sum(CASE WHEN NOT r_short THEN 1 ELSE 0 END) AS n1,
-           sum(CASE WHEN NOT r_short AND NOT r_quality THEN 1 ELSE 0 END) AS n2,
-           sum(CASE WHEN NOT r_short AND NOT r_quality AND NOT r_punct THEN 1 ELSE 0 END) AS n3,
-           sum(CASE WHEN NOT r_short AND NOT r_quality AND NOT r_punct AND NOT r_repetitive THEN 1 ELSE 0 END) AS n4
+           CAST(sum(CASE WHEN NOT r_short THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN NOT r_short AND NOT r_quality THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN NOT r_short AND NOT r_quality AND NOT r_punct THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN NOT r_short AND NOT r_quality AND NOT r_punct AND NOT r_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n4
     FROM rules
 )
 SELECT stage, n_in, n_out, n_in - n_out AS dropped FROM (

@@ -1093,3 +1093,31 @@ def test_wav_roundtrip_and_malformed_payloads(spark):
     )
     got = {r.media_id: r.format for r in parse_wav_meta(bad).collect()}
     assert got == {10: "unknown", 11: "unknown", 12: "missing"}
+
+
+def test_cms_never_underestimates_and_is_tight(spark, sf_smoke):
+    """Count-min guarantees est >= exact for present keys; with 4 rows x
+    1024 buckets against this vocabulary the min row is collision-free,
+    so the estimate should also be close (within 10% here). Absent
+    probes must estimate 0 only if every row's bucket is clean — they
+    may overestimate, never underestimate (0 is their true count)."""
+    from healthcare_etl_spark.plans.registry import get_queries
+    from healthcare_etl_spark.sources import load_table
+
+    est = {
+        r.token: r.est_count
+        for r in get_queries()["q_cms_counts"](spark, sf_smoke).collect()
+    }
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        r.token: r.n
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin("join", "hash", "filter", "scan"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert est[t] >= n, (t, est[t], n)
+        assert est[t] <= n * 1.1, (t, est[t], n)
+    assert est["zzz_absent_token"] >= 0
