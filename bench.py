@@ -55,6 +55,8 @@ HEADLINE = [
     "q_scd2_intervals",
     "q_mixture_balance",
     "q_train_shards",
+    "q_dedup_clusters_2phase",
+    "q_dedup_incremental",
 ]
 
 

@@ -331,3 +331,52 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         morton_key(F.col("user_id"), minute_of_day).alias("zkey"),
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(time_bucket(INTERVAL '1 day', ts)) AS cohort_day
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day, time_bucket(INTERVAL '1 day', e.ts)) AS day_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM activity
+GROUP BY cohort_day, day_offset
+""",
+    description=(
+        "Cohort retention matrix: users grouped by first-seen day, then "
+        "distinct active users per (cohort, day-offset) — the standard "
+        "product-analytics rollup. Two shuffles total (first-seen aggregate "
+        "on user_id; the distinct+count reuses the join's partitioning), "
+        "cohort table broadcast back against the event stream."
+    ),
+    tags=("events", "extension"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users",
+    )
