@@ -354,9 +354,11 @@ GROUP BY cohort_day, day_offset
     description=(
         "Cohort retention matrix: users grouped by first-seen day, then "
         "distinct active users per (cohort, day-offset) — the standard "
-        "product-analytics rollup. Two shuffles total (first-seen aggregate "
-        "on user_id; the distinct+count reuses the join's partitioning), "
-        "cohort table broadcast back against the event stream."
+        "product-analytics rollup. The per-user cohort table joins back on "
+        "user_id with NO broadcast hint: it is one row per user — millions "
+        "at scale, never broadcastable — so the join must shuffle, and it "
+        "lands co-partitioned with the first-seen aggregate's exchange "
+        "(AQE still broadcasts at fixture scale, where it is actually small)."
     ),
     tags=("events", "extension"),
 )
@@ -365,7 +367,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_trunc("day", "ts")
     firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",
