@@ -7,8 +7,11 @@ from healthcare_etl_spark.functions.text import (
     word_shingles,
 )
 from healthcare_etl_spark.functions.timeutils import ts_micros, ts_seconds
+from healthcare_etl_spark.functions.zorder import morton_key, morton_key_sql
 
 __all__ = [
+    "morton_key",
+    "morton_key_sql",
     "dot",
     "l2_norm",
     "cosine_similarity",

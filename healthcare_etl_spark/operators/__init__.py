@@ -8,6 +8,7 @@ from healthcare_etl_spark.operators.relational import (
     top_k,
     top_n_per_group,
 )
+from healthcare_etl_spark.operators.scd import scd2_intervals
 
 __all__ = [
     "normalize_columns",
@@ -20,4 +21,5 @@ __all__ = [
     "broadcast_inner_join",
     "top_k",
     "top_n_per_group",
+    "scd2_intervals",
 ]
