@@ -148,12 +148,14 @@ def connected_components_two_phase(
         # ---- large-star: symmetric view, group on u
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # no distinct here: duplicate edges cannot change the small-star
+        # phase's min aggregates, and the round ends in a distinct — so
+        # deduping now would only add a shuffle per round
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # ---- small-star over large-star's output (edges stored big->small)
         e2 = large.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
