@@ -499,6 +499,21 @@ def minhash_lsh_pairs_cross(
     """
     bn = minhash_band_frame(new_df, text_col=text_col, id_col=id_col, k=k)
     bc = minhash_band_frame(corpus_df, text_col=text_col, id_col=id_col, k=k)
+    return cross_pairs_from_band_frames(bn, bc, threshold=threshold)
+
+
+def cross_pairs_from_band_frames(
+    bn: DataFrame,
+    bc: DataFrame,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-set candidate join + exact verify over two PRE-BUILT band
+    frames (``minhash_band_frame`` outputs). Split out so callers that
+    already hold a band frame — a maintained corpus band table, or one
+    frame over all docs filtered into new/old sides (one shingling pass
+    instead of two) — pay only the bucket join.
+    """
     bands_new = bn.select(F.col("doc_id").alias("doc_id"), F.explode("bks").alias("bk"))
     bands_cor = bc.select(F.col("doc_id").alias("dup_of"), F.explode("bks").alias("bk"))
     cand = bands_new.join(bands_cor, "bk").select("doc_id", "dup_of").distinct()
