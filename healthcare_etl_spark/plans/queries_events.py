@@ -382,3 +382,32 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"),
         "n_users",
     )
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       count(*) AS n,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1
+""",
+    description=(
+        "Semi-structured extraction via Spark 4 VARIANT (parse_json + "
+        "try_variant_get): props parses ONCE into the binary variant "
+        "encoding and fields extract without re-tokenizing JSON text — the "
+        "100 TB path for schemaless columns (q_json_extract is the classic "
+        "string-path sibling). Aggregated per k-bucket so the whole "
+        "parse->extract->agg chain is value-checked."
+    ),
+    tags=("events", "extension"),
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
+    )
