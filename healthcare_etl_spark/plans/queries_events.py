@@ -411,3 +411,79 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
     )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 500.0 THEN 21
+            ELSE floor((value - 0.0) / (500.0 / 20)) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n,
+       (round((min(value)) * 10000.0) / 10000.0) AS bucket_min,
+       (round((max(value)) * 10000.0) / 10000.0) AS bucket_max
+FROM events
+GROUP BY 1
+""",
+    description=(
+        "Fixed-width value histogram (20 buckets over [0, 500) plus under/"
+        "overflow buckets 0 and 21 — width_bucket semantics, written as "
+        "explicit identical arithmetic on both engines): one partial-"
+        "aggregated scan, the distribution-profiling primitive behind "
+        "drift monitoring and outlier triage."
+    ),
+    tags=("events", "extension"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= 500.0, F.lit(21))
+        .otherwise(F.floor((v - 0.0) / (500.0 / 20)) + 1)
+    ).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.min("value"), 4).alias("bucket_min"),
+        stable_round(F.max("value"), 4).alias("bucket_max"),
+    )
+
+
+@register(
+    "q_moving_avg",
+    oracle="""
+WITH per_min AS (
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS minute, count(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT strftime(minute, '%Y-%m-%d %H:%M:%S') AS minute, n,
+       (round((avg(n) OVER (ORDER BY minute
+             RANGE BETWEEN INTERVAL '4 minutes' PRECEDING AND CURRENT ROW))
+           * 1000000.0) / 1000000.0) AS moving_avg_5m
+FROM per_min
+""",
+    description=(
+        "Time-RANGE moving average: per-minute event counts smoothed over a "
+        "trailing 5-minute RANGE frame (frame bounds in event-time units, "
+        "not row counts — robust to gaps in the minute grid). Spark side "
+        "uses rangeBetween on epoch seconds, the unkeyed global window is "
+        "the per-series form — partition by a series key for fleets."
+    ),
+    tags=("events", "extension"),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("minute"))
+        .rangeBetween(-240, Window.currentRow)
+    )
+    return per_min.select(
+        F.date_format("minute", _TS_FMT).alias("minute"),
+        "n",
+        stable_round(F.avg("n").over(w), 6).alias("moving_avg_5m"),
+    )
