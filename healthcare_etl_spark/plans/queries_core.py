@@ -452,3 +452,44 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "q_fuzzy_pairs",
+    oracle="""
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+    description=(
+        "Blocked fuzzy matching (entity resolution): candidate pairs are "
+        "generated by a blocking equi-join on nation — NEVER an all-pairs "
+        "cross join — and only candidates pay the edit-distance verify "
+        "(levenshtein <= 2). The block-then-verify shape is the same "
+        "contract as the LSH dedup family; at 100 TB the blocking key "
+        "is a composite (prefix/phonetic/sorted-ngram) chosen to bound "
+        "block sizes."
+    ),
+    tags=("core", "extension"),
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "nk")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .filter(dist <= 2)
+        .select("cust_a", "cust_b", dist.cast("long").alias("edit_dist"))
+    )
