@@ -493,3 +493,39 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("cust_a", "cust_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+@register(
+    "q_json_scan",
+    oracle="""
+SELECT r_regionkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(r_name)              AS first_name
+FROM region GROUP BY r_regionkey
+""",
+    description=(
+        "JSON-lines scan literal (sibling of q_csv_scan): region "
+        "materialized as JSONL, then read back through readers.read_json "
+        "with its MANDATORY explicit schema (inference over JSON needs a "
+        "full extra pass — never acceptable at 100 TB, so unlike CSV there "
+        "is no inference fallback), aggregated so the oracle row exercises "
+        "the actual JSON scan path."
+    ),
+    tags=("parity",),
+)
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.readers import read_json
+
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    json_dir = os.path.join(tempfile.gettempdir(), "healthcare_etl_spark_json", sf_tag)
+    region.write.mode("overwrite").json(json_dir)
+
+    back = read_json(spark, json_dir, "r_regionkey INT, r_name STRING")
+    return back.groupBy("r_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("r_name").alias("first_name"),
+    )
