@@ -529,3 +529,37 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("r_name").alias("first_name"),
     )
+
+
+@register(
+    "q_orc_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(n_name)              AS last_name
+FROM nation GROUP BY n_regionkey
+""",
+    description=(
+        "ORC scan literal (completes the CSV/JSON/ORC source trio): nation "
+        "materialized as ORC and read back through readers.read_orc — "
+        "columnar with predicate pushdown like parquet — aggregated so the "
+        "oracle row exercises the actual ORC scan path."
+    ),
+    tags=("parity",),
+)
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.readers import read_orc
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    orc_dir = os.path.join(tempfile.gettempdir(), "healthcare_etl_spark_orc", sf_tag)
+    nation.write.mode("overwrite").orc(orc_dir)
+
+    back = read_orc(spark, orc_dir)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_name").alias("last_name"),
+    )
