@@ -1,0 +1,319 @@
+"""Analytics extension queries: outer joins, array higher-order
+functions, Markov transition matrices, skew diagnostics, time-series
+gap-filling, and robust (MAD) outlier detection.
+
+These widen the relational/analytics surface beyond the reference
+(reference scope is `etl_app/etl_script.py:74-119` + dashboard
+aggregates `dashboard_app/app.py:45-101`); each is a pattern a
+large-scale data-pipeline team reaches for daily. All are oracle-checked
+against DuckDB with identical arithmetic on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+WITH c AS (
+    SELECT user_id, count(*) AS n_clicks
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+    SELECT user_id, count(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(c.user_id, p.user_id)  AS user_id,
+       coalesce(n_clicks, 0)           AS n_clicks,
+       coalesce(n_purchases, 0)        AS n_purchases,
+       CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+            WHEN p.user_id IS NULL THEN 'click_only'
+            ELSE 'both' END            AS status
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""",
+    description=(
+        "FULL OUTER equi-join of two per-user aggregates (clickers vs "
+        "purchasers), preserving unmatched rows on BOTH sides. Completes "
+        "the join family (inner/left/semi/anti already registered). A "
+        "full-outer join can never broadcast either side — the plan is "
+        "the correct shuffle hash join on the coalesced key."
+    ),
+    tags=("relational", "extension", "parity"),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    # Name-based join coalesces the key column (USING semantics), so the
+    # output has ONE user_id populated from whichever side matched.
+    joined = clicks.withColumn("c_key", F.col("user_id")).join(
+        purchases.withColumn("p_key", F.col("user_id")), on="user_id", how="full_outer"
+    )
+    return joined.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.when(F.col("c_key").isNull(), "purchase_only")
+        .when(F.col("p_key").isNull(), "click_only")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+@register(
+    "q_higher_order_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                            AS dim,
+       len(list_filter(embedding, x -> x > 0))                   AS n_pos,
+       (round((sqrt(list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (acc, x) -> acc + x))) * 10000.0) / 10000.0)          AS l2_norm,
+       (round((list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))))) * 10000.0)
+        / 10000.0)                                                AS max_abs
+FROM embeddings
+""",
+    description=(
+        "Array higher-order functions (transform / filter / aggregate / "
+        "array_max) over the embedding column — all JVM-side codegen'd "
+        "lambda expressions, zero Python. The oracle mirrors the exact "
+        "left-fold summation order via DuckDB list_reduce so doubles are "
+        "bit-comparable before rounding."
+    ),
+    tags=("functions", "extension", "parity"),
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sq(x):
+        return x.cast("double") * x.cast("double")
+
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).cast("long").alias("n_pos"),
+        stable_round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + sq(x))), 4
+        ).alias("l2_norm"),
+        stable_round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 4
+        ).alias("max_abs"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       (round((n / sum(n) OVER (PARTITION BY from_type)) * 1000000.0) / 1000000.0) AS p
+FROM counts
+""",
+    description=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: lead() window pairs consecutive events (one shuffle "
+        "on user_id), hash-agg counts pairs, a second tiny window "
+        "normalizes rows to probabilities. The per-user window partition "
+        "scales with the user-id cardinality, never a global sort."
+    ),
+    tags=("events", "extension", "parity"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        stable_round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+WITH counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+tot    AS (SELECT count(*) AS total FROM events)
+SELECT user_id, n_events,
+       (round((n_events / total) * 1000000.0) / 1000000.0) AS share
+FROM counts, tot
+ORDER BY n_events DESC, user_id
+LIMIT 10
+""",
+    description=(
+        "Key-distribution (skew) diagnostic: the 10 heaviest join/agg "
+        "keys with their traffic share — the profiling step that decides "
+        "whether a salted join or AQE skew handling is needed before a "
+        "big shuffle. Top-k via TakeOrderedAndProject (no global sort); "
+        "the grand total is a 1-row broadcast."
+    ),
+    tags=("diagnostics", "extension", "parity"),
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+    return top.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "n_events",
+        stable_round(F.col("n_events") / F.col("total"), 6).alias("share"),
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+WITH hourly AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+           (round((sum(value)) * 10000.0) / 10000.0) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+           time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+    FROM events
+),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+full_grid AS (SELECT h, event_type FROM grid CROSS JOIN types)
+SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       g.event_type,
+       hourly.sum_value                    AS observed,
+       coalesce(last_value(hourly.sum_value IGNORE NULLS) OVER (
+            PARTITION BY g.event_type ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled,
+       hourly.sum_value IS NULL            AS is_gap
+FROM full_grid g
+LEFT JOIN hourly ON g.h = hourly.h AND g.event_type = hourly.event_type
+""",
+    description=(
+        "Time-series gap filling: a dense hour grid is generated from the "
+        "series bounds (sequence + explode — one row of input, never a "
+        "driver loop), left-joined with observed hourly sums, and gaps "
+        "forward-filled with last(ignorenulls) per series. At 100 TB the "
+        "per-series window partitions by series key; a composite "
+        "(series, coarse-bucket) key with boundary carry is the "
+        "documented path when a single series outgrows one partition."
+    ),
+    tags=("events", "extension", "parity"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(stable_round(F.sum("value"), 4).alias("sum_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    full_grid = grid.crossJoin(F.broadcast(types))
+    joined = full_grid.join(hourly, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.date_format("h", _TS_FMT).alias("hour"),
+        "event_type",
+        F.col("sum_value").alias("observed"),
+        F.coalesce(F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "filled"
+        ),
+        F.col("sum_value").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type,
+           (round((quantile_cont(value, 0.5)) * 1000000.0) / 1000000.0) AS med
+    FROM events GROUP BY 1
+),
+mad AS (
+    SELECT e.event_type, med,
+           (round((quantile_cont(abs(e.value - med), 0.5)) * 1000000.0) / 1000000.0) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type, med
+)
+SELECT e.event_type,
+       count(*)                                                  AS n,
+       CAST(sum(CASE WHEN abs(e.value - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                                                                 AS n_outliers,
+       med, mad
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type, med, mad
+""",
+    description=(
+        "Robust outlier detection via median absolute deviation: exact "
+        "grouped median, then median |x - med|, then |x - med| > 3*MAD "
+        "flags — two passes over the facts with the tiny per-group stats "
+        "broadcast back. med/MAD are stable-rounded BEFORE the threshold "
+        "comparison so the boundary decision is bit-identical in both "
+        "engines. approx_percentile swaps in as the single-pass sketch "
+        "path at 100 TB (q_approx_quantiles)."
+    ),
+    tags=("events", "extension", "parity"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(stable_round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "n_outliers", "med", "mad")
+    )
