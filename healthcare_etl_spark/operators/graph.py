@@ -189,3 +189,81 @@ def connected_components_two_phase(
         e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     )
     return nodes.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def pagerank(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 10,
+) -> DataFrame:
+    """PageRank over the symmetrized pair graph → (node, rank).
+
+    Fixed-iteration power method: contribution = rank/out-degree pushed
+    along edges (join), summed per target (hash agg), damped teleport
+    added back — the canonical iterative-join Spark shape, same
+    discipline as ``connected_components`` (edges checkpointed once and
+    re-read per round, rank lineage truncated periodically, the driver
+    never touches row data). Symmetrization guarantees every node has
+    out-degree ≥ 1, so no dangling-mass correction term is needed and
+    total rank stays 1.
+
+    Ranks are stable-rounded (multiply-round-divide, ``round_digits``)
+    after EVERY iteration so the per-node double is bit-identical to the
+    unrolled-CTE oracle — cross-engine drift cannot compound across
+    rounds.
+
+    Scale: each round is one shuffle on the node id; degree and the node
+    count ride along as columns (the count is a 1-row broadcast). At
+    100 TB edge scale, pre-partition ``edges`` by ``u`` (bucketed
+    staging table) so the per-round join is exchange-free on one side.
+    """
+    scale = float(10**round_digits)
+
+    def rnd(c):
+        return F.round(c * scale) / scale
+
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n_df = deg.agg(F.count(F.lit(1)).alias("n"))
+    # (node, d, n) — the loop-invariant base every round rejoins against.
+    base = (
+        deg.select(F.col("u").alias("node"), "d")
+        .crossJoin(F.broadcast(n_df))
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", "d", "n", rnd(F.lit(1.0) / F.col("n")).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("u"), (F.col("rank") / F.col("d")).alias("c")
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.v, "left")
+            .select(
+                "node",
+                "d",
+                "n",
+                rnd(
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 2 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")

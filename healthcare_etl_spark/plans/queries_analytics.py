@@ -317,3 +317,173 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "n_outliers", "med", "mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch + iterative-graph extensions
+# ---------------------------------------------------------------------------
+
+_BLOOM_POS_SQL = (
+    "(('0x' || substring(md5('bloom' || CAST(i AS VARCHAR) || ':' || g), 1, 8))::BIGINT"
+    " % 8257536)"
+)
+
+
+@register(
+    "q_bloom_decontaminate",
+    oracle=f"""
+WITH split AS (
+    SELECT doc_id, text,
+           ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+             % 10 = 0) AS is_test
+    FROM documents
+),
+tok AS (SELECT doc_id, is_test, string_split(text, ' ') AS t FROM split),
+grams AS (
+    SELECT doc_id, is_test,
+           unnest(list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM tok WHERE len(t) >= 8
+),
+test_grams AS (SELECT DISTINCT g FROM grams WHERE is_test),
+train_grams AS (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_test),
+test_cells AS (
+    SELECT CAST(floor(pos / 63.0) AS BIGINT) AS word,
+           (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+    FROM (SELECT {_BLOOM_POS_SQL} AS pos
+          FROM test_grams CROSS JOIN (SELECT unnest(range(4)) AS i))
+),
+sketch AS (SELECT word, bit_or(mask) AS bits FROM test_cells GROUP BY word),
+probe_cells AS (
+    SELECT doc_id, g,
+           CAST(floor(pos / 63.0) AS BIGINT) AS word,
+           (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+    FROM (SELECT doc_id, g, {_BLOOM_POS_SQL} AS pos
+          FROM train_grams CROSS JOIN (SELECT unnest(range(4)) AS i))
+),
+gram_hits AS (
+    SELECT doc_id, g,
+           (sum(CASE WHEN bits IS NOT NULL AND (bits & mask) = mask
+                     THEN 1 ELSE 0 END) = 4) AS hit
+    FROM probe_cells LEFT JOIN sketch USING (word)
+    GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)                              AS n_grams,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)  AS n_hit_grams,
+       (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0)            AS flagged
+FROM gram_hits GROUP BY doc_id
+""",
+    description=(
+        "Sketch-based train/test decontamination: the held-out split's "
+        "8-gram set is compressed into a mergeable Bloom filter DataFrame "
+        "(131072 words x 63 bits, k=4 salted-md5 probes), then every "
+        "training document's grams are membership-tested against the "
+        "BROADCAST sketch — the scale path for q_decontaminate's exact "
+        "gram join: the huge training side never shuffles against the "
+        "held-out set, only against a fixed-size bitmap. No false "
+        "negatives (leaks cannot slip through); the deterministic false-"
+        "positive arithmetic is reproduced bit-for-bit by the oracle."
+    ),
+    tags=("text", "extension", "sketch", "parity"),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.sketches import bloom_build, bloom_probe
+    from healthcare_etl_spark.plans.queries_pipeline_ops import _doc_hash
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    split = docs.select("doc_id", "text", ((_doc_hash() % 10) == 0).alias("is_test"))
+    toks = F.split("text", " ")
+    base = split.select(
+        "doc_id",
+        "is_test",
+        F.size(toks).alias("n_tok"),
+        F.posexplode(toks).alias("pos", "w"),
+    ).filter(F.col("n_tok") >= 8)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, 8)]
+    grams = (
+        base.select("doc_id", "is_test", *parts)
+        .filter(F.col("w7").isNotNull())
+        .select(
+            "doc_id",
+            "is_test",
+            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, 8)]).alias("g"),
+        )
+        # Both the sketch build and the probe consume this subtree.
+        .localCheckpoint(eager=True)
+    )
+    sketch = bloom_build(grams.filter(F.col("is_test")).select("g").distinct(), "g")
+    train = grams.filter(~F.col("is_test")).select("doc_id", "g").distinct()
+    hits = bloom_probe(train, "g", sketch, hit_col="hit")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hit_grams"),
+        (F.sum(F.when(F.col("hit"), 1).otherwise(0)) > 0).alias("flagged"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_dedup import _jaccard_pairs_ctes
+
+    parts = [
+        f"WITH {_jaccard_pairs_ctes()},",
+        """
+pedges AS (
+    SELECT doc_a AS u, doc_b AS v FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+deg AS (SELECT u, count(*) AS d FROM pedges GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+    SELECT u AS node, d,
+           (round((1.0 / n) * 10000000000.0) / 10000000000.0) AS rank
+    FROM deg, nn
+),""",
+    ]
+    for t in range(1, 6):
+        parts.append(
+            f"""
+c{t} AS (
+    SELECT e.v AS node, sum(r.rank / r.d) AS s
+    FROM pedges e JOIN r{t - 1} r ON r.node = e.u GROUP BY e.v
+),
+r{t} AS (
+    SELECT b.node, b.d,
+           (round((0.15 / n + 0.85 * coalesce(c{t}.s, 0.0)) * 10000000000.0)
+            / 10000000000.0) AS rank
+    FROM r0 b LEFT JOIN c{t} USING (node), nn
+),"""
+        )
+    body = "".join(parts).rstrip(",\n") + "\n"
+    return body + "SELECT node AS doc_id, rank FROM r5"
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    description=(
+        "PageRank (5 damped power iterations, d=0.85) over the symmetrized "
+        "near-dup pair graph — centrality scoring for picking the canonical "
+        "representative of a duplicate cluster, and the second iterative-"
+        "graph shape alongside connected components: per-round join + hash "
+        "agg on the node id, edges checkpointed once, driver holds no row "
+        "data. Per-iteration stable rounding keeps the doubles bit-equal to "
+        "the unrolled-CTE oracle."
+    ),
+    tags=("dedup", "extension", "iterative", "parity"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import jaccard_pairs
+    from healthcare_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return pagerank(pairs, iterations=5).select(
+        F.col("node").alias("doc_id"), "rank"
+    )

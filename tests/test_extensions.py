@@ -1145,3 +1145,69 @@ def test_stateful_profiles_tws_equal_batch(spark, sf_smoke):
         ).count()
         == 0
     )
+
+
+def test_bloom_no_false_negatives_and_merges(spark):
+    """Every inserted key must probe true (Bloom guarantees no false
+    negatives); absent keys mostly probe false at this load factor; and
+    two half-sketches union-merged with bit_or equal the full build."""
+    from healthcare_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = [(f"key-{i}",) for i in range(2000)]
+    df = spark.createDataFrame(keys, ["k"])
+    sketch = bloom_build(df, "k")
+
+    probed = bloom_probe(df, "k", sketch, hit_col="hit")
+    assert probed.filter(~F.col("hit")).count() == 0
+
+    absent = spark.createDataFrame([(f"other-{i}",) for i in range(2000)], ["k"])
+    fp = bloom_probe(absent, "k", sketch, hit_col="hit").filter(F.col("hit")).count()
+    # 2000 keys * 4 bits in 8.26M bits -> fp rate ~ (1e-3)^4; any hit at
+    # all would indicate broken hashing, but allow sheer bad luck.
+    assert fp <= 2
+
+    half_a = bloom_build(df.filter(F.col("k") < "key-2"), "k")  # lexicographic split
+    half_b = bloom_build(df.filter(~(F.col("k") < "key-2")), "k")
+    merged = (
+        half_a.union(half_b)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    full = {r["word"]: r["bits"] for r in sketch.collect()}
+    assert {r["word"]: r["bits"] for r in merged.collect()} == full
+
+
+def test_pagerank_sums_to_one_and_matches_power_iteration(spark):
+    """Rank mass is conserved (symmetrized graph has no dangling nodes)
+    and the distributed result equals a driver-side power iteration with
+    the same per-round rounding, on a graph with asymmetric structure
+    (triangle + tail): the tail tip must rank lowest, the hub highest."""
+    from healthcare_etl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["rank"] for r in pagerank(pairs, iterations=5).collect()
+    }
+
+    # Driver-side reference with identical arithmetic.
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    rnd = lambda x: round(x * 1e10) / 1e10
+    rank = {u: rnd(1.0 / n) for u in adj}
+    for _ in range(5):
+        contrib = {u: 0.0 for u in adj}
+        for u, nbrs in adj.items():
+            for v in nbrs:
+                contrib[v] += rank[u] / len(nbrs)
+        rank = {u: rnd(0.15 / n + 0.85 * contrib[u]) for u in adj}
+
+    assert got.keys() == rank.keys()
+    for u in rank:
+        assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert max(got, key=got.get) == 3
+    assert min(got, key=got.get) == 5
