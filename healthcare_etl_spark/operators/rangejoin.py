@@ -74,3 +74,42 @@ def banded_range_join(
     )
     precise = (r_us >= l_us + F.lit(lo_us)) & (r_us < l_us + F.lit(hi_us))
     return l_b.join(r_b, on=[on, "__bucket"], how=how).filter(precise).drop("__bucket")
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    *,
+    start: str = "start",
+    end: str = "end",
+    point_ts: str = "ts",
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Overlap-join point rows onto ``[start, end]`` intervals (inclusive)
+    without a nested loop — the variable-length generalization of
+    ``banded_range_join``.
+
+    Each interval explodes to the time buckets it covers (``sequence`` +
+    ``explode`` — length/bucket_seconds rows, data-bounded, not O(n²));
+    each point lives in exactly ONE bucket, so the bucket equi-join
+    yields every qualifying (interval, point) pair exactly once, then
+    the precise containment predicate prunes edge candidates. Inner
+    semantics; re-join the interval table for intervals with no points.
+
+    Scale: pick ``bucket_seconds`` near the typical interval length — too
+    small multiplies the interval side's rows, too large widens candidate
+    lists. Both sides shuffle on the bucket id (time-uniform, naturally
+    balanced); a hot bucket (traffic spike) is AQE-skew-split like any
+    other key.
+    """
+    band_us = int(bucket_seconds * 1_000_000)
+    s_us = ts_micros(start)
+    e_us = ts_micros(end)
+    p_us = ts_micros(point_ts)
+    i_b = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(s_us / band_us), F.floor(e_us / band_us))),
+    )
+    p_b = points.withColumn("__bucket", F.floor(p_us / band_us))
+    precise = (p_us >= s_us) & (p_us <= e_us)
+    return i_b.join(p_b, "__bucket").filter(precise).drop("__bucket")

@@ -487,3 +487,159 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iterations=5).select(
         F.col("node").alias("doc_id"), "rank"
     )
+
+
+@register(
+    "q_interval_overlap",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM gaps
+),
+s AS (
+    SELECT user_id, session_seq, min(ts) AS t0, max(ts) AS t1, count(*) AS n_events
+    FROM sess GROUP BY 1, 2
+),
+err AS (SELECT ts FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.session_seq,
+       strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+       n_events,
+       CAST(count(err.ts) AS BIGINT) AS n_errors_during
+FROM s LEFT JOIN err ON err.ts >= s.t0 AND err.ts <= s.t1
+GROUP BY s.user_id, s.session_seq, t0, n_events
+""",
+    description=(
+        "Interval-overlap join: every error event (any user) landing inside "
+        "each user session's [start, end] span — incident attribution over "
+        "variable-length intervals. The naive form is an inequality-only "
+        "join (nested loop); interval_point_join banding makes it a bucket "
+        "equi-join where each point pairs with each interval exactly once. "
+        "Sessions with zero errors are kept via re-join (count = 0)."
+    ),
+    tags=("events", "extension", "parity"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.rangejoin import interval_point_join
+    from healthcare_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id")
+    s = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("start"),
+        F.max("ts").alias("end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(F.col("ts").alias("err_ts"))
+    pairs = interval_point_join(
+        s, errors, start="start", end="end", point_ts="err_ts", bucket_seconds=3600.0
+    )
+    per = pairs.groupBy("user_id", "session_seq").agg(F.count(F.lit(1)).alias("n_err"))
+    return s.join(per, ["user_id", "session_seq"], "left").select(
+        "user_id",
+        "session_seq",
+        F.date_format("start", _TS_FMT).alias("session_start"),
+        "n_events",
+        F.coalesce("n_err", F.lit(0)).alias("n_errors_during"),
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+WITH pri AS (
+    SELECT doc_id, n_chars,
+           ((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) * n_chars AS priority
+    FROM documents
+)
+SELECT doc_id, n_chars, priority
+FROM pri ORDER BY priority DESC, doc_id LIMIT 200
+""",
+    description=(
+        "Deterministic weighted sampling: top-200 documents by "
+        "hash-uniform priority u(doc) * weight (weight = n_chars), so "
+        "longer documents are proportionally favored but selection stays "
+        "reproducible across engines/partitionings/cluster sizes. Every "
+        "arithmetic step is EXACT in doubles (dyadic md5 uniform x "
+        "integer weight <= 2^53) — no transcendental functions, so no "
+        "cross-engine libm last-ulp risk (the A-ES u^(1/w) form trades "
+        "that exactness for strict inclusion-probability proportionality). "
+        "Top-k via TakeOrderedAndProject — no global sort."
+    ),
+    tags=("pipeline", "extension", "parity"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    pri = docs.select(
+        "doc_id",
+        "n_chars",
+        (((h + 1) / F.lit(4294967296.0)) * F.col("n_chars")).alias("priority"),
+    )
+    return pri.orderBy(F.desc("priority"), F.asc("doc_id")).limit(200)
+
+
+@register(
+    "q_top_p_filter",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, source, n_chars,
+           sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n_chars) OVER (PARTITION BY source) AS tot,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS rank_in_source
+    FROM documents
+)
+SELECT doc_id, source, n_chars, rank_in_source,
+       (round((cum * 1.0 / tot) * 1000000.0) / 1000000.0) AS cum_share
+FROM t
+WHERE (cum - n_chars) * 10 < tot * 9
+""",
+    description=(
+        "Top-p (nucleus) corpus filtering: per source, keep the largest "
+        "documents until 90% of the source's total character mass is "
+        "covered (the doc crossing the boundary is included). One shuffle "
+        "on source; running + total mass share a single window partition. "
+        "The keep decision is pure integer arithmetic ((cum-own)*10 < "
+        "tot*9) — exact in both engines, no float boundary flake."
+    ),
+    tags=("pipeline", "extension", "parity"),
+)
+def q_top_p_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    wrnk = Window.partitionBy("source").orderBy(*order)
+    t = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(wcum).alias("cum"),
+        F.sum("n_chars").over(wtot).alias("tot"),
+        F.row_number().over(wrnk).cast("long").alias("rank_in_source"),
+    )
+    return t.filter((F.col("cum") - F.col("n_chars")) * 10 < F.col("tot") * 9).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "rank_in_source",
+        stable_round(F.col("cum") * 1.0 / F.col("tot"), 6).alias("cum_share"),
+    )

@@ -1211,3 +1211,45 @@ def test_pagerank_sums_to_one_and_matches_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     assert max(got, key=got.get) == 3
     assert min(got, key=got.get) == 5
+
+
+def test_interval_point_join_equals_naive(spark):
+    """Banded interval join must equal the naive inequality join, with
+    intervals spanning zero, one, and many buckets, inclusive bounds,
+    and points landing exactly on interval edges."""
+    import datetime as dt
+
+    from healthcare_etl_spark.operators.rangejoin import interval_point_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    intervals = spark.createDataFrame(
+        [
+            (1, at(0), at(0)),        # zero-length
+            (2, at(10), at(50)),      # within one hour bucket
+            (3, at(30), at(400)),     # spans 7 buckets
+            (4, at(500), at(530)),    # straddles a bucket edge
+        ],
+        ["iid", "start", "end"],
+    )
+    points = spark.createDataFrame(
+        [(i, at(m)) for i, m in enumerate([0, 10, 50, 60, 120, 399, 400, 401, 500, 529, 531])],
+        ["pid", "pts"],
+    )
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in interval_point_join(
+            intervals, points, start="start", end="end", point_ts="pts",
+            bucket_seconds=3600.0,
+        ).collect()
+    )
+    naive = sorted(
+        (r["iid"], r["pid"])
+        for r in intervals.crossJoin(points)
+        .filter((F.col("pts") >= F.col("start")) & (F.col("pts") <= F.col("end")))
+        .collect()
+    )
+    assert got == naive and len(naive) > 0
