@@ -57,6 +57,11 @@ HEADLINE = [
     "q_train_shards",
     "q_dedup_clusters_2phase",
     "q_dedup_incremental",
+    # round-5 late additions: second iterative-graph shape, broadcast
+    # Bloom sketch probe, and the banded interval-overlap join
+    "q_pagerank",
+    "q_bloom_decontaminate",
+    "q_interval_overlap",
 ]
 
 

@@ -643,3 +643,186 @@ def q_top_p_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_in_source",
         stable_round(F.col("cum") * 1.0 / F.col("tot"), 6).alias("cum_share"),
     )
+
+
+@register(
+    "q_bigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+words AS (SELECT doc_id, unnest(t) AS w FROM tok),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i]))   AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+    FROM tok WHERE len(t) >= 2
+),
+ufreq AS (SELECT w, count(*) AS cu FROM words GROUP BY w),
+bfreq AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT big.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       (round((avg(ln(0.9 * (cb * 1.0 / u1.cu) + 0.1 * (u2.cu * 1.0 / n))))
+              * 1000000.0) / 1000000.0) AS avg_logprob
+FROM big
+JOIN bfreq USING (w1, w2)
+JOIN ufreq u1 ON u1.w = big.w1
+JOIN ufreq u2 ON u2.w = big.w2
+CROSS JOIN tot
+GROUP BY big.doc_id
+""",
+    description=(
+        "Interpolated bigram LM scoring (0.9*p(w2|w1) + 0.1*p(w2)) — the "
+        "step up from q_unigram_logprob toward real LM-perplexity "
+        "filtering: token streams with improbable transitions score low "
+        "even when every token is individually common. Bigrams come from "
+        "one per-doc lead window (no self-join); the frequency tables are "
+        "key-partitioned hash aggs; the corpus total stays a lazy 1-row "
+        "broadcast."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        words.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    ufreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bfreq = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    total = words.agg(F.count(F.lit(1)).alias("n"))
+    u1 = ufreq.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = ufreq.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    p = F.lit(0.9) * (F.col("cb") * 1.0 / F.col("cu1")) + F.lit(0.1) * (
+        F.col("cu2") * 1.0 / F.col("n")
+    )
+    return (
+        big.join(bfreq, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            stable_round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+n AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_uniq FROM tf GROUP BY doc_id)
+SELECT tf.doc_id,
+       CAST(any_value(n_tok) AS BIGINT)  AS n_tok,
+       CAST(any_value(n_uniq) AS BIGINT) AS n_uniq,
+       (round((-sum((c * 1.0 / n_tok) * ln(c * 1.0 / n_tok))) * 1000000.0)
+        / 1000000.0) AS entropy
+FROM tf JOIN n USING (doc_id)
+GROUP BY tf.doc_id
+""",
+    description=(
+        "Per-document Shannon token entropy (nats): low entropy = "
+        "repetitive/templated text, the information-theoretic complement "
+        "of q_repetition_quality's top-token fraction. Two key-partitioned "
+        "hash aggs (doc+token term frequency, then per-doc fold) — the "
+        "same two-level shape, no windows, no Python."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("n_uniq")
+    )
+    frac = F.col("c") * 1.0 / F.col("n_tok")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tok").alias("n_tok"),
+            F.any_value("n_uniq").alias("n_uniq"),
+            stable_round(-F.sum(frac * F.log(frac)), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+WITH h AS (
+    SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status,
+           (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 1000)
+               AS hh
+    FROM orders
+),
+a AS (
+    SELECT k, CASE WHEN hh % 7 = 0 THEN price + 1.5 ELSE price END AS price, status
+    FROM h WHERE hh % 13 <> 0
+),
+b AS (SELECT k, price, status FROM h WHERE hh % 11 <> 0),
+d AS (
+    SELECT CASE WHEN b.k IS NULL THEN 'added'
+                WHEN a.k IS NULL THEN 'removed'
+                WHEN a.price <> b.price OR a.status <> b.status THEN 'changed'
+                ELSE 'same' END AS category
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT category, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY category
+""",
+    description=(
+        "Snapshot reconciliation (table diff / CDC derivation): current vs "
+        "prior snapshot full-outer-joined on the key, each row classified "
+        "added/removed/changed/same — the audit every incremental pipeline "
+        "runs before promoting a snapshot. The two snapshots here are "
+        "deterministic hash-derived views of `orders` so the oracle "
+        "reproduces them exactly. At scale both sides bucket by the key so "
+        "the diff join is exchange-free; the comparison itself is one "
+        "shuffle + hash agg, no driver data."
+    ),
+    tags=("relational", "extension", "parity"),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hh = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    h = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        hh.alias("hh"),
+    )
+    a = h.filter(F.col("hh") % 13 != 0).select(
+        "k",
+        F.when(F.col("hh") % 7 == 0, F.col("price") + 1.5).otherwise(F.col("price")).alias("price"),
+        "status",
+    )
+    b = h.filter(F.col("hh") % 11 != 0).select("k", "price", "status")
+    d = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.when(F.col("b.k").isNull(), "added")
+        .when(F.col("a.k").isNull(), "removed")
+        .when(
+            (F.col("a.price") != F.col("b.price")) | (F.col("a.status") != F.col("b.status")),
+            "changed",
+        )
+        .otherwise("same")
+        .alias("category")
+    )
+    return d.groupBy("category").agg(F.count(F.lit(1)).alias("n"))

@@ -126,7 +126,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
-    "q_dedup_simhash",
+    # q_pagerank (new this round) takes q_dedup_simhash's slot — the
+    # second iterative-graph shape gets a driver-green row; simhash
+    # keeps its in-repo parity test
+    "q_pagerank",
     "q_dedup_clusters",
     # -- similarity / ANN family (q_semantic_dedup is new in round 5 —
     #    it replaces the O(n^2) q_sim_neardup slot with the clustered
@@ -150,7 +153,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    keep their in-repo parity tests)
     "q_train_shards",
     "q_mixture_balance",
-    "q_decontaminate",
+    # the Bloom-sketch decontamination (new this round) takes the exact
+    # gram-join variant's slot; q_decontaminate keeps its in-repo test
+    "q_bloom_decontaminate",
     "q_unigram_logprob",
     "q_pack_chunks",
     "q_passage_dedup",
