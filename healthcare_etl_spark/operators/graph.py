@@ -267,3 +267,51 @@ def pagerank(
         if (i + 1) % 2 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    seed_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Minimum hop count from a seed set over the symmetrized pair graph.
+
+    Returns (node, hops) for every node reachable within ``max_iter``
+    hops (seeds at 0). Classic distributed BFS: the frontier expands one
+    join per round, already-labelled nodes are anti-joined away so each
+    node is visited exactly once — total work is O(edges) across all
+    rounds, not O(edges x rounds). Same iteration discipline as
+    ``connected_components``: edges checkpointed once, labels lineage
+    truncated as it accumulates, one (empty?) action per round.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels
+    for _ in range(max_iter):
+        neighbors = (
+            edges.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .distinct()
+        )
+        new = neighbors.join(labels.select("node"), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.isEmpty():
+            break
+        labels = labels.union(new).localCheckpoint(eager=True)
+        frontier = new
+    return labels

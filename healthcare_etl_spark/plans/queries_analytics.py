@@ -826,3 +826,67 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("category")
     )
     return d.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _bfs_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_dedup import _jaccard_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+bedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+bnodes AS (SELECT DISTINCT src AS node FROM bedges),
+seeds AS (
+    SELECT node FROM bnodes
+    WHERE (('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT % 5) = 0
+),
+reach(node, hops) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN bedges e ON e.src = r.node
+    WHERE r.hops < 20
+)
+SELECT node AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "q_graph_bfs",
+    oracle=_bfs_oracle(),
+    description=(
+        "Multi-source BFS (minimum hop distance from a hash-chosen seed "
+        "set) over the near-dup graph — the third iterative-graph shape "
+        "after connected components and PageRank: per-round frontier "
+        "join + anti-join against settled labels, so each node is "
+        "expanded once and total work is O(edges) regardless of round "
+        "count. Hop caps mirror the oracle's recursion bound (20 ≫ any "
+        "near-dup component's diameter)."
+    ),
+    tags=("dedup", "extension", "iterative", "parity"),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import jaccard_pairs
+    from healthcare_etl_spark.operators.graph import bfs_hops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    seeds = nodes.filter(h == 0)
+    return bfs_hops(pairs, seeds, max_iter=20).select(
+        F.col("node").alias("doc_id"), "hops"
+    )

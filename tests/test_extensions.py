@@ -1253,3 +1253,17 @@ def test_interval_point_join_equals_naive(spark):
         .collect()
     )
     assert got == naive and len(naive) > 0
+
+
+def test_bfs_hops_matches_reference_on_hand_graph(spark):
+    """BFS min-hops on a graph with two components and multiple seeds:
+    closest-seed distance wins, unreachable components are absent."""
+    from healthcare_etl_spark.operators.graph import bfs_hops
+
+    # component 1: path 1-2-3-4-5 ; component 2: 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(pairs, seeds).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
