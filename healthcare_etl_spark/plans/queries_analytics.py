@@ -890,3 +890,71 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(pairs, seeds, max_iter=20).select(
         F.col("node").alias("doc_id"), "hops"
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+WITH st AS (
+    SELECT DISTINCT source, w
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+common AS (
+    SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_common
+    FROM st x JOIN st y ON x.w = y.w AND x.source < y.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       (round((n_common * 1.0 / (sa.n + sb.n - n_common)) * 1000000.0) / 1000000.0)
+           AS jaccard
+FROM common
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+""",
+    description=(
+        "Pairwise vocabulary overlap (token-set Jaccard) between corpus "
+        "sources — the mixture-analysis view that tells a data team which "
+        "sources are near-redundant before weighting them. Inverted-index "
+        "self-join on the token (same shape as document-level "
+        "jaccard_pairs, one granularity up); the per-source size table is "
+        "a broadcast dimension. Hot tokens shared by all sources bound the "
+        "per-key fanout at (n_sources choose 2), not at document counts."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Three consumers (sizes + both join sides): materialize the distinct
+    # source-token set once instead of re-tokenizing per branch (staging
+    # table / reliable checkpoint on a real cluster).
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    x = st.select(F.col("source").alias("source_a"), "w")
+    y = st.select(F.col("source").alias("source_b"), "w")
+    common = (
+        x.join(y, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            stable_round(
+                F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
