@@ -958,3 +958,55 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+c AS (
+    SELECT doc_id, n_tok,
+           unnest(range(0, greatest(n_tok - {_CHUNK_LEN} + {_CHUNK_STRIDE}, 1),
+                        {_CHUNK_STRIDE})) AS start_tok
+    FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT)                    AS start_tok,
+       CAST(least(start_tok + {_CHUNK_LEN}, n_tok) AS BIGINT) AS end_tok,
+       CAST(least(start_tok + {_CHUNK_LEN}, n_tok) - start_tok AS BIGINT) AS chunk_len
+FROM c
+""",
+    description=(
+        "Overlapping sliding-window document chunking (RAG / embedding "
+        f"prep): {_CHUNK_LEN}-token chunks at stride {_CHUNK_STRIDE} "
+        "(16-token overlap), emitted as (doc_id, chunk_idx, token span) "
+        "rows via sequence + explode — a narrow per-row expansion, no "
+        "shuffle at all until a downstream consumer groups. Every doc "
+        "yields >= 1 chunk (short docs produce one truncated chunk); the "
+        "chunk count per doc is ceil-div arithmetic, identical in both "
+        "engines as integer ops."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_tok") - _CHUNK_LEN + _CHUNK_STRIDE - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    c = t.select("doc_id", "n_tok", F.explode(starts).alias("start_tok"))
+    end = F.least(F.col("start_tok") + _CHUNK_LEN, F.col("n_tok"))
+    return c.select(
+        "doc_id",
+        F.floor(F.col("start_tok") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - F.col("start_tok")).cast("long").alias("chunk_len"),
+    )
