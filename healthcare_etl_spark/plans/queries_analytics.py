@@ -1010,3 +1010,56 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.cast("long").alias("end_tok"),
         (end - F.col("start_tok")).cast("long").alias("chunk_len"),
     )
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+WITH f AS (
+    SELECT source, doc_id, n_chars,
+           sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents
+)
+SELECT source,
+       CAST((cum - n_chars) // 2048 AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT)         AS n_files,
+       CAST(sum(n_chars) AS BIGINT)     AS total_bytes,
+       min(doc_id)                      AS first_doc,
+       max(doc_id)                      AS last_doc
+FROM f
+GROUP BY source, bin_id
+""",
+    description=(
+        "Small-file compaction planning (the OPTIMIZE/bin-pack maintenance "
+        "job every parquet lake needs): files ordered by id within their "
+        "table partition, sequential-fill assignment to ~2048-byte output "
+        "groups via a running-size window — each file lands in the group its "
+        "start offset falls into, so group totals stay within one file of "
+        "target. ONE shuffle total: the window clusters by source and the "
+        "follow-up group-by (source, bin) reuses that partitioning (source "
+        "alone already co-locates every finer key). Pure integer arithmetic, "
+        "hash-exact oracle."
+    ),
+    tags=("analytics", "extension", "lakehouse"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = docs.select("source", "doc_id", "n_chars").withColumn(
+        "cum", F.sum("n_chars").over(w)
+    )
+    return (
+        planned.withColumn("bin_id", F.expr("(cum - n_chars) div 2048"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

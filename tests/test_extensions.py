@@ -1318,3 +1318,27 @@ def test_hamming_prefilter_recall_beats_random(spark, sf_smoke):
     # Random-chance recall is 20/495 ~ 0.04; sign-bit sketches of
     # cos~0.4 neighbors sit ~8 bits closer than unrelated vectors.
     assert sum(recalls) / len(recalls) > 0.15, recalls
+
+
+def test_compaction_plan_invariants(spark, sf_smoke):
+    """Sequential-fill property: per source, bins cover the doc_id order
+    contiguously and every bin except possibly the last holds at least
+    the target once its first file starts before the boundary."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_compaction_plan"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values(["source", "bin_id"])
+    )
+    assert (pdf["n_files"] >= 1).all()
+    for _, grp in pdf.groupby("source"):
+        # bins tile the per-source doc order: next first_doc follows last_doc
+        assert (grp["first_doc"].values[1:] > grp["last_doc"].values[:-1]).all()
+        # a file is assigned to the bin its START offset falls into, so a
+        # bin's consumed span can overrun the 2048 target by at most the
+        # bin's final file; equivalently each non-final bin ENDS at or past
+        # its boundary: cumulative bytes through bin b >= 2048 * (b + 1)
+        cum = grp["total_bytes"].cumsum().values[:-1]
+        boundary = 2048 * (grp["bin_id"].values[:-1] + 1)
+        assert (cum >= boundary).all()
