@@ -349,3 +349,80 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     ) % 10 == 0
     return cross_pairs_from_band_frames(ba.filter(is_new), ba.filter(~is_new), threshold=0.5)
+
+
+def _source_sig_sql() -> str:
+    """Per-source MinHash signature CTEs (DuckDB) over word hashes —
+    mirrors the Spark aggregate in q_source_minhash_jaccard."""
+    mins = ",\n           ".join(
+        f"min((hsh * {a} + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coefficients())
+    )
+    return f"""
+tok AS (
+    SELECT source, {_MD5H.format(x="w")} AS hsh
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+sig AS (
+    SELECT source,
+           {mins}
+    FROM tok GROUP BY source
+)
+"""
+
+
+@register(
+    "q_source_minhash_jaccard",
+    oracle=f"""
+WITH {_source_sig_sql()}
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(({" + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(32))})
+            AS BIGINT) AS n_match,
+       (round((({" + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(32))})
+            / 32.0) * 1000000.0) / 1000000.0) AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+""",
+    description=(
+        "Corpus-level MinHash: one 32-permutation signature PER SOURCE, "
+        "built by min-merging word hashes directly in a single hash "
+        "aggregate — min is duplicate-insensitive, so unlike the exact "
+        "q_source_overlap there is no distinct pass and no token-level "
+        "self-join; the shuffle carries 33 longs per source. Pairwise "
+        "signature agreement then estimates vocabulary Jaccard (stderr "
+        "~1/sqrt(32)). THE pattern for corpus-vs-corpus similarity at "
+        "100 TB: sketches merge associatively across files/partitions/"
+        "days, the exact join does not. Accuracy vs the exact Jaccard "
+        "asserted in tests."
+    ),
+    tags=("dedup", "text", "extension", "sketch"),
+)
+def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("source", md5_hash31("w").alias("hsh"))
+    sig = tok.groupBy("source").agg(
+        *[
+            F.min((F.col("hsh") * a + b) % P).alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_coefficients())
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    n_match = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0) for i in range(32)
+    ).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            n_match.alias("n_match"),
+            stable_round(n_match / F.lit(32.0), 6).alias("est_jaccard"),
+        )
+    )

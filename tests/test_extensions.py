@@ -1342,3 +1342,25 @@ def test_compaction_plan_invariants(spark, sf_smoke):
         cum = grp["total_bytes"].cumsum().values[:-1]
         boundary = 2048 * (grp["bin_id"].values[:-1] + 1)
         assert (cum >= boundary).all()
+
+
+def test_source_minhash_estimates_exact_jaccard(spark, sf_smoke):
+    """32-perm sketch agreement must track the exact vocabulary Jaccard
+    (stderr ~ sqrt(J(1-J)/32) ~ 0.09 at J~0.5)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    reg = get_registry()
+    exact = (
+        reg["q_source_overlap"].fn(spark, sf_smoke)
+        .toPandas()
+        .set_index(["source_a", "source_b"])["jaccard"]
+    )
+    est = (
+        reg["q_source_minhash_jaccard"].fn(spark, sf_smoke)
+        .toPandas()
+        .set_index(["source_a", "source_b"])["est_jaccard"]
+    )
+    joined = exact.to_frame("exact").join(est.to_frame("est"), how="inner")
+    assert len(joined) == len(exact)
+    mae = (joined["exact"] - joined["est"]).abs().mean()
+    assert mae < 0.12, mae
