@@ -1063,3 +1063,129 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT cnt,
+           lag(cnt, 1) OVER (ORDER BY day) AS l1,
+           lag(cnt, 2) OVER (ORDER BY day) AS l2,
+           lag(cnt, 3) OVER (ORDER BY day) AS l3
+    FROM daily
+),
+stacked AS (
+    SELECT 1 AS lag, cnt AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT 2, cnt, l2 FROM lagged WHERE l2 IS NOT NULL
+    UNION ALL
+    SELECT 3, cnt, l3 FROM lagged WHERE l3 IS NOT NULL
+),
+m AS (
+    SELECT lag, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM stacked GROUP BY lag
+)
+SELECT lag, n,
+       (round(((n * sxy - sx * sy) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000.0) / 1000000.0)
+           AS autocorr
+FROM m
+""",
+    description=(
+        "Lag-1/2/3 autocorrelation of the daily event count — the "
+        "seasonality diagnostic behind anomaly baselines and traffic "
+        "forecasts. The raw table collapses to one integer per day in a "
+        "distributed aggregate FIRST; the lag window then runs over that "
+        "tiny daily series (inherently ordered, dozens of rows — the "
+        "single-partition sort is on the aggregate, never the events). "
+        "Pearson r is computed from exact integer moment sums, so the "
+        "only float ops are the final fixed-order expression: hash-exact "
+        "cross-engine."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 2).over(w).alias("l2"),
+        F.lag("cnt", 3).over(w).alias("l3"),
+    )
+    stacked = lagged.select(
+        F.expr("stack(3, 1, cnt, l1, 2, cnt, l2, 3, cnt, l3) AS (lag, x, y)")
+    ).filter(F.col("y").isNotNull())
+    m = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "lag", "n", stable_round(num / den, 6).alias("autocorr")
+    )
+
+
+@register(
+    "q_winsorized_mean",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           (round(quantile_cont(value, 0.05) * 1000000.0) / 1000000.0) AS p05,
+           (round(quantile_cont(value, 0.95) * 1000000.0) / 1000000.0) AS p95
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       b.p05, b.p95,
+       (round(avg(least(greatest(e.value, b.p05), b.p95)) * 1000000.0) / 1000000.0)
+           AS winsorized_mean,
+       (round(avg(e.value) * 1000000.0) / 1000000.0) AS raw_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.p05, b.p95
+""",
+    description=(
+        "Winsorized (p05/p95-clipped) mean per event type — the robust-"
+        "aggregation step that keeps a handful of corrupt meters from "
+        "skewing a 100 TB metric. Two passes over the fact table: exact "
+        "grouped percentiles (distributed sort-based aggregate), then the "
+        "5-row bounds table broadcast back for the clipped mean — no "
+        "row-level sort, no collect. Bounds are stable-rounded BEFORE "
+        "clipping so boundary rows clip identically on both engines."
+    ),
+    tags=("analytics", "extension", "cleaning"),
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        stable_round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    clipped = events.join(F.broadcast(bounds), "event_type")
+    return clipped.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(
+            F.avg(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))), 6
+        ).alias("winsorized_mean"),
+        stable_round(F.avg("value"), 6).alias("raw_mean"),
+    ).select("event_type", "n", "p05", "p95", "winsorized_mean", "raw_mean")

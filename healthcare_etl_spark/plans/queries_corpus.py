@@ -344,3 +344,57 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )
     return est
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, count(*) AS freq FROM tok GROUP BY w
+        ORDER BY freq DESC, w ASC LIMIT 1000
+    )
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT)                          AS n_tokens,
+       CAST(count(v.w) AS BIGINT)                        AS n_covered,
+       (round((count(v.w) * 1.0 / count(*)) * 1000000.0) / 1000000.0)
+                                                         AS coverage,
+       CAST(count(DISTINCT CASE WHEN v.w IS NULL THEN t.w END) AS BIGINT)
+                                                         AS n_oov_types
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.source
+""",
+    description=(
+        "Tokenizer vocabulary coverage: build the top-1000-token vocabulary "
+        "from global frequencies (deterministic freq-desc/token-asc cut), "
+        "then per source measure occurrence coverage and distinct OOV types "
+        "— the metric that decides vocab size and flags sources a tokenizer "
+        "will shred into bytes. Vocab is a 1000-row broadcast; the corpus "
+        "token stream is scanned once per aggregation level, never "
+        "collected. Integer counts, hash-exact oracle."
+    ),
+    tags=("text", "extension"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(1000)
+        .select(F.col("w").alias("vw"))
+    )
+    joined = tok.join(F.broadcast(vocab), tok.w == F.col("vw"), "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("vw").alias("n_covered"),
+        stable_round(F.count("vw") / F.count(F.lit(1)), 6).alias("coverage"),
+        F.count_distinct(F.when(F.col("vw").isNull(), F.col("w"))).alias("n_oov_types"),
+    )
