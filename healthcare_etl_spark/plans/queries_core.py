@@ -563,3 +563,39 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.max("n_name").alias("last_name"),
     )
+
+
+@register(
+    "q_pyds_scan",
+    oracle="""
+SELECT i                         AS doc_id,
+       'src' || CAST(i % 4 AS VARCHAR) AS source,
+       array_to_string(list_transform(range(0, 8),
+           t -> 'tok' || CAST((i * 1103515245 + 12345 * t) % 997 AS VARCHAR)), ' ')
+                                 AS text,
+       CAST(8 AS BIGINT)         AS n_tokens
+FROM generate_series(0, 499) s(i)
+""",
+    description=(
+        "Custom connector via the Spark 4 Python Data Source API "
+        "(sources.synthetic.SyntheticDocsDataSource): partition-parallel "
+        "batch reader (8 InputPartitions, each executor task generates "
+        "only its own contiguous id range — no driver materialization), "
+        "deterministic arithmetic content. The oracle regenerates the "
+        "identical 500 rows from generate_series, so the *connector "
+        "itself* is value-hash-checked end to end — the extension point "
+        "for feeds Spark has no built-in reader for (internal APIs, "
+        "bespoke formats)."
+    ),
+    tags=("sources", "extension"),
+)
+def q_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001 - generated source
+    from healthcare_etl_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", 500)
+        .option("n_partitions", 8)
+        .load()
+    )

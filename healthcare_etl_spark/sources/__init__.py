@@ -9,15 +9,21 @@ from healthcare_etl_spark.sources.retry import (
     with_retry,
     write_jdbc_with_retry,
 )
+from healthcare_etl_spark.sources.synthetic import (
+    SyntheticDocsDataSource,
+    register_synthetic_source,
+)
 from healthcare_etl_spark.sources.writers import materialize, write_jdbc, write_table
 
 __all__ = [
     "TABLE_NAMES",
+    "SyntheticDocsDataSource",
     "load_table",
     "materialize",
     "read_csv",
     "read_jdbc",
     "read_jdbc_with_retry",
+    "register_synthetic_source",
     "with_retry",
     "write_table",
     "write_jdbc",

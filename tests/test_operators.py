@@ -410,3 +410,31 @@ def test_bigint_epoch_granularity_detection(spark, tmp_path):
         assert got.replace(tzinfo=datetime.timezone.utc) == expected, (
             f"{unit}: {got} != {expected}"
         )
+
+
+def test_synthetic_datasource_partition_parallel(spark):
+    """The custom Python DataSource must produce identical rows for any
+    partition count (contiguous non-overlapping ranges), and actually
+    run with >1 input partition."""
+    from healthcare_etl_spark.sources.synthetic import (
+        register_synthetic_source,
+        synthetic_doc_text,
+    )
+
+    register_synthetic_source(spark)
+
+    def read(nparts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n_rows", 100)
+            .option("n_partitions", nparts)
+            .load()
+        )
+
+    assert read(7).rdd.getNumPartitions() == 7
+    one = read(1).orderBy("doc_id").collect()
+    many = read(7).orderBy("doc_id").collect()
+    assert one == many
+    assert [r.doc_id for r in one] == list(range(100))
+    assert one[13].text == synthetic_doc_text(13)
+    assert one[13].source == "src1"
