@@ -70,6 +70,62 @@ def run_stream_stream_funnel(
     return spark.table(query_name)
 
 
+def run_stream_stream_funnel_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_name: str = "stream_funnel_outer",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every signup emits, purchase columns
+    NULL when no purchase arrived within 1h.
+
+    The semantics only work because BOTH sides are watermarked and the
+    join condition time-bounds the match window: a signup's null row can
+    be emitted exactly when the watermark proves no matching purchase
+    can still arrive (window end < watermark), at which point its state
+    is dropped. Without the bound the state store would grow forever and
+    nulls could never be emitted. On file replay the watermark only
+    advances to max(event time) - delay, so signups whose window has not
+    provably closed remain buffered — the unit test asserts both the
+    no-false-nulls and the closed-window-completeness directions.
+    """
+    ev = streaming_events(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_id"))
+        .withWatermark("ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases, _funnel_condition(signups, purchases), "left_outer"
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.col("user_id"),
+        F.date_format("ts", _TS_FMT).alias("signup_ts"),
+        F.date_format("p_ts", _TS_FMT).alias("purchase_ts"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def batch_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch-equivalent join (same predicate, no state)."""
     ev = load_table(spark, sf_dir, "events")
@@ -172,6 +228,22 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ),
         tags=("streaming", "extension"),
     )(lambda spark, sf_dir: run_stream_stream_funnel(spark, sf_dir, query_name="q_stream_funnel_sink"))
+
+    register(
+        "q_stream_funnel_outer",
+        description=(
+            "Stream-stream LEFT OUTER join: watermarks on both sides + the "
+            "event-time bound let the engine prove a signup can no longer "
+            "match, emit its null row, and drop its state. Rows-only; "
+            "no-false-nulls and closed-window completeness vs the batch join "
+            "are unit-tested."
+        ),
+        tags=("streaming", "extension"),
+    )(
+        lambda spark, sf_dir: run_stream_stream_funnel_outer(
+            spark, sf_dir, query_name="q_stream_funnel_outer_sink"
+        )
+    )
 
     register(
         "q_stream_enrich",

@@ -1364,3 +1364,47 @@ def test_source_minhash_estimates_exact_jaccard(spark, sf_smoke):
     assert len(joined) == len(exact)
     mae = (joined["exact"] - joined["est"]).abs().mean()
     assert mae < 0.12, mae
+
+
+def test_stream_funnel_left_outer_semantics(spark, sf_smoke):
+    """Outer-join correctness on replay: (1) matched rows equal the batch
+    inner join exactly; (2) NO false nulls — a signup with a purchase
+    within 1h never emits a null row; (3) completeness — every signup
+    whose join window provably closed below the final watermark emits."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.joins import (
+        batch_funnel,
+        run_stream_stream_funnel_outer,
+    )
+
+    stream = run_stream_stream_funnel_outer(
+        spark, sf_smoke, query_name="t_funnel_outer"
+    ).toPandas()
+    batch = batch_funnel(spark, sf_smoke).toPandas()
+
+    inner = stream[stream["purchase_id"].notna()].copy()
+    inner["purchase_id"] = inner["purchase_id"].astype(int)
+    assert set(map(tuple, inner[["signup_id", "purchase_id"]].values)) == set(
+        map(tuple, batch[["signup_id", "purchase_id"]].values)
+    )
+
+    matched_signups = set(batch["signup_id"])
+    null_rows = stream[stream["purchase_id"].isna()]
+    # (2) no false nulls
+    assert not (set(null_rows["signup_id"]) & matched_signups)
+
+    # (3) watermark-frontier completeness: eviction follows event time, so
+    # the emitted null set must be PREFIX-CLOSED in signup ts — every
+    # unmatched signup strictly older than the newest emitted null must
+    # itself have emitted (no holes below the frontier).  The frontier's
+    # absolute position depends on how the replay chunked into micro-
+    # batches (the last batch's watermark update has no later batch to
+    # evict in), so it is discovered from the output, not assumed.
+    ev = load_table(spark, sf_smoke, "events").toPandas()
+    signups = ev[ev["event_type"] == "signup"][["event_id", "ts"]]
+    emitted = set(null_rows["signup_id"])
+    assert len(emitted) > 50, "replay should close most join windows"
+    frontier = signups[signups["event_id"].isin(emitted)]["ts"].max()
+    below = signups[signups["ts"] < frontier - pd.Timedelta(seconds=1)]["event_id"]
+    expected_below = set(below) - matched_signups
+    assert expected_below <= emitted
