@@ -133,17 +133,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_clusters",
     # -- similarity / ANN family (q_semantic_dedup is new in round 5 —
     #    it replaces the O(n^2) q_sim_neardup slot with the clustered
-    #    scale path; neardup keeps its in-repo parity test)
+    #    scale path; q_sim_hamming_topk — binary quantization + Hamming
+    #    prefilter, also new — takes the random-hyperplane LSH slot;
+    #    neardup and lsh keep their in-repo parity tests)
     "q_sim_topk",
     "q_semantic_dedup",
-    "q_sim_ann_lsh",
+    "q_sim_hamming_topk",
     "q_sim_ann_ivf",
     "q_kmeans_clusters",
     # -- text / corpus analytics
     "q_text_stats",
     "q_quality_score",
     "q_lang_id",
-    "q_fingerprint",
+    # corpus-level sketch-merge similarity (new round 5) takes the
+    # fingerprint slot; q_fingerprint keeps its in-repo parity test
+    "q_source_minhash_jaccard",
     "q_bm25_search",
     "q_tfidf_topterms",
     "q_corpus_pipeline",
@@ -158,7 +162,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_bloom_decontaminate",
     "q_unigram_logprob",
     "q_pack_chunks",
-    "q_passage_dedup",
+    # the compaction planner (new round 5, lakehouse maintenance op)
+    # takes the passage-dedup slot; q_passage_dedup keeps its in-repo
+    # parity test
+    "q_compaction_plan",
     # -- event-time (streaming-adjacent batch forms; scd2 new round 5)
     "q_event_windows",
     "q_scd2_intervals",
