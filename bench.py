@@ -62,6 +62,13 @@ HEADLINE = [
     "q_pagerank",
     "q_bloom_decontaminate",
     "q_interval_overlap",
+    # round-5 final additions: binary-quantized ANN (prefilter+rerank),
+    # the two-level vocab-coverage aggregate, the per-source sketch
+    # merge, and the compaction planner window
+    "q_sim_hamming_topk",
+    "q_vocab_coverage",
+    "q_source_minhash_jaccard",
+    "q_compaction_plan",
 ]
 
 
