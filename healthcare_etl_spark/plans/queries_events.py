@@ -487,3 +487,153 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         stable_round(F.avg("n").over(w), 6).alias("moving_avg_5m"),
     )
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM s2
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT)                          AS n_users,
+       CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT)
+                                                                        AS n_signup,
+       CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT)
+                                                                        AS n_then_view,
+       CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT)
+                                                                        AS n_then_purchase,
+       (round((count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) * 1.0 /
+               count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)) * 1000000.0)
+        / 1000000.0)                                                    AS view_rate,
+       (round((count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) * 1.0 /
+               count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)) * 1000000.0)
+        / 1000000.0)                                                    AS purchase_rate
+FROM s3
+""",
+    description=(
+        "Three-step strict-order funnel (signup -> later view -> later "
+        "purchase) computed with NO self-joins: one shuffle clusters each "
+        "user's events, then three stacked window-mins resolve the step "
+        "timestamps (each step's min is conditioned on being after the "
+        "previous step's), and a global aggregate counts survivors per "
+        "step. The n-way time-bounded self-join this replaces multiplies "
+        "at every step; this form scans the fact table once regardless of "
+        "funnel depth."
+    ),
+    tags=("events", "extension"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+            )
+        ).over(w),
+    )
+    n1 = F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+    n2 = F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+    n3 = F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+    return s3.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        n1.alias("n_signup"),
+        n2.alias("n_then_view"),
+        n3.alias("n_then_purchase"),
+        stable_round(n2 / n1, 6).alias("view_rate"),
+        stable_round(n3 / n2, 6).alias("purchase_rate"),
+    )
+
+
+@register(
+    "q_grouped_ols",
+    oracle="""
+WITH pts AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 86400000000.0 AS x,
+           value AS y
+    FROM events
+),
+m AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       (round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0) / 1000000.0)
+           AS slope_per_day,
+       (round(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1000000.0)
+        / 1000000.0) AS intercept,
+       (round((((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+               ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000.0) / 1000000.0)
+           AS r2
+FROM m
+""",
+    description=(
+        "Per-group OLS trend (slope/day, intercept, R^2) of event value "
+        "over time — the drift detector behind metric monitoring. One "
+        "distributed moment-sum aggregate per group (map-side partial, "
+        "5-row result); the closed-form normal equations run on the "
+        "aggregate, so no per-row second pass and no driver math. Time is "
+        "re-based to days-since-epoch-2024 BEFORE squaring so sxx stays "
+        "well-conditioned in doubles."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") - F.lit(1704067200000000)).cast("double") / F.lit(86400000000.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    num2 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    den2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        stable_round(slope, 6).alias("slope_per_day"),
+        stable_round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        stable_round(num2 / den2, 6).alias("r2"),
+    )
