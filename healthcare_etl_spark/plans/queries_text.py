@@ -406,3 +406,46 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.select(
         "stage", "n_in", "n_out", (F.col("n_in") - F.col("n_out")).alias("dropped")
     ).orderBy("ord")
+
+
+@register(
+    "q_rank_calibration",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS pct
+    FROM documents
+)
+SELECT doc_id, source, n_chars,
+       (round(pct * 1000000.0) / 1000000.0)              AS pct_rank,
+       CAST(least(floor(pct * 10), 9) AS BIGINT)         AS decile
+FROM ranked
+""",
+    description=(
+        "Per-source rank calibration: percent_rank of document length "
+        "within its source plus the decile bucket — the rank-transform "
+        "that makes a raw quality signal comparable ACROSS sources whose "
+        "scales differ (a must before one global keep-threshold is "
+        "applied to a heterogeneous mixture). One shuffle on source; the "
+        "per-source sort is the same work a range-partitioned write "
+        "would do. Total order (score, doc_id) makes ranks deterministic."
+    ),
+    tags=("text", "extension"),
+)
+def q_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.least(F.floor(F.percent_rank().over(w) * 10), F.lit(9).cast("long")).alias(
+            "decile"
+        ),
+    )
