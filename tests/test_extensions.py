@@ -1408,3 +1408,29 @@ def test_stream_funnel_left_outer_semantics(spark, sf_smoke):
     below = signups[signups["ts"] < frontier - pd.Timedelta(seconds=1)]["event_id"]
     expected_below = set(below) - matched_signups
     assert expected_below <= emitted
+
+
+def test_udtf_chunk_spans_equals_codegen_chunker(spark, sf_smoke):
+    """The Python UDTF escape hatch must reproduce the codegen chunker
+    (q_doc_chunks) row-for-row — same spans, same truncation, same
+    at-least-one-chunk floor — proving the extension point is a correct
+    drop-in where sequence/explode can't express the expansion."""
+    from healthcare_etl_spark.functions.udtf_funcs import register_udtfs
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    register_udtfs(spark)
+    load_table(spark, sf_smoke, "documents").createOrReplaceTempView("docs_udtf")
+    via_udtf = spark.sql(
+        """
+        SELECT t.doc_id, c.chunk_idx, c.start_tok, c.end_tok, c.chunk_len
+        FROM (SELECT doc_id, size(split(text, ' ')) AS n_tok FROM docs_udtf) t,
+             LATERAL chunk_spans(t.n_tok) c
+        """
+    ).toPandas()
+    via_codegen = get_registry()["q_doc_chunks"].fn(spark, sf_smoke).toPandas()
+    cols = ["doc_id", "chunk_idx", "start_tok", "end_tok", "chunk_len"]
+    a = via_udtf[cols].sort_values(cols).reset_index(drop=True)
+    b = via_codegen[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b)
