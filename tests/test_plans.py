@@ -349,3 +349,36 @@ def test_semantic_dedup_intra_cluster_join_not_cross_join(spark, sf_smoke):
     # cluster-keyed equi-join present (SortMergeJoin or ShuffledHashJoin
     # on cluster, or broadcast at fixture scale)
     assert "Join" in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_smoke):
+    """The 1000-row vocabulary must reach the token stream as a broadcast
+    — a shuffle join keyed on raw tokens would reshuffle the whole
+    corpus for a dimension that fits in one executor heap."""
+    df = get_registry()["q_vocab_coverage"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hamming_topk_prefilter_shape(spark, sf_smoke):
+    """Binary-prefilter ANN: query sketches broadcast (corpus never
+    shuffles for the join) and the rerank's top-k is pre-truncated per
+    partition before any exchange."""
+    df = get_registry()["q_sim_hamming_topk"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Partial" in plan and "WindowGroupLimit" in plan
+
+
+def test_funnel_steps_single_shuffle_for_three_windows(spark, sf_smoke):
+    """All three stacked window-mins share the user_id partitioning —
+    exactly one exchange feeds all three Window nodes. The only other
+    hashpartitioning exchange allowed is the multi-count-distinct
+    expand's dedup (Spark's `gid` rewrite); funnel depth must not add
+    shuffles."""
+    df = get_registry()["q_funnel_steps"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 3
