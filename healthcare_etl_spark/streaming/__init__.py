@@ -1,3 +1,4 @@
+from healthcare_etl_spark.streaming.incremental import run_incremental_ingest
 from healthcare_etl_spark.streaming.windows import (
     run_streaming_dedup,
     run_streaming_sessionization,
@@ -6,6 +7,7 @@ from healthcare_etl_spark.streaming.windows import (
 )
 
 __all__ = [
+    "run_incremental_ingest",
     "streaming_events",
     "run_streaming_tumbling",
     "run_streaming_dedup",

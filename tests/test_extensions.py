@@ -1434,3 +1434,46 @@ def test_udtf_chunk_spans_equals_codegen_chunker(spark, sf_smoke):
     b = via_codegen[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_ingest_processes_only_new_files(spark, sf_smoke, tmp_path):
+    """Run 1 drains the initial file; run 2 with no new data ingests 0;
+    run 3 after a new file lands ingests exactly the delta — and the
+    sink's union equals a batch read of everything."""
+    import shutil
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.streaming.incremental import run_incremental_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = "t_incr_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    first = ev.filter("event_id < 500")
+    second = ev.filter("event_id >= 500")
+    first.coalesce(1).write.mode("overwrite").parquet(str(land / "f1"))
+    # file source watches a flat glob; move the part file up
+    for p in (land / "f1").glob("part-*.parquet"):
+        shutil.move(str(p), str(land / "a.parquet"))
+    shutil.rmtree(land / "f1")
+
+    n1 = run_incremental_ingest(spark, str(land), ckpt, sink)
+    assert n1 == first.count()
+    n2 = run_incremental_ingest(spark, str(land), ckpt, sink)
+    assert n2 == 0
+
+    second.coalesce(1).write.mode("overwrite").parquet(str(land / "f2"))
+    for p in (land / "f2").glob("part-*.parquet"):
+        shutil.move(str(p), str(land / "b.parquet"))
+    shutil.rmtree(land / "f2")
+
+    n3 = run_incremental_ingest(spark, str(land), ckpt, sink)
+    assert n3 == second.count()
+
+    got = spark.table(sink).toPandas().sort_values("event_id").reset_index(drop=True)
+    want = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
