@@ -528,3 +528,59 @@ def cross_pairs_from_band_frames(
         joined.select("doc_id", "dup_of", stable_round(jac, 6).alias("jaccard"))
         .filter(stable_round(jac, 6) >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set *containment*.
+
+    ``containment = |A ∩ B| / min(|A|, |B|)`` — 1.0 when the smaller
+    document's shingles are entirely inside the larger's. This is the
+    signal symmetric Jaccard structurally misses: a paragraph quoted
+    verbatim inside a 100x longer article has Jaccard ~0.01 but
+    containment 1.0, and subset-duplication is exactly how boilerplate,
+    syndication, and quote-inclusion show up in web corpora (the
+    Broder 1997 resemblance/containment pair).
+
+    Same inverted-index join as ``jaccard_pairs`` — 8-byte hashed
+    shingle keys, pair generation only for documents sharing a shingle,
+    count folded into the join's groupBy — so the scale shape is
+    identical; only the final formula differs. Returns
+    (doc_a, doc_b, containment, jaccard) with doc_a < doc_b, both
+    metrics so consumers can separate subset-dups (high containment,
+    low Jaccard) from near-identical pairs (both high).
+    """
+    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv_sized = inv.join(sizes, "doc_id")
+    common = (
+        inv_sized.alias("x")
+        .join(
+            inv_sized.alias("y"),
+            (F.col("x.hsh") == F.col("y.hsh")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.select(
+            "doc_a",
+            "doc_b",
+            stable_round(cont, 6).alias("containment"),
+            stable_round(jac, 6).alias("jaccard"),
+        )
+        .filter(stable_round(cont, 6) >= threshold)
+    )

@@ -426,3 +426,45 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(n_match / F.lit(32.0), 6).alias("est_jaccard"),
         )
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+WITH {_shingles_sql()},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hashed AS (SELECT DISTINCT doc_id, {_MD5H.format(x="shingle")} AS hsh FROM inv),
+sized AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+    FROM hashed x JOIN hashed y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           (round((n_common::DOUBLE / least(sa.n_sh, sb.n_sh)) * 1000000.0) / 1000000.0)
+               AS containment,
+           (round((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 1000000.0)
+            / 1000000.0) AS jaccard
+    FROM common
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+)
+SELECT * FROM scored WHERE containment >= 0.8
+""",
+    description=(
+        "Asymmetric shingle containment |A∩B|/min(|A|,|B|) — flags "
+        "subset-duplication (quoted passages, syndicated boilerplate) "
+        "that symmetric Jaccard structurally misses (Broder's "
+        "resemblance vs containment). Same inverted-index shape and "
+        "8-byte hashed shuffle keys as q_dedup_ngram_jaccard; both "
+        "metrics emitted so subset-dups separate from near-identical "
+        "pairs."
+    ),
+    tags=("dedup", "extension"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8)

@@ -1477,3 +1477,24 @@ def test_incremental_ingest_processes_only_new_files(spark, sf_smoke, tmp_path):
     want = ev.toPandas().sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
+
+
+def test_containment_flags_subset_dup_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one must score
+    containment 1.0 while symmetric Jaccard stays far below any usual
+    near-dup threshold."""
+    from healthcare_etl_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")], ["doc_id", "text"]
+    )
+    cont = {(r.doc_a, r.doc_b): (r.containment, r.jaccard)
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) in cont
+    c, j = cont[(1, 2)]
+    assert c == 1.0
+    assert j < 0.1
+    # and the symmetric-Jaccard op at its own threshold misses the pair
+    assert jaccard_pairs(df, threshold=0.5).count() == 0
