@@ -468,3 +468,69 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=0.8)
+
+
+@register(
+    "q_dedup_report",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id,
+           least(src, min(dst)) AS cluster_id,
+           src = least(src, min(dst)) AS is_keeper
+    FROM reach GROUP BY src
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT)                               AS n_docs,
+       CAST(count(c.doc_id) AS BIGINT)                        AS n_clustered,
+       CAST(count(CASE WHEN NOT c.is_keeper THEN 1 END) AS BIGINT)
+                                                              AS n_dropped,
+       CAST(count(CASE WHEN NOT c.is_keeper THEN 1 END) * 1000 // count(*) AS BIGINT)
+                                                              AS drop_permille,
+       CAST(count(DISTINCT c.cluster_id) AS BIGINT)           AS n_clusters
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.source
+""",
+    description=(
+        "Per-source deduplication report — the dashboard a dedup run "
+        "actually publishes: how many documents each source contributed, "
+        "how many landed in a near-dup cluster, how many would be "
+        "dropped (non-keepers), the integer-exact drop rate (permille), "
+        "and how many distinct clusters touch the source (clusters "
+        "spanning sources count once per source they touch — the "
+        "cross-source contamination signal). Composes the full pair->"
+        "cluster pipeline with one extra broadcast-sized join + "
+        "aggregate; the iterative clustering is value-hash-checked end "
+        "to end via the recursive-CTE oracle."
+    ),
+    tags=("dedup", "extension", "iterative"),
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    clusters = dedup_clusters(pairs)
+    joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster_id").alias("n_clustered"),
+        F.count(F.when(~F.col("is_keeper"), F.lit(1))).alias("n_dropped"),
+        F.expr("CAST(count(CASE WHEN NOT is_keeper THEN 1 END) * 1000 div count(*) AS BIGINT)").alias(
+            "drop_permille"
+        ),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
