@@ -637,3 +637,58 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
         stable_round(num2 / den2, 6).alias("r2"),
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+    SELECT user_id, value,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - ts) AS BIGINT) AS dur_us
+    FROM events
+),
+agg AS (
+    SELECT user_id,
+           sum(value * dur_us) AS weighted,
+           sum(dur_us)         AS total_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id, n_events,
+       (round((weighted / total_us) * 1000000.0) / 1000000.0) AS twap
+FROM agg WHERE total_us > 0
+""",
+    description=(
+        "Per-user time-weighted average value (TWAP): each reading is "
+        "weighted by how long it was current (lead() segment durations "
+        "in exact integer microseconds), the step-function average used "
+        "for billing, metering, and position accounting where plain "
+        "avg() over-weights bursts of closely-spaced readings. One "
+        "shuffle on user_id shared by the window and the aggregate; "
+        "durations are exact BIGINTs, so the only float work is the "
+        "final fixed-order division."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("value") * F.col("dur_us")).alias("weighted"),
+        F.sum("dur_us").alias("total_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.filter(F.col("total_us") > 0).select(
+        "user_id",
+        "n_events",
+        stable_round(F.col("weighted") / F.col("total_us"), 6).alias("twap"),
+    )
