@@ -1189,3 +1189,103 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winsorized_mean"),
         stable_round(F.avg("value"), 6).alias("raw_mean"),
     ).select("event_type", "n", "p05", "p95", "winsorized_mean", "raw_mean")
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS period,
+           least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket
+    FROM events
+),
+counts AS (
+    SELECT event_type, period, bucket, count(*) AS n
+    FROM b GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT DISTINCT c.event_type, g.bucket, p.period
+    FROM counts c
+    CROSS JOIN range(10) g(bucket)
+    CROSS JOIN (VALUES ('ref'), ('cur')) p(period)
+),
+filled AS (
+    SELECT g.event_type, g.bucket, g.period, coalesce(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c
+      ON c.event_type = g.event_type AND c.bucket = g.bucket AND c.period = g.period
+),
+tot AS (
+    SELECT event_type, period, sum(n) AS tot_n FROM filled GROUP BY 1, 2
+),
+props AS (
+    SELECT f.event_type, f.bucket,
+           max(CASE WHEN f.period = 'ref'
+               THEN (f.n + 1.0) / (t.tot_n + 10.0) END) AS p,
+           max(CASE WHEN f.period = 'cur'
+               THEN (f.n + 1.0) / (t.tot_n + 10.0) END) AS q
+    FROM filled f JOIN tot t ON t.event_type = f.event_type AND t.period = f.period
+    GROUP BY 1, 2
+)
+SELECT event_type,
+       (round(sum((p - q) * ln(p / q)) * 1000000.0) / 1000000.0) AS psi
+FROM props GROUP BY event_type
+""",
+    description=(
+        "Population Stability Index per event type between the first and "
+        "second half of the month — the drift monitor ML platforms run "
+        "on every feature: bucket the value distribution identically in "
+        "both periods (10 fixed-width buckets, Laplace-smoothed so empty "
+        "buckets stay finite), PSI = sum (p-q)ln(p/q). One distributed "
+        "count aggregate over the facts; the bucket grid (types x 10 x 2) "
+        "is dimension-sized, so densification and the PSI fold are "
+        "broadcast-scale work. PSI > 0.25 conventionally flags "
+        "actionable drift."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")).alias(
+            "bucket"
+        ),
+    )
+    counts = b.groupBy("event_type", "period", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bucket")))
+        .crossJoin(spark.createDataFrame([("ref",), ("cur",)], ["period"]))
+    )
+    filled = grid.join(counts, ["event_type", "bucket", "period"], "left").select(
+        "event_type", "bucket", "period", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = filled.groupBy("event_type", "period").agg(F.sum("n").alias("tot_n"))
+    props = (
+        filled.join(tot, ["event_type", "period"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "ref",
+                    (F.col("n") + F.lit(1.0)) / (F.col("tot_n") + F.lit(10.0)),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("period") == "cur",
+                    (F.col("n") + F.lit(1.0)) / (F.col("tot_n") + F.lit(10.0)),
+                )
+            ).alias("q"),
+        )
+    )
+    return props.groupBy("event_type").agg(
+        stable_round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )
