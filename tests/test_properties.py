@@ -136,3 +136,58 @@ def test_scd2_reconstructs_pointwise_state(spark, rows):
             r for r in by_key[k] if r.valid_to is not None and r.valid_to == ts
         ]
         assert replay in {r.attr for r in touching}, (k, ts, replay)
+
+
+# random "file" sizes for the compaction planner
+_sizes = st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=40)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(_sizes)
+def test_compaction_sequential_fill_invariants(spark, sizes):
+    """For ANY file-size sequence: bins tile the id order contiguously,
+    totals sum to the input, and cumulative bytes through each non-final
+    bin reach that bin's boundary (a file belongs to the bin its start
+    offset falls in)."""
+    target = 2048
+    rows = [(i, "s", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn("bin_id", F.expr(f"(cum - n_chars) div {target}"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+        .collect()
+    )
+    assert sum(r.total_bytes for r in out) == sum(sizes)
+    for prev, nxt in zip(out, out[1:]):
+        assert nxt.first_doc == prev.last_doc + 1
+    cum = 0
+    for r in out[:-1]:
+        cum += r.total_bytes
+        assert cum >= target * (r.bin_id + 1)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=5, max_size=40), min_size=2, max_size=8))
+def test_containment_dominates_jaccard(spark, texts):
+    """containment >= jaccard holds for every pair, by construction
+    (min(|A|,|B|) <= |A∪B|) — checked over arbitrary tiny corpora."""
+    rows = [(i, t if t.strip() else "a") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from healthcare_etl_spark.operators.dedup import containment_pairs
+
+    for r in containment_pairs(df, threshold=0.0).collect():
+        assert r.containment >= r.jaccard - 1e-9
