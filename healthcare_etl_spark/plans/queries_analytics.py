@@ -1289,3 +1289,114 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
         ).alias("psi")
     )
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+WITH g AS (
+    SELECT event_type, value,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+    FROM events GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type,
+           sum(n_ref) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+           sum(n_cur) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+           sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+           sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+    FROM g
+)
+SELECT event_type,
+       CAST(max(tot_ref) AS BIGINT) AS n_ref,
+       CAST(max(tot_cur) AS BIGINT) AS n_cur,
+       (round(max(abs(cum_ref * 1.0 / tot_ref - cum_cur * 1.0 / tot_cur))
+              * 1000000.0) / 1000000.0) AS ks_stat
+FROM c GROUP BY event_type
+""",
+    description=(
+        "Exact two-sample Kolmogorov-Smirnov drift statistic per event "
+        "type between the first and second half of the month — the "
+        "nonparametric complement to q_psi_drift (no binning choice, "
+        "sensitive to any distributional change). The KS statistic is the "
+        "max gap between the two empirical CDFs, which only changes at "
+        "sample points, so pre-aggregating to per-distinct-value step "
+        "counts makes it exact: one hash aggregate on (type, value), then "
+        "running sums over the ordered distinct values in the same "
+        "event_type window partition (cum and total share one shuffle). "
+        "The per-row CDF gap is a pure double expression; max() is "
+        "order-independent, so both engines agree bit-for-bit after "
+        "stable rounding."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    g = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).alias("n_cur"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("n_ref").over(w_run).alias("cum_ref"),
+        F.sum("n_cur").over(w_run).alias("cum_cur"),
+        F.sum("n_ref").over(w_all).alias("tot_ref"),
+        F.sum("n_cur").over(w_all).alias("tot_cur"),
+    )
+    gap = F.abs(
+        F.col("cum_ref") * F.lit(1.0) / F.col("tot_ref")
+        - F.col("cum_cur") * F.lit(1.0) / F.col("tot_cur")
+    )
+    return c.groupBy("event_type").agg(
+        F.max("tot_ref").alias("n_ref"),
+        F.max("tot_cur").alias("n_cur"),
+        stable_round(F.max(gap), 6).alias("ks_stat"),
+    )
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle="""
+WITH r AS (
+    SELECT event_type, value,
+           ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+    FROM events
+)
+SELECT event_type,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       (round(min(value) * 1000000.0) / 1000000.0) AS lo,
+       (round(max(value) * 1000000.0) / 1000000.0) AS hi
+FROM r GROUP BY 1, 2
+""",
+    description=(
+        "Equi-depth (equal-frequency) histogram of the value distribution "
+        "per event type — the optimizer-statistics / quantile-sketch "
+        "complement to q_value_histogram's fixed-width buckets: 8 ntile "
+        "buckets each holding ~1/8 of the rows, reported with exact "
+        "bounds and counts. ntile's deterministic fill rule (earlier "
+        "buckets take the remainder) plus a unique (value, event_id) sort "
+        "key makes the bucketing identical across engines. The window and "
+        "the rollup share one shuffle on event_type."
+    ),
+    tags=("analytics", "extension"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select("event_type", "value", F.ntile(8).over(w).alias("bucket"))
+    return r.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.min("value"), 6).alias("lo"),
+        stable_round(F.max("value"), 6).alias("hi"),
+    )

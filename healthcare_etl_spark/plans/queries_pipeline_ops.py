@@ -593,6 +593,94 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boilerplate removal by corpus document frequency (C4-style): a passage
+# appearing in >= _BOILER_MIN_DOCS *distinct* documents is boilerplate
+# (navigation chrome, license footers, syndicated headers) and is cut
+# from EVERY document — unlike q_passage_dedup's first-keeper semantics,
+# which preserves one copy. The per-doc report carries the exact token
+# count that survives the cut, i.e. the document's effective training
+# length after cleaning.
+_BOILER_MIN_DOCS = 2
+
+
+@register(
+    "q_boilerplate_filter",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+    SELECT doc_id, i AS pidx,
+           array_to_string(t[i * {_PASSAGE_TOKENS} + 1 : i * {_PASSAGE_TOKENS} + {_PASSAGE_TOKENS}], ' ') AS passage,
+           len(t[i * {_PASSAGE_TOKENS} + 1 : i * {_PASSAGE_TOKENS} + {_PASSAGE_TOKENS}]) AS n_tok
+    FROM tok, unnest(range((len(t) + {_PASSAGE_TOKENS} - 1) // {_PASSAGE_TOKENS})) AS u(i)
+),
+h AS (
+    SELECT doc_id, pidx, n_tok,
+           (('0x' || substring(md5(passage), 1, 8))::BIGINT % 2147483647) AS hsh
+    FROM p
+),
+df AS (
+    SELECT hsh, count(DISTINCT doc_id) AS doc_freq FROM h GROUP BY hsh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN doc_freq >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       (round((sum(CASE WHEN doc_freq >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+               * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS boiler_frac,
+       CAST(sum(CASE WHEN doc_freq >= {_BOILER_MIN_DOCS} THEN 0 ELSE n_tok END) AS BIGINT)
+           AS n_tok_kept
+FROM h JOIN df USING (hsh)
+GROUP BY doc_id
+""",
+    description=(
+        "Corpus-boilerplate passage filter (C4-style cleaning): a 16-token "
+        "passage occurring in >= 2 DISTINCT documents is boilerplate and is "
+        "removed from every document (vs q_passage_dedup, which keeps the "
+        "first occurrence). Per document: passage count, boilerplate count "
+        "and fraction, and the exact surviving token count (the effective "
+        "training length). Document frequency is a two-level hash aggregate "
+        "over 8-byte passage hashes — partial-aggregated, skew-free, and the "
+        "per-doc rollup reuses the explode's doc_id clustering."
+    ),
+    tags=("text", "dedup", "extension", "parity"),
+)
+def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(_PASSAGE_TOKENS)).cast("int") - 1,
+            )
+        ).alias("pidx"),
+    )
+    sl = F.slice("t", F.col("pidx") * _PASSAGE_TOKENS + 1, _PASSAGE_TOKENS)
+    h = base.select(
+        "doc_id",
+        "pidx",
+        F.size(sl).alias("n_tok"),
+        md5_hash31(F.array_join(sl, " ")).alias("hsh"),
+    )
+    df = h.groupBy("hsh").agg(F.count_distinct("doc_id").alias("doc_freq"))
+    joined = h.join(df, "hsh")
+    is_boiler = (F.col("doc_freq") >= _BOILER_MIN_DOCS).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(is_boiler).alias("n_boiler"),
+        stable_round(F.sum(is_boiler) / F.count(F.lit(1)), 6).alias("boiler_frac"),
+        F.sum(F.when(is_boiler == 1, F.lit(0)).otherwise(F.col("n_tok"))).alias(
+            "n_tok_kept"
+        ),
+    )
+
+
 @register(
     "q_mixture_balance",
     oracle="""

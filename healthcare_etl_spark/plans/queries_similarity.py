@@ -584,3 +584,93 @@ def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
     )
+
+
+# Embedding dimension of the fixture corpus (embeddings.embedding is a
+# 64-element array<float>). The covariance query inlines it so both
+# engines enumerate the same upper-triangle index grid.
+_EMB_DIM = 64
+
+
+@register(
+    "q_embedding_covariance",
+    oracle=f"""
+WITH e AS (SELECT embedding FROM embeddings),
+p AS (
+    SELECT ii.i AS i, jj.j AS j,
+           embedding[ii.i + 1]::DOUBLE * embedding[jj.j + 1]::DOUBLE AS prod
+    FROM e, unnest(range({_EMB_DIM})) AS ii(i), unnest(range({_EMB_DIM})) AS jj(j)
+    WHERE jj.j >= ii.i
+),
+pa AS (
+    SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs, sum(prod) AS sp
+    FROM p GROUP BY 1, 2
+),
+m AS (
+    SELECT ii.i AS i, sum(embedding[ii.i + 1]::DOUBLE) AS s
+    FROM e, unnest(range({_EMB_DIM})) AS ii(i) GROUP BY 1
+)
+SELECT pa.i, pa.j, pa.n_vecs,
+       ((round((sp / n_vecs) * 1000000.0) / 1000000.0) + 0.0) AS second_moment,
+       ((round(((sp - mi.s * mj.s / n_vecs) / n_vecs) * 1000000.0) / 1000000.0) + 0.0) AS cov
+FROM pa JOIN m mi ON mi.i = pa.i JOIN m mj ON mj.i = pa.j
+""",
+    description=(
+        "Upper-triangle covariance (and raw second-moment/Gram) matrix of "
+        "the 64-d embedding corpus — the input to PCA whitening, OPQ "
+        "rotation training, and anisotropy diagnostics on embedding "
+        "spaces. Scale shape: the d*(d+1)/2 index pairs are generated "
+        "per row INSIDE the scan stage (posexplode + sequence, all "
+        "codegen) and immediately partial-aggregated, so the only shuffle "
+        "carries ~2080 (i,j) partial sums per map partition — the classic "
+        "one-pass moment-aggregation pattern; no self-join of the corpus "
+        "on vec_id, no driver-side math. Per-dimension mean sums join "
+        "back broadcast-sized (64 rows)."
+    ),
+    tags=("similarity", "extension", "vectors"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    pi = emb.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    pij = pi.select(
+        F.col("i").cast("long").alias("i"),
+        F.explode(F.sequence(F.col("i").cast("long"), F.lit(_EMB_DIM - 1).cast("long"))).alias("j"),
+        F.col("xi").cast("double").alias("xi"),
+        "embedding",
+    ).select(
+        "i",
+        "j",
+        (F.col("xi") * F.element_at("embedding", (F.col("j") + 1).cast("int")).cast("double")).alias("prod"),
+    )
+    pa = pij.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("prod").alias("sp")
+    )
+    m = pi.groupBy(F.col("i").cast("long").alias("i")).agg(
+        F.sum(F.col("xi").cast("double")).alias("s")
+    )
+    mi = m.select(F.col("i").alias("mi_i"), F.col("s").alias("s_i"))
+    mj = m.select(F.col("i").alias("mj_j"), F.col("s").alias("s_j"))
+    joined = (
+        pa.join(F.broadcast(mi), pa["i"] == mi["mi_i"])
+        .join(F.broadcast(mj), pa["j"] == mj["mj_j"])
+    )
+    return joined.select(
+        "i",
+        "j",
+        "n_vecs",
+        # "+ 0.0" normalizes IEEE negative zero: DuckDB's std::round keeps
+        # the sign (-0.0) while Spark's BigDecimal HALF_UP yields +0.0.
+        (stable_round(F.col("sp") / F.col("n_vecs"), 6) + F.lit(0.0)).alias(
+            "second_moment"
+        ),
+        (
+            stable_round(
+                (F.col("sp") - F.col("s_i") * F.col("s_j") / F.col("n_vecs"))
+                / F.col("n_vecs"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov"),
+    )
