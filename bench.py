@@ -69,6 +69,11 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_source_minhash_jaccard",
     "q_compaction_plan",
+    # round-5 closing additions: the one-pass covariance/Gram moment
+    # aggregate (heaviest vector op — 2080 index pairs per row generated
+    # in-scan) and the corpus-DF boilerplate filter
+    "q_embedding_covariance",
+    "q_boilerplate_filter",
 ]
 
 
