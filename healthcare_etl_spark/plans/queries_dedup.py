@@ -534,3 +534,66 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("cluster_id").alias("n_clusters"),
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+WITH {_jaccard_pairs_ctes()},
+edges AS (
+    SELECT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+    FROM jpairs WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+wedges AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+),
+tri AS (
+    SELECT a, b, c FROM wedges JOIN edges e3 ON wedges.a = e3.u AND wedges.c = e3.v
+),
+per_node AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    GROUP BY node
+)
+SELECT node AS doc_id, n_triangles FROM per_node
+""",
+    description=(
+        "Per-node triangle counting over the near-dup graph — the graph "
+        "clustering-coefficient primitive (dense near-dup cliques have "
+        "high triangle counts; bridge-like false-positive edges have "
+        "none, so the count separates true duplicate clusters from "
+        "chance shingle collisions). Uses the canonical distributed "
+        "ordered-edge formulation (a<b<c): each triangle is generated "
+        "exactly once by joining the edge list to itself on the middle "
+        "vertex and closing with a third membership join — two hash "
+        "joins on 8-byte keys, never an all-pairs expansion; degree "
+        "ordering bounds wedge fan-out at scale."
+    ),
+    tags=("dedup", "extension", "graph"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    wedges = e1.join(e2, F.col("e1.v") == F.col("b2")).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), "c"
+    )
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -692,3 +692,117 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         stable_round(F.col("weighted") / F.col("total_us"), 6).alias("twap"),
     )
+
+
+@register(
+    "q_event_debounce",
+    oracle="""
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_debounced
+FROM g GROUP BY event_type
+""",
+    description=(
+        "Event debouncing (client-retry / double-fire suppression): an "
+        "event is dropped when the SAME (user, type) fired within the "
+        "previous 5 minutes — the keep-first throttle every telemetry "
+        "ingest runs before counting anything. Join-free: one lag() over "
+        "the (user, type) partition with exact integer-microsecond gaps, "
+        "then a per-type kept/dropped rollup. One shuffle for the window; "
+        "the rollup partial-aggregates on top."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    kept = (F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000)).cast("long")
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.lit(1) - kept).alias("n_debounced"),
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS last_click_id,
+           last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS last_click_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       last_click_id,
+       CAST(epoch_us(ts) - last_click_us AS BIGINT) AS delay_us,
+       (round(value * 1000000.0) / 1000000.0) AS amount
+FROM seq
+WHERE event_type = 'purchase' AND last_click_id IS NOT NULL
+""",
+    description=(
+        "Last-touch marketing attribution, join-free: every purchase is "
+        "attributed to the user's most recent PRECEDING click (strictly "
+        "earlier — the frame ends at 1 PRECEDING) with the exact "
+        "click-to-purchase delay in integer microseconds. The classic "
+        "formulation is an as-of self-join of purchases against clicks; "
+        "expressing it as last_value(...IGNORE NULLS) over the per-user "
+        "timeline does it in ONE pass of the fact table with a single "
+        "shuffle on user_id, no join — the carry scans each partition "
+        "once regardless of how many event types ride along."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+        F.last(F.when(is_click, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_us"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "purchase") & F.col("last_click_id").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "last_click_id",
+        (F.unix_micros("ts") - F.col("last_click_us")).alias("delay_us"),
+        stable_round(F.col("value"), 6).alias("amount"),
+    )

@@ -771,3 +771,95 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % 8).cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "q_label_encode",
+    oracle="""
+WITH freq AS (
+    SELECT source, lang, count(*) AS cnt
+    FROM documents GROUP BY GROUPING SETS ((source), (lang))
+),
+enc AS (
+    SELECT coalesce(source, lang) AS category,
+           CASE WHEN source IS NOT NULL THEN 'source' ELSE 'lang' END AS feature,
+           cnt,
+           dense_rank() OVER (
+               PARTITION BY (source IS NOT NULL)
+               ORDER BY cnt DESC, coalesce(source, lang)
+           ) - 1 AS idx
+    FROM freq
+)
+SELECT feature, category, CAST(cnt AS BIGINT) AS cnt, CAST(idx AS BIGINT) AS idx
+FROM enc
+""",
+    description=(
+        "Frequency-ordered label encoding of the categorical features "
+        "(source, lang) — the vocabulary table a feature pipeline "
+        "publishes so categories map to dense indices with the most "
+        "frequent category at 0 (stable tiebreak on the value). Both "
+        "vocabularies come from ONE scan via GROUPING SETS; the "
+        "dense_rank windows run over dimension-sized aggregates, so the "
+        "heavy work is a single partial-aggregated count. At 100 TB the "
+        "output is still vocabulary-sized — it broadcasts back for the "
+        "actual encode join."
+    ),
+    tags=("pipeline", "extension", "ml-prep"),
+)
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = docs.groupingSets([["source"], ["lang"]], "source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(F.col("source").isNotNull()).orderBy(
+        F.col("cnt").desc(), F.coalesce("source", "lang")
+    )
+    return freq.select(
+        F.when(F.col("source").isNotNull(), "source").otherwise("lang").alias("feature"),
+        F.coalesce("source", "lang").alias("category"),
+        "cnt",
+        (F.dense_rank().over(w) - 1).cast("long").alias("idx"),
+    )
+
+
+@register(
+    "q_target_encode_loo",
+    oracle="""
+WITH agg AS (
+    SELECT event_type, sum(value) AS s, count(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT e.event_id,
+       e.event_type,
+       (round(((s - e.value) / (n - 1)) * 1000000.0) / 1000000.0) AS loo_mean
+FROM events e JOIN agg USING (event_type)
+WHERE n > 1
+""",
+    description=(
+        "Leave-one-out target encoding of event_type against value — the "
+        "leakage-safe categorical encoding for gradient-boosted / linear "
+        "models: each row's encoding is the category mean EXCLUDING the "
+        "row itself, (sum - x) / (n - 1), so the feature never contains "
+        "the row's own target. One partial-aggregated pass builds the "
+        "per-category (sum, count) — category-cardinality-sized, so it "
+        "broadcasts back onto the fact scan; no window, no second "
+        "shuffle, no per-row state."
+    ),
+    tags=("pipeline", "extension", "ml-prep"),
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        ev.join(F.broadcast(agg), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            stable_round(
+                (F.col("s") - F.col("value")) / (F.col("n") - 1), 6
+            ).alias("loo_mean"),
+        )
+    )
