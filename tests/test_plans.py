@@ -382,3 +382,47 @@ def test_funnel_steps_single_shuffle_for_three_windows(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Window") == 3
+
+
+def test_target_encode_broadcasts_category_agg(spark, sf_smoke):
+    """The per-category (sum, n) table is category-cardinality-sized and
+    must broadcast onto the fact scan — a shuffle join here would shuffle
+    the whole fact table for a 5-row dimension."""
+    plan = plan_of(spark, sf_smoke, "q_target_encode_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_attribution_join_free_single_shuffle(spark, sf_smoke):
+    """Last-touch attribution must stay the ONE-pass window form: a
+    single user_id exchange feeding one Window, and no join at all (the
+    naive formulation is an as-of self-join of purchases x clicks)."""
+    df = get_registry()["q_attribution_last_touch"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_covariance_partial_agg_before_exchange(spark, sf_smoke):
+    """The pair-product moment aggregate must partial-aggregate inside
+    the scan stage (map-side combine over the ~2080 (i,j) keys) so the
+    shuffle carries per-partition sums, never the exploded products; the
+    64-row means tables must broadcast."""
+    plan = plan_of(spark, sf_smoke, "q_embedding_covariance")
+    assert "Generate" in plan  # in-scan pair generation (posexplode)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # HashAggregate -> Exchange -> HashAggregate for the moment sums
+    import re
+
+    assert re.search(r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", plan)
+
+
+def test_ks_drift_windows_share_one_shuffle(spark, sf_smoke):
+    """Running-CDF and total sums both partition on event_type — one
+    exchange must feed every Window node (plus the final rollup reusing
+    the same partitioning adds no exchange)."""
+    df = get_registry()["q_ks_drift"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
