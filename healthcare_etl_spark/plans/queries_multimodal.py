@@ -218,3 +218,34 @@ def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return parse_wav_meta(encode_wav_media(docs))
+
+
+@register(
+    "q_multimodal_mp4_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       'mp4' AS format,
+       'isom' AS brand,
+       CAST(([600, 1000, 12288, 24000, 90000])[octet_length(encode(text)) % 5 + 1] AS INT)
+           AS timescale,
+       CAST(octet_length(encode(text)) * 100 AS BIGINT) AS duration,
+       CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes
+FROM documents
+""",
+    description=(
+        "REAL video container round-trip, completing the image/audio/"
+        "video triad (q_multimodal_png_dims / q_multimodal_wav_meta): "
+        "encode_mp4_media writes a byte-valid ISO BMFF shell (big-endian "
+        "box headers, ftyp brand, version-0 mvhd, mdat payload) and "
+        "parse_mp4_meta recovers brand / timescale / duration / sample "
+        "bytes by actually walking the box tree, descending into moov. "
+        "The oracle predicts every parsed field arithmetically from the "
+        "text length, so a parse bug cannot hash-match."
+    ),
+    tags=("multimodal", "extension"),
+)
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import encode_mp4_media, parse_mp4_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_mp4_meta(encode_mp4_media(docs))

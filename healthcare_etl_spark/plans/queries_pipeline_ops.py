@@ -863,3 +863,83 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_mean"),
         )
     )
+
+
+@register(
+    "q_dsir_weights",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+vocab AS (
+    SELECT w,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+           CAST(count(*) AS BIGINT) AS c_r
+    FROM tok GROUP BY w
+),
+totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS v,
+           CAST(sum(c_t) AS BIGINT) AS n_t,
+           CAST(sum(c_r) AS BIGINT) AS n_r
+    FROM vocab
+),
+scored AS (
+    SELECT t.doc_id,
+           ln(((vb.c_t + 1.0) / (tt.n_t + tt.v))
+              / ((vb.c_r + 1.0) / (tt.n_r + tt.v))) AS lw
+    FROM tok t JOIN vocab vb ON vb.w = t.w CROSS JOIN totals tt
+)
+SELECT d.doc_id, d.lang,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       (round(s.slw * 1000000.0) / 1000000.0) AS dsir_logw
+FROM documents d
+JOIN (SELECT doc_id, sum(lw) AS slw FROM scored GROUP BY doc_id) s
+  ON s.doc_id = d.doc_id
+""",
+    description=(
+        "DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 "
+        "— Data Selection via Importance Resampling): each document is "
+        "scored log[p_target(x)/p_raw(x)] under Laplace-smoothed unigram "
+        "bag-of-words models, with the 'en' subset as the target "
+        "distribution and the whole corpus as raw — the standard recipe "
+        "for selecting web data that 'looks like' a curated target set. "
+        "Scale shape: target and raw counts come from ONE conditional "
+        "aggregate over the exploded tokens (no second corpus pass); the "
+        "smoothing denominators are a 1-row broadcast cross join; tokens "
+        "join the vocabulary on the token key and per-doc log-weights "
+        "reduce with a final partial-aggregated sum."
+    ),
+    tags=("pipeline", "extension", "ml-prep", "text"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+    )
+    lw = F.log(
+        ((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.col("v")))
+        / ((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.col("v")))
+    )
+    scored = (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lw.alias("lw"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("lw").alias("slw"))
+    return (
+        docs.select("doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+        .join(per_doc, "doc_id")
+        .select("doc_id", "lang", "n_tok", stable_round(F.col("slw"), 6).alias("dsir_logw"))
+    )

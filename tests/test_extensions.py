@@ -1498,3 +1498,58 @@ def test_containment_flags_subset_dup_jaccard_misses(spark):
     assert j < 0.1
     # and the symmetric-Jaccard op at its own threshold misses the pair
     assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_mp4_roundtrip_and_malformed_payloads(spark):
+    """The box-tree walk recovers exactly the encoded parameters
+    (including descending into moov for mvhd); truncated, junk, and
+    missing payloads classify without raising. A version-1 mvhd (64-bit
+    duration) parses too."""
+    import struct
+
+    from healthcare_etl_spark.operators.multimodal import (
+        encode_mp4_media,
+        parse_mp4_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 37), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.media_id: r for r in parse_mp4_meta(encode_mp4_media(docs)).collect()}
+    for i, text in ((1, "hello world"), (2, "x" * 37), (3, "")):
+        n = len(text.encode())
+        r = out[i]
+        assert r.format == "mp4"
+        assert r.brand == "isom"
+        assert r.timescale == (600, 1000, 12288, 24000, 90000)[n % 5]
+        assert r.duration == n * 100
+        assert r.mdat_bytes == n
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">BBBB", 1, 0, 0, 0)
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 123456789),
+    )
+    v1 = box(b"ftyp", b"mp42" + b"\x00" * 8) + box(b"moov", mvhd_v1)
+    bad = spark.createDataFrame(
+        [
+            (10, b"\x00\x00\x00\x04ftyp"),  # size < 8: walk stops cleanly
+            (11, b"definitely not an mp4 file"),
+            (12, None),
+            (13, v1),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in parse_mp4_meta(bad).collect()}
+    assert got[10].format == "unknown"
+    assert got[11].format == "unknown"
+    assert got[12].format == "missing"
+    assert got[13].format == "mp4"
+    assert got[13].brand == "mp42"
+    assert got[13].timescale == 90000
+    assert got[13].duration == 123456789
