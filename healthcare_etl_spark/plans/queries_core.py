@@ -599,3 +599,104 @@ def q_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001 
         .option("n_partitions", 8)
         .load()
     )
+
+
+@register(
+    "q_integrity_audit",
+    oracle="""
+SELECT 'fk_lineitem_orders' AS check_name, 'lineitem' AS table_name,
+       CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)
+           AS n_violations,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'fk_orders_customer', 'orders',
+       CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'pk_orders_unique', 'orders',
+       CAST((SELECT coalesce(sum(cnt - 1), 0) FROM
+             (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'unique_lineitem_orderkey_lineno', 'lineitem',
+       CAST((SELECT coalesce(sum(cnt - 1), 0) FROM
+             (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber
+              HAVING count(*) > 1)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'not_null_events_value', 'events',
+       CAST((SELECT count(*) FROM events WHERE value IS NULL) AS BIGINT),
+       CAST((SELECT count(*) FROM events) AS BIGINT)
+UNION ALL
+SELECT 'range_events_value_0_100', 'events',
+       CAST((SELECT count(*) FROM events WHERE value < 0 OR value > 100) AS BIGINT),
+       CAST((SELECT count(*) FROM events) AS BIGINT)
+""",
+    description=(
+        "dbt-style data-integrity audit in one result set: referential "
+        "integrity (orphaned lineitem->orders and orders->customer "
+        "foreign keys, via LEFT JOIN null-probe — at scale these are "
+        "shuffle joins on the key, never broadcast of the fact), "
+        "primary-key uniqueness (surplus-row counts; the fixture's "
+        "(l_orderkey, l_linenumber) pair is deliberately NOT unique, so "
+        "this row is nonzero and the oracle discriminates), NOT NULL "
+        "and range checks (single-scan conditional counts). Each check "
+        "partial-aggregates independently; the union is check-count-"
+        "sized. The composable per-check form lives in "
+        "operators.quality.check_expectations."
+    ),
+    tags=("quality", "extension", "parity"),
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def row(name: str, table: str, viol, rows):
+        return viol.crossJoin(rows).select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+
+    fk_li = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left")
+        .filter(o["o_orderkey"].isNull())
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    fk_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .filter(c["c_custkey"].isNull())
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pk_o = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("v"))
+    )
+    uq_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("v"))
+    )
+    nn_ev = ev.filter(F.col("value").isNull()).agg(F.count(F.lit(1)).alias("v"))
+    rg_ev = ev.filter((F.col("value") < 0) | (F.col("value") > 100)).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    n_li = li.agg(F.count(F.lit(1)).alias("n"))
+    n_o = o.agg(F.count(F.lit(1)).alias("n"))
+    n_ev = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        row("fk_lineitem_orders", "lineitem", fk_li, n_li)
+        .unionAll(row("fk_orders_customer", "orders", fk_o, n_o))
+        .unionAll(row("pk_orders_unique", "orders", pk_o, n_o))
+        .unionAll(row("unique_lineitem_orderkey_lineno", "lineitem", uq_li, n_li))
+        .unionAll(row("not_null_events_value", "events", nn_ev, n_ev))
+        .unionAll(row("range_events_value_0_100", "events", rg_ev, n_ev))
+    )
