@@ -460,3 +460,39 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_names
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    description=(
+        "Ordered string aggregation (LISTAGG/STRING_AGG parity): "
+        "suppliers concatenated per nation in sorted order. Unordered "
+        "collect is nondeterministic under parallelism, so the Spark "
+        "side sorts the collected array before joining — "
+        "array_join(array_sort(collect_list())) — which makes the "
+        "result identical on any partitioning/engine. Nation (25 rows) "
+        "broadcasts onto the supplier scan; the collect shuffles once "
+        "on the group key."
+    ),
+    tags=("agg", "extension", "parity"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_names"
+            ),
+        )
+    )

@@ -1,3 +1,4 @@
+from healthcare_etl_spark.streaming.drift import run_streaming_psi_drift
 from healthcare_etl_spark.streaming.incremental import run_incremental_ingest
 from healthcare_etl_spark.streaming.windows import (
     run_streaming_dedup,
@@ -12,4 +13,5 @@ __all__ = [
     "run_streaming_tumbling",
     "run_streaming_dedup",
     "run_streaming_sessionization",
+    "run_streaming_psi_drift",
 ]

@@ -255,3 +255,22 @@ def register_streaming_queries() -> None:
         ),
         tags=("streaming", "dedup", "extension"),
     )(lambda spark, sf_dir: run_streaming_dedup(spark, sf_dir, query_name="q_stream_dedup_sink"))
+
+    def _stream_psi(spark, sf_dir):
+        from healthcare_etl_spark.streaming.drift import run_streaming_psi_drift
+
+        return run_streaming_psi_drift(spark, sf_dir, query_name="q_stream_psi_sink")
+
+    register(
+        "q_stream_psi_drift",
+        description=(
+            "Streaming distribution-drift monitor: the ref/cur value "
+            "histograms maintained incrementally as streaming state (the "
+            "state IS the dimension-sized histogram grid — mergeable "
+            "count sketches, so complete mode is bounded), PSI folded "
+            "from the materialized grid. Equals the oracle-checked batch "
+            "q_psi_drift on replay; equivalence and multi-batch merge "
+            "unit-tested."
+        ),
+        tags=("streaming", "extension", "timeseries"),
+    )(_stream_psi)

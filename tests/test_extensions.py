@@ -1553,3 +1553,75 @@ def test_mp4_roundtrip_and_malformed_payloads(spark):
     assert got[13].brand == "mp42"
     assert got[13].timescale == 90000
     assert got[13].duration == 123456789
+
+
+def test_streaming_psi_equals_batch(spark, sf_smoke):
+    """Full replay of the fixture through the streaming histogram must
+    fold to EXACTLY the batch q_psi_drift output (same arithmetic on
+    both paths)."""
+    from healthcare_etl_spark.plans.registry import get_queries
+    from healthcare_etl_spark.streaming import run_streaming_psi_drift
+
+    batch = {
+        (r.event_type, r.psi)
+        for r in get_queries()["q_psi_drift"](spark, sf_smoke).collect()
+    }
+    stream = {
+        (r.event_type, r.psi)
+        for r in run_streaming_psi_drift(
+            spark, sf_smoke, query_name="t_psi_eq_batch"
+        ).collect()
+    }
+    assert stream == batch and len(batch) > 0
+
+
+def test_streaming_psi_multibatch_merges_histograms(spark, sf_smoke, tmp_path):
+    """One file per micro-batch: the complete-mode histogram state must
+    MERGE counts across batches (not overwrite), so the final PSI equals
+    the batch computation over the union of both files. Rows are placed
+    on both sides of the ref/cur cutoff across separate batches."""
+    import datetime
+
+    from healthcare_etl_spark.streaming import run_streaming_psi_drift
+    from healthcare_etl_spark.streaming.drift import _histogram_counts, psi_from_counts
+
+    ref_day = datetime.datetime(2024, 1, 10, 10, 0, 0)
+    cur_day = datetime.datetime(2024, 1, 20, 10, 0, 0)
+    _write_events_parquet(
+        tmp_path / "events_b1.parquet",
+        [(1, ref_day, 1, "A", 10.0), (2, ref_day, 2, "A", 60.0), (3, cur_day, 3, "A", 490.0)],
+        mtime=1_000_000,
+    )
+    _write_events_parquet(
+        tmp_path / "events_b2.parquet",
+        [(4, cur_day, 4, "A", 10.0), (5, ref_day, 5, "A", 10.0), (6, cur_day, 6, "A", 220.0)],
+        mtime=1_000_100,
+    )
+    out = {
+        (r.event_type, r.psi)
+        for r in run_streaming_psi_drift(
+            spark,
+            str(tmp_path),
+            query_name="t_psi_multibatch",
+            source_opts=dict(
+                glob="events_b*.parquet", schema_dir=sf_smoke, max_files_per_trigger=1
+            ),
+        ).collect()
+    }
+    union_rows = [
+        (1, ref_day, 1, "A", 10.0),
+        (2, ref_day, 2, "A", 60.0),
+        (3, cur_day, 3, "A", 490.0),
+        (4, cur_day, 4, "A", 10.0),
+        (5, ref_day, 5, "A", 10.0),
+        (6, cur_day, 6, "A", 220.0),
+    ]
+    batch_counts = _histogram_counts(
+        spark.createDataFrame(
+            union_rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+    )
+    expected = {
+        (r.event_type, r.psi) for r in psi_from_counts(spark, batch_counts).collect()
+    }
+    assert out == expected and len(out) == 1
