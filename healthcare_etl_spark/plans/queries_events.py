@@ -806,3 +806,63 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.col("last_click_us")).alias("delay_us"),
         stable_round(F.col("value"), 6).alias("amount"),
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+WITH ops AS (
+    SELECT user_id, ts, value,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error'  THEN 'D'
+                           ELSE 'U' END AS op
+    FROM events
+),
+final AS (
+    SELECT user_id,
+           arg_max(op, ts)    AS last_op,
+           arg_max(value, ts) AS last_value,
+           max(ts)            AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_ops
+    FROM ops GROUP BY user_id
+)
+SELECT user_id,
+       (round(last_value * 1000000.0) / 1000000.0) AS final_value,
+       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_change,
+       n_ops
+FROM final WHERE last_op <> 'D'
+""",
+    description=(
+        "Change-data-capture apply (MERGE semantics): an insert/update/"
+        "delete op log (event types mapped I/U/D) collapses to the final "
+        "table state — last writer wins per key, and a key whose LAST op "
+        "is a delete is absent from the result. One hash aggregate with "
+        "MAX_BY/ARG_MAX (no window, no sort): the per-key argmax is "
+        "deterministic because (user_id, ts) is unique, and partial "
+        "aggregation means the shuffle carries one candidate row per "
+        "key per partition — the scale-correct form of 'latest snapshot' "
+        "(vs q_upsert_latest's row_number window, which sorts each "
+        "partition). Complements operators.scale.scd2_merge, which keeps "
+        "history instead of collapsing it."
+    ),
+    tags=("events", "extension", "relational"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    final = ev.select("user_id", "ts", "value", op.alias("op")).groupBy("user_id").agg(
+        F.expr("max_by(op, ts)").alias("last_op"),
+        F.expr("max_by(value, ts)").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    return final.filter(F.col("last_op") != "D").select(
+        "user_id",
+        stable_round(F.col("last_value"), 6).alias("final_value"),
+        F.date_format("last_ts", _TS_FMT).alias("last_change"),
+        "n_ops",
+    )
