@@ -398,3 +398,133 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.count("vw") / F.count(F.lit(1)), 6).alias("coverage"),
         F.count_distinct(F.when(F.col("vw").isNull(), F.col("w"))).alias("n_oov_types"),
     )
+
+
+def _bm25_top20_ctes() -> str:
+    """The q_bm25_search pipeline as a CTE chain (no leading WITH),
+    ending in ``txt(doc_id, rt)`` — the text-side rank list RRF fuses."""
+    return """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+tf AS (
+    SELECT doc_id, w, count(*) AS tf FROM tok
+    WHERE w IN ('join', 'hash', 'filter')
+    GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+bscored AS (
+    SELECT tf.doc_id, tf.w,
+           (round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) * 1000000.0) / 1000000.0) AS s
+    FROM tf
+    JOIN dfreq ON tf.w = dfreq.w
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+),
+bagg AS (
+    SELECT doc_id,
+           (round((coalesce(max(CASE WHEN w = 'join'   THEN s END), 0.0)
+                 + coalesce(max(CASE WHEN w = 'hash'   THEN s END), 0.0)
+                 + coalesce(max(CASE WHEN w = 'filter' THEN s END), 0.0)) * 1000000.0) / 1000000.0) AS score
+    FROM bscored GROUP BY doc_id
+),
+txt AS (
+    SELECT doc_id, rt FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rt
+        FROM bagg
+    ) WHERE rt <= 20
+)"""
+
+
+@register(
+    "q_hybrid_search_rrf",
+    oracle=None,  # set below — needs the cosine macro from queries_similarity
+    description=(
+        "Hybrid search via Reciprocal Rank Fusion (Cormack et al. 2009): "
+        "the BM25 top-20 for the fixed 3-term text query fused with the "
+        "embedding-cosine top-20 for the query vector (doc 0's "
+        "embedding, doc_id==vec_id in the fixtures), score = "
+        "sum 1/(60+rank) over the lists a doc appears in, final top-10. "
+        "The production retrieval stack in one lazy plan: both rank "
+        "lists are top-k-truncated BEFORE the fusion join, so the full "
+        "outer join runs over 2x20 rows regardless of corpus size — "
+        "rank-limit pushdown (WindowGroupLimit) keeps each side's "
+        "shuffle bounded, and fusion itself is broadcast-scale."
+    ),
+    tags=("text", "similarity", "extension"),
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.similarity import cosine_topk
+
+    text = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rt")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = (
+        cosine_topk(
+            emb.filter(F.col("vec_id") == 0),
+            emb.filter(F.col("vec_id") > 0),
+            k=20,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rv"))
+    )
+    fused = (
+        text.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            stable_round(
+                F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rt")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rv")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rrf", "rank")
+    )
+
+
+def _set_hybrid_oracle() -> None:
+    from healthcare_etl_spark.plans.queries_similarity import _COS
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    cos = _COS.format(a="qv", b="cv")
+    get_registry()["q_hybrid_search_rrf"].oracle = f"""
+WITH {_bm25_top20_ctes()},
+vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id > 0),
+vscored AS (
+    SELECT doc_id, (round({cos} * 1000000.0) / 1000000.0) AS cosine
+    FROM vc CROSS JOIN vq
+),
+vtop AS (
+    SELECT doc_id, rv FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rv
+        FROM vscored
+    ) WHERE rv <= 20
+),
+fused AS (
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           (round((coalesce(1.0 / (60.0 + rt), 0.0)
+                 + coalesce(1.0 / (60.0 + rv), 0.0)) * 1000000.0) / 1000000.0) AS rrf
+    FROM txt t FULL OUTER JOIN vtop v ON t.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, rank FROM (
+    SELECT doc_id, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM fused
+) WHERE rank <= 10
+"""
+
+
+_set_hybrid_oracle()
