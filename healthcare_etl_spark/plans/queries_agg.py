@@ -496,3 +496,41 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_percentile_disc",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5)  AS p50_price,
+       quantile_disc(l_extendedprice, 0.9)  AS p90_price,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description=(
+        "Discrete grouped percentiles (PERCENTILE_DISC / quantile_disc): "
+        "the SLA/latency-report form that returns an actual observed "
+        "value rather than an interpolation — so the result is "
+        "bit-exact across engines with NO rounding bridge at all "
+        "(contrast q_group_median's interpolated percentile(), which "
+        "needs stable_round). Same scale caveat: exact percentiles "
+        "sort per group; approx_percentile is the sketch path."
+    ),
+    tags=("agg", "extension", "parity"),
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50_price"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p90_price"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

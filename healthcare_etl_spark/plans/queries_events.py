@@ -866,3 +866,56 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_ts", _TS_FMT).alias("last_change"),
         "n_ops",
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path ASC
+LIMIT 15
+""",
+    description=(
+        "Top user-flow paths (product-analytics 'user flows' / Sankey "
+        "feeder): consecutive 3-step event-type sequences per user via "
+        "two lead() taps over ONE user_id window sort (no self-joins — "
+        "the join formulation of path analysis is quadratic in path "
+        "length), rolled up globally with occurrence and distinct-user "
+        "counts, fused top-15. Window shuffle on user_id, then a "
+        "partial-aggregated path rollup."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(15)
+    )
