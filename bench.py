@@ -71,9 +71,14 @@ HEADLINE = [
     "q_compaction_plan",
     # round-5 closing additions: the one-pass covariance/Gram moment
     # aggregate (heaviest vector op — 2080 index pairs per row generated
-    # in-scan) and the corpus-DF boilerplate filter
+    # in-scan), the corpus-DF boilerplate filter, the DSIR importance
+    # scorer (token-key join over the exploded corpus), the triangle
+    # count (two graph joins), and the hybrid BM25+vector RRF fusion
     "q_embedding_covariance",
     "q_boilerplate_filter",
+    "q_dsir_weights",
+    "q_triangle_count",
+    "q_hybrid_search_rrf",
 ]
 
 
