@@ -1400,3 +1400,99 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.min("value"), 6).alias("lo"),
         stable_round(F.max("value"), 6).alias("hi"),
     )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+WITH a AS (
+    SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+           count(*) AS n_a
+    FROM events GROUP BY 1
+),
+b AS (
+    SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events GROUP BY 1
+)
+SELECT a.k AS event_key, a.n_a, b.n_big
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    description=(
+        "Null-safe equi-join semantics pin (Spark <=> / SQL IS NOT "
+        "DISTINCT FROM): the NULL group (here the 'error' type mapped to "
+        "NULL) JOINS to itself instead of silently dropping — standard "
+        "equality would lose it, the classic silent-row-loss bug when "
+        "joining on nullable keys. Spark plans <=> as a normal hash join "
+        "(null-safe keys still hash-partition), so the shape is "
+        "identical to a plain equi-join at scale."
+    ),
+    tags=("relational", "extension", "parity"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    a = ev.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n_a"))
+    b = (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_big"))
+    )
+    bb = b.select(F.col("k").alias("k_b"), "n_big")
+    return a.join(bb, a["k"].eqNullSafe(bb["k_b"])).select(
+        F.col("k").alias("event_key"), "n_a", "n_big"
+    )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+SELECT event_key, n_events, sum_value, n_users FROM (
+    SELECT event_type AS event_key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (round(sum(value) * 10000.0) / 10000.0) AS sum_value,
+           CAST(NULL AS BIGINT) AS n_users
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+    UNION ALL BY NAME
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           event_type AS event_key,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+)
+""",
+    description=(
+        "Schema-drift union (unionByName with allowMissingColumns — "
+        "DuckDB UNION ALL BY NAME): two producer schemas with different "
+        "column ORDER and a column present on only one side combine by "
+        "NAME, missing columns null-filled. Positional UNION would "
+        "silently misalign columns — the schema-evolution hazard every "
+        "multi-producer ingest hits. Pure metadata operation: no shuffle "
+        "beyond each side's own aggregate."
+    ),
+    tags=("relational", "extension", "parity"),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    side_a = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("event_type").alias("event_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    side_b = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(F.col("event_type").alias("event_key"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return side_a.unionByName(side_b, allowMissingColumns=True).select(
+        "event_key", "n_events", "sum_value", "n_users"
+    )
