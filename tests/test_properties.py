@@ -191,3 +191,143 @@ def test_containment_dominates_jaccard(spark, texts):
 
     for r in containment_pairs(df, threshold=0.0).collect():
         assert r.containment >= r.jaccard - 1e-9
+
+
+# events-shaped rows for the event-time properties: (user 0-3,
+# type a/b, minute offset 0-120, value)
+ev_row = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=0, max_value=120),
+    st.floats(min_value=0.0, max_value=500.0, allow_nan=False, allow_infinity=False),
+)
+ev_frames = st.lists(ev_row, min_size=1, max_size=25)
+
+
+def _ev_df(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 10, 0, 0, 0)
+    data = [
+        (i, base + datetime.timedelta(minutes=m), u, t, v)
+        for i, (u, t, m, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(ev_frames)
+def test_debounce_partition_and_keep_first_invariants(spark, rows):
+    """kept + debounced == total per type; every (user, type) group
+    keeps at least its first event; with a zero-length gap threshold
+    nothing would ever be debounced (here: gap > 5 min drops only
+    same-group events within 5 min of their predecessor — verified
+    against a pandas replay)."""
+    from pyspark.sql.window import Window
+
+    df = _ev_df(spark, rows)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = df.select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    kept = (F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000)).cast("long")
+    out = g.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(kept).alias("n_kept"),
+    ).collect()
+    # pandas replay
+    pdf = df.toPandas().sort_values(["user_id", "event_type", "ts", "event_id"])
+    for r in out:
+        grp = pdf[(pdf.user_id == r.user_id) & (pdf.event_type == r.event_type)]
+        prev = None
+        expect_kept = 0
+        for _, row_ in grp.iterrows():
+            if prev is None or (row_.ts - prev).total_seconds() > 300:
+                expect_kept += 1
+            prev = row_.ts
+        assert r.n == len(grp)
+        assert r.n_kept == expect_kept >= 1
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(ev_frames)
+def test_ks_statistic_bounds_and_identity(spark, rows):
+    """KS in [0, 1] always; comparing a distribution against ITSELF
+    (same rows labeled ref and cur) gives exactly 0."""
+    from pyspark.sql.window import Window
+
+    df = _ev_df(spark, rows)
+    doubled = df.select("event_type", "value", F.lit(0).alias("period")).unionAll(
+        df.select("event_type", "value", F.lit(1).alias("period"))
+    )
+    g = doubled.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("n_ref").over(w_run).alias("cr"),
+        F.sum("n_cur").over(w_run).alias("cc"),
+        F.sum("n_ref").over(w_all).alias("tr"),
+        F.sum("n_cur").over(w_all).alias("tc"),
+    )
+    gap = F.abs(F.col("cr") / F.col("tr") - F.col("cc") / F.col("tc"))
+    for r in c.groupBy("event_type").agg(F.max(gap).alias("ks")).collect():
+        assert 0.0 <= r.ks <= 1.0
+        assert r.ks == 0.0  # identical samples -> identical ECDFs
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(ev_frames)
+def test_cdc_apply_equals_pandas_replay(spark, rows):
+    """The MAX_BY collapse must equal an actual sequential replay of
+    the op log (apply each op in ts order, delete removes the key)."""
+    df = _ev_df(spark, rows)
+    op = (
+        F.when(F.col("event_type") == "a", "U").otherwise("D")
+    )
+    final = (
+        df.select("user_id", "ts", "value", op.alias("op"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(op, ts)").alias("last_op"),
+            F.expr("max_by(value, ts)").alias("last_value"),
+        )
+        .filter(F.col("last_op") != "D")
+    )
+    got = {r.user_id: r.last_value for r in final.collect()}
+    state: dict = {}
+    pdf = df.toPandas().sort_values(["ts", "event_id"])
+    for _, r in pdf.iterrows():
+        if r.event_type == "a":
+            state[r.user_id] = r.value
+        else:
+            state.pop(r.user_id, None)
+    # ties: (user_id, ts) may collide in generated data — max_by is only
+    # deterministic on unique ts per user, so replay keys must match
+    # whenever no user has duplicate timestamps
+    if pdf.groupby(["user_id", "ts"]).size().max() == 1:
+        assert got == state
+
+
+def test_covariance_diagonal_nonnegative_and_symmetric_moment(spark, sf_smoke):
+    """Var(x_i) >= 0 (up to the 1e-6 rounding) for every diagonal cell
+    of q_embedding_covariance, and n_vecs is constant across cells."""
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    rows = get_queries()["q_embedding_covariance"](spark, sf_smoke).collect()
+    ns = {r.n_vecs for r in rows}
+    assert len(ns) == 1
+    diag = [r for r in rows if r.i == r.j]
+    assert len(diag) == 64
+    assert all(r.cov >= -1e-6 for r in diag)
