@@ -141,10 +141,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_sim_hamming_topk",
     "q_sim_ann_ivf",
     "q_kmeans_clusters",
-    # -- text / corpus analytics
+    # -- text / corpus analytics (late round 5: the hybrid BM25+vector
+    #    RRF fusion takes q_lang_id's slot — lang-ID keeps its in-repo
+    #    parity test and still runs inside q_corpus_pipeline)
     "q_text_stats",
     "q_quality_score",
-    "q_lang_id",
+    "q_hybrid_search_rrf",
     # corpus-level sketch-merge similarity (new round 5) takes the
     # fingerprint slot; q_fingerprint keeps its in-repo parity test
     "q_source_minhash_jaccard",
@@ -160,14 +162,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the Bloom-sketch decontamination (new this round) takes the exact
     # gram-join variant's slot; q_decontaminate keeps its in-repo test
     "q_bloom_decontaminate",
-    "q_unigram_logprob",
+    # late round 5: DSIR importance weighting supersedes the unigram
+    # log-probability score as the data-selection flagship (same family,
+    # strictly richer: target/raw ratio vs raw-only); unigram keeps its
+    # in-repo parity test
+    "q_dsir_weights",
     "q_pack_chunks",
     # the compaction planner (new round 5, lakehouse maintenance op)
     # takes the passage-dedup slot; q_passage_dedup keeps its in-repo
     # parity test
     "q_compaction_plan",
-    # -- event-time (streaming-adjacent batch forms; scd2 new round 5)
-    "q_event_windows",
+    # -- event-time (late round 5: the CDC MERGE collapse takes the
+    #    tumbling-window slot — q_event_windows keeps its in-repo parity
+    #    test and its streaming twin q_stream_tumbling stays ==batch-
+    #    tested)
+    "q_cdc_apply",
     "q_scd2_intervals",
 )
 
