@@ -1625,3 +1625,50 @@ def test_streaming_psi_multibatch_merges_histograms(spark, sf_smoke, tmp_path):
         (r.event_type, r.psi) for r in psi_from_counts(spark, batch_counts).collect()
     }
     assert out == expected and len(out) == 1
+
+
+def test_operators_handle_empty_input(spark):
+    """Every custom operator must return an EMPTY result (not raise) on
+    an empty input frame — the behavior a scheduled pipeline hits on a
+    quiet partition/day. Iterative operators must terminate immediately."""
+    from healthcare_etl_spark.operators.asof import asof_join
+    from healthcare_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from healthcare_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+        pagerank,
+    )
+    from healthcare_etl_spark.operators.rangejoin import banded_range_join
+    from healthcare_etl_spark.operators.sessionize import session_stats
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+
+    assert exact_dedup(empty_docs).count() == 0
+    assert jaccard_pairs(empty_docs, threshold=0.5).count() == 0
+    assert connected_components(empty_pairs).count() == 0
+    assert connected_components_two_phase(empty_pairs).count() == 0
+    assert pagerank(empty_pairs).count() == 0
+    assert session_stats(empty_events).count() == 0
+    assert (
+        banded_range_join(
+            empty_events.select("user_id", "ts", "value"),
+            empty_events.select("user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")),
+            on="user_id",
+            left_ts="ts",
+            right_ts="r_ts",
+        ).count()
+        == 0
+    )
+    assert (
+        asof_join(
+            empty_events.select("event_id", "ts"),
+            empty_events.select("ts", F.col("value").alias("rate")),
+            on="ts",
+            value_cols=["rate"],
+        ).count()
+        == 0
+    )
