@@ -1496,3 +1496,129 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side_a.unionByName(side_b, allowMissingColumns=True).select(
         "event_key", "n_events", "sum_value", "n_users"
     )
+
+
+@register(
+    "q_ab_test_ztest",
+    oracle="""
+WITH assign AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0)
+               AS in_a,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)                 AS n_a,
+           CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)             AS n_b,
+           CAST(sum(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)         AS conv_a,
+           CAST(sum(CASE WHEN NOT in_a THEN converted ELSE 0 END) AS BIGINT)     AS conv_b
+    FROM assign
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       (round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) * 1000000.0) / 1000000.0) AS rate_diff,
+       (round(((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+               / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) * 1000000.0) / 1000000.0) AS z_score
+FROM arms
+""",
+    description=(
+        "A/B experiment readout with a pooled two-proportion z-test: "
+        "(conversion = any purchase over 150, non-degenerate at every SF) "
+        "users assigned to arms by the cross-engine md5 hash (the same "
+        "deterministic-assignment discipline as q_hash_split — rand() "
+        "assignment is neither reproducible nor repartition-stable), "
+        "conversion = any purchase event, z = (pA-pB)/sqrt(p_pool(1-"
+        "p_pool)(1/nA+1/nB)). |z| > 1.96 is the conventional 95% "
+        "significance call. One per-user aggregate then a 1-row fold — "
+        "the per-user shuffle is the only data-sized stage."
+    ),
+    tags=("analytics", "extension", "parity"),
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted"),
+        F.first(in_a).alias("in_a"),
+    )
+    arms = assign.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    pa = F.col("conv_a") * F.lit(1.0) / F.col("n_a")
+    pb = F.col("conv_b") * F.lit(1.0) / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) * F.lit(1.0) / (F.col("n_a") + F.col("n_b"))
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        stable_round(pa - pb, 6).alias("rate_diff"),
+        stable_round(
+            (pa - pb)
+            / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "q_id_gap_detection",
+    oracle="""
+WITH kept AS (
+    SELECT event_id FROM events WHERE event_type <> 'error'
+),
+seq AS (
+    SELECT event_id,
+           lag(event_id) OVER (ORDER BY event_id) AS prev_id
+    FROM kept
+)
+SELECT prev_id + 1 AS gap_start,
+       event_id - 1 AS gap_end,
+       CAST(event_id - prev_id - 1 AS BIGINT) AS n_missing
+FROM seq
+WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+""",
+    description=(
+        "Sequence-gap detection over a monotonic id column (ingestion "
+        "monitoring: find dropped ranges after a lossy stage — here the "
+        "'error' rows stand in for lost messages, so the gaps are "
+        "nonzero and the oracle discriminates). Single lag() over the "
+        "ordered ids emits one row PER GAP RANGE (start, end, count), "
+        "not per missing id — the report stays gap-count-sized however "
+        "wide the holes are. The global-order window is the correct "
+        "form for a report; at 100 TB, run it per ingestion partition "
+        "(partitionBy source/shard) to keep the sort distributed."
+    ),
+    tags=("analytics", "extension", "quality"),
+)
+def q_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.filter(F.col("event_type") != "error").select("event_id")
+    w = Window.orderBy("event_id")
+    seq = kept.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return seq.filter(
+        F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
+    ).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )

@@ -674,3 +674,81 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cov"),
     )
+
+
+@register(
+    "q_embedding_drift",
+    oracle=f"""
+WITH halves AS (
+    SELECT label, vec_id % 2 = 0 AS is_ref, embedding FROM embeddings
+),
+sums AS (
+    SELECT label, is_ref, ii.i AS i,
+           sum(embedding[ii.i + 1]::DOUBLE) AS s,
+           count(*) AS n
+    FROM halves, unnest(range({_EMB_DIM})) AS ii(i)
+    GROUP BY 1, 2, 3
+),
+cent AS (
+    SELECT label, i,
+           max(CASE WHEN is_ref THEN s / n END)     AS r,
+           max(CASE WHEN NOT is_ref THEN s / n END) AS c
+    FROM sums GROUP BY 1, 2
+),
+folded AS (
+    SELECT label,
+           sum(r * c)  AS dot,
+           sum(r * r)  AS nr,
+           sum(c * c)  AS nc
+    FROM cent GROUP BY label
+)
+SELECT label,
+       (round((dot / (sqrt(nr) * sqrt(nc))) * 1000000.0) / 1000000.0) AS centroid_cosine,
+       (round(sqrt(nr) * 1000000.0) / 1000000.0) AS ref_norm,
+       (round(sqrt(nc) * 1000000.0) / 1000000.0) AS cur_norm
+FROM folded
+""",
+    description=(
+        "Embedding-space drift monitor — the vector complement to "
+        "q_psi_drift/q_ks_drift: per label, the corpus splits into "
+        "ref/cur cohorts (even/odd vec_id standing in for time), each "
+        "cohort's mean embedding (centroid) comes from ONE "
+        "partial-aggregated explode pass, and the drift signal is the "
+        "cosine between the two centroids (1.0 = no drift; embedding "
+        "pipelines alert when a model/content change moves it). All "
+        "heavy work is the single (label, cohort, dim) sum aggregate — "
+        "dimension-count-sized output, broadcast-scale fold; the same "
+        "shape monitors 100 TB of embeddings."
+    ),
+    tags=("similarity", "extension", "vectors", "timeseries"),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2 == 0).alias("is_ref"),
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .groupBy("label", "is_ref", "i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = sums.groupBy("label", "i").agg(
+        F.max(F.when(F.col("is_ref"), F.col("s") / F.col("n"))).alias("r"),
+        F.max(F.when(~F.col("is_ref"), F.col("s") / F.col("n"))).alias("c"),
+    )
+    folded = cent.groupBy("label").agg(
+        F.sum(F.col("r") * F.col("c")).alias("dot"),
+        F.sum(F.col("r") * F.col("r")).alias("nr"),
+        F.sum(F.col("c") * F.col("c")).alias("nc"),
+    )
+    return folded.select(
+        "label",
+        stable_round(
+            F.col("dot") / (F.sqrt("nr") * F.sqrt("nc")), 6
+        ).alias("centroid_cosine"),
+        stable_round(F.sqrt("nr"), 6).alias("ref_norm"),
+        stable_round(F.sqrt("nc"), 6).alias("cur_norm"),
+    )
