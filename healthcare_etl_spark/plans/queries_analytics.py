@@ -1622,3 +1622,160 @@ def q_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") - 1).alias("gap_end"),
         (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
     )
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+WITH digits AS (
+    SELECT event_type,
+           -- floor() explicitly: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+           CAST(substring(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+    FROM events WHERE value >= 1
+),
+counts AS (
+    SELECT event_type, d, count(*) AS n FROM digits GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n) AS tot_n FROM counts GROUP BY 1),
+expected AS (SELECT i AS d, log10(1.0 + 1.0 / i) AS p FROM range(1, 10) t(i))
+SELECT c.event_type,
+       c.d,
+       CAST(c.n AS BIGINT) AS n,
+       (round((c.n * 1.0 / t.tot_n) * 1000000.0) / 1000000.0) AS observed_p,
+       (round(e.p * 1000000.0) / 1000000.0) AS benford_p,
+       (round(((c.n * 1.0 / t.tot_n - e.p) * (c.n * 1.0 / t.tot_n - e.p) / e.p)
+              * 1000000.0) / 1000000.0) AS chi2_term
+FROM counts c
+JOIN tot t ON t.event_type = c.event_type
+JOIN expected e ON e.d = c.d
+""",
+    description=(
+        "Benford's-law first-digit audit per event type — the forensic "
+        "data-quality screen for fabricated or truncated numeric "
+        "columns: observed first-significant-digit frequencies vs the "
+        "log10(1+1/d) expectation, with per-digit chi-square terms "
+        "(naturally-spread data roughly conforms; uniform synthetic "
+        "data, capped fields, or invented figures deviate hard). One "
+        "conditional-aggregate pass; the digit grid (types x 9) is "
+        "dimension-sized, the expectation table is generated, not "
+        "stored."
+    ),
+    tags=("analytics", "extension", "quality"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    digits = ev.filter(F.col("value") >= 1).select(
+        "event_type",
+        F.substring(F.floor("value").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d"),
+    )
+    counts = digits.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("tot_n"))
+    expected = spark.range(1, 10).select(
+        F.col("id").alias("e_d"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("id")).alias("p"),
+    )
+    obs = F.col("n") * F.lit(1.0) / F.col("tot_n")
+    return (
+        counts.join(tot, "event_type")
+        .join(F.broadcast(expected), counts["d"] == expected["e_d"])
+        .select(
+            "event_type",
+            "d",
+            "n",
+            stable_round(obs, 6).alias("observed_p"),
+            stable_round(F.col("p"), 6).alias("benford_p"),
+            stable_round((obs - F.col("p")) * (obs - F.col("p")) / F.col("p"), 6).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+@register(
+    "q_decimal_money_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR) AS revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                * CAST(1.0 AS DECIMAL(4, 2))
+                - CAST(l_discount AS DECIMAL(18, 6))
+                  * CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR) AS discounted,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description=(
+        "Exact-DECIMAL money aggregation semantics pin: revenue summed "
+        "as DECIMAL(18,2) — both engines do EXACT fixed-point "
+        "accumulation here, so the results compare as strings with NO "
+        "stable_round bridge at all (contrast every double aggregate in "
+        "this repo). The discipline financial pipelines need: double "
+        "summation of money drifts with partition order; decimal "
+        "doesn't. Results are cast to VARCHAR so the driver hash "
+        "compares the exact decimal rendering, not a re-parsed float."
+    ),
+    tags=("agg", "extension", "parity"),
+)
+def q_decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("revenue"),
+        F.sum(price * F.lit(1.0).cast("decimal(4,2)") - disc * price)
+        .cast("string")
+        .alias("discounted"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_dod_growth",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (round(sum(value) * 10000.0) / 10000.0) AS revenue
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+)
+SELECT day, n_events, revenue,
+       (round((revenue - lag(revenue) OVER (ORDER BY day))
+              / lag(revenue) OVER (ORDER BY day) * 1000000.0) / 1000000.0)
+           AS dod_growth
+FROM daily
+""",
+    description=(
+        "Day-over-day growth of purchase revenue — the KPI-dashboard "
+        "staple: aggregate-FIRST (the fact shuffle produces a "
+        "days-sized series), then lag()/division over the tiny daily "
+        "frame, so the trend window costs nothing at any fact scale. "
+        "First day's growth is NULL by construction (no prior period), "
+        "pinned identically in both engines."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day",
+        "n_events",
+        "revenue",
+        stable_round((F.col("revenue") - prev) / prev, 6).alias("dod_growth"),
+    )
