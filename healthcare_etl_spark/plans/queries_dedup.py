@@ -597,3 +597,41 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("node").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+@register(
+    "q_degree_distribution",
+    oracle=f"""
+WITH {_jaccard_pairs_ctes()},
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+sym AS (SELECT u FROM edges UNION ALL SELECT v FROM edges),
+deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+    description=(
+        "Degree distribution of the near-dup graph — the structural "
+        "health check run before any graph algorithm: a spike at high "
+        "degree means a boilerplate hub (one shingle-collision node "
+        "connected to everything) that would blow up clustering and "
+        "triangle counting; near-dup graphs should be dominated by "
+        "small degrees (pairs and small cliques). Two tiny hash "
+        "aggregates over the edge list — degree profiling costs nothing "
+        "relative to the algorithms it guards."
+    ),
+    tags=("dedup", "extension", "graph"),
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    sym = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

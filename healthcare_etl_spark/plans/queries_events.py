@@ -919,3 +919,58 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(15)
     )
+
+
+@register(
+    "q_peak_concurrency",
+    oracle="""
+WITH spans AS (
+    SELECT user_id, min(ts) AS t_start, max(ts) AS t_end
+    FROM events GROUP BY user_id, time_bucket(INTERVAL '1 day', ts)
+),
+deltas AS (
+    SELECT t_start AS t, 1 AS delta FROM spans
+    UNION ALL
+    SELECT t_end, -1 FROM spans
+),
+swept AS (
+    SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+    FROM deltas
+)
+SELECT strftime(time_bucket(INTERVAL '1 day', t), '%Y-%m-%d') AS day,
+       CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY 1
+""",
+    description=(
+        "Peak concurrency via sweep-line — the capacity-planning "
+        "primitive (max simultaneous sessions/connections): each user's "
+        "daily activity span becomes a +1 at start and a -1 at end, a "
+        "running sum over the time-ordered deltas is the concurrency "
+        "curve, and the per-day max is the peak. The naive formulation "
+        "is an interval self-join (quadratic); the sweep is one window "
+        "over 2x span-count rows. Tie rule pinned on both engines: "
+        "starts sort before ends at the same instant (delta DESC), so a "
+        "span touching another's endpoint counts as overlapping."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    deltas = spans.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select("t", F.sum("delta").over(w).alias("concurrent"))
+    return swept.groupBy(
+        F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("concurrent").alias("peak_concurrent"))
