@@ -934,12 +934,14 @@ deltas AS (
     SELECT t_end, -1 FROM spans
 ),
 swept AS (
-    SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    SELECT time_bucket(INTERVAL '1 day', t) AS day,
+           sum(delta) OVER (PARTITION BY time_bucket(INTERVAL '1 day', t)
+                            ORDER BY t, delta DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS concurrent
     FROM deltas
 )
-SELECT strftime(time_bucket(INTERVAL '1 day', t), '%Y-%m-%d') AS day,
+SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(max(concurrent) AS BIGINT) AS peak_concurrent
 FROM swept GROUP BY 1
 """,
@@ -950,9 +952,13 @@ FROM swept GROUP BY 1
         "running sum over the time-ordered deltas is the concurrency "
         "curve, and the per-day max is the peak. The naive formulation "
         "is an interval self-join (quadratic); the sweep is one window "
-        "over 2x span-count rows. Tie rule pinned on both engines: "
-        "starts sort before ends at the same instant (delta DESC), so a "
-        "span touching another's endpoint counts as overlapping."
+        "over 2x span-count rows, PARTITIONED BY DAY — legal because "
+        "daily spans never cross midnight, so each day's sweep is "
+        "independent and the sort distributes instead of collapsing to "
+        "one partition (the keyless-window scale sin). Tie rule pinned "
+        "on both engines: starts sort before ends at the same instant "
+        "(delta DESC), so a span touching another's endpoint counts as "
+        "overlapping."
     ),
     tags=("events", "extension", "timeseries"),
 )
@@ -966,11 +972,15 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = spans.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
         spans.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
     )
+    day = F.date_trunc("day", "t")
     w = (
-        Window.orderBy(F.col("t"), F.col("delta").desc())
+        Window.partitionBy(day)
+        .orderBy(F.col("t"), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = deltas.select("t", F.sum("delta").over(w).alias("concurrent"))
-    return swept.groupBy(
-        F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day")
-    ).agg(F.max("concurrent").alias("peak_concurrent"))
+    swept = deltas.select(
+        day.alias("d"), F.sum("delta").over(w).alias("concurrent")
+    )
+    return swept.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.max("concurrent").alias("peak_concurrent")
+    )

@@ -426,3 +426,13 @@ def test_ks_drift_windows_share_one_shuffle(spark, sf_smoke):
     df = get_registry()["q_ks_drift"].fn(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_peak_concurrency_sweep_partitions_by_day(spark, sf_smoke):
+    """The sweep-line window must partition by day (daily spans never
+    cross midnight), never collapse to a keyless single-partition sort —
+    the scale sin the bucketed as-of rewrite eliminated."""
+    df = get_registry()["q_peak_concurrency"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
