@@ -143,9 +143,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_kmeans_clusters",
     # -- text / corpus analytics (late round 5: the hybrid BM25+vector
     #    RRF fusion takes q_lang_id's slot — lang-ID keeps its in-repo
-    #    parity test and still runs inside q_corpus_pipeline)
+    #    parity test and still runs inside q_corpus_pipeline; the KS
+    #    drift monitor takes q_quality_score's sibling slot so the
+    #    drift/monitoring family gets its first driver-green row —
+    #    quality_score keeps its in-repo test and also runs inside
+    #    q_corpus_pipeline and q_quality_gate)
     "q_text_stats",
-    "q_quality_score",
+    "q_ks_drift",
     "q_hybrid_search_rrf",
     # corpus-level sketch-merge similarity (new round 5) takes the
     # fingerprint slot; q_fingerprint keeps its in-repo parity test
