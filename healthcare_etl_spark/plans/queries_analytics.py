@@ -1779,3 +1779,64 @@ def q_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         stable_round((F.col("revenue") - prev) / prev, 6).alias("dod_growth"),
     )
+
+
+@register(
+    "q_incremental_agg_merge",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       (round(sum(value) * 10000.0) / 10000.0) AS sum_value,
+       (round(min(value) * 1000000.0) / 1000000.0) AS min_value,
+       (round(max(value) * 1000000.0) / 1000000.0) AS max_value,
+       (round((sum(value) / count(*)) * 1000000.0) / 1000000.0) AS avg_value
+FROM events
+""" + "GROUP BY event_type",
+    description=(
+        "Incremental view maintenance by partial-aggregate merge: the "
+        "'materialized' aggregate over days 1-29 and the new day-30 "
+        "delta are aggregated SEPARATELY and merged with the mergeable-"
+        "state algebra (counts/sums add, min/min, max/max; avg derived "
+        "from merged sum/count — never averaged averages). The oracle "
+        "aggregates the WHOLE table directly, so the hash match proves "
+        "merge == recompute exactly — the contract that lets a daily "
+        "pipeline maintain year-scale aggregates by touching only the "
+        "new partition. Both inputs partial-aggregate map-side; the "
+        "merge itself is group-count-sized."
+    ),
+    tags=("analytics", "extension", "agg"),
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-30").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        stable_round(F.col("s"), 4).alias("sum_value"),
+        stable_round(F.col("mn"), 6).alias("min_value"),
+        stable_round(F.col("mx"), 6).alias("max_value"),
+        stable_round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+    )
