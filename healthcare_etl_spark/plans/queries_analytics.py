@@ -1840,3 +1840,66 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("mx"), 6).alias("max_value"),
         stable_round(F.col("s") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "q_nested_struct_agg",
+    oracle="""
+WITH nested AS (
+    SELECT l_orderkey,
+           list(struct_pack(ln := l_linenumber, qty := l_quantity)
+                ORDER BY l_linenumber, l_quantity) AS lines
+    FROM lineitem
+    GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(lines[1].ln AS BIGINT) AS first_ln,
+       (round(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(lines, s -> s.qty::DOUBLE)), (acc, x) -> acc + x)
+              * 10000.0) / 10000.0) AS total_qty
+FROM nested
+WHERE l_orderkey % 100 = 0
+""",
+    description=(
+        "Nested complex-type analytics: each order's line items collect "
+        "into an ORDERED array of structs (sort_array over "
+        "struct(linenumber, qty) — unordered collect_list is "
+        "nondeterministic under parallelism), then per-order metrics "
+        "compute FROM the nested value with higher-order functions "
+        "(element access into struct fields, a strict left-to-right "
+        "aggregate fold mirrored by DuckDB list_reduce). The "
+        "denormalize-then-analyze pattern document stores and export "
+        "schemas need; one shuffle on the nesting key."
+    ),
+    tags=("analytics", "extension", "nested"),
+)
+def q_nested_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .filter(F.col("l_orderkey") % 100 == 0)
+    )
+    total = F.aggregate(
+        F.transform("lines", lambda s: s["qty"].cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.element_at("lines", 1)["ln"].cast("long").alias("first_ln"),
+        stable_round(total, 4).alias("total_qty"),
+    )
