@@ -1903,3 +1903,131 @@ def q_nested_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("lines", 1)["ln"].cast("long").alias("first_ln"),
         stable_round(total, 4).alias("total_qty"),
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(epoch_us(TIMESTAMP '2024-01-31' - max(ts)) // 86400000000 AS BIGINT)
+               AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           (round(sum(value) * 10000.0) / 10000.0) AS monetary
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+scored AS (
+    SELECT *,
+           ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id)   AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id)    AS m_score
+    FROM per_user
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       (round(avg(monetary) * 1000000.0) / 1000000.0) AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3
+""",
+    description=(
+        "RFM customer segmentation — the marketing-analytics classic: "
+        "per-user Recency (days since last purchase, exact integer "
+        "division of µs), Frequency, Monetary from one purchase-scan "
+        "aggregate, each quartile-scored with ntile (deterministic "
+        "user_id tiebreak so the binning is cross-engine identical; "
+        "score 1 = best on every axis), rolled up to segment sizes and "
+        "average spend. The ntile windows run over the per-user "
+        "aggregate (users-sized), not the fact table — at 100 TB, the "
+        "fact shuffle is the only data-sized stage."
+    ),
+    tags=("analytics", "extension"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-31").cast("timestamp")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            ((F.unix_micros(anchor) - F.unix_micros(F.max("ts"))) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            stable_round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        "*",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        stable_round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
+
+
+@register(
+    "q_burstiness_fano",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+moments AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           sum(n)     AS s1,
+           sum(n * n) AS s2
+    FROM daily GROUP BY user_id
+)
+SELECT user_id, n_days,
+       (round((s1 * 1.0 / n_days) * 1000000.0) / 1000000.0) AS mean_daily,
+       (round(((s2 * 1.0 / n_days - (s1 * 1.0 / n_days) * (s1 * 1.0 / n_days))
+               / (s1 * 1.0 / n_days)) * 1000000.0) / 1000000.0) AS fano
+FROM moments WHERE n_days > 1 AND s1 > 0
+""",
+    description=(
+        "Per-user burstiness via the Fano factor (variance-to-mean "
+        "ratio of daily event counts): ~1 = Poisson-like steady "
+        "activity, >1 = bursty (bot bursts, batch imports), <1 = "
+        "metronomic (schedulers) — the behavioral-signature statistic "
+        "fraud and bot detection start from. Exact integer moment sums "
+        "(s1, s2) from two stacked aggregates; the variance is computed "
+        "population-style from the moments in one fixed expression, so "
+        "both engines agree after stable rounding."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n_days")
+    return m.filter((F.col("n_days") > 1) & (F.col("s1") > 0)).select(
+        "user_id",
+        "n_days",
+        stable_round(mean, 6).alias("mean_daily"),
+        stable_round(
+            (F.col("s2") * F.lit(1.0) / F.col("n_days") - mean * mean) / mean, 6
+        ).alias("fano"),
+    )
