@@ -2031,3 +2031,119 @@ def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2") * F.lit(1.0) / F.col("n_days") - mean * mean) / mean, 6
         ).alias("fano"),
     )
+
+
+@register(
+    "q_share_of_total",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           (round(sum(value) * 10000.0) / 10000.0) AS revenue
+    FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, revenue,
+       (round((revenue / sum(revenue) OVER (PARTITION BY day)) * 1000000.0) / 1000000.0)
+           AS share_of_day,
+       (round((revenue / sum(revenue) OVER ()) * 1000000.0) / 1000000.0)
+           AS share_of_total
+FROM daily
+""",
+    description=(
+        "Share-of-parent contribution margins (the '% of total' every "
+        "BI tile needs): each (day, type) cell's share of its day and "
+        "of the whole period, via window sums OVER the aggregated "
+        "days x types grid — the grid is dimension-sized, so the "
+        "keyless total window is metadata-scale here (aggregate-first "
+        "discipline; running these windows over raw facts would be the "
+        "scale sin). Shares divide stable-rounded revenues, fixed "
+        "expression order both engines."
+    ),
+    tags=("analytics", "extension"),
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(stable_round(F.sum("value"), 4).alias("revenue"))
+    w_day = Window.partitionBy("day")
+    w_all = Window.partitionBy()
+    return daily.select(
+        "day",
+        "event_type",
+        "revenue",
+        stable_round(F.col("revenue") / F.sum("revenue").over(w_day), 6).alias(
+            "share_of_day"
+        ),
+        stable_round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@register(
+    "q_event_type_correlation",
+    oracle="""
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           sum(a.n)        AS sa,  sum(b.n)        AS sb,
+           sum(a.n * a.n)  AS saa, sum(b.n * b.n)  AS sbb,
+           sum(a.n * b.n)  AS sab
+    FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+       (round(((n_days * sab - sa * sb) * 1.0
+               / (sqrt(n_days * saa - sa * sa) * sqrt(n_days * sbb - sb * sb)))
+              * 1000000.0) / 1000000.0) AS pearson_r
+FROM pairs
+""",
+    description=(
+        "Pairwise Pearson correlation between event types' daily-count "
+        "series (do errors spike with traffic? are purchases coupled "
+        "to clicks?) — computed from EXACT integer moment sums (sa, "
+        "saa, sab are BIGINTs, so the only float work is the final "
+        "fixed-order formula; engine-native corr() would accumulate "
+        "doubles in engine-specific order). The self-join runs on the "
+        "days x types grid, not the fact table — aggregate-first keeps "
+        "the correlation matrix metadata-scale at any fact volume."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(F.col("day").alias("d_a"), F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    b = daily.select(F.col("day").alias("d_b"), F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, (a["d_a"] == b["d_b"]) & (a["type_a"] < b["type_b"]))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("na").alias("sa"),
+            F.sum("nb").alias("sb"),
+            F.sum(F.col("na") * F.col("na")).alias("saa"),
+            F.sum(F.col("nb") * F.col("nb")).alias("sbb"),
+            F.sum(F.col("na") * F.col("nb")).alias("sab"),
+        )
+    )
+    num = (F.col("n_days") * F.col("sab") - F.col("sa") * F.col("sb")) * F.lit(1.0)
+    den = F.sqrt(F.col("n_days") * F.col("saa") - F.col("sa") * F.col("sa")) * F.sqrt(
+        F.col("n_days") * F.col("sbb") - F.col("sb") * F.col("sb")
+    )
+    return pairs.select(
+        "type_a", "type_b", "n_days", stable_round(num / den, 6).alias("pearson_r")
+    )
