@@ -12,6 +12,16 @@ graphs is small in practice (dup clusters are cliques or short chains),
 so rounds stay in the single digits. For billion-edge graphs the
 large-star/small-star variant halves rounds; the propagation skeleton is
 the same.
+
+Why not Spark 4's native ``WITH RECURSIVE``: recursive CTEs currently
+allow only UNION ALL between the anchor and recursive terms
+(``UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE``, probed on 4.1.2). Transitive
+closure over a CYCLIC graph (any symmetric dup graph) needs UNION's
+dedup-per-level to terminate — with UNION ALL the path multiset grows
+without bound. The driver-side iterative loops here ARE the
+deduplicating fixpoint recursion, with convergence checks and lineage
+checkpointing the SQL form cannot express; the DuckDB oracles (which do
+support recursive UNION) verify their results exactly.
 """
 
 from __future__ import annotations
