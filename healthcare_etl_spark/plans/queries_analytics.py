@@ -2147,3 +2147,83 @@ def q_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "type_a", "type_b", "n_days", stable_round(num / den, 6).alias("pearson_r")
     )
+
+
+@register(
+    "q_recursive_balance",
+    oracle="""
+WITH RECURSIVE raw AS (
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day, sum(value) AS sv
+    FROM events GROUP BY 1, 2
+),
+deltas AS (
+    SELECT event_type, day,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
+           (round((sv - avg(sv) OVER (PARTITION BY event_type)) * 10000.0) / 10000.0) AS delta
+    FROM raw
+),
+bal AS (
+    SELECT event_type, idx, day, delta,
+           (round(greatest(0.0, delta) * 10000.0) / 10000.0) AS balance
+    FROM deltas WHERE idx = 1
+    UNION ALL
+    SELECT d.event_type, d.idx, d.day, d.delta,
+           (round(greatest(0.0, b.balance + d.delta) * 10000.0) / 10000.0)
+    FROM bal b JOIN deltas d ON d.event_type = b.event_type AND d.idx = b.idx + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, delta, balance FROM bal
+""",
+    description=(
+        "Zero-clamped running balance via Spark 4's native WITH "
+        "RECURSIVE — the recurrence balance[d] = max(0, balance[d-1] + "
+        "delta[d]) is NON-ASSOCIATIVE (the clamp), so no window frame "
+        "or prefix-sum trick can express it; it traditionally forces a "
+        "UDF loop. The engine's UNION-ALL-only recursion is exactly "
+        "right here because the per-(type, day-index) chain is acyclic "
+        "and linear — one row per step, depth = number of days (see "
+        "operators/graph.py for why the same feature canNOT do cyclic "
+        "closure). Deltas are each type's daily revenue centered on its "
+        "own mean (so the clamp actually engages at every scale "
+        "factor), and every step re-rounds identically on both engines, "
+        "so the chain stays bit-stable however deep. The recursion runs "
+        "over the days x types grid — dimension-sized; the fact shuffle "
+        "happens once, before the recursion."
+    ),
+    tags=("analytics", "extension", "timeseries", "recursive"),
+)
+def q_recursive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("sv")
+    )
+    deltas = raw.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("idx"),
+        (
+            F.round(
+                (F.col("sv") - F.avg("sv").over(Window.partitionBy("event_type")))
+                * 10000.0
+            )
+            / 10000.0
+        ).alias("delta"),
+    )
+    deltas.createOrReplaceTempView("v_bal_deltas")
+    return spark.sql(
+        """
+WITH RECURSIVE bal AS (
+    SELECT event_type, idx, day, delta,
+           (round(greatest(0.0, delta) * 10000.0) / 10000.0) AS balance
+    FROM v_bal_deltas WHERE idx = 1
+    UNION ALL
+    SELECT d.event_type, d.idx, d.day, d.delta,
+           (round(greatest(0.0, b.balance + d.delta) * 10000.0) / 10000.0)
+    FROM bal b JOIN v_bal_deltas d
+      ON d.event_type = b.event_type AND d.idx = b.idx + 1
+)
+SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day, delta, balance FROM bal
+"""
+    )
