@@ -528,3 +528,79 @@ SELECT doc_id, rrf, rank FROM (
 
 
 _set_hybrid_oracle()
+
+
+@register(
+    "q_source_kl_divergence",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT w FROM counts),
+vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+totals AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY source),
+grid AS (
+    SELECT t.source, vb.w, coalesce(c.n, 0) AS n, t.tot, vs.v
+    FROM totals t
+    CROSS JOIN vocab vb
+    CROSS JOIN vsize vs
+    LEFT JOIN counts c ON c.source = t.source AND c.w = vb.w
+),
+probs AS (
+    SELECT source, w, (n + 1.0) / (tot + v) AS p FROM grid
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       (round(sum(a.p * ln(a.p / b.p)) * 1000000.0) / 1000000.0) AS kl_ab
+FROM probs a JOIN probs b ON a.w = b.w AND a.source <> b.source
+GROUP BY 1, 2
+""",
+    description=(
+        "Pairwise KL divergence between source unigram distributions "
+        "(Laplace-smoothed over the shared vocabulary) — the "
+        "information-theoretic mixture diagnostic that complements "
+        "q_source_overlap's set view and q_dsir_weights' per-doc "
+        "scoring: KL(A||B) is asymmetric, so it distinguishes 'A is a "
+        "subset-style dialect of B' from the reverse. Everything "
+        "reduces on (source, token) counts: the densified grid is "
+        "vocab x sources (smoothing needs explicit zeros), the pairwise "
+        "join keys on the token, and the folds are fixed-expression "
+        "doubles over exact integer counts."
+    ),
+    tags=("text", "extension", "corpus"),
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    grid = (
+        totals.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "tot",
+            "v",
+        )
+    )
+    probs = grid.select(
+        "source", "w", ((F.col("n") + F.lit(1.0)) / (F.col("tot") + F.col("v"))).alias("p")
+    )
+    a = probs.select(F.col("source").alias("source_a"), "w", F.col("p").alias("pa"))
+    b = probs.select(F.col("source").alias("source_b"), F.col("w").alias("w_b"), F.col("p").alias("pb"))
+    return (
+        a.join(b, (a["w"] == b["w_b"]) & (a["source_a"] != b["source_b"]))
+        .groupBy("source_a", "source_b")
+        .agg(stable_round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias("kl_ab"))
+    )
