@@ -449,3 +449,64 @@ def q_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile"
         ),
     )
+
+
+@register(
+    "q_langid_eval",
+    oracle=f"""
+WITH preds AS ({_lang_id_oracle_sql()}),
+joined AS (
+    SELECT d.lang AS gold, p.lang_pred AS pred
+    FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+),
+cells AS (
+    SELECT gold, pred, CAST(count(*) AS BIGINT) AS n FROM joined GROUP BY 1, 2
+),
+gold_tot AS (SELECT gold, sum(n) AS n_gold FROM cells GROUP BY gold),
+pred_tot AS (SELECT pred, sum(n) AS n_pred FROM cells GROUP BY pred)
+SELECT c.gold, c.pred, c.n,
+       (round((c.n * 1.0 / p.n_pred) * 1000000.0) / 1000000.0) AS cell_precision,
+       (round((c.n * 1.0 / g.n_gold) * 1000000.0) / 1000000.0) AS cell_recall
+FROM cells c
+JOIN gold_tot g ON g.gold = c.gold
+JOIN pred_tot p ON p.pred = c.pred
+""",
+    description=(
+        "Classifier evaluation of the language-ID heuristic against the "
+        "gold ``lang`` labels — the confusion matrix plus per-cell "
+        "precision (n / column total) and recall (n / row total), i.e. "
+        "the diagonal cells carry each class's precision/recall. The "
+        "model-evaluation primitive every heuristic in a data pipeline "
+        "should ship with: quality filters and lang-ID are classifiers, "
+        "and unevaluated classifiers silently rot. Prediction + join + "
+        "three class-count-sized aggregates; the fact-sized work is the "
+        "one scoring pass."
+    ),
+    tags=("text", "extension", "evaluation"),
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = language_id(docs.select("doc_id", "text")).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", F.col("lang").alias("gold")).join(preds, "doc_id")
+    cells = joined.groupBy("gold", F.col("lang_pred").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    gold_tot = cells.groupBy("gold").agg(F.sum("n").alias("n_gold"))
+    pred_tot = cells.groupBy("pred").agg(F.sum("n").alias("n_pred"))
+    return (
+        cells.join(F.broadcast(gold_tot), "gold")
+        .join(F.broadcast(pred_tot), "pred")
+        .select(
+            "gold",
+            "pred",
+            "n",
+            stable_round(F.col("n") * F.lit(1.0) / F.col("n_pred"), 6).alias(
+                "cell_precision"
+            ),
+            stable_round(F.col("n") * F.lit(1.0) / F.col("n_gold"), 6).alias(
+                "cell_recall"
+            ),
+        )
+    )
