@@ -984,3 +984,144 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
         F.max("concurrent").alias("peak_concurrent")
     )
+
+
+# Sessionization CTE shared by the session-scoped analytics oracles —
+# identical logic to q_sessionize's oracle (30-minute gap, event_id
+# tiebreak), ending in sess(user_id, session_seq, event_type, ts,
+# event_id).
+_SESSION_CTE = """gaps AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+    FROM events
+),
+sess AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM gaps
+)"""
+
+
+@register(
+    "q_session_funnel",
+    oracle=f"""
+WITH {_SESSION_CTE},
+per_session AS (
+    SELECT user_id, session_seq,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+           max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+    FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_click,
+       CAST(sum(CASE WHEN first_click IS NOT NULL AND last_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       (round((sum(CASE WHEN first_click IS NOT NULL AND last_purchase > first_click
+                        THEN 1 ELSE 0 END) * 1.0
+               / sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END))
+              * 1000000.0) / 1000000.0) AS conversion_rate
+FROM per_session
+""",
+    description=(
+        "Session-scoped funnel conversion: a session converts when a "
+        "purchase follows a click WITHIN THE SAME 30-minute session — "
+        "the intra-visit conversion rate, stricter than the global "
+        "funnel (q_funnel_steps) where steps may be days apart. "
+        "Composes the sessionize window with per-session conditional "
+        "min/max (exact integer µs, strict order required) and a 1-row "
+        "fold; the sessionize shuffle on user_id is reused by the "
+        "per-session aggregate — one data-sized exchange total."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id")
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    has_click = F.col("first_click").isNotNull()
+    converted = has_click & (F.col("last_purchase") > F.col("first_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(has_click.cast("long")).alias("n_with_click"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+        stable_round(
+            F.sum(converted.cast("long")) * F.lit(1.0)
+            / F.sum(has_click.cast("long")),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "q_session_cooccurrence",
+    oracle=f"""
+WITH {_SESSION_CTE},
+types AS (
+    SELECT DISTINCT user_id, session_seq, event_type FROM sess
+),
+n_sess AS (SELECT CAST(count(DISTINCT (user_id, session_seq)) AS BIGINT) AS total FROM sess)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       (round((count(*) * 1.0 / max(total)) * 1000000.0) / 1000000.0) AS support
+FROM types a
+JOIN types b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+            AND a.event_type < b.event_type
+CROSS JOIN n_sess
+GROUP BY 1, 2
+""",
+    description=(
+        "Per-session event-type co-occurrence with support — the "
+        "market-basket / frequent-itemset first pass (baskets = "
+        "sessions, items = event types): distinct (session, type) "
+        "pairs self-join within the session key, ordered type_a < "
+        "type_b so each pair counts once, support = co-occurring "
+        "sessions / all sessions. The join runs on the distinct-reduced "
+        "per-session type sets (at most |types| rows per session), "
+        "never the raw events — the standard a-priori candidate "
+        "generation shape."
+    ),
+    tags=("events", "extension"),
+)
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id")
+    types = sess.select("user_id", "session_seq", "event_type").distinct()
+    n_sess = sess.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    a = types.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
+    b = types.select(
+        F.col("user_id").alias("u_b"),
+        F.col("session_seq").alias("s_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["user_id"] == b["u_b"])
+            & (a["session_seq"] == b["s_b"])
+            & (a["type_a"] < b["type_b"]),
+        )
+        .crossJoin(F.broadcast(n_sess))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            stable_round(F.count(F.lit(1)) * F.lit(1.0) / F.max("total"), 6).alias(
+                "support"
+            ),
+        )
+    )
