@@ -2227,3 +2227,118 @@ WITH RECURSIVE bal AS (
 SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day, delta, balance FROM bal
 """
     )
+
+
+@register(
+    "q_rate_wilson_ci",
+    oracle="""
+WITH arms AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, k,
+       (round((k * 1.0 / n) * 1000000.0) / 1000000.0) AS rate,
+       (round(((k * 1.0 / n + 1.9208 / n
+                - 1.96 * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n + 0.9604 / (n * n)))
+               / (1.0 + 3.8416 / n)) * 1000000.0) / 1000000.0) AS wilson_lo,
+       (round(((k * 1.0 / n + 1.9208 / n
+                + 1.96 * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n + 0.9604 / (n * n)))
+               / (1.0 + 3.8416 / n)) * 1000000.0) / 1000000.0) AS wilson_hi
+FROM arms
+""",
+    description=(
+        "Per-type rate with the Wilson 95% score interval — the "
+        "binomial CI that behaves at extreme rates and small n (the "
+        "naive Wald interval collapses to zero width at p=0/1, the "
+        "classic dashboard lie). Constants are z=1.96 expansions "
+        "(z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604) written identically "
+        "in both engines so the fixed-order double expression matches "
+        "after stable rounding. One partial-aggregated scan; the CI "
+        "math runs on the types-sized aggregate."
+    ),
+    tags=("analytics", "extension", "parity"),
+)
+def q_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 150, 1).otherwise(0)).alias("k"),
+    )
+    p = F.col("k") * F.lit(1.0) / F.col("n")
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n") + F.lit(0.9604) / (F.col("n") * F.col("n"))
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    center = p + F.lit(1.9208) / F.col("n")
+    return arms.select(
+        "event_type",
+        "n",
+        "k",
+        stable_round(p, 6).alias("rate"),
+        stable_round((center - half) / denom, 6).alias("wilson_lo"),
+        stable_round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, sum(value) AS x
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+ranked AS (
+    SELECT x,
+           CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i,
+           CAST(count(*) OVER () AS BIGINT) AS n,
+           sum(x) OVER () AS tot
+    FROM per_user
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       (round((2.0 * sum(i * x) / (max(n) * max(tot))
+               - (max(n) + 1.0) / max(n)) * 1000000.0) / 1000000.0) AS gini
+FROM ranked
+""",
+    description=(
+        "Gini coefficient of per-user purchase revenue — the "
+        "concentration index (0 = perfectly even, ->1 = one whale) "
+        "used for revenue-concentration risk and for data-mixture "
+        "skew (how concentrated is a corpus across sources/authors). "
+        "Computed from the rank formulation G = 2*sum(i*x_i)/(n*sum(x))"
+        " - (n+1)/n over the users-sized aggregate: the rank window "
+        "sorts users, not facts, and the i*x products sum in any order "
+        "identically after stable rounding because i and the per-user "
+        "sums are exact before the final double fold."
+    ),
+    tags=("analytics", "extension"),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("x"))
+    )
+    w_rank = Window.orderBy("x", "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("x").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_users"),
+        stable_round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
