@@ -2342,3 +2342,133 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_ewma_smoothing",
+    oracle="""
+WITH RECURSIVE raw AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           (round(sum(value) * 10000.0) / 10000.0) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idxd AS (
+    SELECT day, x,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+    FROM raw
+),
+ewma AS (
+    SELECT idx, day, x, x AS s FROM idxd WHERE idx = 1
+    UNION ALL
+    SELECT d.idx, d.day, d.x,
+           (round((0.3 * d.x + 0.7 * e.s) * 10000.0) / 10000.0)
+    FROM ewma e JOIN idxd d ON d.idx = e.idx + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x AS revenue, s AS ewma
+FROM ewma
+""",
+    description=(
+        "Exponentially-weighted moving average of daily revenue "
+        "(alpha=0.3) via native WITH RECURSIVE — the smoothing/"
+        "forecast-baseline primitive. EWMA is a LINEAR recurrence, so "
+        "unlike q_recursive_balance's clamp it has a closed form, but "
+        "the recursive statement is the numerically honest one: each "
+        "step re-rounds to 4dp identically on both engines, so the "
+        "chain cannot drift however long the series. Recursion depth = "
+        "days; all data-sized work happens in the one aggregate "
+        "producing the daily series."
+    ),
+    tags=("analytics", "extension", "timeseries", "recursive"),
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.sum("value") * 10000.0) / 10000.0).alias("x"))
+    )
+    idxd = raw.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).cast("long").alias("idx")
+    )
+    idxd.createOrReplaceTempView("v_ewma_daily")
+    return spark.sql(
+        """
+WITH RECURSIVE ewma AS (
+    SELECT idx, day, x, x AS s FROM v_ewma_daily WHERE idx = 1
+    UNION ALL
+    SELECT d.idx, d.day, d.x,
+           (round((0.3 * d.x + 0.7 * e.s) * 10000.0) / 10000.0)
+    FROM ewma e JOIN v_ewma_daily d ON d.idx = e.idx + 1
+)
+SELECT date_format(day, 'yyyy-MM-dd') AS day, x AS revenue, s AS ewma
+FROM ewma
+"""
+    )
+
+
+@register(
+    "q_weekly_churn",
+    oracle="""
+WITH weekly AS (
+    SELECT DISTINCT user_id,
+           CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 604800000000 AS BIGINT)
+               AS week
+    FROM events
+),
+pairs AS (
+    SELECT a.week AS week, a.user_id,
+           (b.user_id IS NOT NULL) AS retained
+    FROM weekly a
+    LEFT JOIN weekly b ON b.user_id = a.user_id AND b.week = a.week + 1
+    WHERE a.week < (SELECT max(week) FROM weekly)
+)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN retained THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+       (round((sum(CASE WHEN retained THEN 0 ELSE 1 END) * 1.0 / count(*))
+              * 1000000.0) / 1000000.0) AS churn_rate
+FROM pairs GROUP BY week
+""",
+    description=(
+        "Weekly churn: users active in week W with NO activity in week "
+        "W+1 (exact integer-µs week bucketing from a fixed epoch "
+        "anchor, so week edges are engine-identical) — the retention "
+        "complement to q_cohort_retention's triangle view, shaped as a "
+        "self-join of the distinct-reduced (user, week) activity set "
+        "(never the raw facts) with a left-join null-probe for the "
+        "following week; the final week is excluded since its future "
+        "is unobserved."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01").cast("timestamp")
+    weekly = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") - F.unix_micros(anchor)) / F.lit(604_800_000_000))
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    max_week = weekly.agg(F.max("week").alias("mw"))
+    b = weekly.select(F.col("user_id").alias("u_b"), F.col("week").alias("w_b"))
+    pairs = (
+        weekly.crossJoin(F.broadcast(max_week))
+        .filter(F.col("week") < F.col("mw"))
+        .join(
+            b,
+            (F.col("user_id") == F.col("u_b")) & (F.col("w_b") == F.col("week") + 1),
+            "left",
+        )
+        .select("week", "user_id", F.col("u_b").isNotNull().alias("retained"))
+    )
+    churned = (~F.col("retained")).cast("long")
+    return pairs.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(churned).alias("n_churned"),
+        stable_round(F.sum(churned) * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "churn_rate"
+        ),
+    )
