@@ -2472,3 +2472,111 @@ def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churn_rate"
         ),
     )
+
+
+@register(
+    "q_max_drawdown",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           time_bucket(INTERVAL '1 day', ts) AS day,
+           (round(sum(value) * 10000.0) / 10000.0) AS x
+    FROM events GROUP BY 1, 2
+),
+peaks AS (
+    SELECT event_type, day, x,
+           max(x) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+    FROM daily
+)
+SELECT event_type,
+       (round(max((peak - x) / peak) * 1000000.0) / 1000000.0) AS max_drawdown,
+       (round(max(peak) * 10000.0) / 10000.0) AS peak_value
+FROM peaks GROUP BY event_type
+""",
+    description=(
+        "Maximum drawdown of each type's daily-revenue series — the "
+        "worst relative drop from the running peak, the risk metric "
+        "finance and SLO dashboards share. Running max IS associative "
+        "(unlike q_recursive_balance's clamp), so a prefix-max window "
+        "over the days-sized aggregate suffices — no recursion; the "
+        "per-row (peak-x)/peak ratios and the final max are order-"
+        "independent doubles."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        (F.round(F.sum("value") * 10000.0) / 10000.0).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = daily.select(
+        "event_type", "x", F.max("x").over(w).alias("peak")
+    )
+    return peaks.groupBy("event_type").agg(
+        stable_round(
+            F.max((F.col("peak") - F.col("x")) / F.col("peak")), 6
+        ).alias("max_drawdown"),
+        stable_round(F.max("peak"), 4).alias("peak_value"),
+    )
+
+
+@register(
+    "q_event_streaks",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+           CAST(row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS BIGINT) AS rn_t
+    FROM events
+),
+islands AS (
+    SELECT user_id, event_type, rn - rn_t AS island,
+           CAST(count(*) AS BIGINT) AS streak_len
+    FROM seq GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       (round(avg(streak_len) * 1000000.0) / 1000000.0) AS avg_streak
+FROM islands GROUP BY event_type
+""",
+    description=(
+        "Consecutive same-type event streaks per user via the gaps-and-"
+        "islands rn-difference trick: two row_numbers (global per user, "
+        "and per (user, type)) differ by a constant exactly within a "
+        "run of identical types, so the difference IS the island id — "
+        "no self-join, no recursion, just two windows sharing the "
+        "user_id shuffle plus a rollup. Streak analysis feeds retry-"
+        "storm detection (error streaks) and engagement scoring "
+        "(consecutive-activity runs)."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_u).cast("long").alias("rn"),
+        F.row_number().over(w_ut).cast("long").alias("rn_t"),
+    )
+    islands = seq.groupBy(
+        "user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("island")
+    ).agg(F.count(F.lit(1)).alias("streak_len"))
+    return islands.groupBy("event_type").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        stable_round(F.avg("streak_len"), 6).alias("avg_streak"),
+    )

@@ -510,3 +510,59 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_langid_kappa",
+    oracle=f"""
+WITH preds AS ({_lang_id_oracle_sql()}),
+joined AS (
+    SELECT d.lang AS gold, p.lang_pred AS pred
+    FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined),
+agree AS (SELECT CAST(sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS a FROM joined),
+marg AS (
+    SELECT sum(ng * np) AS chance_mass
+    FROM (SELECT gold AS c, count(*) AS ng FROM joined GROUP BY gold) g
+    JOIN (SELECT pred AS c, count(*) AS np FROM joined GROUP BY pred) p USING (c)
+)
+SELECT n, a AS n_agree,
+       (round((a * 1.0 / n) * 1000000.0) / 1000000.0) AS accuracy,
+       (round(((a * 1.0 / n - chance_mass * 1.0 / (n * n))
+               / (1.0 - chance_mass * 1.0 / (n * n))) * 1000000.0) / 1000000.0) AS cohens_kappa
+FROM tot CROSS JOIN agree CROSS JOIN marg
+""",
+    description=(
+        "Cohen's kappa for the language-ID heuristic vs gold labels — "
+        "chance-corrected agreement, the single-number eval that "
+        "accuracy inflates on imbalanced classes (predicting the "
+        "majority language everywhere scores high accuracy but kappa "
+        "~0). Computed from exact integer marginals: observed "
+        "agreement, expected chance mass = sum over classes of "
+        "gold-count x pred-count, kappa = (po - pe)/(1 - pe). "
+        "Class-count-sized joins; one scoring pass over the corpus."
+    ),
+    tags=("text", "extension", "evaluation"),
+)
+def q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = language_id(docs.select("doc_id", "text")).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", F.col("lang").alias("gold")).join(preds, "doc_id")
+    tot = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("gold") == F.col("lang_pred"), 1).otherwise(0)).alias("a"),
+    )
+    g = joined.groupBy(F.col("gold").alias("c")).agg(F.count(F.lit(1)).alias("ng"))
+    p = joined.groupBy(F.col("lang_pred").alias("c")).agg(F.count(F.lit(1)).alias("np"))
+    marg = g.join(p, "c").agg(F.sum(F.col("ng") * F.col("np")).alias("chance_mass"))
+    po = F.col("a") * F.lit(1.0) / F.col("n")
+    pe = F.col("chance_mass") * F.lit(1.0) / (F.col("n") * F.col("n"))
+    return tot.crossJoin(F.broadcast(marg)).select(
+        "n",
+        F.col("a").alias("n_agree"),
+        stable_round(po, 6).alias("accuracy"),
+        stable_round((po - pe) / (F.lit(1.0) - pe), 6).alias("cohens_kappa"),
+    )
