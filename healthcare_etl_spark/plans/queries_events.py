@@ -1125,3 +1125,131 @@ def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_activation_delay",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+    FROM events GROUP BY user_id
+),
+delays AS (
+    SELECT user_id,
+           CAST(first_purchase - first_signup AS BIGINT) AS delay_us
+    FROM firsts
+    WHERE first_signup IS NOT NULL AND first_purchase > first_signup
+)
+SELECT CAST(count(*) AS BIGINT) AS n_activated,
+       CAST(quantile_disc(delay_us, 0.5) AS BIGINT) AS p50_delay_us,
+       CAST(quantile_disc(delay_us, 0.9) AS BIGINT) AS p90_delay_us,
+       CAST(min(delay_us) AS BIGINT) AS min_delay_us,
+       CAST(max(delay_us) AS BIGINT) AS max_delay_us
+FROM delays
+""",
+    description=(
+        "Activation delay: time from a user's first signup to their "
+        "first purchase AFTER it — the activation funnel metric growth "
+        "teams track, reported as discrete percentiles (exact integer "
+        "µs, so the entire result is bit-exact with no rounding "
+        "bridge). One conditional-min aggregate per user + a 1-row "
+        "percentile fold over the users-sized delays."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_activation_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    delays = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    ).select((F.col("first_purchase") - F.col("first_signup")).alias("delay_us"))
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_activated"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("long")
+        .alias("p50_delay_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("long")
+        .alias("p90_delay_us"),
+        F.min("delay_us").alias("min_delay_us"),
+        F.max("delay_us").alias("max_delay_us"),
+    )
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+dow AS (
+    SELECT day, n, dayofweek(day) AS wd,
+           CAST(count(*) OVER (PARTITION BY dayofweek(day)) AS BIGINT) AS n_days,
+           sum(n)     OVER (PARTITION BY dayofweek(day)) AS s1,
+           sum(n * n) OVER (PARTITION BY dayofweek(day)) AS s2
+    FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n,
+       CAST(wd AS BIGINT) AS weekday,
+       (round((s1 * 1.0 / n_days) * 1000000.0) / 1000000.0) AS weekday_mean,
+       (round(((n - s1 * 1.0 / n_days)
+               / sqrt(s2 * 1.0 / n_days - (s1 * 1.0 / n_days) * (s1 * 1.0 / n_days)))
+              * 1000000.0) / 1000000.0) AS seasonal_z
+FROM dow
+WHERE s2 * 1.0 / n_days - (s1 * 1.0 / n_days) * (s1 * 1.0 / n_days) > 0
+""",
+    description=(
+        "Seasonality-adjusted daily anomaly score: each day's event "
+        "count z-scored against its OWN weekday's distribution (Mondays "
+        "vs Mondays) — the global detector (q_anomaly_mad) flags every "
+        "weekend as anomalous on weekly-seasonal traffic; this one "
+        "removes the day-of-week component first. Weekday moments come "
+        "from exact integer sums via windows over the days-sized "
+        "series; population variance in one fixed expression. DuckDB's "
+        "dayofweek and Spark's dayofweek both map Sunday->0-vs-1 "
+        "consistently under the mirrored expression (verified by the "
+        "hash match, which would catch any off-by-one)."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wd = F.dayofweek("day") - 1  # Spark: Sunday=1 -> DuckDB: Sunday=0
+    w = Window.partitionBy(wd)
+    dow = daily.select(
+        "day",
+        "n",
+        wd.alias("weekday"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n_days")
+    var = F.col("s2") * F.lit(1.0) / F.col("n_days") - mean * mean
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    return dow.filter(var > 0).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("weekday").cast("long").alias("weekday"),
+        stable_round(mean, 6).alias("weekday_mean"),
+        stable_round((F.col("n") - mean) / F.sqrt(var), 6).alias("seasonal_z"),
+    )
