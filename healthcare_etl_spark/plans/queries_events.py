@@ -1253,3 +1253,107 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(mean, 6).alias("weekday_mean"),
         stable_round((F.col("n") - mean) / F.sqrt(var), 6).alias("seasonal_z"),
     )
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS seg
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+segments AS (
+    SELECT user_id, seg,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+           max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value
+    FROM seq GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(CASE WHEN purchase_value IS NOT NULL THEN 1 END) AS BIGINT) AS n_purchases,
+       CAST(count(CASE WHEN purchase_value IS NOT NULL AND n_clicks > 0 THEN 1 END) AS BIGINT)
+           AS n_attributed,
+       (round(coalesce(sum(CASE WHEN purchase_value IS NOT NULL AND n_clicks > 0
+                                THEN purchase_value END), 0.0) * 10000.0) / 10000.0)
+           AS attributed_value,
+       (round(coalesce(sum(CASE WHEN purchase_value IS NOT NULL AND n_clicks = 0
+                                THEN purchase_value END), 0.0) * 10000.0) / 10000.0)
+           AS unattributed_value,
+       CAST(coalesce(sum(CASE WHEN purchase_value IS NOT NULL AND n_clicks > 0
+                         THEN CAST(round(purchase_value * 100.0) AS BIGINT) * 10000 // n_clicks
+                         END), 0) AS BIGINT)
+           AS per_click_credit_ucents
+FROM segments
+GROUP BY user_id
+""",
+    description=(
+        "Linear multi-touch attribution — the allocation counterpart to "
+        "q_attribution_last_touch: each purchase's value splits equally "
+        "across the clicks in ITS segment (the events since the "
+        "previous purchase), purchases with no preceding clicks are "
+        "reported unattributed. Join-free segmentation: the running "
+        "purchase count over a 1-PRECEDING frame IS the segment id "
+        "(each purchase closes its own segment), then one aggregate "
+        "per (user, segment) and a per-user rollup — a single user_id "
+        "shuffle shared by the window and both aggregates."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("seg"),
+    )
+    segments = seq.groupBy("user_id", "seg").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+            "purchase_value"
+        ),
+    )
+    has_p = F.col("purchase_value").isNotNull()
+    attributed = has_p & (F.col("n_clicks") > 0)
+    unattributed = has_p & (F.col("n_clicks") == 0)
+    r4 = lambda c: F.round(F.coalesce(c, F.lit(0.0)) * 10000.0) / 10000.0  # noqa: E731
+    return segments.groupBy("user_id").agg(
+        F.count(F.when(has_p, F.lit(1))).alias("n_purchases"),
+        F.count(F.when(attributed, F.lit(1))).alias("n_attributed"),
+        r4(F.sum(F.when(attributed, F.col("purchase_value")))).alias("attributed_value"),
+        r4(F.sum(F.when(unattributed, F.col("purchase_value")))).alias(
+            "unattributed_value"
+        ),
+        # exact integer credit: cents * 10000 floor-divided by the click
+        # count — a float quotient sum is order-dependent across engines
+        F.coalesce(
+            F.sum(
+                F.when(
+                    attributed,
+                    F.expr(
+                        "CAST(round(purchase_value * 100.0) AS BIGINT) * 10000 div n_clicks"
+                    ),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("per_click_credit_ucents"),
+    )
