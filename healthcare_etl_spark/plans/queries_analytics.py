@@ -2580,3 +2580,103 @@ def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         stable_round(F.avg("streak_len"), 6).alias("avg_streak"),
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(time_bucket(INTERVAL '1 day', ts)) AS cohort_day
+    FROM events GROUP BY user_id
+),
+rev AS (
+    SELECT f.cohort_day,
+           CAST(epoch_us(time_bucket(INTERVAL '1 day', e.ts) - f.cohort_day)
+                // 86400000000 AS BIGINT) AS age_days,
+           e.value
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+),
+cohort_sizes AS (
+    SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users FROM firsts GROUP BY 1
+),
+daily_rev AS (
+    SELECT cohort_day, age_days,
+           (round(sum(value) * 10000.0) / 10000.0) AS rev
+    FROM rev GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_day, age_days,
+           (round(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000.0) / 10000.0)
+               AS cum_rev
+    FROM daily_rev
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       c.age_days,
+       s.n_users,
+       (round((c.cum_rev / s.n_users) * 1000000.0) / 1000000.0) AS ltv_per_user
+FROM cum c JOIN cohort_sizes s ON s.cohort_day = c.cohort_day
+WHERE c.age_days <= 7
+""",
+    description=(
+        "Cohort LTV curve: cumulative purchase revenue per user by "
+        "cohort age (first 7 days) — the payback/LTV ribbon next to "
+        "q_cohort_retention's active-count triangle. Ages computed in "
+        "exact integer days from the cohort anchor; daily revenue "
+        "stable-rounds BEFORE the cumulative window so the running sums "
+        "add identical values on both engines, and the per-user "
+        "division happens on the cohort-grid-sized frame. The only "
+        "fact-sized work is the cohort-anchor join (per-user table, "
+        "never broadcastable at scale) and the revenue aggregate."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            (
+                (
+                    F.unix_micros(F.date_trunc("day", "ts"))
+                    - F.unix_micros("cohort_day")
+                )
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("age_days"),
+            "value",
+        )
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    daily_rev = rev.groupBy("cohort_day", "age_days").agg(
+        (F.round(F.sum("value") * 10000.0) / 10000.0).alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily_rev.select(
+        "cohort_day",
+        "age_days",
+        (F.round(F.sum("rev").over(w) * 10000.0) / 10000.0).alias("cum_rev"),
+    )
+    return (
+        cum.filter(F.col("age_days") <= 7)
+        .join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "age_days",
+            "n_users",
+            stable_round(F.col("cum_rev") / F.col("n_users"), 6).alias("ltv_per_user"),
+        )
+    )

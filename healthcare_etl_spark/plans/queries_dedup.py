@@ -635,3 +635,64 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "q_dedup_threshold_profile",
+    oracle=f"""
+WITH {_jaccard_pairs_ctes()},
+rounded AS (
+    SELECT (round(jac * 1000000.0) / 1000000.0) AS jac FROM jpairs
+),
+binned AS (
+    SELECT least(CAST(floor(jac * 10.0) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM rounded GROUP BY 1
+)
+SELECT bin,
+       (round(bin / 10.0 * 1000000.0) / 1000000.0) AS bin_lo,
+       n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_pairs_at_or_above
+FROM binned
+""",
+    description=(
+        "Dedup-threshold tuning profile: the distribution of exact "
+        "pairwise Jaccard scores in 0.1-wide bins plus the reverse "
+        "cumulative count (how many pairs survive each candidate "
+        "threshold) — the diagnostic run BEFORE committing a near-dup "
+        "threshold, where the knee of the curve separates true dups "
+        "from background similarity. Reuses the inverted-index pair "
+        "pipeline; the histogram fold and the reverse-cumulative window "
+        "run over ten bins."
+    ),
+    tags=("dedup", "extension"),
+)
+def q_dedup_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.0)
+    binned = (
+        pairs.select(
+            F.least(
+                F.floor(F.col("jaccard") * 10.0).cast("long"), F.lit(9).cast("long")
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    return binned.select(
+        "bin",
+        stable_round(F.col("bin") / 10.0, 6).alias("bin_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )
