@@ -2680,3 +2680,138 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("cum_rev") / F.col("n_users"), 6).alias("ltv_per_user"),
         )
     )
+
+
+@register(
+    "q_welch_ttest",
+    oracle="""
+WITH assign AS (
+    SELECT value,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0)
+               AS in_a
+    FROM events WHERE event_type = 'purchase'
+),
+arms AS (
+    SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           sum(CASE WHEN in_a THEN value ELSE 0.0 END) AS sa,
+           sum(CASE WHEN NOT in_a THEN value ELSE 0.0 END) AS sb,
+           sum(CASE WHEN in_a THEN value * value ELSE 0.0 END) AS saa,
+           sum(CASE WHEN NOT in_a THEN value * value ELSE 0.0 END) AS sbb
+    FROM assign
+)
+SELECT n_a, n_b,
+       (round((sa / n_a) * 1000000.0) / 1000000.0) AS mean_a,
+       (round((sb / n_b) * 1000000.0) / 1000000.0) AS mean_b,
+       (round(((sa / n_a - sb / n_b)
+               / sqrt((saa / n_a - (sa / n_a) * (sa / n_a)) / (n_a - 1)
+                      + (sbb / n_b - (sb / n_b) * (sb / n_b)) / (n_b - 1)))
+              * 10000.0) / 10000.0) AS welch_t
+FROM arms
+""",
+    description=(
+        "Welch's unequal-variance t statistic for mean purchase value "
+        "between the hash-assigned A/B arms — the means complement to "
+        "q_ab_test_ztest's proportions: t = (mA - mB) / sqrt(vA/nA + "
+        "vB/nB) with variances from one conditional-moment pass "
+        "(sample variance via moments over n-1). The statistic rounds "
+        "at 4dp: the moment sums are double folds over ~n rows, and "
+        "the variance difference cancellation costs ~2 digits of the "
+        "6dp budget — the rate/means columns keep 6dp. One partial-"
+        "aggregated scan; the t math runs on a 1-row frame."
+    ),
+    tags=("analytics", "extension", "parity"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    in_a = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    arms = ev.select("value", in_a.alias("in_a")).agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("value")).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(~F.col("in_a"), F.col("value")).otherwise(0.0)).alias("sb"),
+        F.sum(F.when(F.col("in_a"), F.col("value") * F.col("value")).otherwise(0.0)).alias("saa"),
+        F.sum(F.when(~F.col("in_a"), F.col("value") * F.col("value")).otherwise(0.0)).alias("sbb"),
+    )
+    ma = F.col("sa") / F.col("n_a")
+    mb = F.col("sb") / F.col("n_b")
+    va = (F.col("saa") / F.col("n_a") - ma * ma) / (F.col("n_a") - 1)
+    vb = (F.col("sbb") / F.col("n_b") - mb * mb) / (F.col("n_b") - 1)
+    return arms.select(
+        "n_a",
+        "n_b",
+        stable_round(ma, 6).alias("mean_a"),
+        stable_round(mb, 6).alias("mean_b"),
+        stable_round((ma - mb) / F.sqrt(va + vb), 4).alias("welch_t"),
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+WITH cells AS (
+    SELECT event_type, dayofweek(ts) AS wd, CAST(count(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+margins AS (
+    SELECT c.event_type, c.wd, c.o,
+           sum(c.o) OVER (PARTITION BY c.event_type) AS row_tot,
+           sum(c.o) OVER (PARTITION BY c.wd) AS col_tot,
+           sum(c.o) OVER () AS n
+    FROM cells c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       (round(sum((o - row_tot * col_tot * 1.0 / n) * (o - row_tot * col_tot * 1.0 / n)
+                  / (row_tot * col_tot * 1.0 / n)) * 1000000.0) / 1000000.0) AS chi2,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT wd) - 1) AS BIGINT) AS dof
+FROM margins
+""",
+    description=(
+        "Chi-square test of independence between event type and "
+        "weekday — does traffic mix shift by day of week? Expected "
+        "cell counts from exact integer margins (row x column / total, "
+        "all BIGINT window sums over the contingency-table-sized "
+        "grid), chi2 folded in one fixed expression with degrees of "
+        "freedom alongside. The contingency table is types x 7 — every "
+        "window here is metadata-scale; the one fact-sized stage is "
+        "the cell-count aggregate."
+    ),
+    tags=("analytics", "extension", "parity"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = cells.select(
+        "event_type",
+        "wd",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("wd")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        stable_round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("wd") - 1)
+        ).cast("long").alias("dof"),
+    )
