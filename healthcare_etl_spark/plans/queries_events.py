@@ -1357,3 +1357,46 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("per_click_credit_ucents"),
     )
+
+
+@register(
+    "q_session_entry_exit",
+    oracle=f"""
+WITH {_SESSION_CTE},
+bounds AS (
+    SELECT user_id, session_seq,
+           arg_min(event_type, ts) AS entry_type,
+           arg_max(event_type, ts) AS exit_type
+    FROM (SELECT user_id, session_seq, event_type, ts, event_id FROM sess) s
+    GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM bounds GROUP BY 1, 2
+""",
+    description=(
+        "Session entry/exit analysis (landing vs bounce surface): each "
+        "session's FIRST and LAST event type via MIN_BY/MAX_BY on the "
+        "event time (unique per user in the fixtures), rolled to an "
+        "entry x exit matrix — the "
+        "Sankey endpoints product analytics draws. One aggregate over "
+        "the sessionized rows (the sessionize window's user_id shuffle "
+        "is reused), never a sort per session."
+    ),
+    tags=("events", "extension", "timeseries"),
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id")
+    bounds = sess.groupBy("user_id", "session_seq").agg(
+        # (user_id, ts) is unique in the fixtures (verified at every SF),
+        # so ordering by ts alone is deterministic — and DuckDB's
+        # arg_min/arg_max accept only scalar ordering keys anyway
+        F.expr("min_by(event_type, ts)").alias("entry_type"),
+        F.expr("max_by(event_type, ts)").alias("exit_type"),
+    )
+    return bounds.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

@@ -566,3 +566,88 @@ def q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(po, 6).alias("accuracy"),
         stable_round((po - pe) / (F.lit(1.0) - pe), 6).alias("cohens_kappa"),
     )
+
+
+@register(
+    "q_quality_gains_chart",
+    oracle=r"""
+WITH feats AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)     AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE)                                    AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           CAST(lang = 'en' AS INT) AS is_target,
+           (round((0.35 * least(n_tok / 100.0, 1.0)
+               + 0.35 * (n_uniq / CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END)
+               + 0.30 * (1.0 - n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END))
+               * 1000000.0) / 1000000.0) AS score
+    FROM feats
+),
+ranked AS (
+    SELECT is_target,
+           ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+    FROM scored
+),
+per_decile AS (
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_target) AS BIGINT) AS n_target
+    FROM ranked GROUP BY decile
+),
+tot AS (SELECT sum(n_target) AS total_target FROM per_decile)
+SELECT decile, n_docs, n_target,
+       (round((sum(n_target) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / total_target)
+              * 1000000.0) / 1000000.0) AS cum_capture_rate
+FROM per_decile CROSS JOIN tot
+""",
+    description=(
+        "Gains/lift chart for the quality score as a ranker of 'en' "
+        "documents: docs sorted by score into deciles (deterministic "
+        "doc_id tiebreak), each decile's target count and the "
+        "cumulative capture rate — the curve that tells a curation "
+        "team how much of the target material the top-k% of the "
+        "ranking retains (a useless ranker captures 10% per decile). "
+        "The ntile window runs over the scored docs; the gains fold is "
+        "ten rows."
+    ),
+    tags=("text", "extension", "evaluation"),
+)
+def q_quality_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_target"),
+        F.col("quality_score").alias("score"),
+    )
+    ranked = scored.select(
+        "is_target",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("decile"),
+    )
+    per_decile = ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_target").alias("n_target"),
+    )
+    tot = per_decile.agg(F.sum("n_target").alias("total_target"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_target",
+            stable_round(
+                F.sum("n_target").over(w) * F.lit(1.0) / F.col("total_target"), 6
+            ).alias("cum_capture_rate"),
+        )
+    )
