@@ -696,3 +696,84 @@ def q_dedup_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+@register(
+    "q_dedup_best_keeper",
+    oracle=r"""
+WITH RECURSIVE """ + _jaccard_pairs_ctes() + r""",
+pairs AS (
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+feats AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)     AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE)                                    AS n_chars
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           (round((0.35 * least(n_tok / 100.0, 1.0)
+               + 0.35 * (n_uniq / CASE WHEN n_tok > 0 THEN n_tok ELSE 1 END)
+               + 0.30 * (1.0 - n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END))
+               * 1000000.0) / 1000000.0) AS score
+    FROM feats
+),
+best AS (
+    SELECT c.cluster_id,
+           -- argmax by a scalar composite: the 6dp score scales to an
+           -- exact integer, minus doc_id breaks ties toward the LOWEST id
+           arg_max(c.doc_id, CAST(round(q.score * 1000000.0) AS BIGINT) * 10000000 - c.doc_id)
+               AS keeper_id,
+           max(q.score) AS keeper_score,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    GROUP BY c.cluster_id
+)
+SELECT cluster_id, keeper_id, keeper_score, cluster_size FROM best
+""",
+    description=(
+        "Quality-aware dedup keeper selection: within each near-dup "
+        "cluster keep the HIGHEST-quality document (argmax composite "
+        "quality score, lowest doc_id on ties) instead of the arbitrary "
+        "min-id keeper — the curation-grade dedup policy (min-id "
+        "systematically keeps whichever copy crawled first, which is "
+        "often the boilerplate-laden one). Composes the clustering "
+        "pipeline with the quality scorer and a MAX_BY aggregate; the "
+        "keeper choice is one partial-aggregated pass over the "
+        "cluster-assignment table."
+    ),
+    tags=("dedup", "extension", "iterative"),
+)
+def q_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.graph import dedup_clusters
+    from healthcare_etl_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    q = quality_score(docs).select("doc_id", F.col("quality_score").alias("score"))
+    joined = clusters.join(q, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.expr(
+            "max_by(doc_id, CAST(round(score * 1000000.0) AS BIGINT) * 10000000 - doc_id)"
+        ).alias("keeper_id"),
+        F.max("score").alias("keeper_score"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
