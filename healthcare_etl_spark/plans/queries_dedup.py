@@ -777,3 +777,90 @@ def q_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("keeper_score"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+@register(
+    "q_minhash_eval",
+    oracle=f"""
+WITH {_minhash_ctes()},
+sketch AS (
+    SELECT doc_a, doc_b FROM verified
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+ecommon AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+    FROM hashed x JOIN hashed y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc_a, doc_b FROM ecommon
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    WHERE (round((n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)) * 1000000.0)
+           / 1000000.0) >= 0.5
+),
+joined AS (
+    SELECT coalesce(s.doc_a, e.doc_a) AS doc_a,
+           (s.doc_a IS NOT NULL) AS in_sketch,
+           (e.doc_a IS NOT NULL) AS in_exact
+    FROM sketch s FULL OUTER JOIN exact e
+      ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+)
+SELECT CAST(sum(CASE WHEN in_sketch AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN in_sketch AND NOT in_exact THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN in_exact AND NOT in_sketch THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       (round((sum(CASE WHEN in_sketch AND in_exact THEN 1 ELSE 0 END) * 1.0
+               / greatest(sum(CASE WHEN in_sketch THEN 1 ELSE 0 END), 1))
+              * 1000000.0) / 1000000.0) AS precision,
+       (round((sum(CASE WHEN in_sketch AND in_exact THEN 1 ELSE 0 END) * 1.0
+               / greatest(sum(CASE WHEN in_exact THEN 1 ELSE 0 END), 1))
+              * 1000000.0) / 1000000.0) AS recall
+FROM joined
+""",
+    description=(
+        "Sketch-accuracy evaluation: the MinHash-LSH pipeline's verified "
+        "pairs scored against the EXACT-Jaccard ground truth at the same "
+        "threshold — TP/FP/FN and precision/recall from a full-outer "
+        "join of the two pair sets. Because candidates are verified "
+        "with exact Jaccard, precision is 1.0 by construction and "
+        "recall measures pure banding loss (pairs whose signatures "
+        "never collided in any band) — the number that justifies the "
+        "8x4 band geometry at a given threshold. Both pipelines share "
+        "the shingle scan; the comparison join runs on pair sets."
+    ),
+    tags=("dedup", "extension", "evaluation"),
+)
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    exact = jaccard_pairs(docs, threshold=0.5).select(
+        F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b")
+    )
+    joined = sketch.join(
+        exact,
+        (sketch["doc_a"] == exact["e_a"]) & (sketch["doc_b"] == exact["e_b"]),
+        "full_outer",
+    ).select(
+        sketch["doc_a"].isNotNull().alias("in_sketch"),
+        exact["e_a"].isNotNull().alias("in_exact"),
+    )
+    tp = F.sum((F.col("in_sketch") & F.col("in_exact")).cast("long"))
+    n_sketch = F.sum(F.col("in_sketch").cast("long"))
+    n_exact = F.sum(F.col("in_exact").cast("long"))
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    return joined.agg(
+        tp.alias("tp"),
+        F.sum((F.col("in_sketch") & ~F.col("in_exact")).cast("long")).alias("fp"),
+        F.sum((F.col("in_exact") & ~F.col("in_sketch")).cast("long")).alias("fn"),
+        stable_round(tp * F.lit(1.0) / F.greatest(n_sketch, F.lit(1)), 6).alias(
+            "precision"
+        ),
+        stable_round(tp * F.lit(1.0) / F.greatest(n_exact, F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
