@@ -943,3 +943,80 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_doc, "doc_id")
         .select("doc_id", "lang", "n_tok", stable_round(F.col("slw"), 6).alias("dsir_logw"))
     )
+
+
+@register(
+    "q_token_budget_fill",
+    oracle=r"""
+WITH feats AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)                    AS n_tok_d,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)     AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE)                                    AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source, n_tok,
+           (round((0.35 * least(n_tok_d / 100.0, 1.0)
+               + 0.35 * (n_uniq / CASE WHEN n_tok_d > 0 THEN n_tok_d ELSE 1 END)
+               + 0.30 * (1.0 - n_punct / CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END))
+               * 1000000.0) / 1000000.0) AS score
+    FROM feats
+),
+filled AS (
+    SELECT source, doc_id, n_tok, score,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok
+    FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(max(cum_tok) AS BIGINT) AS tokens_used,
+       (round(min(score) * 1000000.0) / 1000000.0) AS cutoff_score
+FROM filled
+WHERE cum_tok <= 10000
+GROUP BY source
+""",
+    description=(
+        "Token-budget fill: greedily admit each source's BEST documents "
+        "(quality-descending, doc_id tiebreak) until a 10k-token budget "
+        "is spent — how a fixed-size curated subset actually gets "
+        "assembled, reported as docs kept, exact tokens used, and the "
+        "quality cutoff the budget implies per source. The cumulative "
+        "token window partitions by SOURCE (per-source budgets keep the "
+        "sort distributed — a single global budget would be the "
+        "keyless-window scale sin); token counts are exact integers, so "
+        "the admission boundary is engine-identical."
+    ),
+    tags=("pipeline", "extension", "ml-prep"),
+)
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.col("quality_score").alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = scored.select(
+        "source", "n_tok", "score", F.sum("n_tok").over(w).alias("cum_tok")
+    )
+    return (
+        filled.filter(F.col("cum_tok") <= 10000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.max("cum_tok").alias("tokens_used"),
+            stable_round(F.min("score"), 6).alias("cutoff_score"),
+        )
+    )

@@ -752,3 +752,79 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.sqrt("nr"), 6).alias("ref_norm"),
         stable_round(F.sqrt("nc"), 6).alias("cur_norm"),
     )
+
+
+def _set_ann_eval_oracle() -> None:
+    """The recall oracle embeds BOTH registered pipelines' full oracle
+    SQLs as CTE bodies — same generated constants, zero duplication."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    reg = get_registry()
+    exact_sql = reg["q_sim_topk"].oracle
+    lsh_sql = reg["q_sim_ann_lsh"].oracle
+    reg["q_ann_recall_eval"].oracle = f"""
+WITH ex AS ({exact_sql}),
+lsh AS ({lsh_sql}),
+hits AS (
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hit
+    FROM ex e LEFT JOIN lsh l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT query_id, n_exact, n_hit,
+       (round((n_hit * 1.0 / n_exact) * 1000000.0) / 1000000.0) AS recall_at_10
+FROM hits
+"""
+
+
+@register(
+    "q_ann_recall_eval",
+    oracle=None,  # composed from the two registered oracles below
+    description=(
+        "ANN recall evaluation: per-query recall@10 of the hyperplane-"
+        "LSH index against the exact cosine top-10 — the accuracy row "
+        "next to q_minhash_eval's dedup-sketch scoring, and the number "
+        "an ANN rollout is judged on before it replaces brute force. "
+        "Left join of the exact neighbor list to the LSH list per "
+        "query; both sides are top-k-truncated rank lists, so the "
+        "comparison is queries x k sized. The oracle embeds BOTH "
+        "registered pipelines' oracle SQLs as CTEs — the same "
+        "generated hyperplane constants, no duplication."
+    ),
+    tags=("similarity", "extension", "evaluation", "approx"),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(queries, corpus, k=10).select("query_id", "neighbor_id")
+    lsh = lsh_ann_topk(queries, corpus, k=10).select(
+        F.col("query_id").alias("l_q"), F.col("neighbor_id").alias("l_n")
+    )
+    hits = (
+        exact.join(
+            lsh,
+            (exact["query_id"] == lsh["l_q"]) & (exact["neighbor_id"] == lsh["l_n"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("l_n").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        stable_round(F.col("n_hit") * F.lit(1.0) / F.col("n_exact"), 6).alias(
+            "recall_at_10"
+        ),
+    )
+
+
+_set_ann_eval_oracle()
