@@ -441,3 +441,31 @@ def test_peak_concurrency_sweep_partitions_by_day(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_token_budget_fill_partitions_by_source(spark, sf_smoke):
+    """The cumulative-token window must partition by source — a single
+    global budget would collapse the sort to one partition."""
+    df = get_registry()["q_token_budget_fill"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_hybrid_rrf_truncates_both_rank_lists_before_fusion(spark, sf_smoke):
+    """Both retrieval sides must hit the rank-limit pushdown
+    (WindowGroupLimit) so the fusion join sees top-k lists, not full
+    scored corpora."""
+    df = get_registry()["q_hybrid_search_rrf"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_no_cartesian_token_join(spark, sf_smoke):
+    """DSIR scoring joins tokens on the token key and broadcasts only
+    the 1-row smoothing totals — never a cartesian, never a fact-sized
+    broadcast."""
+    plan = plan_of(spark, sf_smoke, "q_dsir_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
