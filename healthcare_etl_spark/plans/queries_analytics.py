@@ -2815,3 +2815,40 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("event_type") - 1) * (F.count_distinct("wd") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "q_tail_latency_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+GROUP BY 1, 2
+""",
+    description=(
+        "Tail-percentile heatmap feeder: p50/p95/p99 of the value "
+        "distribution per (weekday, hour) cell — the ops-dashboard grid "
+        "that localizes tail regressions to load patterns (weekday "
+        "peaks vs weekend nights). Discrete percentiles return observed "
+        "values, so the whole grid is bit-exact with no rounding "
+        "bridge; one partial-aggregated scan into a 7x24-cell result. "
+        "Exact per-cell percentiles sort within cells — at 100 TB the "
+        "approx_percentile sketch is the drop-in (q_approx_quantiles)."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_tail_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
