@@ -2852,3 +2852,59 @@ def q_tail_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
     )
+
+
+@register(
+    "q_error_budget_burn",
+    oracle="""
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+    FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n_total, n_err,
+       (round((n_err * 1.0 / n_total) * 1000000.0) / 1000000.0) AS error_rate,
+       (round(((n_err * 1.0 / n_total) / 0.05) * 1000000.0) / 1000000.0) AS burn_rate,
+       (round((sum(n_err) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+               / (0.05 * sum(n_total) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+              * 1000000.0) / 1000000.0) AS cum_budget_consumed
+FROM daily
+""",
+    description=(
+        "SRE error-budget burn-down against a 95% SLO: daily error "
+        "rate, burn rate (rate / budget — >1 means burning faster than "
+        "the budget allows), and the cumulative fraction of the "
+        "month-to-date budget consumed (errors-to-date / 5% of "
+        "requests-to-date) — the paging signal behind multiwindow "
+        "burn-rate alerts. One daily aggregate; the running-budget "
+        "windows ride the days-sized series, and every ratio is a "
+        "fixed-order expression over exact integer counts."
+    ),
+    tags=("analytics", "extension", "timeseries", "quality"),
+)
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rate = F.col("n_err") * F.lit(1.0) / F.col("n_total")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_total",
+        "n_err",
+        stable_round(rate, 6).alias("error_rate"),
+        stable_round(rate / F.lit(0.05), 6).alias("burn_rate"),
+        stable_round(
+            F.sum("n_err").over(w) * F.lit(1.0)
+            / (F.lit(0.05) * F.sum("n_total").over(w)),
+            6,
+        ).alias("cum_budget_consumed"),
+    )
