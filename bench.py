@@ -66,6 +66,8 @@ HEADLINE = [
     # the two-level vocab-coverage aggregate, the per-source sketch
     # merge, and the compaction planner window
     "q_sim_hamming_topk",
+    # product-quantization ANN: full train->encode->ADC->rerank chain
+    "q_sim_ann_pq",
     "q_vocab_coverage",
     "q_source_minhash_jaccard",
     "q_compaction_plan",

@@ -77,6 +77,26 @@ def dot_int(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance of two array<numeric> columns, folded strictly
+    left-to-right (same determinism contract as ``dot``: the DuckDB
+    ``list_reduce`` mirror produces bit-identical doubles, so argmin
+    comparisons over these distances agree across engines with no
+    rounding step). Squared form on purpose — monotone in L2, so
+    nearest-neighbor argmins are identical and the sqrt is saved."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sign_bit_words(arr_sql: str, *, dim: int, word_bits: int = 32) -> Column:
     """Binary (1-bit) vector quantization: pack the sign bits of an
     ``array<numeric>`` column into ``ceil(dim/word_bits)`` BIGINT words.

@@ -1,0 +1,228 @@
+"""Product quantization (PQ) ANN — the compression tier between int8
+and 1-bit binary quantization (Jegou et al. 2011, "Product Quantization
+for Nearest Neighbor Search").
+
+A 64-dim float32 vector (256 B) is split into ``m=8`` contiguous
+subvectors of 8 dims; each subvector is replaced by the id of its
+nearest centroid in a per-subspace codebook of ``ksub=16`` centroids.
+The stored code is then 8 small ints (8 B as bytes — a 32x reduction),
+and query-time scoring never touches the float vectors: an asymmetric
+distance computation (ADC) precomputes, per query, the distance from
+the query's j-th subvector to every centroid of subspace j (an
+``m x ksub = 128``-row lookup table), and a vector's approximate
+distance is the sum of 8 table lookups. Candidates from the ADC scan
+are re-ranked with exact cosine over their (few) float vectors.
+
+Scale shape (the reason PQ exists at 100 TB):
+
+- codebook training touches the corpus once (seed + one Lloyd
+  refinement round here; more rounds plug in the same way) and yields
+  a 128-row frame — broadcast everywhere, never shuffled;
+- encoding is one corpus scan + broadcast join + one shuffle of
+  ``m`` rows per vector (at production scale codes are written to
+  storage once and reused by every query);
+- the query-time ADC scan reads ONLY the 8-byte codes (32x less I/O
+  than the float column), joins a broadcast 128-row LUT, and sums —
+  integer arithmetic end to end;
+- only ``rerank`` candidates per query (not the corpus) are joined
+  back to the float vectors.
+
+Determinism / oracle parity: subvector distances use the fixed
+left-to-right fold of ``functions.vectors.l2_sq`` (bit-identical
+doubles in DuckDB's ``list_reduce``), refined centroids are
+stable-rounded to 6dp, and ADC table entries are quantized to exact
+integer micro-units with the bit-identical ``floor(x*1e6 + 0.5)``
+idiom — so the ADC sums are exact integers, order-independent, and the
+whole index + search chain hash-matches the unrolled-CTE oracle.
+
+Reference scope note: the reference app (etl_script.py) has no vector
+path at all — this module is part of the training-data-pipeline
+extension surface alongside operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.functions.vectors import cosine_similarity, l2_sq
+
+
+def _subvectors(
+    df: DataFrame, *, id_out: str, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """Long-form (id, j, sub) subvector frame: one row per subspace.
+
+    ``inline`` over a literal array of slices is a narrow (no-shuffle)
+    row expansion evaluated in codegen; ``F.slice`` is 1-based, like the
+    DuckDB ``list[a:b]`` mirror.
+    """
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_out), F.inline(slices))
+
+
+def _argmin_code(subs: DataFrame, codebook: DataFrame, *, id_field: str) -> DataFrame:
+    """Nearest codebook centroid per (id, subspace): broadcast the
+    ``m*ksub``-row codebook, score with the deterministic l2_sq fold,
+    keep rank 1 (tie-break on code asc). The rank-limit window triggers
+    Catalyst's partial WindowGroupLimit, so each scan partition
+    pre-truncates to one row per (id, j) before the exchange."""
+    w = Window.partitionBy(id_field, "j").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        subs.join(F.broadcast(codebook), "j")
+        .select(id_field, "j", "code", l2_sq(F.col("sub"), F.col("cent")).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_field, "j", "code")
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks: seed each subspace's ``ksub``
+    centroids from the ``ksub`` lowest-id corpus vectors (deterministic,
+    same discipline as ``similarity.kmeans_lloyd``), then run one Lloyd
+    refinement round (assign every corpus subvector to its nearest seed,
+    re-average per code, 6dp stable-rounded). A code that attracts no
+    subvector (possible only under exact distance ties) keeps its
+    rounded seed. Returns (j, code, cent: array<double>) — ``m * ksub``
+    rows, broadcastable by construction.
+    """
+    pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    w_seed = Window.orderBy("vec_id")
+    seeds = (
+        pts.orderBy("vec_id")
+        .limit(ksub)
+        .withColumn("code", (F.row_number().over(w_seed) - 1).cast("int"))
+    )
+    seed_subs = _subvectors(
+        seeds.select("code", "v"), id_out="code", id_col="code", vec_col="v", m=m, sub_dim=sub_dim
+    ).withColumnRenamed("sub", "cent")
+    corpus_subs = _subvectors(
+        pts, id_out="vec_id", id_col="vec_id", vec_col="v", m=m, sub_dim=sub_dim
+    )
+    assign0 = _argmin_code(corpus_subs, seed_subs, id_field="vec_id")
+    refined = (
+        assign0.join(corpus_subs, ["vec_id", "j"])
+        .select("j", "code", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("j", "code", "pos")
+        .agg(stable_round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+        .groupBy("j", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("cent_refined")
+        )
+    )
+    rounded_seed = F.transform(F.col("cent"), lambda x: stable_round(x.cast("double"), 6))
+    return (
+        seed_subs.join(refined, ["j", "code"], "left")
+        .select(
+            "j",
+            "code",
+            F.coalesce(F.col("cent_refined"), rounded_seed).alias("cent"),
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector against a trained codebook. Returns
+    the long form (vec_id, j, code) — the ADC join shape; at production
+    scale this frame is what gets written to storage (8 small ints per
+    vector) and the float column is never read again at query time."""
+    subs = _subvectors(
+        corpus, id_out="vec_id", id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim
+    )
+    return _argmin_code(subs, codebook, id_field="vec_id")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    sub_dim: int = 8,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN with exact rerank: train codebooks on the corpus,
+    encode it, build each query's integer LUT, take the ``rerank``
+    best ADC candidates per query, then exact-cosine rerank to the
+    final top-k. Returns (query_id, neighbor_id, cosine, rank) — the
+    same contract as ``similarity.cosine_topk``, whose exact scan is
+    the recall baseline in tests."""
+    codebook = pq_codebook(
+        corpus, m=m, ksub=ksub, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        corpus, codebook, m=m, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_subs = _subvectors(
+        q, id_out="query_id", id_col="query_id", vec_col="q_vec", m=m, sub_dim=sub_dim
+    )
+    # Integer micro-unit LUT entries: floor(d*1e6 + 0.5) is bit-identical
+    # across engines (round-half behavior differs; floor does not), and
+    # integer ADC sums are exact => order-independent.
+    lut = q_subs.join(F.broadcast(codebook), "j").select(
+        "query_id",
+        "j",
+        "code",
+        F.floor(l2_sq(F.col("sub"), F.col("cent")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("ldist"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ldist").alias("adc_dist"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    rer = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

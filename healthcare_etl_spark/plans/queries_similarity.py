@@ -827,4 +827,120 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# DuckDB mirror of functions.vectors.l2_sq (fixed left-to-right fold;
+# bit-identical doubles, so argmin orderings agree with no rounding).
+_L2SQ = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), "
+    "s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_sim_ann_pq",
+    oracle=f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, embedding AS sv
+    FROM corpus ORDER BY vec_id LIMIT 16
+),
+sub AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+csub AS (
+    SELECT c.vec_id, s.j, c.embedding[s.j*8+1 : s.j*8+8] AS sv
+    FROM corpus c CROSS JOIN sub s
+),
+ssub AS (
+    SELECT d.code, s.j, d.sv[s.j*8+1 : s.j*8+8] AS cent
+    FROM seeds d CROSS JOIN sub s
+),
+assign0 AS (
+    SELECT vec_id, j, code FROM (
+        SELECT c.vec_id, c.j, s.code,
+               row_number() OVER (PARTITION BY c.vec_id, c.j
+                   ORDER BY {_L2SQ.format(a="c.sv", b="s.cent")} ASC, s.code ASC) AS rn
+        FROM csub c JOIN ssub s ON s.j = c.j
+    ) WHERE rn = 1
+),
+refined_long AS (
+    SELECT a.j, a.code, r.i AS pos,
+           (round(avg(c.sv[CAST(r.i AS INT) + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS v
+    FROM assign0 a
+    JOIN csub c ON c.vec_id = a.vec_id AND c.j = a.j
+    CROSS JOIN range(8) r(i)
+    GROUP BY a.j, a.code, r.i
+),
+refined AS (SELECT j, code, list(v ORDER BY pos) AS cent FROM refined_long GROUP BY j, code),
+codebook AS (
+    SELECT s.j, s.code,
+           coalesce(r.cent,
+                    list_transform(s.cent, x -> round(x::DOUBLE * 1000000.0) / 1000000.0)
+           ) AS cent
+    FROM ssub s LEFT JOIN refined r ON r.j = s.j AND r.code = s.code
+),
+codes AS (
+    SELECT vec_id, j, code FROM (
+        SELECT c.vec_id, c.j, b.code,
+               row_number() OVER (PARTITION BY c.vec_id, c.j
+                   ORDER BY {_L2SQ.format(a="c.sv", b="b.cent")} ASC, b.code ASC) AS rn
+        FROM csub c JOIN codebook b ON b.j = c.j
+    ) WHERE rn = 1
+),
+qsub AS (
+    SELECT q.query_id, s.j, q.qv[s.j*8+1 : s.j*8+8] AS qs
+    FROM q CROSS JOIN sub s
+),
+lut AS (
+    SELECT u.query_id, b.j, b.code,
+           CAST(floor({_L2SQ.format(a="u.qs", b="b.cent")} * 1000000.0 + 0.5) AS BIGINT) AS ldist
+    FROM qsub u JOIN codebook b ON b.j = u.j
+),
+adc AS (
+    SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.ldist) AS adc_dist
+    FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= 32
+),
+rer AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           (round({_COS.format(a="q.qv", b="e.embedding")} * 1000000.0) / 1000000.0) AS cosine
+    FROM cand
+    JOIN corpus e ON e.vec_id = cand.neighbor_id
+    JOIN q ON q.query_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM rer
+) WHERE rank <= 10
+""",
+    description=(
+        "Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16-code "
+        "codebooks (seeded + one Lloyd refinement), 8-byte codes (32x smaller "
+        "than float32), integer ADC scan over a broadcast 128-row per-query "
+        "LUT, exact-cosine rerank of the top-32 ADC candidates. The whole "
+        "train->encode->search chain is hash-checked against the unrolled-CTE "
+        "oracle; recall vs the exact scan is unit-tested."
+    ),
+    tags=("similarity", "extension", "approx"),
+)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return pq_topk(queries, corpus, k=10, rerank=32)
+
+
 _set_ann_eval_oracle()

@@ -139,7 +139,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_sim_topk",
     "q_semantic_dedup",
     "q_sim_hamming_topk",
-    "q_sim_ann_ivf",
+    # product-quantization ANN (new late round 5 — the 32x-compression
+    # ADC tier) takes the IVF slot; q_sim_ann_ivf was driver-green in
+    # r3/r4 and keeps its in-repo parity test
+    "q_sim_ann_pq",
     "q_kmeans_clusters",
     # -- text / corpus analytics (late round 5: the hybrid BM25+vector
     #    RRF fusion takes q_lang_id's slot — lang-ID keeps its in-repo

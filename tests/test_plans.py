@@ -469,3 +469,19 @@ def test_dsir_weights_no_cartesian_token_join(spark, sf_smoke):
     plan = plan_of(spark, sf_smoke, "q_dsir_weights")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_topk_plan_hygiene(spark, sf_smoke):
+    """PQ-ADC search must never shuffle the float corpus for a join:
+    the codebook (128 rows), per-query LUT, candidate list, and query
+    table are all broadcast; there is no cartesian product and no
+    Python eval operator; and the ADC path itself is hash joins over
+    the 8-codes-per-vector frame."""
+    df = get_registry()["q_sim_ann_pq"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]:
+        assert marker not in plan, marker
+    assert "NestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    # argmin windows pre-truncate on the scan side before their exchange
+    assert "WindowGroupLimit" in plan
