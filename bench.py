@@ -68,6 +68,8 @@ HEADLINE = [
     "q_sim_hamming_topk",
     # product-quantization ANN: full train->encode->ADC->rerank chain
     "q_sim_ann_pq",
+    # BPE tokenizer training: iterative vocab-side merge learning
+    "q_bpe_merges",
     "q_vocab_coverage",
     "q_source_minhash_jaccard",
     "q_compaction_plan",

@@ -604,3 +604,146 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(stable_round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6).alias("kl_ab"))
     )
+
+
+def _bpe_oracle(n_merges: int = 4, vocab_size: int = 200) -> str:
+    """Unrolled-CTE mirror of operators.bpe.bpe_merges: per round, the
+    adjacent-pair count table, the argmax winner, and the greedy
+    left-to-right merge fold (DuckDB ``list_reduce`` with a
+    ''-sentinel-seeded accumulator — identical non-overlapping-merge
+    semantics to the Spark ``aggregate`` fold)."""
+    fold = (
+        "list_reduce("
+        "list_prepend([''], list_transform(v.syms, x -> [x])), "
+        "(acc, x) -> CASE WHEN acc[-1] = w.l AND x[1] = w.r "
+        "THEN list_append(acc[1:-2], w.l || w.r) "
+        "ELSE list_append(acc, x[1]) END"
+        ")[2:]"
+    )
+    parts = [
+        f"""vocab0 AS (
+    SELECT word, cnt,
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, CAST(i AS INT), 1)) AS syms
+    FROM (
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE length(word) > 0
+        GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {vocab_size}
+    )
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""exp{r} AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS k FROM vocab{r - 1}),
+pairs{r} AS (
+    SELECT syms[CAST(k AS INT)] AS l, syms[CAST(k AS INT) + 1] AS r,
+           CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM exp{r} GROUP BY 1, 2
+),
+winner{r} AS (
+    SELECT l, r, pair_count FROM pairs{r}
+    ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f"""vocab{r} AS (
+    SELECT v.word, v.cnt, {fold} AS syms
+    FROM vocab{r - 1} v CROSS JOIN winner{r} w
+)"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, pair_count FROM winner{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_bpe_oracle(),
+    description=(
+        "BPE tokenizer training (Sennrich 2016), first 4 merges: one corpus "
+        "scan builds the weighted word vocabulary; each round counts adjacent "
+        "symbol pairs over the vocab (never the corpus), takes the "
+        "deterministic argmax, and applies the greedy non-overlapping merge "
+        "via a stateful fold. Every merge decision hash-matches the "
+        "unrolled-CTE oracle."
+    ),
+    tags=("corpus", "extension", "iterative"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=4, vocab_size=200)
+
+
+def _bpe_encode_oracle(n_merges: int = 4, vocab_size: int = 200) -> str:
+    """Mirror of the learned-merge APPLY path: the training CTEs from
+    ``_bpe_oracle`` plus a per-(doc, word) sequential fold of every
+    winner in training order, aggregated to per-document token counts."""
+    train = _bpe_oracle(n_merges, vocab_size)
+    ctes = train[len("WITH ") : train.index("\nSELECT CAST(1")]
+    fold = (
+        "list_reduce("
+        "list_prepend([''], list_transform(v.syms, x -> [x])), "
+        "(acc, x) -> CASE WHEN acc[-1] = w.l AND x[1] = w.r "
+        "THEN list_append(acc[1:-2], w.l || w.r) "
+        "ELSE list_append(acc, x[1]) END"
+        ")[2:]"
+    )
+    parts = [
+        ctes,
+        """wtok AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE length(word) > 0
+),
+enc0 AS (
+    SELECT doc_id,
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, CAST(i AS INT), 1)) AS syms
+    FROM wtok
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""enc{r} AS (
+    SELECT v.doc_id, {fold} AS syms
+    FROM enc{r - 1} v CROSS JOIN winner{r} w
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+FROM enc{n_merges} GROUP BY doc_id"""
+    )
+
+
+@register(
+    "q_bpe_token_counts",
+    oracle=_bpe_encode_oracle(),
+    description=(
+        "Apply the learned BPE merge table to the corpus: per document, "
+        "words split to characters and every merge folded in training order "
+        "(the 4-row table is driver-collected and inlined as literals — the "
+        "corpus streams through ONE nested codegen'd expression, no join). "
+        "Reports words vs post-merge tokens per document — the compression "
+        "the tokenizer buys, hash-checked end to end including training."
+    ),
+    tags=("corpus", "extension"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.bpe import bpe_merges, bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        r.asDict() for r in bpe_merges(docs, n_merges=4, vocab_size=200).orderBy("round").collect()
+    ]
+    return bpe_token_counts(docs, merges)

@@ -1726,3 +1726,76 @@ def test_pq_recall_vs_exact(spark, sf_smoke):
     # comfortable margin above chance.
     assert mean_recall(pq_topk(q, c, k=10, rerank=32).toPandas()) > 0.25
     assert mean_recall(pq_topk(q, c, k=10, rerank=n_corpus).toPandas()) == 1.0
+
+
+def test_bpe_merges_classic_example(spark):
+    """The Sennrich-paper-style example: on a corpus where 'lo' is the
+    most frequent adjacent pair, round 1 must merge (l, o); later rounds
+    must operate on the merged symbols (so ('lo', 'w') can only win
+    AFTER 'lo' exists). Deterministic tie-breaks make the whole sequence
+    reproducible."""
+    from healthcare_etl_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest")],
+        "doc_id long, text string",
+    )
+    rows = bpe_merges(docs, n_merges=3, vocab_size=10).orderBy("round").collect()
+    got = [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in rows]
+    # pairs round 1: (l,o)x7, (o,w)x7, (w,e)x4, (e,r)x2, (n,e)x2, (e,w)x2,
+    # (e,s)x2, (s,t)x2 -> tie 7 vs 7 broken by left asc: (l,o)
+    assert got[0] == ("l", "o", 7)
+    # after merge: lo w / lo w e r / n e w e s t -> (lo,w)x7 wins
+    assert got[1] == ("lo", "w", 7)
+    # after merge: low / low e r / n e w e s t -> best remaining: (e,...)
+    # counts: (low,e)x2, (e,r)x2, (n,e)x2, (e,w)x2, (w,e)x2, (e,s)x2,
+    # (s,t)x2 -> all tied at 2, left asc then right asc: (e,r)
+    assert got[2] == ("e", "r", 2)
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    """In 'a a a a' merging (a, a) must consume pairs greedily left to
+    right without overlap: 'aaaa' -> ['aa', 'aa'], 'aaa' -> ['aa', 'a']
+    — exact BPE apply semantics."""
+    from healthcare_etl_spark.operators.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa"), (3, "a"), (4, "abab")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(docs, [{"left_sym": "a", "right_sym": "a"}]).collect()
+    }
+    assert out[1] == (1, 2)  # aa|aa
+    assert out[2] == (1, 2)  # aa|a
+    assert out[3] == (1, 1)  # a
+    assert out[4] == (1, 4)  # no (a,a) adjacency
+
+
+def test_bpe_token_counts_bounds(spark, sf_smoke):
+    """Merges can only shrink the token stream: words <= tokens <= chars,
+    and 4 merges must strictly beat the no-merge (char-level) count on a
+    real corpus."""
+    from healthcare_etl_spark.operators.bpe import bpe_merges, bpe_token_counts
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = [
+        r.asDict()
+        for r in bpe_merges(docs, n_merges=4, vocab_size=200).orderBy("round").collect()
+    ]
+    assert len(merges) == 4
+    with_merges = bpe_token_counts(docs, merges)
+    chars_only = bpe_token_counts(docs, [])
+    agg = (
+        with_merges.alias("m")
+        .join(chars_only.alias("c"), "doc_id")
+        .select(
+            F.sum("m.n_tokens").alias("tok"),
+            F.sum("c.n_tokens").alias("chars"),
+            F.sum("m.n_words").alias("words"),
+        )
+        .first()
+    )
+    assert agg["words"] <= agg["tok"] < agg["chars"]
