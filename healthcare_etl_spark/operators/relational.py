@@ -84,3 +84,46 @@ def top_n_per_group(
         .filter(F.col(rank_col) <= n)
         .drop(rank_col)
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the *fix* for what ``q_skew_profile``
+    diagnoses (heavy-hitter join keys that funnel one shuffle partition).
+
+    The fact side gets a deterministic salt in ``[0, n_salts)`` derived
+    from ``salt_source`` (a stable, roughly-unique fact column — e.g. an
+    event id; defaults to ``fact_key``, which still helps when several
+    hot keys land in one partition, though rows of a single hot key then
+    share a salt — pass a unique column to split *within* a hot key).
+    The dim side is exploded ``n_salts``-fold so every (key, salt) pair
+    exists; the join runs on ``(key, salt)``, spreading each hot key
+    over ``n_salts`` shuffle partitions. Semantics are IDENTICAL to the
+    unsalted join for ``inner`` and ``left``: each fact row carries
+    exactly one salt and meets each matching dim row exactly once.
+    ``right``/``full`` are rejected — unmatched dim rows would surface
+    once per salt.
+
+    Scale notes (100 TB): the fact side never reads the dim more than
+    once; the dim replication cost is ``n_salts ×`` the dim size, which
+    is the standard trade against a straggler partition. Prefer AQE
+    skew-join (``spark.sql.adaptive.skewJoin.enabled``) when splitting
+    by partition size is enough; explicit salting is the deterministic
+    fallback AQE cannot apply (e.g. a single key larger than any
+    split threshold, or a required deterministic layout).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
+    src = salt_source or fact_key
+    f = facts.withColumn("__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts)))
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    joined = f.join(d, (F.col(fact_key) == F.col(dim_key)) & (f["__salt"] == d["__salt"]), how)
+    return joined.drop("__salt")

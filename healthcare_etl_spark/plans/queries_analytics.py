@@ -2908,3 +2908,35 @@ def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_budget_consumed"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT)                   AS n_events,
+       (round(sum(e.value) * 1000000.0) / 1000000.0) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    description=(
+        "Salted skew-join: the mitigation for what q_skew_profile "
+        "diagnoses. The fact side gets a deterministic per-row salt "
+        "(xxhash64 of event_id mod 8), the 8x-exploded dim joins on "
+        "(key, salt), so each heavy-hitter user spreads over 8 shuffle "
+        "partitions instead of funneling one straggler. Result is "
+        "bit-identical to the plain join (oracle IS the unsalted SQL); "
+        "a unit test also pins salted == unsalted row-for-row."
+    ),
+    tags=("analytics", "extension", "scale", "parity"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8, salt_source="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_round(F.sum("value"), 6).alias("total_value"),
+    )

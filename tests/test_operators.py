@@ -438,3 +438,55 @@ def test_synthetic_datasource_partition_parallel(spark):
     assert [r.doc_id for r in one] == list(range(100))
     assert one[13].text == synthetic_doc_text(13)
     assert one[13].source == "src1"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is semantics-preserving: inner and left results must be
+    row-for-row identical to the unsalted join, including duplicate dim
+    keys (cross-product of matches) and unmatched fact rows (left)."""
+    from healthcare_etl_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 99, 4.0)],
+        "fid long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (20, "b2"), (30, "c")], "dk long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            salted_join(facts, dim, "k", "dk", n_salts=4, salt_source="fid", how=how)
+            .select("fid", "k", "v", "dk", "name")
+            .collect()
+        )
+        want = sorted(
+            facts.join(dim, facts["k"] == dim["dk"], how)
+            .select("fid", "k", "v", "dk", "name")
+            .collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_spreads_and_guards(spark):
+    """The executed join condition must actually include the salt (the
+    whole point — each hot key spans n_salts shuffle partitions), the
+    salt column must not leak into the output, and right/full joins are
+    rejected (unmatched dim rows would appear once per salt)."""
+    import pytest
+
+    from healthcare_etl_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame([(i, i % 2, float(i)) for i in range(40)], "fid long, k long, v double")
+    dim = spark.createDataFrame([(0, "x"), (1, "y")], "dk long, name string")
+    out = salted_join(facts, dim, "k", "dk", n_salts=8, salt_source="fid")
+    assert "__salt" not in out.columns
+    assert "__salt" in out._jdf.queryExecution().executedPlan().toString()
+    # 2 distinct keys x 8 salts: the fact rows must occupy >2 distinct
+    # (key, salt) join groups — i.e. the hot keys really were split.
+    n_groups = (
+        facts.withColumn("__salt", F.pmod(F.xxhash64("fid"), F.lit(8)))
+        .select("k", "__salt").distinct().count()
+    )
+    assert n_groups > 2
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, "k", "dk", how="full")
