@@ -365,3 +365,83 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query that balance relevance
+    to the query against redundancy with what is already picked —
+    ``argmax lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)``.
+    The standard diversity pass between retrieval and a RAG context
+    window (the diversity complement to ``hybrid_search_rrf``'s
+    rank-fusion).
+
+    Scale shape: the expensive part is candidate generation, which
+    reuses ``cosine_topk`` (corpus streams once, partial WindowGroupLimit
+    pre-truncation); the greedy loop then runs over only
+    ``n_queries x pool`` rows — ``k`` rounds of per-query window argmax
+    + anti-join, fully distributed on query_id, no collect. The pool is
+    ``localCheckpoint``-ed once so rounds do not re-scan the corpus.
+
+    Determinism: cosines and MMR scores are ``stable_round``-ed to 6dp
+    before every argmax (ties break on neighbor_id), so the selection
+    sequence is reproducible and oracle-checkable bit-for-bit. Step 1's
+    ``mmr_score`` is the plain relevance (nothing is selected yet).
+
+    Returns (query_id, neighbor_id, step, relevance, mmr_score) with
+    ``step`` = selection order 1..k.
+    """
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pool_df = (
+        cosine_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
+        .withColumnRenamed("cosine", "relevance")
+        .drop("rank")
+        .join(c_vecs, "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("neighbor_id"))
+    selected = (
+        pool_df.withColumn("mmr_score", F.col("relevance"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("step", F.lit(1).cast("long"))
+    )
+    for step in range(2, k + 1):
+        sel_vecs = selected.select("query_id", F.col("c_vec").alias("s_vec"))
+        rem = pool_df.join(
+            selected.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        max_sim = (
+            rem.join(sel_vecs, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(cosine_similarity("c_vec", "s_vec"), 6).alias("sim"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            rem.join(max_sim, ["query_id", "neighbor_id"])
+            .withColumn(
+                "mmr_score",
+                stable_round(
+                    F.lit(lam) * F.col("relevance") - F.lit(1.0 - lam) * F.col("max_sim"), 6
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumn("step", F.lit(step).cast("long"))
+        )
+        selected = selected.unionByName(pick.select(*selected.columns))
+    return selected.select("query_id", "neighbor_id", "step", "relevance", "mmr_score")

@@ -944,3 +944,94 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_ann_eval_oracle()
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled-CTE mirror of ``operators.similarity.mmr_rerank``: the
+    relevance pool, then per selection round the anti-joined remainder,
+    the max-similarity-to-selected aggregate (same _COS fold, same 6dp
+    rounding), and the argmax pick with the identical neighbor_id
+    tiebreak. ``repr()``-inlined lambda weights reproduce Spark's exact
+    doubles (1 - 0.7 is 0.30000000000000004, not 0.3)."""
+    lam_r, om_r = repr(float(lam)), repr(1.0 - lam)
+    cos_rs = _COS.format(a="r.cv", b="s.cv")
+    score = f"(round(({lam_r} * r.relevance - {om_r} * m.max_sim) * 1000000.0) / 1000000.0)"
+    parts = [
+        f"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+    SELECT query_id, neighbor_id, cv,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS relevance
+    FROM c CROSS JOIN q
+),
+pool AS (
+    SELECT query_id, neighbor_id, cv, relevance FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY relevance DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {pool}
+),
+sel1 AS (
+    SELECT query_id, neighbor_id, cv, relevance, relevance AS mmr_score,
+           CAST(1 AS BIGINT) AS step
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY relevance DESC, neighbor_id ASC) AS rn FROM pool)
+    WHERE rn = 1
+)"""
+    ]
+    for s in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, s))
+        parts.append(
+            f"""selall{s - 1} AS ({prev}),
+rem{s} AS (
+    SELECT p.* FROM pool p
+    WHERE NOT EXISTS (SELECT 1 FROM selall{s - 1} z
+                      WHERE z.query_id = p.query_id AND z.neighbor_id = p.neighbor_id)
+),
+ms{s} AS (
+    SELECT r.query_id, r.neighbor_id,
+           max((round({cos_rs} * 1000000.0) / 1000000.0)) AS max_sim
+    FROM rem{s} r JOIN selall{s - 1} s ON r.query_id = s.query_id
+    GROUP BY 1, 2
+),
+sel{s} AS (
+    SELECT query_id, neighbor_id, cv, relevance, mmr_score,
+           CAST({s} AS BIGINT) AS step
+    FROM (
+        SELECT r.query_id, r.neighbor_id, r.cv, r.relevance,
+               {score} AS mmr_score,
+               row_number() OVER (PARTITION BY r.query_id
+                   ORDER BY {score} DESC, r.neighbor_id ASC) AS rn
+        FROM rem{s} r JOIN ms{s} m
+          ON r.query_id = m.query_id AND r.neighbor_id = m.neighbor_id
+    ) WHERE rn = 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, step, relevance, mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    description=(
+        "Maximal Marginal Relevance diversified re-ranking (Carbonell & "
+        "Goldstein 1998): per query, a 20-candidate exact-cosine pool "
+        "(corpus streamed once via cosine_topk's pre-truncated window), "
+        "then 5 greedy rounds of lam*rel - (1-lam)*max-sim-to-selected "
+        "argmax — the diversity pass between retrieval and a RAG context "
+        "window. Whole selection sequence hash-matches the unrolled-CTE "
+        "oracle (scores 6dp-rounded before every argmax)."
+    ),
+    tags=("similarity", "extension", "iterative"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=5, pool=20, lam=0.7
+    )

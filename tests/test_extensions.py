@@ -1799,3 +1799,46 @@ def test_bpe_token_counts_bounds(spark, sf_smoke):
         .first()
     )
     assert agg["words"] <= agg["tok"] < agg["chars"]
+
+
+def test_mmr_skips_redundant_candidate(spark):
+    """The defining MMR behavior: with a near-duplicate of the best hit
+    in the pool, step 2 must pick the DIVERSE lower-relevance candidate,
+    not the duplicate — a pure-relevance ranker would pick the dup."""
+    from healthcare_etl_spark.operators.similarity import mmr_rerank
+
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0]),   # best relevance
+            (11, [1.0, 0.011, 0.0]),  # near-duplicate of 10, 2nd relevance
+            (12, [0.9, -0.9, 0.0]),   # diverse: rel 0.707 but sim-to-10 only 0.70
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["step"]: r["neighbor_id"]
+            for r in mmr_rerank(q, corpus, k=3, pool=3, lam=0.5).collect()}
+    assert rows[1] == 10
+    assert rows[2] == 12  # diversity beats the duplicate
+    assert rows[3] == 11
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, sf_smoke):
+    """lam=1 removes the diversity term: the selection order must equal
+    the relevance order (= cosine_topk ranks)."""
+    from healthcare_etl_spark.operators.similarity import cosine_topk, mmr_rerank
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 3), emb.filter(F.col("vec_id") >= 3)
+    got = {
+        (r["query_id"], r["step"]): r["neighbor_id"]
+        for r in mmr_rerank(q, c, k=4, pool=10, lam=1.0).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(q, c, k=4).collect()
+    }
+    assert got == want
+    # and every query selects k distinct neighbors
+    assert len(set(got.values())) >= 4
