@@ -70,6 +70,9 @@ HEADLINE = [
     "q_sim_ann_pq",
     # BPE tokenizer training: iterative vocab-side merge learning
     "q_bpe_merges",
+    # PCA power iteration: 32 in-plan matvec rounds over the one-pass
+    # covariance, then a streamed projection pass
+    "q_pca_projection",
     "q_vocab_coverage",
     "q_source_minhash_jaccard",
     "q_compaction_plan",

@@ -1,0 +1,158 @@
+"""PCA top principal component via power iteration — entirely in
+DataFrame expressions, no driver-side linear algebra.
+
+Extension beyond the reference (reference scope is the eager pandas ETL
+in ``etl_app/etl_script.py:74-119``): the dimensionality-reduction step
+a training-data pipeline runs on an embedding corpus (anisotropy
+diagnostics, whitening prep, 1-d quality scores along the dominant
+direction).
+
+Shape, at 100 TB:
+
+- The only pass over the corpus computes the d x d moment sums
+  (``posexplode`` + ``explode(sequence(...))`` inside the scan stage,
+  immediately partial-aggregated — the same one-pass pattern as
+  ``q_embedding_covariance``; the shuffle carries ~d^2 partial sums per
+  map partition, never the vectors).
+- Power iteration then runs over the d-row covariance table: matvec =
+  one broadcast of the current d-vector + a left-to-right ``aggregate``
+  fold per row; re-normalization is a single 1-row assembly. Work per
+  iteration is O(d^2), independent of corpus size.
+- The final projection streams the corpus once more against the
+  broadcast (mean, component) pair.
+
+Determinism: covariance and mean are ``stable_round``-ed to 6dp (the
+only cross-engine-nondeterministic sums); every subsequent operation is
+an order-fixed fold of identical doubles, so the learned component and
+all projections are bit-identical to the DuckDB oracle. The component's
+sign follows from the fixed all-positive start vector (1/sqrt(d) each)
+— not canonicalized, documented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+
+
+def _fold_sum(arr) -> F.Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def covariance_rows(
+    emb: DataFrame, *, dim: int = 64, vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """One corpus pass -> (full d x d covariance rows (i, j, cov),
+    per-dimension means (i, mean)), both 6dp-stable-rounded. The full
+    grid (not just the upper triangle) keeps the matvec join-free of a
+    mirroring step; production at higher d would mirror the triangle.
+    """
+    pi = emb.select(vec_col, F.posexplode(vec_col).alias("i", "xi")).select(
+        F.col("i").cast("long").alias("i"), F.col("xi").cast("double").alias("xi"), vec_col
+    )
+    pij = pi.select(
+        "i",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long"))).alias("j"),
+        "xi",
+        vec_col,
+    ).select(
+        "i",
+        "j",
+        (F.col("xi") * F.element_at(vec_col, (F.col("j") + 1).cast("int")).cast("double")).alias(
+            "prod"
+        ),
+    )
+    pa = pij.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"), F.sum("prod").alias("sp"))
+    m = pi.groupBy("i").agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+    mi = m.select(F.col("i").alias("mi_i"), F.col("s").alias("s_i"))
+    mj = m.select(F.col("i").alias("mj_j"), F.col("s").alias("s_j"))
+    cov = (
+        pa.join(F.broadcast(mi), pa["i"] == mi["mi_i"])
+        .join(F.broadcast(mj), pa["j"] == mj["mj_j"])
+        .select(
+            "i",
+            "j",
+            stable_round((F.col("sp") - F.col("s_i") * F.col("s_j") / F.col("n")) / F.col("n"), 6).alias(
+                "cov"
+            ),
+        )
+    )
+    means = m.select("i", stable_round(F.col("s") / F.col("n"), 6).alias("mean"))
+    return cov, means
+
+
+def _as_array(df: DataFrame, idx: str, val: str, out: str) -> DataFrame:
+    """Assemble (idx, val) rows into ONE row holding the values as an
+    array ordered by idx (deterministic: array_sort on the struct)."""
+    return (
+        df.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(idx), F.col(val)))).alias("ps"))
+        .select(F.transform("ps", lambda s: s[val]).alias(out))
+    )
+
+
+def pca_power_projection(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    n_iter: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Project every vector onto the top principal component learned by
+    ``n_iter`` power-iteration rounds over the covariance matrix.
+
+    Convergence is ``(lambda2/lambda1)^t`` — near-isotropic corpora
+    (like the synthetic fixture, gap ~0.93) need ~32 rounds for cosine
+    >0.96 to the true eigenvector; anisotropic real embedding spaces
+    converge in a handful. Iteration cost is O(d^2) per round,
+    INDEPENDENT of corpus size — only the one moment pass and the final
+    projection touch the data. No intermediate rounding: after the 6dp
+    covariance round-off, every fold is order-fixed IEEE arithmetic, so
+    the whole trajectory is bit-identical cross-engine; the v chain is
+    ``localCheckpoint``-ed every ``checkpoint_every`` rounds to bound
+    plan depth.
+
+    Returns (id_col, pc1) — the mean-centered dot product with the
+    learned component, 6dp-rounded.
+    """
+    cov, means = covariance_rows(emb, dim=dim, vec_col=vec_col)
+    # Assemble the whole d x d matrix into ONE row (array-of-arrays,
+    # ~4096 doubles) so every iteration is pure expression work on a
+    # single row — no per-round shuffle, no per-round assembly.
+    c_rows = cov.groupBy("i").agg(
+        F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("ps")
+    ).select("i", F.transform("ps", lambda s: s["cov"]).alias("crow"))
+    state = (
+        _as_array(c_rows.select("i", "crow"), "i", "crow", "Cm")
+        .withColumn(
+            "v", F.array(*[F.lit(1.0 / float(dim) ** 0.5) for _ in range(dim)])
+        )
+        .localCheckpoint(eager=False)
+    )
+    for t in range(n_iter):
+        state = state.withColumn(
+            "w",
+            F.transform(
+                "Cm", lambda row: _fold_sum(F.zip_with(row, F.col("v"), lambda a, b: a * b))
+            ),
+        )
+        state = state.withColumn("nrm", F.sqrt(_fold_sum(F.transform("w", lambda x: x * x))))
+        state = state.withColumn("v", F.transform("w", lambda x: x / F.col("nrm"))).drop(
+            "w", "nrm"
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < n_iter:
+            state = state.localCheckpoint(eager=False)
+    v_df = state.select("v")
+    mean_v = _as_array(means, "i", "mean", "mv")
+    centered = F.zip_with(vec_col, "mv", lambda x, m: x.cast("double") - m)
+    proj = _fold_sum(F.zip_with(centered, F.col("v"), lambda d, vi: d * vi))
+    return (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(mean_v))
+        .crossJoin(F.broadcast(v_df))
+        .select(id_col, stable_round(proj, 6).alias("pc1"))
+    )

@@ -1035,3 +1035,90 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=5, pool=20, lam=0.7
     )
+
+
+def _pca_oracle(dim: int = 64, n_iter: int = 32) -> str:
+    """Mirror of ``operators.pca.pca_power_projection``: one moment pass
+    -> 6dp-rounded covariance + means, the matrix assembled as a nested
+    list, then ``n_iter`` matvec+normalize CTEs with the identical
+    left-to-right folds (no intermediate rounding — after the cov
+    round-off every operation is order-fixed IEEE arithmetic), and the
+    final mean-centered projection rounded at 6dp."""
+
+    def fold(inner: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, {inner}), (acc, x) -> acc + x)"
+        )
+
+    v0 = repr(1.0 / float(dim) ** 0.5)
+    parts = [
+        f"""e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+    SELECT ii.i AS i, jj.j AS j,
+           embedding[ii.i + 1]::DOUBLE * embedding[jj.j + 1]::DOUBLE AS prod
+    FROM e, unnest(range({dim})) AS ii(i), unnest(range({dim})) AS jj(j)
+),
+pa AS (SELECT i, j, count(*) AS n, sum(prod) AS sp FROM p GROUP BY 1, 2),
+m AS (
+    SELECT ii.i AS i, sum(embedding[ii.i + 1]::DOUBLE) AS s, count(*) AS n
+    FROM e, unnest(range({dim})) AS ii(i) GROUP BY 1
+),
+cov AS (
+    SELECT pa.i, pa.j,
+           (round(((sp - mi.s * mj.s / pa.n) / pa.n) * 1000000.0) / 1000000.0) AS cv
+    FROM pa JOIN m mi ON mi.i = pa.i JOIN m mj ON mj.i = pa.j
+),
+crows AS (SELECT i, list(cv ORDER BY j) AS crow FROM cov GROUP BY i),
+cmat AS (SELECT list(crow ORDER BY i) AS cm FROM crows),
+meansv AS (SELECT list((round((s / n) * 1000000.0) / 1000000.0) ORDER BY i) AS mv FROM m),
+it0 AS (SELECT list_transform(range({dim}), z -> {v0}::DOUBLE) AS v)"""
+    ]
+    matvec = fold("list_transform(list_zip(row, v), s -> s[1]::DOUBLE * s[2]::DOUBLE)")
+    sumsq = fold("list_transform(w, y -> y * y)")
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""it{t} AS (
+    SELECT list_transform(w, x -> x / nrm) AS v FROM (
+        SELECT w, sqrt({sumsq}) AS nrm FROM (
+            SELECT list_transform(cm, row -> {matvec}) AS w
+            FROM cmat, it{t - 1}
+        )
+    )
+)"""
+        )
+    proj = fold("list_transform(list_zip(centered, v), s -> s[1]::DOUBLE * s[2]::DOUBLE)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, (round({proj} * 1000000.0) / 1000000.0) AS pc1
+FROM (
+    SELECT vec_id,
+           list_transform(list_zip(embedding, mv), s -> s[1]::DOUBLE - s[2]::DOUBLE) AS centered
+    FROM e, meansv
+), it{n_iter}"""
+    )
+
+
+@register(
+    "q_pca_projection",
+    oracle=_pca_oracle(),
+    description=(
+        "PCA top-component projection via in-plan power iteration: ONE "
+        "moment pass builds the 64x64 covariance (posexplode+sequence "
+        "inside the scan, partial-aggregated — the q_embedding_covariance "
+        "pattern), the matrix folds into a single nested-array row, and 32 "
+        "matvec+normalize rounds run as pure expression work on that one "
+        "row (O(d^2) each, independent of corpus size; no shuffle, no "
+        "collect). Finally the corpus streams once against the broadcast "
+        "(mean, component) pair for per-vector pc1 scores. Bit-identical "
+        "to the unrolled-CTE oracle; cosine vs numpy's exact top "
+        "eigenvector unit-tested."
+    ),
+    tags=("similarity", "extension", "vectors", "iterative"),
+)
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.pca import pca_power_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_projection(emb, dim=64, n_iter=32)

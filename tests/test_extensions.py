@@ -1842,3 +1842,45 @@ def test_mmr_lambda_one_is_pure_relevance(spark, sf_smoke):
     assert got == want
     # and every query selects k distinct neighbors
     assert len(set(got.values())) >= 4
+
+
+def test_pca_power_matches_numpy_on_anisotropic_data(spark):
+    """On data with a clear dominant direction the power iteration must
+    land on numpy's exact top eigenvector (cosine ~1) and the projection
+    variance must hit the top eigenvalue."""
+    import numpy as np
+
+    from healthcare_etl_spark.operators.pca import pca_power_projection
+
+    rng = np.random.RandomState(7)
+    d, n = 8, 400
+    direction = rng.normal(size=d); direction /= np.linalg.norm(direction)
+    X = rng.normal(size=(n, d)) * 0.2 + np.outer(rng.normal(size=n) * 3.0, direction)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_power_projection(df, dim=d, n_iter=16).toPandas().sort_values("vec_id")
+    Xf = X.astype("float32").astype("float64")  # operator sees float32 inputs
+    C = np.cov(Xf.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    p_np = (Xf - Xf.mean(0)) @ evecs[:, -1]
+    p_sp = out["pc1"].values
+    cos = abs(np.dot(p_sp, p_np) / (np.linalg.norm(p_sp) * np.linalg.norm(p_np)))
+    assert cos > 0.9999
+    assert abs(p_sp.var() - evals[-1]) / evals[-1] < 0.01
+
+
+def test_pca_projection_beats_every_axis(spark, sf_smoke):
+    """pc1 maximizes captured variance: on the real fixture its variance
+    must be at least that of every raw coordinate (the best axis-aligned
+    'component')."""
+    import numpy as np
+
+    from healthcare_etl_spark.operators.pca import pca_power_projection
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = pca_power_projection(emb, n_iter=32).toPandas()
+    X = np.stack(emb.toPandas()["embedding"].values).astype("float64")
+    assert out["pc1"].values.var() >= X.var(axis=0).max() * 0.999
