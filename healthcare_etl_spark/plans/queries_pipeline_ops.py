@@ -1020,3 +1020,83 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.min("score"), 6).alias("cutoff_score"),
         )
     )
+
+
+@register(
+    "q_nb_lang_confusion",
+    oracle="""
+WITH split AS (
+    SELECT doc_id, text, lang,
+           ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 20) AS is_test
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, lang, is_test, tok FROM (
+        SELECT doc_id, lang, is_test, unnest(string_split(text, ' ')) AS tok FROM split
+    ) WHERE length(tok) > 0
+),
+tc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE NOT is_test GROUP BY 1, 2),
+nl AS (SELECT lang, sum(c) AS n FROM tc GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM tc),
+vsize AS (SELECT count(*) AS v FROM vocab),
+tot AS (SELECT count(*) AS nd_tot FROM split WHERE NOT is_test),
+priors AS (
+    SELECT lang AS p_lang,
+           (round(ln(count(*)::DOUBLE / nd_tot) * 1000000.0) / 1000000.0) AS prior_lp
+    FROM split, tot WHERE NOT is_test GROUP BY lang, nd_tot
+),
+logp AS (
+    SELECT tc.lang AS m_lang, tc.tok AS m_tok,
+           (round(ln((c + 1.0) / (n + 1.0 * v)) * 1000000.0) / 1000000.0) AS lp
+    FROM tc JOIN nl USING (lang), vsize
+),
+missing AS (
+    SELECT lang AS x_lang, (round(ln(1.0 / (n + 1.0 * v)) * 1000000.0) / 1000000.0) AS lp0
+    FROM nl, vsize
+),
+langs AS (SELECT lang AS cand FROM nl),
+cand_rows AS (
+    SELECT t.doc_id, t.lang AS actual, l.cand, coalesce(p.lp, m.lp0) AS tok_lp
+    FROM toks t
+    JOIN vocab USING (tok)
+    CROSS JOIN langs l
+    LEFT JOIN logp p ON p.m_tok = t.tok AND p.m_lang = l.cand
+    JOIN missing m ON m.x_lang = l.cand
+    WHERE t.is_test
+),
+scores AS (
+    SELECT doc_id, actual, cand,
+           list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(tok_lp))),
+                       (acc, x) -> acc + x) AS s
+    FROM cand_rows GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT doc_id, actual, cand, s + prior_lp AS score
+    FROM scores JOIN priors ON p_lang = cand
+),
+pred AS (
+    SELECT actual, cand AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cand ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs FROM pred GROUP BY 1, 2
+""",
+    description=(
+        "Multinomial Naive Bayes language classifier trained IN the engine: "
+        "deterministic 80/20 md5 split, Laplace-smoothed P(token|lang) from "
+        "the train fold, held-out scoring and argmax, confusion matrix out — "
+        "one lazy plan, no fitted-model round-trip through the driver. The "
+        "trained-model complement to the rule-based q_langid_eval. Scores are "
+        "bit-exact cross-engine: each log-likelihood is 6dp-rounded (absorbing "
+        "libm ln ulp drift), then summed as a fold over SORTED doubles so the "
+        "summation order is identical in both engines."
+    ),
+    tags=("pipeline", "extension", "ml", "parity"),
+)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.nb import nb_lang_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_lang_confusion(docs, test_pct=20, alpha=1.0)

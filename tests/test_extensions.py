@@ -1884,3 +1884,47 @@ def test_pca_projection_beats_every_axis(spark, sf_smoke):
     out = pca_power_projection(emb, n_iter=32).toPandas()
     X = np.stack(emb.toPandas()["embedding"].values).astype("float64")
     assert out["pc1"].values.var() >= X.var(axis=0).max() * 0.999
+
+
+def test_nb_classifier_learns_language(spark):
+    """On a corpus whose languages have genuinely distinct vocabularies
+    (the fixture's synthetic text shares ONE vocab across langs, so it
+    cannot separate) the in-engine NB classifier must score near-perfect
+    held-out accuracy."""
+    import random
+
+    from healthcare_etl_spark.operators.nb import nb_lang_confusion
+
+    vocabs = {
+        "en": ["the", "cat", "sat", "mat", "dog", "house", "quick", "brown"],
+        "de": ["der", "katze", "hund", "haus", "schnell", "braun", "und", "ist"],
+        "fr": ["le", "chat", "chien", "maison", "rapide", "brun", "et", "est"],
+    }
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        lang = ("en", "de", "fr")[i % 3]
+        words = [rng.choice(vocabs[lang]) for _ in range(30)]
+        # a little cross-lang noise so the test is not trivial
+        if i % 4 == 0:
+            words[0] = rng.choice(vocabs["en"])
+        rows.append((i, " ".join(words), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cm = nb_lang_confusion(docs).toPandas()
+    total = cm["n_docs"].sum()
+    correct = cm[cm["actual"] == cm["predicted"]]["n_docs"].sum()
+    assert total >= 40  # ~20% held out of 300
+    assert correct / total > 0.95
+
+
+def test_nb_scores_stable_under_repartition(spark, sf_smoke):
+    """The sorted-fold summation makes per-doc scores independent of
+    physical partitioning: wildly different partition counts must give
+    the identical confusion matrix."""
+    from healthcare_etl_spark.operators.nb import nb_lang_confusion
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = sorted(map(tuple, nb_lang_confusion(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, nb_lang_confusion(docs.repartition(37, "lang")).collect()))
+    assert a == b
