@@ -2940,3 +2940,116 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         stable_round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+# Zelen & Severo 26.2.17 rational tail approximation of the standard
+# normal CDF (|error| < 7.5e-8) — pure arithmetic + exp, so both engines
+# evaluate the identical formula; results are 6dp-rounded to absorb
+# cross-libm exp() ulp drift. Inlined as literals on both sides.
+_BH_ALPHA = 0.05
+_PHI_CONSTS = (0.2316419, 0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _tail_p_sql(az: str) -> str:
+    b0, b1, b2, b3, b4, b5 = _PHI_CONSTS
+    t = f"(1.0 / (1.0 + {b0} * {az}))"
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    pdf = f"(exp(-({az}) * ({az}) / 2.0) / {_SQRT_2PI})"
+    return f"least(1.0, 2.0 * {pdf} * {poly})"
+
+
+@register(
+    "q_bh_fdr",
+    oracle=f"""
+WITH g AS (
+    SELECT count(*) AS n, sum(value) AS s, sum(value * value) AS ss FROM events
+),
+gm AS (
+    SELECT (round((s / n) * 1000000.0) / 1000000.0) AS gmean,
+           (round(sqrt((ss - s * s / n) / n) * 1000000.0) / 1000000.0) AS gstd
+    FROM g
+),
+cells AS (
+    SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n,
+           (round((sum(value) / count(*)) * 1000000.0) / 1000000.0) AS cmean
+    FROM events GROUP BY 1, 2
+),
+zs AS (
+    SELECT event_type, weekday, n,
+           (round(((cmean - gmean) / (gstd / sqrt(n))) * 1000000.0) / 1000000.0) AS z
+    FROM cells, gm
+),
+ps AS (
+    SELECT event_type, weekday, n, z,
+           (round({_tail_p_sql("abs(z)")} * 1000000.0) / 1000000.0) AS p
+    FROM zs
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY p ASC, event_type ASC, weekday ASC) AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM ps
+)
+SELECT event_type, weekday, n, z, p, rnk,
+       (rnk <= coalesce(max(CASE WHEN p <= {_BH_ALPHA} * rnk / m THEN rnk END) OVER (), 0))
+         AS rejected
+FROM ranked
+""",
+    description=(
+        "Benjamini-Hochberg FDR screen over the (event_type x weekday) "
+        "grid: per-cell one-sample z-tests of mean value vs the corpus "
+        "mean, normal-tail p-values via the Zelen-Severo rational "
+        "approximation (identical literals both engines, 6dp-rounded to "
+        "absorb libm exp drift), then the step-up procedure — rank "
+        "p ascending, reject through the largest rank with "
+        "p <= alpha*rank/m. The multiple-testing guard the per-test "
+        "family (Welch t, chi-square, z-test) needs before anyone acts "
+        "on 35 simultaneous hypotheses. The global window runs over m = "
+        "#tests rows (post-aggregation), never the event table."
+    ),
+    tags=("analytics", "extension", "stats", "parity"),
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bh_fdr(load_table(spark, sf_dir, "events"))
+
+
+def bh_fdr(ev: DataFrame) -> DataFrame:
+    b0, b1, b2, b3, b4, b5 = _PHI_CONSTS
+    g = ev.agg(
+        F.count(F.lit(1)).alias("gn"), F.sum("value").alias("s"), F.sum(F.col("value") * F.col("value")).alias("ss")
+    ).select(
+        stable_round(F.col("s") / F.col("gn"), 6).alias("gmean"),
+        stable_round(F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("gn")) / F.col("gn")), 6).alias("gstd"),
+    )
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.sum("value") / F.count(F.lit(1)), 6).alias("cmean"),
+    )
+    zs = cells.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "weekday",
+        "n",
+        stable_round((F.col("cmean") - F.col("gmean")) / (F.col("gstd") / F.sqrt("n")), 6).alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(b0) * az)
+    poly = t * (F.lit(b1) + t * (F.lit(b2) + t * (F.lit(b3) + t * (F.lit(b4) + t * F.lit(b5)))))
+    pdf = F.exp(-az * az / F.lit(2.0)) / F.lit(_SQRT_2PI)
+    ps = zs.withColumn("p", stable_round(F.least(F.lit(1.0), F.lit(2.0) * pdf * poly), 6))
+    wr = Window.orderBy(F.asc("p"), F.asc("event_type"), F.asc("weekday"))
+    wall = Window.partitionBy()
+    ranked = ps.withColumn("rnk", F.row_number().over(wr).cast("long")).withColumn(
+        "m", F.count(F.lit(1)).over(wall).cast("long")
+    )
+    kmax = F.coalesce(
+        F.max(
+            F.when(F.col("p") <= F.lit(_BH_ALPHA) * F.col("rnk") / F.col("m"), F.col("rnk"))
+        ).over(wall),
+        F.lit(0).cast("long"),
+    )
+    return ranked.select(
+        "event_type", "weekday", "n", "z", "p", "rnk", (F.col("rnk") <= kmax).alias("rejected")
+    )

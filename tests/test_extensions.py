@@ -1928,3 +1928,36 @@ def test_nb_scores_stable_under_repartition(spark, sf_smoke):
     a = sorted(map(tuple, nb_lang_confusion(docs.repartition(1)).collect()))
     b = sorted(map(tuple, nb_lang_confusion(docs.repartition(37, "lang")).collect()))
     assert a == b
+
+
+def test_bh_fdr_rejects_genuine_effects(spark):
+    """On data where one event type's mean is shifted far from the rest,
+    BH must reject exactly that type's cells (the rejected set is a
+    prefix of the p-rank order by construction), and the approximate
+    normal-tail p-values must agree with math.erf to ~1e-5."""
+    import datetime as dt
+    import math
+
+    from healthcare_etl_spark.plans.queries_analytics import bh_fdr
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(4200):
+        ts = base + dt.timedelta(hours=i % (24 * 7))
+        val = 10.0 if i % 3 == 0 else (0.0 if i % 2 == 0 else 2.0)
+        rows.append((i, ts, "hot" if i % 7 == 0 else "base", val))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    # shift the 'hot' group hard
+    ev = ev.withColumn(
+        "value", F.when(F.col("event_type") == "hot", F.col("value") + 50.0).otherwise(F.col("value"))
+    )
+    out = bh_fdr(ev).toPandas()
+    hot = out[out.event_type == "hot"]
+    assert hot.rejected.all()
+    # rejected set is a rank prefix
+    rej_ranks = sorted(out[out.rejected]["rnk"])
+    assert rej_ranks == list(range(1, len(rej_ranks) + 1))
+    # p-value approximation vs the exact normal tail (math.erf)
+    for _, r in out.iterrows():
+        exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(r["z"]) / math.sqrt(2.0))))
+        assert abs(min(1.0, exact) - r["p"]) < 1e-5
