@@ -3053,3 +3053,73 @@ def bh_fdr(ev: DataFrame) -> DataFrame:
     return ranked.select(
         "event_type", "weekday", "n", "z", "p", "rnk", (F.col("rnk") <= kmax).alias("rejected")
     )
+
+
+@register(
+    "q_holt_smoothing",
+    oracle="""
+WITH RECURSIVE raw AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           (round(sum(value) * 10000.0) / 10000.0) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idxd AS (
+    SELECT day, x,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+    FROM raw
+),
+holt AS (
+    SELECT a.idx, a.day, a.x, a.x AS l, (b2.x - a.x) AS b
+    FROM idxd a JOIN idxd b2 ON a.idx = 1 AND b2.idx = 2
+    UNION ALL
+    SELECT d.idx, d.day, d.x,
+           (round((0.5 * d.x + 0.5 * (h.l + h.b)) * 10000.0) / 10000.0),
+           (round((0.3 * ((round((0.5 * d.x + 0.5 * (h.l + h.b)) * 10000.0) / 10000.0) - h.l)
+                   + 0.7 * h.b) * 10000.0) / 10000.0)
+    FROM holt h JOIN idxd d ON d.idx = h.idx + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x AS revenue, l AS level, b AS trend,
+       l + b AS forecast_next
+FROM holt
+""",
+    description=(
+        "Holt's double exponential smoothing (level alpha=0.5 + trend "
+        "beta=0.3) of daily revenue via native WITH RECURSIVE — the "
+        "trend-aware upgrade of q_ewma_smoothing, with the classic "
+        "b1 = x2 - x1 initialization and the one-step-ahead forecast "
+        "l+b per day. The trend update references the JUST-updated "
+        "level, so the rounded level expression is inlined twice, "
+        "identically on both engines — each step re-rounds to 4dp so "
+        "the chain cannot drift however long the series. Recursion "
+        "depth = days; all data-sized work is the one daily aggregate."
+    ),
+    tags=("analytics", "extension", "timeseries", "recursive"),
+)
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.sum("value") * 10000.0) / 10000.0).alias("x"))
+    )
+    idxd = raw.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).cast("long").alias("idx")
+    )
+    idxd.createOrReplaceTempView("v_holt_daily")
+    return spark.sql(
+        """
+WITH RECURSIVE holt AS (
+    SELECT a.idx, a.day, a.x, a.x AS l, (b2.x - a.x) AS b
+    FROM v_holt_daily a JOIN v_holt_daily b2 ON a.idx = 1 AND b2.idx = 2
+    UNION ALL
+    SELECT d.idx, d.day, d.x,
+           (round((0.5 * d.x + 0.5 * (h.l + h.b)) * 10000.0) / 10000.0),
+           (round((0.3 * ((round((0.5 * d.x + 0.5 * (h.l + h.b)) * 10000.0) / 10000.0) - h.l)
+                   + 0.7 * h.b) * 10000.0) / 10000.0)
+    FROM holt h JOIN v_holt_daily d ON d.idx = h.idx + 1
+)
+SELECT date_format(day, 'yyyy-MM-dd') AS day, x AS revenue, l AS level, b AS trend,
+       l + b AS forecast_next
+FROM holt
+"""
+    )

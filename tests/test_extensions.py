@@ -1961,3 +1961,37 @@ def test_bh_fdr_rejects_genuine_effects(spark):
     for _, r in out.iterrows():
         exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(r["z"]) / math.sqrt(2.0))))
         assert abs(min(1.0, exact) - r["p"]) < 1e-5
+
+
+def test_holt_tracks_linear_trend_exactly(spark, tmp_path):
+    """On a perfectly linear series with Holt's classic init (l1=x1,
+    b1=x2-x1) the level must equal the series and the one-step forecast
+    must predict the next point exactly — the property that separates
+    Holt from plain EWMA (which lags a trend forever). Runs the REAL
+    registered query against a temp fixture dir."""
+    import datetime as dt
+
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for d in range(12):
+        rows.append(
+            (d, base + dt.timedelta(days=d), 1, "purchase", 100.0 + 7.0 * d, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = (
+        get_queries()["q_holt_smoothing"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 12
+    # level locks onto the line, trend equals the slope, forecast is exact
+    assert (out["level"] == out["revenue"]).all()
+    assert (out["trend"] == 7.0).all()
+    assert out["forecast_next"].iloc[-1] == (100.0 + 7.0 * 11) + 7.0
