@@ -3123,3 +3123,116 @@ SELECT date_format(day, 'yyyy-MM-dd') AS day, x AS revenue, l AS level, b AS tre
 FROM holt
 """
     )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+WITH RECURSIVE f AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+p AS (
+    SELECT user_id, min(epoch_us(ts)) AS p_us
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+subj AS (
+    SELECT f.user_id,
+           CASE WHEN p.p_us IS NOT NULL
+                     AND (p.p_us - f.first_us) // 3600000000 <= 60
+                THEN (p.p_us - f.first_us) // 3600000000 ELSE 60 END AS dur,
+           (p.p_us IS NOT NULL AND (p.p_us - f.first_us) // 3600000000 <= 60) AS event
+    FROM f LEFT JOIN p ON f.user_id = p.user_id
+),
+tbl AS (
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM subj GROUP BY 1
+),
+idxd AS (
+    SELECT dur, d, c,
+           CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS idx,
+           CAST(sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+    FROM tbl
+),
+km AS (
+    SELECT idx, dur, d, c, n_risk,
+           (round((1.0 - d * 1.0 / n_risk) * 1000000.0) / 1000000.0) AS s
+    FROM idxd WHERE idx = 1
+    UNION ALL
+    SELECT i.idx, i.dur, i.d, i.c, i.n_risk,
+           (round((k.s * (1.0 - i.d * 1.0 / i.n_risk)) * 1000000.0) / 1000000.0)
+    FROM km k JOIN idxd i ON i.idx = k.idx + 1
+)
+SELECT dur AS hours, n_risk, d AS n_converted, c AS n_censored, s AS survival
+FROM km
+""",
+    description=(
+        "Kaplan-Meier estimator of time-to-first-purchase (whole hours "
+        "from each user's first event, exact integer-us arithmetic) with "
+        "administrative right-censoring at a 60 h follow-up horizon — "
+        "users not converting within the horizon are censored AT 60 h, "
+        "the setup where naive mean-delay is biased and KM is the "
+        "correct curve (survival here = P(not yet purchased)). "
+        "n-at-risk via one running-sum window over the <=61-row duration "
+        "table; the survival product S(t) = prod(1 - d/n) runs as a "
+        "WITH RECURSIVE chain with per-step 6dp re-round (cross-engine "
+        "drift-proof, like the EWMA/Holt chains). All data-sized work is "
+        "two per-user aggregates; everything after is O(#durations)."
+    ),
+    tags=("analytics", "extension", "stats", "recursive"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    delay_h = F.floor((F.col("p_us") - F.col("first_us")) / F.lit(3600000000))
+    is_event = F.col("p_us").isNotNull() & (delay_h <= 60)
+    subj = f.join(p, "user_id", "left").select(
+        F.when(is_event, delay_h).otherwise(F.lit(60)).cast("long").alias("dur"),
+        is_event.alias("event"),
+    )
+    return kaplan_meier_curve(subj)
+
+
+def kaplan_meier_curve(subj: DataFrame) -> DataFrame:
+    """KM table from per-subject (dur BIGINT, event BOOLEAN) rows:
+    (hours, n_risk, n_converted, n_censored, survival)."""
+    tbl = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("event"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    idxd = tbl.select(
+        "dur",
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("dur")).cast("long").alias("idx"),
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    idxd.createOrReplaceTempView("v_km_idxd")
+    return subj.sparkSession.sql(
+        """
+WITH RECURSIVE km AS (
+    SELECT idx, dur, d, c, n_risk,
+           (round((1.0D - d * 1.0D / n_risk) * 1000000.0D) / 1000000.0D) AS s
+    FROM v_km_idxd WHERE idx = 1
+    UNION ALL
+    SELECT i.idx, i.dur, i.d, i.c, i.n_risk,
+           (round((k.s * (1.0D - i.d * 1.0D / i.n_risk)) * 1000000.0D) / 1000000.0D)
+    FROM km k JOIN v_km_idxd i ON i.idx = k.idx + 1
+)
+SELECT dur AS hours, n_risk, d AS n_converted, c AS n_censored, s AS survival
+FROM km
+"""
+    )

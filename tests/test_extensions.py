@@ -1995,3 +1995,21 @@ def test_holt_tracks_linear_trend_exactly(spark, tmp_path):
     assert (out["level"] == out["revenue"]).all()
     assert (out["trend"] == 7.0).all()
     assert out["forecast_next"].iloc[-1] == (100.0 + 7.0 * 11) + 7.0
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic hand-computed KM: 10 subjects — 2 events at t=1, 1
+    censored at t=2, 2 events at t=3, rest censored at t=5.
+    S(1)=0.8, S(3)=0.8*(1-2/7)=0.571429, censoring rows leave S flat."""
+    from healthcare_etl_spark.plans.queries_analytics import kaplan_meier_curve
+
+    subj = spark.createDataFrame(
+        [(1, True)] * 2 + [(2, False)] + [(3, True)] * 2 + [(5, False)] * 5,
+        "dur long, event boolean",
+    )
+    out = {r["hours"]: r for r in kaplan_meier_curve(subj).collect()}
+    assert out[1]["n_risk"] == 10 and out[1]["survival"] == 0.8
+    assert out[2]["n_risk"] == 8 and out[2]["survival"] == 0.8  # censor: flat
+    assert out[3]["n_risk"] == 7 and round(out[3]["survival"], 6) == 0.571429
+    assert out[5]["n_risk"] == 5 and out[5]["survival"] == out[3]["survival"]
+    assert out[5]["n_censored"] == 5
