@@ -3236,3 +3236,135 @@ SELECT dur AS hours, n_risk, d AS n_converted, c AS n_censored, s AS survival
 FROM km
 """
     )
+
+
+def ridge_2f(
+    df: DataFrame,
+    *,
+    group_col: str,
+    x1: F.Column,
+    x2: F.Column,
+    y: F.Column,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Ridge-regularized two-feature linear regression per group, solved
+    in closed form from ONE moment aggregate (9 sums) — the multivariate
+    upgrade of q_grouped_ols. Centered normal equations with +lam on the
+    diagonal; the 2x2 solve is exact arithmetic on 6dp-rounded moments,
+    so results are engine-identical. No iteration, no driver math: the
+    data-sized work is a single partial-aggregated groupBy.
+    """
+    rows = df.select(
+        F.col(group_col).alias("g"), x1.alias("x1"), x2.alias("x2"), y.alias("y")
+    )
+    m = rows.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r6 = lambda c: stable_round(c, 6)  # noqa: E731
+    cm = m.select(
+        "g",
+        "n",
+        r6(F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("c11"),
+        r6(F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("c12"),
+        r6(F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("c22"),
+        r6(F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("c1y"),
+        r6(F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("c2y"),
+        r6(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        r6(F.col("s1") / F.col("n")).alias("m1"),
+        r6(F.col("s2") / F.col("n")).alias("m2"),
+        r6(F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = (F.col("c11") + F.lit(lam)) * (F.col("c22") + F.lit(lam)) - F.col("c12") * F.col("c12")
+    b1 = ((F.col("c22") + F.lit(lam)) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = ((F.col("c11") + F.lit(lam)) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    sse = (
+        F.col("cyy")
+        - F.lit(2.0) * (b1 * F.col("c1y") + b2 * F.col("c2y"))
+        + (b1 * b1 * F.col("c11") + F.lit(2.0) * b1 * b2 * F.col("c12") + b2 * b2 * F.col("c22"))
+    )
+    return cm.select(
+        F.col("g").alias(group_col),
+        "n",
+        r6(b1).alias("beta_x1"),
+        r6(b2).alias("beta_x2"),
+        r6(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")).alias("intercept"),
+        r6(F.lit(1.0) - sse / F.col("cyy")).alias("r2"),
+    )
+
+
+@register(
+    "q_ridge_regression",
+    oracle="""
+WITH m AS (
+    SELECT event_type AS g, count(*) AS n,
+           sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+           sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+           sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+    FROM (
+        SELECT event_type,
+               CAST(hour(ts) AS DOUBLE) AS x1,
+               CAST(dayofweek(ts) AS DOUBLE) AS x2,
+               value AS y
+        FROM events
+    ) GROUP BY 1
+),
+cm AS (
+    SELECT g, CAST(n AS BIGINT) AS n,
+           (round((s11 - s1 * s1 / n) * 1000000.0) / 1000000.0) AS c11,
+           (round((s12 - s1 * s2 / n) * 1000000.0) / 1000000.0) AS c12,
+           (round((s22 - s2 * s2 / n) * 1000000.0) / 1000000.0) AS c22,
+           (round((s1y - s1 * sy / n) * 1000000.0) / 1000000.0) AS c1y,
+           (round((s2y - s2 * sy / n) * 1000000.0) / 1000000.0) AS c2y,
+           (round((syy - sy * sy / n) * 1000000.0) / 1000000.0) AS cyy,
+           (round((s1 / n) * 1000000.0) / 1000000.0) AS m1,
+           (round((s2 / n) * 1000000.0) / 1000000.0) AS m2,
+           (round((sy / n) * 1000000.0) / 1000000.0) AS my
+    FROM m
+),
+sol AS (
+    SELECT *,
+           ((c22 + 1.0) * c1y - c12 * c2y)
+             / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS b1,
+           ((c11 + 1.0) * c2y - c12 * c1y)
+             / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS b2
+    FROM cm
+)
+SELECT g AS event_type, n,
+       (round(b1 * 1000000.0) / 1000000.0) AS beta_x1,
+       (round(b2 * 1000000.0) / 1000000.0) AS beta_x2,
+       (round((my - b1 * m1 - b2 * m2) * 1000000.0) / 1000000.0) AS intercept,
+       (round((1.0 - (cyy - 2.0 * (b1 * c1y + b2 * c2y)
+                      + (b1 * b1 * c11 + 2.0 * b1 * b2 * c12 + b2 * b2 * c22)) / cyy)
+              * 1000000.0) / 1000000.0) AS r2
+FROM sol
+""",
+    description=(
+        "Ridge-regularized two-feature regression per event type "
+        "(value ~ hour-of-day + weekday, lambda=1): centered normal "
+        "equations from ONE 10-sum moment aggregate, exact closed-form "
+        "2x2 solve, plus moment-derived R^2 — the multivariate upgrade "
+        "of q_grouped_ols, still zero iteration and zero driver math. "
+        "Moments 6dp-rounded before the solve so both engines run "
+        "identical arithmetic."
+    ),
+    tags=("analytics", "extension", "stats", "parity"),
+)
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ridge_2f(
+        ev,
+        group_col="event_type",
+        x1=F.hour("ts").cast("double"),
+        x2=(F.dayofweek("ts") - 1).cast("double"),
+        y=F.col("value"),
+        lam=1.0,
+    )

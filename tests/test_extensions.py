@@ -2013,3 +2013,28 @@ def test_kaplan_meier_textbook_example(spark):
     assert out[3]["n_risk"] == 7 and round(out[3]["survival"], 6) == 0.571429
     assert out[5]["n_risk"] == 5 and out[5]["survival"] == out[3]["survival"]
     assert out[5]["n_censored"] == 5
+
+
+def test_ridge_recovers_known_coefficients(spark):
+    """On exact linear data y = 3 + 2*x1 - 0.5*x2 ridge with tiny lambda
+    must recover the coefficients (and R^2 ~ 1); lambda=50 must shrink
+    both betas strictly toward zero."""
+    from healthcare_etl_spark.plans.queries_analytics import ridge_2f
+
+    rows = []
+    for i in range(200):
+        x1, x2 = float(i % 13), float((i * 7) % 11)
+        rows.append(("g", x1, x2, 3.0 + 2.0 * x1 - 0.5 * x2))
+    df = spark.createDataFrame(rows, "grp string, a double, b double, yy double")
+    tiny = ridge_2f(
+        df, group_col="grp", x1=F.col("a"), x2=F.col("b"), y=F.col("yy"), lam=1e-9
+    ).first()
+    assert abs(tiny["beta_x1"] - 2.0) < 1e-4
+    assert abs(tiny["beta_x2"] + 0.5) < 1e-4
+    assert abs(tiny["intercept"] - 3.0) < 1e-3
+    assert tiny["r2"] > 0.999999
+    big = ridge_2f(
+        df, group_col="grp", x1=F.col("a"), x2=F.col("b"), y=F.col("yy"), lam=50.0
+    ).first()
+    assert 0 < big["beta_x1"] < 2.0
+    assert -0.5 < big["beta_x2"] < 0
