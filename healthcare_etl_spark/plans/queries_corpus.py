@@ -747,3 +747,80 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.asDict() for r in bpe_merges(docs, n_merges=4, vocab_size=200).orderBy("round").collect()
     ]
     return bpe_token_counts(docs, merges)
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+    FROM documents
+),
+gtab AS (
+    SELECT n_chars AS gval,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS gi,
+           CAST(count(*) OVER () AS BIGINT) AS ng
+    FROM documents
+),
+mapped AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN ns = 1 THEN 1 + (SELECT (max(ng) - 1) // 2 FROM gtab)
+                ELSE 1 + ((rn - 1) * ((SELECT max(ng) FROM gtab) - 1)) // (ns - 1)
+           END AS gi
+    FROM ranked
+)
+SELECT m.doc_id, m.source, m.n_chars, g.gval AS norm_chars
+FROM mapped m JOIN gtab g ON g.gi = m.gi
+""",
+    description=(
+        "Quantile normalization of per-source document lengths onto the "
+        "GLOBAL length distribution (batch-effect correction: after the "
+        "map, every source has the same marginal distribution — the "
+        "preprocessing step that stops per-source length quirks from "
+        "leaking into mixture weights). Rank fraction -> global index "
+        "entirely in INTEGER arithmetic (1 + (rn-1)*(Ng-1) DIV (ns-1)), "
+        "so there is no float quantile boundary to disagree on; the "
+        "lookup is a plain equi-join against the globally ranked table. "
+        "Two window ranks (one per-source, one global) + one join — at "
+        "100 TB the global rank is the expensive total sort; swap in the "
+        "equi-depth histogram sketch for an approximate map when that "
+        "matters."
+    ),
+    tags=("corpus", "extension", "parity"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(W.partitionBy("source").orderBy("n_chars", "doc_id")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("ns"),
+    )
+    glob = docs.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long").alias("gi"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("ng"),
+    )
+    ngdf = glob.agg(F.max("ng").alias("ng_tot"))
+    mapped = ranked.crossJoin(F.broadcast(ngdf)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("ns") == 1,
+            F.lit(1) + F.floor((F.col("ng_tot") - 1) / 2).cast("long"),
+        )
+        .otherwise(
+            F.lit(1)
+            + F.floor(((F.col("rn") - 1) * (F.col("ng_tot") - 1)) / (F.col("ns") - 1)).cast("long")
+        )
+        .alias("gi"),
+    )
+    return mapped.join(glob.select("gi", "gval"), "gi").select(
+        "doc_id", "source", "n_chars", F.col("gval").alias("norm_chars")
+    )

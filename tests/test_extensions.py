@@ -2038,3 +2038,29 @@ def test_ridge_recovers_known_coefficients(spark):
     ).first()
     assert 0 < big["beta_x1"] < 2.0
     assert -0.5 < big["beta_x2"] < 0
+
+
+def test_quantile_normalize_equalizes_marginals(spark, tmp_path):
+    """After quantile normalization, sources with wildly different
+    length scales must have (near-)identical marginal distributions:
+    per-source medians of norm_chars within one global-rank step, and
+    extremes map to global extremes."""
+    rows = []
+    for i in range(300):
+        # source A: lengths 0..299; source B: lengths 10000..10299
+        rows.append((i, "t", "en", "A", i))
+        rows.append((1000 + i, "t", "en", "B", 10000 + i))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from healthcare_etl_spark.plans.registry import get_queries
+
+    out = get_queries()["q_quantile_normalize"](spark, str(tmp_path)).toPandas()
+    a = out[out.source == "A"].sort_values("n_chars")["norm_chars"].values
+    b = out[out.source == "B"].sort_values("n_chars")["norm_chars"].values
+    # same per-source marginal after the map (rank-for-rank identical)
+    assert (a == b).all()
+    # the shortest doc of each source maps to the global minimum, the
+    # longest to the global maximum
+    assert a[0] == out["n_chars"].min() and a[-1] == out["n_chars"].max()
