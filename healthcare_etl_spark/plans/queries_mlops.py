@@ -1,0 +1,574 @@
+"""Evaluation / monitoring / governance queries: time-constrained
+funnels, symmetric distribution drift, resampled uncertainty, offline
+change-point localization, forecast backtesting, and privacy auditing.
+
+These extend the analytics families (queries_analytics / queries_corpus)
+with the operations an ML-platform team runs AROUND a pipeline — scoring
+it, monitoring it, and certifying its outputs — rather than inside it.
+Reference scope for parity context is `etl_app/etl_script.py:74-119`;
+everything here is extension surface. All queries are oracle-checked
+against DuckDB with identical arithmetic on both sides; randomized
+procedures (bootstrap) use counter-based md5 randomness so both engines
+draw the exact same resamples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+@register(
+    "q_window_funnel",
+    oracle="""
+WITH s1 AS (
+    SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1
+                        AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                        AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM s2
+)
+SELECT count(DISTINCT user_id)                                        AS n_users,
+       count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)      AS n_depth1,
+       count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)      AS n_depth2,
+       count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)      AS n_depth3,
+       (round((count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) * 1.0 /
+               count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)) * 1000000.0)
+        / 1000000.0)                                                  AS depth2_rate,
+       (round((count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) * 1.0 /
+               count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)) * 1000000.0)
+        / 1000000.0)                                                  AS depth3_rate
+FROM s3
+""",
+    description=(
+        "Time-CONSTRAINED strict funnel (ClickHouse windowFunnel "
+        "semantics): signup -> view -> purchase must all land inside a "
+        "7-day window ANCHORED at the user's first signup — the variant "
+        "q_funnel_steps deliberately leaves unbounded. Same "
+        "self-join-free shape: one shuffle clusters each user's events, "
+        "stacked window-mins resolve step times (each conditioned on "
+        "following the previous step AND fitting the anchor window), one "
+        "global aggregate counts survivors per depth. Funnel depth adds "
+        "window-min columns, never joins, so the plan stays one "
+        "data-sized exchange at any depth."
+    ),
+    tags=("events", "extension"),
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    horizon = F.col("t1") + F.expr("INTERVAL 7 DAYS")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= horizon),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= horizon),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    n1 = F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+    n2 = F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+    n3 = F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+    return s3.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        n1.alias("n_depth1"),
+        n2.alias("n_depth2"),
+        n3.alias("n_depth3"),
+        stable_round(n2 / n1, 6).alias("depth2_rate"),
+        stable_round(n3 / n2, 6).alias("depth3_rate"),
+    )
+
+
+@register(
+    "q_js_divergence",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+),
+vocab  AS (SELECT w, CAST(sum(n) AS BIGINT) AS m FROM counts GROUP BY w),
+vsize  AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                  CAST(sum(m) AS BIGINT) AS tot_all FROM vocab),
+totals AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY source),
+grid AS (
+    SELECT t.source, vb.w,
+           (coalesce(c.n, 0) + 1.0) / (t.tot + vs.v)  AS p,
+           (vb.m + 1.0) / (vs.tot_all + vs.v)         AS q
+    FROM totals t
+    CROSS JOIN vocab vb
+    CROSS JOIN vsize vs
+    LEFT JOIN counts c ON c.source = t.source AND c.w = vb.w
+)
+SELECT source,
+       (round((0.5 * sum(p * ln(2.0 * p / (p + q))) +
+               0.5 * sum(q * ln(2.0 * q / (p + q)))) * 1000000.0)
+        / 1000000.0) AS jsd_nats
+FROM grid
+GROUP BY source
+""",
+    description=(
+        "Jensen-Shannon divergence of each source's unigram distribution "
+        "from the CORPUS distribution (Laplace-smoothed over the shared "
+        "vocabulary) — the symmetric, bounded ([0, ln 2]) drift score "
+        "that complements q_source_kl_divergence's asymmetric pairwise "
+        "view: one number per source, stable when a token is absent on "
+        "either side, and O(sources x vocab) instead of O(sources^2 x "
+        "vocab). Everything reduces on (source, token) counts; the "
+        "corpus marginal is the token-level rollup of the same counts, "
+        "so the corpus is never re-tokenized."
+    ),
+    tags=("text", "extension", "corpus"),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.groupBy("w").agg(F.sum("n").alias("m"))
+    vsize = vocab.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("m").alias("tot_all")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    grid = (
+        totals.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            ((F.coalesce("n", F.lit(0)) + F.lit(1.0)) / (F.col("tot") + F.col("v"))).alias("p"),
+            ((F.col("m") + F.lit(1.0)) / (F.col("tot_all") + F.col("v"))).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    return grid.groupBy("source").agg(
+        stable_round(
+            F.lit(0.5) * F.sum(p * F.log(F.lit(2.0) * p / (p + q)))
+            + F.lit(0.5) * F.sum(q * F.log(F.lit(2.0) * q / (p + q))),
+            6,
+        ).alias("jsd_nats")
+    )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap: identical
+# literals on both engines so the drawn weight is bit-identical.
+_POIS1_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015)
+
+
+def _pois1_sql(u: str) -> str:
+    c0, c1, c2, c3, c4 = _POIS1_CDF
+    return (
+        f"CASE WHEN {u} < {c0} THEN 0 WHEN {u} < {c1} THEN 1 "
+        f"WHEN {u} < {c2} THEN 2 WHEN {u} < {c3} THEN 3 "
+        f"WHEN {u} < {c4} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+grid AS (
+    SELECT d.day, d.rev_cents, t.b,
+           ((('0x' || substring(md5(d.day || ':' || CAST(t.b AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000) / 1000000.0) AS u
+    FROM daily d CROSS JOIN (SELECT unnest(range(200)) AS b) t
+),
+boots AS (
+    SELECT b,
+           CAST(sum({_pois1_sql('u')} * rev_cents) AS BIGINT) AS wsum,
+           CAST(sum({_pois1_sql('u')}) AS BIGINT)             AS w
+    FROM grid GROUP BY b
+),
+means AS (
+    SELECT (round((wsum / (100.0 * w)) * 1000000.0) / 1000000.0) AS mean_b
+    FROM boots WHERE w > 0
+),
+ranked AS (
+    SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn,
+           count(*) OVER () AS nb
+    FROM means
+),
+pt AS (
+    SELECT (round((sum(rev_cents) / (100.0 * count(*))) * 1000000.0) / 1000000.0)
+               AS mean_daily_revenue
+    FROM daily
+)
+SELECT pt.mean_daily_revenue,
+       max(CASE WHEN rn = 5   THEN mean_b END) AS ci_lo,
+       max(CASE WHEN rn = 195 THEN mean_b END) AS ci_hi,
+       CAST(max(nb) AS BIGINT)                 AS n_boot
+FROM ranked CROSS JOIN pt
+GROUP BY pt.mean_daily_revenue
+""",
+    description=(
+        "Deterministic Poisson bootstrap 95% CI for mean daily purchase "
+        "revenue — the uncertainty band a metrics report should carry "
+        "and a point estimate cannot. Classic bootstrap resampling is "
+        "irreproducible across engines; here each (day, replicate) draws "
+        "its Poisson(1) resample weight from a counter-based md5 uniform "
+        "(the q_hash_split bridge), so DuckDB and Spark materialize THE "
+        "SAME 200 resamples and the CI matches hash-exact. Daily revenue "
+        "is exact integer cents, each replicate mean is one rounded "
+        "division, and the CI bounds are order-statistic selections "
+        "(positions 5/195 of 200) — no floating accumulation anywhere "
+        "an engine could reorder. The grid is days x B (replicate-"
+        "parallel, partial-aggregated); the day-level pre-aggregate is "
+        "the only data-sized pass."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    c0, c1, c2, c3, c4 = _POIS1_CDF
+    u = F.col("u")
+    pois_w = (
+        F.when(u < c0, 0)
+        .when(u < c1, 1)
+        .when(u < c2, 2)
+        .when(u < c3, 3)
+        .when(u < c4, 4)
+        .otherwise(5)
+    )
+    grid = (
+        daily.select(
+            "day",
+            "rev_cents",
+            F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b"),
+        )
+        .withColumn(
+            "u",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("day"), F.col("b").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000000
+            )
+            / 1000000.0,
+        )
+        .withColumn("w", pois_w)
+    )
+    boots = grid.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("rev_cents")).alias("wsum"),
+        F.sum("w").alias("w"),
+    )
+    means = boots.filter(F.col("w") > 0).select(
+        stable_round(F.col("wsum") / (F.lit(100.0) * F.col("w")), 6).alias("mean_b")
+    )
+    # B = 200 rows: the keyless rank window runs over the replicate
+    # table, never the data.
+    wr = Window.orderBy("mean_b")
+    ranked = means.select(
+        "mean_b",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    pt = daily.agg(
+        stable_round(F.sum("rev_cents") / (F.lit(100.0) * F.count(F.lit(1))), 6).alias(
+            "mean_daily_revenue"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy("mean_daily_revenue")
+        .agg(
+            F.max(F.when(F.col("rn") == 5, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == 195, F.col("mean_b"))).alias("ci_hi"),
+            F.max("nb").alias("n_boot"),
+        )
+        .select("mean_daily_revenue", "ci_lo", "ci_hi", "n_boot")
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev_cents) AS BIGINT) AS t FROM daily
+),
+curve AS (
+    SELECT day,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT)             AS idx,
+           CAST(sum(rev_cents) OVER (ORDER BY day) AS BIGINT)           AS cum,
+           n, t
+    FROM daily CROSS JOIN tot
+),
+stat AS (
+    SELECT day, idx, cum, n, t, CAST(n * cum - idx * t AS BIGINT) AS s
+    FROM curve
+),
+best AS (
+    SELECT * FROM stat ORDER BY abs(s) DESC, day ASC LIMIT 1
+)
+SELECT CAST(day AS VARCHAR) AS changepoint_day,
+       s                    AS cusum_stat,
+       (round((cum / (100.0 * idx)) * 1000000.0) / 1000000.0) AS mean_before,
+       CASE WHEN n > idx
+            THEN (round(((t - cum) / (100.0 * (n - idx))) * 1000000.0) / 1000000.0)
+       END                  AS mean_after
+FROM best
+""",
+    description=(
+        "Offline CUSUM change-point localization over the daily purchase "
+        "revenue series — where did the level shift? The statistic is "
+        "kept INTEGER-exact by clearing the mean-subtraction denominator: "
+        "S_d = N*cumsum_d - d*Total in BIGINT cents (argmax |S| is "
+        "invariant to the scaling), so both engines agree bit-for-bit "
+        "with no per-step re-rounding recursion. One data-sized pass "
+        "builds the daily aggregate; the cumulative window and the "
+        "argmax ride the days-sized series (metadata scale — at 100 TB "
+        "the series is still one row per day). Complements "
+        "q_seasonal_anomaly (which flags days) by localizing the single "
+        "strongest regime shift with before/after level estimates."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev_cents").alias("t")
+    )
+    # Days-sized series: the keyless windows run over one row per day.
+    wo = Window.orderBy("day")
+    curve = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.row_number().over(wo).cast("long").alias("idx"),
+            F.sum("rev_cents").over(wo).alias("cum"),
+            "n",
+            "t",
+        )
+        .withColumn("s", F.col("n") * F.col("cum") - F.col("idx") * F.col("t"))
+    )
+    best = curve.orderBy(F.abs(F.col("s")).desc(), F.col("day").asc()).limit(1)
+    return best.select(
+        F.col("day").cast("string").alias("changepoint_day"),
+        F.col("s").alias("cusum_stat"),
+        stable_round(F.col("cum") / (F.lit(100.0) * F.col("idx")), 6).alias("mean_before"),
+        F.when(
+            F.col("n") > F.col("idx"),
+            stable_round(
+                (F.col("t") - F.col("cum")) / (F.lit(100.0) * (F.col("n") - F.col("idx"))), 6
+            ),
+        ).alias("mean_after"),
+    )
+
+
+@register(
+    "q_seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lagged AS (
+    SELECT day, rev_cents,
+           lag(rev_cents, 7) OVER (ORDER BY day) AS f_snaive,
+           lag(rev_cents, 1) OVER (ORDER BY day) AS f_naive
+    FROM daily
+),
+eval AS (SELECT * FROM lagged WHERE f_snaive IS NOT NULL),
+folds AS (
+    SELECT CAST(count(*) AS BIGINT)                        AS n_eval_days,
+           CAST(sum(abs(rev_cents - f_snaive)) AS BIGINT)  AS sae_s,
+           CAST(sum(abs(rev_cents - f_naive)) AS BIGINT)   AS sae_n,
+           sum(2.0 * abs(rev_cents - f_snaive) / (abs(rev_cents) + abs(f_snaive)))
+               AS smape_sum_s,
+           sum(2.0 * abs(rev_cents - f_naive) / (abs(rev_cents) + abs(f_naive)))
+               AS smape_sum_n
+    FROM eval
+)
+SELECT n_eval_days,
+       (round((sae_s / (100.0 * n_eval_days)) * 1000000.0) / 1000000.0) AS mae_snaive,
+       (round((sae_n / (100.0 * n_eval_days)) * 1000000.0) / 1000000.0) AS mae_naive,
+       (round((smape_sum_s / n_eval_days) * 1000000.0) / 1000000.0)     AS smape_snaive,
+       (round((smape_sum_n / n_eval_days) * 1000000.0) / 1000000.0)     AS smape_naive,
+       CASE WHEN sae_s < sae_n THEN 'seasonal_naive'
+            WHEN sae_s > sae_n THEN 'naive' ELSE 'tie' END              AS mae_winner
+FROM folds
+""",
+    description=(
+        "Rolling-origin backtest of the two canonical forecast baselines "
+        "— seasonal-naive (same weekday last week) vs naive (yesterday) "
+        "— over daily purchase revenue: MAE and sMAPE per model plus the "
+        "winner. This is the acceptance gate the EWMA/Holt smoothers "
+        "(q_ewma_smoothing / q_holt_smoothing) should have to beat "
+        "before anyone ships a fancier model. The winner is decided on "
+        "exact INTEGER absolute-error sums in cents (no float "
+        "comparison); sMAPE terms are fixed-expression rationals of "
+        "integers folded once. One data-sized pass; lags and folds ride "
+        "the days-sized series."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev_cents",
+        F.lag("rev_cents", 7).over(wo).alias("f_snaive"),
+        F.lag("rev_cents", 1).over(wo).alias("f_naive"),
+    ).filter(F.col("f_snaive").isNotNull())
+    r = F.col("rev_cents")
+    folds = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+        F.sum(F.abs(r - F.col("f_snaive"))).alias("sae_s"),
+        F.sum(F.abs(r - F.col("f_naive"))).alias("sae_n"),
+        F.sum(
+            F.lit(2.0) * F.abs(r - F.col("f_snaive")) / (F.abs(r) + F.abs(F.col("f_snaive")))
+        ).alias("smape_sum_s"),
+        F.sum(
+            F.lit(2.0) * F.abs(r - F.col("f_naive")) / (F.abs(r) + F.abs(F.col("f_naive")))
+        ).alias("smape_sum_n"),
+    )
+    n = F.col("n_eval_days")
+    return folds.select(
+        "n_eval_days",
+        stable_round(F.col("sae_s") / (F.lit(100.0) * n), 6).alias("mae_snaive"),
+        stable_round(F.col("sae_n") / (F.lit(100.0) * n), 6).alias("mae_naive"),
+        stable_round(F.col("smape_sum_s") / n, 6).alias("smape_snaive"),
+        stable_round(F.col("smape_sum_n") / n, 6).alias("smape_naive"),
+        F.when(F.col("sae_s") < F.col("sae_n"), F.lit("seasonal_naive"))
+        .when(F.col("sae_s") > F.col("sae_n"), F.lit("naive"))
+        .otherwise(F.lit("tie"))
+        .alias("mae_winner"),
+    )
+
+
+@register(
+    "q_kanonymity_audit",
+    oracle="""
+WITH cells AS (
+    SELECT event_type,
+           CAST(dayofweek(ts) AS BIGINT)               AS wd,
+           CAST(floor(value / 10.0) AS BIGINT)         AS value_band,
+           CAST(count(DISTINCT user_id) AS BIGINT)     AS k,
+           CAST(count(*) AS BIGINT)                    AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+),
+classed AS (
+    SELECT CASE WHEN k >= 5 THEN '5+' ELSE CAST(k AS VARCHAR) END AS k_class,
+           (k < 5)                                                AS at_risk,
+           n_events
+    FROM cells
+),
+hist AS (
+    SELECT k_class, at_risk,
+           CAST(count(*) AS BIGINT)      AS n_groups,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM classed GROUP BY 1, 2
+)
+SELECT k_class, at_risk, n_groups, n_events,
+       (round((n_events * 1.0 / sum(n_events) OVER ()) * 1000000.0) / 1000000.0)
+           AS event_share
+FROM hist
+""",
+    description=(
+        "k-anonymity audit over the quasi-identifier tuple (event_type, "
+        "weekday, value decile-band): how many QI cells isolate fewer "
+        "than k=5 distinct users, and what share of event rows sits in "
+        "those re-identifiable cells. The governance complement to "
+        "q_redact_pii — redaction handles direct identifiers, this "
+        "quantifies indirect linkage risk before a dataset is released "
+        "for training. One data-sized partial-aggregated pass builds the "
+        "QI cells; the class histogram and the share window run over the "
+        "handful of k-classes (the only keyless window is 6 rows)."
+    ),
+    tags=("quality", "extension", "governance"),
+)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("wd"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_band"),
+    ).agg(
+        F.count_distinct("user_id").alias("k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    classed = cells.select(
+        F.when(F.col("k") >= 5, F.lit("5+"))
+        .otherwise(F.col("k").cast("string"))
+        .alias("k_class"),
+        (F.col("k") < 5).alias("at_risk"),
+        "n_events",
+    )
+    hist = classed.groupBy("k_class", "at_risk").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return hist.select(
+        "k_class",
+        "at_risk",
+        "n_groups",
+        "n_events",
+        stable_round(
+            F.col("n_events") / F.sum("n_events").over(Window.partitionBy()), 6
+        ).alias("event_share"),
+    )
