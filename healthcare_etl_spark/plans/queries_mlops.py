@@ -572,3 +572,275 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.sum("n_events").over(Window.partitionBy()), 6
         ).alias("event_share"),
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+),
+top AS (SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 1000),
+ranked AS (
+    SELECT n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS r FROM top
+),
+pts AS (
+    SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM ranked
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pts
+)
+SELECT k AS n_terms,
+       (round(((k * sxy - sx * sy) / (k * sxx - sx * sx)) * 1000000.0) / 1000000.0)
+           AS zipf_slope,
+       (round(((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k) * 1000000.0)
+        / 1000000.0) AS log_intercept,
+       (round((((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+               ((k * sxx - sx * sx) * (k * syy - sy * sy))) * 1000000.0) / 1000000.0)
+           AS r2
+FROM m
+""",
+    description=(
+        "Zipf's-law fit over the corpus token distribution: log-log OLS "
+        "of frequency against rank for the top-1000 terms (slope ~ -1 "
+        "for natural language; a flat slope flags synthetic/templated "
+        "corpora, a cliff flags boilerplate). The corpus-law diagnostic "
+        "next to q_token_entropy's per-doc view. The top-1000 cut is a "
+        "distributed TakeOrderedAndProject with a total tie-break order "
+        "(count desc, token asc) — the rank window then runs over 1000 "
+        "rows, never the vocab; the OLS fold is the q_grouped_ols "
+        "closed form over exact ln() points."
+    ),
+    tags=("text", "extension", "corpus"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("w").asc()).limit(1000)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .cast("long")
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return m.select(
+        k.alias("n_terms"),
+        stable_round(slope, 6).alias("zipf_slope"),
+        stable_round((sy - slope * sx) / k, 6).alias("log_intercept"),
+        stable_round(
+            ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+            / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_gdpr_delete_plan",
+    oracle="""
+WITH flagged AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100) < 5 THEN 1 ELSE 0 END AS del
+    FROM events
+),
+parts AS (
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(del) AS BIGINT) AS n_delete
+    FROM flagged GROUP BY 1
+)
+SELECT day, n_rows, n_delete,
+       CAST(n_rows - n_delete AS BIGINT) AS n_kept,
+       (round((n_delete * 1.0 / n_rows) * 1000000.0) / 1000000.0) AS delete_share,
+       CASE WHEN n_delete = 0 THEN 'untouched' ELSE 'rewrite' END AS action
+FROM parts
+""",
+    description=(
+        "Right-to-be-forgotten delete plan (GDPR erasure): given a "
+        "tombstone set (here the deterministic md5 5% of users standing "
+        "in for the legal request list — at scale the list broadcast-"
+        "anti-joins the fact table), compute per day-partition how many "
+        "rows die, how many survive, and whether the partition needs a "
+        "rewrite at all. Copy-on-write erasure costs one full rewrite "
+        "of every TOUCHED partition — this manifest is what bounds the "
+        "job before it runs, the erasure sibling of q_compaction_plan's "
+        "bin-packing. One partial-aggregated pass; output is "
+        "partition-count sized."
+    ),
+    tags=("quality", "extension", "governance"),
+)
+def q_gdpr_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tomb = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+        < 5
+    )
+    parts = ev.groupBy(F.col("ts").cast("date").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(tomb, 1).otherwise(0)).alias("n_delete"),
+    )
+    return parts.select(
+        "day",
+        "n_rows",
+        "n_delete",
+        (F.col("n_rows") - F.col("n_delete")).alias("n_kept"),
+        stable_round(F.col("n_delete") / F.col("n_rows"), 6).alias("delete_share"),
+        F.when(F.col("n_delete") == 0, F.lit("untouched"))
+        .otherwise(F.lit("rewrite"))
+        .alias("action"),
+    )
+
+
+@register(
+    "q_power_analysis",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv FROM u
+),
+calc AS (
+    SELECT n_users, n_conv,
+           (n_conv * 1.0 / n_users)       AS p1,
+           (n_conv * 1.0 / n_users) * 1.1 AS p2
+    FROM s
+),
+need AS (
+    SELECT n_users, p1, p2,
+           CAST(ceil(((1.959964 + 0.841621) * (1.959964 + 0.841621)) *
+                     (p1 * (1 - p1) + p2 * (1 - p2)) /
+                     ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+    FROM calc
+)
+SELECT n_users,
+       (round(p1 * 1000000.0) / 1000000.0) AS p_baseline,
+       (round(p2 * 1000000.0) / 1000000.0) AS p_target,
+       n_per_arm,
+       CAST(2 * n_per_arm AS BIGINT)       AS n_total_required,
+       (n_users >= 2 * n_per_arm)          AS feasible
+FROM need
+""",
+    description=(
+        "A/B pre-experiment power analysis: the sample size per arm "
+        "needed to detect a +10% relative lift on the observed baseline "
+        "conversion (same conversion definition as q_ab_test_ztest) at "
+        "alpha=0.05 two-sided / 80% power — the go/no-go check that "
+        "should run BEFORE the experiment the z-test reads out. Baseline "
+        "comes from one per-user partial-aggregated pass; the formula is "
+        "a fixed closed-form expression of two exact integer counts, so "
+        "both engines agree bit-for-bit through the ceil()."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("conv")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p1 = F.col("n_conv") / F.col("n_users")
+    p2 = p1 * F.lit(1.1)
+    za_zb = F.lit(1.959964 + 0.841621)
+    n_per_arm = F.ceil(
+        za_zb * za_zb * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p2 - p1) * (p2 - p1))
+    ).cast("long")
+    return s.select(
+        "n_users",
+        stable_round(p1, 6).alias("p_baseline"),
+        stable_round(p2, 6).alias("p_target"),
+        n_per_arm.alias("n_per_arm"),
+        (F.lit(2) * n_per_arm).cast("long").alias("n_total_required"),
+        (F.col("n_users") >= F.lit(2) * n_per_arm).alias("feasible"),
+    )
+
+
+@register(
+    "q_embedding_dim_audit",
+    oracle="""
+WITH grid AS (
+    SELECT r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS x
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+),
+m AS (
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(x * x) AS sxx
+    FROM grid GROUP BY 1
+)
+SELECT dim, n,
+       (round((sx / n) * 1000000.0) / 1000000.0)                     AS mean_x,
+       (round((sxx / n - (sx / n) * (sx / n)) * 1000000.0) / 1000000.0) AS var_x,
+       (abs(sx / n) > 0.05 OR (sxx / n - (sx / n) * (sx / n)) < 0.008) AS anisotropy_flag
+FROM m
+""",
+    description=(
+        "Per-dimension embedding-space audit: coordinate mean and "
+        "variance across the corpus, flagging dominant axes (|mean| > "
+        "0.05 — the representation has a preferred direction) and dead/"
+        "collapsed axes (variance < 0.008 vs the isotropic 1/64 = "
+        "0.0156) — the dimension-collapse failure mode that silently "
+        "destroys ANN recall and which the centroid-level "
+        "q_embedding_drift cannot see. One posexplode partial-aggregated "
+        "pass; output is dimensionality-sized (64 rows). The flag "
+        "thresholds are fixed literals over identically-computed "
+        "moments, so the booleans cannot drift between engines."
+    ),
+    tags=("similarity", "extension", "quality"),
+)
+def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    m = grid.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    return m.select(
+        "dim",
+        "n",
+        stable_round(mean, 6).alias("mean_x"),
+        stable_round(var, 6).alias("var_x"),
+        ((F.abs(mean) > 0.05) | (var < 0.008)).alias("anisotropy_flag"),
+    )
