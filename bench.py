@@ -86,6 +86,11 @@ HEADLINE = [
     "q_dsir_weights",
     "q_triangle_count",
     "q_hybrid_search_rrf",
+    # round-5 continuation: the IRLS classifier (5 sequential moment
+    # passes — the newest iterative shape worth tracking round-over-
+    # round) and the bootstrap-CI resampling grid
+    "q_logistic_regression",
+    "q_bootstrap_ci",
 ]
 
 

@@ -844,3 +844,67 @@ def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(var, 6).alias("var_x"),
         ((F.abs(mean) > 0.05) | (var < 0.008)).alias("anisotropy_flag"),
     )
+
+
+def _logistic_features_sql() -> str:
+    return """
+SELECT CAST(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS DOUBLE) AS x1,
+       CAST(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS DOUBLE)  AS x2,
+       max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)        AS y
+FROM events GROUP BY user_id
+""".strip()
+
+
+def _register_logistic() -> None:
+    from healthcare_etl_spark.operators.logistic import irls_oracle_sql, logistic_irls
+
+    @register(
+        "q_logistic_regression",
+        oracle=irls_oracle_sql(_logistic_features_sql(), rounds=4),
+        description=(
+            "In-engine logistic regression by IRLS (4 rounds): "
+            "P(conversion) ~ sigmoid(b0 + b1*ln(1+clicks) + "
+            "b2*ln(1+views)) at user level, reporting coefficients, "
+            "final log-likelihood and training accuracy — the "
+            "classification member of the in-plan ML family "
+            "(q_ridge_regression / q_kmeans_clusters / q_pca_projection "
+            "/ q_nb_lang_confusion). Every round is ONE map-side-"
+            "combined moment pass (9 Gram sums + 3 RHS) followed by a "
+            "closed-form 3x3 Cramer solve; the 3-coefficient state "
+            "crosses the driver as rounded doubles, k-means-centroid "
+            "style — nothing data-sized ever leaves the executors. "
+            "Moments and coefficients are 6dp-rounded each round, and "
+            "the oracle unrolls the identical arithmetic per round, so "
+            "both engines step through bit-identical model states."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        # 4 IRLS rounds re-scan this users-sized frame; persist so the
+        # event-level shuffle is paid once, not five times.
+        features = features.persist()
+        try:
+            return logistic_irls(features, rounds=4)
+        finally:
+            # Lazy result: unpersist AFTER the plan is built is safe —
+            # blocks are dropped when the caller's action completes.
+            features.unpersist()
+
+
+_register_logistic()

@@ -2064,3 +2064,34 @@ def test_quantile_normalize_equalizes_marginals(spark, tmp_path):
     # the shortest doc of each source maps to the global minimum, the
     # longest to the global maximum
     assert a[0] == out["n_chars"].min() and a[-1] == out["n_chars"].max()
+
+
+def test_logistic_irls_recovers_decision_boundary(spark):
+    """IRLS must recover the generating boundary's coefficient signs and
+    separate a noisily-labeled linear rule with high accuracy."""
+    import pyspark.sql.functions as F
+
+    from healthcare_etl_spark.operators.logistic import logistic_irls
+
+    # Grid of points labeled by the rule 1 + 2*x1 - 1*x2 > 0, with a
+    # deterministic ~10% hash flip so the problem is not separable
+    # (separable data makes IRLS diverge by construction).
+    grid = spark.range(0, 400).select(
+        ((F.col("id") % 20) / 2.0 - 5.0).alias("x1"),
+        (F.floor(F.col("id") / 20) / 2.0 - 5.0).alias("x2"),
+        F.col("id").alias("id"),
+    )
+    rule = (F.lit(1.0) + 2.0 * F.col("x1") - F.col("x2")) > 0
+    flip = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    ) == 0
+    feats = grid.select(
+        "x1",
+        "x2",
+        F.when(rule != flip, 1).otherwise(0).alias("y"),
+    )
+    row = logistic_irls(feats, rounds=4).collect()[0]
+    assert row["beta1"] > 0.2, row
+    assert row["beta2"] < -0.1, row
+    assert row["accuracy"] > 0.85, row
+    assert row["log_likelihood"] < 0.0
