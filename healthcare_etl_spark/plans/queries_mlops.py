@@ -908,3 +908,274 @@ def _register_logistic() -> None:
 
 
 _register_logistic()
+
+
+@register(
+    "q_watermark_audit",
+    oracle="""
+WITH o AS (
+    SELECT event_id, epoch_us(ts) AS tu FROM events
+),
+wm AS (
+    SELECT tu,
+           max(tu) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmb
+    FROM o
+),
+fl AS (
+    SELECT tu // 300000000 AS win,
+           CASE WHEN wmb IS NOT NULL AND wmb - tu > 600000000 THEN 1 ELSE 0 END AS late
+    FROM wm
+)
+SELECT CAST(win AS BIGINT)                                    AS win_id,
+       CAST(make_timestamp(CAST(win * 300000000 AS BIGINT)) AS VARCHAR) AS win_start,
+       CAST(count(*) AS BIGINT)                               AS n_rows,
+       CAST(sum(late) AS BIGINT)                              AS n_late,
+       (round((sum(late) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS late_share
+FROM fl GROUP BY 1, 2
+""",
+    description=(
+        "Watermark lateness audit: for each 5-minute event-time window, "
+        "how many rows WOULD a streaming job with a 10-minute watermark "
+        "drop, given the observed arrival order (event_id as the arrival "
+        "proxy)? The batch pre-flight that sizes withWatermark() before "
+        "the q_stream_tumbling job ships. The running 'max event time "
+        "seen so far' is a GLOBAL exclusive prefix-max, computed WITHOUT "
+        "a single-partition sort: phase 1 takes each 4096-row arrival "
+        "bucket's max (partial agg) and its within-bucket exclusive "
+        "running max (window partitioned BY bucket — distributed); "
+        "phase 2 prefix-maxes the bucket maxima (a bucket-count-sized "
+        "frame, data/4096 — recurse the same trick for another 4096x if "
+        "that ever matters) and broadcast-joins them back; each row's "
+        "watermark = max(bucket-prefix, within-bucket prefix). Same "
+        "two-phase carry the bucketed as-of join uses."
+    ),
+    tags=("events", "extension", "streaming-adjacent"),
+)
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        F.expr("event_id div 4096").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = base.withColumn("m_in", F.max("tu").over(w_in))
+    bstats = base.groupBy("bkt").agg(F.max("tu").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bstats.select("bkt", F.max("bmax").over(w_b).alias("bprev"))
+    joined = rows.join(F.broadcast(bprev), "bkt")
+    wmb = F.greatest(F.coalesce("m_in", F.lit(-1)), F.coalesce("bprev", F.lit(-1)))
+    flagged = joined.select(
+        F.expr("tu div 300000000").alias("win"),
+        F.when((wmb >= 0) & (wmb - F.col("tu") > 600000000), 1).otherwise(0).alias("late"),
+    )
+    return flagged.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("late").alias("n_late"),
+        stable_round(F.sum("late") / F.count(F.lit(1)), 6).alias("late_share"),
+    ).select(
+        F.col("win").alias("win_id"),
+        F.timestamp_micros(F.col("win") * 300000000).cast("string").alias("win_start"),
+        "n_rows",
+        "n_late",
+        "late_share",
+    )
+
+
+def _markov_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled power-iteration mirror of q_markov_stationary: the
+    transition matrix CTE, a uniform start vector over observed states,
+    and per-round (vector x matrix) folds with 6dp re-rounding so the
+    iterate matches the Spark driver-side chain bit-for-bit."""
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts = [
+        """pairs AS (
+    SELECT event_type AS f,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+    FROM events
+)""",
+        """cnt AS (
+    SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2
+)""",
+        """tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY 1)""",
+        f"""p AS (
+    SELECT c.f, c.t, {r6('c.n * 1.0 / tot.tn')} AS p FROM cnt c JOIN tot ON c.f = tot.f
+)""",
+        """states AS (SELECT DISTINCT f AS s FROM cnt)""",
+        """k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM states)""",
+        f"""v_0 AS (SELECT s, {r6('1.0 / kk')} AS v FROM states CROSS JOIN k)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v_{r} AS (
+    SELECT p.t AS s, {r6('sum(v.v * p.p)')} AS v
+    FROM v_{r - 1} v JOIN p ON p.f = v.s GROUP BY p.t
+)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT s AS state, v AS stationary_p FROM v_{rounds}
+"""
+
+
+def _markov_round6(x: float) -> float:
+    """Half-away-from-zero 6dp rounding matching stable_round / DuckDB
+    round() (Python's built-in round is banker's and would diverge)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1000000.0 + 0.5), x) / 1000000.0
+
+
+@register(
+    "q_markov_stationary",
+    oracle=_markov_oracle_sql(12),
+    description=(
+        "Stationary distribution of the event-type Markov chain (where "
+        "does a user's session flow settle?) by 12 power-iteration "
+        "rounds over the transition matrix q_event_transitions "
+        "estimates. The data-sized work is ONE lead()-window pass "
+        "counting transitions; the matrix itself is |types|^2 = 25 "
+        "numbers, so the iteration rides the driver exactly like the "
+        "k-means centroid state — collecting it is metadata, not data. "
+        "Matrix entries and every iterate are 6dp-rounded (sums taken "
+        "in sorted-state order) so the chain is bit-identical to the "
+        "oracle's unrolled vector-times-matrix CTEs."
+    ),
+    tags=("events", "extension", "analytics"),
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cnt = pairs.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("f").agg(F.sum("n").alias("tn"))
+    prob = (
+        cnt.join(tot, "f")
+        .select("f", "t", stable_round(F.col("n") * 1.0 / F.col("tn"), 6).alias("p"))
+    )
+    # |types|^2 matrix: collecting it is metadata-scale, like k-means
+    # centroids; the power iteration never touches the data again.
+    mat: dict[str, dict[str, float]] = {}
+    for r in prob.collect():
+        mat.setdefault(r["f"], {})[r["t"]] = r["p"]
+    states = sorted(mat)
+    v = {s: _markov_round6(1.0 / len(states)) for s in states}
+    for _ in range(12):
+        nxt: dict[str, float] = {}
+        for s in states:
+            acc = 0.0
+            for f in states:
+                acc += v.get(f, 0.0) * mat.get(f, {}).get(s, 0.0)
+            nxt[s] = _markov_round6(acc)
+        v = nxt
+    out = [(s, float(v[s])) for s in states]
+    return spark.createDataFrame(out, "state string, stationary_p double")
+
+
+def _association_rules_cte() -> str:
+    from healthcare_etl_spark.plans.queries_events import _SESSION_CTE
+
+    return f"""
+WITH {_SESSION_CTE},
+types AS (
+    SELECT DISTINCT user_id, session_seq, event_type FROM sess
+),
+n_sess AS (
+    SELECT CAST(count(DISTINCT (user_id, session_seq)) AS BIGINT) AS total FROM sess
+),
+item AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_i FROM types GROUP BY 1
+),
+pair AS (
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM types a
+    JOIN types b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+                AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_ab,
+       (round((p.n_ab * 1.0 / ia.n_i) * 1000000.0) / 1000000.0) AS confidence,
+       (round((p.n_ab * 1.0 * ns.total / (ia.n_i * ic.n_i)) * 1000000.0) / 1000000.0)
+           AS lift
+FROM pair p
+JOIN item ia ON ia.event_type = p.antecedent
+JOIN item ic ON ic.event_type = p.consequent
+CROSS JOIN n_sess ns
+"""
+
+
+def _register_association_rules() -> None:
+    @register(
+        "q_association_rules",
+        oracle=_association_rules_cte(),
+        description=(
+            "Directed association rules A -> B over session baskets "
+            "with confidence and lift — the scoring pass that completes "
+            "q_session_cooccurrence's a-priori candidate generation "
+            "(co-occurrence gives support; rules need the per-item "
+            "marginals too). The pair join runs on the distinct-reduced "
+            "(session, type) sets, the item marginals are a types-sized "
+            "broadcast, and lift's session total is a 1-row broadcast — "
+            "so the only data-sized exchange is the sessionize shuffle "
+            "the session CTE already pays."
+        ),
+        tags=("events", "extension", "analytics"),
+    )
+    def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.sessionize import sessionize
+
+        ev = load_table(spark, sf_dir, "events")
+        sess = sessionize(
+            ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id"
+        )
+        types = sess.select("user_id", "session_seq", "event_type").distinct()
+        n_sess = (
+            sess.select("user_id", "session_seq")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("total"))
+        )
+        item = types.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_i"))
+        a = types.select("user_id", "session_seq", F.col("event_type").alias("antecedent"))
+        b = types.select(
+            F.col("user_id").alias("u_b"),
+            F.col("session_seq").alias("s_b"),
+            F.col("event_type").alias("consequent"),
+        )
+        pair = (
+            a.join(
+                b,
+                (a["user_id"] == b["u_b"])
+                & (a["session_seq"] == b["s_b"])
+                & (a["antecedent"] != b["consequent"]),
+            )
+            .groupBy("antecedent", "consequent")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+        )
+        ia = item.select(F.col("event_type").alias("antecedent"), F.col("n_i").alias("n_a"))
+        ic = item.select(F.col("event_type").alias("consequent"), F.col("n_i").alias("n_c"))
+        return (
+            pair.join(F.broadcast(ia), "antecedent")
+            .join(F.broadcast(ic), "consequent")
+            .crossJoin(F.broadcast(n_sess))
+            .select(
+                "antecedent",
+                "consequent",
+                "n_ab",
+                stable_round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias("confidence"),
+                stable_round(
+                    F.col("n_ab") * 1.0 * F.col("total") / (F.col("n_a") * F.col("n_c")), 6
+                ).alias("lift"),
+            )
+        )
+
+
+_register_association_rules()
