@@ -864,3 +864,76 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+WITH {_jaccard_pairs_ctes()},
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+sym AS (
+    SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+ends AS (
+    SELECT du.d AS j, dv.d AS k
+    FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(j * k) AS BIGINT) AS sjk,
+           CAST(sum(j) AS BIGINT) AS sj,
+           CAST(sum(j * j) AS BIGINT) AS sjj
+    FROM ends
+)
+SELECT m AS n_edge_ends,
+       (round(((m * 1.0 * sjk - sj * 1.0 * sj) /
+               (m * 1.0 * sjj - sj * 1.0 * sj)) * 1000000.0) / 1000000.0)
+           AS assortativity
+FROM m
+""",
+    description=(
+        "Degree assortativity of the near-dup graph (Pearson "
+        "correlation of endpoint degrees over directed edge ends): "
+        "negative = hub-and-spoke boilerplate contamination (high-"
+        "degree hubs attached to leaves), positive = clique-like true "
+        "duplicate clusters — one number summarizing what "
+        "q_degree_distribution shows as a histogram. Because the edge "
+        "list is symmetrized, the marginal moments of j and k "
+        "coincide, so one 4-sum INTEGER moment pass (degrees are "
+        "exact BIGINTs) feeds the closed-form correlation — two "
+        "8-byte-key joins and a fold, no floating accumulation until "
+        "the final division."
+    ),
+    tags=("dedup", "extension", "graph"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("j"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("k"))
+    ends = sym.join(du, "u").join(dv, "v").select("j", "k")
+    m = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+    )
+    mm, sjk, sj, sjj = F.col("m"), F.col("sjk"), F.col("sj"), F.col("sjj")
+    return m.select(
+        mm.alias("n_edge_ends"),
+        stable_round(
+            (mm * 1.0 * sjk - sj * 1.0 * sj) / (mm * 1.0 * sjj - sj * 1.0 * sj), 6
+        ).alias("assortativity"),
+    )

@@ -1179,3 +1179,132 @@ def _register_association_rules() -> None:
 
 
 _register_association_rules()
+
+
+def _shapley_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_events import _SESSION_CTE
+
+    v = lambda c, vv, s: (  # noqa: E731
+        f"coalesce(max(CASE WHEN has_c = {c} AND has_v = {vv} AND has_s = {s} "
+        f"THEN rate END), 0.0)"
+    )
+    return f"""
+WITH {_SESSION_CTE},
+flags AS (
+    SELECT user_id, session_seq,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS has_c,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS has_v,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS has_s,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM sess GROUP BY 1, 2
+),
+combos AS (
+    SELECT has_c, has_v, has_s,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS nc,
+           (round((sum(conv) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS rate
+    FROM flags GROUP BY 1, 2, 3
+),
+pv AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_sessions,
+           CAST(sum(nc) AS BIGINT) AS n_converted,
+           {v(0, 0, 0)} AS v000, {v(1, 0, 0)} AS v100,
+           {v(0, 1, 0)} AS v010, {v(0, 0, 1)} AS v001,
+           {v(1, 1, 0)} AS v110, {v(1, 0, 1)} AS v101,
+           {v(0, 1, 1)} AS v011, {v(1, 1, 1)} AS v111
+    FROM combos
+)
+SELECT n_sessions, n_converted,
+       (round(((1.0 / 3.0) * (v100 - v000) + (1.0 / 6.0) * (v110 - v010)
+             + (1.0 / 6.0) * (v101 - v001) + (1.0 / 3.0) * (v111 - v011))
+             * 1000000.0) / 1000000.0) AS shapley_click,
+       (round(((1.0 / 3.0) * (v010 - v000) + (1.0 / 6.0) * (v110 - v100)
+             + (1.0 / 6.0) * (v011 - v001) + (1.0 / 3.0) * (v111 - v101))
+             * 1000000.0) / 1000000.0) AS shapley_view,
+       (round(((1.0 / 3.0) * (v001 - v000) + (1.0 / 6.0) * (v101 - v100)
+             + (1.0 / 6.0) * (v011 - v010) + (1.0 / 3.0) * (v111 - v110))
+             * 1000000.0) / 1000000.0) AS shapley_signup
+FROM pv
+"""
+
+
+def _register_shapley() -> None:
+    @register(
+        "q_shapley_attribution",
+        oracle=_shapley_oracle(),
+        description=(
+            "Shapley-value channel attribution over session baskets — "
+            "the game-theoretic upgrade of q_attribution_last_touch / "
+            "q_attribution_linear: the characteristic function is the "
+            "conversion rate of sessions with each exact exposure "
+            "subset of {click, view, signup}, and each channel's "
+            "Shapley value is the closed-form weighted sum of its "
+            "marginal contributions over the 2^3 subsets (weights "
+            "1/3, 1/6, 1/6, 1/3). One sessionize shuffle -> one "
+            "sessions-sized flag aggregate -> an 8-row subset table -> "
+            "fixed literal arithmetic; channel count grows the subset "
+            "table 2^n but the data-sized work not at all."
+        ),
+        tags=("events", "extension", "analytics"),
+    )
+    def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.sessionize import sessionize
+
+        ev = load_table(spark, sf_dir, "events")
+        sess = sessionize(
+            ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id"
+        )
+        has = lambda t: F.max(  # noqa: E731
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        )
+        flags = sess.groupBy("user_id", "session_seq").agg(
+            has("click").alias("has_c"),
+            has("view").alias("has_v"),
+            has("signup").alias("has_s"),
+            has("purchase").alias("conv"),
+        )
+        combos = flags.groupBy("has_c", "has_v", "has_s").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conv").alias("nc"),
+            stable_round(F.sum("conv") * 1.0 / F.count(F.lit(1)), 6).alias("rate"),
+        )
+        vv = lambda c, v, s: F.coalesce(  # noqa: E731
+            F.max(
+                F.when(
+                    (F.col("has_c") == c) & (F.col("has_v") == v) & (F.col("has_s") == s),
+                    F.col("rate"),
+                )
+            ),
+            F.lit(0.0),
+        )
+        pv = combos.agg(
+            F.sum("n").alias("n_sessions"),
+            F.sum("nc").alias("n_converted"),
+            vv(0, 0, 0).alias("v000"), vv(1, 0, 0).alias("v100"),
+            vv(0, 1, 0).alias("v010"), vv(0, 0, 1).alias("v001"),
+            vv(1, 1, 0).alias("v110"), vv(1, 0, 1).alias("v101"),
+            vv(0, 1, 1).alias("v011"), vv(1, 1, 1).alias("v111"),
+        )
+        third, sixth = F.lit(1.0 / 3.0), F.lit(1.0 / 6.0)
+        c = F.col
+        return pv.select(
+            "n_sessions",
+            "n_converted",
+            stable_round(
+                third * (c("v100") - c("v000")) + sixth * (c("v110") - c("v010"))
+                + sixth * (c("v101") - c("v001")) + third * (c("v111") - c("v011")),
+                6,
+            ).alias("shapley_click"),
+            stable_round(
+                third * (c("v010") - c("v000")) + sixth * (c("v110") - c("v100"))
+                + sixth * (c("v011") - c("v001")) + third * (c("v111") - c("v101")),
+                6,
+            ).alias("shapley_view"),
+            stable_round(
+                third * (c("v001") - c("v000")) + sixth * (c("v101") - c("v100"))
+                + sixth * (c("v011") - c("v010")) + third * (c("v111") - c("v110")),
+                6,
+            ).alias("shapley_signup"),
+        )
+
+
+_register_shapley()
