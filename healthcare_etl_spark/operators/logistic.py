@@ -58,13 +58,8 @@ def _solve3(a00, a01, a02, a11, a12, a22, b0, b1, b2):
     return d0 / det, d1 / det, d2 / det
 
 
-def logistic_irls(features: DataFrame, *, rounds: int = 4) -> DataFrame:
-    """Fit y ~ sigmoid(b0 + b1*x1 + b2*x2) by IRLS.
-
-    ``features`` must have columns ``x1``, ``x2`` (double) and ``y``
-    (0/1 integer). Returns a 1-row DataFrame with the fitted
-    coefficients, the final-model log-likelihood, and training accuracy
-    at the 0.5 threshold.
+def logistic_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float, float]:
+    """Run the IRLS rounds and return the fitted (b0, b1, b2).
 
     One moment aggregate per round; the 3-coefficient state crosses the
     driver as three rounded doubles (metadata, like k-means centroids).
@@ -101,7 +96,16 @@ def logistic_irls(features: DataFrame, *, rounds: int = 4) -> DataFrame:
             stable_round(nb2, 6).alias("b2"),
         ).collect()[0]
         beta = (row["b0"], row["b1"], row["b2"])
+    return beta
 
+
+def logistic_irls(features: DataFrame, *, rounds: int = 4) -> DataFrame:
+    """Fit y ~ sigmoid(b0 + b1*x1 + b2*x2) by IRLS (see
+    :func:`logistic_fit`) and return a 1-row DataFrame with the fitted
+    coefficients, the final-model log-likelihood, and training accuracy
+    at the 0.5 threshold. ``features`` must have columns ``x1``, ``x2``
+    (double) and ``y`` (0/1 integer)."""
+    beta = logistic_fit(features, rounds=rounds)
     b0l, b1l, b2l = (F.lit(float(v)) for v in beta)
     eta = b0l + b1l * F.col("x1") + b2l * F.col("x2")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
@@ -122,14 +126,16 @@ def logistic_irls(features: DataFrame, *, rounds: int = 4) -> DataFrame:
     )
 
 
-def irls_oracle_sql(features_cte: str, *, rounds: int = 4) -> str:
-    """Build the unrolled-CTE DuckDB mirror of :func:`logistic_irls`.
+def irls_beta_ctes(features_cte: str, *, rounds: int = 4) -> tuple[list[str], str]:
+    """Build the unrolled IRLS CTE parts mirroring :func:`logistic_fit`.
 
     ``features_cte`` is SQL producing columns (x1, x2, y). Each round
     expands to a per-row working-response CTE referencing the previous
     round's (rounded) coefficients, a rounded 9+3 moment aggregate, and
     the identical Cramer solve. Round 0's coefficients are literal
-    zeros, mirroring the Spark initialisation.
+    zeros, mirroring the Spark initialisation. Returns the CTE part
+    list (including the ``feat`` CTE) and the name of the final beta
+    CTE, so callers can compose any scoring query on top.
     """
     r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
     parts = [f"feat AS ({features_cte})", "beta_0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
@@ -181,7 +187,14 @@ def irls_oracle_sql(features_cte: str, *, rounds: int = 4) -> str:
     FROM agg_{r}
 )"""
         )
-    final = f"beta_{rounds}"
+    return parts, f"beta_{rounds}"
+
+
+def irls_oracle_sql(features_cte: str, *, rounds: int = 4) -> str:
+    """Full DuckDB mirror of :func:`logistic_irls` (fit + final scoring
+    pass), built on :func:`irls_beta_ctes`."""
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts, final = irls_beta_ctes(features_cte, rounds=rounds)
     joined = ",\n".join(parts)
     return f"""WITH {joined},
 scored AS (

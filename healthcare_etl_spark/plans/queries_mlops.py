@@ -1308,3 +1308,212 @@ def _register_shapley() -> None:
 
 
 _register_shapley()
+
+
+def _ece_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    return f"""WITH {joined},
+scored AS (
+    SELECT y, (1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) AS p
+    FROM feat CROSS JOIN {final} b
+),
+bins AS (
+    SELECT least(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin, p, y FROM scored
+),
+stats AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           {r6('sum(p) / count(*)')} AS mean_p,
+           {r6('sum(y) * 1.0 / count(*)')} AS conv_rate
+    FROM bins GROUP BY bin
+),
+weighted AS (
+    SELECT bin, n, mean_p, conv_rate,
+           {r6('abs(conv_rate - mean_p)')} AS gap,
+           (n * 1.0 / sum(n) OVER ()) AS wgt
+    FROM stats
+)
+SELECT bin, n, mean_p, conv_rate, gap,
+       {r6('sum(wgt * gap) OVER ()')} AS ece
+FROM weighted
+"""
+
+
+def _register_calibration_ece() -> None:
+    @register(
+        "q_calibration_ece",
+        oracle=_ece_oracle(),
+        description=(
+            "Reliability diagram + expected calibration error for the "
+            "IRLS logistic model (q_logistic_regression): fitted "
+            "probabilities fall into 10 bins, each bin reports its "
+            "mean predicted p vs its realized conversion rate, and ECE "
+            "folds the bin-weighted gaps — the standard answer to 'is "
+            "0.7 from this model actually 70%?' that accuracy cannot "
+            "give. The fit reuses logistic_fit (4 moment passes); the "
+            "scoring pass is one more scan binned by a fixed literal "
+            "rule; the ECE window rides the 10-row bin table. Gaps and "
+            "ECE are computed from the 6dp-rounded bin statistics, so "
+            "both engines fold identical numbers."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(features, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            bins = features.select(
+                F.least(F.floor(p * 10.0).cast("long"), F.lit(9)).alias("bin"),
+                p.alias("p"),
+                F.col("y"),
+            )
+            stats = bins.groupBy("bin").agg(
+                F.count(F.lit(1)).alias("n"),
+                stable_round(F.sum("p") / F.count(F.lit(1)), 6).alias("mean_p"),
+                stable_round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("conv_rate"),
+            )
+            w_all = Window.partitionBy()
+            gap = F.abs(F.col("conv_rate") - F.col("mean_p"))
+            weighted = stats.select(
+                "bin",
+                "n",
+                "mean_p",
+                "conv_rate",
+                stable_round(gap, 6).alias("gap"),
+                (F.col("n") * 1.0 / F.sum("n").over(w_all)).alias("wgt"),
+            )
+            return weighted.select(
+                "bin",
+                "n",
+                "mean_p",
+                "conv_rate",
+                "gap",
+                stable_round(F.sum(F.col("wgt") * F.col("gap")).over(w_all), 6).alias("ece"),
+            )
+        finally:
+            features.unpersist()
+
+
+_register_calibration_ece()
+
+
+@register(
+    "q_cms_eval",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+exact AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+cells AS (
+    SELECT i, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(range(4)) AS i, w FROM tok
+    ) t, LATERAL (SELECT (('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || ':' || w), 1, 8))::BIGINT % 1024) AS bucket)
+    GROUP BY i, bucket
+),
+probe_cells AS (
+    SELECT e.w, e.n, g.i,
+           (('0x' || substring(md5('cms' || CAST(g.i AS VARCHAR) || ':' || e.w), 1, 8))::BIGINT % 1024) AS bucket
+    FROM exact e CROSS JOIN (SELECT unnest(range(4)) AS i) g
+),
+est AS (
+    SELECT w, max(n) AS n, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+    FROM probe_cells LEFT JOIN cells USING (i, bucket)
+    GROUP BY w
+),
+err AS (SELECT n, est, CAST(est - n AS BIGINT) AS over_err FROM est)
+SELECT CAST(count(*) AS BIGINT)                                   AS n_tokens,
+       CAST(sum(CASE WHEN over_err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       (round((sum(CASE WHEN over_err = 0 THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000.0) / 1000000.0)                           AS exact_share,
+       (round((sum(over_err) * 1.0 / count(*)) * 1000000.0) / 1000000.0)
+                                                                  AS mean_overestimate,
+       CAST(max(over_err) AS BIGINT)                              AS max_overestimate,
+       CAST(min(over_err) AS BIGINT)                              AS min_overestimate
+FROM err
+""",
+    description=(
+        "Count-min sketch accuracy evaluation against exact token "
+        "counts — the third member of the sketch-eval family "
+        "(q_minhash_eval for Jaccard banding, q_ann_recall_eval for "
+        "LSH): every vocab term is probed through the same 4x1024 "
+        "salted-md5 sketch q_cms_counts builds, and the overestimate "
+        "distribution (CMS never underestimates — min_overestimate "
+        "must be 0) tells you whether the width fits the vocab before "
+        "anyone trusts the estimates. Sketch build is the one "
+        "data-sized pass; probing is vocab x depth against the "
+        "broadcast 4096-cell sketch; errors are exact BIGINTs."
+    ),
+    tags=("text", "extension", "sketch"),
+)
+def q_cms_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+
+    def bucket(col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), i_col.cast("string"), F.lit(":"), col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    cells = (
+        toks.select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), F.col("w")
+        )
+        .select("i", bucket(F.col("w"), F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_cells = exact.select(
+        "w", "n", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    ).select("w", "n", "i", bucket(F.col("w"), F.col("i")).alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(cells), ["i", "bucket"], "left")
+        .groupBy("w")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.coalesce("c", F.lit(0))).alias("est"),
+        )
+    )
+    err = est.select("n", "est", (F.col("est") - F.col("n")).alias("over_err"))
+    exact_ind = F.when(F.col("over_err") == 0, 1).otherwise(0)
+    return err.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(exact_ind).alias("n_exact"),
+        stable_round(F.sum(exact_ind) * 1.0 / F.count(F.lit(1)), 6).alias("exact_share"),
+        stable_round(F.sum("over_err") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_overestimate"
+        ),
+        F.max("over_err").alias("max_overestimate"),
+        F.min("over_err").alias("min_overestimate"),
+    )
