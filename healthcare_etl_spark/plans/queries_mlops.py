@@ -1517,3 +1517,302 @@ def q_cms_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("over_err").alias("max_overestimate"),
         F.min("over_err").alias("min_overestimate"),
     )
+
+
+@register(
+    "q_sequential_ab_monitor",
+    oracle="""
+WITH users AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           min(CAST(ts AS DATE)) AS u_day,
+           min(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN CAST(ts AS DATE) END) AS c_day
+    FROM events GROUP BY user_id
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+enter AS (
+    SELECT u_day AS day,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+           CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS eb
+    FROM users GROUP BY 1
+),
+convd AS (
+    SELECT c_day AS day,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM users WHERE c_day IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT d.day,
+           CAST(sum(coalesce(e.ea, 0)) OVER (ORDER BY d.day) AS BIGINT) AS n_a,
+           CAST(sum(coalesce(e.eb, 0)) OVER (ORDER BY d.day) AS BIGINT) AS n_b,
+           CAST(sum(coalesce(c.ca, 0)) OVER (ORDER BY d.day) AS BIGINT) AS conv_a,
+           CAST(sum(coalesce(c.cb, 0)) OVER (ORDER BY d.day) AS BIGINT) AS conv_b
+    FROM days d
+    LEFT JOIN enter e ON e.day = d.day
+    LEFT JOIN convd c ON c.day = d.day
+),
+zed AS (
+    SELECT CAST(day AS VARCHAR) AS day, n_a, n_b, conv_a, conv_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                     AND conv_a + conv_b < n_a + n_b
+                THEN (round(((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                      / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                             * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b))) * 1000000.0) / 1000000.0)
+           END AS z_score
+    FROM cum
+)
+SELECT day, n_a, n_b, conv_a, conv_b, z_score,
+       coalesce(abs(z_score) > 2.797, FALSE) AS boundary_crossed
+FROM zed
+""",
+    description=(
+        "Sequential A/B monitoring (Haybittle-Peto rule): the pooled "
+        "two-proportion z-statistic recomputed on each day's CUMULATIVE "
+        "experiment state — users enter at their first event, convert "
+        "at their first qualifying purchase — with interim looks "
+        "flagged only past the conservative |z| > 2.797 boundary "
+        "(peeking at the q_ab_test_ztest statistic daily at 1.96 "
+        "inflates false positives severalfold). One per-user pass "
+        "derives entry/conversion days, two day-keyed aggregates give "
+        "daily increments, and the cumulative windows ride the "
+        "days-sized calendar — the data is never rescanned per look, "
+        "which is what makes daily monitoring affordable at 100 TB."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_sequential_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    users = ev.groupBy("user_id").agg(
+        F.first(in_a).alias("in_a"),
+        F.min(F.col("ts").cast("date")).alias("u_day"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.col("ts").cast("date"),
+            )
+        ).alias("c_day"),
+    )
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    enter = users.groupBy(F.col("u_day").alias("day")).agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ea"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("eb"),
+    )
+    convd = (
+        users.filter(F.col("c_day").isNotNull())
+        .groupBy(F.col("c_day").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wo = Window.orderBy("day")
+    cum = (
+        days.join(enter, "day", "left")
+        .join(convd, "day", "left")
+        .select(
+            "day",
+            F.sum(F.coalesce("ea", F.lit(0))).over(wo).alias("n_a"),
+            F.sum(F.coalesce("eb", F.lit(0))).over(wo).alias("n_b"),
+            F.sum(F.coalesce("ca", F.lit(0))).over(wo).alias("conv_a"),
+            F.sum(F.coalesce("cb", F.lit(0))).over(wo).alias("conv_b"),
+        )
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ca, cb = F.col("conv_a"), F.col("conv_b")
+    pooled = (ca + cb) * 1.0 / (na + nb)
+    z = stable_round(
+        (ca * 1.0 / na - cb * 1.0 / nb)
+        / F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+        6,
+    )
+    zed = cum.select(
+        F.col("day").cast("string").alias("day"),
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.when(
+            (na > 0) & (nb > 0) & (ca + cb > 0) & (ca + cb < na + nb), z
+        ).alias("z_score"),
+    )
+    return zed.withColumn(
+        "boundary_crossed", F.coalesce(F.abs(F.col("z_score")) > 2.797, F.lit(False))
+    )
+
+
+@register(
+    "q_permutation_test",
+    oracle="""
+WITH uv AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS v_cents,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a
+    FROM events GROUP BY user_id
+),
+obs AS (
+    SELECT (round((sum(CASE WHEN in_a THEN v_cents ELSE 0 END) * 1.0
+                   / (100.0 * sum(CASE WHEN in_a THEN 1 ELSE 0 END))
+                 - sum(CASE WHEN NOT in_a THEN v_cents ELSE 0 END) * 1.0
+                   / (100.0 * sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)))
+                 * 1000000.0) / 1000000.0) AS d_obs
+    FROM uv
+),
+grid AS (
+    SELECT u.v_cents, t.b,
+           (('0x' || substring(md5('perm' || CAST(t.b AS VARCHAR) || ':'
+                                    || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS pa
+    FROM uv u CROSS JOIN (SELECT unnest(range(200)) AS b) t
+),
+perms AS (
+    SELECT b,
+           (round((sum(CASE WHEN pa THEN v_cents ELSE 0 END) * 1.0
+                   / (100.0 * sum(CASE WHEN pa THEN 1 ELSE 0 END))
+                 - sum(CASE WHEN NOT pa THEN v_cents ELSE 0 END) * 1.0
+                   / (100.0 * sum(CASE WHEN NOT pa THEN 1 ELSE 0 END)))
+                 * 1000000.0) / 1000000.0) AS d_b
+    FROM grid GROUP BY b
+)
+SELECT max(o.d_obs)                                                AS observed_diff,
+       CAST(count(*) AS BIGINT)                                    AS n_perms,
+       CAST(sum(CASE WHEN abs(p.d_b) >= abs(o.d_obs) THEN 1 ELSE 0 END) AS BIGINT)
+                                                                   AS n_as_extreme,
+       (round(((1.0 + sum(CASE WHEN abs(p.d_b) >= abs(o.d_obs) THEN 1 ELSE 0 END))
+               / (1.0 + count(*))) * 1000000.0) / 1000000.0)       AS p_value
+FROM perms p CROSS JOIN obs o
+""",
+    description=(
+        "Permutation test for the arm difference in mean per-user "
+        "purchase value — the nonparametric companion to "
+        "q_ab_test_ztest for metrics too skewed for a z approximation. "
+        "Classic permutation is irreproducible across engines; here "
+        "each of the 200 label shuffles draws its arm reassignment "
+        "from a counter-based md5 bit (the q_bootstrap_ci discipline), "
+        "so both engines evaluate THE SAME permutations: per-user "
+        "value is exact integer cents, each permuted mean-difference "
+        "is BIGINT sums and one rounded division, and the p-value is "
+        "the add-one-smoothed exceedance count. The grid is users x B "
+        "(partial-aggregated); at 100 TB you'd sample users first — "
+        "the permutation mechanics are unchanged."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    uv = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v_cents"),
+        F.first(in_a).alias("in_a"),
+    )
+    def mean_diff(flag):
+        sa = F.sum(F.when(flag, F.col("v_cents")).otherwise(0)) * 1.0
+        na = F.sum(F.when(flag, 1).otherwise(0))
+        sb = F.sum(F.when(~flag, F.col("v_cents")).otherwise(0)) * 1.0
+        nb = F.sum(F.when(~flag, 1).otherwise(0))
+        return stable_round(sa / (F.lit(100.0) * na) - sb / (F.lit(100.0) * nb), 6)
+
+    obs = uv.agg(mean_diff(F.col("in_a")).alias("d_obs"))
+    grid = uv.select(
+        "user_id",
+        "v_cents",
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b"),
+    ).withColumn(
+        "pa",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+    )
+    perms = grid.groupBy("b").agg(mean_diff(F.col("pa")).alias("d_b"))
+    extreme = F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    return perms.crossJoin(F.broadcast(obs)).agg(
+        F.max("d_obs").alias("observed_diff"),
+        F.count(F.lit(1)).alias("n_perms"),
+        F.sum(extreme).alias("n_as_extreme"),
+        stable_round(
+            (F.lit(1.0) + F.sum(extreme)) / (F.lit(1.0) + F.count(F.lit(1))), 6
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM events
+    WHERE event_type IN ('click', 'view', 'signup', 'purchase', 'error')
+    GROUP BY 1, 2
+)
+SELECT day, event_type, rev_cents FROM daily
+""",
+    description=(
+        "Unpivot / melt (the inverse of q_pivot, closing the reshape "
+        "pair): the day x event-type revenue matrix is built wide with "
+        "pivot(), then melted back to long (day, event_type, rev_cents) "
+        "rows with the native unpivot operator, dropping the NULL "
+        "cells pivot manufactured for absent combinations. The oracle "
+        "is the direct long-form aggregate the round-trip must "
+        "reproduce exactly — integer-cent values make the equality "
+        "bit-for-bit. Both reshapes are projections around ONE "
+        "day-keyed partial aggregate; unpivot itself is a generator "
+        "expression, no shuffle."
+    ),
+    tags=("relational", "extension"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    wide = (
+        ev.filter(F.col("event_type").isin(types))
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+    )
+    long = wide.unpivot("day", types, "event_type", "rev_cents")
+    return long.filter(F.col("rev_cents").isNotNull())
