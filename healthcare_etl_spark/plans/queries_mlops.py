@@ -1816,3 +1816,138 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     long = wide.unpivot("day", types, "event_type", "rev_cents")
     return long.filter(F.col("rev_cents").isNotNull())
+
+
+@register(
+    "q_cuped_adjustment",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-08'
+                          AND event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y_cents
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y_cents) AS BIGINT) AS sy,
+           CAST(sum(x * y_cents) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y_cents * y_cents) AS BIGINT) AS syy,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+           CAST(sum(CASE WHEN in_a THEN y_cents ELSE 0 END) AS BIGINT) AS sy_a,
+           CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN NOT in_a THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+           CAST(sum(CASE WHEN NOT in_a THEN y_cents ELSE 0 END) AS BIGINT) AS sy_b
+    FROM u
+),
+calc AS (
+    SELECT n, n_a, n_b,
+           (round(((sxy * 1.0 * n - sx * 1.0 * sy)
+                   / (sxx * 1.0 * n - sx * 1.0 * sx)) * 1000000.0) / 1000000.0)
+               AS theta_cents,
+           (round((((sxy * 1.0 * n - sx * 1.0 * sy) * (sxy * 1.0 * n - sx * 1.0 * sy))
+                   / ((sxx * 1.0 * n - sx * 1.0 * sx) * (syy * 1.0 * n - sy * 1.0 * sy)))
+                  * 1000000.0) / 1000000.0) AS var_reduction,
+           (round((sy_a / (100.0 * n_a) - sy_b / (100.0 * n_b)) * 1000000.0) / 1000000.0)
+               AS raw_diff,
+           (round((sx_a * 1.0 / n_a - sx_b * 1.0 / n_b) * 1000000.0) / 1000000.0)
+               AS x_diff
+    FROM m
+)
+SELECT n AS n_users, n_a, n_b, theta_cents, var_reduction, raw_diff,
+       (round((raw_diff - theta_cents * x_diff / 100.0) * 1000000.0) / 1000000.0)
+           AS adjusted_diff
+FROM calc
+""",
+    description=(
+        "CUPED variance-reduction readout: the arm difference in "
+        "post-period revenue is adjusted by theta x the pre-period "
+        "activity difference (theta = pooled cov(y,x)/var(x); pre = "
+        "week 1, post = rest), with the achievable variance reduction "
+        "rho^2 — the industry-standard trick that makes the same "
+        "experiment decidable with ~(1-rho^2)x the traffic, sitting "
+        "between q_ab_test_ztest (readout) and q_power_analysis "
+        "(sizing). One per-user pass then ONE pooled+per-arm moment "
+        "aggregate; every moment is an exact BIGINT (counts x integer "
+        "cents), floats appear only in the final rounded divisions, so "
+        "parity is bit-exact with no resampling at all."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    pre = F.col("ts").cast("date") < F.lit("2024-01-08").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.first(in_a).alias("in_a"),
+        F.sum(F.when(pre, 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(
+                (~pre) & (F.col("event_type") == "purchase"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y_cents"),
+    )
+    x, y = F.col("x"), F.col("y_cents")
+    a = F.col("in_a")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(a, x).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(a, y).otherwise(0)).alias("sy_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~a, x).otherwise(0)).alias("sx_b"),
+        F.sum(F.when(~a, y).otherwise(0)).alias("sy_b"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cnum = sxy * 1.0 * n - sx * 1.0 * sy
+    cden = sxx * 1.0 * n - sx * 1.0 * sx
+    calc = m.select(
+        n.alias("n_users"),
+        F.col("n_a"),
+        F.col("n_b"),
+        stable_round(cnum / cden, 6).alias("theta_cents"),
+        stable_round(
+            (cnum * cnum) / (cden * (syy * 1.0 * n - sy * 1.0 * sy)), 6
+        ).alias("var_reduction"),
+        stable_round(
+            F.col("sy_a") / (F.lit(100.0) * F.col("n_a"))
+            - F.col("sy_b") / (F.lit(100.0) * F.col("n_b")),
+            6,
+        ).alias("raw_diff"),
+        stable_round(
+            F.col("sx_a") * 1.0 / F.col("n_a") - F.col("sx_b") * 1.0 / F.col("n_b"), 6
+        ).alias("x_diff"),
+    )
+    return calc.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        "theta_cents",
+        "var_reduction",
+        "raw_diff",
+        stable_round(
+            F.col("raw_diff") - F.col("theta_cents") * F.col("x_diff") / 100.0, 6
+        ).alias("adjusted_diff"),
+    )
