@@ -1951,3 +1951,118 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("raw_diff") - F.col("theta_cents") * F.col("x_diff") / 100.0, 6
         ).alias("adjusted_diff"),
     )
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS v
+    FROM events GROUP BY user_id
+),
+grp AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS t,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+    FROM u GROUP BY v
+),
+ranked AS (
+    SELECT v, t, t_a,
+           CAST(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+    FROM grp
+),
+m AS (
+    SELECT CAST(sum(t) AS BIGINT)                          AS n,
+           CAST(sum(t_a) AS BIGINT)                        AS n_a,
+           CAST(sum(t - t_a) AS BIGINT)                    AS n_b,
+           CAST(sum(t_a * (2 * cb + t + 1)) AS BIGINT)     AS rank2_a,
+           CAST(sum(t * t * t - t) AS BIGINT)              AS tie_sum
+    FROM ranked
+),
+calc AS (
+    SELECT n, n_a, n_b,
+           ((rank2_a - n_a * (n_a + 1)) / 2.0) AS u_a,
+           (n_a * 1.0 * n_b / 2.0)             AS mean_u,
+           ((n_a * 1.0 * n_b / 12.0)
+            * ((n + 1.0) - tie_sum / (n * 1.0 * (n - 1.0)))) AS var_u
+    FROM m
+)
+SELECT n_a, n_b, u_a, mean_u,
+       (round(((u_a - mean_u) / sqrt(var_u)) * 1000000.0) / 1000000.0) AS z_score,
+       (round((((u_a - mean_u) / sqrt(var_u)) / sqrt(n * 1.0)) * 1000000.0) / 1000000.0)
+           AS effect_r
+FROM calc
+""",
+    description=(
+        "Mann-Whitney U test for the arm difference in per-user "
+        "purchase value — the rank-based member of the testing family "
+        "(Welch assumes near-normal means, the permutation test buys "
+        "exactness with 200x compute; U is the one-pass nonparametric "
+        "standard). Rank arithmetic is EXACT: ranks live as doubled "
+        "integers (2 x average rank = 2 x cum-before + t + 1), the "
+        "tie-corrected variance uses the integer sum of t^3 - t, and "
+        "floats appear only in the final z/effect-size divisions. The "
+        "only window rides the DISTINCT-value table (cents-bounded), "
+        "never the user rows — the q_quantile_normalize discipline."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    u = ev.groupBy("user_id").agg(
+        F.first(in_a).alias("in_a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    grp = u.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("t_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.select(
+        "v",
+        "t",
+        "t_a",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb"),
+    )
+    t, ta, cb = F.col("t"), F.col("t_a"), F.col("cb")
+    m = ranked.agg(
+        F.sum(t).alias("n"),
+        F.sum(ta).alias("n_a"),
+        F.sum(t - ta).alias("n_b"),
+        F.sum(ta * (2 * cb + t + 1)).alias("rank2_a"),
+        F.sum(t * t * t - t).alias("tie_sum"),
+    )
+    n, na, nb = F.col("n"), F.col("n_a"), F.col("n_b")
+    u_a = (F.col("rank2_a") - na * (na + 1)) / 2.0
+    mean_u = na * 1.0 * nb / 2.0
+    var_u = (na * 1.0 * nb / 12.0) * (
+        (n + 1.0) - F.col("tie_sum") / (n * 1.0 * (n - 1.0))
+    )
+    z = (u_a - mean_u) / F.sqrt(var_u)
+    return m.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u_a.alias("u_a"),
+        mean_u.alias("mean_u"),
+        stable_round(z, 6).alias("z_score"),
+        stable_round(z / F.sqrt(n * 1.0), 6).alias("effect_r"),
+    )
