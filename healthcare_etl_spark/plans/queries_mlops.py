@@ -2066,3 +2066,106 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(z, 6).alias("z_score"),
         stable_round(z / F.sqrt(n * 1.0), 6).alias("effect_r"),
     )
+
+
+@register(
+    "q_heaps_fit",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+),
+first_occ AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+    FROM (SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY w)
+    GROUP BY doc_id
+),
+curve AS (
+    SELECT p.doc_id,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id) AS BIGINT) AS cum_vocab
+    FROM per_doc p LEFT JOIN first_occ f ON f.doc_id = p.doc_id
+),
+pts AS (
+    SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x, ln(CAST(cum_vocab AS DOUBLE)) AS y
+    FROM curve
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pts
+)
+SELECT k AS n_docs,
+       (round(((k * sxy - sx * sy) / (k * sxx - sx * sx)) * 1000000.0) / 1000000.0)
+           AS heaps_beta,
+       (round(((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k) * 1000000.0)
+        / 1000000.0) AS log_k,
+       (round((((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+               ((k * sxx - sx * sx) * (k * syy - sy * sy))) * 1000000.0) / 1000000.0)
+           AS r2
+FROM m
+""",
+    description=(
+        "Heaps'-law fit (V = K * N^beta): log-log OLS of cumulative "
+        "vocabulary size against cumulative token count along the "
+        "doc_id-ordered corpus prefix — Zipf's sibling law, and the "
+        "curve that predicts how much NEW vocabulary another 10x of "
+        "data will buy (beta ~ 0.4-0.6 for natural text; beta near 0 "
+        "means the corpus has saturated — more data, no new words). "
+        "Each token's first-occurrence doc is one groupBy min; the "
+        "prefix curve is two exact-BIGINT cumulative windows over the "
+        "docs-sized table (at 100 TB: sample log-spaced checkpoint "
+        "docs first — the fit needs ~100 curve points, not all of "
+        "them); the OLS fold is the shared closed form."
+    ),
+    tags=("text", "extension", "corpus"),
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_occ = (
+        tok.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wo = Window.orderBy("doc_id")
+    curve = (
+        per_doc.join(first_occ, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(wo).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wo).alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return m.select(
+        k.alias("n_docs"),
+        stable_round(slope, 6).alias("heaps_beta"),
+        stable_round((sy - slope * sx) / k, 6).alias("log_k"),
+        stable_round(
+            ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+            / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
