@@ -1,6 +1,12 @@
-"""Evaluation / monitoring / governance queries: time-constrained
-funnels, symmetric distribution drift, resampled uncertainty, offline
-change-point localization, forecast backtesting, and privacy auditing.
+"""Evaluation / experimentation / monitoring / governance queries:
+time-constrained funnels, distribution drift (Jensen-Shannon), resampled
+uncertainty (bootstrap / permutation), sequential and variance-reduced
+experiment readouts (Haybittle-Peto, CUPED, power analysis,
+Mann-Whitney), offline change-point localization (CUSUM), forecast
+backtesting, corpus laws (Zipf / Heaps), in-engine classification
+(IRLS logistic + calibration ECE), sketch evaluation (CMS), Markov
+chain analysis, attribution (Shapley), watermark lateness auditing, and
+privacy/erasure governance (k-anonymity, GDPR delete plans).
 
 These extend the analytics families (queries_analytics / queries_corpus)
 with the operations an ML-platform team runs AROUND a pipeline — scoring
@@ -8,8 +14,9 @@ it, monitoring it, and certifying its outputs — rather than inside it.
 Reference scope for parity context is `etl_app/etl_script.py:74-119`;
 everything here is extension surface. All queries are oracle-checked
 against DuckDB with identical arithmetic on both sides; randomized
-procedures (bootstrap) use counter-based md5 randomness so both engines
-draw the exact same resamples.
+procedures (bootstrap resamples, permutation shuffles, experiment arms)
+use counter-based md5 randomness so both engines draw the exact same
+realizations.
 """
 
 from __future__ import annotations
