@@ -485,3 +485,23 @@ def test_pq_topk_plan_hygiene(spark, sf_smoke):
     assert "BroadcastExchange" in plan
     # argmin windows pre-truncate on the scan side before their exchange
     assert "WindowGroupLimit" in plan
+
+
+def test_watermark_audit_data_window_is_bucketed(spark, sf_smoke):
+    """The exclusive prefix-max over the DATA must ride the per-bucket
+    window (hash-partitioned by bkt); only the bucket-count-sized prefix
+    table may sort in one partition, and it must come back via a
+    broadcast join, not a shuffle of the fact side."""
+    df = get_registry()["q_watermark_audit"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zipf_fit_topk_never_global_sort(spark, sf_smoke):
+    """The top-1000 vocabulary cut must fuse to TakeOrderedAndProject —
+    a global Sort of the vocab would shuffle the whole token table to
+    one partition at 100 TB."""
+    df = get_registry()["q_zipf_fit"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
