@@ -2176,3 +2176,100 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idxd AS (
+    SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx, rev FROM daily
+),
+slopes AS (
+    SELECT (b.rev - a.rev) * 1.0 / (b.idx - a.idx) AS s
+    FROM idxd a JOIN idxd b ON a.idx < b.idx
+),
+sel AS (
+    SELECT s, row_number() OVER (ORDER BY s) AS rn, count(*) OVER () AS m FROM slopes
+),
+sen AS (SELECT s AS slope FROM sel WHERE rn = (m + 1) // 2),
+resid AS (
+    SELECT i.rev - sen.slope * i.idx AS r FROM idxd i CROSS JOIN sen
+),
+rsel AS (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n FROM resid
+),
+icpt AS (SELECT r AS intercept FROM rsel WHERE rn = (n + 1) // 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM idxd)   AS n_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+       (round((sen.slope / 100.0) * 1000000.0) / 1000000.0)      AS sen_slope_per_day,
+       (round((icpt.intercept / 100.0) * 1000000.0) / 1000000.0) AS sen_intercept
+FROM sen CROSS JOIN icpt
+""",
+    description=(
+        "Theil-Sen robust trend of daily purchase revenue: the median "
+        "of all pairwise slopes plus the median-residual intercept — "
+        "up to ~29% outlier days cannot move it, where q_grouped_ols' "
+        "least-squares line chases every spike. Slopes are single "
+        "divisions of exact integer cents (bit-identical across "
+        "engines), and both medians are ORDER-STATISTIC selections "
+        "(lower median by row position), so nothing is ever "
+        "accumulated in floating point. The pair join and its rank "
+        "window ride the days-sized series squared (~days^2/2 rows — "
+        "still metadata at any corpus size: a year is 66k pairs)."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    idxd = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("idx"), "rev"
+    )
+    a = idxd.select(F.col("idx").alias("ia"), F.col("rev").alias("ra"))
+    b = idxd.select(F.col("idx").alias("ib"), F.col("rev").alias("rb"))
+    slopes = a.join(b, F.col("ia") < F.col("ib")).select(
+        ((F.col("rb") - F.col("ra")) * 1.0 / (F.col("ib") - F.col("ia"))).alias("s")
+    )
+    wsel = Window.orderBy("s")
+    sel = slopes.select(
+        "s",
+        F.row_number().over(wsel).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    sen = sel.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2)).select(
+        F.col("s").alias("slope")
+    )
+    resid = idxd.crossJoin(F.broadcast(sen)).select(
+        (F.col("rev") - F.col("slope") * F.col("idx")).alias("r")
+    )
+    wr = Window.orderBy("r")
+    rsel = resid.select(
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    icpt = rsel.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        F.col("r").alias("intercept")
+    )
+    n_days = idxd.agg(F.count(F.lit(1)).alias("n_days"))
+    n_pairs = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        sen.crossJoin(icpt)
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "n_days",
+            "n_pairs",
+            stable_round(F.col("slope") / 100.0, 6).alias("sen_slope_per_day"),
+            stable_round(F.col("intercept") / 100.0, 6).alias("sen_intercept"),
+        )
+    )
