@@ -2273,3 +2273,124 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("intercept") / 100.0, 6).alias("sen_intercept"),
         )
     )
+
+
+def _isotonic_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    return f"""WITH {joined},
+scored AS (
+    SELECT y, (1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) AS p
+    FROM feat CROSS JOIN {final} b
+),
+bins AS (
+    SELECT least(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS c
+    FROM scored GROUP BY 1
+),
+iv AS (
+    SELECT j.bin AS j, k.bin AS k,
+           (sum(m.c) * 1.0 / sum(m.n)) AS mean_jk
+    FROM bins j JOIN bins k ON j.bin <= k.bin
+    JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+    GROUP BY 1, 2
+),
+inner_ AS (
+    SELECT iv.j, i.bin AS i, min(iv.mean_jk) AS mn
+    FROM iv JOIN bins i ON iv.j <= i.bin AND iv.k >= i.bin
+    GROUP BY 1, 2
+),
+iso AS (SELECT i AS bin, max(mn) AS iso_raw FROM inner_ GROUP BY i)
+SELECT b.bin, b.n,
+       {r6('b.c * 1.0 / b.n')} AS conv_rate,
+       {r6('iso.iso_raw')}     AS iso_rate
+FROM bins b JOIN iso ON iso.bin = b.bin
+"""
+
+
+def _register_isotonic() -> None:
+    @register(
+        "q_isotonic_calibration",
+        oracle=_isotonic_oracle(),
+        description=(
+            "Isotonic calibration of the IRLS model's probability bins "
+            "— the FIX for what q_calibration_ece diagnoses: the "
+            "monotone-nondecreasing rate curve closest (weighted least "
+            "squares) to the raw per-bin conversion rates, computed by "
+            "the closed-form minimax identity iso_i = max_(j<=i) "
+            "min_(k>=i) mean(conv over bins j..k) — equivalent to "
+            "pool-adjacent-violators but expressible as three joins "
+            "over the <=10-row bin table, no iteration. Interval means "
+            "are single divisions of exact BIGINT sums (identical "
+            "rationals give identical doubles on both engines), so the "
+            "min/max lattice is bit-deterministic. The data-sized work "
+            "is the same fit + one binned scan as the ECE query."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(features, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            bins = (
+                features.select(
+                    F.least(F.floor(p * 10.0).cast("long"), F.lit(9)).alias("bin"),
+                    F.col("y"),
+                )
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("c"))
+            )
+            j = bins.select(F.col("bin").alias("j"))
+            k = bins.select(F.col("bin").alias("k"))
+            mbl = bins.select(
+                F.col("bin").alias("mb"), F.col("n").alias("mn_"), F.col("c").alias("mc")
+            )
+            iv = (
+                j.join(k, F.col("j") <= F.col("k"))
+                .join(mbl, (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")))
+                .groupBy("j", "k")
+                .agg((F.sum("mc") * 1.0 / F.sum("mn_")).alias("mean_jk"))
+            )
+            i_tbl = bins.select(F.col("bin").alias("i"))
+            inner = (
+                iv.join(i_tbl, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+                .groupBy("j", "i")
+                .agg(F.min("mean_jk").alias("mn"))
+            )
+            iso = inner.groupBy(F.col("i").alias("bin")).agg(F.max("mn").alias("iso_raw"))
+            return (
+                bins.join(iso, "bin")
+                .select(
+                    "bin",
+                    "n",
+                    stable_round(F.col("c") * 1.0 / F.col("n"), 6).alias("conv_rate"),
+                    stable_round(F.col("iso_raw"), 6).alias("iso_rate"),
+                )
+            )
+        finally:
+            features.unpersist()
+
+
+_register_isotonic()

@@ -2095,3 +2095,22 @@ def test_logistic_irls_recovers_decision_boundary(spark):
     assert row["beta2"] < -0.1, row
     assert row["accuracy"] > 0.85, row
     assert row["log_likelihood"] < 0.0
+
+
+def test_isotonic_calibration_is_monotone(spark):
+    """The isotonic curve must be non-decreasing in bin order and must
+    preserve the weighted mean of the raw rates (PAVA invariants)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = (
+        get_registry()["q_isotonic_calibration"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("bin")
+        .collect()
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), iso
+    total_n = sum(r["n"] for r in rows)
+    raw_mean = sum(r["n"] * r["conv_rate"] for r in rows) / total_n
+    iso_mean = sum(r["n"] * r["iso_rate"] for r in rows) / total_n
+    assert abs(raw_mean - iso_mean) < 1e-4, (raw_mean, iso_mean)
