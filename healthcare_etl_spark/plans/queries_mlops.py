@@ -2394,3 +2394,154 @@ def _register_isotonic() -> None:
 
 
 _register_isotonic()
+
+
+_TRIGRAM_QUERY = "table scan"
+_TRIGRAMS = [_TRIGRAM_QUERY[i : i + 3] for i in range(len(_TRIGRAM_QUERY) - 2)]
+
+
+def _trigram_oracle() -> str:
+    tg_list = ", ".join(f"'{g}'" for g in _TRIGRAMS)
+    return f"""
+WITH doc_grams AS (
+    -- range cap 4096 >> max fixture doc length (577 chars); the Spark
+    -- side uses the true length, so the cap only needs to dominate it
+    SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+    FROM documents, (SELECT unnest(range(1, 4096)) AS i)
+    WHERE i <= len(text) - 2
+),
+qgrams AS (SELECT unnest([{tg_list}]) AS g),
+cand AS (
+    SELECT doc_id FROM doc_grams JOIN qgrams USING (g)
+    GROUP BY doc_id HAVING count(DISTINCT g) = {len(_TRIGRAMS)}
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM cand JOIN documents d USING (doc_id)
+WHERE contains(d.text, '{_TRIGRAM_QUERY}')
+""".strip()
+
+
+def _register_trigram_search() -> None:
+    @register(
+        "q_trigram_search",
+        oracle=_trigram_oracle(),
+        description=(
+            "Substring search through a trigram inverted index "
+            "(pg_trgm-style): the query phrase's character trigrams "
+            "prune the corpus to docs containing ALL of them (an "
+            "equi-join + counting HAVING against the distinct "
+            "doc-trigram index), and only the surviving candidates pay "
+            "the contains() verify — at 100 TB the index join replaces "
+            "the full-scan LIKE '%...%' that no column pruning can "
+            "save. The same block-then-verify contract as the MinHash "
+            "and fuzzy-pair pipelines, applied to substring match; the "
+            "trigram index is buildable once and reusable across "
+            "queries."
+        ),
+        tags=("text", "extension", "search"),
+    )
+    def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        doc_grams = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+                ).alias("i"),
+                "text",
+            )
+            .filter(F.col("i") <= F.length("text") - 2)
+            .select("doc_id", F.expr("substring(text, i, 3)").alias("g"))
+            .distinct()
+        )
+        qgrams = spark.createDataFrame([(g,) for g in _TRIGRAMS], ["g"])
+        cand = (
+            doc_grams.join(F.broadcast(qgrams), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("hits"))
+            .filter(F.col("hits") == len(_TRIGRAMS))
+            .select("doc_id")
+        )
+        return (
+            cand.join(docs, "doc_id")
+            .filter(F.expr(f"instr(text, '{_TRIGRAM_QUERY}') > 0"))
+            .select("doc_id", "source", "n_chars")
+        )
+
+
+_register_trigram_search()
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(c) AS BIGINT) AS s_g, CAST(sum(c * c) AS BIGINT) AS ss_g
+    FROM v GROUP BY 1
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n_g) AS BIGINT) AS n,
+           CAST(sum(s_g) AS BIGINT) AS s,
+           CAST(sum(ss_g) AS BIGINT) AS ss,
+           sum(s_g * 1.0 * s_g / n_g) AS q
+    FROM g
+),
+calc AS (
+    SELECT k, n,
+           (q - s * 1.0 * s / n)  AS ssb,
+           (ss - q)               AS ssw,
+           (ss - s * 1.0 * s / n) AS sst
+    FROM m
+)
+SELECT k AS n_groups, n AS n_rows,
+       (round(((ssb / (k - 1)) / (ssw / (n - k))) * 1000000.0) / 1000000.0) AS f_stat,
+       (round((ssb / sst) * 1000000.0) / 1000000.0)                         AS eta_squared
+FROM calc
+""",
+    description=(
+        "One-way ANOVA of event value across the five event types: the "
+        "F statistic and the eta-squared effect size — the k-group "
+        "generalization of q_welch_ttest (is ANY type's mean value "
+        "different, and how much of the variance does type explain?). "
+        "Sums of squares come from ONE partial-aggregated integer-cent "
+        "moment pass (n, sum, sum-of-squares per group, all BIGINT); "
+        "the only floating step is the 5-row between-group fold and "
+        "the final scale-invariant ratios, so the statistic is stable "
+        "to 6dp at any data size."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_g"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * 1.0 * F.col("s_g") / F.col("n_g")).alias("q"),
+    )
+    k, n, s, ss, q = F.col("k"), F.col("n"), F.col("s"), F.col("ss"), F.col("q")
+    ssb = q - s * 1.0 * s / n
+    ssw = ss - q
+    sst = ss - s * 1.0 * s / n
+    return m.select(
+        k.alias("n_groups"),
+        n.alias("n_rows"),
+        stable_round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        stable_round(ssb / sst, 6).alias("eta_squared"),
+    )
