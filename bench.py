@@ -91,6 +91,10 @@ HEADLINE = [
     # round) and the bootstrap-CI resampling grid
     "q_logistic_regression",
     "q_bootstrap_ci",
+    # the trigram inverted-index search (data-sized explode+distinct)
+    # and the two-phase bucketed prefix-max watermark audit
+    "q_trigram_search",
+    "q_watermark_audit",
 ]
 
 
