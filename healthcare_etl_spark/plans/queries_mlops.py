@@ -2545,3 +2545,58 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
         stable_round(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+WITH h AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           ('0x' || substring(md5(
+                CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|'
+                || event_type || '|' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                || '|' || CAST(epoch_us(ts) AS VARCHAR)
+            ), 1, 15))::BIGINT AS rh
+    FROM events
+)
+SELECT day,
+       CAST(count(*) AS BIGINT)            AS n_rows,
+       CAST(bit_xor(rh) AS BIGINT)         AS xor_checksum,
+       CAST(sum(rh % 1000000007) AS BIGINT) AS sum_checksum
+FROM h GROUP BY day
+""",
+    description=(
+        "Order-independent per-partition table checksums (the "
+        "pt-table-checksum / replication-validation primitive): each "
+        "row hashes its canonical business key + payload (doubles as "
+        "exact integer cents, timestamps as epoch-us — never "
+        "engine-formatted strings) into a 60-bit md5 prefix, and each "
+        "day-partition folds them with BOTH xor (order- and "
+        "partition-independent, but blind to paired duplicates) and a "
+        "modular sum (catches what xor misses). Constant-size output "
+        "per partition makes cross-replica comparison a metadata "
+        "exchange, where q_table_diff's row-level anti-joins are the "
+        "drill-down once a partition disagrees. One partial-aggregated "
+        "pass, no shuffle wider than the day key."
+    ),
+    tags=("quality", "extension", "lakehouse"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.unix_micros("ts").cast("string"),
+    )
+    h = ev.select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long").alias("rh"),
+    )
+    return h.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(rh)").cast("long").alias("xor_checksum"),
+        F.sum(F.col("rh") % 1000000007).alias("sum_checksum"),
+    )
