@@ -2123,10 +2123,13 @@ FROM m
         "data will buy (beta ~ 0.4-0.6 for natural text; beta near 0 "
         "means the corpus has saturated — more data, no new words). "
         "Each token's first-occurrence doc is one groupBy min; the "
-        "prefix curve is two exact-BIGINT cumulative windows over the "
-        "docs-sized table (at 100 TB: sample log-spaced checkpoint "
-        "docs first — the fit needs ~100 curve points, not all of "
-        "them); the OLS fold is the shared closed form."
+        "prefix curve is two exact-BIGINT cumulative sums computed with "
+        "the two-phase bucketed carry (within-bucket windows "
+        "partitioned by the 4096-doc bucket + an exclusive prefix over "
+        "the bucket-count-sized totals, broadcast back) — NEVER a "
+        "keyless single-partition window over the docs table; the OLS "
+        "fold is the shared closed form. (At 100 TB also sample "
+        "log-spaced checkpoint docs — the fit needs ~100 curve points.)"
     ),
     tags=("text", "extension", "corpus"),
 )
@@ -2142,14 +2145,36 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    wo = Window.orderBy("doc_id")
-    curve = (
-        per_doc.join(first_occ, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tokens").over(wo).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(wo).alias("cum_vocab"),
-        )
+    docrow = per_doc.join(first_occ, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.expr("doc_id div 4096").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = docrow.select(
+        "doc_id",
+        "bkt",
+        F.sum("n_tokens").over(w_in).alias("in_tok"),
+        F.sum("n_new").over(w_in).alias("in_new"),
+    )
+    bstats = docrow.groupBy("bkt").agg(
+        F.sum("n_tokens").alias("btok"), F.sum("n_new").alias("bnew")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bstats.select(
+        "bkt",
+        F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("ptok"),
+        F.coalesce(F.sum("bnew").over(w_b), F.lit(0)).alias("pnew"),
+    )
+    curve = within.join(F.broadcast(bprev), "bkt").select(
+        "doc_id",
+        (F.col("in_tok") + F.col("ptok")).alias("cum_tokens"),
+        (F.col("in_new") + F.col("pnew")).alias("cum_vocab"),
     )
     pts = curve.select(
         F.log(F.col("cum_tokens").cast("double")).alias("x"),

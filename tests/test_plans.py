@@ -505,3 +505,13 @@ def test_zipf_fit_topk_never_global_sort(spark, sf_smoke):
     df = get_registry()["q_zipf_fit"].fn(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_heaps_prefix_windows_are_bucketed(spark, sf_smoke):
+    """The doc-prefix cumulative sums must ride per-bucket windows
+    (hash-partitioned by bkt) with the bucket prefix broadcast back —
+    never a keyless single-partition window over the docs table."""
+    df = get_registry()["q_heaps_fit"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
