@@ -2706,3 +2706,217 @@ def _register_ppr() -> None:
 
 
 _register_ppr()
+
+
+def _roc_auc_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y,
+           (round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) * 1000000.0)
+            / 1000000.0) AS p
+    FROM feat CROSS JOIN {final} b
+),
+grp AS (
+    SELECT p, CAST(count(*) AS BIGINT) AS t,
+           CAST(sum(y) AS BIGINT) AS t_pos
+    FROM scored GROUP BY p
+),
+ranked AS (
+    SELECT p, t, t_pos,
+           CAST(coalesce(sum(t) OVER (ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+    FROM grp
+),
+m AS (
+    SELECT CAST(sum(t_pos) AS BIGINT)                    AS n_pos,
+           CAST(sum(t - t_pos) AS BIGINT)                AS n_neg,
+           CAST(sum(t_pos * (2 * cb + t + 1)) AS BIGINT) AS rank2_pos
+    FROM ranked
+)
+SELECT n_pos, n_neg,
+       (round((((rank2_pos - n_pos * (n_pos + 1)) / 2.0) / (n_pos * 1.0 * n_neg))
+              * 1000000.0) / 1000000.0) AS auc,
+       (round((2.0 * (((rank2_pos - n_pos * (n_pos + 1)) / 2.0) / (n_pos * 1.0 * n_neg))
+               - 1.0) * 1000000.0) / 1000000.0) AS gini_coefficient
+FROM m
+""".strip()
+
+
+def _register_roc_auc() -> None:
+    @register(
+        "q_roc_auc",
+        oracle=_roc_auc_oracle(),
+        description=(
+            "ROC-AUC of the IRLS model via the rank formulation (AUC = "
+            "Mann-Whitney U of the positive class's scores, "
+            "tie-corrected with average ranks) — the threshold-free "
+            "discrimination metric next to q_calibration_ece's "
+            "calibration view; plus the Gini coefficient 2*AUC-1. "
+            "Scores are 6dp-rounded BEFORE ranking so the distinct-"
+            "score table is bounded (<=10^6 keys at any corpus size) "
+            "and the rank window never rides user rows; ranks are the "
+            "exact doubled-integer trick from q_mann_whitney, so AUC "
+            "is one rounded division of BIGINTs."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(features, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            p = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
+            grp = features.select(p.alias("p"), "y").groupBy("p").agg(
+                F.count(F.lit(1)).alias("t"), F.sum("y").alias("t_pos")
+            )
+            w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+            ranked = grp.select(
+                "t", "t_pos", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb")
+            )
+            t, tp, cb = F.col("t"), F.col("t_pos"), F.col("cb")
+            m = ranked.agg(
+                F.sum(tp).alias("n_pos"),
+                F.sum(t - tp).alias("n_neg"),
+                F.sum(tp * (2 * cb + t + 1)).alias("rank2_pos"),
+            )
+            npos, nneg = F.col("n_pos"), F.col("n_neg")
+            auc = ((F.col("rank2_pos") - npos * (npos + 1)) / 2.0) / (npos * 1.0 * nneg)
+            return m.select(
+                npos.alias("n_pos"),
+                nneg.alias("n_neg"),
+                stable_round(auc, 6).alias("auc"),
+                stable_round(2.0 * auc - 1.0, 6).alias("gini_coefficient"),
+            )
+        finally:
+            features.unpersist()
+
+
+_register_roc_auc()
+
+
+_SWEEP_THRESHOLDS = [i / 20.0 for i in range(1, 20)]
+
+
+def _threshold_sweep_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    thr_list = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    return f"""WITH {joined},
+scored AS (
+    SELECT y, (1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) AS p
+    FROM feat CROSS JOIN {final} b
+),
+grid AS (
+    SELECT s.y, s.p, t.thr
+    FROM scored s CROSS JOIN
+         (SELECT CAST(unnest([{thr_list}]) AS DOUBLE) AS thr) t
+),
+counts AS (
+    SELECT thr,
+           CAST(sum(CASE WHEN p > thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p > thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN p <= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN p <= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM grid GROUP BY thr
+)
+SELECT thr, tp, fp, fn, tn,
+       {r6('2.0 * tp / (2.0 * tp + fp + fn)')}                        AS f1,
+       {r6('tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp) - 1.0')}      AS youden_j
+FROM counts
+""".strip()
+
+
+def _register_threshold_sweep() -> None:
+    @register(
+        "q_threshold_sweep",
+        oracle=_threshold_sweep_oracle(),
+        description=(
+            "Classification threshold sweep for the IRLS model: the "
+            "confusion matrix, F1 and Youden's J at 19 evenly-spaced "
+            "cutoffs — the operating-point selection step between "
+            "q_roc_auc (threshold-free discrimination) and deployment "
+            "(one threshold must be picked). All counts are exact "
+            "integers from ONE partial-aggregated pass over the "
+            "users x 19 grid (the thresholds are literal doubles "
+            "identical on both engines); the metrics are fixed rational "
+            "expressions of those counts."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(features, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            grid = features.select(
+                "y",
+                p.alias("p"),
+                F.explode(F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])).alias("thr"),
+            )
+            pos = F.col("p") > F.col("thr")
+            y1 = F.col("y") == 1
+            counts = grid.groupBy("thr").agg(
+                F.sum(F.when(pos & y1, 1).otherwise(0)).alias("tp"),
+                F.sum(F.when(pos & ~y1, 1).otherwise(0)).alias("fp"),
+                F.sum(F.when(~pos & y1, 1).otherwise(0)).alias("fn"),
+                F.sum(F.when(~pos & ~y1, 1).otherwise(0)).alias("tn"),
+            )
+            tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+            return counts.select(
+                "thr",
+                "tp",
+                "fp",
+                "fn",
+                "tn",
+                stable_round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+                stable_round(
+                    tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp) - 1.0, 6
+                ).alias("youden_j"),
+            )
+        finally:
+            features.unpersist()
+
+
+_register_threshold_sweep()
