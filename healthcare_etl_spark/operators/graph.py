@@ -213,9 +213,17 @@ def pagerank(
     dst: str = "doc_b",
     iterations: int = 5,
     damping: float = 0.85,
+    teleport_weight: float | None = None,
     round_digits: int = 10,
 ) -> DataFrame:
     """PageRank over the symmetrized pair graph → (node, rank).
+
+    ``teleport_weight`` defaults to ``1.0 - damping`` but can be passed
+    explicitly (e.g. the literal ``0.15``) so callers whose oracle SQL
+    interpolates the same literal stay bit-identical — the Python
+    expression ``1.0 - 0.85`` is the IEEE double 0.15000000000000002,
+    NOT the literal 0.15, and per-round rounding can land exactly on a
+    half boundary where that last-ulp difference flips the result.
 
     Fixed-iteration power method: contribution = rank/out-degree pushed
     along edges (join), summed per target (hash agg), damped teleport
@@ -236,6 +244,7 @@ def pagerank(
     100 TB edge scale, pre-partition ``edges`` by ``u`` (bucketed
     staging table) so the per-round join is exchange-free on one side.
     """
+    tw = teleport_weight if teleport_weight is not None else (1.0 - damping)
     scale = float(10**round_digits)
 
     def rnd(c):
@@ -274,7 +283,7 @@ def pagerank(
                 "d",
                 "n",
                 rnd(
-                    (1.0 - damping) / F.col("n")
+                    F.lit(tw) / F.col("n")
                     + damping * F.coalesce("s", F.lit(0.0))
                 ).alias("rank"),
             )
@@ -341,6 +350,7 @@ def personalized_pagerank(
     seed_col: str = "node",
     iterations: int = 5,
     damping: float = 0.85,
+    teleport_weight: float | None = None,
     round_digits: int = 10,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass restarts at the SEED set
@@ -352,6 +362,7 @@ def personalized_pagerank(
     Seeds not present in the graph are ignored; an empty effective seed
     set yields all-zero ranks rather than an error.
     """
+    tw = teleport_weight if teleport_weight is not None else (1.0 - damping)
     scale = float(10**round_digits)
 
     def rnd(c):
@@ -395,7 +406,7 @@ def personalized_pagerank(
                 "is_seed",
                 "ns",
                 rnd(
-                    (1.0 - damping) * teleport
+                    F.lit(tw) * teleport
                     + damping * F.coalesce("s", F.lit(0.0))
                 ).alias("rank"),
             )

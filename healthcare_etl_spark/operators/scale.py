@@ -12,6 +12,13 @@ built-in machinery needs help:
 - ``scd2_merge``: slowly-changing-dimension type-2 emulation without
   Delta: close out changed rows, append new versions. Expressed as
   anti-join + union + window, all shuffle-on-key.
+- ``bucketed_rank`` / ``bucketed_prefix``: GLOBAL row_number / prefix
+  aggregates over a total order WITHOUT a single-partition sort — the
+  two-phase bucketed carry (within-bucket window partitioned by an
+  order-aligned bucket key + a bucket-count-sized prefix over the
+  bucket summaries, broadcast back). The generalization of the
+  pattern the keyless as-of join, watermark audit and Heaps fit use
+  inline.
 """
 
 from __future__ import annotations
@@ -144,4 +151,118 @@ def scd2_merge(
         .unionByName(unchanged.select(*base_cols))
         .unionByName(closed_out.select(*base_cols))
         .unionByName(new_versions.select(*base_cols))
+    )
+
+
+def _with_buckets(df: DataFrame, buckets: list[Column]) -> tuple[DataFrame, list[str]]:
+    names = [f"__bkt{i}" for i in range(len(buckets))]
+    return df.select("*", *[b.alias(n) for b, n in zip(buckets, names)]), names
+
+
+def bucketed_rank(
+    df: DataFrame,
+    *,
+    buckets: list[Column],
+    order_by: list[Column],
+    out_col: str = "rk",
+) -> DataFrame:
+    """Global ``row_number()`` over a total order with NO
+    single-partition sort (the 100 TB-safe form of
+    ``Window.orderBy(...)``).
+
+    ``buckets`` must be a lexicographic coarsening of ``order_by``:
+    every row of bucket tuple B sorts before every row of bucket tuple
+    B' whenever B < B' (e.g. bucket = ``key div 4096`` for an ascending
+    integer key, or ``floor(-key / w)`` for a descending one). Given
+    that, the global rank decomposes exactly:
+
+    - phase 1: ``row_number`` within each bucket (window PARTITIONED by
+      the bucket tuple — fully distributed);
+    - phase 2: exclusive prefix-sum of per-bucket row counts over the
+      bucket-count-sized summary (data/bucket_width rows; recurse the
+      same trick for another 4096x if that frame ever stops being
+      metadata-scale), broadcast-joined back;
+    - rank = bucket offset + within-bucket rank.
+
+    The result is bit-identical to the keyless window whatever bucket
+    width is chosen — bucketing only moves WHERE each row's rank is
+    computed — so callers tune width purely for skew.
+    """
+    b, names = _with_buckets(df, buckets)
+    w_in = Window.partitionBy(*names).orderBy(*order_by)
+    rows = b.withColumn("__rk_in", F.row_number().over(w_in))
+    counts = b.groupBy(*names).agg(F.count(F.lit(1)).alias("__n"))
+    w_b = Window.orderBy(*names).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        *names, F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__off")
+    )
+    out = rows.join(F.broadcast(offs), names)
+    return out.withColumn(
+        out_col, (F.col("__off") + F.col("__rk_in")).cast("long")
+    ).drop("__rk_in", "__off", *names)
+
+
+def bucketed_prefix(
+    df: DataFrame,
+    *,
+    buckets: list[Column],
+    order_by: list[Column],
+    value: Column,
+    agg: str = "sum",
+    exclusive: bool = True,
+    out_col: str = "prefix",
+) -> DataFrame:
+    """Global running ``sum``/``max`` of ``value`` over a total order
+    with NO single-partition sort — same two-phase carry as
+    ``bucketed_rank`` (see its docstring for the bucket contract).
+
+    ``exclusive=True`` gives the frame ``rowsBetween(unboundedPreceding,
+    -1)``: with ``agg="max"`` over the order key itself that is exactly
+    ``lag(key)`` (monotone key), and with ``agg="sum"`` the
+    rank-arithmetic "count of rows strictly before me". The very first
+    row's exclusive prefix is NULL for ``max`` (greatest() skips NULLs
+    but returns NULL when both phases are empty) and for ``sum`` is
+    coalesced to 0 — matching the keyless-window semantics callers
+    already rely on.
+    """
+    if agg not in ("sum", "max"):
+        raise ValueError(f"bucketed_prefix: agg={agg!r} not in ('sum', 'max')")
+    fagg = F.sum if agg == "sum" else F.max
+    end = -1 if exclusive else Window.currentRow
+    b, names = _with_buckets(df, buckets)
+    b = b.withColumn("__v", value)
+    w_in = (
+        Window.partitionBy(*names)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    rows = b.withColumn("__in", fagg("__v").over(w_in))
+    btot = b.groupBy(*names).agg(fagg("__v").alias("__bv"))
+    w_b = Window.orderBy(*names).rowsBetween(Window.unboundedPreceding, -1)
+    bprev = btot.select(*names, fagg("__bv").over(w_b).alias("__prev"))
+    out = rows.join(F.broadcast(bprev), names)
+    if agg == "sum":
+        comb = F.coalesce("__in", F.lit(0)) + F.coalesce("__prev", F.lit(0))
+    else:
+        comb = F.greatest("__in", "__prev")
+    return out.withColumn(out_col, comb).drop("__in", "__prev", "__v", *names)
+
+
+def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
+    """Closed-form ``ntile(tiles)`` from a precomputed global rank
+    (1-based ``row_number`` over a TOTAL order) and the broadcast scalar
+    row count ``n`` — the arithmetic companion to ``bucketed_rank`` that
+    replaces a partitionless ntile window. Bit-identical to Spark/ANSI
+    ntile: the first (n mod tiles) tiles hold (n div tiles)+1 rows, the
+    rest (n div tiles).
+    """
+    q = F.floor(n / F.lit(tiles)).cast("long")
+    r = n % tiles
+    big = r * (q + F.lit(1))
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + F.lit(1))).cast("long") + 1)
+        .otherwise(
+            r + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+        )
+        .cast("long")
     )

@@ -484,7 +484,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    return pagerank(pairs, iterations=5).select(
+    return pagerank(pairs, iterations=5, teleport_weight=0.15).select(
         F.col("node").alias("doc_id"), "rank"
     )
 
@@ -1599,21 +1599,32 @@ WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
         "Sequence-gap detection over a monotonic id column (ingestion "
         "monitoring: find dropped ranges after a lossy stage — here the "
         "'error' rows stand in for lost messages, so the gaps are "
-        "nonzero and the oracle discriminates). Single lag() over the "
-        "ordered ids emits one row PER GAP RANGE (start, end, count), "
-        "not per missing id — the report stays gap-count-sized however "
-        "wide the holes are. The global-order window is the correct "
-        "form for a report; at 100 TB, run it per ingestion partition "
-        "(partitionBy source/shard) to keep the sort distributed."
+        "nonzero and the oracle discriminates). The global lag() is "
+        "computed as a two-phase bucketed carry (bucketed_prefix with "
+        "agg='max' over 4096-id buckets: within-bucket exclusive "
+        "prefix-max partitioned BY bucket + a bucket-count-sized "
+        "prefix over the bucket maxima, broadcast back) — since "
+        "event_id is the order key, the exclusive prefix-max IS "
+        "lag(event_id), with no single-partition sort of the fact "
+        "table. Emits one row PER GAP RANGE (start, end, count), not "
+        "per missing id — the report stays gap-count-sized however "
+        "wide the holes are."
     ),
     tags=("analytics", "extension", "quality"),
 )
 def q_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
     ev = load_table(spark, sf_dir, "events")
     kept = ev.filter(F.col("event_type") != "error").select("event_id")
-    w = Window.orderBy("event_id")
-    seq = kept.select(
-        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    seq = bucketed_prefix(
+        kept,
+        buckets=[F.expr("event_id div 4096")],
+        order_by=[F.asc("event_id")],
+        value=F.col("event_id"),
+        agg="max",
+        exclusive=True,
+        out_col="prev_id",
     )
     return seq.filter(
         F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
@@ -1936,17 +1947,23 @@ GROUP BY 1, 2, 3
         "RFM customer segmentation — the marketing-analytics classic: "
         "per-user Recency (days since last purchase, exact integer "
         "division of µs), Frequency, Monetary from one purchase-scan "
-        "aggregate, each quartile-scored with ntile (deterministic "
-        "user_id tiebreak so the binning is cross-engine identical; "
-        "score 1 = best on every axis), rolled up to segment sizes and "
-        "average spend. The ntile windows run over the per-user "
-        "aggregate (users-sized), not the fact table — at 100 TB, the "
-        "fact shuffle is the only data-sized stage."
+        "aggregate, each quartile-scored with ntile semantics "
+        "(deterministic user_id tiebreak so the binning is cross-engine "
+        "identical; score 1 = best on every axis), rolled up to segment "
+        "sizes and average spend. Each ntile is computed WITHOUT a "
+        "global-sort window: a two-phase bucketed rank per axis "
+        "(bucketed_rank over order-aligned buckets — exact recency/"
+        "negated-frequency values sub-bucketed by user_id, a floor "
+        "value-range bucket for monetary) plus the closed-form ntile "
+        "arithmetic tile(rk, n) from the broadcast scalar user count. "
+        "Bit-identical to ntile(4) because the order is total; no "
+        "single-partition stage at ANY user count."
     ),
     tags=("analytics", "extension"),
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.scale import bucketed_rank
 
     ev = load_table(spark, sf_dir, "events")
     anchor = F.lit("2024-01-31").cast("timestamp")
@@ -1961,16 +1978,36 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.sum("value"), 4).alias("monetary"),
         )
     )
-    scored = per_user.select(
-        "*",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_score"),
+    ranked = bucketed_rank(
+        per_user,
+        buckets=[F.col("recency_days"), F.expr("user_id div 4096")],
+        order_by=[F.asc("recency_days"), F.asc("user_id")],
+        out_col="rk_r",
     )
+    ranked = bucketed_rank(
+        ranked,
+        buckets=[-F.col("frequency"), F.expr("user_id div 4096")],
+        order_by=[F.desc("frequency"), F.asc("user_id")],
+        out_col="rk_f",
+    )
+    # monetary is a range bucket (floor of the negated 4dp-exact cents /
+    # 4096), so no user_id sub-bucket — a tiebreak sub-bucket is only
+    # order-aligned when the leading bucket key pins the exact value.
+    ranked = bucketed_rank(
+        ranked,
+        buckets=[F.floor(F.col("monetary") * F.lit(-10000.0) / F.lit(4096.0)).cast("long")],
+        order_by=[F.desc("monetary"), F.asc("user_id")],
+        out_col="rk_m",
+    )
+    from healthcare_etl_spark.operators.scale import ntile_from_rank
+
+    ntot = per_user.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(ntot))
+    n = F.col("__n")
     return scored.groupBy(
-        F.col("r_score").cast("long").alias("r_score"),
-        F.col("f_score").cast("long").alias("f_score"),
-        F.col("m_score").cast("long").alias("m_score"),
+        ntile_from_rank(F.col("rk_r"), n, 4).alias("r_score"),
+        ntile_from_rank(F.col("rk_f"), n, 4).alias("f_score"),
+        ntile_from_rank(F.col("rk_m"), n, 4).alias("m_score"),
     ).agg(
         F.count(F.lit(1)).alias("n_users"),
         stable_round(F.avg("monetary"), 6).alias("avg_monetary"),
@@ -2310,15 +2347,21 @@ FROM ranked
         "used for revenue-concentration risk and for data-mixture "
         "skew (how concentrated is a corpus across sources/authors). "
         "Computed from the rank formulation G = 2*sum(i*x_i)/(n*sum(x))"
-        " - (n+1)/n over the users-sized aggregate: the rank window "
-        "sorts users, not facts, and the i*x products sum in any order "
-        "identically after stable rounding because i and the per-user "
-        "sums are exact before the final double fold."
+        " - (n+1)/n over the users-sized aggregate. The global rank is "
+        "a two-phase bucketed carry (bucketed_rank: within-bucket "
+        "row_number partitioned by floor(x/64) value buckets + a "
+        "bucket-count-sized offset prefix, broadcast back) — no "
+        "single-partition sort at ANY user count; n and sum(x) fold in "
+        "the same final aggregate instead of global-frame windows. The "
+        "i*x products sum in any order identically after stable "
+        "rounding because i and the per-user sums are exact before the "
+        "final double fold."
     ),
     tags=("analytics", "extension"),
 )
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.scale import bucketed_rank
 
     ev = load_table(spark, sf_dir, "events")
     per_user = (
@@ -2326,19 +2369,18 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("value").alias("x"))
     )
-    w_rank = Window.orderBy("x", "user_id")
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "x",
-        F.row_number().over(w_rank).cast("long").alias("i"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
-        F.sum("x").over(w_all).alias("tot"),
+    ranked = bucketed_rank(
+        per_user,
+        buckets=[F.floor(F.col("x") / F.lit(64.0)).cast("long")],
+        order_by=[F.asc("x"), F.asc("user_id")],
+        out_col="i",
     )
+    n = F.count(F.lit(1)).cast("long")
     return ranked.agg(
-        F.max("n").alias("n_users"),
+        n.alias("n_users"),
         stable_round(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
-            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),
     )

@@ -495,11 +495,14 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _set_hybrid_oracle() -> None:
+    # import-time hook: read the raw REGISTRY (q_hybrid_search_rrf is
+    # registered above in this module) — get_registry() validates the
+    # full driver window, which other modules haven't populated yet
     from healthcare_etl_spark.plans.queries_similarity import _COS
-    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.plans.registry import REGISTRY
 
     cos = _COS.format(a="qv", b="cv")
-    get_registry()["q_hybrid_search_rrf"].oracle = f"""
+    REGISTRY["q_hybrid_search_rrf"].oracle = f"""
 WITH {_bm25_top20_ctes()},
 vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 vc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id > 0),
@@ -783,15 +786,18 @@ FROM mapped m JOIN gtab g ON g.gi = m.gi
         "entirely in INTEGER arithmetic (1 + (rn-1)*(Ng-1) DIV (ns-1)), "
         "so there is no float quantile boundary to disagree on; the "
         "lookup is a plain equi-join against the globally ranked table. "
-        "Two window ranks (one per-source, one global) + one join — at "
-        "100 TB the global rank is the expensive total sort; swap in the "
-        "equi-depth histogram sketch for an approximate map when that "
-        "matters."
+        "The per-source rank windows are partitioned (distributed); the "
+        "GLOBAL rank is a two-phase bucketed rank over 64-char length "
+        "bands (bucketed_rank — within-band row_number + a band-count-"
+        "sized offset prefix, broadcast back), so no single-partition "
+        "sort of the corpus at any size."
     ),
     tags=("corpus", "extension", "parity"),
 )
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
+
+    from healthcare_etl_spark.operators.scale import bucketed_rank
 
     docs = load_table(spark, sf_dir, "documents")
     ranked = docs.select(
@@ -801,12 +807,13 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("source").orderBy("n_chars", "doc_id")).cast("long").alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("ns"),
     )
-    glob = docs.select(
-        F.col("n_chars").alias("gval"),
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).cast("long").alias("gi"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("ng"),
-    )
-    ngdf = glob.agg(F.max("ng").alias("ng_tot"))
+    glob = bucketed_rank(
+        docs.select(F.col("n_chars").alias("gval"), "doc_id"),
+        buckets=[F.expr("gval div 64")],
+        order_by=[F.asc("gval"), F.asc("doc_id")],
+        out_col="gi",
+    ).select("gval", "gi")
+    ngdf = docs.agg(F.count(F.lit(1)).cast("long").alias("ng_tot"))
     mapped = ranked.crossJoin(F.broadcast(ngdf)).select(
         "doc_id",
         "source",

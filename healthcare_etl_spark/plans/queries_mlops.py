@@ -240,9 +240,11 @@ pt AS (
     FROM daily
 )
 SELECT pt.mean_daily_revenue,
-       max(CASE WHEN rn = 5   THEN mean_b END) AS ci_lo,
-       max(CASE WHEN rn = 195 THEN mean_b END) AS ci_hi,
-       CAST(max(nb) AS BIGINT)                 AS n_boot
+       max(CASE WHEN rn = greatest(1, CAST(round(0.025 * nb) AS BIGINT))
+                THEN mean_b END) AS ci_lo,
+       max(CASE WHEN rn = CAST(round(0.975 * nb) AS BIGINT)
+                THEN mean_b END) AS ci_hi,
+       CAST(max(nb) AS BIGINT)   AS n_boot
 FROM ranked CROSS JOIN pt
 GROUP BY pt.mean_daily_revenue
 """,
@@ -255,8 +257,9 @@ GROUP BY pt.mean_daily_revenue
         "(the q_hash_split bridge), so DuckDB and Spark materialize THE "
         "SAME 200 resamples and the CI matches hash-exact. Daily revenue "
         "is exact integer cents, each replicate mean is one rounded "
-        "division, and the CI bounds are order-statistic selections "
-        "(positions 5/195 of 200) — no floating accumulation anywhere "
+        "division, and the CI bounds are order-statistic selections at "
+        "positions round(0.025*nb)/round(0.975*nb) of the SURVIVING "
+        "replicate count — no floating accumulation anywhere "
         "an engine could reorder. The grid is days x B (replicate-"
         "parallel, partial-aggregated); the day-level pre-aggregate is "
         "the only data-sized pass."
@@ -322,12 +325,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_daily_revenue"
         )
     )
+    # CI positions derive from the SURVIVING replicate count nb (a
+    # replicate can draw all-zero Poisson weights and be dropped), so
+    # the quantile selection stays 2.5%/97.5% instead of silently
+    # shifting when nb < 200.
+    rn_lo = F.greatest(F.lit(1).cast("long"), F.round(F.lit(0.025) * F.col("nb")).cast("long"))
+    rn_hi = F.round(F.lit(0.975) * F.col("nb")).cast("long")
     return (
         ranked.crossJoin(F.broadcast(pt))
         .groupBy("mean_daily_revenue")
         .agg(
-            F.max(F.when(F.col("rn") == 5, F.col("mean_b"))).alias("ci_lo"),
-            F.max(F.when(F.col("rn") == 195, F.col("mean_b"))).alias("ci_hi"),
+            F.max(F.when(F.col("rn") == rn_lo, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == rn_hi, F.col("mean_b"))).alias("ci_hi"),
             F.max("nb").alias("n_boot"),
         )
         .select("mean_daily_revenue", "ci_lo", "ci_hi", "n_boot")
@@ -1013,15 +1022,21 @@ def _markov_oracle_sql(rounds: int = 12) -> str:
         f"""p AS (
     SELECT c.f, c.t, {r6('c.n * 1.0 / tot.tn')} AS p FROM cnt c JOIN tot ON c.f = tot.f
 )""",
-        """states AS (SELECT DISTINCT f AS s FROM cnt)""",
+        # canonical state set: UNION of sources and targets, so a state
+        # seen only as a target (or only as a source) still gets a row
+        # on both engines (emitting 0.0 when unreached)
+        """states AS (SELECT f AS s FROM cnt UNION SELECT t FROM cnt)""",
         """k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM states)""",
         f"""v_0 AS (SELECT s, {r6('1.0 / kk')} AS v FROM states CROSS JOIN k)""",
     ]
     for r in range(1, rounds + 1):
         parts.append(
             f"""v_{r} AS (
-    SELECT p.t AS s, {r6('sum(v.v * p.p)')} AS v
-    FROM v_{r - 1} v JOIN p ON p.f = v.s GROUP BY p.t
+    SELECT st.s, {r6('coalesce(sum(v.v * p.p), 0.0)')} AS v
+    FROM states st
+    LEFT JOIN p ON p.t = st.s
+    LEFT JOIN v_{r - 1} v ON v.s = p.f
+    GROUP BY st.s
 )"""
         )
     joined = ",\n".join(parts)
@@ -1070,10 +1085,15 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |types|^2 matrix: collecting it is metadata-scale, like k-means
     # centroids; the power iteration never touches the data again.
+    # States = UNION of sources and targets (same canonical set as the
+    # oracle), so sink-only states get a 0.0 row instead of vanishing.
     mat: dict[str, dict[str, float]] = {}
+    seen: set[str] = set()
     for r in prob.collect():
         mat.setdefault(r["f"], {})[r["t"]] = r["p"]
-    states = sorted(mat)
+        seen.add(r["f"])
+        seen.add(r["t"])
+    states = sorted(seen)
     v = {s: _markov_round6(1.0 / len(states)) for s in states}
     for _ in range(12):
         nxt: dict[str, float] = {}
@@ -2014,8 +2034,10 @@ FROM calc
         "integers (2 x average rank = 2 x cum-before + t + 1), the "
         "tie-corrected variance uses the integer sum of t^3 - t, and "
         "floats appear only in the final z/effect-size divisions. The "
-        "only window rides the DISTINCT-value table (cents-bounded), "
-        "never the user rows — the q_quantile_normalize discipline."
+        "cum-before prefix rides the DISTINCT-value table (never the "
+        "user rows) AND is a two-phase bucketed carry (bucketed_prefix "
+        "over 4096-cent value buckets), so it stays distributed even "
+        "when the distinct-value count grows with the data."
     ),
     tags=("analytics", "extension", "stats"),
 )
@@ -2043,12 +2065,16 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("t"),
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("t_a"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = grp.select(
-        "v",
-        "t",
-        "t_a",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb"),
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    ranked = bucketed_prefix(
+        grp,
+        buckets=[F.expr("v div 4096")],
+        order_by=[F.asc("v")],
+        value=F.col("t"),
+        agg="sum",
+        exclusive=True,
+        out_col="cb",
     )
     t, ta, cb = F.col("t"), F.col("t_a"), F.col("cb")
     m = ranked.agg(
@@ -2700,7 +2726,7 @@ def _register_ppr() -> None:
         seeds = docs.filter(F.col("source") == "src0").select(
             F.col("doc_id").alias("node")
         )
-        return personalized_pagerank(pairs, seeds, iterations=5).select(
+        return personalized_pagerank(pairs, seeds, iterations=5, teleport_weight=0.15).select(
             F.col("node").alias("doc_id"), F.col("rank").alias("ppr_rank")
         )
 

@@ -757,9 +757,12 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _set_ann_eval_oracle() -> None:
     """The recall oracle embeds BOTH registered pipelines' full oracle
     SQLs as CTE bodies — same generated constants, zero duplication."""
-    from healthcare_etl_spark.plans.registry import get_registry
+    # NOTE: runs at module-import time, while _load_all_modules is still
+    # importing the other query modules — must read the raw REGISTRY
+    # (both referenced queries register earlier in THIS module), never
+    # get_registry(), whose window validation requires the full fleet.
+    from healthcare_etl_spark.plans.registry import REGISTRY as reg
 
-    reg = get_registry()
     exact_sql = reg["q_sim_topk"].oracle
     lsh_sql = reg["q_sim_ann_lsh"].oracle
     reg["q_ann_recall_eval"].oracle = f"""

@@ -613,8 +613,12 @@ FROM per_decile CROSS JOIN tot
         "cumulative capture rate — the curve that tells a curation "
         "team how much of the target material the top-k% of the "
         "ranking retains (a useless ranker captures 10% per decile). "
-        "The ntile window runs over the scored docs; the gains fold is "
-        "ten rows."
+        "The decile assignment is a two-phase bucketed rank over "
+        "floor(-score*1e6/4096) value buckets (the score is 6dp-exact, "
+        "so the negated-micro bucket is order-aligned) plus the "
+        "closed-form ntile arithmetic from the broadcast doc count — "
+        "no partitionless sort of the corpus; the gains fold is ten "
+        "rows."
     ),
     tags=("text", "extension", "evaluation"),
 )
@@ -622,6 +626,7 @@ def q_quality_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
     from healthcare_etl_spark.operators.text_analysis import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -630,9 +635,16 @@ def q_quality_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("is_target"),
         F.col("quality_score").alias("score"),
     )
-    ranked = scored.select(
+    rk = bucketed_rank(
+        scored,
+        buckets=[F.floor(F.col("score") * F.lit(-1000000.0) / F.lit(4096.0)).cast("long")],
+        order_by=[F.desc("score"), F.asc("doc_id")],
+        out_col="rk",
+    )
+    ndf = scored.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked = rk.crossJoin(F.broadcast(ndf)).select(
         "is_target",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("decile"),
+        ntile_from_rank(F.col("rk"), F.col("__n"), 10).alias("decile"),
     )
     per_decile = ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_docs"),

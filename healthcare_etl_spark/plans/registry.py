@@ -94,98 +94,65 @@ def _load_all_modules() -> None:
 # expressible) queries register last so they never burn a checked slot
 # on `no_oracle`.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- SURVEY.md §2 core (reference parity; must stay green every round)
-    "q_etl_replica",
-    "q_etl_replica_by_state",
-    "q_etl_replica_by_ownership",
-    "q_etl_metrics",
-    "q_etl_topn_by_state",
-    "q_scan_project",
-    "q_select_star",
-    "q_normalize_columns",
-    "q_try_cast_coerce",
-    "q_dropna",
-    "q_filter_eq",
-    "q_drop_cols",
-    "q_inner_join",
-    "q_count",
-    "q_count_distinct",
-    "q_avg_global",
-    "q_groupby_avg",
-    "q_groupby_avg_sorted",
-    "q_topk",
-    "q_string_funcs",
-    "q_sql_surface",
-    "q_format_number",
-    # -- S1 literal: the CSV reader itself, oracle-checked (round 5+)
-    "q_csv_scan",
-    # -- round-5: the two round-4 ts casualties stay in-window to prove
-    #    the TIMESTAMP_NTZ fix with a driver-green row
-    "q_range_join",
-    "q_sessionize",
-    # -- rotation: dedup family (last driver-checked round 2)
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    # q_pagerank (new this round) takes q_dedup_simhash's slot — the
-    # second iterative-graph shape gets a driver-green row; simhash
-    # keeps its in-repo parity test
-    "q_pagerank",
-    "q_dedup_clusters",
-    # -- similarity / ANN family (q_semantic_dedup is new in round 5 —
-    #    it replaces the O(n^2) q_sim_neardup slot with the clustered
-    #    scale path; q_sim_hamming_topk — binary quantization + Hamming
-    #    prefilter, also new — takes the random-hyperplane LSH slot;
-    #    neardup and lsh keep their in-repo parity tests)
-    "q_sim_topk",
-    "q_semantic_dedup",
-    "q_sim_hamming_topk",
-    # product-quantization ANN (new late round 5 — the 32x-compression
-    # ADC tier) takes the IVF slot; q_sim_ann_ivf was driver-green in
-    # r3/r4 and keeps its in-repo parity test
-    "q_sim_ann_pq",
-    "q_kmeans_clusters",
-    # -- text / corpus analytics (late round 5: the hybrid BM25+vector
-    #    RRF fusion takes q_lang_id's slot — lang-ID keeps its in-repo
-    #    parity test and still runs inside q_corpus_pipeline; the KS
-    #    drift monitor takes q_quality_score's sibling slot so the
-    #    drift/monitoring family gets its first driver-green row —
-    #    quality_score keeps its in-repo test and also runs inside
-    #    q_corpus_pipeline and q_quality_gate)
-    "q_text_stats",
-    "q_ks_drift",
-    "q_hybrid_search_rrf",
-    # corpus-level sketch-merge similarity (new round 5) takes the
-    # fingerprint slot; q_fingerprint keeps its in-repo parity test
-    "q_source_minhash_jaccard",
-    "q_bm25_search",
-    "q_tfidf_topterms",
-    "q_corpus_pipeline",
-    # -- training-data pipeline ops (round-5 additions swap in for their
-    #    nearest established sibling: train_shards for hash_split,
-    #    mixture_balance for sample_stratified — the swapped-out queries
+    # -- SURVEY.md §2 core, pinned (round 6 policy: flagship + one per
+    #    family — S/P/J/A/O/F/V — per the r5 verdict's rotation ask;
+    #    the remaining §2 rows have >=2 driver-green rounds each and
     #    keep their in-repo parity tests)
-    "q_train_shards",
-    "q_mixture_balance",
-    # the Bloom-sketch decontamination (new this round) takes the exact
-    # gram-join variant's slot; q_decontaminate keeps its in-repo test
-    "q_bloom_decontaminate",
-    # late round 5: DSIR importance weighting supersedes the unigram
-    # log-probability score as the data-selection flagship (same family,
-    # strictly richer: target/raw ratio vs raw-only); unigram keeps its
-    # in-repo parity test
-    "q_dsir_weights",
-    "q_pack_chunks",
-    # the compaction planner (new round 5, lakehouse maintenance op)
-    # takes the passage-dedup slot; q_passage_dedup keeps its in-repo
-    # parity test
-    "q_compaction_plan",
-    # -- event-time (late round 5: the CDC MERGE collapse takes the
-    #    tumbling-window slot — q_event_windows keeps its in-repo parity
-    #    test and its streaming twin q_stream_tumbling stays ==batch-
-    #    tested)
-    "q_cdc_apply",
-    "q_scd2_intervals",
+    "q_etl_replica",            # flagship: full ETL chain
+    "q_etl_replica_by_state",   # dashboard aggregate (V)
+    "q_etl_metrics",            # dashboard metrics row (V)
+    "q_csv_scan",               # S1: CSV reader with dtype override
+    "q_select_star",            # S3: SQL surface
+    "q_normalize_columns",      # P1: rename-all normalize
+    "q_try_cast_coerce",        # P2/F2: coerce-to-null cast
+    "q_inner_join",             # J1: broadcast inner equi-join
+    "q_groupby_avg_sorted",     # A5: group-mean + sort
+    "q_topk",                   # O1/O2: sort + limit
+    "q_format_number",          # F3: numeric formatting
+    # -- round-6 scale rewrites (two-phase bucketed carry) + ADVICE
+    #    fixes: each needs an externally-checked green row to prove the
+    #    rewrite kept oracle parity
+    "q_id_gap_detection",
+    "q_rfm_segmentation",
+    "q_gini_concentration",
+    "q_mann_whitney",
+    "q_quality_gains_chart",
+    "q_quantile_normalize",
+    "q_markov_stationary",
+    "q_personalized_pagerank",
+    "q_bootstrap_ci",
+    # -- never-driver-checked analytics/stats/mlops surface (the r5
+    #    verdict's rotation target: >=35 first-time-checked rows)
+    "q_kaplan_meier",
+    "q_holt_smoothing",
+    "q_bh_fdr",
+    "q_roc_auc",
+    "q_theil_sen",
+    "q_cuped_adjustment",
+    "q_shapley_attribution",
+    "q_welch_ttest",
+    "q_chi2_independence",
+    "q_ab_test_ztest",
+    "q_permutation_test",
+    "q_sequential_ab_monitor",
+    "q_power_analysis",
+    "q_anova_f",
+    "q_isotonic_calibration",
+    "q_calibration_ece",
+    "q_threshold_sweep",
+    "q_logistic_regression",
+    "q_ridge_regression",
+    "q_cusum_changepoint",
+    "q_seasonal_naive_backtest",
+    "q_watermark_audit",
+    "q_heaps_fit",
+    "q_zipf_fit",
+    "q_trigram_search",
+    "q_kanonymity_audit",
+    "q_gdpr_delete_plan",
+    "q_benford_audit",
+    "q_burstiness_fano",
+    "q_association_rules",
 )
 
 

@@ -247,9 +247,10 @@ def test_decontaminate_single_gram_pass(spark, sf_smoke):
 def test_driver_window_invariants():
     """The driver oracle-checks the FIRST 50 registered queries. The
     curated window must stay exactly 50 names, all registered, all
-    oracle-backed, with the 22 reference-parity rows pinned up front —
-    a rename or a rows-only query slipping in silently burns a checked
-    slot."""
+    oracle-backed. Round-6 policy (per the r5 verdict): the §2 core
+    shrinks to flagship + one per family (every other §2 row already
+    has >=2 driver-green rounds) and ~40 slots rotate to the
+    never-driver-checked analytics/mlops surface."""
     from healthcare_etl_spark.plans.registry import DRIVER_WINDOW, get_registry
 
     reg = get_registry()
@@ -258,17 +259,18 @@ def test_driver_window_invariants():
     assert list(reg)[:50] == list(DRIVER_WINDOW)
     for name in DRIVER_WINDOW:
         assert reg[name].oracle is not None, f"{name} is rows-only but in the window"
-    core = DRIVER_WINDOW[:22]
+    core = DRIVER_WINDOW[:11]
     for name in (
-        "q_etl_replica",
-        "q_scan_project",
-        "q_inner_join",
-        "q_count",
-        "q_groupby_avg_sorted",
-        "q_topk",
-        "q_format_number",
+        "q_etl_replica",       # flagship
+        "q_csv_scan",          # S
+        "q_try_cast_coerce",   # P
+        "q_inner_join",        # J
+        "q_groupby_avg_sorted",  # A
+        "q_topk",              # O
+        "q_format_number",     # F
+        "q_etl_metrics",       # V
     ):
-        assert name in core, f"§2-core row {name} must stay pinned"
+        assert name in core, f"§2-family representative {name} must stay pinned"
 
 
 def test_keyless_asof_join_no_single_partition_exchange(spark, sf_smoke):
@@ -515,3 +517,142 @@ def test_heaps_prefix_windows_are_bucketed(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(bkt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Partitionless-window gate (the single-partition-sort class killer)
+# ---------------------------------------------------------------------------
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Window nodes whose spec has an ORDER but no PARTITION (Spark moves
+    the whole frame to ONE partition). A Window line prints
+    ``Window [exprs], [partition], [order]`` — 3 top-level bracket
+    groups — when partitioned; partitionless-with-order prints 2 groups
+    with ASC/DESC markers in the second. ``[exprs], [partition]`` (an
+    unordered per-partition frame) is distributed and not flagged."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s\-])Window (\[.*)$", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        rest = m.group(1)
+        depth = 0
+        groups: list[str] = []
+        cur: list[str] = []
+        for ch in rest:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue
+        out.append(line.strip())
+    return out
+
+
+# Every query allowed to carry a partitionless (single-partition) window,
+# with the reason its frame is provably bounded. Anything else with one
+# fails the sweep — the same class-kill contract as the cartesian/row-UDF
+# sweep above.
+PARTITIONLESS_WINDOW_ALLOWLIST = {
+    # two-phase bucketed carry: the keyless window rides the bucket
+    # SUMMARY (data/4096 rows), never the data — operators/scale.py
+    "q_id_gap_detection": "bucket-summary prefix (data/4096)",
+    "q_rfm_segmentation": "bucket-summary offsets (3 axes)",
+    "q_gini_concentration": "bucket-summary offsets",
+    "q_mann_whitney": "bucket-summary prefix over distinct cents",
+    "q_quality_gains_chart": "bucket-summary offsets",
+    "q_quantile_normalize": "64-char-band summary offsets",
+    "q_watermark_audit": "bucket-maxima prefix (data/4096)",
+    "q_heaps_fit": "bucket-totals prefix (docs/4096)",
+    # day-series frames: one row per day after a data-sized partial agg
+    "q_moving_avg": "daily series",
+    "q_autocorr": "daily series",
+    "q_dod_growth": "daily series",
+    "q_ewma_smoothing": "daily series (recursive CTE seed)",
+    "q_error_budget_burn": "daily series",
+    "q_holt_smoothing": "daily series",
+    "q_cusum_changepoint": "daily series",
+    "q_seasonal_naive_backtest": "daily series",
+    "q_sequential_ab_monitor": "daily series",
+    "q_theil_sen": "daily series + day-pair slopes",
+    "q_share_of_total": "daily-series global share",
+    # fixed-cardinality grids / bins
+    "q_chi2_independence": "event_type x weekday grid",
+    "q_bh_fdr": "hypothesis grid (types x weekdays)",
+    "q_calibration_ece": "probability bins",
+    "q_dedup_threshold_profile": "similarity-threshold bins",
+    "q_kanonymity_audit": "k-class histogram (<=6 rows)",
+    "q_kaplan_meier": "distinct day-durations (horizon-bounded)",
+    # bounded by construction
+    "q_bootstrap_ci": "200 bootstrap replicates",
+    "q_zipf_fit": "post-LIMIT-1000 rank",
+    "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
+    "q_roc_auc": "6dp-rounded distinct scores (<=1e6)",
+    # rank-limit pushdown: WindowGroupLimit pre-truncates every input
+    # partition to k rows before the single-partition stage
+    "q_hybrid_search_rrf": "WindowGroupLimit k-truncated",
+    "q_bm25_search": "WindowGroupLimit k-truncated",
+}
+
+
+@pytest.mark.sf001
+def test_plan_sweep_no_unvetted_partitionless_window(spark, sf_smoke):
+    """Fleet-wide: no batch query may sort a data-scale frame in a
+    single partition. Offenders must appear in the allowlist above with
+    a bounded-frame justification; the sets must match EXACTLY so both
+    regressions (new offender) and stale entries (fixed query still
+    listed) fail."""
+    reg = get_registry()
+    offenders = {}
+    for name, q in reg.items():
+        if name.startswith("q_stream"):
+            continue
+        df = q.fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = _partitionless_windows(plan)
+        if hits:
+            offenders[name] = hits
+    unvetted = {k: v for k, v in offenders.items() if k not in PARTITIONLESS_WINDOW_ALLOWLIST}
+    stale = sorted(set(PARTITIONLESS_WINDOW_ALLOWLIST) - set(offenders))
+    assert unvetted == {}, f"unvetted single-partition windows: {unvetted}"
+    assert stale == [], f"stale allowlist entries (no longer offenders): {stale}"
+
+
+@pytest.mark.parametrize(
+    ("name", "extra_ok"),
+    [
+        ("q_id_gap_detection", ()),
+        ("q_rfm_segmentation", ()),
+        ("q_gini_concentration", ()),
+        ("q_mann_whitney", ()),
+        # the gains fold itself is a 10-row decile window — bounded
+        ("q_quality_gains_chart", ("decile",)),
+        ("q_quantile_normalize", ()),
+    ],
+)
+def test_bucketed_carry_windows_ride_summaries_only(spark, sf_smoke, name, extra_ok):
+    """The six global-order rewrites (two-phase bucketed carry,
+    operators/scale.py): phase 1 must be a DISTRIBUTED window
+    (hashpartitioning on the __bkt key) and every remaining
+    partitionless window must ride the __bkt bucket summary (or a
+    named, provably tiny frame) — never the data rows."""
+    df = get_registry()[name].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan
+    for line in _partitionless_windows(plan):
+        ok = "__bkt" in line or any(tok in line for tok in extra_ok)
+        assert ok, f"{name}: data-scale keyless window: {line[:160]}"
