@@ -175,11 +175,22 @@ def main() -> None:
         sf_val = sf
 
     total = round(sum(per_query.values()), 4)
+    # Stable round-over-round subtotals (the r5 verdict's bench-hygiene
+    # ask): the headline list grows every round, so the comparable
+    # signal is pinned name sets, emitted directly instead of being
+    # recomputed from the per-query map by the reader.
+    common16 = HEADLINE[:16]          # the r3 core minus iterative ops
+    common19 = common16 + ["q_corpus_pipeline", "q_dedup_clusters", "q_kmeans_clusters"]
+    subtotals = {
+        "common16": round(sum(per_query.get(q, 0.0) for q in common16), 4),
+        "common19": round(sum(per_query.get(q, 0.0) for q in common19), 4),
+    }
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "subtotals": subtotals,
         "sf": sf_val,
         "cpus": cpus,
     }

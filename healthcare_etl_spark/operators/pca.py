@@ -1,5 +1,5 @@
-"""PCA top principal component via power iteration — entirely in
-DataFrame expressions, no driver-side linear algebra.
+"""PCA top principal component via power iteration — distributed moment
+pass, driver-side O(d^2) iteration over the metadata-sized matrix.
 
 Extension beyond the reference (reference scope is the eager pandas ETL
 in ``etl_app/etl_script.py:74-119``): the dimensionality-reduction step
@@ -14,10 +14,10 @@ Shape, at 100 TB:
   immediately partial-aggregated — the same one-pass pattern as
   ``q_embedding_covariance``; the shuffle carries ~d^2 partial sums per
   map partition, never the vectors).
-- Power iteration then runs over the d-row covariance table: matvec =
-  one broadcast of the current d-vector + a left-to-right ``aggregate``
-  fold per row; re-normalization is a single 1-row assembly. Work per
-  iteration is O(d^2), independent of corpus size.
+- Power iteration runs on the DRIVER over the collected d x d matrix
+  (4096 doubles at d=64 — metadata, like IRLS coefficients or k-means
+  centroids). Work per iteration is O(d^2), independent of corpus
+  size, and costs no Spark job at all.
 - The final projection streams the corpus once more against the
   broadcast (mean, component) pair.
 
@@ -100,7 +100,6 @@ def pca_power_projection(
     n_iter: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Project every vector onto the top principal component learned by
     ``n_iter`` power-iteration rounds over the covariance matrix.
@@ -108,45 +107,44 @@ def pca_power_projection(
     Convergence is ``(lambda2/lambda1)^t`` — near-isotropic corpora
     (like the synthetic fixture, gap ~0.93) need ~32 rounds for cosine
     >0.96 to the true eigenvector; anisotropic real embedding spaces
-    converge in a handful. Iteration cost is O(d^2) per round,
-    INDEPENDENT of corpus size — only the one moment pass and the final
-    projection touch the data. No intermediate rounding: after the 6dp
-    covariance round-off, every fold is order-fixed IEEE arithmetic, so
-    the whole trajectory is bit-identical cross-engine; the v chain is
-    ``localCheckpoint``-ed every ``checkpoint_every`` rounds to bound
-    plan depth.
+    converge in a handful. Only the one moment pass and the final
+    projection touch the data; the d x d covariance (4096 doubles at
+    d=64) is METADATA, so the O(d^2)-per-round iteration runs on the
+    driver — the same discipline as the IRLS coefficients and the
+    Markov |types|^2 matrix. (The previous in-plan expression chain
+    spent its wall time compiling a 32-round Janino fold tree for zero
+    distribution benefit — r5 verdict task 7.)
+
+    Determinism: covariance and mean are 6dp-stable-rounded (the only
+    cross-engine-nondeterministic sums); the driver loop then folds
+    LEFT-TO-RIGHT in ascending j — the exact order the unrolled oracle
+    CTEs use — in IEEE doubles, so the learned component and all
+    projections stay bit-identical cross-engine.
 
     Returns (id_col, pc1) — the mean-centered dot product with the
     learned component, 6dp-rounded.
     """
+    import math
+
     cov, means = covariance_rows(emb, dim=dim, vec_col=vec_col)
-    # Assemble the whole d x d matrix into ONE row (array-of-arrays,
-    # ~4096 doubles) so every iteration is pure expression work on a
-    # single row — no per-round shuffle, no per-round assembly.
-    c_rows = cov.groupBy("i").agg(
-        F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("ps")
-    ).select("i", F.transform("ps", lambda s: s["cov"]).alias("crow"))
-    state = (
-        _as_array(c_rows.select("i", "crow"), "i", "crow", "Cm")
-        .withColumn(
-            "v", F.array(*[F.lit(1.0 / float(dim) ** 0.5) for _ in range(dim)])
-        )
-        .localCheckpoint(eager=False)
-    )
-    for t in range(n_iter):
-        state = state.withColumn(
-            "w",
-            F.transform(
-                "Cm", lambda row: _fold_sum(F.zip_with(row, F.col("v"), lambda a, b: a * b))
-            ),
-        )
-        state = state.withColumn("nrm", F.sqrt(_fold_sum(F.transform("w", lambda x: x * x))))
-        state = state.withColumn("v", F.transform("w", lambda x: x / F.col("nrm"))).drop(
-            "w", "nrm"
-        )
-        if (t + 1) % checkpoint_every == 0 and t + 1 < n_iter:
-            state = state.localCheckpoint(eager=False)
-    v_df = state.select("v")
+    C = [[0.0] * dim for _ in range(dim)]
+    for r in cov.collect():
+        C[r["i"]][r["j"]] = r["cov"]
+    v = [1.0 / float(dim) ** 0.5] * dim
+    for _ in range(n_iter):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + C[i][j] * v[j]
+            w.append(acc)
+        nrm2 = 0.0
+        for x in w:
+            nrm2 = nrm2 + x * x
+        nrm = math.sqrt(nrm2)
+        v = [x / nrm for x in w]
+    spark = emb.sparkSession
+    v_df = spark.range(1).select(F.array(*[F.lit(x) for x in v]).alias("v"))
     mean_v = _as_array(means, "i", "mean", "mv")
     centered = F.zip_with(vec_col, "mv", lambda x, m: x.cast("double") - m)
     proj = _fold_sum(F.zip_with(centered, F.col("v"), lambda d, vi: d * vi))

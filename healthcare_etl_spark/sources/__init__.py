@@ -1,5 +1,6 @@
 from healthcare_etl_spark.sources.readers import (
     TABLE_NAMES,
+    MissingInputError,
     load_table,
     read_csv,
     read_jdbc,
@@ -17,6 +18,7 @@ from healthcare_etl_spark.sources.writers import materialize, write_jdbc, write_
 
 __all__ = [
     "TABLE_NAMES",
+    "MissingInputError",
     "SyntheticDocsDataSource",
     "load_table",
     "materialize",

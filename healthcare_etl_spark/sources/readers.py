@@ -28,6 +28,37 @@ TABLE_NAMES = [
 ]
 
 
+class MissingInputError(FileNotFoundError):
+    """A scan's input path does not exist.
+
+    Graceful-exit parity with the reference (``etl_script.py:55-57``
+    catches FileNotFoundError and prints a clear message instead of a
+    stack trace): the engine raises ONE well-named error that names the
+    path, instead of letting Spark's AnalysisException surface as a JVM
+    trace."""
+
+
+def _check_local_path(path: str, *, what: str) -> None:
+    """Fail fast with a clear message when a LOCAL input path is absent.
+
+    Only plain local paths (and file: URIs) are checked — remote URIs
+    (s3://, hdfs://) are left to the scan, where a driver-side
+    existence probe would cost a round trip and race against writers.
+    """
+    import os
+
+    p = path
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    if "://" in p:
+        return
+    if not os.path.exists(p):
+        raise MissingInputError(
+            f"{what} input not found: {path!r} does not exist. "
+            "Check the path (and for fixture tables, the sf_dir)."
+        )
+
+
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Cast every ``timestamp_ntz`` column to plain ``timestamp``.
 
@@ -102,6 +133,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       DuckDB's ns->µs truncation on read.
     """
     path = f"{str(sf_dir).rstrip('/')}/{name}.parquet"
+    _check_local_path(path, what=f"table {name!r}")
     if name != "events":
         return _normalize_timestamps(spark.read.parquet(path))
 
@@ -151,7 +183,10 @@ def read_csv(
     PERMISSIVE mode matches pandas' tolerance of malformed rows; an
     explicit schema replaces the reference's ``dtype={'Facility ID':
     str}`` override (never let inference turn zero-padded IDs numeric).
+    Missing local paths raise :class:`MissingInputError` with the path
+    named (reference ``etl_script.py:55-57`` graceful-exit parity).
     """
+    _check_local_path(path, what="CSV")
     reader = (
         spark.read.option("header", header)
         .option("encoding", encoding)
@@ -175,11 +210,13 @@ def read_json(
     acceptable at 100 TB, so unlike ``read_csv`` there is no inference
     fallback here.
     """
+    _check_local_path(path, what="JSON")
     return spark.read.schema(schema).json(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — columnar with predicate pushdown, like parquet."""
+    _check_local_path(path, what="ORC")
     return spark.read.orc(path)
 
 

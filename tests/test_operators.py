@@ -490,3 +490,22 @@ def test_salted_join_spreads_and_guards(spark):
     assert n_groups > 2
     with pytest.raises(ValueError):
         salted_join(facts, dim, "k", "dk", how="full")
+
+
+def test_missing_input_raises_clear_error(spark, tmp_path):
+    """Graceful missing-input parity with reference etl_script.py:55-57:
+    a bad path must raise MissingInputError (a FileNotFoundError) whose
+    message names the path — never a JVM AnalysisException trace."""
+    import pytest as _pytest
+
+    from healthcare_etl_spark.sources import MissingInputError, load_table, read_csv
+
+    with _pytest.raises(MissingInputError) as ei:
+        load_table(spark, str(tmp_path / "nope"), "events")
+    msg = str(ei.value)
+    assert "events" in msg and "nope" in msg and "sf_dir" in msg
+
+    with _pytest.raises(MissingInputError) as ei:
+        read_csv(spark, str(tmp_path / "missing.csv"))
+    assert "missing.csv" in str(ei.value)
+    assert isinstance(ei.value, FileNotFoundError)
