@@ -595,3 +595,341 @@ def parse_mp4_meta(media: DataFrame, *, payload_col: str = "payload") -> DataFra
     return media.select("media_id", F.col(payload_col)).mapInPandas(
         parse, schema=MP4_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / sample decode kernels (r5 verdict task 4)
+#
+# The container stays codec-library-free, but these two paths are full
+# codecs, not header parsers: the PNG pair filters + zlib-compresses real
+# RGB scanlines and the decoder inflates + unfilters them back; the WAV
+# pair writes real little-endian int16 PCM and the decoder unpacks it.
+# decode_and_featurize keeps decode_stub=True for JPEG/MP4 (entropy
+# decode genuinely needs PIL/ffmpeg); PNG and WAV no longer need a stub.
+# ---------------------------------------------------------------------------
+
+PNG_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+WAV_SAMPLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_s", T.LongType(), True),
+        T.StructField("sum_s2", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def _png_pixel(mid: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic pixel rule — pure integer arithmetic on (media_id,
+    x, y) so a SQL oracle reproduces the pixel grid with two range()
+    cross joins and the SAME expressions, no image library anywhere."""
+    return (
+        (mid * 7 + x * 3 + y * 5) % 256,
+        (mid * 11 + x + 2 * y) % 256,
+        (mid + x * y) % 256,
+    )
+
+
+def encode_png_pixels(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encode a fully VALID RGB PNG per row — signature, IHDR, one
+    zlib-compressed IDAT of filtered scanlines, IEND, all CRCs.
+
+    Dimensions derive from the text's UTF-8 byte length (w = n%16+1,
+    h = n%8+1 — small on purpose: the kernel's point is real codec
+    plumbing, not pixel volume); pixels follow :func:`_png_pixel`.
+    Each scanline uses filter type ``y % 5``, so every PNG filter
+    (None/Sub/Up/Average/Paeth) is exercised on every image taller
+    than 4 rows — the decoder must implement real unfiltering to get
+    the pixels back."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def filt(raw: bytes, prior: bytes, ftype: int) -> bytes:
+        bpp = 3
+        out = bytearray()
+        for i, v in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i] if prior else 0
+            ul = prior[i - bpp] if (prior and i >= bpp) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out.append((v - pred) % 256)
+        return bytes(out)
+
+    def one(mid: int, text: str) -> bytes:
+        body = ("" if text is None else text).encode("utf-8")
+        n = len(body)
+        w, h = n % 16 + 1, n % 8 + 1
+        raw_lines = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                row.extend(_png_pixel(mid, x, y))
+            raw_lines.append(bytes(row))
+        stream = bytearray()
+        for y, raw in enumerate(raw_lines):
+            ftype = y % 5
+            prior = raw_lines[y - 1] if y > 0 else b""
+            stream.append(ftype)
+            stream.extend(filt(raw, prior, ftype))
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        return (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+            + chunk(b"IEND", b"")
+        )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        one(int(m), t) for m, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode, schema=PNG_MEDIA_SCHEMA
+    )
+
+
+def decode_png_pixel_stats(
+    media: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PNG decode over Arrow batches: walk the chunk list, inflate
+    the concatenated IDAT stream (zlib — stdlib, no codec library),
+    reverse all five scanline filters, and reduce the recovered pixels
+    to EXACT integer channel sums. Means/ratios are left to the caller
+    as Spark expressions so all float rounding happens engine-side
+    (stable_round), keeping the kernel integer-pure. Truncated or
+    non-PNG payloads yield NULL stats rather than poisoning the batch."""
+    import struct
+    import zlib
+
+    def unfilt(stream: bytes, w: int, h: int) -> list[int] | None:
+        bpp = 3
+        stride = w * bpp
+        if len(stream) != h * (stride + 1):
+            return None
+        sums = [0, 0, 0]
+        prior = bytes(stride)
+        pos = 0
+        for _y in range(h):
+            ftype = stream[pos]
+            pos += 1
+            line = stream[pos : pos + stride]
+            pos += stride
+            raw = bytearray()
+            for i, v in enumerate(line):
+                left = raw[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                elif ftype == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                else:
+                    return None
+                raw.append((v + pred) % 256)
+            for i in range(0, stride, bpp):
+                sums[0] += raw[i]
+                sums[1] += raw[i + 1]
+                sums[2] += raw[i + 2]
+            prior = bytes(raw)
+        return sums
+
+    def parse_one(b):
+        if b is None:
+            return (None, None, None, None, None, None)
+        b = bytes(b)
+        if not b.startswith(PNG_SIGNATURE):
+            return (None, None, None, None, None, None)
+        i = 8
+        w = h = None
+        idat = bytearray()
+        while i + 8 <= len(b):
+            (clen,) = struct.unpack(">I", b[i : i + 4])
+            ctype = b[i + 4 : i + 8]
+            data = b[i + 8 : i + 8 + clen]
+            if ctype == b"IHDR" and clen >= 13:
+                w, h = struct.unpack(">II", data[:8])
+                if data[8] != 8 or data[9] != 2:  # only 8-bit RGB here
+                    return (None, None, None, None, None, None)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+            i += 12 + clen
+        if w is None or not idat:
+            return (w, h, None, None, None, None)
+        try:
+            stream = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return (w, h, None, None, None, None)
+        sums = unfilt(stream, w, h)
+        if sums is None:
+            return (w, h, None, None, None, None)
+        return (w, h, w * h, sums[0], sums[1], sums[2])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "n_px": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "sum_r": pd.array([p[3] for p in parsed], dtype="Int64"),
+                    "sum_g": pd.array([p[4] for p in parsed], dtype="Int64"),
+                    "sum_b": pd.array([p[5] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=PNG_PIXEL_STATS_SCHEMA
+    )
+
+
+def _wav_sample(mid: int, k: int) -> int:
+    """Deterministic int16 PCM rule (sample index k across interleaved
+    channels) — SQL-reproducible like :func:`_png_pixel`."""
+    return ((mid * 31 + k * 7) % 4096) - 2048
+
+
+def encode_wav_pcm(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encode a valid RIFF/WAVE file with REAL little-endian int16 PCM
+    in the data chunk (frames = n%200+50, channels = n%2+1, rate from
+    the standard table by n%5; samples follow :func:`_wav_sample`) —
+    the audio sibling of :func:`encode_png_pixels`."""
+    import struct
+
+    def one(mid: int, text: str) -> bytes:
+        n = len(("" if text is None else text).encode("utf-8"))
+        rate = _WAV_RATES[n % 5]
+        channels = n % 2 + 1
+        frames = n % 200 + 50
+        n_samples = frames * channels
+        pcm = struct.pack(
+            f"<{n_samples}h", *[_wav_sample(mid, k) for k in range(n_samples)]
+        )
+        block_align = channels * 2
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+        )
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        one(int(m), t) for m, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode, schema=PNG_MEDIA_SCHEMA
+    )
+
+
+def decode_wav_sample_stats(
+    media: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PCM decode: walk the RIFF chunks, unpack the data chunk as
+    little-endian int16, reduce to exact integer moments (sum, sum of
+    squares, peak |s|). Mean/RMS are computed engine-side from the
+    integer moments so float rounding is identical cross-engine."""
+    import struct
+
+    def parse_one(b):
+        if b is None:
+            return (None, None, None, None)
+        b = bytes(b)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return (None, None, None, None)
+        i = 12
+        data = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"data":
+                data = b[i + 8 : i + 8 + clen]
+            i += 8 + clen + (clen & 1)
+        if data is None or len(data) % 2:
+            return (None, None, None, None)
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data)
+        s1 = sum(samples)
+        s2 = sum(s * s for s in samples)
+        peak = max((abs(s) for s in samples), default=0)
+        return (n, s1, s2, peak)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_samples": pd.array([p[0] for p in parsed], dtype="Int64"),
+                    "sum_s": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "sum_s2": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "peak": pd.array([p[3] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=WAV_SAMPLE_STATS_SCHEMA
+    )

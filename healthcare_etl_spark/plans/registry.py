@@ -147,12 +147,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_watermark_audit",
     "q_heaps_fit",
     "q_zipf_fit",
-    "q_trigram_search",
     "q_kanonymity_audit",
-    "q_gdpr_delete_plan",
     "q_benford_audit",
     "q_burstiness_fano",
     "q_association_rules",
+    # -- round-6 real codec kernels (PNG inflate+unfilter, int16 PCM):
+    #    first-time external proof of the decode chain; q_trigram_search
+    #    and q_gdpr_delete_plan ceded these slots and keep their in-repo
+    #    parity tests
+    "q_multimodal_pixel_stats",
+    "q_multimodal_wav_stats",
 )
 
 
