@@ -95,6 +95,15 @@ HEADLINE = [
     # and the two-phase bucketed prefix-max watermark audit
     "q_trigram_search",
     "q_watermark_audit",
+    # round-6: the bucketed-carry global-rank rewrites (tracked so the
+    # two-phase form stays cheap), the gram-heavy repetition/novelty
+    # corpus screens, and the real PNG pixel-decode kernel
+    "q_rfm_segmentation",
+    "q_gini_concentration",
+    "q_quantile_normalize",
+    "q_repetition_filter",
+    "q_ngram_novelty",
+    "q_multimodal_pixel_stats",
 ]
 
 

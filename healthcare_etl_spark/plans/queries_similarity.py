@@ -1125,3 +1125,90 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_projection(emb, dim=64, n_iter=32)
+
+
+def _register_dim_truncation() -> None:
+    cos_full = _COS.format(a="qv", b="cv")
+    cos_16 = _COS.format(a="qv[1:16]", b="cv[1:16]")
+
+    @register(
+        "q_dim_truncation_recall",
+        oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+ex AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                   (round({cos_full} * 1000000.0) / 1000000.0) DESC,
+                   neighbor_id ASC) AS rn
+        FROM c CROSS JOIN q
+    ) WHERE rn <= 10
+),
+tr AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                   (round({cos_16} * 1000000.0) / 1000000.0) DESC,
+                   neighbor_id ASC) AS rn
+        FROM c CROSS JOIN q
+    ) WHERE rn <= 10
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+       (round((count(t.neighbor_id) * 1.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS recall_at_10
+FROM ex e LEFT JOIN tr t
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""",
+        description=(
+            "Matryoshka-style dimension-truncation evaluation: recall@10 "
+            "of exact cosine search over the FIRST 16 of 64 embedding "
+            "dimensions against the full-dimension ranking — the "
+            "accuracy-vs-cost curve a team reads before shipping "
+            "truncated embeddings (4x memory/bandwidth cut at retrieval "
+            "time). Both sides reuse the rank-limit-pushdown cosine_topk "
+            "(no new operator); the truncation is a pure F.slice "
+            "projection, so the 16-dim pass reads 4x fewer vector bytes "
+            "end-to-end at scale."
+        ),
+        tags=("similarity", "extension", "evaluation", "vectors"),
+    )
+    def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.functions.rounding import stable_round
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        exact = cosine_topk(queries, corpus, k=10).select("query_id", "neighbor_id")
+        q16 = queries.withColumn("embedding", F.slice("embedding", 1, 16))
+        c16 = corpus.withColumn("embedding", F.slice("embedding", 1, 16))
+        trunc = cosine_topk(q16, c16, k=10).select(
+            F.col("query_id").alias("t_q"), F.col("neighbor_id").alias("t_n")
+        )
+        hits = (
+            exact.join(
+                trunc,
+                (exact["query_id"] == trunc["t_q"])
+                & (exact["neighbor_id"] == trunc["t_n"]),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("t_n").alias("n_hit"),
+            )
+        )
+        return hits.select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            stable_round(F.col("n_hit") * F.lit(1.0) / F.col("n_exact"), 6).alias(
+                "recall_at_10"
+            ),
+        )
+
+
+_register_dim_truncation()

@@ -663,3 +663,207 @@ def q_quality_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_capture_rate"),
         )
     )
+
+
+@register(
+    "q_repetition_filter",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+base AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq, t
+    FROM tok WHERE len(t) >= 5
+),
+bg AS (
+    SELECT doc_id, n_tok,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM base
+),
+bgc AS (
+    SELECT doc_id, n_tok, bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY 1, 2, 3
+),
+bgtop AS (
+    SELECT doc_id, bigram AS top_bigram, cnt AS top_cnt, n_tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, bigram ASC) AS rn
+        FROM bgc
+    ) WHERE rn = 1
+),
+g5 AS (
+    SELECT doc_id, n_tok,
+           unnest(range(1, n_tok - 3)) AS p,
+           t
+    FROM base
+),
+g5n AS (
+    SELECT doc_id, n_tok, p, array_to_string(t[p:p+4], ' ') AS gram FROM g5
+),
+g5c AS (
+    SELECT doc_id, n_tok, p,
+           count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+    FROM g5n
+),
+cov AS (
+    SELECT doc_id, CAST(count(DISTINCT q) AS BIGINT) AS n_cov
+    FROM (
+        SELECT doc_id, unnest(range(p, p + 5)) AS q
+        FROM g5c WHERE cnt >= 2
+    ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tok,
+       (round(((b.n_tok - b.n_uniq) * 1.0 / b.n_tok) * 1000000.0) / 1000000.0)
+           AS dup_tok_frac,
+       bt.top_bigram,
+       (round((bt.top_cnt * 1.0 / (b.n_tok - 1)) * 1000000.0) / 1000000.0)
+           AS top_bigram_frac,
+       (round((coalesce(c.n_cov, 0) * 1.0 / b.n_tok) * 1000000.0) / 1000000.0)
+           AS dup_5gram_frac,
+       ((b.n_tok - b.n_uniq) * 1.0 / b.n_tok <= 0.95
+        AND bt.top_cnt * 1.0 / (b.n_tok - 1) <= 0.2
+        AND coalesce(c.n_cov, 0) * 1.0 / b.n_tok <= 0.6) AS keep
+FROM base b
+JOIN bgtop bt ON bt.doc_id = b.doc_id
+LEFT JOIN cov c ON c.doc_id = b.doc_id
+""",
+    description=(
+        "Gopher-style intra-document repetition filters (Rae et al. "
+        "2021 §A1.1, adapted to word level): duplicate-token fraction, "
+        "the most frequent bigram's share of bigram slots, and the "
+        "fraction of token positions covered by any 5-gram occurring "
+        "twice or more in the same document (computed as a real "
+        "interval union over occurrence positions — overlapping "
+        "repeats are not double-counted). The standard template/"
+        "boilerplate screens an LLM curation pipeline applies after "
+        "per-doc quality scoring and before near-dup removal. All "
+        "shuffles ride (doc_id) or (doc_id, gram) keys; the only "
+        "windows are doc-partitioned."
+    ),
+    tags=("text", "extension", "quality", "corpus"),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        toks.alias("t"),
+    ).filter(F.col("n_tok") >= 5)
+
+    bg = base.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "explode(transform(sequence(1, cast(n_tok - 1 as int)),"
+            " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))))"
+        ).alias("bigram"),
+    )
+    bgc = bg.groupBy("doc_id", "n_tok", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bigram"))
+    bgtop = (
+        bgc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("cnt").alias("top_cnt"))
+    )
+
+    g5 = base.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "posexplode(transform(sequence(1, cast(n_tok - 4 as int)),"
+            " i -> array_join(slice(t, i, 5), ' ')))"
+        ).alias("p0", "gram"),
+    ).select("doc_id", "n_tok", (F.col("p0") + 1).alias("p"), "gram")
+    w_cnt = Window.partitionBy("doc_id", "gram")
+    g5c = g5.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+    cov = (
+        g5c.filter(F.col("cnt") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("q"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+
+    out = (
+        base.join(bgtop, "doc_id")
+        .join(cov, "doc_id", "left")
+        .withColumn("n_cov", F.coalesce("n_cov", F.lit(0)))
+    )
+    dup = (F.col("n_tok") - F.col("n_uniq")) * F.lit(1.0) / F.col("n_tok")
+    topf = F.col("top_cnt") * F.lit(1.0) / (F.col("n_tok") - 1)
+    covf = F.col("n_cov") * F.lit(1.0) / F.col("n_tok")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        stable_round(dup, 6).alias("dup_tok_frac"),
+        "top_bigram",
+        stable_round(topf, 6).alias("top_bigram_frac"),
+        stable_round(covf, 6).alias("dup_5gram_frac"),
+        ((dup <= 0.95) & (topf <= 0.2) & (covf <= 0.6)).alias("keep"),
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g8 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 6),
+                  i -> array_to_string(t[i:i+7], ' '))) AS gram
+    FROM tok WHERE len(t) >= 8
+),
+dfreq AS (
+    SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g8 GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       (round((sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000.0) / 1000000.0) AS novelty
+FROM g8 g JOIN dfreq d ON d.gram = g.gram
+GROUP BY g.doc_id
+""",
+    description=(
+        "Cross-document 8-gram novelty: per document, the fraction of "
+        "its (overlapping) 8-grams that appear in NO other document — "
+        "the memorization/boilerplate screen that separates original "
+        "text from template chaff, and the per-doc view of the corpus "
+        "duplication the MinHash pipeline removes pairwise. Two "
+        "shuffles: gram-keyed document-frequency aggregate, then the "
+        "doc-keyed rollup of the joined instances; at 100 TB the gram "
+        "key is the natural high-cardinality partitioner (no skew "
+        "beyond true boilerplate grams, which AQE splits)."
+    ),
+    tags=("text", "extension", "corpus", "dedup"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", F.size(toks).alias("n_tok"), toks.alias("t")).filter(
+        F.col("n_tok") >= 8
+    )
+    g8 = base.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, cast(n_tok - 7 as int)),"
+            " i -> array_join(slice(t, i, 8), ' ')))"
+        ).alias("gram"),
+    )
+    dfreq = g8.groupBy("gram").agg(F.count_distinct("doc_id").alias("n_docs"))
+    joined = g8.join(dfreq, "gram")
+    novel = F.when(F.col("n_docs") == 1, 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(novel).alias("n_novel"),
+        stable_round(F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("novelty"),
+    )
