@@ -3410,3 +3410,148 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         y=F.col("value"),
         lam=1.0,
     )
+
+
+@register(
+    "q_pivot_wide",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           sum(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+    FROM events GROUP BY 1, 2
+)
+SELECT day,
+       CAST(coalesce(max(CASE WHEN event_type = 'click'    THEN rev_cents END), 0) AS BIGINT) AS click_cents,
+       CAST(coalesce(max(CASE WHEN event_type = 'error'    THEN rev_cents END), 0) AS BIGINT) AS error_cents,
+       CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN rev_cents END), 0) AS BIGINT) AS purchase_cents,
+       CAST(coalesce(max(CASE WHEN event_type = 'signup'   THEN rev_cents END), 0) AS BIGINT) AS signup_cents,
+       CAST(coalesce(max(CASE WHEN event_type = 'view'     THEN rev_cents END), 0) AS BIGINT) AS view_cents
+FROM daily GROUP BY day
+""",
+    description=(
+        "Wide PIVOT (long -> columns), the reshape inverse of "
+        "q_unpivot: daily exact-cents revenue per event type spread "
+        "into one column per type via Spark's native pivot with an "
+        "EXPLICIT value list — never the two-pass values-discovery "
+        "form, which runs an extra distinct job and breaks plan "
+        "caching at 100 TB. One partial-aggregated shuffle on (day, "
+        "type), then the pivot rides the days-sized frame."
+    ),
+    tags=("analytics", "extension", "relational"),
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = daily.groupBy("day").pivot("event_type", types).agg(F.max("rev_cents"))
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_cents") for t in types],
+    )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           sum(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+grid AS (
+    -- DuckDB range() is end-exclusive; pad one day to match Spark's
+    -- inclusive sequence(d0, d1)
+    SELECT CAST(unnest(range(CAST(d0 AS TIMESTAMP),
+                             CAST(d1 AS TIMESTAMP) + INTERVAL '1 day',
+                             INTERVAL '1 day')) AS DATE) AS day
+    FROM bounds
+),
+joined AS (
+    SELECT g.day, d.rev_cents FROM grid g LEFT JOIN daily d ON d.day = g.day
+),
+bracketed AS (
+    SELECT day, rev_cents,
+           max(CASE WHEN rev_cents IS NOT NULL THEN day END)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+           last_value(rev_cents IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+           first_value(rev_cents IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+           min(CASE WHEN rev_cents IS NOT NULL THEN day END)
+               OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+    FROM joined
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       (rev_cents IS NOT NULL) AS observed,
+       (round((CASE
+           WHEN rev_cents IS NOT NULL THEN rev_cents / 100.0
+           WHEN prev_val IS NULL THEN next_val / 100.0
+           WHEN next_val IS NULL THEN prev_val / 100.0
+           ELSE (prev_val
+                 + (next_val - prev_val)
+                   * date_diff('day', prev_day, day)
+                   * 1.0 / date_diff('day', prev_day, next_day)) / 100.0
+       END) * 1000000.0) / 1000000.0) AS revenue
+FROM bracketed
+""",
+    description=(
+        "Linear interpolation over calendar gaps in the daily purchase "
+        "series — the numeric upgrade of q_gap_fill's previous-value "
+        "carry: missing days get the straight line between the "
+        "bracketing observed days ((next-prev) * elapsed/gap), edges "
+        "clamp to the nearest observation. Built from the generated "
+        "calendar grid + two IGNORE NULLS window carries (forward "
+        "last_value, backward first_value) over the days-sized frame; "
+        "interpolation arithmetic stays in exact cents until the one "
+        "rounded division."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    joined = grid.join(daily, "day", "left")
+    w_b = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_f = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("rev_cents").isNotNull(), F.col("day"))
+    bracketed = joined.select(
+        "day",
+        "rev_cents",
+        F.max(obs_day).over(w_b).alias("prev_day"),
+        F.last("rev_cents", ignorenulls=True).over(w_b).alias("prev_val"),
+        F.first("rev_cents", ignorenulls=True).over(w_f).alias("next_val"),
+        F.min(obs_day).over(w_f).alias("next_day"),
+    )
+    interp = (
+        F.when(F.col("rev_cents").isNotNull(), F.col("rev_cents") / 100.0)
+        .when(F.col("prev_val").isNull(), F.col("next_val") / 100.0)
+        .when(F.col("next_val").isNull(), F.col("prev_val") / 100.0)
+        .otherwise(
+            (
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val"))
+                * F.datediff("day", "prev_day")
+                * F.lit(1.0)
+                / F.datediff("next_day", "prev_day")
+            )
+            / 100.0
+        )
+    )
+    return bracketed.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("rev_cents").isNotNull().alias("observed"),
+        stable_round(interp, 6).alias("revenue"),
+    )

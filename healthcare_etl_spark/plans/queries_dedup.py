@@ -937,3 +937,80 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mm * 1.0 * sjk - sj * 1.0 * sj) / (mm * 1.0 * sjj - sj * 1.0 * sj), 6
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q_dup_span_extract",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g8 AS (
+    SELECT doc_id, unnest(range(1, len(t) - 6)) AS p, t
+    FROM tok WHERE len(t) >= 8
+),
+g8n AS (
+    SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS gram FROM g8
+),
+dfreq AS (
+    SELECT gram FROM g8n GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+),
+dup_pos AS (
+    SELECT g.doc_id, g.p,
+           row_number() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS rn
+    FROM g8n g JOIN dfreq d ON d.gram = g.gram
+),
+islands AS (
+    SELECT doc_id, p, p - rn AS island FROM dup_pos
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT)         AS span_start,
+       CAST(max(p) + 7 AS BIGINT)     AS span_end,
+       CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_id, island
+""",
+    description=(
+        "Duplicated-substring SPAN extraction (the ExactSubstr dedup of "
+        "Lee et al. 2022 'Deduplicating Training Data Makes Language "
+        "Models Better', word-level): positions whose 8-gram occurs in "
+        "more than one document, merged into maximal contiguous spans "
+        "per doc via gaps-and-islands (pos - row_number over the "
+        "doc-partitioned order) — the remove-the-span-not-the-document "
+        "alternative to MinHash whole-doc dedup. Suffix arrays do this "
+        "at byte granularity; the gram-join form is the shuffle-native "
+        "equivalent: one gram-keyed aggregate + one doc-partitioned "
+        "window, no data-scale keyless stage."
+    ),
+    tags=("dedup", "text", "extension", "corpus"),
+)
+def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", F.size(toks).alias("n_tok"), toks.alias("t")).filter(
+        F.col("n_tok") >= 8
+    )
+    g8 = base.select(
+        "doc_id",
+        F.expr(
+            "posexplode(transform(sequence(1, cast(n_tok - 7 as int)),"
+            " i -> array_join(slice(t, i, 8), ' ')))"
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    dfreq = (
+        g8.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    dup_pos = g8.join(dfreq, "gram").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = dup_pos.withColumn("island", F.col("p") - F.row_number().over(w))
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + 7).cast("long").alias("span_end"),
+        (F.max("p") + 8 - F.min("p")).cast("long").alias("span_tokens"),
+    ).drop("island")

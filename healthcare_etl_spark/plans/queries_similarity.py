@@ -1212,3 +1212,98 @@ GROUP BY e.query_id
 
 
 _register_dim_truncation()
+
+
+def _register_triplet_mining() -> None:
+    cos = _COS.format(a="av", b="cv")
+
+    @register(
+        "q_triplet_mining",
+        oracle=f"""
+WITH a AS (
+    SELECT vec_id AS a_id, label AS a_label, embedding AS av
+    FROM embeddings WHERE vec_id < 25
+),
+c AS (
+    SELECT vec_id AS n_id, label AS c_label, embedding AS cv
+    FROM embeddings WHERE vec_id >= 25
+),
+scored AS (
+    SELECT a_id, a_label, n_id, (c_label = a_label) AS same,
+           (round({cos} * 1000000.0) / 1000000.0) AS cosine
+    FROM c CROSS JOIN a
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id, same
+                      ORDER BY cosine DESC, n_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT a_id AS anchor_id,
+       max(a_label) AS anchor_label,
+       max(CASE WHEN same THEN n_id END)      AS pos_id,
+       max(CASE WHEN same THEN cosine END)    AS pos_cos,
+       max(CASE WHEN NOT same THEN n_id END)  AS neg_id,
+       max(CASE WHEN NOT same THEN cosine END) AS neg_cos,
+       (round((max(CASE WHEN same THEN cosine END)
+               - max(CASE WHEN NOT same THEN cosine END)) * 1000000.0) / 1000000.0)
+           AS margin
+FROM top GROUP BY a_id
+""",
+        description=(
+            "Hard-triplet mining for contrastive/metric training: per "
+            "anchor, the nearest SAME-label corpus vector (positive) and "
+            "the nearest DIFFERENT-label vector (hardest negative), with "
+            "the triplet margin pos_cos - neg_cos — the batch-mining "
+            "pass that decides which pairs are worth a gradient. One "
+            "broadcast of the anchor set over the streaming corpus and "
+            "ONE window partitioned by (anchor, same-label) — rank-limit "
+            "pushdown truncates per scan partition, so the shuffle moves "
+            "anchors x 2 x k rows, never the corpus; at 100 TB swap the "
+            "exact scan for the IVF/LSH candidate generation exactly as "
+            "in the ANN tier."
+        ),
+        tags=("similarity", "extension", "vectors", "ml-prep"),
+    )
+    def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from healthcare_etl_spark.functions.rounding import stable_round
+        from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        anchors = emb.filter(F.col("vec_id") < 25).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("av"),
+        )
+        corpus = emb.filter(F.col("vec_id") >= 25).select(
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("cv"),
+        )
+        scored = corpus.crossJoin(F.broadcast(anchors)).select(
+            "a_id",
+            "a_label",
+            "n_id",
+            (F.col("c_label") == F.col("a_label")).alias("same"),
+            stable_round(cosine_similarity("av", "cv"), 6).alias("cosine"),
+        )
+        w = Window.partitionBy("a_id", "same").orderBy(
+            F.desc("cosine"), F.asc("n_id")
+        )
+        top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        pos_cos = F.max(F.when(F.col("same"), F.col("cosine")))
+        neg_cos = F.max(F.when(~F.col("same"), F.col("cosine")))
+        return top.groupBy(F.col("a_id").alias("anchor_id")).agg(
+            F.max("a_label").alias("anchor_label"),
+            F.max(F.when(F.col("same"), F.col("n_id"))).alias("pos_id"),
+            pos_cos.alias("pos_cos"),
+            F.max(F.when(~F.col("same"), F.col("n_id"))).alias("neg_id"),
+            neg_cos.alias("neg_cos"),
+            stable_round(pos_cos - neg_cos, 6).alias("margin"),
+        )
+
+
+_register_triplet_mining()

@@ -590,6 +590,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_sequential_ab_monitor": "daily series",
     "q_theil_sen": "daily series + day-pair slopes",
     "q_share_of_total": "daily-series global share",
+    "q_interpolate_linear": "calendar-grid carries (days-sized)",
     # fixed-cardinality grids / bins
     "q_chi2_independence": "event_type x weekday grid",
     "q_bh_fdr": "hypothesis grid (types x weekdays)",
