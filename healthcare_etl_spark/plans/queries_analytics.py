@@ -3555,3 +3555,101 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").isNotNull().alias("observed"),
         stable_round(interp, 6).alias("revenue"),
     )
+
+
+@register(
+    "q_iqr_outliers",
+    oracle="""
+WITH cents AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+h AS (
+    SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+    FROM cents GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n FROM h GROUP BY 1),
+cum AS (
+    SELECT h.event_type, h.v, h.t, tt.n,
+           sum(h.t) OVER (PARTITION BY h.event_type ORDER BY h.v) AS c
+    FROM h JOIN tot tt ON tt.event_type = h.event_type
+),
+quart AS (
+    SELECT event_type, max(n) AS n,
+           min(CASE WHEN c >= ceil(n * 0.25) THEN v END) AS q1,
+           min(CASE WHEN c >= ceil(n * 0.75) THEN v END) AS q3
+    FROM cum GROUP BY event_type
+),
+fence AS (
+    SELECT event_type, n, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS lo,
+           q3 + 1.5 * (q3 - q1) AS hi
+    FROM quart
+)
+SELECT f.event_type, f.n,
+       (round((f.q1 / 100.0) * 1000000.0) / 1000000.0) AS q1,
+       (round((f.q3 / 100.0) * 1000000.0) / 1000000.0) AS q3,
+       CAST(coalesce(sum(CASE WHEN h.v < f.lo OR h.v > f.hi THEN h.t END), 0) AS BIGINT)
+           AS n_outliers,
+       (round((coalesce(sum(CASE WHEN h.v < f.lo OR h.v > f.hi THEN h.t END), 0)
+               * 1.0 / f.n) * 1000000.0) / 1000000.0) AS outlier_share
+FROM fence f JOIN h ON h.event_type = f.event_type
+GROUP BY f.event_type, f.n, f.q1, f.q3
+""",
+    description=(
+        "Tukey IQR outlier screen per event type with EXACT quartiles "
+        "and no data-scale sort: values collapse to an exact-cents "
+        "histogram (group by type x cent-value), quartiles are order "
+        "statistics read off the cumulative histogram (first value "
+        "whose running count reaches ceil(0.25n)/ceil(0.75n) — the "
+        "discrete 'lower' quantile, so both engines agree with zero "
+        "interpolation), fences at 1.5 IQR, and the outlier count is a "
+        "conditional re-aggregation of the same histogram. The only "
+        "window rides distinct (type, cent) rows — bounded by the value "
+        "range, not the row count — making this the grouped-quantile "
+        "pattern that replaces per-row ntile/percent_rank at 100 TB. "
+        "Complements q_anomaly_mad (robust center) and "
+        "q_winsorized_mean (trimming) in the outlier toolkit."
+    ),
+    tags=("analytics", "extension", "quality", "stats"),
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    h = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("t"))
+    tot = h.groupBy("event_type").agg(F.sum("t").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    cum = h.join(tot, "event_type").withColumn("c", F.sum("t").over(w))
+    quart = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("c") >= F.ceil(F.col("n") * 0.25), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("c") >= F.ceil(F.col("n") * 0.75), F.col("v"))).alias("q3"),
+    )
+    fence = quart.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = F.when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), F.col("t"))
+    return (
+        h.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.coalesce(F.sum(out), F.lit(0)).alias("n_outliers"),
+            stable_round(
+                F.coalesce(F.sum(out), F.lit(0)) * F.lit(1.0) / F.col("n"), 6
+            ).alias("outlier_share"),
+        )
+        .select(
+            "event_type",
+            "n",
+            stable_round(F.col("q1") / 100.0, 6).alias("q1"),
+            stable_round(F.col("q3") / 100.0, 6).alias("q3"),
+            "n_outliers",
+            "outlier_share",
+        )
+    )

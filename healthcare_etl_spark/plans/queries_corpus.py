@@ -831,3 +831,94 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.join(glob.select("gi", "gval"), "gi").select(
         "doc_id", "source", "n_chars", F.col("gval").alias("norm_chars")
     )
+
+
+@register(
+    "q_pmi_collocations",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+    SELECT unnest(t) AS w FROM tok
+),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w),
+utot AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM ucnt),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM tok WHERE len(t) >= 2
+),
+bcnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_bg FROM bg GROUP BY bigram),
+btot AS (SELECT CAST(sum(n_bg) AS BIGINT) AS n_big FROM bcnt),
+scored AS (
+    SELECT b.bigram, b.n_bg,
+           string_split(b.bigram, ' ')[1] AS w1,
+           string_split(b.bigram, ' ')[2] AS w2
+    FROM bcnt b WHERE b.n_bg >= 5
+)
+SELECT s.bigram, s.n_bg,
+       (round(ln((s.n_bg * 1.0 / bt.n_big)
+              / ((u1.n * 1.0 / ut.n_uni) * (u2.n * 1.0 / ut.n_uni)))
+              * 1000000.0) / 1000000.0) AS pmi
+FROM scored s
+JOIN ucnt u1 ON u1.w = s.w1
+JOIN ucnt u2 ON u2.w = s.w2
+CROSS JOIN utot ut CROSS JOIN btot bt
+ORDER BY pmi DESC, s.bigram ASC
+LIMIT 50
+""",
+    description=(
+        "PMI collocation mining: pointwise mutual information "
+        "ln(p(w1,w2) / (p(w1) p(w2))) over adjacent token pairs with a "
+        "min-count floor (5), top-50 — the classic phrase/collocation "
+        "detector (Church & Hanks 1990) used to decide which bigrams "
+        "deserve single-token treatment in a tokenizer vocabulary. Two "
+        "token-keyed aggregates (unigram, bigram) + two broadcast "
+        "dimension joins of the count tables back onto the surviving "
+        "bigrams; the top-50 is a fused TakeOrderedAndProject."
+    ),
+    tags=("corpus", "extension", "text"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = docs.select(F.size(toks).alias("n_tok"), toks.alias("t"))
+    uni = tok.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    utot = ucnt.agg(F.sum("n").alias("n_uni"))
+    bg = tok.filter(F.col("n_tok") >= 2).select(
+        F.expr(
+            "explode(transform(sequence(1, cast(n_tok - 1 as int)),"
+            " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))))"
+        ).alias("bigram")
+    )
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bg"))
+    btot = bcnt.agg(F.sum("n_bg").alias("n_big"))
+    scored = bcnt.filter(F.col("n_bg") >= 5).select(
+        "bigram",
+        "n_bg",
+        F.split("bigram", " ")[0].alias("w1"),
+        F.split("bigram", " ")[1].alias("w2"),
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    joined = (
+        scored.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.log(
+        (F.col("n_bg") * F.lit(1.0) / F.col("n_big"))
+        / (
+            (F.col("n1") * F.lit(1.0) / F.col("n_uni"))
+            * (F.col("n2") * F.lit(1.0) / F.col("n_uni"))
+        )
+    )
+    return (
+        joined.select("bigram", "n_bg", stable_round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(50)
+    )

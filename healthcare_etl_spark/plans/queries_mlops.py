@@ -2946,3 +2946,68 @@ def _register_threshold_sweep() -> None:
 
 
 _register_threshold_sweep()
+
+
+@register(
+    "q_ab_srm_check",
+    oracle="""
+WITH assigned AS (
+    SELECT DISTINCT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2) = 0 AS in_a
+    FROM events
+),
+counts AS (
+    SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+    FROM assigned
+)
+SELECT n_a, n_b,
+       (round(((n_a - (n_a + n_b) * 0.5) * (n_a - (n_a + n_b) * 0.5)
+               / ((n_a + n_b) * 0.5)
+             + (n_b - (n_a + n_b) * 0.5) * (n_b - (n_a + n_b) * 0.5)
+               / ((n_a + n_b) * 0.5)) * 1000000.0) / 1000000.0) AS chi2,
+       ((n_a - (n_a + n_b) * 0.5) * (n_a - (n_a + n_b) * 0.5)
+          / ((n_a + n_b) * 0.5)
+        + (n_b - (n_a + n_b) * 0.5) * (n_b - (n_a + n_b) * 0.5)
+          / ((n_a + n_b) * 0.5)) > 3.841 AS srm_flag
+FROM counts
+""",
+    description=(
+        "Sample-ratio-mismatch guardrail for the md5 50/50 experiment "
+        "assignment every A/B query in this repo shares: one-degree "
+        "chi-square of observed arm sizes against the expected 50/50, "
+        "flagged at the 0.05 critical value (3.841). The FIRST check an "
+        "experimentation platform runs — a failed SRM invalidates every "
+        "downstream test (z, Welch, Mann-Whitney, CUPED) regardless of "
+        "p-value. One distinct-user aggregate; the chi-square is a "
+        "1-row fold."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    assigned = ev.select("user_id", in_a.alias("in_a")).distinct()
+    counts = assigned.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) * F.lit(0.5)
+    chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return counts.select(
+        "n_a",
+        "n_b",
+        stable_round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )
