@@ -1,9 +1,15 @@
 """Multimodal-column queries (extension surface).
 
-The metadata pass (size/checksum/type) is oracle-checked — byte-level
-operations are deterministic in both engines. The decode+featurize pass
-runs the real ``mapInPandas`` plumbing with a stub kernel and is checked
-rows-only (its SQL mirror would just re-state the stub arithmetic).
+Three tiers, all oracle-checked:
+- metadata (size/checksum/type): byte-level, deterministic both engines;
+- container round-trips (PNG/WAV/MP4 header encode -> parse): real
+  binary layout parsing, oracles predict the fields arithmetically;
+- REAL codec round-trips (q_multimodal_pixel_stats /
+  q_multimodal_wav_stats): full PNG filter+inflate+unfilter and int16
+  PCM decode — the pixel/sample rules are pure integer functions, so
+  the oracles regenerate the grids with range() joins.
+Only JPEG/MP4 entropy decode remains stubbed (needs PIL/ffmpeg,
+absent in this container) — decode_and_featurize documents that.
 """
 
 from __future__ import annotations

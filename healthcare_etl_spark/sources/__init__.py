@@ -5,6 +5,7 @@ from healthcare_etl_spark.sources.readers import (
     read_csv,
     read_jdbc,
 )
+from healthcare_etl_spark.sources.config import jdbc_config_from_env
 from healthcare_etl_spark.sources.retry import (
     read_jdbc_with_retry,
     with_retry,
@@ -20,6 +21,7 @@ __all__ = [
     "TABLE_NAMES",
     "MissingInputError",
     "SyntheticDocsDataSource",
+    "jdbc_config_from_env",
     "load_table",
     "materialize",
     "read_csv",

@@ -593,3 +593,61 @@ def test_jdbc_overwrite_truncate_vs_drop_live_derby(spark, tmp_path):
     write_jdbc(narrow, url, "t", mode="overwrite", properties=props)
     back2 = read_jdbc(spark, url, "t", properties=props)
     assert [c.lower() for c in back2.columns] == ["a"]
+
+
+def test_parquet_schema_evolution_merge_and_pushdown(spark, tmp_path):
+    """Schema evolution on the parquet sink/scan path: a second batch
+    adds a column; reading with mergeSchema unions the schemas (old
+    rows NULL-filled) and filters on the ORIGINAL column still push
+    down to the scan. The lakehouse-adjacent behavior a long-lived
+    100 TB table depends on when producers add fields."""
+    from healthcare_etl_spark.sources.writers import write_table
+
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    write_table(v1, p, mode="overwrite")
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    write_table(v2, p, mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert sorted(merged.columns) == ["id", "name", "score"]
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+
+    plan = (
+        merged.filter(merged.id > 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(id,1)" in plan
+
+
+def test_jdbc_config_from_env_defaults_and_overrides():
+    """Env-driven connection config parity (etl_script.py:133-136):
+    reference defaults when unset, env values when set, credentials in
+    properties (never in the URL)."""
+    from healthcare_etl_spark.sources import jdbc_config_from_env
+
+    url, props = jdbc_config_from_env(env={})
+    assert url == "jdbc:postgresql://localhost:5432/postgres"
+    assert props["user"] == "postgres" and props["driver"] == "org.postgresql.Driver"
+
+    url2, props2 = jdbc_config_from_env(
+        env={
+            "DB_HOST": "db.internal",
+            "DB_PORT": "6543",
+            "DB_NAME": "etl",
+            "DB_USER": "svc",
+            "DB_PASSWORD": "s3cret",
+        }
+    )
+    assert url2 == "jdbc:postgresql://db.internal:6543/etl"
+    assert props2 == {
+        "user": "svc",
+        "password": "s3cret",
+        "driver": "org.postgresql.Driver",
+    }
+    assert "s3cret" not in url2
