@@ -3011,3 +3011,100 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841)).alias("srm_flag"),
     )
+
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM u GROUP BY x),
+rx AS (
+    SELECT v,
+           2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             + t + 1 AS r2
+    FROM hx
+),
+hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS t FROM u GROUP BY y),
+ry AS (
+    SELECT v,
+           2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             + t + 1 AS r2
+    FROM hy
+),
+j AS (
+    SELECT rx.r2 AS a, ry.r2 AS b
+    FROM u JOIN rx ON rx.v = u.x JOIN ry ON ry.v = u.y
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+           CAST(sum(a * b) AS BIGINT) AS sab,
+           CAST(sum(a * a) AS BIGINT) AS saa,
+           CAST(sum(b * b) AS BIGINT) AS sbb
+    FROM j
+)
+SELECT n AS n_users,
+       (round(((n * sab - sa * sb)
+               / sqrt((n * saa - sa * sa) * 1.0 * (n * sbb - sb * sb)))
+              * 1000000.0) / 1000000.0) AS spearman_rho
+FROM m
+""",
+    description=(
+        "Spearman rank correlation between per-user click and purchase "
+        "counts — the monotone-association complement to the Pearson "
+        "q_event_type_correlation (robust to the heavy-tailed count "
+        "distributions engagement metrics actually have). Tie handling "
+        "is EXACT via the doubled-average-rank trick shared with "
+        "q_mann_whitney / q_roc_auc: per distinct value, 2*avg_rank = "
+        "2*cum_before + t + 1 stays an integer, so every moment "
+        "(Σa, Σab, Σa²) folds in BIGINT and rho is one final float "
+        "expression (correlation is scale-invariant, so doubling "
+        "cancels). The rank prefixes ride the DISTINCT-count tables, "
+        "never user rows; at 100x user counts the same two-phase "
+        "bucketed carry as q_mann_whitney applies (the distinct-count "
+        "frames here are activity-bounded, i.e. max events per user). "
+        "BIGINT moments hold to ~1e5 users per the 4n^3 bound; the "
+        "DECIMAL(38) swap is the documented scale path."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+
+    def rank2(col: str):
+        h = u.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return h.select(
+            "v",
+            (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias("r2"),
+        )
+
+    rx = rank2("x").select(F.col("v").alias("x"), F.col("r2").alias("a"))
+    ry = rank2("y").select(F.col("v").alias("y"), F.col("r2").alias("b"))
+    j = u.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    num = n * F.col("sab") - sa * sb
+    den = F.sqrt((n * F.col("saa") - sa * sa) * F.lit(1.0) * (n * F.col("sbb") - sb * sb))
+    return m.select(
+        n.alias("n_users"),
+        stable_round(num / den, 6).alias("spearman_rho"),
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from healthcare_etl_spark.functions.rounding import stable_round
 
@@ -221,6 +222,89 @@ def run_streaming_dedup(
     )
 
 
+
+
+def run_streaming_sliding_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    k: int = 3,
+    watermark: str = "10 minutes",
+    query_name: str = "stream_sliding_topk",
+    source_opts: dict | None = None,
+) -> DataFrame:
+    """Sliding-window trending top-k: per overlapping (window, slide)
+    frame, the k most frequent event types — the live "what's trending
+    now" tile. The STATEFUL part (sliding windowed counts under a
+    watermark) runs as the stream; the rank-and-truncate runs on the
+    materialized sink frame, exactly where a dashboard query would do
+    it — per-key ranking over a streaming aggregate is not an
+    incremental operator, and pushing it into the stream would force
+    complete-mode recomputation of every window anyway."""
+    ev = streaming_events(spark, sf_dir, **(source_opts or {}))
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(query_name)
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sink.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def batch_sliding_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Batch twin of :func:`run_streaming_sliding_topk` (F.window works
+    identically on batch frames) — the equivalence anchor."""
+    from healthcare_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def register_streaming_queries() -> None:
     """Register streaming jobs in the main registry (rows-only checks —
     the driver can execute them; equivalence to the oracle-checked batch
@@ -255,6 +339,16 @@ def register_streaming_queries() -> None:
         ),
         tags=("streaming", "dedup", "extension"),
     )(lambda spark, sf_dir: run_streaming_dedup(spark, sf_dir, query_name="q_stream_dedup_sink"))
+
+    register(
+        "q_stream_sliding_topk",
+        description=(
+            "Structured Streaming sliding-window (1h window / 15min slide) trending "
+            "top-3 event types: stateful overlapping-window counts under a watermark, "
+            "ranked on the sink frame. Equals the batch twin on replay; unit-tested."
+        ),
+        tags=("streaming", "extension"),
+    )(lambda spark, sf_dir: run_streaming_sliding_topk(spark, sf_dir, query_name="q_stream_sliding_topk_sink"))
 
     def _stream_psi(spark, sf_dir):
         from healthcare_etl_spark.streaming.drift import run_streaming_psi_drift

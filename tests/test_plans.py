@@ -591,6 +591,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_theil_sen": "daily series + day-pair slopes",
     "q_share_of_total": "daily-series global share",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
+    "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
     # fixed-cardinality grids / bins
     "q_chi2_independence": "event_type x weekday grid",
     "q_bh_fdr": "hypothesis grid (types x weekdays)",
