@@ -3653,3 +3653,77 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_share",
         )
     )
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+WITH obs AS (
+    SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS wd,
+           CAST(count(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+ct AS (SELECT wd, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+chi AS (
+    SELECT sum((o.o - rt.r * 1.0 * ct.c / n.n) * (o.o - rt.r * 1.0 * ct.c / n.n)
+               / (rt.r * 1.0 * ct.c / n.n)) AS chi2,
+           max(n.n) AS n,
+           CAST(count(DISTINCT o.event_type) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o.wd) AS BIGINT) AS n_cols
+    FROM obs o
+    JOIN rt ON rt.event_type = o.event_type
+    JOIN ct ON ct.wd = o.wd
+    CROSS JOIN n
+)
+SELECT n, n_rows, n_cols,
+       (round(chi2 * 1000000.0) / 1000000.0) AS chi2,
+       (round(sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))) * 1000000.0) / 1000000.0)
+           AS cramers_v
+FROM chi
+""",
+    description=(
+        "Cramer's V effect size for the event_type x weekday "
+        "association — the magnitude companion to q_chi2_independence's "
+        "test statistic (chi-square grows with n and always "
+        "'significant' at 100 TB; V = sqrt(chi2 / (n * min(r-1, c-1))) "
+        "is the scale-free number a practitioner actually reads). Same "
+        "one-pass contingency build (types x 7 grid); the V fold is one "
+        "row."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts")).cast("long").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("wd").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.lit(1.0) * F.col("c") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "wd")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.max("n").alias("n"),
+            F.count_distinct("event_type").alias("n_rows"),
+            F.count_distinct("wd").alias("n_cols"),
+        )
+    )
+    return chi.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        stable_round(F.col("chi2"), 6).alias("chi2"),
+        stable_round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

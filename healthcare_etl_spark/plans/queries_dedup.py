@@ -984,11 +984,15 @@ GROUP BY doc_id, island
     ),
     tags=("dedup", "text", "extension", "corpus"),
 )
-def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_spans(docs: DataFrame) -> DataFrame:
+    """Shared span machinery for q_dup_span_extract /
+    q_span_removal_stats: (doc_id, span_start, span_end, span_tokens)
+    for every maximal run of positions whose 8-gram occurs in more than
+    one document. See q_dup_span_extract's description for the design.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     base = docs.select("doc_id", F.size(toks).alias("n_tok"), toks.alias("t")).filter(
         F.col("n_tok") >= 8
@@ -1014,3 +1018,92 @@ def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p") + 7).cast("long").alias("span_end"),
         (F.max("p") + 8 - F.min("p")).cast("long").alias("span_tokens"),
     ).drop("island")
+
+
+def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_span_removal_stats",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g8 AS (
+    SELECT doc_id, unnest(range(1, len(t) - 6)) AS p, t
+    FROM tok WHERE len(t) >= 8
+),
+g8n AS (
+    SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS gram FROM g8
+),
+dfreq AS (
+    SELECT gram FROM g8n GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+),
+dup_pos AS (
+    SELECT g.doc_id, g.p,
+           row_number() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS rn
+    FROM g8n g JOIN dfreq d ON d.gram = g.gram
+),
+spans AS (
+    SELECT doc_id, max(p) + 8 - min(p) AS span_tokens
+    FROM (SELECT doc_id, p, p - rn AS island FROM dup_pos)
+    GROUP BY doc_id, island
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS st,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.st IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_affected_docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(p.st), 0) AS BIGINT) AS span_tokens,
+       (round((coalesce(sum(p.st), 0) * 1.0 / sum(len(string_split(d.text, ' '))))
+              * 1000000.0) / 1000000.0) AS span_token_share,
+       (round((sum(CASE WHEN p.st IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000.0) / 1000000.0) AS affected_doc_share
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source
+""",
+    description=(
+        "Span-removal cost model per source: how many tokens would "
+        "ExactSubstr-style span deletion remove, and what fraction of "
+        "documents are touched — the numbers that decide between "
+        "surgical span removal (keeps the unique remainder of partially-"
+        "duplicated docs) and whole-document dropping (cheap but "
+        "deletes the remainder too). Shares _dup_spans with "
+        "q_dup_span_extract; one extra per-doc rollup + a source-keyed "
+        "aggregate over the LEFT join (unaffected docs count with zero "
+        "span tokens)."
+    ),
+    tags=("dedup", "text", "extension", "corpus"),
+)
+def q_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        _dup_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("st"), F.count(F.lit(1)).alias("n_spans"))
+    )
+    joined = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    ).join(per_doc, "doc_id", "left")
+    affected = F.when(F.col("st").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(affected).alias("n_affected_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.coalesce(F.sum("st"), F.lit(0)).alias("span_tokens"),
+        stable_round(
+            F.coalesce(F.sum("st"), F.lit(0)) * F.lit(1.0) / F.sum("n_tok"), 6
+        ).alias("span_token_share"),
+        stable_round(F.sum(affected) * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "affected_doc_share"
+        ),
+    )
