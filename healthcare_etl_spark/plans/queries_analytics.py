@@ -3727,3 +3727,87 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "q_stl_decompose",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tr AS (
+    SELECT day, cents,
+           CASE WHEN count(*) OVER w = 7
+                THEN (round((avg(cents * 1.0) OVER w) * 1000000.0) / 1000000.0)
+           END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+    SELECT CAST(dayofweek(day) AS BIGINT) AS wd,
+           (round(avg(cents - trend) * 1000000.0) / 1000000.0) AS seasonal
+    FROM tr WHERE trend IS NOT NULL
+    GROUP BY 1
+)
+SELECT CAST(t.day AS VARCHAR) AS day,
+       (round((t.cents / 100.0) * 1000000.0) / 1000000.0) AS revenue,
+       (round((t.trend / 100.0) * 1000000.0) / 1000000.0) AS trend,
+       (round((s.seasonal / 100.0) * 1000000.0) / 1000000.0) AS seasonal,
+       (round(((t.cents - t.trend - s.seasonal) / 100.0) * 1000000.0) / 1000000.0)
+           AS residual
+FROM tr t JOIN seas s ON s.wd = CAST(dayofweek(t.day) AS BIGINT)
+WHERE t.trend IS NOT NULL
+""",
+    description=(
+        "STL-lite seasonal decomposition of daily purchase revenue: "
+        "trend = centered 7-day moving average (emitted only where the "
+        "full week exists, so edges don't bias), weekday seasonal = "
+        "mean detrended value per day-of-week, residual = the "
+        "remainder — the decomposition behind 'is Monday always like "
+        "this, or is something wrong?' and the preprocessing step for "
+        "q_seasonal_anomaly-style alerting. Revenue stays exact cents "
+        "until the rounded divisions; all windows ride the days-sized "
+        "series; the 7-class seasonal table broadcasts back."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            stable_round(F.avg(F.col("cents") * F.lit(1.0)).over(w), 6),
+        ).alias("trend"),
+    )
+    # Spark dayofweek == DuckDB dayofweek + 1; label only feeds the
+    # self-join, so the offset cancels as long as BOTH sides are
+    # consistent within themselves.
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(F.dayofweek("day").cast("long").alias("wd"))
+        .agg(stable_round(F.avg(F.col("cents") - F.col("trend")), 6).alias("seasonal"))
+    )
+    out = (
+        tr.filter(F.col("trend").isNotNull())
+        .withColumn("wd", F.dayofweek("day").cast("long"))
+        .join(F.broadcast(seas), "wd")
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        stable_round(F.col("cents") / 100.0, 6).alias("revenue"),
+        stable_round(F.col("trend") / 100.0, 6).alias("trend"),
+        stable_round(F.col("seasonal") / 100.0, 6).alias("seasonal"),
+        stable_round(
+            (F.col("cents") - F.col("trend") - F.col("seasonal")) / 100.0, 6
+        ).alias("residual"),
+    )

@@ -1107,3 +1107,94 @@ def q_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "affected_doc_share"
         ),
     )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled k-core peel: each round recomputes degrees over the
+    surviving edge set and drops nodes below k; ``rounds`` is FIXED on
+    both engines (extra rounds past convergence are no-ops), so the
+    iterates match without a convergence handshake.
+
+    Every per-round CTE is ``AS MATERIALIZED``: DuckDB inlines plain
+    CTEs, and e_i references e_{i-1} three times, so an un-materialized
+    unroll expands to 3^rounds copies of the base scan (fd exhaustion
+    at rounds=8). Materializing makes each round compute once."""
+    parts = [
+        f"WITH {_jaccard_pairs_ctes()},",
+        """
+e0 AS MATERIALIZED (
+    SELECT doc_a AS u, doc_b AS v FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+)""",
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k})"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+    SELECT e.u, e.v FROM {prev} e
+    JOIN k{i} a ON a.u = e.u
+    JOIN k{i} b ON b.u = e.v
+)"""
+        )
+        prev = f"e{i}"
+    body = ",\n".join(p.strip() for p in parts[1:])
+    return (
+        parts[0]
+        + "\n"
+        + body
+        + f"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM {prev} GROUP BY u"
+    )
+
+
+@register(
+    "q_kcore_peel",
+    oracle=_kcore_oracle(2, 8),
+    description=(
+        "k-core decomposition (k=2, 8 fixed peel rounds) of the "
+        "near-dup similarity graph: repeatedly drop nodes whose "
+        "degree falls below k until stable — the densest-substructure "
+        "extractor that separates true duplicate CLUSTERS from "
+        "incidental pairwise matches (a 2-core keeps triangles and "
+        "denser, sheds the hairlike chains LSH false positives form). "
+        "Each round is one degree aggregate + two semi-join-shaped "
+        "edge filters, all keyed on the node id; rounds are fixed on "
+        "both engines so the unrolled oracle matches without a "
+        "convergence handshake; edge lineage localCheckpoints every "
+        "other round (the q_dedup_clusters discipline)."
+    ),
+    tags=("dedup", "extension", "iterative", "graph"),
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for i in range(8):
+        keep = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
+            .select("u")
+        )
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+        )
+        if (i + 1) % 2 == 0:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -1,3 +1,8 @@
+"""Streaming==batch equivalence tests for jobs added after the main
+streaming suite (see tests/test_extensions.py for the original eight).
+"""
+
+from __future__ import annotations
 
 
 def test_stream_sliding_topk_equals_batch(spark, sf_smoke):
