@@ -3811,3 +3811,231 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - F.col("trend") - F.col("seasonal")) / 100.0, 6
         ).alias("residual"),
     )
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS rev_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT CAST(sum(CASE WHEN (a.rev_cents - b.rev_cents)
+                           * (a.active_users - b.active_users) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN (a.rev_cents - b.rev_cents)
+                           * (a.active_users - b.active_users) < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN a.rev_cents = b.rev_cents
+                          AND a.active_users <> b.active_users
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+           CAST(sum(CASE WHEN a.active_users = b.active_users
+                          AND a.rev_cents <> b.rev_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+           CAST(sum(CASE WHEN a.rev_cents = b.rev_cents
+                          AND a.active_users = b.active_users
+                    THEN 1 ELSE 0 END) AS BIGINT) AS txy,
+           CAST(count(*) AS BIGINT) AS n0
+    FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT n0 AS n_pairs, c AS concordant, d AS discordant, tx, ty,
+       (round(((c - d) * 1.0 / sqrt((n0 - tx - txy) * 1.0 * (n0 - ty - txy)))
+              * 1000000.0) / 1000000.0) AS tau_b
+FROM pairs
+""",
+    description=(
+        "Kendall's tau-b rank correlation between daily revenue and "
+        "daily active users: exact concordant/discordant/tied pair "
+        "counts with the tie-corrected denominator — the "
+        "outlier-immune alternative to q_spearman_corr (tau's bounded "
+        "influence function tolerates the heavy-tailed revenue days "
+        "that distort rank-transform-then-Pearson). Data-scale work is "
+        "ONE partial-aggregated daily rollup (exact cents, exact "
+        "distinct users); the O(days^2) pair join rides the "
+        "days-sized aggregate — metadata, not data (a year is ~66k "
+        "pairs) — and every count is an exact BIGINT, so tau-b is a "
+        "single rounded double expression identical on both engines."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rev_cents"),
+        F.count_distinct("user_id").cast("long").alias("active_users"),
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"),
+        F.col("rev_cents").alias("xa"),
+        F.col("active_users").alias("ya"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("rev_cents").alias("xb"),
+        F.col("active_users").alias("yb"),
+    )
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    p = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("d"),
+            F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+            .cast("long")
+            .alias("tx"),
+            F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0))
+            .cast("long")
+            .alias("ty"),
+            F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("txy"),
+            F.count(F.lit(1)).cast("long").alias("n0"),
+        )
+    )
+    c, d, tx, ty, txy, n0 = (F.col(x) for x in ["c", "d", "tx", "ty", "txy", "n0"])
+    tau = (c - d) * 1.0 / F.sqrt((n0 - tx - txy) * 1.0 * (n0 - ty - txy))
+    return p.select(
+        n0.alias("n_pairs"),
+        c.alias("concordant"),
+        d.alias("discordant"),
+        "tx",
+        "ty",
+        stable_round(tau, 6).alias("tau_b"),
+    )
+
+
+@register(
+    "q_ljung_box",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idx AS (
+    SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+    FROM idx
+),
+dev AS (
+    SELECT i, (cents - s * 1.0 / n) AS dv FROM idx CROSS JOIN stats
+),
+den AS (
+    SELECT CAST(sum(CAST(round(dv * dv) AS BIGINT)) AS BIGINT) AS den_q FROM dev
+),
+lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+num AS (
+    SELECT l.lag,
+           CAST(coalesce(sum(CAST(round(a.dv * b.dv) AS BIGINT)), 0) AS BIGINT)
+               AS num_q
+    FROM lags l
+    LEFT JOIN dev a ON TRUE
+    JOIN dev b ON b.i = a.i - l.lag
+    GROUP BY 1
+),
+rho AS (
+    SELECT lag, (num_q * 1.0 / den_q) AS r, n
+    FROM num CROSS JOIN den CROSS JOIN stats
+),
+terms AS (
+    SELECT lag, r, n,
+           CAST(round((r * r / (n - lag)) * 1000000000000.0) AS BIGINT) AS tq
+    FROM rho
+)
+SELECT lag,
+       (round(r * 1000000.0) / 1000000.0) AS rho,
+       (round((n * (n + 2.0)
+               * (sum(tq) OVER (ORDER BY lag) / 1000000000000.0))
+              * 1000000.0) / 1000000.0) AS q_stat
+FROM terms
+""",
+    description=(
+        "Ljung-Box portmanteau white-noise test on daily purchase "
+        "revenue: autocorrelations rho_1..rho_7 and the cumulative "
+        "Q statistic n(n+2) * sum(rho_k^2 / (n-k)) — the 'is there any "
+        "structure left?' gate run on forecast residuals "
+        "(q_seasonal_naive_backtest, q_holt_smoothing) before trusting "
+        "a model, and on raw series before bothering to model at all. "
+        "The series is exact integer cents; deviations share one "
+        "exact-rational mean (s/n); every sum that crosses rows — "
+        "lagged products, squared deviations, the Q accumulation — is "
+        "quantized to BIGINT first, so addition order can't move a "
+        "bit on either engine. All windows ride the days-sized "
+        "aggregate; the one data-scale pass is the daily rollup."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "cents"
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(stats)).select(
+        "i", "n", (F.col("cents") - F.col("s") * 1.0 / F.col("n")).alias("dv")
+    )
+    den = dev.agg(
+        F.sum(F.round(F.col("dv") * F.col("dv")).cast("long"))
+        .cast("long")
+        .alias("den_q")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select("i", "n", F.col("dv").alias("dva"))
+    b = dev.select(F.col("i").alias("ib"), F.col("dv").alias("dvb"))
+    num = (
+        lags.join(a, F.lit(True), "left")
+        .join(b, F.col("ib") == F.col("i") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            F.coalesce(
+                F.sum(F.round(F.col("dva") * F.col("dvb")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("num_q"),
+        )
+    )
+    rho = num.crossJoin(F.broadcast(den)).select(
+        "lag", "n", (F.col("num_q") * 1.0 / F.col("den_q")).alias("r")
+    )
+    terms = rho.select(
+        "lag",
+        "n",
+        "r",
+        F.round((F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))) * 1e12)
+        .cast("long")
+        .alias("tq"),
+    )
+    wcum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "lag",
+        stable_round(F.col("r"), 6).alias("rho"),
+        stable_round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * (F.sum("tq").over(wcum) / 1e12),
+            6,
+        ).alias("q_stat"),
+    )

@@ -3108,3 +3108,130 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_users"),
         stable_round(num / den, 6).alias("spearman_rho"),
     )
+
+
+def _pr_auc_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y,
+           (round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) * 1000000.0)
+            / 1000000.0) AS p
+    FROM feat CROSS JOIN {final} b
+),
+grp AS (
+    SELECT p, CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS tp
+    FROM scored GROUP BY p
+),
+cum AS (
+    SELECT p, t, tp,
+           CAST(sum(t)  OVER (ORDER BY p DESC) AS BIGINT) AS cum_n,
+           CAST(sum(tp) OVER (ORDER BY p DESC) AS BIGINT) AS cum_tp
+    FROM grp
+),
+terms AS (
+    SELECT tp, cum_n, cum_tp,
+           CAST(round(tp * cum_tp * 10000000000.0 / cum_n) AS BIGINT) AS tq
+    FROM cum
+),
+m AS (
+    SELECT CAST(sum(tp) AS BIGINT) AS n_pos,
+           CAST(sum(tq) AS BIGINT) AS ap_q
+    FROM terms
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM scored)
+SELECT n_pos,
+       (n_all - n_pos) AS n_neg,
+       (round((ap_q / 10000000000.0 / n_pos) * 1000000.0) / 1000000.0)
+           AS average_precision,
+       (round((n_pos * 1.0 / n_all) * 1000000.0) / 1000000.0) AS prevalence
+FROM m CROSS JOIN tot
+""".strip()
+
+
+def _register_pr_auc() -> None:
+    @register(
+        "q_pr_auc",
+        oracle=_pr_auc_oracle(),
+        description=(
+            "Precision-recall AUC (average precision, tie-grouped step "
+            "form) of the IRLS model: AP = sum over descending score "
+            "groups of tp_g * precision-at-group-end / n_pos — the "
+            "metric that stays honest under class imbalance where "
+            "q_roc_auc saturates (a 0.1% positive rate makes almost "
+            "any ranker look ROC-great; AP compares against the "
+            "prevalence baseline reported alongside). Scores are "
+            "6dp-rounded BEFORE grouping so the cumulative window "
+            "rides a bounded distinct-score table, precisions are "
+            "exact BIGINT ratios, and per-group terms are quantized "
+            "to BIGINT at 1e-10 before the final sum — no float "
+            "accumulation order anywhere."
+        ),
+        tags=("analytics", "extension", "stats", "ml", "evaluation"),
+    )
+    def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(features, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            p = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
+            scored = features.select(p.alias("p"), "y")
+            grp = scored.groupBy("p").agg(
+                F.count(F.lit(1)).alias("t"), F.sum("y").alias("tp")
+            )
+            wc = Window.orderBy(F.desc("p")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            cum = grp.select(
+                "tp",
+                F.sum("t").over(wc).cast("long").alias("cum_n"),
+                F.sum("tp").over(wc).cast("long").alias("cum_tp"),
+            )
+            terms = cum.select(
+                "tp",
+                F.round(
+                    F.col("tp") * F.col("cum_tp") * 10000000000.0 / F.col("cum_n")
+                )
+                .cast("long")
+                .alias("tq"),
+            )
+            n_all = scored.count()
+            m = terms.agg(
+                F.sum("tp").cast("long").alias("n_pos"),
+                F.sum("tq").cast("long").alias("ap_q"),
+            )
+            return m.select(
+                F.col("n_pos"),
+                (F.lit(n_all) - F.col("n_pos")).cast("long").alias("n_neg"),
+                stable_round(
+                    F.col("ap_q") / 10000000000.0 / F.col("n_pos"), 6
+                ).alias("average_precision"),
+                stable_round(F.col("n_pos") * 1.0 / F.lit(n_all), 6).alias(
+                    "prevalence"
+                ),
+            )
+        finally:
+            features.unpersist()
+
+
+_register_pr_auc()

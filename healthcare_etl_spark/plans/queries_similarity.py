@@ -1307,3 +1307,267 @@ FROM top GROUP BY a_id
 
 
 _register_triplet_mining()
+
+
+def _register_knn_classify() -> None:
+    @register(
+        "q_knn_classify",
+        oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, label AS c_label
+    FROM embeddings WHERE vec_id % 10 <> 0
+),
+scored AS (
+    SELECT query_id, true_label, neighbor_id, c_label,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS cosine
+    FROM c CROSS JOIN q
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+),
+votes AS (
+    SELECT query_id, true_label, c_label AS pred_label,
+           CAST(count(*) AS BIGINT) AS votes
+    FROM top GROUP BY 1, 2, 3
+)
+SELECT query_id AS vec_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       votes,
+       CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT)
+           AS correct
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, pred_label ASC) AS vr
+    FROM votes
+) WHERE vr = 1
+""",
+        description=(
+            "k-NN label propagation (k=5, cosine): every held-out "
+            "vector (vec_id % 10 = 0) takes the majority label of its 5 "
+            "nearest train-split neighbors — the standard semi-"
+            "supervised labeler for extending a small seed of human "
+            "labels across an unlabeled corpus (and, run over the train "
+            "split itself, the label-noise detector). Same plan shape "
+            "as q_sim_topk: the query split broadcasts, the corpus "
+            "streams through codegen, and rank-limit pushdown truncates "
+            "each scan partition to its local top-5 before the single "
+            "query-id shuffle; the vote is a queries x 5 metadata "
+            "aggregate. Ties break (votes DESC, label ASC) identically "
+            "on both engines."
+        ),
+        tags=("similarity", "extension", "vectors", "ml-prep"),
+    )
+    def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from healthcare_etl_spark.functions.rounding import stable_round
+        from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("qv"),
+        )
+        c = emb.filter(F.col("vec_id") % 10 != 0).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("cv"),
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "c_label",
+            stable_round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        top = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+            F.col("rnk") <= 5
+        )
+        votes = top.groupBy(
+            "query_id", "true_label", F.col("c_label").alias("pred_label")
+        ).agg(F.count(F.lit(1)).alias("votes"))
+        wv = Window.partitionBy("query_id").orderBy(
+            F.desc("votes"), F.asc("pred_label")
+        )
+        return (
+            votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select(
+                F.col("query_id").alias("vec_id"),
+                F.col("true_label").cast("long").alias("true_label"),
+                F.col("pred_label").cast("long").alias("pred_label"),
+                "votes",
+                (F.col("pred_label") == F.col("true_label"))
+                .cast("long")
+                .alias("correct"),
+            )
+        )
+
+
+_register_knn_classify()
+
+
+def _register_ndcg_eval() -> None:
+    @register(
+        "q_ndcg_eval",
+        oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, label AS c_label
+    FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+    SELECT query_id, q_label, neighbor_id, c_label,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS cosine
+    FROM c CROSS JOIN q
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+),
+dcg AS (
+    SELECT query_id,
+           CAST(coalesce(sum(CASE WHEN c_label = q_label
+                THEN CAST(round(10000000000.0 / log2(rnk + 1)) AS BIGINT)
+                ELSE 0 END), 0) AS BIGINT) AS dcg_q
+    FROM top GROUP BY 1
+),
+nrel AS (
+    SELECT q.query_id,
+           CAST(count(*) FILTER (WHERE c.c_label = q.q_label) AS BIGINT) AS n_rel
+    FROM q LEFT JOIN c ON TRUE GROUP BY 1
+),
+idcg AS (
+    SELECT query_id, n_rel,
+           CAST(coalesce(sum(CAST(round(10000000000.0 / log2(ii.i + 2))
+                                   AS BIGINT)), 0) AS BIGINT) AS idcg_q
+    FROM nrel LEFT JOIN unnest(range(10)) AS ii(i)
+           ON ii.i < least(n_rel, 10)
+    GROUP BY 1, 2
+)
+SELECT d.query_id AS vec_id, i.n_rel,
+       (round((d.dcg_q / 10000000000.0) * 1000000.0) / 1000000.0) AS dcg,
+       (round((i.idcg_q / 10000000000.0) * 1000000.0) / 1000000.0) AS idcg,
+       CASE WHEN i.idcg_q = 0 THEN 0.0
+            ELSE (round((d.dcg_q * 1.0 / i.idcg_q) * 1000000.0) / 1000000.0)
+       END AS ndcg
+FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+""",
+        description=(
+            "NDCG@10 retrieval evaluation: each probe vector (vec_id < "
+            "10) retrieves cosine top-10 from the corpus; a hit is a "
+            "same-label neighbor; DCG discounts hits by 1/log2(rank+1) "
+            "and normalizes by the ideal DCG of min(10, corpus "
+            "same-label count) — the ranking-quality score an embedding "
+            "upgrade or an ANN-recall regression moves first, "
+            "complementing q_ann_recall_eval's set-overlap view with "
+            "position sensitivity. Per-position discount terms are "
+            "quantized to BIGINT at 1e-10 BEFORE summing, so both "
+            "engines add exact integers in any order (float sums are "
+            "order-sensitive; integer sums are not) and NDCG is one "
+            "rounded division of BIGINTs. Retrieval is the q_sim_topk "
+            "plan (broadcast probes, rank-limit pushdown); the "
+            "per-label corpus counts ride a 10-row broadcast."
+        ),
+        tags=("similarity", "extension", "vectors", "evaluation"),
+    )
+    def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from healthcare_etl_spark.functions.rounding import stable_round
+        from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+        )
+        c = emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("cv"),
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "c_label",
+            stable_round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        top = scored.withColumn(
+            "rnk", F.row_number().over(wk).cast("long")
+        ).filter(F.col("rnk") <= 10)
+        # 1e-10-quantized discount terms: BIGINT sums are order-free,
+        # so the aggregate needs no ordered fold to stay bit-identical.
+        term = F.round(F.lit(10000000000.0) / F.log2(F.col("rnk") + 1)).cast("long")
+        dcg = top.groupBy("query_id").agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c_label") == F.col("q_label"), term).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dcg_q")
+        )
+        by_label = c.groupBy("c_label").agg(F.count(F.lit(1)).alias("n_label"))
+        nrel = (
+            q.join(F.broadcast(by_label), q.q_label == by_label.c_label, "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n_label"), F.lit(0)).cast("long").alias("n_rel"),
+            )
+        )
+        ideal_term = lambda i: F.round(  # noqa: E731
+            F.lit(10000000000.0) / F.log2(i + 1)
+        ).cast("long")
+        idcg = nrel.select(
+            "query_id",
+            "n_rel",
+            # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+            # empty, so an n_rel=0 query must bypass the fold entirely
+            F.when(F.col("n_rel") < 1, F.lit(0).cast("long"))
+            .otherwise(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(10)).cast("int")),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + ideal_term(i),
+                )
+            )
+            .cast("long")
+            .alias("idcg_q"),
+        )
+        out = dcg.join(idcg, "query_id")
+        return out.select(
+            F.col("query_id").alias("vec_id"),
+            "n_rel",
+            stable_round(F.col("dcg_q") / 10000000000.0, 6).alias("dcg"),
+            stable_round(F.col("idcg_q") / 10000000000.0, 6).alias("idcg"),
+            F.when(F.col("idcg_q") == 0, F.lit(0.0))
+            .otherwise(stable_round(F.col("dcg_q") * 1.0 / F.col("idcg_q"), 6))
+            .alias("ndcg"),
+        )
+
+
+_register_ndcg_eval()
