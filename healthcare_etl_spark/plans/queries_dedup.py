@@ -984,6 +984,10 @@ GROUP BY doc_id, island
     ),
     tags=("dedup", "text", "extension", "corpus"),
 )
+def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dup_spans(load_table(spark, sf_dir, "documents"))
+
+
 def _dup_spans(docs: DataFrame) -> DataFrame:
     """Shared span machinery for q_dup_span_extract /
     q_span_removal_stats: (doc_id, span_start, span_end, span_tokens)
@@ -1018,10 +1022,6 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
         (F.max("p") + 7).cast("long").alias("span_end"),
         (F.max("p") + 8 - F.min("p")).cast("long").alias("span_tokens"),
     ).drop("island")
-
-
-def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dup_spans(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1282,5 +1282,132 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(
                 F.lit(1.0) - F.col("edit_dist") * 1.0 / F.col("max_len"), 6
             ).alias("edit_sim"),
+        )
+    )
+
+
+# Fellegi-Sunter field weights: log2(m/u) on agreement, log2((1-m)/(1-u))
+# on disagreement, precomputed in Python once so BOTH engines inline the
+# identical double literal instead of each evaluating a transcendental.
+# (m, u) priors: lang (.95/.20), source (.80/.25), first/last token
+# (.90/.01).
+_FS_WEIGHTS = {
+    "lang_eq": (2.247927513443585, -3.9999999999999987),
+    "src_eq": (1.6780719051126378, -1.906890595608519),
+    "tok1_eq": (6.491853096329675, -3.3074285251922473),
+    "tokl_eq": (6.491853096329675, -3.3074285251922473),
+}
+
+
+def _fs_oracle() -> str:
+    w = _FS_WEIGHTS
+    # CAST each literal to DOUBLE: DuckDB types bare decimal literals as
+    # DECIMAL and the summed weight then overflows DECIMAL(18) inside
+    # the rounding multiply.
+    terms = " + ".join(
+        f"(CASE WHEN {f} THEN CAST({agree!r} AS DOUBLE) "
+        f"ELSE CAST({dis!r} AS DOUBLE) END)"
+        for f, (agree, dis) in w.items()
+    )
+    return f"""
+WITH recs AS (
+    SELECT doc_id, lang, source,
+           CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bkt,
+           string_split(text, ' ')[1] AS tok1,
+           string_split(text, ' ')[len(string_split(text, ' '))] AS tokl
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (a.lang = b.lang)     AS lang_eq,
+           (a.source = b.source) AS src_eq,
+           (a.tok1 = b.tok1)     AS tok1_eq,
+           (a.tokl = b.tokl)     AS tokl_eq
+    FROM recs a JOIN recs b
+      ON a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       (round(({terms}) * 1000000.0) / 1000000.0) AS fs_weight,
+       CASE WHEN ({terms}) >= 6.0 THEN 'match'
+            ELSE 'possible' END AS link_class
+FROM pairs
+WHERE ({terms}) >= 0.0
+"""
+
+
+@register(
+    "q_record_linkage",
+    oracle=_fs_oracle(),
+    description=(
+        "Fellegi-Sunter probabilistic record linkage over documents: "
+        "candidate pairs block on the 100-char length bucket (an "
+        "equi-join, never all-pairs), then each weak field — lang, "
+        "source, first token, last token — contributes log2(m/u) "
+        "evidence on agreement and log2((1-m)/(1-u)) on disagreement; "
+        "the summed weight classifies pairs as match (>=6 bits) or "
+        "possible (>=0). The probabilistic complement to the "
+        "exact/MinHash/edit-distance dedup tiers: FS combines MANY "
+        "weak field signals with principled weights where those need "
+        "one strong content signal, which is how entity resolution "
+        "works when no field is individually trustworthy. The m/u "
+        "log-weights are Python-precomputed double literals inlined "
+        "into both plans, so the weight sum is the identical fixed "
+        "IEEE expression on both engines; blocking keys, like all "
+        "dedup tiers here, shuffle O(corpus) not O(corpus^2)."
+    ),
+    tags=("dedup", "extension", "text"),
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    recs = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("long").alias("len_bkt"),
+        toks.getItem(0).alias("tok1"),
+        F.element_at(toks, -1).alias("tokl"),
+    )
+    a = recs.select(
+        F.col("doc_id").alias("doc_a"),
+        "len_bkt",
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("tok1").alias("tok1_a"),
+        F.col("tokl").alias("tokl_a"),
+    )
+    b = recs.select(
+        F.col("doc_id").alias("doc_b"),
+        "len_bkt",
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("tok1").alias("tok1_b"),
+        F.col("tokl").alias("tokl_b"),
+    )
+    pairs = a.join(b, "len_bkt").filter(F.col("doc_a") < F.col("doc_b"))
+    eqs = {
+        "lang_eq": F.col("lang_a") == F.col("lang_b"),
+        "src_eq": F.col("src_a") == F.col("src_b"),
+        "tok1_eq": F.col("tok1_a") == F.col("tok1_b"),
+        "tokl_eq": F.col("tokl_a") == F.col("tokl_b"),
+    }
+    weight = None
+    for f, (agree, dis) in _FS_WEIGHTS.items():
+        term = F.when(eqs[f], F.lit(agree)).otherwise(F.lit(dis))
+        weight = term if weight is None else weight + term
+    return (
+        pairs.select("doc_a", "doc_b", weight.alias("w"))
+        .filter(F.col("w") >= 0.0)
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(F.col("w"), 6).alias("fs_weight"),
+            F.when(F.col("w") >= 6.0, F.lit("match"))
+            .otherwise(F.lit("possible"))
+            .alias("link_class"),
         )
     )

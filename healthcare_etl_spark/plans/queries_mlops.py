@@ -3235,3 +3235,243 @@ def _register_pr_auc() -> None:
 
 
 _register_pr_auc()
+
+
+def _psm_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+feat_u AS (
+    SELECT user_id,
+           CAST(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS DOUBLE) AS x1,
+           CAST(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS DOUBLE)  AS x2,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)        AS y,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend_cents
+    FROM events GROUP BY user_id
+),
+scored AS (
+    SELECT user_id, y, spend_cents,
+           (round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) * 1000000.0)
+            / 1000000.0) AS p
+    FROM feat_u CROSS JOIN {final} b
+),
+t AS (SELECT user_id, p, spend_cents,
+             CAST(floor(p / 0.02) AS BIGINT) AS bkt FROM scored WHERE y = 1),
+c AS (SELECT user_id, p, spend_cents,
+             CAST(floor(p / 0.02) AS BIGINT) AS bkt FROM scored WHERE y = 0),
+cand AS (
+    SELECT t.user_id AS t_id, t.spend_cents AS t_spend,
+           c.user_id AS c_id, c.spend_cents AS c_spend,
+           abs(c.p - t.p) AS dist
+    FROM t
+    JOIN (SELECT CAST(unnest([-1, 0, 1]) AS BIGINT) AS off) o ON TRUE
+    JOIN c ON c.bkt = t.bkt + o.off AND abs(c.p - t.p) <= 0.02
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY t_id
+                   ORDER BY dist ASC, c_id ASC) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+counts AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM t)
+SELECT n_treated,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       (round((sum(t_spend - c_spend) / 100.0 / count(*)) * 1000000.0)
+        / 1000000.0) AS att_dollars,
+       (round((sum(t_spend) / 100.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS matched_treated_mean,
+       (round((sum(c_spend) / 100.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS matched_control_mean
+FROM best CROSS JOIN counts
+GROUP BY n_treated
+""".strip()
+
+
+def _register_psm_match() -> None:
+    @register(
+        "q_psm_match",
+        oracle=_psm_oracle(),
+        description=(
+            "Propensity-score matching ATT: treated users (any "
+            "purchase > 150) match their nearest-propensity control "
+            "within a 0.02 caliper (with replacement, ties to the "
+            "smallest user id), estimating the treatment effect on "
+            "total spend — the observational-causal complement to the "
+            "randomized q_ab_test_ztest/q_cuped_adjustment family, for "
+            "when assignment wasn't randomized. Propensity is the IRLS "
+            "model's 6dp score; candidate generation is a BANDED "
+            "equi-join on floor(p/0.02) buckets +-1 (bucket width = "
+            "caliper, so the 3-bucket probe provably covers the "
+            "caliper) — never treated x control; with-replacement "
+            "matching keeps every match decision independent, so the "
+            "argmin is one rank-limit window, fully parallel. Outcomes "
+            "stay exact integer cents until the final rounded "
+            "divisions."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("spend_cents"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(feat.select("x1", "x2", "y"), rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            scored = feat.select(
+                "user_id",
+                "y",
+                "spend_cents",
+                stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6).alias("p"),
+            ).withColumn("bkt", F.floor(F.col("p") / 0.02).cast("long"))
+            t = scored.filter(F.col("y") == 1).select(
+                F.col("user_id").alias("t_id"),
+                F.col("p").alias("tp"),
+                F.col("spend_cents").alias("t_spend"),
+                F.col("bkt").alias("t_bkt"),
+            )
+            c = scored.filter(F.col("y") == 0).select(
+                F.col("user_id").alias("c_id"),
+                F.col("p").alias("cp"),
+                F.col("spend_cents").alias("c_spend"),
+                F.col("bkt").alias("c_bkt"),
+            )
+            offs = spark.range(-1, 2).select(F.col("id").cast("long").alias("off"))
+            cand = (
+                t.crossJoin(F.broadcast(offs))
+                .join(
+                    c,
+                    (F.col("c_bkt") == F.col("t_bkt") + F.col("off"))
+                    & (F.abs(F.col("cp") - F.col("tp")) <= 0.02),
+                )
+                .select(
+                    "t_id",
+                    "t_spend",
+                    "c_id",
+                    "c_spend",
+                    F.abs(F.col("cp") - F.col("tp")).alias("dist"),
+                )
+            )
+            wm = Window.partitionBy("t_id").orderBy(F.asc("dist"), F.asc("c_id"))
+            best = cand.withColumn("rn", F.row_number().over(wm)).filter(
+                F.col("rn") == 1
+            )
+            n_treated = t.count()
+            m = best.agg(
+                F.count(F.lit(1)).cast("long").alias("n_matched"),
+                F.sum(F.col("t_spend") - F.col("c_spend")).alias("d_cents"),
+                F.sum("t_spend").alias("ts"),
+                F.sum("c_spend").alias("cs"),
+            )
+            return m.select(
+                F.lit(n_treated).cast("long").alias("n_treated"),
+                "n_matched",
+                stable_round(
+                    F.col("d_cents") / 100.0 / F.col("n_matched"), 6
+                ).alias("att_dollars"),
+                stable_round(F.col("ts") / 100.0 / F.col("n_matched"), 6).alias(
+                    "matched_treated_mean"
+                ),
+                stable_round(F.col("cs") / 100.0 / F.col("n_matched"), 6).alias(
+                    "matched_control_mean"
+                ),
+            )
+        finally:
+            feat.unpersist()
+
+
+_register_psm_match()
+
+
+def _register_dp_histogram() -> None:
+    _P = 2147483647
+
+    @register(
+        "q_dp_histogram",
+        oracle=f"""
+WITH counts AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+noise AS (
+    SELECT event_type, n,
+           (((('0x' || substring(md5('dp-v1:' || event_type), 1, 8))::BIGINT % {_P})
+             + 0.5) / {_P}.0 - 0.5) AS t
+    FROM counts
+)
+SELECT event_type,
+       n AS true_count,
+       (round((n + (-1.0) * CASE WHEN t >= 0 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(t))) * 1000000.0) / 1000000.0)
+           AS noisy_count,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM noise
+""",
+        description=(
+            "Differentially-private histogram (Laplace mechanism, "
+            "epsilon=1, sensitivity 1) over event-type counts: each "
+            "exact count gets Laplace(1/eps) noise drawn by inverse-"
+            "CDF from a counter-based md5 uniform keyed on the "
+            "histogram cell — the release primitive for sharing "
+            "aggregate stats about a corpus without exposing any "
+            "single contributor, next to q_kanonymity_audit and "
+            "q_gdpr_delete_plan in the governance family. Counter-"
+            "based noise (same discipline as the bootstrap/permutation "
+            "queries) makes the draw reproducible AND shardable: no "
+            "RNG state crosses partitions, so the noised rollup is one "
+            "partial aggregate plus a per-row expression at any scale. "
+            "The uniform is offset by +0.5/P so |u-0.5| < 0.5 strictly "
+            "and ln(1-2|t|) can never hit ln(0). true_count is emitted "
+            "for the parity check; a production release drops it."
+        ),
+        tags=("analytics", "extension", "governance"),
+    )
+    def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp-v1:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("long") % _P
+        t = (h + 0.5) / float(_P) - 0.5
+        lap = (
+            F.lit(-1.0)
+            * F.when(t >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.log(F.lit(1.0) - 2.0 * F.abs(t))
+        )
+        return counts.select(
+            "event_type",
+            F.col("n").alias("true_count"),
+            stable_round(F.col("n") + lap, 6).alias("noisy_count"),
+            F.lit(1.0).alias("epsilon"),
+        )
+
+
+_register_dp_histogram()

@@ -1571,3 +1571,114 @@ FROM dcg d JOIN idcg i ON i.query_id = d.query_id
 
 
 _register_ndcg_eval()
+
+
+def _register_mrr_eval() -> None:
+    @register(
+        "q_mrr_eval",
+        oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, label AS c_label
+    FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+    SELECT query_id, q_label, neighbor_id, c_label,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS cosine
+    FROM c CROSS JOIN q
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+),
+firsthit AS (
+    SELECT q.query_id,
+           min(CASE WHEN t.c_label = t.q_label THEN t.rnk END) AS first_rank
+    FROM q LEFT JOIN top t ON t.query_id = q.query_id
+    GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(first_rank) AS BIGINT) AS n_hit,
+       (round((CAST(sum(CASE WHEN first_rank IS NOT NULL
+                THEN CAST(round(10000000000.0 / first_rank) AS BIGINT)
+                ELSE 0 END) AS BIGINT) / 10000000000.0 / count(*))
+              * 1000000.0) / 1000000.0) AS mrr
+FROM firsthit
+""",
+        description=(
+            "Mean reciprocal rank @10 over the same probe/corpus split "
+            "as q_ndcg_eval: per query, the rank of the FIRST same-"
+            "label neighbor; MRR averages 1/rank (0 for misses) — the "
+            "known-item-search companion to NDCG's graded view, the "
+            "right metric when exactly one good hit is what the "
+            "retrieval stage owes its consumer (RAG lookup, dedup "
+            "probe). Reciprocal ranks are quantized to BIGINT at "
+            "1e-10 before the cross-query sum, so the mean is exact-"
+            "integer arithmetic until one rounded division; retrieval "
+            "reuses the broadcast-probe rank-limit plan."
+        ),
+        tags=("similarity", "extension", "vectors", "evaluation"),
+    )
+    def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from healthcare_etl_spark.functions.rounding import stable_round
+        from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+        )
+        c = emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("cv"),
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "c_label",
+            stable_round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        top = scored.withColumn(
+            "rnk", F.row_number().over(wk).cast("long")
+        ).filter(F.col("rnk") <= 10)
+        firsthit = (
+            q.select("query_id")
+            .join(
+                top.filter(F.col("c_label") == F.col("q_label"))
+                .groupBy("query_id")
+                .agg(F.min("rnk").alias("first_rank")),
+                "query_id",
+                "left",
+            )
+        )
+        rr_q = F.when(
+            F.col("first_rank").isNotNull(),
+            F.round(F.lit(10000000000.0) / F.col("first_rank")).cast("long"),
+        ).otherwise(F.lit(0))
+        return firsthit.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.count("first_rank").cast("long").alias("n_hit"),
+            stable_round(
+                F.sum(rr_q).cast("long")
+                / 10000000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mrr"),
+        )
+
+
+_register_mrr_eval()
