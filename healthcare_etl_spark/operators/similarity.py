@@ -187,6 +187,7 @@ def kmeans_lloyd(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_scores: bool = False,
 ) -> DataFrame:
     """Spherical k-means: Lloyd iterations under cosine similarity — the
     trained coarse quantizer behind IVF indexing, and the clustering
@@ -248,6 +249,10 @@ def kmeans_lloyd(
                 )
                 .localCheckpoint(eager=True)
             )
+    if return_scores:
+        # full final-round score matrix (vec_id x k), for diagnostics
+        # that need similarity to EVERY centroid (e.g. silhouette)
+        return scored.select("vec_id", "cluster", "cos")
     return assign.select("vec_id", "cluster", F.col("cos").alias("cosine"))
 
 

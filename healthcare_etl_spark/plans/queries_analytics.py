@@ -4039,3 +4039,112 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_stat"),
     )
+
+
+@register(
+    "q_nelson_aalen",
+    oracle="""
+WITH f AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+p AS (
+    SELECT user_id, min(epoch_us(ts)) AS p_us
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+subj AS (
+    SELECT f.user_id,
+           CASE WHEN p.p_us IS NOT NULL
+                     AND (p.p_us - f.first_us) // 3600000000 <= 60
+                THEN (p.p_us - f.first_us) // 3600000000 ELSE 60 END AS dur,
+           (p.p_us IS NOT NULL AND (p.p_us - f.first_us) // 3600000000 <= 60) AS event
+    FROM f LEFT JOIN p ON f.user_id = p.user_id
+),
+tbl AS (
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM subj GROUP BY 1
+),
+idxd AS (
+    SELECT dur, d, c,
+           CAST(sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+    FROM tbl
+),
+haz AS (
+    SELECT dur, d, c, n_risk,
+           CAST(round((d * 1.0 / n_risk) * 10000000000.0) AS BIGINT) AS hq
+    FROM idxd
+)
+SELECT dur AS hours, n_risk, d AS n_events, c AS n_censored,
+       (round((hq / 10000000000.0) * 1000000.0) / 1000000.0) AS hazard_step,
+       (round((CAST(sum(hq) OVER (ORDER BY dur) AS BIGINT) / 10000000000.0)
+              * 1000000.0) / 1000000.0) AS cum_hazard,
+       (round(exp(-(CAST(sum(hq) OVER (ORDER BY dur) AS BIGINT)
+                    / 10000000000.0)) * 1000000.0) / 1000000.0)
+           AS survival_fh
+FROM haz
+""",
+    description=(
+        "Nelson-Aalen cumulative hazard of time-to-first-purchase "
+        "(same subjects, censoring-at-60h, and duration table as "
+        "q_kaplan_meier): H(t) = sum of d/n_risk over event times "
+        "<= t, plus the Fleming-Harrington survival exp(-H) — the "
+        "additive twin of KM's product, preferred for small risk sets "
+        "and as the input to hazard-ratio eyeballing. Unlike KM's "
+        "recursive product (which needs the WITH RECURSIVE chain), NA "
+        "is a plain cumulative SUM, so the per-time hazard increments "
+        "quantize to BIGINT at 1e-10 and one ordered window over the "
+        "<=61-row duration table accumulates them exactly — no "
+        "recursion, no float-order sensitivity, nothing data-scale "
+        "after the two per-user aggregates."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    delay_h = F.floor((F.col("p_us") - F.col("first_us")) / F.lit(3600000000))
+    is_event = F.col("p_us").isNotNull() & (delay_h <= 60)
+    subj = f.join(p, "user_id", "left").select(
+        F.when(is_event, delay_h).otherwise(F.lit(60)).cast("long").alias("dur"),
+        is_event.alias("event"),
+    )
+    tbl = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("event"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    idxd = tbl.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    haz = idxd.withColumn(
+        "hq",
+        F.round((F.col("d") * 1.0 / F.col("n_risk")) * 10000000000.0).cast("long"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("hq").over(wcum).cast("long")
+    return haz.select(
+        F.col("dur").alias("hours"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        stable_round(F.col("hq") / 10000000000.0, 6).alias("hazard_step"),
+        stable_round(cum / 10000000000.0, 6).alias("cum_hazard"),
+        stable_round(F.exp(-(cum / 10000000000.0)), 6).alias("survival_fh"),
+    )

@@ -1682,3 +1682,93 @@ FROM firsthit
 
 
 _register_mrr_eval()
+
+
+def _register_cluster_silhouette() -> None:
+    @register(
+        "q_cluster_silhouette",
+        oracle=f"""
+WITH {_KMEANS_CTES},
+per_vec AS (
+    SELECT s.vec_id,
+           a.cluster,
+           max(CASE WHEN s.cluster = a.cluster THEN s.cos END) AS own_cos,
+           max(CASE WHEN s.cluster <> a.cluster THEN s.cos END) AS other_cos
+    FROM s2 s JOIN a2 a ON a.vec_id = s.vec_id
+    GROUP BY s.vec_id, a.cluster
+),
+sil AS (
+    SELECT cluster,
+           CASE WHEN greatest(1.0 - own_cos, 1.0 - other_cos) = 0 THEN 0.0
+                ELSE (own_cos - other_cos)
+                     / greatest(1.0 - own_cos, 1.0 - other_cos)
+           END AS s
+    FROM per_vec
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_points,
+       (round((CAST(sum(CAST(round(s * 10000000000.0) AS BIGINT)) AS BIGINT)
+               / 10000000000.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS mean_silhouette
+FROM sil GROUP BY cluster
+""",
+        description=(
+            "Simplified (centroid-based) silhouette per k-means "
+            "cluster under cosine distance: s = (own_cos - "
+            "best_other_cos) / max(1-own_cos, 1-best_other_cos) per "
+            "vector, averaged per cluster — the cluster-quality "
+            "diagnostic that says whether the IVF coarse quantizer / "
+            "cluster-balanced sampler is built on real structure or "
+            "noise. The classic silhouette's O(n^2) pairwise distances "
+            "are replaced by distances to the k centroids "
+            "(Hruschka's simplified form), so cost is the n x k score "
+            "matrix the final Lloyd round already computes — zero "
+            "extra data-scale work, and the per-vector terms quantize "
+            "to BIGINT at 1e-10 before the per-cluster mean so no "
+            "float sum order exists."
+        ),
+        tags=("similarity", "extension", "iterative", "evaluation"),
+    )
+    def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from healthcare_etl_spark.functions.rounding import stable_round
+        from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        scored = kmeans_lloyd(emb, k=4, n_iter=2, return_scores=True)
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cluster").alias("own_cluster"))
+        )
+        per_vec = (
+            scored.join(assign, "vec_id")
+            .groupBy("vec_id", "own_cluster")
+            .agg(
+                F.max(
+                    F.when(F.col("cluster") == F.col("own_cluster"), F.col("cos"))
+                ).alias("own_cos"),
+                F.max(
+                    F.when(F.col("cluster") != F.col("own_cluster"), F.col("cos"))
+                ).alias("other_cos"),
+            )
+            .withColumnRenamed("own_cluster", "cluster")
+        )
+        denom = F.greatest(
+            F.lit(1.0) - F.col("own_cos"), F.lit(1.0) - F.col("other_cos")
+        )
+        s = F.when(denom == 0, F.lit(0.0)).otherwise(
+            (F.col("own_cos") - F.col("other_cos")) / denom
+        )
+        sq = F.round(s * 10000000000.0).cast("long")
+        return per_vec.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            stable_round(
+                F.sum(sq).cast("long") / 10000000000.0 / F.count(F.lit(1)), 6
+            ).alias("mean_silhouette"),
+        )
+
+
+_register_cluster_silhouette()
