@@ -3475,3 +3475,189 @@ FROM noise
 
 
 _register_dp_histogram()
+
+
+def _register_covariate_balance() -> None:
+    @register(
+        "q_covariate_balance",
+        oracle="""
+WITH feat AS (
+    SELECT user_id,
+           CAST(round(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END))
+                      * 1000000.0) AS BIGINT) AS x1q,
+           CAST(round(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+                      * 1000000.0) AS BIGINT) AS x2q,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+long AS (
+    SELECT y, 'x1_log_clicks' AS covariate, x1q AS xq FROM feat
+    UNION ALL
+    SELECT y, 'x2_log_views' AS covariate, x2q AS xq FROM feat
+),
+m AS (
+    SELECT covariate,
+           CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)        AS nt,
+           CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)        AS nc,
+           CAST(sum(CASE WHEN y = 1 THEN xq ELSE 0 END) AS BIGINT)       AS st,
+           CAST(sum(CASE WHEN y = 0 THEN xq ELSE 0 END) AS BIGINT)       AS sc,
+           CAST(sum(CASE WHEN y = 1 THEN xq * xq ELSE 0 END) AS BIGINT)  AS sst,
+           CAST(sum(CASE WHEN y = 0 THEN xq * xq ELSE 0 END) AS BIGINT)  AS ssc
+    FROM long GROUP BY covariate
+)
+SELECT covariate, nt AS n_treated, nc AS n_control,
+       (round((st / 1000000.0 / nt) * 1000000.0) / 1000000.0) AS mean_treated,
+       (round((sc / 1000000.0 / nc) * 1000000.0) / 1000000.0) AS mean_control,
+       (round(((st * 1.0 / nt - sc * 1.0 / nc)
+               / sqrt((((sst - st * 1.0 / nt * st) / (nt - 1))
+                       + ((ssc - sc * 1.0 / nc * sc) / (nc - 1))) / 2.0))
+              * 1000000.0) / 1000000.0) AS smd
+FROM m
+""",
+        description=(
+            "Covariate balance (standardized mean difference) between "
+            "the treated and control groups of q_psm_match, per "
+            "model covariate — the 'Table 1' diagnostic that says "
+            "whether matching is even needed (|SMD| > 0.1 = "
+            "imbalanced) and, re-run on the matched sample, whether it "
+            "worked. Covariates are quantized to integer micro-units "
+            "at the per-user aggregate, so group means and variances "
+            "are exact-BIGINT moment arithmetic (one partial-"
+            "aggregated pass over the two-covariate long form) and "
+            "the pooled-SD SMD is a single rounded double expression. "
+            "Note the quantized-x1*x1 sums stay < 2^63 up to ~1e5 "
+            "users per group; past that, re-center before squaring."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("x1q"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("x2q"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        long = feat.select(
+            "y", F.lit("x1_log_clicks").alias("covariate"), F.col("x1q").alias("xq")
+        ).unionAll(
+            feat.select(
+                "y", F.lit("x2_log_views").alias("covariate"), F.col("x2q").alias("xq")
+            )
+        )
+        y, xq = F.col("y"), F.col("xq")
+        m = long.groupBy("covariate").agg(
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("nt"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("nc"),
+            F.sum(F.when(y == 1, xq).otherwise(0)).cast("long").alias("st"),
+            F.sum(F.when(y == 0, xq).otherwise(0)).cast("long").alias("sc"),
+            F.sum(F.when(y == 1, xq * xq).otherwise(0)).cast("long").alias("sst"),
+            F.sum(F.when(y == 0, xq * xq).otherwise(0)).cast("long").alias("ssc"),
+        )
+        nt, nc, st, sc, sst, ssc = (
+            F.col(x) for x in ["nt", "nc", "st", "sc", "sst", "ssc"]
+        )
+        vt = (sst - st * 1.0 / nt * st) / (nt - 1)
+        vc = (ssc - sc * 1.0 / nc * sc) / (nc - 1)
+        smd = (st * 1.0 / nt - sc * 1.0 / nc) / F.sqrt((vt + vc) / 2.0)
+        return m.select(
+            "covariate",
+            nt.alias("n_treated"),
+            nc.alias("n_control"),
+            stable_round(st / 1000000.0 / nt, 6).alias("mean_treated"),
+            stable_round(sc / 1000000.0 / nc, 6).alias("mean_control"),
+            stable_round(smd, 6).alias("smd"),
+        )
+
+
+_register_covariate_balance()
+
+
+def _register_eb_ctr_shrinkage() -> None:
+    @register(
+        "q_eb_ctr_shrinkage",
+        oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS impressions
+    FROM events GROUP BY user_id
+),
+gl AS (
+    SELECT CAST(sum(clicks) AS BIGINT) AS gc, CAST(sum(impressions) AS BIGINT) AS gi
+    FROM per_user
+)
+SELECT user_id, clicks, impressions,
+       CASE WHEN impressions = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE (round((clicks * 1.0 / impressions) * 1000000.0) / 1000000.0)
+       END AS raw_ctr,
+       (round(((clicks + (gc * 1.0 / gi) * 20.0) / (impressions + 20.0))
+              * 1000000.0) / 1000000.0) AS shrunk_ctr
+FROM per_user CROSS JOIN gl
+""",
+        description=(
+            "Empirical-Bayes CTR shrinkage: each user's click-through "
+            "rate pulled toward the global prior with pseudo-count "
+            "strength 20 (Beta(p0*s, (1-p0)*s) posterior mean) — the "
+            "low-evidence-rate stabilizer used wherever a per-entity "
+            "rate feeds ranking or features (a 1/1 user must not beat "
+            "a 95/100 user), complementing q_target_encode_loo "
+            "(leakage control) and q_rate_wilson_ci (uncertainty "
+            "bounds) as the third classic rate treatment. One partial-"
+            "aggregated per-user pass; the global prior is a 1-row "
+            "broadcast; counts are exact BIGINTs so both rates are "
+            "single rounded divisions."
+        ),
+        tags=("analytics", "extension", "ml-prep"),
+    )
+    def q_eb_ctr_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        per_user = ev.groupBy("user_id").agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("clicks"),
+            F.sum(
+                F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("impressions"),
+        )
+        gl = per_user.agg(
+            F.sum("clicks").cast("long").alias("gc"),
+            F.sum("impressions").cast("long").alias("gi"),
+        )
+        out = per_user.crossJoin(F.broadcast(gl))
+        prior = F.col("gc") * 1.0 / F.col("gi")
+        return out.select(
+            "user_id",
+            "clicks",
+            "impressions",
+            F.when(F.col("impressions") == 0, F.lit(None).cast("double"))
+            .otherwise(stable_round(F.col("clicks") * 1.0 / F.col("impressions"), 6))
+            .alias("raw_ctr"),
+            stable_round(
+                (F.col("clicks") + prior * 20.0) / (F.col("impressions") + 20.0), 6
+            ).alias("shrunk_ctr"),
+        )
+
+
+_register_eb_ctr_shrinkage()

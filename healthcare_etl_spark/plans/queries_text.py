@@ -867,3 +867,66 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).alias("n_novel"),
         stable_round(F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+@register(
+    "q_readability",
+    oracle="""
+WITH counts AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+           CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (round((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                       - 84.6 * (n_syllables * 1.0 / n_words))
+              * 1000000.0) / 1000000.0) AS flesch
+FROM counts
+""",
+    description=(
+        "Flesch reading-ease per document from whole-doc regex counts: "
+        "words (whitespace runs), sentences (terminal-punctuation "
+        "runs, floored at 1), syllables approximated as vowel-group "
+        "runs — the grade-level quality signal used alongside "
+        "q_quality_score's ratio heuristics when curating training "
+        "text (too-low reading ease flags boilerplate/legalese; "
+        "too-high flags token soup). Everything is three "
+        "regexp_extract_all counts in ONE codegen'd projection — no "
+        "explode, no per-word shuffle, so cost is a single scan at "
+        "any corpus size; the score is a fixed rational expression of "
+        "exact BIGINT counts."
+    ),
+    tags=("text", "extension", "quality"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    n_sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)).cast("long"),
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    counts = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        stable_round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") * 1.0 / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
