@@ -104,6 +104,12 @@ HEADLINE = [
     "q_repetition_filter",
     "q_ngram_novelty",
     "q_multimodal_pixel_stats",
+    # round-6 continuation: the k-core peel (newest iterative-graph
+    # shape), the FS linkage blocked pair join, and the kNN labeler
+    # (broadcast-probe scoring at 200 queries x corpus)
+    "q_kcore_peel",
+    "q_record_linkage",
+    "q_knn_classify",
 ]
 
 

@@ -4148,3 +4148,59 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(cum / 10000000000.0, 6).alias("cum_hazard"),
         stable_round(F.exp(-(cum / 10000000000.0)), 6).alias("survival_fh"),
     )
+
+
+@register(
+    "q_ntile_percent_rank",
+    oracle="""
+WITH ranked AS (
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile,
+           percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr
+    FROM customer
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       (round(min(c_acctbal) * 1000000.0) / 1000000.0) AS lo_bal,
+       (round(max(c_acctbal) * 1000000.0) / 1000000.0) AS hi_bal,
+       (round((CAST(sum(CAST(round(pr * 10000000000.0) AS BIGINT)) AS BIGINT)
+               / 10000000000.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS mean_percent_rank
+FROM ranked GROUP BY decile
+""",
+    description=(
+        "Decile banding of customers by account balance: ntile(10) + "
+        "percent_rank over a total order (balance, then key — ties "
+        "MUST break deterministically or the band edges wander across "
+        "engines), rolled up to per-decile count/bounds/mean-rank — "
+        "the segmentation primitive behind lift tables, spend bands, "
+        "and 'top decile' reporting, and the two ranking window "
+        "functions (ntile, percent_rank) the window family didn't yet "
+        "exercise. The global-order window is the documented "
+        "single-partition scale limit; at 100 TB swap in the "
+        "two-phase bucketed carry used by q_quantile_normalize/"
+        "q_gini_concentration (per-bucket local ranks + broadcast "
+        "bucket offsets). percent_rank values are exact rationals, "
+        "quantized to BIGINT before the per-decile mean."
+    ),
+    tags=("analytics", "extension", "window"),
+)
+def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_acctbal",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        stable_round(F.min("c_acctbal"), 6).alias("lo_bal"),
+        stable_round(F.max("c_acctbal"), 6).alias("hi_bal"),
+        stable_round(
+            F.sum(F.round(F.col("pr") * 10000000000.0).cast("long")).cast("long")
+            / 10000000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_percent_rank"),
+    )

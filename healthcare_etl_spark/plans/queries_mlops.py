@@ -3661,3 +3661,253 @@ FROM per_user CROSS JOIN gl
 
 
 _register_eb_ctr_shrinkage()
+
+
+_PD_GRID = [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5]
+
+
+def _partial_dependence_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    grid = ", ".join(str(g) for g in _PD_GRID)
+    return f"""WITH {joined},
+grid AS (SELECT CAST(unnest([{grid}]) AS DOUBLE) AS g),
+pd AS (
+    SELECT g.g,
+           CAST(round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.g + b.b2 * f.x2))))
+                      * 10000000000.0) AS BIGINT) AS pq
+    FROM feat f CROSS JOIN grid g CROSS JOIN {final} b
+)
+SELECT g AS x1_log_clicks,
+       CAST(count(*) AS BIGINT) AS n_profiles,
+       (round((CAST(sum(pq) AS BIGINT) / 10000000000.0 / count(*))
+              * 1000000.0) / 1000000.0) AS mean_p
+FROM pd GROUP BY g
+""".strip()
+
+
+def _register_partial_dependence() -> None:
+    @register(
+        "q_partial_dependence",
+        oracle=_partial_dependence_oracle(),
+        description=(
+            "Partial-dependence curve of the IRLS model on "
+            "x1=ln(1+clicks): for each of 10 grid values, x1 is forced "
+            "to the grid point for EVERY user profile (x2 kept as "
+            "observed) and the predicted conversion probability is "
+            "averaged — the model-explainability view that shows what "
+            "the classifier actually learned about click volume, "
+            "marginalized over the real covariate distribution "
+            "(q_shapley_attribution explains channels; this explains "
+            "the model). One users x 10 grid cross join, partial-"
+            "aggregated per grid point; per-profile sigmoids quantize "
+            "to BIGINT at 1e-10 before the mean, so no float sum "
+            "order exists on either engine."
+        ),
+        tags=("analytics", "extension", "ml", "evaluation"),
+    )
+    def q_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(feat, rounds=4)
+            grid = spark.createDataFrame(
+                [(g,) for g in _PD_GRID], "g double"
+            )
+            eta = F.lit(b0) + F.lit(b1) * F.col("g") + F.lit(b2) * F.col("x2")
+            pq = F.round(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))) * 10000000000.0
+            ).cast("long")
+            pd = feat.crossJoin(F.broadcast(grid)).select(
+                F.col("g"), pq.alias("pq")
+            )
+            return pd.groupBy(F.col("g").alias("x1_log_clicks")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_profiles"),
+                stable_round(
+                    F.sum("pq").cast("long") / 10000000000.0 / F.count(F.lit(1)), 6
+                ).alias("mean_p"),
+            )
+        finally:
+            feat.unpersist()
+
+
+_register_partial_dependence()
+
+
+def _permutation_importance_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+feat_u AS (
+    SELECT user_id,
+           CAST(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS DOUBLE) AS x1,
+           CAST(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS DOUBLE)  AS x2,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)        AS y
+    FROM events GROUP BY user_id
+),
+keyed AS (
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY
+               ('0x' || substring(md5('pi:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT,
+               user_id) AS BIGINT) AS rk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM feat_u
+),
+shuf AS (
+    SELECT a.user_id, a.x1, a.x2, a.y,
+           b1.x1 AS x1_perm, b2.x2 AS x2_perm
+    FROM keyed a
+    JOIN keyed b1 ON b1.rk = (a.rk % a.n) + 1
+    JOIN keyed b2 ON b2.rk = (a.rk % a.n) + 1
+),
+acc AS (
+    SELECT
+      CAST(sum(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))
+                               > 0.5 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS base_ok,
+      CAST(sum(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1_perm + b.b2 * x2)))
+                               > 0.5 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS x1_ok,
+      CAST(sum(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2_perm)))
+                               > 0.5 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS x2_ok,
+      CAST(count(*) AS BIGINT) AS n
+    FROM shuf CROSS JOIN {final} b
+)
+SELECT f AS feature, base_acc, perm_acc, importance FROM (
+    SELECT 'x1_log_clicks' AS f,
+           (round((base_ok * 1.0 / n) * 1000000.0) / 1000000.0) AS base_acc,
+           (round((x1_ok * 1.0 / n) * 1000000.0) / 1000000.0)   AS perm_acc,
+           (round(((base_ok - x1_ok) * 1.0 / n) * 1000000.0) / 1000000.0) AS importance
+    FROM acc
+    UNION ALL
+    SELECT 'x2_log_views',
+           (round((base_ok * 1.0 / n) * 1000000.0) / 1000000.0),
+           (round((x2_ok * 1.0 / n) * 1000000.0) / 1000000.0),
+           (round(((base_ok - x2_ok) * 1.0 / n) * 1000000.0) / 1000000.0)
+    FROM acc
+)
+""".strip()
+
+
+def _register_permutation_importance() -> None:
+    @register(
+        "q_permutation_importance",
+        oracle=_permutation_importance_oracle(),
+        description=(
+            "Permutation feature importance for the IRLS model: each "
+            "feature column is permuted by a deterministic md5-keyed "
+            "cyclic shift (rank users by content hash, take the next "
+            "user's value — a true permutation, reproducible on any "
+            "engine/partitioning, no RNG state) and the drop in "
+            "training accuracy is the importance — the model-agnostic "
+            "'which signals does the model actually lean on' readout "
+            "next to q_partial_dependence's shape view. Accuracy "
+            "deltas are exact BIGINT hit-counts from ONE pass over "
+            "the shifted frame; the shift itself is one rank window "
+            "plus an equi-join on adjacent ranks, both riding the "
+            "users-sized aggregate."
+        ),
+        tags=("analytics", "extension", "ml", "evaluation"),
+    )
+    def q_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(feat, rounds=4)
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pi:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            wr = Window.orderBy(h, "user_id")
+            keyed = feat.select(
+                "user_id",
+                "x1",
+                "x2",
+                "y",
+                F.row_number().over(wr).cast("long").alias("rk"),
+                F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+            )
+            nxt = keyed.select(
+                F.col("rk").alias("rk_b"),
+                F.col("x1").alias("x1_perm"),
+                F.col("x2").alias("x2_perm"),
+            )
+            shuf = keyed.join(
+                nxt, F.col("rk_b") == (F.col("rk") % F.col("n")) + 1
+            )
+
+            def sig(x1c, x2c):
+                eta = F.lit(b0) + F.lit(b1) * x1c + F.lit(b2) * x2c
+                return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+            def hits(x1c, x2c):
+                pred = F.when(sig(x1c, x2c) > 0.5, 1).otherwise(0)
+                return F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("long")
+
+            acc = shuf.agg(
+                hits(F.col("x1"), F.col("x2")).alias("base_ok"),
+                hits(F.col("x1_perm"), F.col("x2")).alias("x1_ok"),
+                hits(F.col("x1"), F.col("x2_perm")).alias("x2_ok"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            rows = []
+            for fname, okc in [("x1_log_clicks", "x1_ok"), ("x2_log_views", "x2_ok")]:
+                rows.append(
+                    acc.select(
+                        F.lit(fname).alias("feature"),
+                        stable_round(F.col("base_ok") * 1.0 / F.col("n"), 6).alias(
+                            "base_acc"
+                        ),
+                        stable_round(F.col(okc) * 1.0 / F.col("n"), 6).alias(
+                            "perm_acc"
+                        ),
+                        stable_round(
+                            (F.col("base_ok") - F.col(okc)) * 1.0 / F.col("n"), 6
+                        ).alias("importance"),
+                    )
+                )
+            return rows[0].unionAll(rows[1])
+        finally:
+            feat.unpersist()
+
+
+_register_permutation_importance()
