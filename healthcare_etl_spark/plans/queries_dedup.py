@@ -1411,3 +1411,118 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("link_class"),
         )
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS node, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+ec AS (
+    SELECT ca.cluster_id, CAST(count(*) AS BIGINT) AS e_c
+    FROM pairs p
+    JOIN comp ca ON ca.node = p.doc_a
+    JOIN comp cb ON cb.node = p.doc_b AND cb.cluster_id = ca.cluster_id
+    GROUP BY 1
+),
+deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+),
+dc AS (
+    SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(g.d) AS BIGINT) AS d_c
+    FROM comp c JOIN deg g ON g.node = c.node
+    GROUP BY 1
+)
+SELECT dc.cluster_id, dc.n_nodes,
+       coalesce(ec.e_c, 0) AS internal_edges,
+       dc.d_c AS degree_sum,
+       (round((coalesce(ec.e_c, 0) * 1.0 / m.n_edges
+               - (dc.d_c * 1.0 / (2 * m.n_edges)) * (dc.d_c * 1.0 / (2 * m.n_edges)))
+              * 1000000.0) / 1000000.0) AS mod_term
+FROM dc LEFT JOIN ec ON ec.cluster_id = dc.cluster_id
+CROSS JOIN m
+""",
+    description=(
+        "Newman modularity decomposition of the near-dup cluster "
+        "partition: per community, Q_c = e_c/m - (d_c/2m)^2 from the "
+        "internal-edge count and degree sum — the did-the-clustering-"
+        "find-real-structure check for the CC-based dedup clusters "
+        "(sum of mod_term = Q; near 0 means the 'clusters' are no "
+        "better than random wiring, and whole-cluster keeper "
+        "decisions shouldn't be trusted). Completes the graph-metric "
+        "family (assortativity/triangles/degrees/k-core) with the "
+        "partition-quality view. All counts are exact BIGINTs from "
+        "two node-keyed joins riding the pairs relation; each "
+        "community's term is one fixed rounded expression."
+    ),
+    tags=("dedup", "extension", "graph", "iterative", "evaluation"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("node"), "cluster_id"
+    )
+    n_edges = pairs.count()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    ec = (
+        pairs.join(
+            comp.select(F.col("node").alias("doc_a"), F.col("cluster_id").alias("ca")),
+            "doc_a",
+        )
+        .join(
+            comp.select(F.col("node").alias("doc_b"), F.col("cluster_id").alias("cb")),
+            "doc_b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dc = (
+        comp.join(deg, "node")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    e_c = F.coalesce(F.col("e_c"), F.lit(0)).cast("long")
+    half = F.col("d_c") * 1.0 / (2 * F.lit(n_edges))
+    return (
+        dc.join(ec, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_nodes",
+            e_c.alias("internal_edges"),
+            F.col("d_c").alias("degree_sum"),
+            stable_round(e_c * 1.0 / F.lit(n_edges) - half * half, 6).alias(
+                "mod_term"
+            ),
+        )
+    )

@@ -3911,3 +3911,126 @@ def _register_permutation_importance() -> None:
 
 
 _register_permutation_importance()
+
+
+def _register_mahalanobis() -> None:
+    @register(
+        "q_mahalanobis_outliers",
+        oracle="""
+WITH feat AS (
+    SELECT user_id,
+           CAST(round(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END))
+                      * 1000000.0) AS BIGINT) AS x1q,
+           CAST(round(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+                      * 1000000.0) AS BIGINT) AS x2q
+    FROM events GROUP BY user_id
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x1q) AS BIGINT) AS s1, CAST(sum(x2q) AS BIGINT) AS s2,
+           CAST(sum(x1q * x1q) AS BIGINT) AS s11,
+           CAST(sum(x2q * x2q) AS BIGINT) AS s22,
+           CAST(sum(x1q * x2q) AS BIGINT) AS s12
+    FROM feat
+),
+cov AS (
+    SELECT n, s1, s2,
+           ((s11 - s1 * 1.0 / n * s1) / (n - 1)) / 1000000000000.0 AS c11,
+           ((s22 - s2 * 1.0 / n * s2) / (n - 1)) / 1000000000000.0 AS c22,
+           ((s12 - s1 * 1.0 / n * s2) / (n - 1)) / 1000000000000.0 AS c12
+    FROM mom
+),
+scored AS (
+    SELECT f.user_id,
+           (f.x1q - c.s1 * 1.0 / c.n) / 1000000.0 AS dx1,
+           (f.x2q - c.s2 * 1.0 / c.n) / 1000000.0 AS dx2,
+           c.c11, c.c22, c.c12,
+           (c.c11 * c.c22 - c.c12 * c.c12) AS det
+    FROM feat f CROSS JOIN cov c
+),
+d2 AS (
+    SELECT user_id,
+           ((dx1 * (c22 * dx1 - c12 * dx2)
+             + dx2 * (c11 * dx2 - c12 * dx1)) / det) AS md2
+    FROM scored
+)
+SELECT user_id,
+       (round(md2 * 1000000.0) / 1000000.0) AS mahalanobis_sq,
+       TRUE AS is_outlier
+FROM d2 WHERE md2 >= 5.991464547107979
+""",
+        description=(
+            "Mahalanobis-distance multivariate outliers over the "
+            "per-user behavior profile (ln(1+clicks), ln(1+views)): "
+            "users whose squared distance exceeds the chi-square(2) "
+            "95% critical value — catching the CORRELATED anomalies "
+            "(many clicks, impossibly few views) that the univariate "
+            "q_anomaly_mad/q_iqr_outliers gates pass. Features are "
+            "quantized to integer micro-units, so the covariance "
+            "comes from ONE exact-BIGINT moment aggregate (count + 5 "
+            "sums — the one-pass Gram discipline of "
+            "q_embedding_covariance); the closed-form 2x2 inverse and "
+            "per-user distance are fixed double expressions of those "
+            "moments (Cramer, no iteration), and the chi2 cutoff is "
+            "an inlined literal identical on both engines."
+        ),
+        tags=("analytics", "extension", "stats", "quality"),
+    )
+    def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("x1q"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("x2q"),
+        )
+        mom = feat.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x1q").cast("long").alias("s1"),
+            F.sum("x2q").cast("long").alias("s2"),
+            F.sum(F.col("x1q") * F.col("x1q")).cast("long").alias("s11"),
+            F.sum(F.col("x2q") * F.col("x2q")).cast("long").alias("s22"),
+            F.sum(F.col("x1q") * F.col("x2q")).cast("long").alias("s12"),
+        )
+        n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+        c11 = ((F.col("s11") - s1 * 1.0 / n * s1) / (n - 1)) / 1e12
+        c22 = ((F.col("s22") - s2 * 1.0 / n * s2) / (n - 1)) / 1e12
+        c12 = ((F.col("s12") - s1 * 1.0 / n * s2) / (n - 1)) / 1e12
+        cov = mom.select(
+            "n", "s1", "s2",
+            c11.alias("c11"), c22.alias("c22"), c12.alias("c12"),
+        )
+        sc = feat.crossJoin(F.broadcast(cov))
+        dx1 = (F.col("x1q") - F.col("s1") * 1.0 / F.col("n")) / 1e6
+        dx2 = (F.col("x2q") - F.col("s2") * 1.0 / F.col("n")) / 1e6
+        det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+        md2 = (
+            dx1 * (F.col("c22") * dx1 - F.col("c12") * dx2)
+            + dx2 * (F.col("c11") * dx2 - F.col("c12") * dx1)
+        ) / det
+        return (
+            sc.select("user_id", md2.alias("md2"))
+            .filter(F.col("md2") >= 5.991464547107979)
+            .select(
+                "user_id",
+                stable_round(F.col("md2"), 6).alias("mahalanobis_sq"),
+                F.lit(True).alias("is_outlier"),
+            )
+        )
+
+
+_register_mahalanobis()
