@@ -658,3 +658,38 @@ def test_bucketed_carry_windows_ride_summaries_only(spark, sf_smoke, name, extra
     for line in _partitionless_windows(plan):
         ok = "__bkt" in line or any(tok in line for tok in extra_ok)
         assert ok, f"{name}: data-scale keyless window: {line[:160]}"
+
+
+def test_edit_distance_dedup_blocks_on_equi_join(spark, sf_smoke):
+    """Candidate generation must be a (lang, blk) equi-join — the
+    blocking contract that keeps edit-distance dedup O(corpus), never
+    an all-pairs comparison."""
+    plan = plan_of(spark, sf_smoke, "q_dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "blk" in plan  # the prefix block key reaches the join
+
+
+def test_record_linkage_blocks_on_equi_join(spark, sf_smoke):
+    """FS linkage candidates join on the length bucket; a missing block
+    key would silently degrade to all-pairs."""
+    plan = plan_of(spark, sf_smoke, "q_record_linkage")
+    assert "CartesianProduct" not in plan
+    assert "len_bkt" in plan
+
+
+def test_knn_classify_broadcast_probe_and_ranklimit(spark, sf_smoke):
+    """kNN scoring follows the q_sim_topk contract: the query split
+    broadcasts over the streaming corpus, and rank-limit pushdown
+    pre-truncates each scan partition (Partial WindowGroupLimit) before
+    the single query-id shuffle."""
+    plan = plan_of(spark, sf_smoke, "q_knn_classify")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_psm_match_banded_join_not_cartesian(spark, sf_smoke):
+    """Propensity matching must probe via the bucket band equi-join
+    (floor(p/caliper) +- 1), never treated x control."""
+    plan = plan_of(spark, sf_smoke, "q_psm_match")
+    assert "CartesianProduct" not in plan
+    assert "c_bkt" in plan or "t_bkt" in plan
