@@ -4174,9 +4174,9 @@ FROM ranked GROUP BY decile
         "MUST break deterministically or the band edges wander across "
         "engines), rolled up to per-decile count/bounds/mean-rank — "
         "the segmentation primitive behind lift tables, spend bands, "
-        "and 'top decile' reporting, and the two ranking window "
-        "functions (ntile, percent_rank) the window family didn't yet "
-        "exercise. The global-order window is the documented "
+        "and 'top decile' reporting (q_window_analytics exercises the "
+        "same ranking functions row-wise; this adds the banded rollup "
+        "consumers actually read). The global-order window is the documented "
         "single-partition scale limit; at 100 TB swap in the "
         "two-phase bucketed carry used by q_quantile_normalize/"
         "q_gini_concentration (per-bucket local ranks + broadcast "
