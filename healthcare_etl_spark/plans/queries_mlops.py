@@ -4034,3 +4034,271 @@ FROM d2 WHERE md2 >= 5.991464547107979
 
 
 _register_mahalanobis()
+
+
+_RAKE_ROUNDS = 4
+
+
+def _raking_oracle() -> str:
+    """Unrolled IPF: integer micro-unit cell values; each half-step is
+    the fixed expression round((aq/1e6) * target / (margin_q/1e6) * 1e6)
+    so both engines step through identical BIGINT states."""
+    parts = [
+        """cells AS (
+    SELECT event_type AS et, CAST(dayofweek(ts) + 1 AS BIGINT) AS wd,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)""",
+        """tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)""",
+        """rt AS (SELECT et, CAST(sum(n) AS BIGINT) AS row_target FROM cells GROUP BY 1)""",
+        """a_0 AS (SELECT et, wd, n, n * 1000000 AS aq FROM cells)""",
+    ]
+    prev = "a_0"
+    for r in range(1, _RAKE_ROUNDS + 1):
+        parts.append(
+            f"""rs_{r} AS (SELECT et, CAST(sum(aq) AS BIGINT) AS row_q FROM {prev} GROUP BY 1)"""
+        )
+        parts.append(
+            f"""ar_{r} AS (
+    SELECT a.et, a.wd, a.n,
+           CAST(round((a.aq * 1.0 / 1000000.0) * r.row_target
+                      / (s.row_q / 1000000.0) * 1000000.0) AS BIGINT) AS aq
+    FROM {prev} a JOIN rt r ON r.et = a.et JOIN rs_{r} s ON s.et = a.et
+)"""
+        )
+        parts.append(
+            f"""cs_{r} AS (SELECT wd, CAST(sum(aq) AS BIGINT) AS col_q FROM ar_{r} GROUP BY 1)"""
+        )
+        parts.append(
+            f"""a_{r} AS (
+    SELECT a.et, a.wd, a.n,
+           CAST(round((a.aq * 1.0 / 1000000.0) * (t.total / 7.0)
+                      / (s.col_q / 1000000.0) * 1000000.0) AS BIGINT) AS aq
+    FROM ar_{r} a JOIN cs_{r} s ON s.wd = a.wd CROSS JOIN tot t
+)"""
+        )
+        prev = f"a_{r}"
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT et AS event_type, wd AS weekday, n,
+       (round((aq / 1000000.0) * 1000000.0) / 1000000.0) AS adjusted_count,
+       (round((aq * 1.0 / 1000000.0 / n) * 1000000.0) / 1000000.0) AS rake_weight
+FROM {prev}
+"""
+
+
+def _register_raking() -> None:
+    @register(
+        "q_raking_weights",
+        oracle=_raking_oracle(),
+        description=(
+            "Raking / iterative proportional fitting (4 rounds) over "
+            "the event_type x weekday cell table: cell weights scaled "
+            "alternately so row margins match the observed event-type "
+            "totals and column margins match a uniform weekday target "
+            "— the survey-calibration primitive for de-biasing a "
+            "corpus or panel toward known population margins "
+            "(post-stratification's many-margin big sibling). The one "
+            "data-scale pass is the 35-cell count; iterations ride the "
+            "driver on integer micro-unit cell states (the k-means/"
+            "markov discipline), each half-step one fixed rounded "
+            "expression of BIGINTs, mirrored by the unrolled-CTE "
+            "oracle bit-for-bit. rake_weight is the per-cell "
+            "adjustment factor downstream analyses multiply in."
+        ),
+        tags=("analytics", "extension", "stats", "iterative"),
+    )
+    def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        cells_df = ev.groupBy(
+            F.col("event_type").alias("et"),
+            F.dayofweek("ts").cast("long").alias("wd"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        rows = cells_df.collect()
+        cells = {(r["et"], r["wd"]): r["n"] for r in rows}
+        total = sum(cells.values())
+        row_target = {}
+        for (et, wd), n in cells.items():
+            row_target[et] = row_target.get(et, 0) + n
+        col_target = total / 7.0
+        aq = {k: n * 1000000 for k, n in cells.items()}
+        # Fixed expression per half-step, identical to the oracle:
+        # round((aq/1e6) * target / (margin/1e6) * 1e6) -> BIGINT.
+        import math
+
+        def rnd(x: float) -> int:
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+        for _ in range(_RAKE_ROUNDS):
+            row_q: dict = {}
+            for (et, wd), v in aq.items():
+                row_q[et] = row_q.get(et, 0) + v
+            aq = {
+                (et, wd): rnd(
+                    (v * 1.0 / 1000000.0)
+                    * row_target[et]
+                    / (row_q[et] / 1000000.0)
+                    * 1000000.0
+                )
+                for (et, wd), v in aq.items()
+            }
+            col_q: dict = {}
+            for (et, wd), v in aq.items():
+                col_q[wd] = col_q.get(wd, 0) + v
+            aq = {
+                (et, wd): rnd(
+                    (v * 1.0 / 1000000.0)
+                    * col_target
+                    / (col_q[wd] / 1000000.0)
+                    * 1000000.0
+                )
+                for (et, wd), v in aq.items()
+            }
+        out_rows = [
+            (et, wd, cells[(et, wd)], float(aq[(et, wd)]))
+            for (et, wd) in sorted(cells)
+        ]
+        res = spark.createDataFrame(
+            out_rows, "event_type string, weekday long, n long, aq double"
+        )
+        return res.select(
+            "event_type",
+            "weekday",
+            "n",
+            stable_round(F.col("aq") / 1000000.0, 6).alias("adjusted_count"),
+            stable_round(F.col("aq") / 1000000.0 / F.col("n"), 6).alias(
+                "rake_weight"
+            ),
+        )
+
+
+_register_raking()
+
+
+def _register_wilcoxon() -> None:
+    _D30 = 30 * 24 * 3600 * 1000000
+
+    @register(
+        "q_wilcoxon_signed_rank",
+        oracle=f"""
+WITH t0 AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS start_us FROM events),
+u AS (
+    SELECT e.user_id,
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
+                          AND epoch_us(e.ts) < t.start_us + {_D30}
+                         THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS pre_cents,
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
+                          AND epoch_us(e.ts) >= t.start_us + {_D30}
+                          AND epoch_us(e.ts) < t.start_us + {2 * _D30}
+                         THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS post_cents
+    FROM events e CROSS JOIN t0 t
+    GROUP BY e.user_id
+),
+d AS (
+    SELECT (post_cents - pre_cents) AS dv FROM u
+    WHERE post_cents <> pre_cents
+),
+grp AS (
+    SELECT abs(dv) AS ad, CAST(count(*) AS BIGINT) AS t,
+           CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pos
+    FROM d GROUP BY 1
+),
+ranked AS (
+    SELECT ad, t, t_pos,
+           CAST(coalesce(sum(t) OVER (ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+    FROM grp
+),
+m AS (
+    SELECT CAST(sum(t) AS BIGINT)                      AS n,
+           CAST(sum(t_pos * (2 * cb + t + 1)) AS BIGINT) AS w_plus2,
+           CAST(sum(t * t * t - t) AS BIGINT)          AS tie_sum
+    FROM ranked
+)
+SELECT n AS n_nonzero, w_plus2,
+       (round(((w_plus2 - n * 1.0 * (n + 1) / 2.0)
+               / (2.0 * sqrt(n * 1.0 * (n + 1) * (2 * n + 1) / 24.0
+                             - tie_sum / 48.0)))
+              * 1000000.0) / 1000000.0) AS z_score,
+       (round((((w_plus2 - n * 1.0 * (n + 1) / 2.0)
+                / (2.0 * sqrt(n * 1.0 * (n + 1) * (2 * n + 1) / 24.0
+                              - tie_sum / 48.0))) / sqrt(n * 1.0))
+              * 1000000.0) / 1000000.0) AS effect_r
+FROM m
+""",
+        description=(
+            "Wilcoxon signed-rank test on PAIRED per-user spend "
+            "(first 30 days vs second 30 days from corpus start): did "
+            "the same users' behavior shift, without assuming "
+            "normality of the differences — the paired member "
+            "completing the testing family (Mann-Whitney compares two "
+            "INDEPENDENT arms; pre/post per user is the within-subject "
+            "design). Same exactness discipline as q_mann_whitney: "
+            "zero-differences dropped per Wilcoxon, average ranks of "
+            "|diff| as doubled integers over the DISTINCT-value "
+            "table, integer t^3-t tie correction, floats only in the "
+            "final z / effect-size divisions."
+        ),
+        tags=("analytics", "extension", "stats"),
+    )
+    def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        t0 = ev.agg(F.min(F.unix_micros("ts")).cast("long").alias("start_us"))
+        e = ev.crossJoin(F.broadcast(t0))
+        us = F.unix_micros("ts")
+        cents = F.round(F.col("value") * 100).cast("long")
+        is_p = F.col("event_type") == "purchase"
+        u = e.groupBy("user_id").agg(
+            F.sum(
+                F.when(is_p & (us < F.col("start_us") + _D30), cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("pre_cents"),
+            F.sum(
+                F.when(
+                    is_p
+                    & (us >= F.col("start_us") + _D30)
+                    & (us < F.col("start_us") + 2 * _D30),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("post_cents"),
+        )
+        d = u.filter(F.col("post_cents") != F.col("pre_cents")).select(
+            (F.col("post_cents") - F.col("pre_cents")).alias("dv")
+        )
+        grp = d.groupBy(F.abs(F.col("dv")).alias("ad")).agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum(F.when(F.col("dv") > 0, 1).otherwise(0)).cast("long").alias("t_pos"),
+        )
+        wcb = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = grp.select(
+            "t",
+            "t_pos",
+            F.coalesce(F.sum("t").over(wcb), F.lit(0)).cast("long").alias("cb"),
+        )
+        t, tp, cb = F.col("t"), F.col("t_pos"), F.col("cb")
+        m = ranked.agg(
+            F.sum(t).cast("long").alias("n"),
+            F.sum(tp * (2 * cb + t + 1)).cast("long").alias("w_plus2"),
+            F.sum(t * t * t - t).cast("long").alias("tie_sum"),
+        )
+        n, w2, ts_ = F.col("n"), F.col("w_plus2"), F.col("tie_sum")
+        z = (w2 - n * 1.0 * (n + 1) / 2.0) / (
+            2.0
+            * F.sqrt(
+                n * 1.0 * (n + 1) * (2 * n + 1) / 24.0 - ts_ / 48.0
+            )
+        )
+        return m.select(
+            n.alias("n_nonzero"),
+            "w_plus2",
+            stable_round(z, 6).alias("z_score"),
+            stable_round(z / F.sqrt(n * 1.0), 6).alias("effect_r"),
+        )
+
+
+_register_wilcoxon()
