@@ -4204,3 +4204,227 @@ def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_percent_rank"),
     )
+
+
+@register(
+    "q_brown_forsythe",
+    oracle="""
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+med AS (
+    SELECT event_type, quantile_cont(cents, 0.5) AS med FROM v GROUP BY 1
+),
+z AS (
+    SELECT v.event_type, abs(v.cents - m.med) AS z
+    FROM v JOIN med m ON m.event_type = v.event_type
+),
+g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(CAST(round(z * 2.0) AS BIGINT)) AS BIGINT) AS sh,
+           CAST(sum(CAST(round(z * z * 4.0) AS BIGINT)) AS BIGINT) AS sq
+    FROM z GROUP BY 1
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n_g) AS BIGINT) AS n,
+           CAST(sum(sh) AS BIGINT) AS sh_tot,
+           CAST(sum(CAST(round((sh / 2.0) * (sh / 2.0) / n_g * 10000.0)
+                         AS BIGINT)) AS BIGINT) AS s2nq,
+           CAST(sum(sq) AS BIGINT) AS sq_tot
+    FROM g
+)
+SELECT k AS n_groups, n AS n_total,
+       (round((((s2nq / 10000.0) - (sh_tot / 2.0) * (sh_tot / 2.0) / n)
+               / (k - 1.0))
+              / (((sq_tot / 4.0) - (s2nq / 10000.0)) / (n - k * 1.0))
+              * 1000000.0) / 1000000.0) AS bf_stat
+FROM m
+""",
+    description=(
+        "Brown-Forsythe (median-based Levene) test for homogeneity of "
+        "variances of event value across event types — the assumption "
+        "gate run BEFORE q_anova_f (ANOVA's F is anti-conservative "
+        "under unequal variances; BF's median centering keeps the "
+        "gate itself robust to the heavy tails that cause the "
+        "problem). |x - group median| carries exact half-cent "
+        "granularity, so per-element squares are exact doubles; every "
+        "cross-row sum (incl. the per-group s^2/n fold) quantizes to BIGINT before "
+        "aggregation (sum order can't move a bit), and the F ratio is "
+        "one rounded expression of those integers. Two partial-"
+        "aggregated passes (medians, then moments); the per-group "
+        "sum-of-squares fold rides the k-row group table."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.round(F.col("z") * 2.0).cast("long")).cast("long").alias("sh"),
+        F.sum(F.round(F.col("z") * F.col("z") * 4.0).cast("long"))
+        .cast("long")
+        .alias("sq"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sh").cast("long").alias("sh_tot"),
+        F.sum(
+            F.round((F.col("sh") / 2.0) * (F.col("sh") / 2.0) / F.col("n_g") * 10000.0)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("s2nq"),
+        F.sum("sq").cast("long").alias("sq_tot"),
+    )
+    k, n = F.col("k"), F.col("n")
+    s2n = F.col("s2nq") / 10000.0
+    ssb = (s2n - (F.col("sh_tot") / 2.0) * (F.col("sh_tot") / 2.0) / n) / (k - 1.0)
+    ssw = ((F.col("sq_tot") / 4.0) - s2n) / (n - k * 1.0)
+    return m.select(
+        k.alias("n_groups"),
+        n.alias("n_total"),
+        stable_round(ssb / ssw, 6).alias("bf_stat"),
+    )
+
+
+@register(
+    "q_regression_diagnostics",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT day, cents,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+    FROM daily
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i) AS BIGINT) AS sx,
+           CAST(sum(i * i) AS BIGINT) AS sxx,
+           CAST(sum(cents) AS BIGINT) AS sy,
+           CAST(sum(i * cents) AS BIGINT) AS sxy
+    FROM idx
+),
+fit AS (
+    SELECT n, sx, sxx, sy, sxy,
+           ((n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)) AS beta,
+           (sxx - sx * 1.0 / n * sx) AS sxx_c
+    FROM mom
+),
+resid AS (
+    SELECT x.day, x.i, x.cents, f.n, f.beta, f.sxx_c,
+           (x.cents - ((f.sy * 1.0 / f.n - f.beta * f.sx / f.n) + f.beta * x.i))
+               AS r,
+           (1.0 / f.n + (x.i - f.sx * 1.0 / f.n) * (x.i - f.sx * 1.0 / f.n) / f.sxx_c)
+               AS h
+    FROM idx x CROSS JOIN fit f
+),
+mse AS (
+    SELECT CAST(sum(CAST(round(r * r * 10000.0) AS BIGINT)) AS BIGINT) AS ssq
+    FROM resid
+)
+SELECT CAST(x.day AS VARCHAR) AS day,
+       (round((x.cents / 100.0) * 1000000.0) / 1000000.0) AS revenue,
+       (round((x.r / 100.0) * 1000000.0) / 1000000.0) AS residual,
+       (round(x.h * 1000000.0) / 1000000.0) AS leverage,
+       (round(((x.r * x.r / (2.0 * ((m.ssq / 10000.0) / (x.n - 2))))
+               * (x.h / ((1.0 - x.h) * (1.0 - x.h))))
+              * 1000000.0) / 1000000.0) AS cooks_d
+FROM resid x CROSS JOIN mse m
+""",
+    description=(
+        "OLS influence diagnostics for the daily-revenue trend line: "
+        "per-day residual, leverage h_i = 1/n + (x-xbar)^2/Sxx, and "
+        "Cook's distance — which days are DRIVING the fitted trend "
+        "(quarter-end spikes with high leverage can manufacture a "
+        "slope that q_theil_sen would shrug off; Cook's D > 4/n is "
+        "the classic referral threshold, and this query is how you "
+        "find the days to investigate before trusting any trend "
+        "readout). Moments are exact BIGINTs (integer day index x "
+        "integer cents); beta/residual/leverage are fixed double "
+        "expressions of them; the one cross-row float sum (SSE for "
+        "the MSE) quantizes residual squares to BIGINT at 1e-4 "
+        "first. Everything after the daily rollup rides the "
+        "days-sized series."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "day", "cents", F.row_number().over(Window.orderBy("day")).cast("long").alias("i")
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sxx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"])
+    fit = mom.select(
+        "n", "sx", "sy",
+        ((n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)).alias(
+            "beta"
+        ),
+        (sxx - sx * 1.0 / n * sx).alias("sxx_c"),
+    )
+    x = idx.crossJoin(F.broadcast(fit))
+    r = F.col("cents") - (
+        (F.col("sy") * 1.0 / F.col("n") - F.col("beta") * F.col("sx") / F.col("n"))
+        + F.col("beta") * F.col("i")
+    )
+    h = (
+        F.lit(1.0) / F.col("n")
+        + (F.col("i") - F.col("sx") * 1.0 / F.col("n"))
+        * (F.col("i") - F.col("sx") * 1.0 / F.col("n"))
+        / F.col("sxx_c")
+    )
+    resid = x.select(
+        "day", "cents", "n", r.alias("r"), h.alias("h")
+    )
+    mse = resid.agg(
+        F.sum(F.round(F.col("r") * F.col("r") * 10000.0).cast("long"))
+        .cast("long")
+        .alias("ssq")
+    )
+    out = resid.crossJoin(F.broadcast(mse))
+    mse_c = (F.col("ssq") / 10000.0) / (F.col("n") - 2)
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        stable_round(F.col("cents") / 100.0, 6).alias("revenue"),
+        stable_round(F.col("r") / 100.0, 6).alias("residual"),
+        stable_round(F.col("h"), 6).alias("leverage"),
+        stable_round(
+            (F.col("r") * F.col("r") / (2.0 * mse_c))
+            * (F.col("h") / ((F.lit(1.0) - F.col("h")) * (F.lit(1.0) - F.col("h")))),
+            6,
+        ).alias("cooks_d"),
+    )
