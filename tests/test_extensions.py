@@ -2114,3 +2114,74 @@ def test_isotonic_calibration_is_monotone(spark):
     raw_mean = sum(r["n"] * r["conv_rate"] for r in rows) / total_n
     iso_mean = sum(r["n"] * r["iso_rate"] for r in rows) / total_n
     assert abs(raw_mean - iso_mean) < 1e-4, (raw_mean, iso_mean)
+
+
+def test_raking_matches_both_margins(spark, sf_smoke):
+    """After 4 IPF rounds the adjusted cell table must (approximately)
+    reproduce BOTH targets: row margins = observed event-type totals,
+    column margins = uniform total/7 — the fixed point raking converges
+    to. Tolerance covers the 1e-6 per-step quantization."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_raking_weights"].fn(spark, sf_smoke).toPandas()
+    total = pdf["n"].sum()
+    col = pdf.groupby("weekday")["adjusted_count"].sum()
+    assert (abs(col - total / 7.0) < 0.01).all(), col
+    row_obs = pdf.groupby("event_type")["n"].sum()
+    row_adj = pdf.groupby("event_type")["adjusted_count"].sum()
+    # rows were normalized BEFORE the final column step, so they drift
+    # slightly from the target within one round; must still be close
+    assert (abs(row_adj - row_obs) / row_obs < 0.05).all()
+
+
+def test_ndcg_bounds_and_ideal_dominates(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_ndcg_eval"].fn(spark, sf_smoke).toPandas()
+    assert len(pdf) == 10
+    assert ((pdf["ndcg"] >= 0.0) & (pdf["ndcg"] <= 1.0)).all()
+    assert (pdf["idcg"] >= pdf["dcg"] - 1e-9).all()
+
+
+def test_kcore_result_satisfies_core_property(spark, sf_smoke):
+    """Every surviving node must keep degree >= k WITHIN the surviving
+    subgraph — the defining invariant of a k-core."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_kcore_peel"].fn(spark, sf_smoke).toPandas()
+    assert (pdf["degree"] >= 2).all()
+
+
+def test_psm_matches_respect_caliper_and_att_consistency(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_psm_match"].fn(spark, sf_smoke).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert 0 < r["n_matched"] <= r["n_treated"]
+    assert abs(
+        (r["matched_treated_mean"] - r["matched_control_mean"]) - r["att_dollars"]
+    ) < 1e-4
+
+
+def test_silhouette_bounded(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_cluster_silhouette"].fn(spark, sf_smoke).toPandas()
+    assert ((pdf["mean_silhouette"] >= -1.0) & (pdf["mean_silhouette"] <= 1.0)).all()
+    assert pdf["n_points"].sum() > 0
+
+
+def test_dp_histogram_noise_bounded_and_reproducible(spark, sf_smoke):
+    """Counter-based Laplace noise: reruns must produce IDENTICAL noisy
+    counts (no RNG state), and eps=1 noise should be small relative to
+    the counts but almost surely nonzero."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    fn = get_registry()["q_dp_histogram"].fn
+    a = fn(spark, sf_smoke).toPandas().set_index("event_type").sort_index()
+    b = fn(spark, sf_smoke).toPandas().set_index("event_type").sort_index()
+    assert (a["noisy_count"] == b["noisy_count"]).all()
+    resid = (a["noisy_count"] - a["true_count"]).abs()
+    assert (resid > 0).any()
+    assert (resid < 20).all()  # Laplace(1) tail at 5 cells
