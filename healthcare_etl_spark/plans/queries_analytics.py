@@ -4176,22 +4176,34 @@ FROM ranked GROUP BY decile
         "the segmentation primitive behind lift tables, spend bands, "
         "and 'top decile' reporting (q_window_analytics exercises the "
         "same ranking functions row-wise; this adds the banded rollup "
-        "consumers actually read). The global-order window is the documented "
-        "single-partition scale limit; at 100 TB swap in the "
-        "two-phase bucketed carry used by q_quantile_normalize/"
-        "q_gini_concentration (per-bucket local ranks + broadcast "
-        "bucket offsets). percent_rank values are exact rationals, "
+        "consumers actually read). NO single-partition sort: the "
+        "global rank is the two-phase bucketed carry (per-cents-bucket "
+        "local ranks + broadcast bucket offsets — bucketed_rank), and "
+        "ntile/percent_rank are closed-form arithmetic on that rank "
+        "(ntile_from_rank is bit-identical to ANSI ntile), so the "
+        "plan stays distributed at any scale while the oracle keeps "
+        "the textbook window form. percent_rank values are exact rationals, "
         "quantized to BIGINT before the per-decile mean."
     ),
     tags=("analytics", "extension", "window"),
 )
 def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    ranked = cust.select(
+    n = cust.count()
+    # two-phase bucketed global rank (no single-partition sort): the
+    # cents bucket lexicographically coarsens (c_acctbal, c_custkey)
+    rk = bucketed_rank(
+        cust.select("c_acctbal", "c_custkey"),
+        buckets=[F.floor(F.col("c_acctbal") * 100 / 4096).cast("long")],
+        order_by=[F.asc("c_acctbal"), F.asc("c_custkey")],
+        out_col="rk",
+    )
+    ranked = rk.select(
         "c_acctbal",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
+        ntile_from_rank(F.col("rk"), F.lit(n).cast("long"), 10).alias("decile"),
+        ((F.col("rk") - 1) * 1.0 / F.lit(float(n - 1))).alias("pr"),
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -2287,7 +2287,9 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = idxd.select(F.col("idx").alias("ia"), F.col("rev").alias("ra"))
     b = idxd.select(F.col("idx").alias("ib"), F.col("rev").alias("rb"))
-    slopes = a.join(b, F.col("ia") < F.col("ib")).select(
+    # broadcast hint: the windowed days frame has no size estimate, so
+    # without it the inequality self-join degrades to CartesianProduct
+    slopes = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
         ((F.col("rb") - F.col("ra")) * 1.0 / (F.col("ib") - F.col("ia"))).alias("s")
     )
     wsel = Window.orderBy("s")
@@ -2314,7 +2316,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = idxd.agg(F.count(F.lit(1)).alias("n_days"))
     n_pairs = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
     return (
-        sen.crossJoin(icpt)
+        sen.crossJoin(F.broadcast(icpt))
         .crossJoin(F.broadcast(n_days))
         .crossJoin(F.broadcast(n_pairs))
         .select(
@@ -3821,9 +3823,10 @@ def _register_permutation_importance() -> None:
             "'which signals does the model actually lean on' readout "
             "next to q_partial_dependence's shape view. Accuracy "
             "deltas are exact BIGINT hit-counts from ONE pass over "
-            "the shifted frame; the shift itself is one rank window "
-            "plus an equi-join on adjacent ranks, both riding the "
-            "users-sized aggregate."
+            "the shifted frame; the shift itself is a two-phase "
+            "bucketed global rank (bucketed_rank — no single-partition "
+            "sort) plus an equi-join on adjacent ranks, fully "
+            "distributed over the users-sized aggregate."
         ),
         tags=("analytics", "extension", "ml", "evaluation"),
     )
@@ -3857,15 +3860,18 @@ def _register_permutation_importance() -> None:
                 16,
                 10,
             ).cast("long")
-            wr = Window.orderBy(h, "user_id")
-            keyed = feat.select(
-                "user_id",
-                "x1",
-                "x2",
-                "y",
-                F.row_number().over(wr).cast("long").alias("rk"),
-                F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
-            )
+            from healthcare_etl_spark.operators.scale import bucketed_rank
+
+            n_users = feat.count()
+            # two-phase bucketed global rank over (hash, user_id) — the
+            # permutation pairing needs a total order but never a
+            # single-partition sort; hash div 2^20 coarsens the order
+            keyed = bucketed_rank(
+                feat.select("user_id", "x1", "x2", "y", h.alias("hk")),
+                buckets=[F.expr("hk div 1048576")],
+                order_by=[F.asc("hk"), F.asc("user_id")],
+                out_col="rk",
+            ).withColumn("n", F.lit(n_users).cast("long"))
             nxt = keyed.select(
                 F.col("rk").alias("rk_b"),
                 F.col("x1").alias("x1_perm"),
@@ -4238,8 +4244,10 @@ FROM m
             "design). Same exactness discipline as q_mann_whitney: "
             "zero-differences dropped per Wilcoxon, average ranks of "
             "|diff| as doubled integers over the DISTINCT-value "
-            "table, integer t^3-t tie correction, floats only in the "
-            "final z / effect-size divisions."
+            "table (its cum-before prefix is the two-phase bucketed "
+            "carry — no single-partition sort), integer t^3-t tie "
+            "correction, floats only in the final z / effect-size "
+            "divisions."
         ),
         tags=("analytics", "extension", "stats"),
     )
@@ -4274,12 +4282,20 @@ FROM m
             F.count(F.lit(1)).cast("long").alias("t"),
             F.sum(F.when(F.col("dv") > 0, 1).otherwise(0)).cast("long").alias("t_pos"),
         )
-        wcb = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
-        ranked = grp.select(
-            "t",
-            "t_pos",
-            F.coalesce(F.sum("t").over(wcb), F.lit(0)).cast("long").alias("cb"),
-        )
+        from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+        # cum-before over the distinct-|diff| table WITHOUT a single-
+        # partition sort (the q_mann_whitney bucketed-carry discipline —
+        # distinct cent differences grow with the data)
+        ranked = bucketed_prefix(
+            grp,
+            buckets=[F.expr("ad div 4096")],
+            order_by=[F.asc("ad")],
+            value=F.col("t"),
+            agg="sum",
+            exclusive=True,
+            out_col="cb",
+        ).select("t", "t_pos", F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"))
         t, tp, cb = F.col("t"), F.col("t_pos"), F.col("cb")
         m = ranked.agg(
             F.sum(t).cast("long").alias("n"),

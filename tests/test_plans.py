@@ -574,6 +574,9 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_rfm_segmentation": "bucket-summary offsets (3 axes)",
     "q_gini_concentration": "bucket-summary offsets",
     "q_mann_whitney": "bucket-summary prefix over distinct cents",
+    "q_wilcoxon_signed_rank": "bucket-summary prefix over distinct |diffs|",
+    "q_ntile_percent_rank": "bucket-summary offsets (cents buckets)",
+    "q_permutation_importance": "bucket-summary offsets (hash buckets)",
     "q_quality_gains_chart": "bucket-summary offsets",
     "q_quantile_normalize": "64-char-band summary offsets",
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
@@ -590,6 +593,9 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_sequential_ab_monitor": "daily series",
     "q_theil_sen": "daily series + day-pair slopes",
     "q_share_of_total": "daily-series global share",
+    "q_stl_decompose": "daily series (7-day centered trend)",
+    "q_ljung_box": "daily series + 7-lag grid",
+    "q_regression_diagnostics": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
     # fixed-cardinality grids / bins
@@ -599,11 +605,13 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_dedup_threshold_profile": "similarity-threshold bins",
     "q_kanonymity_audit": "k-class histogram (<=6 rows)",
     "q_kaplan_meier": "distinct day-durations (horizon-bounded)",
+    "q_nelson_aalen": "distinct day-durations (horizon-bounded)",
     # bounded by construction
     "q_bootstrap_ci": "200 bootstrap replicates",
     "q_zipf_fit": "post-LIMIT-1000 rank",
     "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
     "q_roc_auc": "6dp-rounded distinct scores (<=1e6)",
+    "q_pr_auc": "6dp-rounded distinct scores (<=1e6)",
     # rank-limit pushdown: WindowGroupLimit pre-truncates every input
     # partition to k rows before the single-partition stage
     "q_hybrid_search_rrf": "WindowGroupLimit k-truncated",
