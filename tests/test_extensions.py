@@ -2185,3 +2185,27 @@ def test_dp_histogram_noise_bounded_and_reproducible(spark, sf_smoke):
     resid = (a["noisy_count"] - a["true_count"]).abs()
     assert (resid > 0).any()
     assert (resid < 20).all()  # Laplace(1) tail at 5 cells
+
+
+def test_kmeans_return_scores_matrix_consistent(spark, sf_smoke):
+    """return_scores=True must yield the full n x k final-round score
+    matrix whose per-vector argmax (cos DESC, cluster ASC) reproduces
+    the default assignment output exactly."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assign = kmeans_lloyd(emb, k=4, n_iter=2).toPandas()
+    scored = kmeans_lloyd(emb, k=4, n_iter=2, return_scores=True).toPandas()
+    n = emb.count()
+    assert len(scored) == n * 4
+    best = (
+        scored.sort_values(["vec_id", "cos", "cluster"], ascending=[True, False, True])
+        .groupby("vec_id")
+        .head(1)
+        .set_index("vec_id")["cluster"]
+    )
+    got = assign.set_index("vec_id")["cluster"]
+    assert (best.sort_index() == got.sort_index()).all()
