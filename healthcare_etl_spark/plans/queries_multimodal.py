@@ -381,3 +381,68 @@ def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("sum_s") * F.lit(1.0) / ns, 6).alias("mean_s"),
         stable_round(F.sqrt(F.col("sum_s2") * F.lit(1.0) / ns), 6).alias("rms"),
     )
+
+
+@register(
+    "q_multimodal_gif_stats",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(n % 16 + 1 AS INT) AS w, CAST(n % 8 + 1 AS INT) AS h FROM docs
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           ((d.doc_id * 7 + x.i * 3 + y.j * 5) % 256) AS idx
+    FROM dims d
+    JOIN range(16) x(i) ON x.i < d.w
+    JOIN range(8)  y(j) ON y.j < d.h
+)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INT)              AS width,
+       CAST(max(h) AS INT)              AS height,
+       CAST(count(*) AS BIGINT)         AS n_px,
+       CAST(sum(idx) AS BIGINT)         AS sum_idx,
+       CAST(sum((idx * 3) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_b,
+       (round((sum(idx) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS mean_idx
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "REAL GIF decode (third real codec after PNG inflate/unfilter "
+        "and WAV PCM): encode_gif_media writes fully valid GIF89a "
+        "files — logical screen descriptor, 256-color global palette, "
+        "image descriptor, LZW-compressed index stream in sub-blocks — "
+        "and decode_gif_index_stats walks the container and runs a "
+        "from-scratch GIF LZW decompressor (variable-width LSB-first "
+        "codes, KwKwK case, width growth, 12-bit cap with CLEAR "
+        "reset; bit packing anchored to a hand-computed spec example "
+        "in tests) to recover the exact palette indices. Channel sums "
+        "are exact integers from the decoded indices; any LZW or "
+        "container-walk bug cannot hash-match the oracle's "
+        "arithmetically regenerated pixel grid."
+    ),
+    tags=("multimodal", "extension", "codec"),
+)
+def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_gif_index_stats,
+        encode_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_gif_index_stats(encode_gif_media(docs))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_px",
+        "sum_idx",
+        "sum_g",
+        "sum_b",
+        stable_round(F.col("sum_idx") * F.lit(1.0) / F.col("n_px"), 6).alias(
+            "mean_idx"
+        ),
+    )

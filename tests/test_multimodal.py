@@ -67,3 +67,70 @@ def test_wav_pcm_codec_roundtrip(spark):
         assert int(r.sum_s) == sum(samples)
         assert int(r.sum_s2) == sum(s * s for s in samples)
         assert int(r.peak) == max(abs(s) for s in samples)
+
+
+def test_gif_lzw_bit_packing_matches_spec_hand_example():
+    """[42, 42] @ min_code_size=8 must pack to exactly 00 55 A8 08 08:
+    codes [CLEAR=256, 42, 42, EOI=257] at 9 bits, LSB-first — computed
+    by hand from the GIF89a spec's bit-packing rules, so this anchors
+    BOTH directions to the spec independent of round-trip consistency."""
+    from healthcare_etl_spark.operators.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    expected = bytes([0x00, 0x55, 0xA8, 0x08, 0x08])
+    assert gif_lzw_encode(bytes([42, 42]), 8) == expected
+    assert gif_lzw_decode(expected, 8) == [42, 42]
+
+
+def test_gif_lzw_roundtrip_through_width_growth_and_cap():
+    """Round-trip across alphabet sizes and lengths that force code
+    widths 9->12 and the 4096-entry dictionary reset."""
+    import random
+
+    from healthcare_etl_spark.operators.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    rng = random.Random(13)
+    for n, alpha in [(1, 256), (17, 256), (128, 256), (3000, 4), (20000, 2), (9000, 256)]:
+        data = bytes(rng.randrange(alpha) for _ in range(n))
+        assert gif_lzw_decode(gif_lzw_encode(data, 8), 8) == list(data), (n, alpha)
+
+
+def test_gif_decode_rejects_malformed_payloads(spark):
+    from healthcare_etl_spark.operators.multimodal import decode_gif_index_stats
+
+    rows = [
+        (1, None),
+        (2, b"NOTAGIF"),
+        (3, b"GIF89a\x02\x00\x01\x00\x00\x00\x00"),  # no image descriptor
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pdf = decode_gif_index_stats(media).toPandas()
+    assert pdf["n_px"].isna().all()
+
+
+def test_gif_roundtrip_recovers_exact_indices(spark, sf_smoke):
+    """End-to-end: encode real GIFs from documents, decode, and check a
+    sampled doc's sums against a pure-Python regeneration of the index
+    rule (independent of the oracle)."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _gif_index,
+        decode_gif_index_stats,
+        encode_gif_media,
+    )
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    pdf = decode_gif_index_stats(encode_gif_media(docs)).toPandas()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert pdf["n_px"].notna().all()
+    for _, r in pdf.iterrows():
+        n = len(texts[r["media_id"]].encode("utf-8"))
+        w, h = n % 16 + 1, n % 8 + 1
+        idx = [_gif_index(int(r["media_id"]), x, y) for y in range(h) for x in range(w)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_idx"] == sum(idx)
