@@ -4440,3 +4440,111 @@ def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cooks_d"),
     )
+
+
+@register(
+    "q_simpson_paradox",
+    oracle="""
+WITH t0 AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS start_us FROM events),
+u AS (
+    SELECT e.user_id,
+           CAST(((min(epoch_us(e.ts)) - t.start_us)
+                 // 604800000000) AS BIGINT) AS cohort_week,
+           CAST(sum(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
+                THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events e CROSS JOIN t0 t
+    GROUP BY e.user_id, t.start_us
+),
+strata AS (
+    SELECT CAST(cohort_week AS VARCHAR) AS stratum, x, y FROM u
+    UNION ALL
+    SELECT 'overall', x, y FROM u
+),
+mom AS (
+    SELECT stratum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM strata GROUP BY 1
+)
+SELECT stratum, n,
+       (round(((n * 1.0 * sxy - sx * 1.0 * sy)
+               / (n * 1.0 * sxx - sx * 1.0 * sx)) * 1000000.0) / 1000000.0)
+           AS slope_cents_per_click,
+       CASE WHEN (n * 1.0 * sxy - sx * 1.0 * sy) > 0 THEN 'positive'
+            WHEN (n * 1.0 * sxy - sx * 1.0 * sy) < 0 THEN 'negative'
+            ELSE 'flat' END AS direction
+FROM mom
+WHERE (n * 1.0 * sxx - sx * 1.0 * sx) <> 0
+""",
+    description=(
+        "Simpson's-paradox screen: the OLS slope of per-user spend on "
+        "click count, fit overall AND within each signup-week cohort "
+        "stratum — when the overall direction disagrees with (most) "
+        "strata, the aggregate relationship is confounded by cohort "
+        "mix and any 'clicks drive revenue' readout from the pooled "
+        "data is wrong (the aggregation trap q_psm_match and "
+        "q_cuped_adjustment exist to avoid). One per-user pass, one "
+        "moment aggregate over the doubled (stratum + overall) long "
+        "form — all exact BIGINTs, slope is a single rounded "
+        "division; the sign comes from the exact integer-valued "
+        "numerator so the direction label can never drift."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).cast("long").alias("start_us"))
+    u = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy("user_id", "start_us")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.floor(
+                (F.col("first_us") - F.col("start_us")) / F.lit(604800000000)
+            )
+            .cast("long")
+            .alias("cohort_week"),
+            "x",
+            "y",
+        )
+    )
+    strata = u.select(
+        F.col("cohort_week").cast("string").alias("stratum"), "x", "y"
+    ).unionAll(u.select(F.lit("overall").alias("stratum"), "x", "y"))
+    mom = strata.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ["n", "sx", "sy", "sxx", "sxy"])
+    num = n * 1.0 * sxy - sx * 1.0 * sy
+    den = n * 1.0 * sxx - sx * 1.0 * sx
+    return (
+        mom.filter(den != 0)
+        .select(
+            "stratum",
+            "n",
+            stable_round(num / den, 6).alias("slope_cents_per_click"),
+            F.when(num > 0, F.lit("positive"))
+            .when(num < 0, F.lit("negative"))
+            .otherwise(F.lit("flat"))
+            .alias("direction"),
+        )
+    )
