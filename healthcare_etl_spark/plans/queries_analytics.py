@@ -4548,3 +4548,127 @@ def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@register(
+    "q_durbin_watson",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT day, cents,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+    FROM daily
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i) AS BIGINT) AS sx,
+           CAST(sum(i * i) AS BIGINT) AS sxx,
+           CAST(sum(cents) AS BIGINT) AS sy,
+           CAST(sum(i * cents) AS BIGINT) AS sxy
+    FROM idx
+),
+resid AS (
+    SELECT x.i,
+           (x.cents - ((m.sy * 1.0 / m.n
+                        - ((m.n * 1.0 * m.sxy - m.sx * 1.0 * m.sy)
+                           / (m.n * 1.0 * m.sxx - m.sx * 1.0 * m.sx))
+                          * m.sx / m.n)
+                       + ((m.n * 1.0 * m.sxy - m.sx * 1.0 * m.sy)
+                          / (m.n * 1.0 * m.sxx - m.sx * 1.0 * m.sx)) * x.i))
+               AS r
+    FROM idx x CROSS JOIN mom m
+),
+q AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(r * r * 10000.0) AS BIGINT)) AS BIGINT) AS ssq,
+           CAST(coalesce(sum(CAST(round((r - rl) * (r - rl) * 10000.0) AS BIGINT)), 0)
+                AS BIGINT) AS sdq
+    FROM (SELECT r, lag(r) OVER (ORDER BY i) AS rl FROM resid)
+)
+SELECT n AS n_days,
+       (round((sdq * 1.0 / ssq) * 1000000.0) / 1000000.0) AS dw_stat,
+       CASE WHEN sdq * 1.0 / ssq < 1.5 THEN 'positive_autocorr'
+            WHEN sdq * 1.0 / ssq > 2.5 THEN 'negative_autocorr'
+            ELSE 'no_evidence' END AS verdict
+FROM q
+""",
+    description=(
+        "Durbin-Watson test on the daily-revenue OLS trend residuals: "
+        "DW = sum((r_t - r_{t-1})^2) / sum(r_t^2) — the serial-"
+        "correlation gate that says whether the trend line's standard "
+        "errors (and q_regression_diagnostics' Cook's distances) can "
+        "be believed, since autocorrelated residuals make OLS "
+        "uncertainty wildly optimistic (DW~2 = independent, <1.5 = "
+        "positive autocorrelation -> model the seasonality first, see "
+        "q_stl_decompose / q_ljung_box which test the raw series; "
+        "this tests what's LEFT after the trend). Residuals are fixed "
+        "double expressions of exact-BIGINT moments; both quadratic-"
+        "form sums quantize to BIGINT at 1e-4 before aggregation, so "
+        "no float order exists; everything after the daily rollup "
+        "rides the days-sized series."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sxx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sxy"),
+    )
+    x = idx.crossJoin(F.broadcast(mom))
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"])
+    beta = (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)
+    r = F.col("cents") - ((sy * 1.0 / n - beta * sx / n) + beta * F.col("i"))
+    resid = x.select("i", r.alias("r"))
+    lagged = resid.select(
+        "r", F.lag("r").over(Window.orderBy("i")).alias("rl")
+    )
+    q = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("r") * F.col("r") * 10000.0).cast("long"))
+        .cast("long")
+        .alias("ssq"),
+        F.coalesce(
+            F.sum(
+                F.round(
+                    (F.col("r") - F.col("rl")) * (F.col("r") - F.col("rl")) * 10000.0
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sdq"),
+    )
+    dw = F.col("sdq") * 1.0 / F.col("ssq")
+    return q.select(
+        F.col("n").alias("n_days"),
+        stable_round(dw, 6).alias("dw_stat"),
+        F.when(dw < 1.5, F.lit("positive_autocorr"))
+        .when(dw > 2.5, F.lit("negative_autocorr"))
+        .otherwise(F.lit("no_evidence"))
+        .alias("verdict"),
+    )

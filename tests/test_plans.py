@@ -596,6 +596,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_stl_decompose": "daily series (7-day centered trend)",
     "q_ljung_box": "daily series + 7-lag grid",
     "q_regression_diagnostics": "daily series",
+    "q_durbin_watson": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
     # fixed-cardinality grids / bins
