@@ -4318,3 +4318,111 @@ FROM m
 
 
 _register_wilcoxon()
+
+
+def _mcnemar_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y,
+           (CASE WHEN 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))) > 0.5
+                 THEN 1 ELSE 0 END) AS pred_model,
+           (CASE WHEN x1 > 2.0 THEN 1 ELSE 0 END) AS pred_baseline
+    FROM feat CROSS JOIN {final} b
+),
+cells AS (
+    SELECT CAST(sum(CASE WHEN pred_model = y AND pred_baseline <> y
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN pred_model <> y AND pred_baseline = y
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN pred_model = y AND pred_baseline = y
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+           CAST(sum(CASE WHEN pred_model <> y AND pred_baseline <> y
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+    FROM scored
+)
+SELECT b AS model_only_right, c AS baseline_only_right, both_right, both_wrong,
+       (round(((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c))
+              * 1000000.0) / 1000000.0) AS mcnemar_chi2
+FROM cells WHERE b + c > 0
+""".strip()
+
+
+def _register_mcnemar() -> None:
+    @register(
+        "q_mcnemar_test",
+        oracle=_mcnemar_oracle(),
+        description=(
+            "McNemar's test (continuity-corrected) comparing the IRLS "
+            "model against the naive click-volume baseline "
+            "(ln(1+clicks) > 2) on the SAME users: only the discordant "
+            "cells — users exactly one classifier gets right — carry "
+            "information about which model is better, which is why "
+            "comparing two accuracies with a two-proportion z-test "
+            "(q_ab_test_ztest's machinery) is wrong for paired "
+            "predictions (it ignores the pairing and wastes the "
+            "concordant mass). The model-comparison member of the "
+            "testing family: chi2 = (|b-c|-1)^2/(b+c) from four exact "
+            "BIGINT cells out of ONE partial-aggregated scoring pass."
+        ),
+        tags=("analytics", "extension", "stats", "ml", "evaluation"),
+    )
+    def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(feat, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            pm = F.when(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)) > 0.5, 1
+            ).otherwise(0)
+            pb = F.when(F.col("x1") > 2.0, 1).otherwise(0)
+            scored = feat.select("y", pm.alias("pm"), pb.alias("pb"))
+            y, m, bl = F.col("y"), F.col("pm"), F.col("pb")
+            cells = scored.agg(
+                F.sum(F.when((m == y) & (bl != y), 1).otherwise(0))
+                .cast("long")
+                .alias("b"),
+                F.sum(F.when((m != y) & (bl == y), 1).otherwise(0))
+                .cast("long")
+                .alias("c"),
+                F.sum(F.when((m == y) & (bl == y), 1).otherwise(0))
+                .cast("long")
+                .alias("both_right"),
+                F.sum(F.when((m != y) & (bl != y), 1).otherwise(0))
+                .cast("long")
+                .alias("both_wrong"),
+            )
+            b, c = F.col("b"), F.col("c")
+            chi2 = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)
+            return cells.filter(b + c > 0).select(
+                b.alias("model_only_right"),
+                c.alias("baseline_only_right"),
+                "both_right",
+                "both_wrong",
+                stable_round(chi2, 6).alias("mcnemar_chi2"),
+            )
+        finally:
+            feat.unpersist()
+
+
+_register_mcnemar()
