@@ -4426,3 +4426,166 @@ def _register_mcnemar() -> None:
 
 
 _register_mcnemar()
+
+
+def _register_logrank() -> None:
+    @register(
+        "q_logrank_test",
+        oracle="""
+WITH f AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+p AS (
+    SELECT user_id, min(epoch_us(ts)) AS p_us
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+subj AS (
+    SELECT f.user_id,
+           ((('0x' || substring(md5('ab-v1:' || CAST(f.user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2) = 0) AS in_a,
+           CASE WHEN p.p_us IS NOT NULL
+                     AND (p.p_us - f.first_us) // 3600000000 <= 60
+                THEN (p.p_us - f.first_us) // 3600000000 ELSE 60 END AS dur,
+           (p.p_us IS NOT NULL AND (p.p_us - f.first_us) // 3600000000 <= 60) AS event
+    FROM f LEFT JOIN p ON f.user_id = p.user_id
+),
+tbl AS (
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN event AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+           CAST(count(*) AS BIGINT) AS leave_t,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS leave_a
+    FROM subj GROUP BY 1
+),
+risk AS (
+    SELECT dur, d, d_a,
+           CAST(sum(leave_t) OVER () - coalesce(sum(leave_t) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_t,
+           CAST(sum(leave_a) OVER () - coalesce(sum(leave_a) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_a
+    FROM tbl
+),
+terms AS (
+    SELECT d_a, d, n_t, n_a,
+           CAST(round((d_a - d * 1.0 * n_a / n_t) * 10000000000.0) AS BIGINT) AS oe_q,
+           CAST(round(CASE WHEN n_t > 1
+                THEN (d * 1.0 * (n_a * 1.0 / n_t) * (1.0 - n_a * 1.0 / n_t)
+                      * (n_t - d) / (n_t - 1.0)) ELSE 0.0 END * 10000000000.0)
+                AS BIGINT) AS v_q
+    FROM risk WHERE d > 0
+),
+m AS (
+    SELECT CAST(sum(oe_q) AS BIGINT) AS oe, CAST(sum(v_q) AS BIGINT) AS v
+    FROM terms
+)
+SELECT (round((oe / 10000000000.0) * 1000000.0) / 1000000.0) AS observed_minus_expected_a,
+       (round((v / 10000000000.0) * 1000000.0) / 1000000.0)  AS variance,
+       (round(((oe / 10000000000.0) / sqrt(v / 10000000000.0))
+              * 1000000.0) / 1000000.0) AS z_score,
+       (round((((oe / 10000000000.0) / sqrt(v / 10000000000.0))
+               * ((oe / 10000000000.0) / sqrt(v / 10000000000.0)))
+              * 1000000.0) / 1000000.0) AS logrank_chi2
+FROM m
+""",
+        description=(
+            "Log-rank test comparing time-to-first-purchase between "
+            "the md5 A/B arms: at each event time, observed arm-A "
+            "conversions vs the hypergeometric expectation d*n_A/n "
+            "given the at-risk sets, summed to the O-E / sqrt(V) "
+            "statistic — the censoring-correct way to compare the two "
+            "arms' q_kaplan_meier curves (comparing conversion RATES "
+            "at a fixed horizon throws away timing and mishandles "
+            "censoring; q_wilcoxon_signed_rank pairs within users, "
+            "this compares independent arms over durations). At-risk "
+            "counts are the same running-window arithmetic as the KM "
+            "duration table (<=61 rows), per-time O-E and variance "
+            "terms quantize to BIGINT at 1e-10 before summing, and "
+            "the data-scale work is the two per-user aggregates."
+        ),
+        tags=("analytics", "extension", "stats"),
+    )
+    def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+        p = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+        )
+        in_a = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        delay_h = F.floor((F.col("p_us") - F.col("first_us")) / F.lit(3600000000))
+        is_event = F.col("p_us").isNotNull() & (delay_h <= 60)
+        subj = f.join(p, "user_id", "left").select(
+            in_a.alias("in_a"),
+            F.when(is_event, delay_h).otherwise(F.lit(60)).cast("long").alias("dur"),
+            is_event.alias("event"),
+        )
+        tbl = subj.groupBy("dur").agg(
+            F.sum(F.when(F.col("event"), 1).otherwise(0)).cast("long").alias("d"),
+            F.sum(F.when(F.col("event") & F.col("in_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("d_a"),
+            F.count(F.lit(1)).cast("long").alias("leave_t"),
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("leave_a"),
+        )
+        w_all = Window.partitionBy()
+        w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+        risk = tbl.select(
+            "dur",
+            "d",
+            "d_a",
+            (
+                F.sum("leave_t").over(w_all)
+                - F.coalesce(F.sum("leave_t").over(w_prev), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_t"),
+            (
+                F.sum("leave_a").over(w_all)
+                - F.coalesce(F.sum("leave_a").over(w_prev), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_a"),
+        )
+        d, da, nt, na = F.col("d"), F.col("d_a"), F.col("n_t"), F.col("n_a")
+        share = na * 1.0 / nt
+        oe_q = F.round((da - d * 1.0 * na / nt) * 1e10).cast("long")
+        v_q = F.round(
+            F.when(
+                nt > 1, d * 1.0 * share * (F.lit(1.0) - share) * (nt - d) / (nt - 1.0)
+            ).otherwise(F.lit(0.0))
+            * 1e10
+        ).cast("long")
+        m = (
+            risk.filter(d > 0)
+            .select(oe_q.alias("oe_q"), v_q.alias("v_q"))
+            .agg(
+                F.sum("oe_q").cast("long").alias("oe"),
+                F.sum("v_q").cast("long").alias("v"),
+            )
+        )
+        oe, v = F.col("oe") / 1e10, F.col("v") / 1e10
+        z = oe / F.sqrt(v)
+        return m.select(
+            stable_round(oe, 6).alias("observed_minus_expected_a"),
+            stable_round(v, 6).alias("variance"),
+            stable_round(z, 6).alias("z_score"),
+            stable_round(z * z, 6).alias("logrank_chi2"),
+        )
+
+
+_register_logrank()
