@@ -4672,3 +4672,86 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_evidence"))
         .alias("verdict"),
     )
+
+
+@register(
+    "q_capture_recapture",
+    oracle="""
+WITH t0 AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS start_us FROM events),
+marks AS (
+    SELECT e.user_id,
+           max(CASE WHEN epoch_us(e.ts) <  t.start_us + 1209600000000
+                    THEN 1 ELSE 0 END) AS in_s1,
+           max(CASE WHEN epoch_us(e.ts) >= t.start_us + 1209600000000
+                    THEN 1 ELSE 0 END) AS in_s2
+    FROM events e CROSS JOIN t0 t
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT CAST(sum(in_s1) AS BIGINT) AS n1,
+           CAST(sum(in_s2) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN in_s1 = 1 AND in_s2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS observed
+    FROM marks
+)
+SELECT n1 AS n_first_period, n2 AS n_second_period, m AS n_both, observed,
+       (round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) * 1000000.0)
+        / 1000000.0) AS chapman_estimate,
+       (round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m * 1.0) * (n2 - m * 1.0)
+                   / ((m + 1.0) * (m + 1.0) * (m + 2.0))) * 1000000.0)
+        / 1000000.0) AS std_error
+FROM counts
+""",
+    description=(
+        "Chapman capture-recapture estimate of the TOTAL user "
+        "population from two observation windows (first vs second "
+        "fortnight from corpus start): users seen in each period are "
+        "a 'capture', the overlap is the 'recapture', and N-hat = "
+        "(n1+1)(n2+1)/(m+1) - 1 estimates how many users exist "
+        "INCLUDING the never-observed — the ecology estimator data "
+        "teams reuse to size true dedup-cluster populations, total "
+        "crawlable documents, or market reach from partial logs, "
+        "where 'distinct users observed' (q_count_distinct) is only "
+        "a floor. One per-user flag aggregate; the estimate and its "
+        "hypergeometric standard error are single rounded "
+        "expressions of four exact BIGINTs."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).cast("long").alias("start_us"))
+    cut = F.col("start_us") + F.lit(1209600000000)
+    marks = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.unix_micros("ts") < cut, 1).otherwise(0)).alias("in_s1"),
+            F.max(F.when(F.unix_micros("ts") >= cut, 1).otherwise(0)).alias("in_s2"),
+        )
+    )
+    counts = marks.agg(
+        F.sum("in_s1").cast("long").alias("n1"),
+        F.sum("in_s2").cast("long").alias("n2"),
+        F.sum(F.when((F.col("in_s1") == 1) & (F.col("in_s2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).cast("long").alias("observed"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    se = F.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m * 1.0)
+        * (n2 - m * 1.0)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return counts.select(
+        n1.alias("n_first_period"),
+        n2.alias("n_second_period"),
+        m.alias("n_both"),
+        "observed",
+        stable_round(nhat, 6).alias("chapman_estimate"),
+        stable_round(se, 6).alias("std_error"),
+    )
