@@ -4589,3 +4589,130 @@ FROM m
 
 
 _register_logrank()
+
+
+def _register_decision_stump() -> None:
+    @register(
+        "q_decision_stump",
+        oracle="""
+WITH feat AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+grp AS (
+    SELECT x, CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS tp
+    FROM feat GROUP BY x
+),
+cum AS (
+    SELECT x, t, tp,
+           CAST(sum(t)  OVER (ORDER BY x) AS BIGINT) AS ln,
+           CAST(sum(tp) OVER (ORDER BY x) AS BIGINT) AS lp,
+           CAST(sum(t)  OVER () AS BIGINT) AS n,
+           CAST(sum(tp) OVER () AS BIGINT) AS p
+    FROM grp
+),
+splits AS (
+    SELECT x AS threshold, ln, lp, (n - ln) AS rn, (p - lp) AS rp, n, p,
+           ((ln * 1.0 / n) * (2.0 * (lp * 1.0 / ln) * (1.0 - lp * 1.0 / ln))
+            + ((n - ln) * 1.0 / n)
+              * (2.0 * ((p - lp) * 1.0 / (n - ln))
+                 * (1.0 - (p - lp) * 1.0 / (n - ln)))) AS w_gini,
+           (2.0 * (p * 1.0 / n) * (1.0 - p * 1.0 / n)) AS root_gini
+    FROM cum WHERE ln < n
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY CAST(round(w_gini * 1000000000000.0) AS BIGINT) ASC,
+                     threshold ASC) AS rk
+        FROM splits
+    ) WHERE rk = 1
+)
+SELECT threshold AS split_le_clicks, ln AS n_left, lp AS pos_left,
+       rn AS n_right, rp AS pos_right,
+       (round(root_gini * 1000000.0) / 1000000.0) AS root_gini,
+       (round(w_gini * 1000000.0) / 1000000.0) AS split_gini,
+       (round((root_gini - w_gini) * 1000000.0) / 1000000.0) AS gini_decrease
+FROM best
+""",
+        description=(
+            "Decision-stump learner: the single best 'clicks <= t' "
+            "split for predicting conversion, chosen by weighted Gini "
+            "impurity over EVERY candidate threshold in one pass — "
+            "the root node of a decision tree, and the canonical "
+            "distributed tree-learning pattern (per-feature value "
+            "histogram -> cumulative class counts -> impurity scan) "
+            "that XGBoost/LightGBM run per depth. Candidate stats "
+            "come from ONE partial-aggregated pass; the cumulative "
+            "windows ride the distinct-click-count table "
+            "(activity-bounded, like q_spearman_corr's frames); the "
+            "argmin compares 1e-12-quantized BIGINT impurities with a "
+            "threshold tie-break, so the chosen split can never "
+            "differ across engines."
+        ),
+        tags=("analytics", "extension", "ml", "stats"),
+    )
+    def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        grp = feat.groupBy("x").agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum("y").cast("long").alias("tp"),
+        )
+        wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+        wa = Window.partitionBy()
+        cum = grp.select(
+            "x",
+            F.sum("t").over(wc).cast("long").alias("ln"),
+            F.sum("tp").over(wc).cast("long").alias("lp"),
+            F.sum("t").over(wa).cast("long").alias("n"),
+            F.sum("tp").over(wa).cast("long").alias("p"),
+        )
+        ln, lp, n, p = F.col("ln"), F.col("lp"), F.col("n"), F.col("p")
+        lrate = lp * 1.0 / ln
+        rrate = (p - lp) * 1.0 / (n - ln)
+        w_gini = (ln * 1.0 / n) * (2.0 * lrate * (F.lit(1.0) - lrate)) + (
+            (n - ln) * 1.0 / n
+        ) * (2.0 * rrate * (F.lit(1.0) - rrate))
+        root = 2.0 * (p * 1.0 / n) * (F.lit(1.0) - p * 1.0 / n)
+        splits = cum.filter(ln < n).select(
+            F.col("x").alias("threshold"),
+            "ln",
+            "lp",
+            (n - ln).alias("rn"),
+            (p - lp).alias("rp"),
+            w_gini.alias("w_gini"),
+            root.alias("root_gini"),
+        )
+        wr = Window.orderBy(
+            F.asc(F.round(F.col("w_gini") * 1e12).cast("long")), F.asc("threshold")
+        )
+        best = splits.withColumn("rk", F.row_number().over(wr)).filter(
+            F.col("rk") == 1
+        )
+        return best.select(
+            F.col("threshold").alias("split_le_clicks"),
+            F.col("ln").alias("n_left"),
+            F.col("lp").alias("pos_left"),
+            F.col("rn").alias("n_right"),
+            F.col("rp").alias("pos_right"),
+            stable_round(F.col("root_gini"), 6).alias("root_gini"),
+            stable_round(F.col("w_gini"), 6).alias("split_gini"),
+            stable_round(F.col("root_gini") - F.col("w_gini"), 6).alias(
+                "gini_decrease"
+            ),
+        )
+
+
+_register_decision_stump()

@@ -599,6 +599,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_durbin_watson": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
+    "q_decision_stump": "distinct per-user-count frames (activity-bounded)",
     # fixed-cardinality grids / bins
     "q_chi2_independence": "event_type x weekday grid",
     "q_bh_fdr": "hypothesis grid (types x weekdays)",
