@@ -4716,3 +4716,121 @@ FROM best
 
 
 _register_decision_stump()
+
+
+# SPRT literals, Python-precomputed so both engines inline the identical
+# doubles: L1 = ln(p1/p0) for p1=0.22 vs p0=0.18, L0 = ln((1-p1)/(1-p0)),
+# Wald boundary ln((1-beta)/alpha) = ln(19) at alpha = beta = 0.05.
+_SPRT_L1 = 0.20067069546215124
+_SPRT_L0 = -0.050010420574661305
+_SPRT_BOUND = 2.9444389791664403
+
+
+def _register_sprt() -> None:
+    @register(
+        "q_sprt_monitor",
+        oracle=f"""
+WITH conv AS (
+    SELECT user_id,
+           CAST(time_bucket(INTERVAL '1 day', min(ts)) AS DATE) AS day,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+                THEN 1 ELSE 0 END) AS converted
+    FROM events
+    WHERE (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2) = 0
+    GROUP BY user_id
+),
+daily AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(converted) AS BIGINT) AS c
+    FROM conv GROUP BY 1
+),
+cum AS (
+    SELECT day,
+           CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+           CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS c_cum
+    FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day, n_cum AS users, c_cum AS conversions,
+       (round((c_cum * CAST({_SPRT_L1!r} AS DOUBLE)
+               + (n_cum - c_cum) * CAST({_SPRT_L0!r} AS DOUBLE))
+              * 1000000.0) / 1000000.0) AS llr,
+       CASE WHEN (c_cum * CAST({_SPRT_L1!r} AS DOUBLE)
+                  + (n_cum - c_cum) * CAST({_SPRT_L0!r} AS DOUBLE))
+                 >= CAST({_SPRT_BOUND!r} AS DOUBLE) THEN 'accept_h1'
+            WHEN (c_cum * CAST({_SPRT_L1!r} AS DOUBLE)
+                  + (n_cum - c_cum) * CAST({_SPRT_L0!r} AS DOUBLE))
+                 <= -CAST({_SPRT_BOUND!r} AS DOUBLE) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+""",
+        description=(
+            "Wald SPRT conversion-rate monitor: the daily cumulative "
+            "log-likelihood ratio of H1 (rate 0.22) vs H0 (0.18) over "
+            "arm-A users, with the ln(19) accept/reject boundaries "
+            "(alpha=beta=0.05) — the always-valid sequential design "
+            "that stops on EVIDENCE rather than at fixed looks, "
+            "complementing q_sequential_ab_monitor's Haybittle-Peto "
+            "group-sequential readout (SPRT is optimal in expected "
+            "sample size when the true rate sits at one hypothesis). "
+            "The LLR is cumulative-BIGINT counts times two Python-"
+            "precomputed double literals inlined identically in both "
+            "plans — integer windows over the days-sized series are "
+            "the only cross-row state, so nothing floats across rows."
+        ),
+        tags=("analytics", "extension", "stats", "timeseries"),
+    )
+    def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        in_a = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        conv = (
+            ev.filter(in_a)
+            .groupBy("user_id")
+            .agg(
+                F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+                F.max(
+                    F.when(
+                        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                        1,
+                    ).otherwise(0)
+                ).alias("converted"),
+            )
+        )
+        daily = conv.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("converted").cast("long").alias("c"),
+        )
+        wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        cum = daily.select(
+            "day",
+            F.sum("n").over(wc).cast("long").alias("n_cum"),
+            F.sum("c").over(wc).cast("long").alias("c_cum"),
+        )
+        llr = F.col("c_cum") * F.lit(_SPRT_L1) + (
+            F.col("n_cum") - F.col("c_cum")
+        ) * F.lit(_SPRT_L0)
+        return cum.select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n_cum").alias("users"),
+            F.col("c_cum").alias("conversions"),
+            stable_round(llr, 6).alias("llr"),
+            F.when(llr >= _SPRT_BOUND, F.lit("accept_h1"))
+            .when(llr <= -_SPRT_BOUND, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+
+
+_register_sprt()

@@ -591,6 +591,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_cusum_changepoint": "daily series",
     "q_seasonal_naive_backtest": "daily series",
     "q_sequential_ab_monitor": "daily series",
+    "q_sprt_monitor": "daily series",
     "q_theil_sen": "daily series + day-pair slopes",
     "q_share_of_total": "daily-series global share",
     "q_stl_decompose": "daily series (7-day centered trend)",
