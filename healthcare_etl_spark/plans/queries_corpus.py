@@ -1107,3 +1107,77 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(target / F.col("tokens"), 6).alias("epochs"),
         (F.floor(target) > 4 * F.col("tokens")).alias("over_replicated"),
     )
+
+
+@register(
+    "q_good_turing",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+fof AS (
+    SELECT f, CAST(count(*) AS BIGINT) AS n_f FROM freq GROUP BY f
+),
+m AS (
+    SELECT CAST(sum(f * n_f) AS BIGINT) AS n_tokens,
+           CAST(sum(n_f) AS BIGINT) AS vocab,
+           CAST(coalesce(max(CASE WHEN f = 1 THEN n_f END), 0) AS BIGINT) AS f1,
+           CAST(coalesce(max(CASE WHEN f = 2 THEN n_f END), 0) AS BIGINT) AS f2
+    FROM fof
+)
+SELECT n_tokens, vocab, f1 AS hapax, f2 AS dis_legomena,
+       (round((f1 * 1.0 / n_tokens) * 1000000.0) / 1000000.0) AS unseen_mass,
+       (round((vocab + CASE WHEN f2 > 0 THEN f1 * 1.0 * f1 / (2.0 * f2)
+                            ELSE f1 * 1.0 * (f1 - 1.0) / 2.0 END)
+              * 1000000.0) / 1000000.0) AS chao1_vocab_estimate,
+       (round((f1 * 1.0 / vocab) * 1000000.0) / 1000000.0) AS hapax_ratio
+FROM m
+""",
+    description=(
+        "Good-Turing unseen-probability mass and Chao1 vocabulary "
+        "richness from the token frequency-of-frequencies: P(next "
+        "token is NOVEL) = hapax/N, and Chao1 = V + f1^2/(2 f2) "
+        "estimates the TRUE vocabulary including never-seen types — "
+        "the lexical twins of q_capture_recapture's population "
+        "estimate and the quantitative answer behind q_heaps_fit's "
+        "'what does 10x more data buy' curve (high unseen mass = the "
+        "corpus is still discovering its own vocabulary; near zero = "
+        "saturated, more data adds tokens not types). Two hash "
+        "aggregates (token counts, then the freq-of-freq rollup whose "
+        "size is bounded by max frequency); every statistic is a "
+        "single rounded expression of four exact BIGINTs."
+    ),
+    tags=("text", "extension", "corpus", "stats"),
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    fof = freq.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("n_f"))
+    m = fof.agg(
+        F.sum(F.col("f") * F.col("n_f")).cast("long").alias("n_tokens"),
+        F.sum("n_f").cast("long").alias("vocab"),
+        F.coalesce(F.max(F.when(F.col("f") == 1, F.col("n_f"))), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(F.max(F.when(F.col("f") == 2, F.col("n_f"))), F.lit(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    nt, v, f1, f2 = (F.col(c) for c in ["n_tokens", "vocab", "f1", "f2"])
+    chao1 = v + F.when(f2 > 0, f1 * 1.0 * f1 / (2.0 * f2)).otherwise(
+        f1 * 1.0 * (f1 - 1.0) / 2.0
+    )
+    return m.select(
+        nt.alias("n_tokens"),
+        v.alias("vocab"),
+        f1.alias("hapax"),
+        f2.alias("dis_legomena"),
+        stable_round(f1 * 1.0 / nt, 6).alias("unseen_mass"),
+        stable_round(chao1, 6).alias("chao1_vocab_estimate"),
+        stable_round(f1 * 1.0 / v, 6).alias("hapax_ratio"),
+    )
