@@ -4755,3 +4755,111 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(nhat, 6).alias("chapman_estimate"),
         stable_round(se, 6).alias("std_error"),
     )
+
+
+@register(
+    "q_partial_corr",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS z,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(z) AS BIGINT) AS sz,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(z * z) AS BIGINT) AS szz,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * z) AS BIGINT) AS sxz,
+           CAST(sum(y * z) AS BIGINT) AS syz
+    FROM u
+),
+r AS (
+    SELECT n,
+           ((n * 1.0 * sxy - sx * 1.0 * sy)
+            / sqrt((n * 1.0 * sxx - sx * 1.0 * sx) * (n * 1.0 * syy - sy * 1.0 * sy))) AS rxy,
+           ((n * 1.0 * sxz - sx * 1.0 * sz)
+            / sqrt((n * 1.0 * sxx - sx * 1.0 * sx) * (n * 1.0 * szz - sz * 1.0 * sz))) AS rxz,
+           ((n * 1.0 * syz - sy * 1.0 * sz)
+            / sqrt((n * 1.0 * syy - sy * 1.0 * sy) * (n * 1.0 * szz - sz * 1.0 * sz))) AS ryz
+    FROM mom
+)
+SELECT n AS n_users,
+       (round(rxy * 1000000.0) / 1000000.0) AS corr_clicks_spend,
+       (round(rxz * 1000000.0) / 1000000.0) AS corr_clicks_views,
+       (round(ryz * 1000000.0) / 1000000.0) AS corr_views_spend,
+       (round(((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+              * 1000000.0) / 1000000.0) AS partial_corr_given_views
+FROM r
+""",
+    description=(
+        "Partial correlation of clicks and spend CONTROLLING for view "
+        "volume: r_xy.z = (r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)) "
+        "— the one-number answer to 'do clicks relate to spend beyond "
+        "both just tracking overall activity?', the correlation-world "
+        "sibling of q_simpson_paradox's stratified slopes and the "
+        "cheapest confounder screen before reaching for q_psm_match. "
+        "All three pairwise correlations come from ONE partial-"
+        "aggregated 10-sum exact-BIGINT moment pass; the partial "
+        "coefficient is a fixed double expression of those moments, "
+        "so nothing floats across rows anywhere."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("z"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+    )
+    n = F.col("n")
+    sx, sy, sz = F.col("sx"), F.col("sy"), F.col("sz")
+    sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
+    sxy, sxz, syz = F.col("sxy"), F.col("sxz"), F.col("syz")
+    rxy = (n * 1.0 * sxy - sx * 1.0 * sy) / F.sqrt(
+        (n * 1.0 * sxx - sx * 1.0 * sx) * (n * 1.0 * syy - sy * 1.0 * sy)
+    )
+    rxz = (n * 1.0 * sxz - sx * 1.0 * sz) / F.sqrt(
+        (n * 1.0 * sxx - sx * 1.0 * sx) * (n * 1.0 * szz - sz * 1.0 * sz)
+    )
+    ryz = (n * 1.0 * syz - sy * 1.0 * sz) / F.sqrt(
+        (n * 1.0 * syy - sy * 1.0 * sy) * (n * 1.0 * szz - sz * 1.0 * sz)
+    )
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    return mom.select(
+        n.alias("n_users"),
+        stable_round(rxy, 6).alias("corr_clicks_spend"),
+        stable_round(rxz, 6).alias("corr_clicks_views"),
+        stable_round(ryz, 6).alias("corr_views_spend"),
+        stable_round(partial, 6).alias("partial_corr_given_views"),
+    )
