@@ -4863,3 +4863,85 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(ryz, 6).alias("corr_views_spend"),
         stable_round(partial, 6).alias("partial_corr_given_views"),
     )
+
+
+@register(
+    "q_jackknife_se",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+    FROM daily
+),
+terms AS (
+    SELECT d.cents, m.n, m.s,
+           CAST(round(((m.s - m.n * 1.0 * d.cents) / 10000.0)
+                      * ((m.s - m.n * 1.0 * d.cents) / 10000.0)) AS BIGINT) AS tq
+    FROM daily d CROSS JOIN m
+),
+q AS (
+    SELECT n, s, CAST(sum(tq) AS BIGINT) AS sumq FROM terms GROUP BY n, s
+)
+SELECT n AS n_days,
+       (round((s * 1.0 / n / 100.0) * 1000000.0) / 1000000.0) AS mean_daily_revenue,
+       (round((sqrt(((n - 1.0) / n) * sumq * 100000000.0)
+               / (n * 1.0 * (n - 1)) / 100.0) * 1000000.0) / 1000000.0)
+           AS jackknife_se
+FROM q
+""",
+    description=(
+        "Delete-one-day jackknife standard error for mean daily "
+        "revenue: each replicate drops one day, and the classic "
+        "identity theta_i - theta_bar = (S - n*x_i)/(n(n-1)) turns "
+        "the whole estimator into integer arithmetic — no RNG, no "
+        "resample draws, which is the jackknife's advantage over "
+        "q_bootstrap_ci when determinism or a closed audit trail "
+        "matters (and its limitation: linear-statistic variances "
+        "only). Per-replicate squared deviations are computed at "
+        "1e-4-cent scale and quantized to BIGINT before the sum "
+        "(raw squares exceed double's 2^53 exact-integer range), so "
+        "the SE is a single rounded expression of exact integers; "
+        "everything after the daily rollup rides the days-sized "
+        "series."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    t = daily.crossJoin(F.broadcast(m))
+    dev = (F.col("s") - F.col("n") * 1.0 * F.col("cents")) / 10000.0
+    terms = t.select(
+        "n", "s", F.round(dev * dev).cast("long").alias("tq")
+    )
+    q = terms.groupBy("n", "s").agg(F.sum("tq").cast("long").alias("sumq"))
+    n, s, sumq = F.col("n"), F.col("s"), F.col("sumq")
+    se = (
+        F.sqrt(((n - 1.0) / n) * sumq * 100000000.0)
+        / (n * 1.0 * (n - 1))
+        / 100.0
+    )
+    return q.select(
+        n.alias("n_days"),
+        stable_round(s * 1.0 / n / 100.0, 6).alias("mean_daily_revenue"),
+        stable_round(se, 6).alias("jackknife_se"),
+    )
