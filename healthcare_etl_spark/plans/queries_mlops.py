@@ -4834,3 +4834,103 @@ FROM cum
 
 
 _register_sprt()
+
+
+def _register_odds_ratio() -> None:
+    @register(
+        "q_odds_ratio",
+        oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+                THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+cells AS (
+    SELECT CAST(sum(CASE WHEN in_a AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)     AS a,
+           CAST(sum(CASE WHEN in_a AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)     AS b,
+           CAST(sum(CASE WHEN NOT in_a AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN NOT in_a AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM u
+)
+SELECT a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
+       (round((a * 1.0 * d / (b * 1.0 * c)) * 1000000.0) / 1000000.0) AS odds_ratio,
+       (round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                  - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+              * 1000000.0) / 1000000.0) AS or_ci_lo,
+       (round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                  + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+              * 1000000.0) / 1000000.0) AS or_ci_hi,
+       (round(((a * 1.0 / (a + b)) / (c * 1.0 / (c + d))) * 1000000.0)
+        / 1000000.0) AS relative_risk
+FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+""",
+        description=(
+            "Odds ratio + 95% Wald CI and relative risk for the A/B "
+            "conversion 2x2 table — the EFFECT-SIZE readout that "
+            "travels with q_ab_test_ztest's significance verdict "
+            "(a significant z with an OR CI hugging 1.0 is a large-n "
+            "nothing; stakeholders act on magnitudes, not p-values). "
+            "All four cells are exact BIGINTs from one per-user pass; "
+            "OR, its log-scale Wald interval (z=1.959964 inlined "
+            "identically), and RR are fixed double expressions of "
+            "those integers."
+        ),
+        tags=("analytics", "extension", "stats"),
+    )
+    def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        in_a = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        u = ev.groupBy("user_id").agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("conv"),
+            F.first(in_a).alias("in_a"),
+        )
+        cells = u.agg(
+            F.sum(F.when(F.col("in_a") & (F.col("conv") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("in_a") & (F.col("conv") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+            F.sum(F.when(~F.col("in_a") & (F.col("conv") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(~F.col("in_a") & (F.col("conv") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+        a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+        orr = a * 1.0 * d / (b * 1.0 * c)
+        half = F.lit(1.959964) * F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+        rr = (a * 1.0 / (a + b)) / (c * 1.0 / (c + d))
+        return cells.filter((a > 0) & (b > 0) & (c > 0) & (d > 0)).select(
+            a.alias("conv_a"),
+            b.alias("nonconv_a"),
+            c.alias("conv_b"),
+            d.alias("nonconv_b"),
+            stable_round(orr, 6).alias("odds_ratio"),
+            stable_round(F.exp(F.log(orr) - half), 6).alias("or_ci_lo"),
+            stable_round(F.exp(F.log(orr) + half), 6).alias("or_ci_hi"),
+            stable_round(rr, 6).alias("relative_risk"),
+        )
+
+
+_register_odds_ratio()
