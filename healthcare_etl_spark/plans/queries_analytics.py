@@ -4945,3 +4945,105 @@ def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(s * 1.0 / n / 100.0, 6).alias("mean_daily_revenue"),
         stable_round(se, 6).alias("jackknife_se"),
     )
+
+
+@register(
+    "q_mann_kendall",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM daily a JOIN daily b ON a.day < b.day
+),
+ties AS (
+    SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+    FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+    WHERE t > 1
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+SELECT n.n AS n_days, p.s AS s_statistic,
+       (round(((n.n * (n.n - 1.0) * (2.0 * n.n + 5.0) - t.tie_term) / 18.0)
+              * 1000000.0) / 1000000.0) AS variance,
+       (round((CASE WHEN p.s > 0 THEN (p.s - 1.0)
+                    WHEN p.s < 0 THEN (p.s + 1.0) ELSE 0.0 END
+               / sqrt((n.n * (n.n - 1.0) * (2.0 * n.n + 5.0) - t.tie_term) / 18.0))
+              * 1000000.0) / 1000000.0) AS z_score,
+       CASE WHEN p.s > 0 THEN 'increasing'
+            WHEN p.s < 0 THEN 'decreasing' ELSE 'no_trend' END AS direction
+FROM pairs p CROSS JOIN ties t CROSS JOIN n_tot n
+""",
+    description=(
+        "Mann-Kendall monotonic-trend test on daily revenue: S = sum "
+        "of pairwise signs with the tie-corrected variance "
+        "n(n-1)(2n+5)/18 and continuity-corrected z — the "
+        "nonparametric significance verdict that pairs with "
+        "q_theil_sen's slope estimate (Sen tells you HOW steep, MK "
+        "tells you whether a monotone trend exists at all, immune to "
+        "the spike days that fool an OLS-slope t-test). S and the tie "
+        "term are exact BIGINTs; the O(days^2) sign pairs ride the "
+        "days-sized aggregate (metadata at any corpus size); z is one "
+        "rounded expression."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("cents").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("cents").alias("xb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n_tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = pairs.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_tot))
+    n, s, tt = F.col("n"), F.col("s"), F.col("tie_term")
+    var = (n * (n - 1.0) * (2.0 * n + 5.0) - tt) / 18.0
+    z = (
+        F.when(s > 0, s - 1.0).when(s < 0, s + 1.0).otherwise(F.lit(0.0))
+    ) / F.sqrt(var)
+    return out.select(
+        n.alias("n_days"),
+        s.alias("s_statistic"),
+        stable_round(var, 6).alias("variance"),
+        stable_round(z, 6).alias("z_score"),
+        F.when(s > 0, F.lit("increasing"))
+        .when(s < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("direction"),
+    )
