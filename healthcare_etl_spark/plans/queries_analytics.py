@@ -5047,3 +5047,113 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("direction"),
     )
+
+
+@register(
+    "q_survival_rmst",
+    oracle="""
+WITH RECURSIVE f AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+p AS (
+    SELECT user_id, min(epoch_us(ts)) AS p_us
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+subj AS (
+    SELECT f.user_id,
+           CASE WHEN p.p_us IS NOT NULL
+                     AND (p.p_us - f.first_us) // 3600000000 <= 60
+                THEN (p.p_us - f.first_us) // 3600000000 ELSE 60 END AS dur,
+           (p.p_us IS NOT NULL AND (p.p_us - f.first_us) // 3600000000 <= 60) AS event
+    FROM f LEFT JOIN p ON f.user_id = p.user_id
+),
+tbl AS (
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM subj GROUP BY 1
+),
+idxd AS (
+    SELECT dur, d, c,
+           CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS idx,
+           CAST(sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+    FROM tbl
+),
+km AS (
+    SELECT idx, dur, n_risk,
+           (round((1.0 - d * 1.0 / n_risk) * 1000000.0) / 1000000.0) AS s
+    FROM idxd WHERE idx = 1
+    UNION ALL
+    SELECT i.idx, i.dur, i.n_risk,
+           (round((k.s * (1.0 - i.d * 1.0 / i.n_risk)) * 1000000.0) / 1000000.0)
+    FROM km k JOIN idxd i ON i.idx = k.idx + 1
+),
+seg AS (
+    SELECT s, (coalesce(lead(dur) OVER (ORDER BY dur), 60) - dur) AS gap
+    FROM km
+),
+first_seg AS (SELECT CAST(min(dur) AS BIGINT) AS d0 FROM km),
+q AS (
+    SELECT CAST(sum(CAST(round(s * gap * 1000000.0) AS BIGINT)) AS BIGINT) AS sq
+    FROM seg
+)
+SELECT CAST(60 AS BIGINT) AS horizon_hours,
+       (round(((f.d0 * 1000000 + q.sq) / 1000000.0) * 1000000.0) / 1000000.0)
+           AS rmst_hours,
+       (round((1.0 - (f.d0 * 1000000 + q.sq) / 1000000.0 / 60.0) * 1000000.0)
+        / 1000000.0) AS mean_fraction_converted_weighted
+FROM q CROSS JOIN first_seg f
+""",
+    description=(
+        "Restricted mean survival time to the 60 h horizon: the area "
+        "under q_kaplan_meier's step curve — 'the average user spends "
+        "RMST hours un-converted in their first 60 h', the "
+        "interpretable single number clinicians and growth teams "
+        "quote when median time-to-event is undefined (here survival "
+        "never crosses 0.5). Step segments are S(t_i) x gap with "
+        "S=1 before the first event time; each segment quantizes to "
+        "BIGINT at 1e-6 before summing, the KM chain itself is the "
+        "same per-step-rounded recursion the KM query value-checks, "
+        "and every window rides the <=61-row duration table."
+    ),
+    tags=("analytics", "extension", "stats", "recursive"),
+)
+def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    delay_h = F.floor((F.col("p_us") - F.col("first_us")) / F.lit(3600000000))
+    is_event = F.col("p_us").isNotNull() & (delay_h <= 60)
+    subj = f.join(p, "user_id", "left").select(
+        F.when(is_event, delay_h).otherwise(F.lit(60)).cast("long").alias("dur"),
+        is_event.alias("event"),
+    )
+    km = kaplan_meier_curve(subj).select(
+        F.col("hours").alias("dur"), F.col("survival").alias("s")
+    )
+    wl = Window.orderBy("dur")
+    seg = km.select(
+        "s",
+        (F.coalesce(F.lead("dur").over(wl), F.lit(60)) - F.col("dur")).alias("gap"),
+    )
+    q = seg.agg(
+        F.sum(F.round(F.col("s") * F.col("gap") * 1000000.0).cast("long"))
+        .cast("long")
+        .alias("sq")
+    )
+    first_seg = km.agg(F.min("dur").cast("long").alias("d0"))
+    out = q.crossJoin(F.broadcast(first_seg))
+    rmst = (F.col("d0") * 1000000 + F.col("sq")) / 1000000.0
+    return out.select(
+        F.lit(60).cast("long").alias("horizon_hours"),
+        stable_round(rmst, 6).alias("rmst_hours"),
+        stable_round(F.lit(1.0) - rmst / 60.0, 6).alias(
+            "mean_fraction_converted_weighted"
+        ),
+    )

@@ -610,6 +610,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_kaplan_meier": "distinct day-durations (horizon-bounded)",
     "q_nelson_aalen": "distinct day-durations (horizon-bounded)",
     "q_logrank_test": "distinct day-durations (horizon-bounded)",
+    "q_survival_rmst": "distinct day-durations (horizon-bounded)",
     # bounded by construction
     "q_bootstrap_ci": "200 bootstrap replicates",
     "q_zipf_fit": "post-LIMIT-1000 rank",
