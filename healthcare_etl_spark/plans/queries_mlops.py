@@ -4934,3 +4934,116 @@ FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
 
 
 _register_odds_ratio()
+
+
+def _register_rate_ratio() -> None:
+    @register(
+        "q_poisson_rate_ratio",
+        oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purch,
+           CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 + 1 AS BIGINT)
+               AS exposure_days
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT CAST(sum(CASE WHEN in_a THEN n_purch ELSE 0 END) AS BIGINT)        AS ev_a,
+           CAST(sum(CASE WHEN in_a THEN exposure_days ELSE 0 END) AS BIGINT)  AS exp_a,
+           CAST(sum(CASE WHEN NOT in_a THEN n_purch ELSE 0 END) AS BIGINT)    AS ev_b,
+           CAST(sum(CASE WHEN NOT in_a THEN exposure_days ELSE 0 END) AS BIGINT) AS exp_b
+    FROM u
+)
+SELECT ev_a AS events_a, exp_a AS exposure_days_a,
+       ev_b AS events_b, exp_b AS exposure_days_b,
+       (round((ev_a * 1.0 / exp_a) * 1000000.0) / 1000000.0) AS rate_a_per_day,
+       (round((ev_b * 1.0 / exp_b) * 1000000.0) / 1000000.0) AS rate_b_per_day,
+       (round(((ev_a * 1.0 / exp_a) / (ev_b * 1.0 / exp_b)) * 1000000.0)
+        / 1000000.0) AS rate_ratio,
+       (round(exp(ln((ev_a * 1.0 / exp_a) / (ev_b * 1.0 / exp_b))
+                  - 1.959964 * sqrt(1.0 / ev_a + 1.0 / ev_b)) * 1000000.0)
+        / 1000000.0) AS rr_ci_lo,
+       (round(exp(ln((ev_a * 1.0 / exp_a) / (ev_b * 1.0 / exp_b))
+                  + 1.959964 * sqrt(1.0 / ev_a + 1.0 / ev_b)) * 1000000.0)
+        / 1000000.0) AS rr_ci_hi
+FROM arms WHERE ev_a > 0 AND ev_b > 0
+""",
+        description=(
+            "Poisson rate ratio with exposure adjustment: purchases "
+            "per USER-DAY in arm A vs B, with the log-scale Wald CI "
+            "sqrt(1/e_a + 1/e_b) — the count-data member of the "
+            "effect-size family (q_odds_ratio handles binary "
+            "converted-or-not; this handles HOW OFTEN, normalized by "
+            "each user's observed span, so a cohort observed twice as "
+            "long doesn't fake a lift). Per-user counts and "
+            "integer-day exposures come from ONE pass; the ratio and "
+            "CI are fixed expressions of four exact BIGINTs with the "
+            "z literal inlined identically."
+        ),
+        tags=("analytics", "extension", "stats"),
+    )
+    def q_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        in_a = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        u = ev.groupBy("user_id").agg(
+            F.first(in_a).alias("in_a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purch"),
+            (
+                F.floor(
+                    (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                    / F.lit(86400000000)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("exposure_days"),
+        )
+        arms = u.agg(
+            F.sum(F.when(F.col("in_a"), F.col("n_purch")).otherwise(0))
+            .cast("long")
+            .alias("ev_a"),
+            F.sum(F.when(F.col("in_a"), F.col("exposure_days")).otherwise(0))
+            .cast("long")
+            .alias("exp_a"),
+            F.sum(F.when(~F.col("in_a"), F.col("n_purch")).otherwise(0))
+            .cast("long")
+            .alias("ev_b"),
+            F.sum(F.when(~F.col("in_a"), F.col("exposure_days")).otherwise(0))
+            .cast("long")
+            .alias("exp_b"),
+        )
+        ea, xa, eb, xb = (F.col(c) for c in ["ev_a", "exp_a", "ev_b", "exp_b"])
+        ra, rb = ea * 1.0 / xa, eb * 1.0 / xb
+        rr = ra / rb
+        half = F.lit(1.959964) * F.sqrt(1.0 / ea + 1.0 / eb)
+        return arms.filter((ea > 0) & (eb > 0)).select(
+            ea.alias("events_a"),
+            xa.alias("exposure_days_a"),
+            eb.alias("events_b"),
+            xb.alias("exposure_days_b"),
+            stable_round(ra, 6).alias("rate_a_per_day"),
+            stable_round(rb, 6).alias("rate_b_per_day"),
+            stable_round(rr, 6).alias("rate_ratio"),
+            stable_round(F.exp(F.log(rr) - half), 6).alias("rr_ci_lo"),
+            stable_round(F.exp(F.log(rr) + half), 6).alias("rr_ci_hi"),
+        )
+
+
+_register_rate_ratio()
