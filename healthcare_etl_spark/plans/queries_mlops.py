@@ -5047,3 +5047,110 @@ FROM arms WHERE ev_a > 0 AND ev_b > 0
 
 
 _register_rate_ratio()
+
+
+def _register_cohens_d() -> None:
+    @register(
+        "q_cohens_d",
+        oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+           CAST(sum(CASE WHEN in_a THEN v ELSE 0 END) AS BIGINT) AS sa,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE v END) AS BIGINT) AS sb,
+           CAST(sum(CASE WHEN in_a THEN v * v ELSE 0 END) AS BIGINT) AS ssa,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE v * v END) AS BIGINT) AS ssb
+    FROM u
+),
+calc AS (
+    SELECT na, nb, sa, sb,
+           (((ssa - sa * 1.0 / na * sa) + (ssb - sb * 1.0 / nb * sb))
+            / (na + nb - 2.0)) AS pooled_var
+    FROM m
+)
+SELECT na AS n_a, nb AS n_b,
+       (round((sa / 100.0 / na) * 1000000.0) / 1000000.0) AS mean_a_dollars,
+       (round((sb / 100.0 / nb) * 1000000.0) / 1000000.0) AS mean_b_dollars,
+       (round(((sa * 1.0 / na - sb * 1.0 / nb) / sqrt(pooled_var))
+              * 1000000.0) / 1000000.0) AS cohens_d,
+       (round((((sa * 1.0 / na - sb * 1.0 / nb) / sqrt(pooled_var))
+               * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))) * 1000000.0)
+        / 1000000.0) AS hedges_g
+FROM calc
+""",
+        description=(
+            "Cohen's d and Hedges' g for the arm difference in per-"
+            "user spend: the standardized mean difference on the "
+            "pooled SD, with Hedges' small-sample bias correction "
+            "1 - 3/(4(na+nb)-9) — the continuous-outcome member of "
+            "the effect-size family (q_odds_ratio for binary, "
+            "q_poisson_rate_ratio for counts, this for magnitudes), "
+            "and the number q_power_analysis consumes as its input "
+            "assumption. One conditional-moment pass in exact integer "
+            "cents; d and g are fixed expressions of six BIGINTs. "
+            "(q_covariate_balance computes the same statistic for "
+            "covariate drift; here it reads the OUTCOME.)"
+        ),
+        tags=("analytics", "extension", "stats"),
+    )
+    def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        in_a = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        u = ev.groupBy("user_id").agg(
+            F.first(in_a).alias("in_a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        ia, v = F.col("in_a"), F.col("v")
+        m = u.agg(
+            F.sum(F.when(ia, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(ia, 0).otherwise(1)).cast("long").alias("nb"),
+            F.sum(F.when(ia, v).otherwise(0)).cast("long").alias("sa"),
+            F.sum(F.when(ia, 0).otherwise(v)).cast("long").alias("sb"),
+            F.sum(F.when(ia, v * v).otherwise(0)).cast("long").alias("ssa"),
+            F.sum(F.when(ia, 0).otherwise(v * v)).cast("long").alias("ssb"),
+        )
+        na, nb, sa, sb = (F.col(c) for c in ["na", "nb", "sa", "sb"])
+        pooled = (
+            (F.col("ssa") - sa * 1.0 / na * sa) + (F.col("ssb") - sb * 1.0 / nb * sb)
+        ) / (na + nb - 2.0)
+        d = (sa * 1.0 / na - sb * 1.0 / nb) / F.sqrt(pooled)
+        return m.select(
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            stable_round(sa / 100.0 / na, 6).alias("mean_a_dollars"),
+            stable_round(sb / 100.0 / nb, 6).alias("mean_b_dollars"),
+            stable_round(d, 6).alias("cohens_d"),
+            stable_round(
+                d * (F.lit(1.0) - 3.0 / (4.0 * (na + nb) - 9.0)), 6
+            ).alias("hedges_g"),
+        )
+
+
+_register_cohens_d()
