@@ -5258,3 +5258,114 @@ WHERE (r * 1.0 / n) * (1.0 - r * 1.0 / n) * (ssn - sn * 1.0 * sn / n) > 0
 
 
 _register_cochran_armitage()
+
+
+def _hosmer_lemeshow_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y,
+           CAST(round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))))
+                      * 1000000.0) AS BIGINT) AS pq
+    FROM feat CROSS JOIN {final} b
+),
+bins AS (
+    SELECT least(pq // 100000, 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(y) AS BIGINT) AS o1,
+           CAST(sum(pq) AS BIGINT) AS e1q
+    FROM scored GROUP BY 1
+),
+terms AS (
+    SELECT bin, n_g, o1,
+           CAST(round((((o1 - e1q / 1000000.0)
+                        * (o1 - e1q / 1000000.0)) / (e1q / 1000000.0)
+                       + ((n_g - o1) - (n_g - e1q / 1000000.0))
+                         * ((n_g - o1) - (n_g - e1q / 1000000.0))
+                         / (n_g - e1q / 1000000.0)) * 1000000000000.0) AS BIGINT)
+               AS hq
+    FROM bins WHERE e1q > 0 AND n_g * 1000000 > e1q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       (round((CAST(sum(hq) AS BIGINT) / 1000000000000.0) * 1000000.0)
+        / 1000000.0) AS hl_chi2,
+       CAST(count(*) - 2 AS BIGINT) AS dof
+FROM terms
+""".strip()
+
+
+def _register_hosmer_lemeshow() -> None:
+    @register(
+        "q_hosmer_lemeshow",
+        oracle=_hosmer_lemeshow_oracle(),
+        description=(
+            "Hosmer-Lemeshow goodness-of-fit for the IRLS model: "
+            "chi2 over 10 fixed probability bins comparing observed "
+            "vs expected conversions (both classes), dof = bins - 2 — "
+            "the FORMAL calibration test beside q_calibration_ece's "
+            "summary number and q_isotonic_calibration's fix (ECE "
+            "says how far off; HL says whether the miscalibration "
+            "exceeds chance). Scores quantize to integer 1e-6 units "
+            "BEFORE binning and summing, so expected counts are "
+            "exact-BIGINT sums, and per-bin chi2 terms quantize at "
+            "1e-12 before the final fold — no float crosses rows "
+            "anywhere."
+        ),
+        tags=("analytics", "extension", "stats", "ml", "evaluation"),
+    )
+    def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(feat, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            pq = F.round(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))) * 1000000.0
+            ).cast("long")
+            scored = feat.select("y", pq.alias("pq"))
+            bins = scored.groupBy(
+                F.least(F.floor(F.col("pq") / 100000), F.lit(9)).cast("long").alias(
+                    "bin"
+                )
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_g"),
+                F.sum("y").cast("long").alias("o1"),
+                F.sum("pq").cast("long").alias("e1q"),
+            )
+            n_g, o1 = F.col("n_g"), F.col("o1")
+            e1 = F.col("e1q") / 1000000.0
+            term = (o1 - e1) * (o1 - e1) / e1 + ((n_g - o1) - (n_g - e1)) * (
+                (n_g - o1) - (n_g - e1)
+            ) / (n_g - e1)
+            terms = bins.filter(
+                (F.col("e1q") > 0) & (n_g * 1000000 > F.col("e1q"))
+            ).select(F.round(term * 1e12).cast("long").alias("hq"))
+            return terms.agg(
+                F.count(F.lit(1)).cast("long").alias("n_bins"),
+                stable_round(F.sum("hq").cast("long") / 1e12, 6).alias("hl_chi2"),
+                (F.count(F.lit(1)) - 2).cast("long").alias("dof"),
+            )
+        finally:
+            feat.unpersist()
+
+
+_register_hosmer_lemeshow()
