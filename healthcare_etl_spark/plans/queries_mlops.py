@@ -5369,3 +5369,149 @@ def _register_hosmer_lemeshow() -> None:
 
 
 _register_hosmer_lemeshow()
+
+
+def _brier_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y,
+           CAST(round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2))))
+                      * 1000000.0) AS BIGINT) AS pq
+    FROM feat CROSS JOIN {final} b
+),
+brier AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS pos,
+           CAST(sum((pq - y * 1000000) * (pq - y * 1000000)) AS BIGINT) AS bq
+    FROM scored
+),
+bins AS (
+    SELECT least(pq // 100000, 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(y) AS BIGINT) AS o_g,
+           CAST(sum(pq) AS BIGINT) AS pq_g
+    FROM scored GROUP BY 1
+),
+decomp AS (
+    SELECT
+      CAST(sum(CAST(round(n_g * ((pq_g * 1.0 / n_g / 1000000.0) - (o_g * 1.0 / n_g))
+                          * ((pq_g * 1.0 / n_g / 1000000.0) - (o_g * 1.0 / n_g))
+                          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS rel_q,
+      CAST(sum(CAST(round(n_g * ((o_g * 1.0 / n_g) - (b.pos * 1.0 / b.n))
+                          * ((o_g * 1.0 / n_g) - (b.pos * 1.0 / b.n))
+                          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS res_q,
+      max(b.n) AS n, max(b.pos) AS pos, max(b.bq) AS bq
+    FROM bins CROSS JOIN brier b
+)
+SELECT n AS n_users,
+       (round((bq / 1000000000000.0 / n) * 1000000.0) / 1000000.0) AS brier_score,
+       (round((rel_q / 1000000000000.0 / n) * 1000000.0) / 1000000.0) AS reliability,
+       (round((res_q / 1000000000000.0 / n) * 1000000.0) / 1000000.0) AS resolution,
+       (round(((pos * 1.0 / n) * (1.0 - pos * 1.0 / n)) * 1000000.0) / 1000000.0)
+           AS uncertainty
+FROM decomp
+""".strip()
+
+
+def _register_brier() -> None:
+    @register(
+        "q_brier_score",
+        oracle=_brier_oracle(),
+        description=(
+            "Brier score with the Murphy decomposition (reliability - "
+            "resolution + uncertainty, over the 10 probability bins): "
+            "the strictly-proper scoring rule that grades probability "
+            "forecasts as forecasts, completing the calibration "
+            "toolkit — ECE summarizes miscalibration, Hosmer-Lemeshow "
+            "tests it, Brier PRICES it together with discrimination "
+            "(a model can ace HL yet have zero resolution; the "
+            "decomposition separates the two). Scores are integer "
+            "1e-6 units, so the per-user squared errors are exact "
+            "BIGINTs and the per-bin decomposition terms quantize at "
+            "1e-12 before their folds."
+        ),
+        tags=("analytics", "extension", "stats", "ml", "evaluation"),
+    )
+    def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+
+        ev = load_table(spark, sf_dir, "events")
+        feat = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(feat, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            pq = F.round(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))) * 1000000.0
+            ).cast("long")
+            scored = feat.select("y", pq.alias("pq")).persist()
+            brier = scored.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("pos"),
+                F.sum(
+                    (F.col("pq") - F.col("y") * 1000000)
+                    * (F.col("pq") - F.col("y") * 1000000)
+                )
+                .cast("long")
+                .alias("bq"),
+            )
+            bins = scored.groupBy(
+                F.least(F.floor(F.col("pq") / 100000), F.lit(9)).cast("long").alias(
+                    "bin"
+                )
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_g"),
+                F.sum("y").cast("long").alias("o_g"),
+                F.sum("pq").cast("long").alias("pq_g"),
+            )
+            j = bins.crossJoin(F.broadcast(brier))
+            n_g, o_g, pq_g = F.col("n_g"), F.col("o_g"), F.col("pq_g")
+            pbar_g = pq_g * 1.0 / n_g / 1000000.0
+            obar_g = o_g * 1.0 / n_g
+            obar = F.col("pos") * 1.0 / F.col("n")
+            rel_t = F.round(n_g * (pbar_g - obar_g) * (pbar_g - obar_g) * 1e12).cast(
+                "long"
+            )
+            res_t = F.round(n_g * (obar_g - obar) * (obar_g - obar) * 1e12).cast(
+                "long"
+            )
+            decomp = j.agg(
+                F.sum(rel_t).cast("long").alias("rel_q"),
+                F.sum(res_t).cast("long").alias("res_q"),
+                F.max("n").alias("n"),
+                F.max("pos").alias("pos"),
+                F.max("bq").alias("bq"),
+            )
+            n, pos = F.col("n"), F.col("pos")
+            return decomp.select(
+                n.alias("n_users"),
+                stable_round(F.col("bq") / 1e12 / n, 6).alias("brier_score"),
+                stable_round(F.col("rel_q") / 1e12 / n, 6).alias("reliability"),
+                stable_round(F.col("res_q") / 1e12 / n, 6).alias("resolution"),
+                stable_round(
+                    (pos * 1.0 / n) * (F.lit(1.0) - pos * 1.0 / n), 6
+                ).alias("uncertainty"),
+            )
+        finally:
+            scored.unpersist()
+            feat.unpersist()
+
+
+_register_brier()
