@@ -5157,3 +5157,137 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_fraction_converted_weighted"
         ),
     )
+
+
+@register(
+    "q_seasonality_strength",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tr AS (
+    SELECT day, cents,
+           CASE WHEN count(*) OVER w = 7
+                THEN (round((avg(cents * 1.0) OVER w) * 1000000.0) / 1000000.0)
+           END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+    SELECT CAST(dayofweek(day) AS BIGINT) AS wd,
+           (round(avg(cents - trend) * 1000000.0) / 1000000.0) AS seasonal
+    FROM tr WHERE trend IS NOT NULL
+    GROUP BY 1
+),
+parts AS (
+    SELECT t.cents, t.trend, s.seasonal,
+           (t.cents - t.trend - s.seasonal) AS resid,
+           (t.cents - s.seasonal) AS deseason
+    FROM tr t JOIN seas s ON s.wd = CAST(dayofweek(t.day) AS BIGINT)
+    WHERE t.trend IS NOT NULL
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(resid) AS BIGINT)) AS BIGINT) AS sr,
+           CAST(sum(CAST(round(resid * resid / 10000.0) AS BIGINT)) AS BIGINT) AS srr,
+           CAST(sum(CAST(round(seasonal + resid) AS BIGINT)) AS BIGINT) AS ss,
+           CAST(sum(CAST(round((seasonal + resid) * (seasonal + resid) / 10000.0)
+                         AS BIGINT)) AS BIGINT) AS sss,
+           CAST(sum(CAST(round(deseason) AS BIGINT)) AS BIGINT) AS sd,
+           CAST(sum(CAST(round(deseason * deseason / 10000.0) AS BIGINT)) AS BIGINT)
+               AS sdd
+    FROM parts
+)
+SELECT n AS n_days,
+       (round(greatest(0.0, 1.0 - ((srr / n * 1.0 - (sr * 1.0 / n) * (sr * 1.0 / n)
+                                     / 10000.0))
+                             / ((sss / n * 1.0 - (ss * 1.0 / n) * (ss * 1.0 / n)
+                                 / 10000.0))) * 1000000.0) / 1000000.0)
+           AS seasonality_strength,
+       (round(greatest(0.0, 1.0 - ((srr / n * 1.0 - (sr * 1.0 / n) * (sr * 1.0 / n)
+                                     / 10000.0))
+                             / ((sdd / n * 1.0 - (sd * 1.0 / n) * (sd * 1.0 / n)
+                                 / 10000.0))) * 1000000.0) / 1000000.0)
+           AS trend_strength
+FROM mom
+""",
+    description=(
+        "Hyndman-style seasonality and trend STRENGTH from the STL "
+        "parts (q_stl_decompose's trend/seasonal/residual): F_s = "
+        "max(0, 1 - Var(resid)/Var(seasonal+resid)) and F_t likewise "
+        "against the deseasonalized series — the 0-to-1 scores that "
+        "rank thousands of series by 'how seasonal / how trended' "
+        "before anyone picks a model per series (feature-izing "
+        "decomposition is how forecast fleets triage). All cross-row "
+        "sums are BIGINT-quantized (values at cent scale, squares at "
+        "1e-4 cent^2) so the variances are exact-integer moment "
+        "arithmetic; the one data-scale pass is the daily rollup."
+    ),
+    tags=("analytics", "extension", "timeseries", "stats"),
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            stable_round(F.avg(F.col("cents") * F.lit(1.0)).over(w), 6),
+        ).alias("trend"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(F.dayofweek("day").cast("long").alias("wd"))
+        .agg(stable_round(F.avg(F.col("cents") - F.col("trend")), 6).alias("seasonal"))
+    )
+    parts = (
+        tr.filter(F.col("trend").isNotNull())
+        .withColumn("wd", F.dayofweek("day").cast("long"))
+        .join(F.broadcast(seas), "wd")
+        .select(
+            (F.col("cents") - F.col("trend") - F.col("seasonal")).alias("resid"),
+            (F.col("cents") - F.col("seasonal")).alias("deseason"),
+            "seasonal",
+        )
+    )
+    resid = F.col("resid")
+    sr_part = F.col("seasonal") + resid
+    deseason = F.col("deseason")
+    mom = parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(resid).cast("long")).cast("long").alias("sr"),
+        F.sum(F.round(resid * resid / 10000.0).cast("long")).cast("long").alias("srr"),
+        F.sum(F.round(sr_part).cast("long")).cast("long").alias("ss"),
+        F.sum(F.round(sr_part * sr_part / 10000.0).cast("long"))
+        .cast("long")
+        .alias("sss"),
+        F.sum(F.round(deseason).cast("long")).cast("long").alias("sd"),
+        F.sum(F.round(deseason * deseason / 10000.0).cast("long"))
+        .cast("long")
+        .alias("sdd"),
+    )
+    n = F.col("n")
+
+    def var_of(sq, s1):
+        return sq / n * 1.0 - (s1 * 1.0 / n) * (s1 * 1.0 / n) / 10000.0
+
+    vr = var_of(F.col("srr"), F.col("sr"))
+    vs = var_of(F.col("sss"), F.col("ss"))
+    vd = var_of(F.col("sdd"), F.col("sd"))
+    return mom.select(
+        n.alias("n_days"),
+        stable_round(F.greatest(F.lit(0.0), F.lit(1.0) - vr / vs), 6).alias(
+            "seasonality_strength"
+        ),
+        stable_round(F.greatest(F.lit(0.0), F.lit(1.0) - vr / vd), 6).alias(
+            "trend_strength"
+        ),
+    )

@@ -595,6 +595,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_theil_sen": "daily series + day-pair slopes",
     "q_share_of_total": "daily-series global share",
     "q_stl_decompose": "daily series (7-day centered trend)",
+    "q_seasonality_strength": "daily series (7-day centered trend)",
     "q_ljung_box": "daily series + 7-lag grid",
     "q_regression_diagnostics": "daily series",
     "q_durbin_watson": "daily series",
