@@ -5515,3 +5515,116 @@ def _register_brier() -> None:
 
 
 _register_brier()
+
+
+def _register_wasserstein() -> None:
+    @register(
+        "q_wasserstein_drift",
+        oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT v,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS tb
+    FROM u GROUP BY v
+),
+cum AS (
+    SELECT v,
+           CAST(sum(ta) OVER (ORDER BY v) AS BIGINT) AS ca,
+           CAST(sum(tb) OVER (ORDER BY v) AS BIGINT) AS cb,
+           CAST(sum(ta) OVER () AS BIGINT) AS na,
+           CAST(sum(tb) OVER () AS BIGINT) AS nb,
+           CAST(lead(v) OVER (ORDER BY v) AS BIGINT) AS v_next
+    FROM g
+),
+seg AS (
+    SELECT CAST(round(abs(ca * 1.0 / na - cb * 1.0 / nb) * (v_next - v)
+                      * 1000000.0) AS BIGINT) AS wq,
+           abs(ca * 1.0 / na - cb * 1.0 / nb) AS gap_frac
+    FROM cum WHERE v_next IS NOT NULL
+)
+SELECT (round((CAST(sum(wq) AS BIGINT) / 1000000.0 / 100.0) * 1000000.0)
+        / 1000000.0) AS wasserstein_dollars,
+       (round(max(gap_frac) * 1000000.0) / 1000000.0) AS ks_statistic
+FROM seg
+""",
+        description=(
+            "1-D Wasserstein (earth-mover) distance between the arms' "
+            "per-user spend distributions — the exact integral of "
+            "|CDF_A - CDF_B| over the distinct-cents support, in "
+            "dollars — with the KS sup-statistic as a byproduct: KS "
+            "answers 'did the distribution change ANYWHERE', "
+            "Wasserstein answers 'by how many dollars did mass "
+            "move', which is what a drift alert should page on. "
+            "CDF steps are exact BIGINT prefix counts over the "
+            "distinct-value table (value-bounded rows); per-segment "
+            "contributions quantize to BIGINT at 1e-6 before the "
+            "sum. At unbounded-support scale the prefix windows swap "
+            "to the q_mann_whitney bucketed carry."
+        ),
+        tags=("analytics", "extension", "stats", "evaluation"),
+    )
+    def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        in_a = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        u = ev.groupBy("user_id").agg(
+            F.first(in_a).alias("in_a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        g = u.groupBy("v").agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ta"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("tb"),
+        )
+        wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        wa = Window.partitionBy()
+        wl = Window.orderBy("v")
+        cum = g.select(
+            "v",
+            F.sum("ta").over(wc).cast("long").alias("ca"),
+            F.sum("tb").over(wc).cast("long").alias("cb"),
+            F.sum("ta").over(wa).cast("long").alias("na"),
+            F.sum("tb").over(wa).cast("long").alias("nb"),
+            F.lead("v").over(wl).cast("long").alias("v_next"),
+        )
+        frac = F.abs(F.col("ca") * 1.0 / F.col("na") - F.col("cb") * 1.0 / F.col("nb"))
+        seg = cum.filter(F.col("v_next").isNotNull()).select(
+            F.round(frac * (F.col("v_next") - F.col("v")) * 1000000.0)
+            .cast("long")
+            .alias("wq"),
+            frac.alias("gap_frac"),
+        )
+        return seg.agg(
+            stable_round(
+                F.sum("wq").cast("long") / 1000000.0 / 100.0, 6
+            ).alias("wasserstein_dollars"),
+            stable_round(F.max("gap_frac"), 6).alias("ks_statistic"),
+        )
+
+
+_register_wasserstein()

@@ -617,6 +617,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_zipf_fit": "post-LIMIT-1000 rank",
     "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
     "q_roc_auc": "6dp-rounded distinct scores (<=1e6)",
+    "q_wasserstein_drift": "distinct-cents table (value-bounded)",
     "q_pr_auc": "6dp-rounded distinct scores (<=1e6)",
     # rank-limit pushdown: WindowGroupLimit pre-truncates every input
     # partition to k rows before the single-partition stage
