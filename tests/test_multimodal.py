@@ -134,3 +134,134 @@ def test_gif_roundtrip_recovers_exact_indices(spark, sf_smoke):
         idx = [_gif_index(int(r["media_id"]), x, y) for y in range(h) for x in range(w)]
         assert (r["width"], r["height"]) == (w, h)
         assert r["sum_idx"] == sum(idx)
+
+
+def test_jpeg_zigzag_matches_spec_prefix():
+    """The generated zigzag table must match ITU-T T.81 Figure A.6
+    (first 16 and last 4 entries of the published sequence)."""
+    from healthcare_etl_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    assert _JPEG_ZIGZAG[:16] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert _JPEG_ZIGZAG[-4:] == [47, 55, 62, 63]
+    assert sorted(_JPEG_ZIGZAG) == list(range(64))
+
+
+def test_jpeg_bit_io_ff_stuffing_roundtrip():
+    """The writer must stuff 0x00 after a 0xFF entropy byte (T.81
+    F.1.2.3) and the reader must transparently unstuff it."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    w = _JpegBitWriter()
+    w.put(0xFF, 8)  # forces a stuffed zero
+    w.put(0b1010, 4)
+    data = w.flush()
+    assert data[0] == 0xFF and data[1] == 0x00  # stuffing present
+    r = _JpegBitReader(data)
+    assert r.bits(8) == 0xFF
+    assert r.bits(4) == 0b1010
+
+
+def test_jpeg_codec_roundtrip_flat_blocks():
+    """Full encode->decode round trip: decoded stats must equal the
+    DC rule's direct computation (2*DC + 128 per flat block)."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _jpeg_block_dc,
+        _jpeg_decode_stats_one,
+        _jpeg_encode_one,
+    )
+
+    for mid, text in [(0, ""), (3, "ab"), (11, "x" * 29), (123456, "y" * 17)]:
+        n = len(text.encode())
+        bw, bh = n % 3 + 1, n % 2 + 1
+        w, h, n_px, s, mn, mx = _jpeg_decode_stats_one(_jpeg_encode_one(mid, text))
+        vals = [_jpeg_block_dc(mid, b) * 2 + 128 for b in range(bw * bh)]
+        assert (w, h, n_px) == (8 * bw, 8 * bh, 64 * bw * bh)
+        assert s == 64 * sum(vals)
+        assert (mn, mx) == (min(vals), max(vals))
+
+
+def test_jpeg_decoder_general_ac_path():
+    """The AC decode loop is general run/size, not EOB-only: hand-build
+    a scan carrying a (run=1, size=2) AC coefficient plus ZRL, decode,
+    and compare against a direct numpy IDCT of the same coefficients."""
+    import struct
+
+    import numpy as np
+
+    from healthcare_etl_spark.operators.multimodal import (
+        _JPEG_QTABLE,
+        _JPEG_ZIGZAG,
+        _jpeg_canonical_codes,
+        _jpeg_decode_stats_one,
+        _jpeg_idct_basis,
+        _JpegBitWriter,
+    )
+
+    # DC cats 0..6 (len 3) as shipped; AC table extended with real
+    # run/size symbols: EOB, ZRL, 0x12 (run 1, size 2), 0x01.
+    dc_bits = [0, 0, 7] + [0] * 13
+    dc_vals = [0, 1, 2, 3, 4, 5, 6]
+    ac_bits = [0, 0, 4] + [0] * 13
+    ac_vals = [0x00, 0xF0, 0x12, 0x01]
+    dc_codes = _jpeg_canonical_codes(dc_bits, dc_vals)
+    ac_codes = _jpeg_canonical_codes(ac_bits, ac_vals)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz_q = bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[i]] for i in range(64))
+    sof0 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    wtr = _JpegBitWriter()
+    # DC: category 3, extend bits for +5
+    c, ln = dc_codes[3]
+    wtr.put(c, ln)
+    wtr.put(5, 3)
+    # AC: skip 1 zero then coefficient of size 2 (+3) at zigzag k=2
+    c, ln = ac_codes[0x12]
+    wtr.put(c, ln)
+    wtr.put(3, 2)
+    # ZRL (16 zeros, k -> 18), then (run 0, size 1) -> -1 at k=19
+    c, ln = ac_codes[0xF0]
+    wtr.put(c, ln)
+    c, ln = ac_codes[0x01]
+    wtr.put(c, ln)
+    wtr.put(0, 1)  # one's-complement bits of -1
+    # EOB
+    c, ln = ac_codes[0x00]
+    wtr.put(c, ln)
+    payload = (
+        b"\xff\xd8" + seg(0xDB, bytes([0x00]) + zz_q) + seg(0xC0, sof0)
+        + seg(0xC4, dht) + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + wtr.flush() + b"\xff\xd9"
+    )
+    w, h, n_px, s, mn, mx = _jpeg_decode_stats_one(payload)
+    assert (w, h, n_px) == (8, 8, 64)
+
+    coef = np.zeros(64)
+    coef[0] = 5.0
+    coef[_JPEG_ZIGZAG[2]] = 3.0
+    coef[_JPEG_ZIGZAG[19]] = -1.0
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    basis = _jpeg_idct_basis()
+    spatial = basis.T @ (coef.reshape(8, 8) * q) @ basis
+    px = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.int64)
+    assert s == int(px.sum())
+    assert (mn, mx) == (int(px.min()), int(px.max()))
+
+
+def test_jpeg_decoder_rejects_garbage_gracefully(spark):
+    """Corrupt/non-JPEG payloads yield NULL stats, never an exception."""
+    from healthcare_etl_spark.operators.multimodal import decode_jpeg_pixel_stats
+
+    rows = [(1, bytearray(b"\xff\xd8garbage")), (2, None), (3, bytearray(b""))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_jpeg_pixel_stats(df).toPandas().set_index("media_id")
+    for mid in (1, 2, 3):
+        assert out.loc[mid].isna().all()
