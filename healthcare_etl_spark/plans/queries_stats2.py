@@ -409,3 +409,415 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_stat"),
     )
+
+
+@register(
+    "q_yule_walker_ar2",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily
+),
+dev AS (
+    SELECT day, CAST(t.n * d.x - t.s AS BIGINT) AS d, t.n
+    FROM daily d CROSS JOIN tot t
+),
+lagged AS (
+    SELECT d, n,
+           lag(d, 1) OVER (ORDER BY day) AS d1,
+           lag(d, 2) OVER (ORDER BY day) AS d2
+    FROM dev
+),
+m AS (
+    SELECT max(n) AS n,
+           sum(d * 1.0 * d)                                   AS sd2,
+           sum(CASE WHEN d1 IS NOT NULL THEN d * 1.0 * d1 END) AS s1,
+           sum(CASE WHEN d2 IS NOT NULL THEN d * 1.0 * d2 END) AS s2
+    FROM lagged
+),
+r AS (
+    SELECT n, (s1 / sd2) AS r1, (s2 / sd2) AS r2 FROM m
+),
+fit AS (
+    SELECT n, r1, r2,
+           (r1 * (1.0 - r2) / (1.0 - r1 * r1)) AS phi1,
+           ((r2 - r1 * r1) / (1.0 - r1 * r1))  AS phi2
+    FROM r
+)
+SELECT n AS n_days,
+       (round(r1 * 1000000.0) / 1000000.0)   AS acf1,
+       (round(r2 * 1000000.0) / 1000000.0)   AS acf2,
+       (round(phi1 * 1000000.0) / 1000000.0) AS phi1,
+       (round(phi2 * 1000000.0) / 1000000.0) AS phi2,
+       (round((1.0 - phi1 * r1 - phi2 * r2) * 1000000.0) / 1000000.0)
+           AS resid_var_ratio
+FROM fit
+""",
+    description=(
+        "Yule-Walker AR(2) identification of the daily purchase-revenue "
+        "series: stationary ACF at lags 1-2 (global-mean deviations "
+        "kept BIGINT-exact by clearing the mean denominator, n*x - S, "
+        "the q_cusum_changepoint trick), then the closed-form AR(2) "
+        "solve phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2) "
+        "and the innovation-variance ratio 1 - phi1*r1 - phi2*r2 (how "
+        "much one/two-day memory explains). Complements q_autocorr "
+        "(per-lag Pearson over pair subsets) with the model-fitting "
+        "estimator forecasting actually uses. Day-series lag windows "
+        "only; the data-sized work is one aggregate."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("d"), "n"
+    )
+    # Days-sized series: the keyless lag windows ride one row per day.
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "d", "n",
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("d", 2).over(w).alias("d2"),
+    )
+    d, d1, d2 = F.col("d"), F.col("d1"), F.col("d2")
+    m = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(d * 1.0 * d).alias("sd2"),
+        F.sum(F.when(d1.isNotNull(), d * 1.0 * d1)).alias("s1"),
+        F.sum(F.when(d2.isNotNull(), d * 1.0 * d2)).alias("s2"),
+    )
+    r = m.select(
+        "n", (F.col("s1") / F.col("sd2")).alias("r1"),
+        (F.col("s2") / F.col("sd2")).alias("r2"),
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    fit = r.select(
+        "n", "r1", "r2",
+        (r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("phi2"),
+    )
+    return fit.select(
+        F.col("n").alias("n_days"),
+        stable_round(r1, 6).alias("acf1"),
+        stable_round(r2, 6).alias("acf2"),
+        stable_round(F.col("phi1"), 6).alias("phi1"),
+        stable_round(F.col("phi2"), 6).alias("phi2"),
+        stable_round(
+            F.lit(1.0) - F.col("phi1") * r1 - F.col("phi2") * r2, 6
+        ).alias("resid_var_ratio"),
+    )
+
+
+@register(
+    "q_page_hinkley",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+curve AS (
+    SELECT day, x,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+           CAST(sum(x) OVER (ORDER BY day) AS BIGINT)       AS cum
+    FROM daily
+),
+dev AS (
+    SELECT day, idx,
+           CAST(x * 1000 - ((2 * cum * 1000 + idx) // (2 * idx)) AS BIGINT) AS dv
+    FROM curve
+),
+walk AS (
+    SELECT day, idx,
+           CAST(sum(dv) OVER (ORDER BY day) AS BIGINT) AS m
+    FROM dev
+),
+ph AS (
+    SELECT day, m,
+           CAST(m - min(m) OVER (ORDER BY day) AS BIGINT) AS ph_pos,
+           CAST(max(m) OVER (ORDER BY day) - m AS BIGINT) AS ph_neg
+    FROM walk
+),
+best AS (
+    SELECT * FROM ph ORDER BY ph_pos DESC, day ASC LIMIT 1
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_days, max(ph_neg) AS max_neg FROM ph
+)
+SELECT agg.n_days,
+       (round((best.ph_pos / 1000.0) * 1000000.0) / 1000000.0) AS ph_pos_cents,
+       (round((agg.max_neg / 1000.0) * 1000000.0) / 1000000.0) AS ph_neg_cents,
+       CAST(best.day AS VARCHAR)                               AS alarm_day,
+       (best.ph_pos > 50000 * 1000)                            AS alarmed
+FROM best CROSS JOIN agg
+""",
+    description=(
+        "Page-Hinkley sequential drift detector over daily purchase "
+        "revenue — the running-mean counterpart of q_cusum_changepoint "
+        "(CUSUM localizes one offline shift against the GLOBAL mean; "
+        "Page-Hinkley tracks deviation from the RUNNING mean, the form "
+        "used online). Kept integer-exact with no float recursion: the "
+        "running mean cum/idx is rounded half-up into milli-cent BIGINTs "
+        "via pure integer division (2*cum*1000 + idx) div (2*idx), so "
+        "the deviation walk, its prefix min/max, and the PH+ / PH- "
+        "excursions are exact integers on both engines — float appears "
+        "only in the final display division. All windows ride the "
+        "days-sized series after one data-scale aggregate."
+    ),
+    tags=("analytics", "extension", "drift", "timeseries"),
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    # Days-sized series: every keyless window here rides one row/day.
+    wo = Window.orderBy("day")
+    curve = daily.select(
+        "day", "x",
+        F.row_number().over(wo).cast("long").alias("idx"),
+        F.sum("x").over(wo).alias("cum"),
+    )
+    dev = curve.select(
+        "day", "idx",
+        F.expr("CAST(x * 1000 - ((2 * cum * 1000 + idx) div (2 * idx)) AS BIGINT)").alias("dv"),
+    )
+    walk = dev.select("day", F.sum("dv").over(wo).alias("m"))
+    ph = walk.select(
+        "day", "m",
+        (F.col("m") - F.min("m").over(wo)).alias("ph_pos"),
+        (F.max("m").over(wo) - F.col("m")).alias("ph_neg"),
+    )
+    best = ph.orderBy(F.col("ph_pos").desc(), F.col("day").asc()).limit(1)
+    agg = ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("ph_neg").alias("max_neg"),
+    )
+    out = best.crossJoin(F.broadcast(agg))
+    return out.select(
+        "n_days",
+        stable_round(F.col("ph_pos") / 1000.0, 6).alias("ph_pos_cents"),
+        stable_round(F.col("max_neg") / 1000.0, 6).alias("ph_neg_cents"),
+        F.col("day").cast("string").alias("alarm_day"),
+        (F.col("ph_pos") > 50000 * 1000).alias("alarmed"),
+    )
+
+
+@register(
+    "q_friedman_test",
+    oracle="""
+WITH daily AS (
+    SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS wk,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)  AS dow,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)     AS x
+    FROM events GROUP BY 1, 2
+),
+full_wk AS (
+    SELECT wk FROM daily GROUP BY wk HAVING count(*) = 7
+),
+blocks AS (
+    SELECT d.wk, d.dow, d.x FROM daily d JOIN full_wk f ON f.wk = d.wk
+),
+ranked AS (
+    SELECT wk, dow,
+           CAST(2 * coalesce(count(*) OVER (
+                    PARTITION BY wk ORDER BY x
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + count(*) OVER (PARTITION BY wk, x) + 1 AS BIGINT) AS r2
+    FROM blocks
+),
+per_dow AS (
+    SELECT dow, CAST(sum(r2) AS BIGINT) AS r2_j FROM ranked GROUP BY dow
+),
+m AS (
+    SELECT CAST((SELECT count(*) FROM full_wk) AS BIGINT)  AS b,
+           CAST(sum((r2_j - 8 * (SELECT count(*) FROM full_wk))
+                    * (r2_j - 8 * (SELECT count(*) FROM full_wk))) AS BIGINT) AS num
+    FROM per_dow
+),
+den AS (
+    SELECT CAST(sum(r2 * r2) AS BIGINT) AS sr2 FROM ranked
+)
+SELECT m.b AS n_weeks,
+       (round((6.0 * m.num / (den.sr2 - 448 * m.b)) * 1000000.0) / 1000000.0)
+           AS friedman_chi2,
+       (round((6.0 * m.num / (den.sr2 - 448 * m.b) / (m.b * 6.0)) * 1000000.0)
+        / 1000000.0) AS kendalls_w
+FROM m CROSS JOIN den
+""",
+    description=(
+        "Friedman test of weekday effect on daily revenue with weeks as "
+        "blocks — the repeated-measures sibling of q_kruskal_wallis "
+        "(KW assumes independent groups; Friedman ranks WITHIN each "
+        "week, removing week-level traffic drift before asking if "
+        "weekdays differ) — plus Kendall's W concordance. Ranks are "
+        "doubled-integer average ranks from bounded 7-row block windows "
+        "(2*strictly-below + ties + 1 via a RANGE frame), and the "
+        "tie-general statistic 6*sum_j(R2_j - 8b)^2 / (sum r2^2 - 448b) "
+        "is division-cleared so BOTH engines fold exact BIGINTs; floats "
+        "appear only in the final two ratios. Complete weeks only."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+    daily = ev.groupBy(
+        (epoch_day / 7).cast("long").alias("wk"),
+        (epoch_day % 7).cast("long").alias("dow"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    full_wk = daily.groupBy("wk").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") == 7
+    ).select("wk")
+    blocks = daily.join(full_wk, "wk")
+    # 7-row block windows (bounded): doubled average rank within week.
+    w_lt = (
+        Window.partitionBy("wk")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("wk", "x")
+    ranked = blocks.select(
+        "wk", "dow",
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
+            + F.count(F.lit(1)).over(w_eq)
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    per_dow = ranked.groupBy("dow").agg(F.sum("r2").alias("r2_j"))
+    b_cnt = full_wk.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    m = per_dow.crossJoin(F.broadcast(b_cnt)).agg(
+        F.max("b").alias("b"),
+        F.sum(
+            (F.col("r2_j") - 8 * F.col("b")) * (F.col("r2_j") - 8 * F.col("b"))
+        ).alias("num"),
+    )
+    den = ranked.agg(F.sum(F.col("r2") * F.col("r2")).alias("sr2"))
+    out = m.crossJoin(F.broadcast(den))
+    stat = F.lit(6.0) * F.col("num") / (F.col("sr2") - 448 * F.col("b"))
+    return out.select(
+        F.col("b").alias("n_weeks"),
+        stable_round(stat, 6).alias("friedman_chi2"),
+        stable_round(stat / (F.col("b") * F.lit(6.0)), 6).alias("kendalls_w"),
+    )
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle="""
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+grp_c AS (
+    SELECT c, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY c
+),
+ranked AS (
+    SELECT c, t,
+           CAST(coalesce(sum(t) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+    FROM grp_c
+),
+grp_ct AS (
+    SELECT c, event_type, CAST(count(*) AS BIGINT) AS t_g FROM v GROUP BY c, event_type
+),
+joined AS (
+    SELECT g.event_type, g.t_g, r.t, r.cb
+    FROM grp_ct g JOIN ranked r ON r.c = g.c
+),
+per_g AS (
+    SELECT event_type,
+           CAST(sum(t_g) AS BIGINT)                     AS n_g,
+           CAST(sum(t_g * (2 * cb + t + 1)) AS BIGINT)  AS r2_g
+    FROM joined GROUP BY event_type
+),
+ties AS (
+    SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum FROM grp_c
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n_g) AS BIGINT) AS n,
+           sum((r2_g * 1.0 * r2_g) / (4.0 * n_g)) AS q
+    FROM per_g
+),
+calc AS (
+    SELECT m.k, m.n,
+           ((12.0 / (m.n * (m.n + 1.0))) * m.q - 3.0 * (m.n + 1.0)) AS h,
+           (1.0 - ties.tie_sum / (m.n * 1.0 * m.n * m.n - m.n))     AS c_tie
+    FROM m CROSS JOIN ties
+)
+SELECT k AS n_groups, n AS n_rows,
+       (round(h * 1000000.0) / 1000000.0)           AS h_stat,
+       (round((h / c_tie) * 1000000.0) / 1000000.0) AS h_adj
+FROM calc
+""",
+    description=(
+        "Kruskal-Wallis rank test of event value across the five event "
+        "types — the k-group generalization of q_mann_whitney and the "
+        "nonparametric twin of q_anova_f (ANOVA compares means and "
+        "leans on normality; KW compares rank distributions). Rank "
+        "arithmetic is exact via the doubled-rank identity on the "
+        "DISTINCT-cents table (2R_g = sum of t_g*(2*cum_before + t + "
+        "1)), the prefix rides a two-phase bucketed carry "
+        "(bucketed_prefix over 4096-cent buckets, never a global "
+        "sort), and the tie correction uses the integer sum of t^3-t. "
+        "H and its tie-adjusted form are the only float folds."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    grp_c = v.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    ranked = bucketed_prefix(
+        grp_c,
+        buckets=[F.expr("c div 4096")],
+        order_by=[F.asc("c")],
+        value=F.col("t"),
+        agg="sum",
+        exclusive=True,
+        out_col="cb",
+    )
+    grp_ct = v.groupBy("c", "event_type").agg(F.count(F.lit(1)).alias("t_g"))
+    joined = grp_ct.join(ranked, "c")
+    t, tg, cb = F.col("t"), F.col("t_g"), F.col("cb")
+    per_g = joined.groupBy("event_type").agg(
+        F.sum(tg).alias("n_g"),
+        F.sum(tg * (2 * cb + t + 1)).alias("r2_g"),
+    )
+    ties = grp_c.agg(F.sum(t * t * t - t).alias("tie_sum"))
+    m = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum((F.col("r2_g") * 1.0 * F.col("r2_g")) / (4.0 * F.col("n_g"))).alias(
+            "q"
+        ),
+    )
+    out = m.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h = (F.lit(12.0) / (n * (n + 1.0))) * F.col("q") - F.lit(3.0) * (n + 1.0)
+    c_tie = F.lit(1.0) - F.col("tie_sum") / (n * 1.0 * n * n - n)
+    return out.select(
+        F.col("k").alias("n_groups"),
+        n.alias("n_rows"),
+        stable_round(h, 6).alias("h_stat"),
+        stable_round(h / c_tie, 6).alias("h_adj"),
+    )

@@ -574,6 +574,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_rfm_segmentation": "bucket-summary offsets (3 axes)",
     "q_gini_concentration": "bucket-summary offsets",
     "q_mann_whitney": "bucket-summary prefix over distinct cents",
+    "q_kruskal_wallis": "bucket-summary prefix over distinct cents",
     "q_wilcoxon_signed_rank": "bucket-summary prefix over distinct |diffs|",
     "q_ntile_percent_rank": "bucket-summary offsets (cents buckets)",
     "q_permutation_importance": "bucket-summary offsets (hash buckets)",
@@ -589,6 +590,8 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_error_budget_burn": "daily series",
     "q_holt_smoothing": "daily series",
     "q_cusum_changepoint": "daily series",
+    "q_page_hinkley": "daily series",
+    "q_yule_walker_ar2": "daily series",
     "q_seasonal_naive_backtest": "daily series",
     "q_sequential_ab_monitor": "daily series",
     "q_sprt_monitor": "daily series",
