@@ -821,3 +821,392 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(h, 6).alias("h_stat"),
         stable_round(h / c_tie, 6).alias("h_adj"),
     )
+
+
+@register(
+    "q_conformal_interval",
+    oracle="""
+WITH base AS (
+    SELECT event_type, user_id,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM events
+),
+stats AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_t,
+           CAST(sum(c) AS BIGINT)   AS s_t
+    FROM base WHERE user_id % 2 = 0 GROUP BY 1
+),
+model AS (
+    SELECT event_type, n_t,
+           CAST((2 * s_t * 1000 + n_t) // (2 * n_t) AS BIGINT) AS mean_milli
+    FROM stats
+),
+calib_res AS (
+    SELECT b.event_type, abs(b.c * 1000 - m.mean_milli) AS rs
+    FROM base b JOIN model m ON m.event_type = b.event_type
+    WHERE b.user_id % 2 = 0
+),
+grp AS (
+    SELECT event_type, rs, CAST(count(*) AS BIGINT) AS t
+    FROM calib_res GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, rs,
+           CAST(sum(t) OVER (PARTITION BY event_type ORDER BY rs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+    FROM grp
+),
+qhat AS (
+    SELECT c.event_type, CAST(min(c.rs) AS BIGINT) AS q_milli
+    FROM cum c JOIN model m ON m.event_type = c.event_type
+    WHERE c.cc >= (9 * (m.n_t + 1) + 9) // 10
+    GROUP BY 1
+),
+test AS (
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(b.c * 1000 - m.mean_milli) <= q.q_milli
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered
+    FROM base b
+    JOIN model m ON m.event_type = b.event_type
+    JOIN qhat q  ON q.event_type = b.event_type
+    WHERE b.user_id % 2 = 1
+    GROUP BY 1
+)
+SELECT t.event_type, m.n_t AS n_calib, t.n_test,
+       (round((q.q_milli / 1000.0) * 1000000.0) / 1000000.0) AS qhat_cents,
+       (round((t.covered * 1.0 / t.n_test) * 1000000.0) / 1000000.0) AS coverage
+FROM test t
+JOIN model m ON m.event_type = t.event_type
+JOIN qhat q  ON q.event_type = t.event_type
+""",
+    description=(
+        "Mondrian split-conformal prediction intervals, 90% target: "
+        "even-user events calibrate a per-type interval around the "
+        "calibration mean (the ceil(0.9*(n+1))-th smallest absolute "
+        "residual — the finite-sample-valid quantile, not the naive "
+        "90th percentile), odd-user events measure empirical coverage. "
+        "Everything is integer-exact: the model mean is rounded "
+        "half-up into milli-cents with pure integer division, "
+        "residuals are BIGINT milli-cents, and the order statistic is "
+        "found by counting on the DISTINCT-residual table (Spark side "
+        "rides a per-type bucketed carry: in-bucket cumulative + "
+        "per-type bucket-summary prefix over value-range-bounded 4096 "
+        "milli-cent buckets — no per-type global sort). The "
+        "distribution-free coverage guarantee every ML-serving "
+        "pipeline wants before shipping point predictions."
+    ),
+    tags=("analytics", "extension", "stats", "mlops"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "user_id", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    calib = base.filter(F.col("user_id") % 2 == 0)
+    stats = calib.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("c").alias("s_t")
+    )
+    model = stats.select(
+        "event_type", "n_t",
+        F.expr("CAST((2 * s_t * 1000 + n_t) div (2 * n_t) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+    )
+    calib_res = calib.join(F.broadcast(model), "event_type").select(
+        "event_type", F.abs(F.col("c") * 1000 - F.col("mean_milli")).alias("rs")
+    )
+    grp = calib_res.groupBy("event_type", "rs").agg(F.count(F.lit(1)).alias("t"))
+    # Two-phase per-type carry: in-bucket cumulative + per-type prefix
+    # over the value-range-bounded bucket summaries (rs div 4096).
+    bkt = grp.withColumn("bkt", F.expr("rs div 4096"))
+    w_in = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("rs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = bkt.withColumn("cin", F.sum("t").over(w_in))
+    btot = bkt.groupBy("event_type", "bkt").agg(F.sum("t").alias("bv"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bprev = btot.select(
+        "event_type", "bkt", F.sum("bv").over(w_b).alias("prev")
+    )
+    cum = rows.join(bprev, ["event_type", "bkt"]).select(
+        "event_type", "rs",
+        (F.col("cin") + F.coalesce(F.col("prev"), F.lit(0))).alias("cc"),
+    )
+    qhat = (
+        cum.join(F.broadcast(model), "event_type")
+        .filter(F.col("cc") >= F.expr("(9 * (n_t + 1) + 9) div 10"))
+        .groupBy("event_type")
+        .agg(F.min("rs").alias("q_milli"))
+    )
+    test = (
+        base.filter(F.col("user_id") % 2 == 1)
+        .join(F.broadcast(model), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("c") * 1000 - F.col("mean_milli"))
+                    <= F.col("q_milli"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    out = test.join(F.broadcast(model), "event_type").join(
+        F.broadcast(qhat), "event_type"
+    )
+    return out.select(
+        "event_type",
+        F.col("n_t").alias("n_calib"),
+        "n_test",
+        stable_round(F.col("q_milli") / 1000.0, 6).alias("qhat_cents"),
+        stable_round(F.col("covered") * 1.0 / F.col("n_test"), 6).alias("coverage"),
+    )
+
+
+@register(
+    "q_pacf",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily
+),
+dev AS (
+    SELECT day, CAST(t.n * d.x - t.s AS BIGINT) AS d, t.n
+    FROM daily d CROSS JOIN tot t
+),
+lagged AS (
+    SELECT d, n,
+           lag(d, 1) OVER (ORDER BY day) AS d1,
+           lag(d, 2) OVER (ORDER BY day) AS d2,
+           lag(d, 3) OVER (ORDER BY day) AS d3
+    FROM dev
+),
+m AS (
+    SELECT max(n) AS n,
+           sum(d * 1.0 * d) AS sd2,
+           sum(CASE WHEN d1 IS NOT NULL THEN d * 1.0 * d1 END) AS s1,
+           sum(CASE WHEN d2 IS NOT NULL THEN d * 1.0 * d2 END) AS s2,
+           sum(CASE WHEN d3 IS NOT NULL THEN d * 1.0 * d3 END) AS s3
+    FROM lagged
+),
+r AS (
+    SELECT n, (s1 / sd2) AS r1, (s2 / sd2) AS r2, (s3 / sd2) AS r3 FROM m
+),
+lvl2 AS (
+    SELECT n, r1, r2, r3,
+           ((r2 - r1 * r1) / (1.0 - r1 * r1)) AS phi22
+    FROM r
+),
+lvl3 AS (
+    SELECT n, r1, r2, r3, phi22,
+           (r1 * (1.0 - phi22)) AS phi21
+    FROM lvl2
+)
+SELECT n AS n_days,
+       (round(r1 * 1000000.0) / 1000000.0)    AS pacf1,
+       (round(phi22 * 1000000.0) / 1000000.0) AS pacf2,
+       (round(((r3 - phi21 * r2 - phi22 * r1)
+               / (1.0 - phi21 * r1 - phi22 * r2)) * 1000000.0) / 1000000.0)
+           AS pacf3
+FROM lvl3
+""",
+    description=(
+        "Partial autocorrelation (lags 1-3) of daily purchase revenue "
+        "via the Durbin-Levinson recursion in closed form — the AR "
+        "order-selection diagnostic that q_autocorr/q_yule_walker_ar2 "
+        "can't give (ACF tails off for any AR process; PACF CUTS OFF "
+        "at the true order, so 'is pacf3 ~ 0?' answers 'is AR(2) "
+        "enough?'). Same BIGINT mean-cleared deviations and day-series "
+        "lag windows as the Yule-Walker fit; the recursion "
+        "(phi22 = (r2-r1^2)/(1-r1^2), phi21 = r1(1-phi22), phi33 = "
+        "(r3 - phi21*r2 - phi22*r1)/(1 - phi21*r1 - phi22*r2)) is an "
+        "identical fixed-order float expression on both engines."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("d"), "n"
+    )
+    # Days-sized series: the keyless lag windows ride one row per day.
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "d", "n",
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("d", 2).over(w).alias("d2"),
+        F.lag("d", 3).over(w).alias("d3"),
+    )
+    d = F.col("d")
+    m = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(d * 1.0 * d).alias("sd2"),
+        F.sum(F.when(F.col("d1").isNotNull(), d * 1.0 * F.col("d1"))).alias("s1"),
+        F.sum(F.when(F.col("d2").isNotNull(), d * 1.0 * F.col("d2"))).alias("s2"),
+        F.sum(F.when(F.col("d3").isNotNull(), d * 1.0 * F.col("d3"))).alias("s3"),
+    )
+    r = m.select(
+        "n",
+        (F.col("s1") / F.col("sd2")).alias("r1"),
+        (F.col("s2") / F.col("sd2")).alias("r2"),
+        (F.col("s3") / F.col("sd2")).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    lvl2 = r.select(
+        "n", "r1", "r2", "r3",
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("phi22"),
+    )
+    lvl3 = lvl2.select(
+        "n", "r1", "r2", "r3", "phi22",
+        (r1 * (F.lit(1.0) - F.col("phi22"))).alias("phi21"),
+    )
+    p21, p22 = F.col("phi21"), F.col("phi22")
+    return lvl3.select(
+        F.col("n").alias("n_days"),
+        stable_round(r1, 6).alias("pacf1"),
+        stable_round(p22, 6).alias("pacf2"),
+        stable_round(
+            (r3 - p21 * r2 - p22 * r1) / (F.lit(1.0) - p21 * r1 - p22 * r2), 6
+        ).alias("pacf3"),
+    )
+
+
+@register(
+    "q_adamic_adar",
+    oracle="""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cop AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS co
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+edges AS (SELECT pa AS u, pb AS v FROM cop WHERE co >= 2),
+sym AS (
+    SELECT u AS src, v AS dst FROM edges
+    UNION ALL
+    SELECT v, u FROM edges
+),
+deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+),
+wedge AS (
+    SELECT s1.src AS a, s1.dst AS b, s2.dst AS c
+    FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+    WHERE s1.src < s2.dst
+),
+cand AS (
+    SELECT w.a, w.c, w.b FROM wedge w
+    LEFT JOIN edges e ON e.u = w.a AND e.v = w.c
+    WHERE e.u IS NULL
+),
+scored AS (
+    SELECT cand.a AS part_a, cand.c AS part_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           sum(1.0 / ln(d.d))       AS aa
+    FROM cand JOIN deg d ON d.node = cand.b
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_common,
+       (round(aa * 1000000.0) / 1000000.0) AS aa_score
+FROM scored
+ORDER BY aa_score DESC, n_common DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+    description=(
+        "Adamic-Adar link prediction over the part co-purchase graph: "
+        "parts co-appearing in >= 2 orders form edges (market-basket "
+        "co-occurrence with BOUNDED per-order fan-out — a TPC-H order "
+        "has <= 7 lineitems, so pair expansion is <= 21 rows per order "
+        "at any data size); for every NON-edge two hops apart, "
+        "sum(1/ln(deg(b))) over common neighbors b scores the missing "
+        "link, discounting promiscuous hub parts. The "
+        "recommender/graph-completion primitive ('frequently bought "
+        "with X and Y, never yet together'). Distributed shape: "
+        "order-key self-join -> pair aggregate -> symmetric adjacency "
+        "wedge join (a<c canonical) -> anti-join against edges -> "
+        "degree join + aggregate; ln(deg) is safe (wedge centers have "
+        "degree >= 2); top-20 rides TakeOrderedAndProject."
+    ),
+    tags=("analytics", "extension", "graph"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    edges = cop.filter(F.col("co") >= 2).select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    )
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.alias("s1")
+    s2 = sym.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    wedge = (
+        s1.join(s2, F.col("s1.dst") == F.col("b2"))
+        .filter(F.col("s1.src") < F.col("c"))
+        .select(F.col("s1.src").alias("a"), F.col("s1.dst").alias("b"), "c")
+    )
+    cand = wedge.join(
+        edges,
+        (F.col("a") == F.col("u")) & (F.col("c") == F.col("v")),
+        "left_anti",
+    )
+    scored = (
+        cand.join(F.broadcast(deg), cand["b"] == deg["node"])
+        .groupBy(F.col("a").alias("part_a"), F.col("c").alias("part_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("aa"),
+        )
+    )
+    out = scored.select(
+        "part_a", "part_b", "n_common",
+        stable_round(F.col("aa"), 6).alias("aa_score"),
+    )
+    return out.orderBy(
+        F.col("aa_score").desc(),
+        F.col("n_common").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ).limit(20)

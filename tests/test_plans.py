@@ -592,6 +592,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_cusum_changepoint": "daily series",
     "q_page_hinkley": "daily series",
     "q_yule_walker_ar2": "daily series",
+    "q_pacf": "daily series",
     "q_seasonal_naive_backtest": "daily series",
     "q_sequential_ab_monitor": "daily series",
     "q_sprt_monitor": "daily series",
