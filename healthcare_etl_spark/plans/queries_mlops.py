@@ -2785,8 +2785,11 @@ def _register_roc_auc() -> None:
             "discrimination metric next to q_calibration_ece's "
             "calibration view; plus the Gini coefficient 2*AUC-1. "
             "Scores are 6dp-rounded BEFORE ranking so the distinct-"
-            "score table is bounded (<=10^6 keys at any corpus size) "
-            "and the rank window never rides user rows; ranks are the "
+            "score table is bounded (<=10^6 keys at any corpus size), "
+            "and even that bounded table never single-partition-sorts: "
+            "the cumulative count rides the two-phase bucketed carry "
+            "(operators/scale.bucketed_prefix over micro-prob div-4096 "
+            "buckets, <=245-row summary prefix); ranks are the "
             "exact doubled-integer trick from q_mann_whitney, so AUC "
             "is one rounded division of BIGINTs."
         ),
@@ -2812,16 +2815,28 @@ def _register_roc_auc() -> None:
             ).alias("y"),
         ).persist()
         try:
+            from healthcare_etl_spark.operators.scale import bucketed_prefix
+
             b0, b1, b2 = logistic_fit(features, rounds=4)
             eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
-            p = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
-            grp = features.select(p.alias("p"), "y").groupBy("p").agg(
+            # Integer micro-prob key: pm/1e6 is exactly the oracle's
+            # 6dp-rounded p (injective), so grouping by pm == grouping
+            # by p while the bucket key stays integral.
+            pm = F.round(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))) * 1000000.0
+            ).cast("long")
+            grp = features.select(pm.alias("pm"), "y").groupBy("pm").agg(
                 F.count(F.lit(1)).alias("t"), F.sum("y").alias("t_pos")
             )
-            w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
-            ranked = grp.select(
-                "t", "t_pos", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb")
-            )
+            ranked = bucketed_prefix(
+                grp,
+                buckets=[F.expr("pm div 4096")],
+                order_by=[F.col("pm")],
+                value=F.col("t"),
+                agg="sum",
+                exclusive=True,
+                out_col="cb",
+            ).select("t", "t_pos", F.col("cb").cast("long").alias("cb"))
             t, tp, cb = F.col("t"), F.col("t_pos"), F.col("cb")
             m = ranked.agg(
                 F.sum(tp).alias("n_pos"),
@@ -3166,11 +3181,13 @@ def _register_pr_auc() -> None:
             "q_roc_auc saturates (a 0.1% positive rate makes almost "
             "any ranker look ROC-great; AP compares against the "
             "prevalence baseline reported alongside). Scores are "
-            "6dp-rounded BEFORE grouping so the cumulative window "
-            "rides a bounded distinct-score table, precisions are "
-            "exact BIGINT ratios, and per-group terms are quantized "
-            "to BIGINT at 1e-10 before the final sum — no float "
-            "accumulation order anywhere."
+            "6dp-rounded BEFORE grouping so the distinct-score table "
+            "is bounded, and the descending cumulative rides the "
+            "two-phase bucketed carry ((-pm) div 4096 buckets — no "
+            "single-partition sort even over the bounded table); "
+            "precisions are exact BIGINT ratios, and per-group terms "
+            "are quantized to BIGINT at 1e-10 before the final sum — "
+            "no float accumulation order anywhere."
         ),
         tags=("analytics", "extension", "stats", "ml", "evaluation"),
     )
@@ -3196,18 +3213,47 @@ def _register_pr_auc() -> None:
         try:
             b0, b1, b2 = logistic_fit(features, rounds=4)
             eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
-            p = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
-            scored = features.select(p.alias("p"), "y")
-            grp = scored.groupBy("p").agg(
+            # Integer micro-prob key (pm/1e6 == the oracle's 6dp p,
+            # injective), grouped once; the descending cumulative rides
+            # the two-phase bucketed carry: (-pm) div 4096 is a monotone
+            # coarsening of pm DESC (truncating div is monotone), so
+            # in-bucket inclusive windows are fully partitioned and the
+            # keyless prefix only ever sees the <=245-row bucket summary.
+            pm = F.round(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))) * 1000000.0
+            ).cast("long")
+            scored = features.select(pm.alias("pm"), "y")
+            grp = scored.groupBy("pm").agg(
                 F.count(F.lit(1)).alias("t"), F.sum("y").alias("tp")
             )
-            wc = Window.orderBy(F.desc("p")).rowsBetween(
-                Window.unboundedPreceding, 0
+            bkt = grp.withColumn("bkt", F.expr("(-pm) div 4096"))
+            w_in = (
+                Window.partitionBy("bkt")
+                .orderBy(F.desc("pm"))
+                .rowsBetween(Window.unboundedPreceding, 0)
             )
-            cum = grp.select(
+            rows = bkt.withColumn("cin_n", F.sum("t").over(w_in)).withColumn(
+                "cin_tp", F.sum("tp").over(w_in)
+            )
+            btot = bkt.groupBy("bkt").agg(
+                F.sum("t").alias("bv_n"), F.sum("tp").alias("bv_tp")
+            )
+            w_b = Window.orderBy("bkt").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            bprev = btot.select(
+                "bkt",
+                F.sum("bv_n").over(w_b).alias("prev_n"),
+                F.sum("bv_tp").over(w_b).alias("prev_tp"),
+            )
+            cum = rows.join(F.broadcast(bprev), "bkt").select(
                 "tp",
-                F.sum("t").over(wc).cast("long").alias("cum_n"),
-                F.sum("tp").over(wc).cast("long").alias("cum_tp"),
+                (F.col("cin_n") + F.coalesce(F.col("prev_n"), F.lit(0)))
+                .cast("long")
+                .alias("cum_n"),
+                (F.col("cin_tp") + F.coalesce(F.col("prev_tp"), F.lit(0)))
+                .cast("long")
+                .alias("cum_tp"),
             )
             terms = cum.select(
                 "tp",
@@ -5564,10 +5610,13 @@ FROM seg
             "Wasserstein answers 'by how many dollars did mass "
             "move', which is what a drift alert should page on. "
             "CDF steps are exact BIGINT prefix counts over the "
-            "distinct-value table (value-bounded rows); per-segment "
-            "contributions quantize to BIGINT at 1e-6 before the "
-            "sum. At unbounded-support scale the prefix windows swap "
-            "to the q_mann_whitney bucketed carry."
+            "distinct-value table, computed with the two-phase "
+            "bucketed carry (v div 4096): in-bucket prefixes and "
+            "leads are partitioned, cross-boundary v_next is the "
+            "next non-empty bucket's min, and the only keyless "
+            "windows ride the distinct_v/4096 bucket summary — safe "
+            "even for unbounded value support; per-segment "
+            "contributions quantize to BIGINT at 1e-6 before the sum."
         ),
         tags=("analytics", "extension", "stats", "evaluation"),
     )
@@ -5601,16 +5650,57 @@ FROM seg
             F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ta"),
             F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("tb"),
         )
-        wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        wa = Window.partitionBy()
-        wl = Window.orderBy("v")
-        cum = g.select(
-            "v",
-            F.sum("ta").over(wc).cast("long").alias("ca"),
-            F.sum("tb").over(wc).cast("long").alias("cb"),
-            F.sum("ta").over(wa).cast("long").alias("na"),
-            F.sum("tb").over(wa).cast("long").alias("nb"),
-            F.lead("v").over(wl).cast("long").alias("v_next"),
+        # Two-phase bucketed carry over the distinct-cents support:
+        # in-bucket inclusive prefixes + in-bucket lead are fully
+        # partitioned (v div 4096); the keyless windows only ever see
+        # the bucket SUMMARY (distinct_v/4096 rows). v_next across a
+        # bucket boundary = the next non-empty bucket's min v. Global
+        # arm totals come from an agg cross-joined back, not an
+        # unbounded window over the data.
+        bkt = g.withColumn("bkt", F.expr("v div 4096"))
+        w_in = (
+            Window.partitionBy("bkt")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_lead = Window.partitionBy("bkt").orderBy("v")
+        rows = bkt.select(
+            "v", "bkt",
+            F.sum("ta").over(w_in).cast("long").alias("cin_a"),
+            F.sum("tb").over(w_in).cast("long").alias("cin_b"),
+            F.lead("v").over(w_lead).cast("long").alias("lead_in"),
+        )
+        btot = bkt.groupBy("bkt").agg(
+            F.sum("ta").alias("bv_a"),
+            F.sum("tb").alias("bv_b"),
+            F.min("v").alias("bmin"),
+        )
+        w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        w_bl = Window.orderBy("bkt")
+        bsum = btot.select(
+            "bkt",
+            F.sum("bv_a").over(w_b).alias("prev_a"),
+            F.sum("bv_b").over(w_b).alias("prev_b"),
+            F.lead("bmin").over(w_bl).cast("long").alias("next_bmin"),
+        )
+        tot = g.agg(
+            F.sum("ta").cast("long").alias("na"), F.sum("tb").cast("long").alias("nb")
+        )
+        cum = (
+            rows.join(F.broadcast(bsum), "bkt")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "v",
+                (F.col("cin_a") + F.coalesce(F.col("prev_a"), F.lit(0)))
+                .cast("long")
+                .alias("ca"),
+                (F.col("cin_b") + F.coalesce(F.col("prev_b"), F.lit(0)))
+                .cast("long")
+                .alias("cb"),
+                "na",
+                "nb",
+                F.coalesce(F.col("lead_in"), F.col("next_bmin")).alias("v_next"),
+            )
         )
         frac = F.abs(F.col("ca") * 1.0 / F.col("na") - F.col("cb") * 1.0 / F.col("nb"))
         seg = cum.filter(F.col("v_next").isNotNull()).select(

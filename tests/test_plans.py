@@ -620,9 +620,9 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_bootstrap_ci": "200 bootstrap replicates",
     "q_zipf_fit": "post-LIMIT-1000 rank",
     "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
-    "q_roc_auc": "6dp-rounded distinct scores (<=1e6)",
-    "q_wasserstein_drift": "distinct-cents table (value-bounded)",
-    "q_pr_auc": "6dp-rounded distinct scores (<=1e6)",
+    "q_roc_auc": "bucket-summary prefix (micro-prob div 4096, <=245)",
+    "q_wasserstein_drift": "bucket-summary prefix+lead carry (cents div 4096)",
+    "q_pr_auc": "bucket-summary prefix (micro-prob div 4096, <=245)",
     # rank-limit pushdown: WindowGroupLimit pre-truncates every input
     # partition to k rows before the single-partition stage
     "q_hybrid_search_rrf": "WindowGroupLimit k-truncated",
