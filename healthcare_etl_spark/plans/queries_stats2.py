@@ -1210,3 +1210,701 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part_a").asc(),
         F.col("part_b").asc(),
     ).limit(20)
+
+
+@register(
+    "q_did_estimator",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id,
+           {_ARM_A_SQL} AS in_a,
+           (CAST(ts AS DATE) - DATE '1970-01-01') AS dd,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS c
+    FROM events
+),
+rng AS (SELECT min(dd) AS lo, max(dd) AS hi FROM ev),
+u AS (
+    SELECT user_id, in_a,
+           CASE WHEN dd >= r.lo + ((r.hi - r.lo + 1) // 2)
+                THEN 1 ELSE 0 END AS p,
+           CAST(sum(c) AS BIGINT) AS v
+    FROM ev CROSS JOIN rng r
+    GROUP BY 1, 2, 3
+),
+cells AS (
+    SELECT in_a, p, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+    FROM u GROUP BY 1, 2
+),
+wide AS (
+    SELECT
+        max(CASE WHEN in_a AND p = 0 THEN n END)         AS n_a0,
+        max(CASE WHEN in_a AND p = 1 THEN n END)         AS n_a1,
+        max(CASE WHEN NOT in_a AND p = 0 THEN n END)     AS n_b0,
+        max(CASE WHEN NOT in_a AND p = 1 THEN n END)     AS n_b1,
+        max(CASE WHEN in_a AND p = 0 THEN s * 1.0 / n END)     AS m_a0,
+        max(CASE WHEN in_a AND p = 1 THEN s * 1.0 / n END)     AS m_a1,
+        max(CASE WHEN NOT in_a AND p = 0 THEN s * 1.0 / n END) AS m_b0,
+        max(CASE WHEN NOT in_a AND p = 1 THEN s * 1.0 / n END) AS m_b1,
+        sum((n * ss - s * s) / (n * 1.0 * (n - 1)) / n)        AS vsum
+    FROM cells
+)
+SELECT n_a0, n_a1, n_b0, n_b1,
+       (round((m_a0 / 100.0) * 1000000.0) / 1000000.0) AS mean_a_pre,
+       (round((m_a1 / 100.0) * 1000000.0) / 1000000.0) AS mean_a_post,
+       (round((m_b0 / 100.0) * 1000000.0) / 1000000.0) AS mean_b_pre,
+       (round((m_b1 / 100.0) * 1000000.0) / 1000000.0) AS mean_b_post,
+       (round((((m_a1 - m_a0) - (m_b1 - m_b0)) / 100.0) * 1000000.0) / 1000000.0)
+           AS did_dollars,
+       (round((sqrt(vsum) / 100.0) * 1000000.0) / 1000000.0) AS se_dollars,
+       (round((((m_a1 - m_a0) - (m_b1 - m_b0)) / sqrt(vsum)) * 1000000.0)
+        / 1000000.0) AS t_stat
+FROM wide
+""",
+    description=(
+        "Difference-in-differences estimator: per-user spend (cents) "
+        "in pre/post periods (the period boundary is the DATA-DERIVED "
+        "midpoint of the observed day range — integer epoch-day "
+        "arithmetic, no hard-coded dates) crossed with the repo's "
+        "deterministic md5 arm split; DiD = (A_post - A_pre) - "
+        "(B_post - B_pre) with the pooled SE from exact-BIGINT cell "
+        "variances and the t statistic — the workhorse quasi-"
+        "experimental estimator when randomization isn't available "
+        "(parallel-trends assumption). Scale shape: one event pass -> "
+        "user-period cells (shuffle on user), 4-cell aggregate, "
+        "metadata-sized finish; the day-range scalar broadcasts."
+    ),
+    tags=("analytics", "extension", "stats", "causal"),
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        _arm_a().alias("in_a"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "dd"
+        ),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("c"),
+    )
+    rng = ev.agg(F.min("dd").alias("lo"), F.max("dd").alias("hi"))
+    u = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            "user_id",
+            "in_a",
+            F.when(
+                F.col("dd") >= F.col("lo") + F.expr("(hi - lo + 1) div 2"), 1
+            )
+            .otherwise(0)
+            .alias("p"),
+            "c",
+        )
+        .groupBy("user_id", "in_a", "p")
+        .agg(F.sum("c").alias("v"))
+    )
+    cells = u.groupBy("in_a", "p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean_c = s * 1.0 / n
+    a, p = F.col("in_a"), F.col("p")
+    wide = cells.agg(
+        F.max(F.when(a & (p == 0), n)).alias("n_a0"),
+        F.max(F.when(a & (p == 1), n)).alias("n_a1"),
+        F.max(F.when(~a & (p == 0), n)).alias("n_b0"),
+        F.max(F.when(~a & (p == 1), n)).alias("n_b1"),
+        F.max(F.when(a & (p == 0), mean_c)).alias("m_a0"),
+        F.max(F.when(a & (p == 1), mean_c)).alias("m_a1"),
+        F.max(F.when(~a & (p == 0), mean_c)).alias("m_b0"),
+        F.max(F.when(~a & (p == 1), mean_c)).alias("m_b1"),
+        F.sum((n * ss - s * s) / (n * 1.0 * (n - 1)) / n).alias("vsum"),
+    )
+    m_a0, m_a1 = F.col("m_a0"), F.col("m_a1")
+    m_b0, m_b1 = F.col("m_b0"), F.col("m_b1")
+    did_c = (m_a1 - m_a0) - (m_b1 - m_b0)
+    return wide.select(
+        "n_a0", "n_a1", "n_b0", "n_b1",
+        stable_round(m_a0 / 100.0, 6).alias("mean_a_pre"),
+        stable_round(m_a1 / 100.0, 6).alias("mean_a_post"),
+        stable_round(m_b0 / 100.0, 6).alias("mean_b_pre"),
+        stable_round(m_b1 / 100.0, 6).alias("mean_b_post"),
+        stable_round(did_c / 100.0, 6).alias("did_dollars"),
+        stable_round(F.sqrt(F.col("vsum")) / 100.0, 6).alias("se_dollars"),
+        stable_round(did_c / F.sqrt(F.col("vsum")), 6).alias("t_stat"),
+    )
+
+
+def _granger_oracle() -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    det3 = (
+        "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)"
+        " + a02 * (a01 * a12 - a11 * a02))"
+    )
+    d0 = (
+        "(r0 * (a11 * a22 - a12 * a12) - a01 * (r1 * a22 - a12 * r2)"
+        " + a02 * (r1 * a12 - a11 * r2))"
+    )
+    d1 = (
+        "(a00 * (r1 * a22 - a12 * r2) - r0 * (a01 * a22 - a12 * a02)"
+        " + a02 * (a01 * r2 - r1 * a02))"
+    )
+    d2 = (
+        "(a00 * (a11 * r2 - r1 * a12) - a01 * (a01 * r2 - r1 * a02)"
+        " + r0 * (a01 * a12 - a11 * a02))"
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ck,
+           (CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0)
+               AS pv
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT pv AS y,
+           lag(pv) OVER (ORDER BY day) AS x1,
+           (lag(ck) OVER (ORDER BY day)) * 1.0 AS x2
+    FROM daily
+),
+pts AS (SELECT y, x1, x2 FROM lagged WHERE x1 IS NOT NULL),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {r6('sum(x1)')} AS a01, {r6('sum(x2)')} AS a02,
+           {r6('sum(x1 * x1)')} AS a11, {r6('sum(x1 * x2)')} AS a12,
+           {r6('sum(x2 * x2)')} AS a22,
+           {r6('sum(y)')} AS r0, {r6('sum(y * x1)')} AS r1,
+           {r6('sum(y * x2)')} AS r2
+    FROM pts
+),
+beta1 AS (
+    SELECT n, a01, r0,
+           {r6('(n * r1 - a01 * r0) / (n * a11 - a01 * a01)')} AS c1,
+           {r6(f'{d0} / {det3}')} AS b0,
+           {r6(f'{d1} / {det3}')} AS b1,
+           {r6(f'{d2} / {det3}')} AS b2
+    FROM (SELECT n * 1.0 AS a00, n, a01, a02, a11, a12, a22, r0, r1, r2 FROM m)
+),
+beta AS (
+    SELECT n, c1, {r6('(r0 - c1 * a01) / n')} AS c0, b0, b1, b2 FROM beta1
+),
+rss AS (
+    SELECT max(b.n) AS n, max(b.b2) AS b2,
+           {r6('sum((p.y - b.c0 - b.c1 * p.x1) * (p.y - b.c0 - b.c1 * p.x1))')}
+               AS rss_r,
+           {r6('sum((p.y - b.b0 - b.b1 * p.x1 - b.b2 * p.x2)'
+                ' * (p.y - b.b0 - b.b1 * p.x1 - b.b2 * p.x2))')} AS rss_u
+    FROM pts p CROSS JOIN beta b
+)
+SELECT n AS n_days_used, b2 AS beta_click_lag,
+       rss_r, rss_u,
+       {r6('((rss_r - rss_u) / 1.0) / (rss_u / (n - 3))')} AS f_stat
+FROM rss
+""".strip()
+
+
+@register(
+    "q_granger_causality",
+    oracle=_granger_oracle(),
+    description=(
+        "Granger causality test (lag 1): do yesterday's clicks "
+        "predict today's purchase revenue beyond what yesterday's "
+        "revenue already does? Restricted OLS pv_t ~ 1 + pv_(t-1) "
+        "(closed-form 2x2) vs unrestricted pv_t ~ 1 + pv_(t-1) + "
+        "ck_(t-1) (the _solve3 Cramer form shared with the IRLS "
+        "family), F = (RSS_r - RSS_u) / (RSS_u / (n-3)) with 1 "
+        "restriction. The leading-indicator diagnostic for metric "
+        "forecasting/alert routing. Scale shape: ONE data pass to the "
+        "day grid, keyless lag windows ride the days-sized series, "
+        "moments are a single map-side-combined aggregate, betas are "
+        "a 1-row broadcast back onto the day series for the exact RSS "
+        "pass — nothing driver-side; moments, betas and RSS are "
+        "6dp-rounded so both engines step through identical states."
+    ),
+    tags=("analytics", "extension", "timeseries", "stats"),
+)
+def q_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.logistic import _solve3
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ck"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / 100.0
+        ).alias("pv"),
+    )
+    w = Window.orderBy("day")
+    pts = (
+        daily.select(
+            F.col("pv").alias("y"),
+            F.lag("pv").over(w).alias("x1"),
+            (F.lag("ck").over(w) * 1.0).alias("x2"),
+        )
+        .filter(F.col("x1").isNotNull())
+        .persist()
+    )
+    try:
+        x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+        m = pts.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            stable_round(F.sum(x1), 6).alias("a01"),
+            stable_round(F.sum(x2), 6).alias("a02"),
+            stable_round(F.sum(x1 * x1), 6).alias("a11"),
+            stable_round(F.sum(x1 * x2), 6).alias("a12"),
+            stable_round(F.sum(x2 * x2), 6).alias("a22"),
+            stable_round(F.sum(y), 6).alias("r0"),
+            stable_round(F.sum(y * x1), 6).alias("r1"),
+            stable_round(F.sum(y * x2), 6).alias("r2"),
+        )
+        n = F.col("n")
+        a00 = n * 1.0
+        c1 = (n * F.col("r1") - F.col("a01") * F.col("r0")) / (
+            n * F.col("a11") - F.col("a01") * F.col("a01")
+        )
+        b0e, b1e, b2e = _solve3(
+            a00, F.col("a01"), F.col("a02"),
+            F.col("a11"), F.col("a12"), F.col("a22"),
+            F.col("r0"), F.col("r1"), F.col("r2"),
+        )
+        beta = m.select(
+            n,
+            stable_round(c1, 6).alias("c1"),
+            stable_round((F.col("r0") - stable_round(c1, 6) * F.col("a01")) / n, 6).alias(
+                "c0"
+            ),
+            stable_round(b0e, 6).alias("b0"),
+            stable_round(b1e, 6).alias("b1"),
+            stable_round(b2e, 6).alias("b2"),
+        )
+        res_r = y - F.col("c0") - F.col("c1") * x1
+        res_u = y - F.col("b0") - F.col("b1") * x1 - F.col("b2") * x2
+        rss = pts.crossJoin(F.broadcast(beta)).agg(
+            F.max("n").alias("n"),
+            F.max("b2").alias("b2"),
+            stable_round(F.sum(res_r * res_r), 6).alias("rss_r"),
+            stable_round(F.sum(res_u * res_u), 6).alias("rss_u"),
+        )
+        rr, ru = F.col("rss_r"), F.col("rss_u")
+        return rss.select(
+            F.col("n").alias("n_days_used"),
+            F.col("b2").alias("beta_click_lag"),
+            rr.alias("rss_r"),
+            ru.alias("rss_u"),
+            stable_round(((rr - ru) / 1.0) / (ru / (F.col("n") - 3)), 6).alias(
+                "f_stat"
+            ),
+        )
+    finally:
+        pts.unpersist()
+
+
+def _solve3_sql(a00, a01, a02, a11, a12, a22, r0, r1, r2):
+    """Textual clone of operators.logistic._solve3 (Cramer 3x3) over the
+    given moment-column SQL names; returns the three solution exprs."""
+    det = (
+        f"({a00} * ({a11} * {a22} - {a12} * {a12})"
+        f" - {a01} * ({a01} * {a22} - {a12} * {a02})"
+        f" + {a02} * ({a01} * {a12} - {a11} * {a02}))"
+    )
+    d0 = (
+        f"({r0} * ({a11} * {a22} - {a12} * {a12})"
+        f" - {a01} * ({r1} * {a22} - {a12} * {r2})"
+        f" + {a02} * ({r1} * {a12} - {a11} * {r2}))"
+    )
+    d1 = (
+        f"({a00} * ({r1} * {a22} - {a12} * {r2})"
+        f" - {r0} * ({a01} * {a22} - {a12} * {a02})"
+        f" + {a02} * ({a01} * {r2} - {r1} * {a02}))"
+    )
+    d2 = (
+        f"({a00} * ({a11} * {r2} - {r1} * {a12})"
+        f" - {a01} * ({a01} * {r2} - {r1} * {a02})"
+        f" + {r0} * ({a01} * {a12} - {a11} * {a02}))"
+    )
+    return f"({d0} / {det})", f"({d1} / {det})", f"({d2} / {det})"
+
+
+_AIPW_USER_CTE = """
+SELECT user_id,
+       CAST(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS DOUBLE) AS x1,
+       CAST(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS DOUBLE)  AS x2,
+       CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 14
+            THEN 1 ELSE 0 END                                                          AS t,
+       (CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0)   AS y
+FROM events GROUP BY user_id
+""".strip()
+
+
+def _aipw_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts, final = irls_beta_ctes(
+        "SELECT x1, x2, t AS y FROM u", rounds=4
+    )
+    irls = ",\n".join(parts)
+    sums = []
+    for g, tag in ((1, "1"), (0, "0")):
+        c = f"CASE WHEN t = {g} THEN"
+        sums += [
+            f"CAST(sum(CASE WHEN t = {g} THEN 1 ELSE 0 END) AS BIGINT) AS n{tag}",
+            f"{r6(f'sum({c} x1 ELSE 0.0 END)')} AS sx1_{tag}",
+            f"{r6(f'sum({c} x2 ELSE 0.0 END)')} AS sx2_{tag}",
+            f"{r6(f'sum({c} x1 * x1 ELSE 0.0 END)')} AS s11_{tag}",
+            f"{r6(f'sum({c} x1 * x2 ELSE 0.0 END)')} AS s12_{tag}",
+            f"{r6(f'sum({c} x2 * x2 ELSE 0.0 END)')} AS s22_{tag}",
+            f"{r6(f'sum({c} y ELSE 0.0 END)')} AS sy_{tag}",
+            f"{r6(f'sum({c} y * x1 ELSE 0.0 END)')} AS sy1_{tag}",
+            f"{r6(f'sum({c} y * x2 ELSE 0.0 END)')} AS sy2_{tag}",
+        ]
+    coefs = []
+    for tag in ("1", "0"):
+        s0, s1, s2 = _solve3_sql(
+            f"(n{tag} * 1.0)", f"sx1_{tag}", f"sx2_{tag}",
+            f"s11_{tag}", f"s12_{tag}", f"s22_{tag}",
+            f"sy_{tag}", f"sy1_{tag}", f"sy2_{tag}",
+        )
+        coefs += [
+            f"{r6(s0)} AS m{tag}_0",
+            f"{r6(s1)} AS m{tag}_1",
+            f"{r6(s2)} AS m{tag}_2",
+        ]
+    e6 = r6(
+        "least(greatest(1.0 / (1.0 + exp(-(b.b0 + b.b1 * u.x1 + b.b2 * u.x2))),"
+        " 0.01), 0.99)"
+    )
+    mu1 = "(c.m1_0 + c.m1_1 * u.x1 + c.m1_2 * u.x2)"
+    mu0 = "(c.m0_0 + c.m0_1 * u.x1 + c.m0_2 * u.x2)"
+    psi = (
+        f"({mu1} - {mu0} + u.t * (u.y - {mu1}) / e6"
+        f" - (1 - u.t) * (u.y - {mu0}) / (1.0 - e6))"
+    )
+    return f"""
+WITH u AS ({_AIPW_USER_CTE}),
+{irls},
+mom AS (
+    SELECT {', '.join(sums)} FROM u
+),
+coef AS (
+    SELECT n1, n0, {', '.join(coefs)} FROM mom
+),
+scored AS (
+    SELECT u.t, {psi.replace('e6', e6)} AS psi
+    FROM u CROSS JOIN {final} b CROSS JOIN coef c
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS n_treated,
+           {r6('sum(psi)')} AS sp,
+           {r6('sum(psi * psi)')} AS spp
+    FROM scored
+)
+SELECT n AS n_users, n_treated,
+       {r6('sp / n')} AS ate_dollars,
+       {r6('sqrt(((n * spp - sp * sp) / (n * 1.0 * (n - 1))) / n)')} AS se_dollars
+FROM agg
+""".strip()
+
+
+@register(
+    "q_aipw_ate",
+    oracle=_aipw_oracle(),
+    description=(
+        "Doubly-robust average treatment effect (AIPW): effect of a "
+        "high-error experience (>=14 error events) on user spend, "
+        "combining an IRLS propensity "
+        "model e(x) (the logistic_fit machinery, 4 rounds, clipped to "
+        "[0.01, 0.99]) with per-arm OLS outcome models mu1/mu0 "
+        "(closed-form Cramer solves on one conditional-moment pass) "
+        "into the augmented-IPW score mu1 - mu0 + t(y-mu1)/e - "
+        "(1-t)(y-mu0)/(1-e); consistent if EITHER model is right — "
+        "the observational-causal workhorse when you can't randomize "
+        "(q_did_estimator's cross-sectional sibling). Scale shape: "
+        "user aggregate (one shuffle) -> R+2 moment passes, each "
+        "map-side combined; models are 1-row broadcasts; the influence-"
+        "function SE falls out of the same final pass. Moments, "
+        "coefficients, propensities and psi-sums are 6dp-rounded so "
+        "both engines walk identical states."
+    ),
+    tags=("analytics", "extension", "stats", "causal", "ml"),
+)
+def q_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.logistic import _solve3, logistic_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.log(
+            F.lit(1.0)
+            + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        ).alias("x1"),
+        F.log(
+            F.lit(1.0)
+            + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("x2"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("t"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / 100.0
+        ).alias("y"),
+    ).persist()
+    try:
+        pb0, pb1, pb2 = logistic_fit(
+            u.select("x1", "x2", F.col("t").alias("y")), rounds=4
+        )
+        x1, x2, y, t = F.col("x1"), F.col("x2"), F.col("y"), F.col("t")
+        mom_cols = []
+        for g, tag in ((1, "1"), (0, "0")):
+            is_g = t == g
+            mom_cols += [
+                F.sum(F.when(is_g, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+                stable_round(F.sum(F.when(is_g, x1).otherwise(0.0)), 6).alias(f"sx1_{tag}"),
+                stable_round(F.sum(F.when(is_g, x2).otherwise(0.0)), 6).alias(f"sx2_{tag}"),
+                stable_round(F.sum(F.when(is_g, x1 * x1).otherwise(0.0)), 6).alias(f"s11_{tag}"),
+                stable_round(F.sum(F.when(is_g, x1 * x2).otherwise(0.0)), 6).alias(f"s12_{tag}"),
+                stable_round(F.sum(F.when(is_g, x2 * x2).otherwise(0.0)), 6).alias(f"s22_{tag}"),
+                stable_round(F.sum(F.when(is_g, y).otherwise(0.0)), 6).alias(f"sy_{tag}"),
+                stable_round(F.sum(F.when(is_g, y * x1).otherwise(0.0)), 6).alias(f"sy1_{tag}"),
+                stable_round(F.sum(F.when(is_g, y * x2).otherwise(0.0)), 6).alias(f"sy2_{tag}"),
+            ]
+        mom = u.agg(*mom_cols)
+        coef_cols = []
+        for tag in ("1", "0"):
+            s0, s1, s2 = _solve3(
+                F.col(f"n{tag}") * 1.0,
+                F.col(f"sx1_{tag}"), F.col(f"sx2_{tag}"),
+                F.col(f"s11_{tag}"), F.col(f"s12_{tag}"), F.col(f"s22_{tag}"),
+                F.col(f"sy_{tag}"), F.col(f"sy1_{tag}"), F.col(f"sy2_{tag}"),
+            )
+            coef_cols += [
+                stable_round(s0, 6).alias(f"m{tag}_0"),
+                stable_round(s1, 6).alias(f"m{tag}_1"),
+                stable_round(s2, 6).alias(f"m{tag}_2"),
+            ]
+        coef = mom.select("n1", "n0", *coef_cols)
+        e6 = stable_round(
+            F.least(
+                F.greatest(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.lit(pb0) + F.lit(pb1) * x1 + F.lit(pb2) * x2))
+                    ),
+                    F.lit(0.01),
+                ),
+                F.lit(0.99),
+            ),
+            6,
+        )
+        mu1 = F.col("m1_0") + F.col("m1_1") * x1 + F.col("m1_2") * x2
+        mu0 = F.col("m0_0") + F.col("m0_1") * x1 + F.col("m0_2") * x2
+        psi = (
+            mu1 - mu0
+            + t * (y - mu1) / e6
+            - (F.lit(1) - t) * (y - mu0) / (F.lit(1.0) - e6)
+        )
+        scored = u.crossJoin(F.broadcast(coef)).select(t.alias("t"), psi.alias("psi"))
+        agg = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("n_treated"),
+            stable_round(F.sum("psi"), 6).alias("sp"),
+            stable_round(F.sum(F.col("psi") * F.col("psi")), 6).alias("spp"),
+        )
+        n, sp, spp = F.col("n"), F.col("sp"), F.col("spp")
+        return agg.select(
+            n.alias("n_users"),
+            F.col("n_treated"),
+            stable_round(sp / n, 6).alias("ate_dollars"),
+            stable_round(
+                F.sqrt(((n * spp - sp * sp) / (n * 1.0 * (n - 1))) / n), 6
+            ).alias("se_dollars"),
+        )
+    finally:
+        u.unpersist()
+
+
+_COX_SUBJ_CTE = """
+SELECT user_id,
+       CAST(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS DOUBLE) AS x,
+       CASE WHEN min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                 IS NOT NULL THEN 1 ELSE 0 END AS d,
+       (COALESCE(min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END),
+                 max(CAST(ts AS DATE)))
+        - min(CAST(ts AS DATE))) AS dur
+FROM events GROUP BY user_id
+""".strip()
+
+
+def _cox_oracle(rounds: int = 3) -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts = [
+        f"subj AS ({_COX_SUBJ_CTE})",
+        "b_0 AS (SELECT 0.0 AS b)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"b_{r - 1}"
+        parts.append(
+            f"""g_{r} AS (
+    SELECT dur,
+           CAST(round(sum(exp(b.b * x)) * 1000000.0) AS BIGINT) AS q0,
+           CAST(round(sum(x * exp(b.b * x)) * 1000000.0) AS BIGINT) AS q1,
+           CAST(round(sum(x * x * exp(b.b * x)) * 1000000.0) AS BIGINT) AS q2,
+           CAST(sum(d) AS BIGINT) AS dt,
+           {r6('sum(d * x)')} AS sx
+    FROM subj CROSS JOIN {prev} b GROUP BY dur
+)"""
+        )
+        parts.append(
+            f"""s_{r} AS (
+    SELECT dur, dt, sx,
+           CAST(sum(q0) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+           CAST(sum(q1) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+           CAST(sum(q2) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+    FROM g_{r}
+)"""
+        )
+        parts.append(
+            f"""ui_{r} AS (
+    SELECT {r6('sum(sx - dt * (c1 * 1.0 / c0))')} AS u,
+           {r6('sum(dt * (c2 * 1.0 / c0 - (c1 * 1.0 / c0) * (c1 * 1.0 / c0)))')} AS i
+    FROM s_{r} WHERE dt > 0
+)"""
+        )
+        parts.append(
+            f"b_{r} AS (SELECT {r6('b.b + u.u / u.i')} AS b, u.i AS i "
+            f"FROM {prev} b CROSS JOIN ui_{r} u)"
+        )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+           CAST(sum(d) AS BIGINT) AS n_events
+    FROM subj
+)
+SELECT m.n_subjects, m.n_events,
+       b.b AS beta,
+       {r6('exp(b.b)')} AS hazard_ratio,
+       {r6('1.0 / sqrt(b.i)')} AS se_beta
+FROM m CROSS JOIN b_{rounds} b
+"""
+
+
+@register(
+    "q_cox_ph",
+    oracle=_cox_oracle(3),
+    description=(
+        "Cox proportional-hazards regression (1 covariate, Breslow "
+        "ties, 3 Newton rounds): hazard of first purchase ~ "
+        "exp(beta * ln(1+clicks)), durations from each user's first "
+        "event day to first-purchase day (event) or last observed day "
+        "(censored) — the covariate-adjusted member of the survival "
+        "family (q_kaplan_meier / q_nelson_aalen estimate, "
+        "q_logrank_test compares two groups, Cox REGRESSES on a "
+        "continuous covariate), reporting beta, the hazard ratio "
+        "exp(beta) and the inverse-information SE. Scale shape per "
+        "round: ONE subject pass groups exp(beta*x) moments by "
+        "duration (shuffle on duration), risk-set sums are BIGINT "
+        "micro-unit suffix sums over the horizon-bounded distinct-"
+        "duration table (exact-associative — no float window "
+        "accumulation), and the score/information reduce to one row; "
+        "the scalar beta crosses the driver like the k-means/IRLS "
+        "state. Every per-round quantity is quantized or 6dp-rounded "
+        "so both engines walk identical Newton iterates."
+    ),
+    tags=("analytics", "extension", "stats", "survival"),
+)
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pday = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+    )
+    subj = ev.groupBy("user_id").agg(
+        F.log(
+            F.lit(1.0)
+            + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        ).alias("x"),
+        F.when(pday.isNotNull(), 1).otherwise(0).alias("d"),
+        F.datediff(
+            F.coalesce(pday, F.max(F.col("ts").cast("date"))),
+            F.min(F.col("ts").cast("date")),
+        ).alias("dur"),
+    ).persist()
+    try:
+        beta = 0.0
+        info = None
+        wsfx = Window.orderBy(F.desc("dur")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        for _ in range(3):
+            bl = F.lit(float(beta))
+            ex = F.exp(bl * F.col("x"))
+            g = subj.groupBy("dur").agg(
+                F.round(F.sum(ex) * 1000000.0).cast("long").alias("q0"),
+                F.round(F.sum(F.col("x") * ex) * 1000000.0).cast("long").alias("q1"),
+                F.round(F.sum(F.col("x") * F.col("x") * ex) * 1000000.0)
+                .cast("long")
+                .alias("q2"),
+                F.sum("d").cast("long").alias("dt"),
+                stable_round(F.sum(F.col("d") * F.col("x")), 6).alias("sx"),
+            )
+            s = g.select(
+                "dt", "sx",
+                F.sum("q0").over(wsfx).cast("long").alias("c0"),
+                F.sum("q1").over(wsfx).cast("long").alias("c1"),
+                F.sum("q2").over(wsfx).cast("long").alias("c2"),
+            )
+            r1 = F.col("c1") * 1.0 / F.col("c0")
+            r2 = F.col("c2") * 1.0 / F.col("c0")
+            ui = s.filter(F.col("dt") > 0).agg(
+                stable_round(F.sum(F.col("sx") - F.col("dt") * r1), 6).alias("u"),
+                stable_round(F.sum(F.col("dt") * (r2 - r1 * r1)), 6).alias("i"),
+            )
+            row = ui.select(
+                stable_round(F.lit(float(beta)) + F.col("u") / F.col("i"), 6).alias(
+                    "b"
+                ),
+                "i",
+            ).collect()[0]
+            beta, info = row["b"], row["i"]
+        m = subj.agg(
+            F.count(F.lit(1)).cast("long").alias("n_subjects"),
+            F.sum("d").cast("long").alias("n_events"),
+        )
+        return m.select(
+            "n_subjects", "n_events",
+            F.lit(float(beta)).alias("beta"),
+            stable_round(F.exp(F.lit(float(beta))), 6).alias("hazard_ratio"),
+            stable_round(F.lit(1.0) / F.sqrt(F.lit(float(info))), 6).alias(
+                "se_beta"
+            ),
+        )
+    finally:
+        subj.unpersist()

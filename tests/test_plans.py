@@ -593,6 +593,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_page_hinkley": "daily series",
     "q_yule_walker_ar2": "daily series",
     "q_pacf": "daily series",
+    "q_granger_causality": "daily series",
     "q_seasonal_naive_backtest": "daily series",
     "q_sequential_ab_monitor": "daily series",
     "q_sprt_monitor": "daily series",
@@ -616,6 +617,9 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_nelson_aalen": "distinct day-durations (horizon-bounded)",
     "q_logrank_test": "distinct day-durations (horizon-bounded)",
     "q_survival_rmst": "distinct day-durations (horizon-bounded)",
+    # q_cox_ph's horizon-bounded suffix windows run inside the Newton
+    # loop (collected during construction); the returned plan is
+    # window-free, so it is intentionally NOT an offender here.
     # bounded by construction
     "q_bootstrap_ci": "200 bootstrap replicates",
     "q_zipf_fit": "post-LIMIT-1000 rank",
