@@ -210,3 +210,101 @@ SELECT CAST(count(*) AS BIGINT) AS n,
            AS accuracy
 FROM scored
 """
+
+
+def poisson_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float, float]:
+    """Poisson GLM (log link) by IRLS: y ~ Poisson(exp(b0 + b1*x1 +
+    b2*x2)). Identical machinery to :func:`logistic_fit` with the
+    Poisson working weight/response: w = mu, z = eta + (y - mu)/mu —
+    one 6dp-rounded moment pass + Cramer 3x3 solve per round, the
+    3-coefficient state riding the driver as metadata."""
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(rounds):
+        b0l, b1l, b2l = (F.lit(float(v)) for v in beta)
+        eta = b0l + b1l * F.col("x1") + b2l * F.col("x2")
+        mu = F.exp(eta)
+        w = mu
+        z = eta + (F.col("y") - mu) / mu
+        x1, x2 = F.col("x1"), F.col("x2")
+        agg = features.agg(
+            stable_round(F.sum(w), 6).alias("a00"),
+            stable_round(F.sum(w * x1), 6).alias("a01"),
+            stable_round(F.sum(w * x2), 6).alias("a02"),
+            stable_round(F.sum(w * x1 * x1), 6).alias("a11"),
+            stable_round(F.sum(w * x1 * x2), 6).alias("a12"),
+            stable_round(F.sum(w * x2 * x2), 6).alias("a22"),
+            stable_round(F.sum(w * z), 6).alias("r0"),
+            stable_round(F.sum(w * z * x1), 6).alias("r1"),
+            stable_round(F.sum(w * z * x2), 6).alias("r2"),
+        )
+        nb0, nb1, nb2 = _solve3(
+            F.col("a00"), F.col("a01"), F.col("a02"),
+            F.col("a11"), F.col("a12"), F.col("a22"),
+            F.col("r0"), F.col("r1"), F.col("r2"),
+        )
+        row = agg.select(
+            stable_round(nb0, 6).alias("b0"),
+            stable_round(nb1, 6).alias("b1"),
+            stable_round(nb2, 6).alias("b2"),
+        ).collect()[0]
+        beta = (row["b0"], row["b1"], row["b2"])
+    return beta
+
+
+def poisson_beta_ctes(features_cte: str, *, rounds: int = 4) -> tuple[list[str], str]:
+    """Unrolled DuckDB mirror of :func:`poisson_fit` (see
+    :func:`irls_beta_ctes` for the structure; only w/z differ)."""
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts = [
+        f"feat AS ({features_cte})",
+        "beta_0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"beta_{r - 1}"
+        parts.append(
+            f"""pts_{r} AS (
+    SELECT x1, x2, y,
+           (b.b0 + b.b1 * x1 + b.b2 * x2) AS eta,
+           exp(b.b0 + b.b1 * x1 + b.b2 * x2) AS mu
+    FROM feat CROSS JOIN {prev} b
+)"""
+        )
+        parts.append(
+            f"""agg_{r} AS (
+    SELECT {r6('sum(mu)')} AS a00,
+           {r6('sum(mu * x1)')} AS a01,
+           {r6('sum(mu * x2)')} AS a02,
+           {r6('sum(mu * x1 * x1)')} AS a11,
+           {r6('sum(mu * x1 * x2)')} AS a12,
+           {r6('sum(mu * x2 * x2)')} AS a22,
+           {r6('sum(mu * (eta + (y - mu) / mu))')} AS r0,
+           {r6('sum(mu * (eta + (y - mu) / mu) * x1)')} AS r1,
+           {r6('sum(mu * (eta + (y - mu) / mu) * x2)')} AS r2
+    FROM pts_{r}
+)"""
+        )
+        det = (
+            "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * a12 - a11 * a02))"
+        )
+        d0 = (
+            "(r0 * (a11 * a22 - a12 * a12) - a01 * (r1 * a22 - a12 * r2)"
+            " + a02 * (r1 * a12 - a11 * r2))"
+        )
+        d1 = (
+            "(a00 * (r1 * a22 - a12 * r2) - r0 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * r2 - r1 * a02))"
+        )
+        d2 = (
+            "(a00 * (a11 * r2 - r1 * a12) - a01 * (a01 * r2 - r1 * a02)"
+            " + r0 * (a01 * a12 - a11 * a02))"
+        )
+        parts.append(
+            f"""beta_{r} AS (
+    SELECT {r6(f'{d0} / {det}')} AS b0,
+           {r6(f'{d1} / {det}')} AS b1,
+           {r6(f'{d2} / {det}')} AS b2
+    FROM agg_{r}
+)"""
+        )
+    return parts, f"beta_{rounds}"

@@ -1908,3 +1908,88 @@ def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         subj.unpersist()
+
+
+_POISSON_FEAT_SQL = """
+SELECT CAST(ln(1.0 + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS DOUBLE) AS x1,
+       CAST(ln(1.0 + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS DOUBLE)  AS x2,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)        AS y
+FROM events GROUP BY user_id
+""".strip()
+
+
+def _poisson_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import poisson_beta_ctes
+
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts, final = poisson_beta_ctes(_POISSON_FEAT_SQL, rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y, exp(b.b0 + b.b1 * x1 + b.b2 * x2) AS mu, b.b0, b.b1, b.b2
+    FROM feat CROSS JOIN {final} b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       max(b0) AS beta0, max(b1) AS beta1, max(b2) AS beta2,
+       {r6("sum(2.0 * (CASE WHEN y = 0 THEN mu ELSE y * ln(y * 1.0 / mu) - (y - mu) END))")}
+           AS deviance,
+       {r6("sum((y - mu) * (y - mu) / mu) / (count(*) - 3)")} AS dispersion
+FROM scored
+"""
+
+
+@register(
+    "q_poisson_regression",
+    oracle=_poisson_oracle(),
+    description=(
+        "Poisson regression by IRLS (log link, 4 rounds): user "
+        "purchase COUNT ~ exp(b0 + b1*ln(1+clicks) + b2*ln(1+views)) "
+        "— the count-data member of the GLM family next to "
+        "q_logistic_regression (binary) and q_ridge_regression "
+        "(gaussian), reporting coefficients, the Poisson deviance "
+        "(y=0 term handled exactly) and the Pearson dispersion "
+        "chi2/(n-p) — dispersion >> 1 flags overdispersion, i.e. "
+        "'your rate metric needs a negative-binomial, not Poisson, "
+        "error model'. Same scale shape as the IRLS siblings: one "
+        "map-side-combined moment pass + Cramer 3x3 per round, "
+        "metadata-scale coefficient state, everything 6dp-rounded so "
+        "both engines iterate bit-identically."
+    ),
+    tags=("analytics", "extension", "stats", "ml"),
+)
+def q_poisson_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.logistic import poisson_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.groupBy("user_id").agg(
+        F.log(
+            F.lit(1.0)
+            + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        ).alias("x1"),
+        F.log(
+            F.lit(1.0)
+            + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("x2"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).persist()
+    try:
+        b0, b1, b2 = poisson_fit(feat, rounds=4)
+        mu = F.exp(F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2"))
+        y = F.col("y")
+        dev_term = F.lit(2.0) * F.when(y == 0, mu).otherwise(
+            y * F.log(y * 1.0 / mu) - (y - mu)
+        )
+        return feat.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.lit(float(b0)).alias("beta0"),
+            F.lit(float(b1)).alias("beta1"),
+            F.lit(float(b2)).alias("beta2"),
+            stable_round(F.sum(dev_term), 6).alias("deviance"),
+            stable_round(
+                F.sum((y - mu) * (y - mu) / mu) / (F.count(F.lit(1)) - 3), 6
+            ).alias("dispersion"),
+        )
+    finally:
+        feat.unpersist()
