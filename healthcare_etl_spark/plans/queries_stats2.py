@@ -1993,3 +1993,527 @@ def q_poisson_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feat.unpersist()
+
+
+@register(
+    "q_negbin_fit",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS s1,
+           CAST(sum(y * y) AS BIGINT) AS s2
+    FROM u
+)
+SELECT n AS n_users,
+       (round((s1 * 1.0 / n) * 1000000.0) / 1000000.0) AS mean_count,
+       (round(((n * s2 - s1 * s1) * 1.0 / (n * 1.0 * n)) * 1000000.0) / 1000000.0)
+           AS var_count,
+       ((n * s2 - s1 * s1) * 1.0 / n > s1 * 1.0) AS overdispersed,
+       (round(((s1 * 1.0 * s1) / (n * 1.0 * s2 - s1 * 1.0 * s1 - n * 1.0 * s1))
+              * 1000000.0) / 1000000.0) AS nb_r,
+       (round(((n * 1.0 * s1) / (n * 1.0 * s2 - s1 * 1.0 * s1)) * 1000000.0)
+        / 1000000.0) AS nb_p
+FROM m
+""",
+    description=(
+        "Negative-binomial fit by method of moments on per-user "
+        "purchase counts: mean m and population variance v from exact "
+        "BIGINT moments, then r = m^2/(v - m) and p = m/v — the "
+        "constructive follow-up to q_poisson_regression's dispersion "
+        "flag ('overdispersed: yes — here is the NB(r, p) that "
+        "actually fits'). One map-side-combined aggregate; every "
+        "emitted double is a single expression over exact integer "
+        "moments so both engines agree bit-for-bit. At 100x the "
+        "BIGINT y^2 sum is nowhere near overflow (counts, not cents); "
+        "nothing shuffles but the per-user combine."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return m.select(
+        n.alias("n_users"),
+        stable_round(s1 * 1.0 / n, 6).alias("mean_count"),
+        stable_round((n * s2 - s1 * s1) * 1.0 / (n * 1.0 * n), 6).alias("var_count"),
+        ((n * s2 - s1 * s1) * 1.0 / n > s1 * 1.0).alias("overdispersed"),
+        stable_round(
+            (s1 * 1.0 * s1) / (n * 1.0 * s2 - s1 * 1.0 * s1 - n * 1.0 * s1), 6
+        ).alias("nb_r"),
+        stable_round((n * 1.0 * s1) / (n * 1.0 * s2 - s1 * 1.0 * s1), 6).alias("nb_p"),
+    )
+
+
+_ED_GRP_SQL = f"""
+u AS (
+    SELECT user_id,
+           {_ARM_A_SQL} AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS v
+    FROM events GROUP BY user_id
+),
+grp AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS t,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS t_b
+    FROM u GROUP BY v
+),
+pre AS (
+    SELECT v, t, t_a, t_b,
+           CAST(coalesce(sum(t_a) OVER w, 0) AS BIGINT)     AS c_a,
+           CAST(coalesce(sum(t_b) OVER w, 0) AS BIGINT)     AS c_b,
+           CAST(coalesce(sum(t_a * v) OVER w, 0) AS BIGINT) AS s_a,
+           CAST(coalesce(sum(t_b * v) OVER w, 0) AS BIGINT) AS s_b
+    FROM grp
+    WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)"""
+
+
+@register(
+    "q_energy_distance",
+    oracle=f"""
+WITH {_ED_GRP_SQL},
+m AS (
+    SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+           CAST(sum(t_b) AS BIGINT) AS n_b,
+           CAST(sum(t_a * v) AS BIGINT) AS sa,
+           CAST(sum(t_b * v) AS BIGINT) AS sb,
+           CAST(sum(2 * t_a * (v * c_a - s_a)) AS BIGINT) AS p_aa,
+           CAST(sum(2 * t_b * (v * c_b - s_b)) AS BIGINT) AS p_bb,
+           CAST(sum(2 * t_a * (v * c_b - s_b)) AS BIGINT) AS p_ab
+    FROM pre
+)
+SELECT n_a, n_b,
+       (round(((p_ab + sb * n_a - n_b * sa) / (100.0 * n_a * n_b)) * 1000000.0)
+        / 1000000.0) AS e_xy,
+       (round((p_aa / (100.0 * n_a * n_a)) * 1000000.0) / 1000000.0) AS e_xx,
+       (round((p_bb / (100.0 * n_b * n_b)) * 1000000.0) / 1000000.0) AS e_yy,
+       (round((2.0 * (p_ab + sb * n_a - n_b * sa) / (100.0 * n_a * n_b)
+               - p_aa / (100.0 * n_a * n_a) - p_bb / (100.0 * n_b * n_b))
+              * 1000000.0) / 1000000.0) AS energy_d2
+FROM m
+""",
+    description=(
+        "Energy distance between the A/B arms' per-user purchase-value "
+        "distributions: D^2 = 2E|X-Y| - E|X-X'| - E|Y-Y'| (V-statistic "
+        "form), the whole-distribution drift metric that, unlike the "
+        "mean-only z-test, is 0 iff the distributions are equal. Every "
+        "pairwise-|difference| sum folds EXACTLY in integer cents via "
+        "the sorted-prefix identity sum_ij|xi-yj| = sum_v 2*t_a*(v*cBl "
+        "- sBl) + SB*CA - CB*SA (the t_b cross terms cancel), so the "
+        "O(n^2) pair space is never materialized — the prefixes ride "
+        "the DISTINCT-value table as a two-phase bucketed carry "
+        "(4096-cent buckets), distributed like q_mann_whitney. BIGINT "
+        "holds to ~1e16 cent-pair mass; DECIMAL(38) is the documented "
+        "100x swap. Floats appear only in the final four divisions."
+    ),
+    tags=("analytics", "extension", "stats", "drift"),
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("in_a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    grp = u.groupBy("v").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("t_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("t_b"),
+    )
+    pre = grp
+    for src, out in (("t_a", "c_a"), ("t_b", "c_b")):
+        pre = bucketed_prefix(
+            pre,
+            buckets=[F.expr("v div 4096")],
+            order_by=[F.asc("v")],
+            value=F.col(src),
+            agg="sum",
+            exclusive=True,
+            out_col=out,
+        )
+    for src, out in (("t_a", "s_a"), ("t_b", "s_b")):
+        pre = bucketed_prefix(
+            pre,
+            buckets=[F.expr("v div 4096")],
+            order_by=[F.asc("v")],
+            value=F.col(src) * F.col("v"),
+            agg="sum",
+            exclusive=True,
+            out_col=out,
+        )
+    v, ta, tb = F.col("v"), F.col("t_a"), F.col("t_b")
+    m = pre.agg(
+        F.sum(ta).cast("long").alias("n_a"),
+        F.sum(tb).cast("long").alias("n_b"),
+        F.sum(ta * v).cast("long").alias("sa"),
+        F.sum(tb * v).cast("long").alias("sb"),
+        F.sum(2 * ta * (v * F.col("c_a") - F.col("s_a"))).cast("long").alias("p_aa"),
+        F.sum(2 * tb * (v * F.col("c_b") - F.col("s_b"))).cast("long").alias("p_bb"),
+        F.sum(2 * ta * (v * F.col("c_b") - F.col("s_b"))).cast("long").alias("p_ab"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    sab = F.col("p_ab") + F.col("sb") * na - nb * F.col("sa")
+    e_xy = sab / (100.0 * na * nb)
+    e_xx = F.col("p_aa") / (100.0 * na * na)
+    e_yy = F.col("p_bb") / (100.0 * nb * nb)
+    return m.select(
+        na,
+        nb,
+        stable_round(e_xy, 6).alias("e_xy"),
+        stable_round(e_xx, 6).alias("e_xx"),
+        stable_round(e_yy, 6).alias("e_yy"),
+        stable_round(2.0 * e_xy - e_xx - e_yy, 6).alias("energy_d2"),
+    )
+
+
+@register(
+    "q_cramer_von_mises",
+    oracle=f"""
+WITH {_ED_GRP_SQL},
+m AS (
+    SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+           CAST(sum(t_b) AS BIGINT) AS n_b,
+           sum(t * CAST((c_a + t_a) * (SELECT sum(t_b) FROM grp)
+                        - (c_b + t_b) * (SELECT sum(t_a) FROM grp) AS HUGEINT)
+                 * ((c_a + t_a) * (SELECT sum(t_b) FROM grp)
+                    - (c_b + t_b) * (SELECT sum(t_a) FROM grp))) AS num
+    FROM pre
+)
+SELECT n_a, n_b,
+       (round((CAST(num AS DOUBLE)
+               / ((n_a + n_b) * 1.0 * (n_a + n_b) * n_a * n_b)) * 1000000.0)
+        / 1000000.0) AS cvm_t
+FROM m
+""",
+    description=(
+        "Two-sample Cramer-von Mises statistic for the arm difference "
+        "in per-user purchase value: T = (n_a*n_b/N^2) * sum over the "
+        "pooled sample of (F_a - F_b)^2 — the L2 companion to "
+        "q_ks_drift's sup-norm (CvM weights the whole ECDF gap, so "
+        "mid-distribution drift KS underweights shows up). Ties take "
+        "the inclusive-ECDF convention on both engines. The ECDF gap "
+        "is held as the exact integer cross-count c_a*n_b - c_b*n_a "
+        "(inclusive prefixes ride the DISTINCT-value table via the "
+        "same two-phase bucketed carry as q_mann_whitney); the "
+        "t*diff^2 mass folds in DECIMAL(38)/HUGEINT so the one float "
+        "appears in the final normalization. Scales like every other "
+        "prefix-over-distinct-values stat here."
+    ),
+    tags=("analytics", "extension", "stats", "drift"),
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("in_a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    grp = u.groupBy("v").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("t_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("t_b"),
+    ).persist()
+    try:
+        tot = grp.agg(
+            F.sum("t_a").cast("long").alias("na"),
+            F.sum("t_b").cast("long").alias("nb"),
+        ).collect()[0]
+        na_v, nb_v = tot["na"], tot["nb"]
+        pre = grp
+        for src, out in (("t_a", "c_a"), ("t_b", "c_b")):
+            pre = bucketed_prefix(
+                pre,
+                buckets=[F.expr("v div 4096")],
+                order_by=[F.asc("v")],
+                value=F.col(src),
+                agg="sum",
+                exclusive=True,
+                out_col=out,
+            )
+        diff = (F.col("c_a") + F.col("t_a")) * F.lit(nb_v) - (
+            F.col("c_b") + F.col("t_b")
+        ) * F.lit(na_v)
+        term = (
+            (F.col("t_a") + F.col("t_b")).cast("decimal(38,0)")
+            * diff.cast("decimal(38,0)")
+            * diff.cast("decimal(38,0)")
+        )
+        m = pre.agg(F.sum(term).alias("num"))
+        n_tot = float(na_v + nb_v)
+        return m.select(
+            F.lit(na_v).cast("long").alias("n_a"),
+            F.lit(nb_v).cast("long").alias("n_b"),
+            stable_round(
+                F.col("num").cast("double")
+                / F.lit(n_tot * n_tot * na_v * nb_v),
+                6,
+            ).alias("cvm_t"),
+        )
+    finally:
+        grp.unpersist()
+
+
+_KALMAN_STEP = """
+    SELECT d.idx, d.day, d.x,
+           (round((h.l + (round(((h.p + 100.0) / (h.p + 100.0 + 2500.0))
+                                * 1000000.0) / 1000000.0) * (d.x - h.l))
+                  * 10000.0) / 10000.0),
+           (round(((1.0 - (round(((h.p + 100.0) / (h.p + 100.0 + 2500.0))
+                                 * 1000000.0) / 1000000.0)) * (h.p + 100.0))
+                  * 10000.0) / 10000.0),
+           (round(((h.p + 100.0) / (h.p + 100.0 + 2500.0)) * 1000000.0)
+            / 1000000.0)
+"""
+
+
+@register(
+    "q_kalman_filter",
+    oracle=f"""
+WITH RECURSIVE raw AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           (round(sum(value) * 10000.0) / 10000.0) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idxd AS (
+    SELECT day, x,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+    FROM raw
+),
+kal AS (
+    SELECT idx, day, x, x AS l, CAST(2500.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
+    FROM idxd WHERE idx = 1
+    UNION ALL
+{_KALMAN_STEP}
+    FROM kal h JOIN idxd d ON d.idx = h.idx + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x AS revenue, l AS level,
+       p AS variance, k AS gain
+FROM kal
+""",
+    description=(
+        "1-D local-level Kalman filter over daily purchase revenue "
+        "(process noise Q=100, observation noise R=2500, P0=R): "
+        "p_pred = p + Q, gain k = p_pred/(p_pred + R), level "
+        "l += k*(x - l), p = (1-k)*p_pred — the probabilistic upgrade "
+        "of q_ewma_smoothing whose smoothing weight ADAPTS (gain "
+        "starts high while variance is large, settles to the "
+        "steady-state ~0.18) and which carries an uncertainty "
+        "estimate per day. Native WITH RECURSIVE on both engines "
+        "(the q_holt_smoothing pattern): recursion depth = days, the "
+        "only data-sized work is the one daily aggregate; gain is "
+        "re-rounded to 6dp and level/variance to 4dp each step, with "
+        "the rounded gain expression inlined in both updates, so the "
+        "chains are bit-identical however long the series."
+    ),
+    tags=("analytics", "extension", "timeseries", "recursive"),
+)
+def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.sum("value") * 10000.0) / 10000.0).alias("x"))
+    )
+    idxd = raw.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).cast("long").alias("idx")
+    )
+    idxd.createOrReplaceTempView("v_kalman_daily")
+    return spark.sql(
+        f"""
+WITH RECURSIVE kal AS (
+    SELECT idx, day, x, x AS l, CAST(2500.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
+    FROM v_kalman_daily WHERE idx = 1
+    UNION ALL
+{_KALMAN_STEP}
+    FROM kal h JOIN v_kalman_daily d ON d.idx = h.idx + 1
+)
+SELECT date_format(day, 'yyyy-MM-dd') AS day, x AS revenue, l AS level,
+       p AS variance, k AS gain
+FROM kal
+"""
+    )
+
+
+@register(
+    "q_hurst_exponent",
+    oracle="""
+WITH raw AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS xc
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idxd AS (
+    SELECT xc, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM raw
+),
+sized AS (
+    SELECT s.sz, (i.idx - 1) // s.sz AS blk, i.idx, i.xc,
+           CAST(row_number() OVER (PARTITION BY s.sz, (i.idx - 1) // s.sz
+                                   ORDER BY i.idx) AS BIGINT) AS k
+    FROM idxd i CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS sz) s
+),
+dev AS (
+    SELECT sz, blk, k, xc,
+           CAST(sz * sum(xc) OVER (PARTITION BY sz, blk ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - k * sum(xc) OVER (PARTITION BY sz, blk) AS BIGINT) AS d,
+           CAST(count(*) OVER (PARTITION BY sz, blk) AS BIGINT) AS nblk,
+           CAST(sum(xc) OVER (PARTITION BY sz, blk) AS BIGINT) AS s1,
+           CAST(sum(xc * xc) OVER (PARTITION BY sz, blk) AS BIGINT) AS s2
+    FROM sized
+),
+blocks AS (
+    SELECT sz, blk,
+           (greatest(max(d), 0) - least(min(d), 0)) AS r_scaled,
+           (max(nblk) * max(s2) - max(s1) * max(s1)) AS var_num
+    FROM dev WHERE nblk = sz GROUP BY sz, blk
+),
+lrs AS (
+    SELECT sz,
+           CAST(round(ln(r_scaled * 1.0 / sqrt(var_num * 1.0)) * 1000000.0)
+                AS BIGINT) AS q
+    FROM blocks WHERE var_num > 0 AND r_scaled > 0
+),
+pts AS (
+    SELECT CAST(round(ln(sz * 1.0) * 1000000.0) AS BIGINT) AS lx,
+           CAST(round(sum(q) * 1.0 / count(*)) AS BIGINT) AS ly,
+           CAST(count(*) AS BIGINT) AS n_blocks
+    FROM lrs GROUP BY sz
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+           CAST(sum(lx * ly) AS BIGINT) AS sxy,
+           CAST(sum(lx * lx) AS BIGINT) AS sxx,
+           CAST(sum(n_blocks) AS BIGINT) AS nb
+    FROM pts
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM idxd) AS n_days,
+       np AS n_sizes, nb AS n_blocks,
+       (round(((np * sxy - sx * 1.0 * sy) / (np * sxx - sx * 1.0 * sx))
+              * 1000000.0) / 1000000.0) AS hurst_h
+FROM m
+""",
+    description=(
+        "Hurst exponent of the daily-revenue series by rescaled-range "
+        "(R/S) analysis over block sizes 8/16/32/64: H ~ 0.5 is a "
+        "random walk, H > 0.5 long-range persistence (trending days "
+        "cluster), H < 0.5 mean reversion — the long-memory "
+        "complement to q_autocorr's short-lag view. Everything up to "
+        "the per-block log is EXACT integer arithmetic in cents: "
+        "cumulative deviations are held n-scaled (n*cumsum - k*total, "
+        "no float prefix accumulation to drift across engines' window "
+        "association orders), block variance as the integer "
+        "n*sum(x^2)-sum(x)^2, so R/S = r_scaled/sqrt(var_num) is one "
+        "float op per block; per-block logs are 1e6-quantized to "
+        "BIGINT before averaging and the final log-log slope folds in "
+        "integers. All windows ride the horizon-bounded day table."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100.0).cast("long").alias("xc"))
+    )
+    idxd = raw.select(
+        "xc", F.row_number().over(Window.orderBy("day")).cast("long").alias("idx")
+    )
+    sizes = F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))).alias("sz")
+    sized = idxd.select("idx", "xc", sizes).select(
+        F.col("sz").cast("long").alias("sz"),
+        F.expr("(idx - 1) div sz").alias("blk"),
+        "idx",
+        "xc",
+    )
+    wb = Window.partitionBy("sz", "blk")
+    wk = wb.orderBy("idx")
+    sized = sized.withColumn("k", F.row_number().over(wk).cast("long"))
+    dev = sized.select(
+        "sz",
+        "blk",
+        (
+            F.col("sz")
+            * F.sum("xc").over(wk.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("k") * F.sum("xc").over(wb)
+        ).cast("long").alias("d"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("nblk"),
+        F.sum("xc").over(wb).cast("long").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).over(wb).cast("long").alias("s2"),
+    )
+    blocks = (
+        dev.filter(F.col("nblk") == F.col("sz"))
+        .groupBy("sz", "blk")
+        .agg(
+            (
+                F.greatest(F.max("d"), F.lit(0))
+                - F.least(F.min("d"), F.lit(0))
+            ).alias("r_scaled"),
+            (F.max("nblk") * F.max("s2") - F.max("s1") * F.max("s1")).alias(
+                "var_num"
+            ),
+        )
+    )
+    lrs = blocks.filter(
+        (F.col("var_num") > 0) & (F.col("r_scaled") > 0)
+    ).select(
+        "sz",
+        F.round(
+            F.log(F.col("r_scaled") * 1.0 / F.sqrt(F.col("var_num") * 1.0))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    pts = lrs.groupBy("sz").agg(
+        F.round(F.log(F.col("sz") * 1.0) * 1000000.0).cast("long").alias("lx"),
+        F.round(F.sum("q") * 1.0 / F.count(F.lit(1))).cast("long").alias("ly"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+        F.sum("n_blocks").cast("long").alias("nb"),
+    )
+    n_days = idxd.count()
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    return m.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        np_.alias("n_sizes"),
+        F.col("nb").alias("n_blocks"),
+        stable_round(
+            (np_ * F.col("sxy") - sx * 1.0 * sy) / (np_ * F.col("sxx") - sx * 1.0 * sx),
+            6,
+        ).alias("hurst_h"),
+    )
