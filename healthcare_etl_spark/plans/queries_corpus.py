@@ -1181,3 +1181,93 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(chao1, 6).alias("chao1_vocab_estimate"),
         stable_round(f1 * 1.0 / v, 6).alias("hapax_ratio"),
     )
+
+
+def _textrank_oracle(rounds: int = 5) -> str:
+    parts = [
+        """WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+adj AS (
+    SELECT DISTINCT
+           least(pair[1], pair[2]) AS a, greatest(pair[1], pair[2]) AS b
+    FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pair
+        FROM tok
+    )
+    WHERE pair[1] <> pair[2]
+),
+tedges AS (
+    SELECT a AS u, b AS v FROM adj UNION SELECT b AS u, a AS v FROM adj
+),
+deg AS (SELECT u, count(*) AS d FROM tedges GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+    SELECT u AS node, d,
+           (round((1.0 / n) * 10000000000.0) / 10000000000.0) AS rank
+    FROM deg, nn
+),""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""
+c{t} AS (
+    SELECT e.v AS node, sum(r.rank / r.d) AS s
+    FROM tedges e JOIN r{t - 1} r ON r.node = e.u GROUP BY e.v
+),
+r{t} AS (
+    SELECT b.node, b.d,
+           (round((0.15 / n + 0.85 * coalesce(c{t}.s, 0.0)) * 10000000000.0)
+            / 10000000000.0) AS rank
+    FROM r0 b LEFT JOIN c{t} USING (node), nn
+),"""
+        )
+    body = "".join(parts).rstrip(",\n") + "\n"
+    return body + f"SELECT node AS word, rank FROM r{rounds} ORDER BY rank DESC, word LIMIT 15"
+
+
+@register(
+    "q_textrank_keywords",
+    oracle=_textrank_oracle(5),
+    description=(
+        "TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+        "(5 damped rounds, d=0.85) over the corpus-wide word-adjacency "
+        "graph — two words are linked when they appear adjacent in any "
+        "document (unweighted co-occurrence window of 2), and the "
+        "stationary score ranks words by how centrally the corpus "
+        "embeds them, the graph upgrade of raw q_token_topk counts "
+        "and the word-level sibling of q_pmi_collocations. The "
+        "data-sized work is ONE adjacent-pair extraction pass "
+        "(posexplode + per-doc lead window) followed by a distinct; "
+        "the graph itself is vocabulary-sized, so the 5 power rounds "
+        "ride the same checkpointed metadata-scale machinery as "
+        "q_pagerank with per-round 10dp stable rounding for "
+        "bit-identical cross-engine iterates."
+    ),
+    tags=("text", "corpus", "extension", "iterative"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from healthcare_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.select("w", F.lead("w").over(wdoc).alias("w2"))
+        .filter(F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
+        .select(
+            F.least("w", "w2").alias("a"), F.greatest("w", "w2").alias("b")
+        )
+        .distinct()
+    )
+    ranked = pagerank(
+        adj, src="a", dst="b", iterations=5, teleport_weight=0.15
+    )
+    return (
+        ranked.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(15)
+    )

@@ -5718,3 +5718,294 @@ FROM seg
 
 
 _register_wasserstein()
+
+
+@register(
+    "q_item_item_cf",
+    oracle="""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n_i AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY pk),
+cooc AS (
+    SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+    FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+)
+SELECT c.part_a, c.part_b, c.n_ab,
+       na.n AS n_a, nb.n AS n_b,
+       (round((c.n_ab / sqrt(na.n * 1.0 * nb.n)) * 1000000.0) / 1000000.0)
+           AS cosine_sim
+FROM cooc c
+JOIN n_i na ON na.pk = c.part_a
+JOIN n_i nb ON nb.pk = c.part_b
+ORDER BY cosine_sim DESC, c.part_a, c.part_b
+LIMIT 50
+""",
+    description=(
+        "Item-item collaborative filtering on implicit co-purchase "
+        "signals: cosine similarity n_ab/sqrt(n_a*n_b) between parts "
+        "over order baskets (lineitem distinct (order, part)), top-50 "
+        "pairs — the 'customers who bought X also bought Y' "
+        "recommender primitive, and the transactional sibling of "
+        "q_session_cooccurrence. The pair join is WITHIN an order key "
+        "(quadratic only in basket size, ~7 lines/order in TPC-H — "
+        "never an all-pairs item join), co-occurrence folds as BIGINT "
+        "counts, similarity is one float expression per surviving "
+        "pair, and the top-50 is a TakeOrdered, not a global sort. "
+        "At 100x: identical shape — baskets shuffle once on orderkey, "
+        "pairs once on (part_a, part_b)."
+    ),
+    tags=("analytics", "extension", "ml", "recommender"),
+)
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_i = basket.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = n_i.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))
+    nb = n_i.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))
+    out = (
+        cooc.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            stable_round(
+                F.col("n_ab") / F.sqrt(F.col("n_a") * 1.0 * F.col("n_b")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    return out.orderBy(
+        F.desc("cosine_sim"), F.asc("part_a"), F.asc("part_b")
+    ).limit(50)
+
+
+_NB_FEATS = ("click", "view", "error", "signup")
+
+
+def _nb_oracle() -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    feat_cols = ",\n           ".join(
+        f"CAST(max(CASE WHEN event_type = '{f}' THEN 1 ELSE 0 END) AS BIGINT) AS f_{f}"
+        for f in _NB_FEATS
+    )
+    cnt_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN y = 1 THEN f_{f} ELSE 0 END) AS BIGINT) AS c1_{f},\n"
+        f"           CAST(sum(CASE WHEN y = 0 THEN f_{f} ELSE 0 END) AS BIGINT) AS c0_{f}"
+        for f in _NB_FEATS
+    )
+    w_cols = ",\n           ".join(
+        f"{r6(f'ln((c1_{f} + 1.0) / (n1 + 2.0))')} AS w1_{f},\n"
+        f"           {r6(f'ln(1.0 - (c1_{f} + 1.0) / (n1 + 2.0))')} AS z1_{f},\n"
+        f"           {r6(f'ln((c0_{f} + 1.0) / (n0 + 2.0))')} AS w0_{f},\n"
+        f"           {r6(f'ln(1.0 - (c0_{f} + 1.0) / (n0 + 2.0))')} AS z0_{f}"
+        for f in _NB_FEATS
+    )
+    s1 = " + ".join(f"(u.f_{f} * p.w1_{f} + (1 - u.f_{f}) * p.z1_{f})" for f in _NB_FEATS)
+    s0 = " + ".join(f"(u.f_{f} * p.w0_{f} + (1 - u.f_{f}) * p.z0_{f})" for f in _NB_FEATS)
+    return f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+           {feat_cols}
+    FROM events GROUP BY user_id
+),
+cnt AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n1,
+           CAST(count(*) - sum(y) AS BIGINT) AS n0,
+           {cnt_cols}
+    FROM u
+),
+params AS (
+    SELECT n, n1, n0,
+           {r6('ln((n1 + 1.0) / (n + 2.0))')} AS lp1,
+           {r6('ln((n0 + 1.0) / (n + 2.0))')} AS lp0,
+           {w_cols}
+    FROM cnt
+),
+scored AS (
+    SELECT u.y,
+           CASE WHEN (p.lp1 + {s1}) > (p.lp0 + {s0}) THEN 1 ELSE 0 END AS pred
+    FROM u CROSS JOIN params p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       {r6('sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1.0 / count(*)')} AS accuracy
+FROM scored
+"""
+
+
+@register(
+    "q_naive_bayes",
+    oracle=_nb_oracle(),
+    description=(
+        "Bernoulli naive Bayes classifier predicting purchasers from "
+        "event-type presence features (click/view/error/signup), "
+        "Laplace-smoothed (priors included — a one-class fixture slice "
+        "must not produce ln(0)), trained and scored in ONE pass each: the "
+        "counting-only member of the classifier family next to "
+        "q_logistic_regression (iterative IRLS) and q_gini_stump "
+        "(single split) — NB needs no iteration at all, so it is the "
+        "cheapest possible 100 TB baseline (two shuffles total: the "
+        "per-user feature agg and the global count agg; the learned "
+        "parameters are a 1-row broadcast). Every log-weight is "
+        "6dp-stable-rounded at the parameter level so per-user score "
+        "sums — fixed-shape 4-term expressions over exact 0/1 "
+        "features — are bit-identical across engines; reports the "
+        "confusion matrix and training accuracy."
+    ),
+    tags=("analytics", "extension", "ml"),
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        *[
+            F.max(F.when(F.col("event_type") == f, 1).otherwise(0))
+            .cast("long")
+            .alias(f"f_{f}")
+            for f in _NB_FEATS
+        ],
+    )
+    cnt = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n0"),
+        *[
+            c
+            for f in _NB_FEATS
+            for c in (
+                F.sum(F.when(F.col("y") == 1, F.col(f"f_{f}")).otherwise(0))
+                .cast("long")
+                .alias(f"c1_{f}"),
+                F.sum(F.when(F.col("y") == 0, F.col(f"f_{f}")).otherwise(0))
+                .cast("long")
+                .alias(f"c0_{f}"),
+            )
+        ],
+    )
+    n, n1, n0 = F.col("n"), F.col("n1"), F.col("n0")
+    params = cnt.select(
+        n,
+        n1,
+        n0,
+        stable_round(F.log((n1 + 1.0) / (n + 2.0)), 6).alias("lp1"),
+        stable_round(F.log((n0 + 1.0) / (n + 2.0)), 6).alias("lp0"),
+        *[
+            c
+            for f in _NB_FEATS
+            for c in (
+                stable_round(
+                    F.log((F.col(f"c1_{f}") + 1.0) / (n1 + 2.0)), 6
+                ).alias(f"w1_{f}"),
+                stable_round(
+                    F.log(1.0 - (F.col(f"c1_{f}") + 1.0) / (n1 + 2.0)), 6
+                ).alias(f"z1_{f}"),
+                stable_round(
+                    F.log((F.col(f"c0_{f}") + 1.0) / (n0 + 2.0)), 6
+                ).alias(f"w0_{f}"),
+                stable_round(
+                    F.log(1.0 - (F.col(f"c0_{f}") + 1.0) / (n0 + 2.0)), 6
+                ).alias(f"z0_{f}"),
+            )
+        ],
+    )
+    scored = u.crossJoin(F.broadcast(params))
+    s1 = F.col("lp1")
+    s0 = F.col("lp0")
+    for f in _NB_FEATS:
+        fv = F.col(f"f_{f}")
+        s1 = s1 + (fv * F.col(f"w1_{f}") + (1 - fv) * F.col(f"z1_{f}"))
+        s0 = s0 + (fv * F.col(f"w0_{f}") + (1 - fv) * F.col(f"z0_{f}"))
+    pred = F.when(s1 > s0, 1).otherwise(0)
+    y = F.col("y")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when((pred == 1) & (y == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((pred == 1) & (y == 0), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((pred == 0) & (y == 1), 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((pred == 0) & (y == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        stable_round(
+            F.sum(F.when(pred == y, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+WITH feats AS (
+    SELECT event_type || '#' || CAST(dayofweek(ts) AS VARCHAR) AS f
+    FROM events
+),
+hashed AS (
+    SELECT f,
+           (('0x' || substring(md5('fh-v1:' || f), 1, 8))::BIGINT % 16) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM feats GROUP BY 1
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(n) AS BIGINT) AS total_count,
+       (count(*) > 1) AS has_collision
+FROM hashed GROUP BY bucket ORDER BY bucket
+""",
+    description=(
+        "Feature hashing (the hashing trick): categorical "
+        "(event_type x weekday) features mapped to 16 buckets via the "
+        "first 8 hex digits of a salted md5 — the fixed-width, "
+        "vocabulary-free encoding large-scale learners use instead of "
+        "a label-encoder dictionary (no global vocab build, no "
+        "driver-side state, new categories never resize anything). "
+        "Reports per-bucket feature fan-in and collision flags — the "
+        "operational question ('is 16 buckets enough or are hot "
+        "features colliding?'). Hashing and counting fold map-side; "
+        "the only shuffle is the 16-bucket agg. Same md5-prefix "
+        "idiom as the deterministic A/B arm split, so both engines "
+        "bucket identically."
+    ),
+    tags=("analytics", "extension", "ml-prep"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("#"), (F.dayofweek("ts") - 1).cast("string")
+        ).alias("f")
+    )
+    hashed = feats.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh-v1:"), F.col("f"))), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return (
+        hashed.select(bucket.alias("bucket"), "f", "n")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("n").cast("long").alias("total_count"),
+            (F.count(F.lit(1)) > 1).alias("has_collision"),
+        )
+        .orderBy("bucket")
+    )
