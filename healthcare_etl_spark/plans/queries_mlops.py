@@ -6009,3 +6009,222 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+_MK_TRANS_SQL = """
+seq AS (
+    SELECT user_id, event_type,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS rn
+    FROM events
+),
+conv AS (
+    SELECT user_id, CAST(min(rn) AS BIGINT) AS crn
+    FROM seq WHERE event_type = 'purchase' GROUP BY user_id
+),
+tch AS (
+    SELECT s.user_id, s.event_type, s.rn,
+           CAST(row_number() OVER (PARTITION BY s.user_id ORDER BY s.rn)
+                AS BIGINT) AS k
+    FROM seq s LEFT JOIN conv c ON s.user_id = c.user_id
+    WHERE c.crn IS NULL OR s.rn < c.crn
+),
+step AS (
+    SELECT t.user_id, t.event_type AS f, t.k,
+           lead(t.event_type) OVER (PARTITION BY t.user_id ORDER BY t.k) AS nxt,
+           max(t.k) OVER (PARTITION BY t.user_id) AS mk,
+           (c.crn IS NOT NULL) AS converted
+    FROM tch t LEFT JOIN conv c ON t.user_id = c.user_id
+),
+edges AS (
+    SELECT 'START' AS f, event_type AS t FROM tch WHERE k = 1
+    UNION ALL
+    SELECT f, nxt AS t FROM step WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT f, CASE WHEN converted THEN 'CONV' ELSE 'NULL' END AS t
+    FROM step WHERE k = mk
+    UNION ALL
+    SELECT 'START' AS f, 'CONV' AS t FROM conv WHERE crn = 1
+),
+cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2),
+tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY 1),
+p AS MATERIALIZED (
+    SELECT c.f, c.t,
+           (round((c.n * 1.0 / tot.tn) * 1000000.0) / 1000000.0) AS p
+    FROM cnt c JOIN tot ON c.f = tot.f
+),
+st AS MATERIALIZED (
+    SELECT unnest(['START', 'click', 'error', 'signup', 'view']) AS s
+)"""
+
+
+def _mk_attrib_oracle(rounds: int = 12) -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts = [_MK_TRANS_SQL.strip()]
+    variants = [("full", None)] + [(f"rm_{c}", c) for c in _MK_CHANNELS]
+    for tag, removed in variants:
+        parts.append(
+            f"{tag}_0 AS MATERIALIZED (SELECT s, CAST(0.0 AS DOUBLE) AS v FROM st)"
+        )
+        rm = f"WHEN p.t = '{removed}' THEN 0.0 " if removed else ""
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""{tag}_{r} AS MATERIALIZED (
+    SELECT st.s,
+           {r6(f'''coalesce(sum(p.p * (CASE WHEN p.t = 'CONV' THEN 1.0
+                      WHEN p.t = 'NULL' THEN 0.0 {rm}ELSE coalesce(pv.v, 0.0) END)), 0.0)''')} AS v
+    FROM st
+    LEFT JOIN p ON p.f = st.s
+    LEFT JOIN {tag}_{r - 1} pv ON pv.s = p.t
+    GROUP BY st.s
+)"""
+            )
+    sel = ",\n".join(
+        f"(SELECT v FROM rm_{c}_{rounds} WHERE s = 'START') AS p_rm_{c}"
+        for c in _MK_CHANNELS
+    )
+    eff = {
+        c: f"(round((1.0 - p_rm_{c} / p_full) * 1000000.0) / 1000000.0)"
+        for c in _MK_CHANNELS
+    }
+    tot_eff = " + ".join(f"greatest({eff[c]}, 0.0)" for c in _MK_CHANNELS)
+    chan_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel, p_full, p_rm_{c} AS p_removed,
+       {eff[c]} AS removal_effect,
+       (round((greatest({eff[c]}, 0.0) / ({tot_eff})) * 1000000.0) / 1000000.0)
+           AS attribution_share
+FROM base"""
+        for c in _MK_CHANNELS
+    )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+base AS (
+    SELECT (SELECT v FROM full_{rounds} WHERE s = 'START') AS p_full,
+           {sel}
+)
+{chan_rows}
+ORDER BY channel
+"""
+
+
+@register(
+    "q_markov_attribution",
+    oracle=_mk_attrib_oracle(12),
+    description=(
+        "Markov removal-effect attribution: user journeys (touches "
+        "before first purchase, ordered by ts,event_id) become a "
+        "first-order chain START -> touches -> CONV/NULL; each "
+        "channel's credit is its removal effect 1 - P_conv(chain with "
+        "the channel absorbed to NULL)/P_conv(full chain), normalized "
+        "to shares — the causal-flavored member of the attribution "
+        "family (last-touch ignores paths, linear splits equally, "
+        "Shapley needs the coalition powerset; Markov asks 'how much "
+        "conversion disappears without this state?'). Data-sized work "
+        "is ONE journey pass producing the transition-count matrix "
+        "(at most |types|^2 + fringe rows); absorption probabilities "
+        "come from 12 value-iteration rounds per variant over the "
+        "<=5 transient states, riding the driver like "
+        "q_markov_stationary, every iterate 6dp-rounded against the "
+        "unrolled-CTE oracle."
+    ),
+    tags=("events", "extension", "analytics", "attribution"),
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w_seq).cast("long").alias("rn")
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").cast("long").alias("crn"))
+    )
+    tch = (
+        seq.join(conv, "user_id", "left")
+        .filter(F.col("crn").isNull() | (F.col("rn") < F.col("crn")))
+        .withColumn(
+            "k",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("rn"))
+            .cast("long"),
+        )
+    )
+    w_u = Window.partitionBy("user_id").orderBy("k")
+    step = tch.select(
+        "user_id",
+        F.col("event_type").alias("f"),
+        "k",
+        F.lead("event_type").over(w_u).alias("nxt"),
+        F.max("k").over(Window.partitionBy("user_id")).alias("mk"),
+        F.col("crn").isNotNull().alias("converted"),
+    )
+    edges = (
+        tch.filter(F.col("k") == 1)
+        .select(F.lit("START").alias("f"), F.col("event_type").alias("t"))
+        .unionAll(
+            step.filter(F.col("nxt").isNotNull()).select("f", F.col("nxt").alias("t"))
+        )
+        .unionAll(
+            step.filter(F.col("k") == F.col("mk")).select(
+                "f",
+                F.when(F.col("converted"), "CONV").otherwise("NULL").alias("t"),
+            )
+        )
+        .unionAll(
+            conv.filter(F.col("crn") == 1).select(
+                F.lit("START").alias("f"), F.lit("CONV").alias("t")
+            )
+        )
+    )
+    cnt = edges.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("f").agg(F.sum("n").alias("tn"))
+    prob = cnt.join(tot, "f").select(
+        "f", "t", stable_round(F.col("n") * 1.0 / F.col("tn"), 6).alias("p")
+    )
+    # |states|^2 transition matrix: metadata-scale, like q_markov_stationary.
+    mat: dict[str, list[tuple[str, float]]] = {}
+    for r in prob.collect():
+        mat.setdefault(r["f"], []).append((r["t"], r["p"]))
+    states = ["START", *_MK_CHANNELS]
+
+    def absorb(removed: str | None) -> float:
+        v = {s: 0.0 for s in states}
+        for _ in range(12):
+            nxt = {}
+            for s in states:
+                acc = 0.0
+                for t, pp in sorted(mat.get(s, [])):
+                    if t == "CONV":
+                        acc += pp * 1.0
+                    elif t == "NULL" or t == removed:
+                        pass
+                    else:
+                        acc += pp * v.get(t, 0.0)
+                nxt[s] = _markov_round6(acc)
+            v = nxt
+        return v["START"]
+
+    p_full = absorb(None)
+    rows = []
+    effs = {
+        c: _markov_round6(1.0 - absorb(c) / p_full) for c in _MK_CHANNELS
+    }
+    tot_eff = sum(max(effs[c], 0.0) for c in sorted(_MK_CHANNELS))
+    for c in _MK_CHANNELS:
+        rows.append(
+            (
+                c,
+                float(p_full),
+                float(absorb(c)),
+                float(effs[c]),
+                float(_markov_round6(max(effs[c], 0.0) / tot_eff)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")
