@@ -6228,3 +6228,226 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_full double, p_removed double, "
         "removal_effect double, attribution_share double",
     ).orderBy("channel")
+
+
+@register(
+    "q_gumbel_extremes",
+    oracle="""
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(max(round(value * 100)) AS BIGINT) AS mx
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(mx) AS BIGINT) AS s1,
+           CAST(sum(mx * mx) AS BIGINT) AS s2
+    FROM daily
+),
+fit AS (
+    SELECT n,
+           (s1 * 1.0 / n / 100.0) AS mean_max,
+           (sqrt((n * s2 - s1 * s1) * 1.0 / (n * 1.0 * n)) / 100.0
+            * sqrt(6.0) / 3.141592653589793) AS beta
+    FROM m
+)
+SELECT n AS n_days,
+       (round(mean_max * 1000000.0) / 1000000.0) AS mean_daily_max,
+       (round((mean_max - 0.5772156649015329 * beta) * 1000000.0) / 1000000.0)
+           AS gumbel_loc,
+       (round(beta * 1000000.0) / 1000000.0) AS gumbel_scale,
+       (round((mean_max - 0.5772156649015329 * beta
+               - beta * ln(-ln(1.0 - 1.0 / 30.0))) * 1000000.0) / 1000000.0)
+           AS return_level_30d,
+       (round((mean_max - 0.5772156649015329 * beta
+               - beta * ln(-ln(1.0 - 1.0 / 365.0))) * 1000000.0) / 1000000.0)
+           AS return_level_365d
+FROM fit
+""",
+    description=(
+        "Extreme-value analysis of daily maximum purchase values: "
+        "Gumbel fit by method of moments over the block (daily) "
+        "maxima — scale = s*sqrt(6)/pi, loc = mean - gamma*scale "
+        "(Euler-Mascheroni) — with 30-day and 365-day return levels "
+        "loc - scale*ln(-ln(1-1/T)), i.e. 'how large a single "
+        "purchase should we expect once a month / once a year?' — "
+        "the EVT member of the tail-analysis family next to "
+        "q_tail_latency_heatmap's empirical percentiles (quantiles "
+        "interpolate INSIDE the data; a fitted tail extrapolates "
+        "beyond it, which is what capacity planning actually needs). "
+        "Block maxima fold as exact integer cents (max commutes with "
+        "the cents quantization), moments are BIGINT, and the fit is "
+        "a fixed float expression — one day-grain shuffle total."
+    ),
+    tags=("analytics", "extension", "stats", "timeseries"),
+)
+def q_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max(F.round(F.col("value") * 100)).cast("long").alias("mx"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean_max = s1 * 1.0 / n / 100.0
+    beta = (
+        F.sqrt((n * s2 - s1 * s1) * 1.0 / (n * 1.0 * n))
+        / 100.0
+        * F.sqrt(F.lit(6.0))
+        / F.lit(3.141592653589793)
+    )
+    gamma = F.lit(0.5772156649015329)
+    loc = mean_max - gamma * beta
+    import math as _math  # noqa: F401  (documents the pi literal provenance)
+
+    def rl(t: float):
+        return loc - beta * F.log(-F.log(1.0 - 1.0 / F.lit(t)))
+
+    return m.select(
+        n.alias("n_days"),
+        stable_round(mean_max, 6).alias("mean_daily_max"),
+        stable_round(loc, 6).alias("gumbel_loc"),
+        stable_round(beta, 6).alias("gumbel_scale"),
+        stable_round(rl(30.0), 6).alias("return_level_30d"),
+        stable_round(rl(365.0), 6).alias("return_level_365d"),
+    )
+
+
+@register(
+    "q_bias_baseline_recsys",
+    oracle="""
+WITH r AS (
+    SELECT o.o_custkey AS u, l.l_partkey AS i,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq FROM r
+),
+ib AS (
+    SELECT i, CAST(count(*) AS BIGINT) AS n_i, CAST(sum(q) AS BIGINT) AS s_i,
+           CAST(round(((sum(q) - count(*) * ((SELECT sq FROM g) * 1.0 / (SELECT n FROM g)))
+                       / (5.0 + count(*))) * 1000000.0) AS BIGINT) AS bi_q
+    FROM r GROUP BY i
+),
+ub AS (
+    SELECT r.u, CAST(count(*) AS BIGINT) AS n_u,
+           CAST(round(((sum(r.q) - count(*) * ((SELECT sq FROM g) * 1.0 / (SELECT n FROM g)))
+                        * 1000000.0 - sum(ib.bi_q))
+                      / ((5.0 + count(*)) * 1000000.0) * 1000000.0) AS BIGINT) AS bu_q
+    FROM r JOIN ib ON ib.i = r.i GROUP BY r.u
+),
+scored AS (
+    SELECT r.q,
+           ((SELECT sq FROM g) * 1.0 / (SELECT n FROM g)
+            + ib.bi_q / 1000000.0 + ub.bu_q / 1000000.0) AS pred,
+           ((SELECT sq FROM g) * 1.0 / (SELECT n FROM g)) AS mu
+    FROM r JOIN ib ON ib.i = r.i JOIN ub ON ub.u = r.u
+),
+e AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round((q - pred) * (q - pred) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS se_base,
+           CAST(sum(CAST(round((q - mu) * (q - mu) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS se_glob,
+           max(mu) AS mu
+    FROM scored
+)
+SELECT n AS n_pairs,
+       (round(mu * 1000000.0) / 1000000.0) AS global_mean_qty,
+       (round(sqrt(se_glob / 1000000.0 / n) * 1000000.0) / 1000000.0)
+           AS rmse_global,
+       (round(sqrt(se_base / 1000000.0 / n) * 1000000.0) / 1000000.0)
+           AS rmse_baseline
+FROM e
+""",
+    description=(
+        "Recommender bias baseline (the Netflix-prize 'baseline "
+        "predictor'): customer x part implicit ratings (summed "
+        "quantity), global mean mu, damped item bias "
+        "b_i = (S_i - n_i*mu)/(lambda + n_i), then damped user bias "
+        "on the item-debiased residuals, and the RMSE of mu + b_i + "
+        "b_u vs mu alone — the mandatory sanity floor before any "
+        "factorization model, and the personalization complement to "
+        "q_item_item_cf's neighborhood scores. Determinism contract: "
+        "ratings are exact BIGINT quantity sums, bias numerators use "
+        "the S - n*mu identity (never a float sum of per-row "
+        "residuals), biases are quantized to integer micro-units "
+        "before the user-level re-aggregation, and squared errors "
+        "fold as micro-unit BIGINTs — so both engines emit identical "
+        "doubles. Three shuffles: (u,i) agg, item agg, user agg."
+    ),
+    tags=("analytics", "extension", "ml", "recommender"),
+)
+def q_bias_baseline_recsys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+        .persist()
+    )
+    try:
+        g = r.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("long").alias("sq"),
+        ).collect()[0]
+        mu = g["sq"] * 1.0 / g["n"]
+        ib = r.groupBy("i").agg(
+            F.round(
+                (F.sum("q") - F.count(F.lit(1)) * F.lit(mu))
+                / (F.lit(5.0) + F.count(F.lit(1)))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("bi_q"),
+        )
+        ri = r.join(ib, "i")
+        ub = ri.groupBy("u").agg(
+            F.round(
+                (
+                    (F.sum("q") - F.count(F.lit(1)) * F.lit(mu)) * 1000000.0
+                    - F.sum("bi_q")
+                )
+                / ((F.lit(5.0) + F.count(F.lit(1))) * 1000000.0)
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("bu_q"),
+        )
+        pred = (
+            F.lit(mu) + F.col("bi_q") / 1000000.0 + F.col("bu_q") / 1000000.0
+        )
+        q = F.col("q")
+        scored = ri.join(ub, "u")
+        e = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round((q - pred) * (q - pred) * 1000000.0).cast("long"))
+            .cast("long")
+            .alias("se_base"),
+            F.sum(
+                F.round((q - F.lit(mu)) * (q - F.lit(mu)) * 1000000.0).cast("long")
+            )
+            .cast("long")
+            .alias("se_glob"),
+        )
+        n = F.col("n")
+        return e.select(
+            n.alias("n_pairs"),
+            stable_round(F.lit(mu), 6).alias("global_mean_qty"),
+            stable_round(F.sqrt(F.col("se_glob") / 1000000.0 / n), 6).alias(
+                "rmse_global"
+            ),
+            stable_round(F.sqrt(F.col("se_base") / 1000000.0 / n), 6).alias(
+                "rmse_baseline"
+            ),
+        )
+    finally:
+        r.unpersist()
