@@ -2517,3 +2517,177 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst_h"),
     )
+
+
+_AJ_STEP = """
+    SELECT i.idx, i.dur, i.d1, i.d2, i.c, i.n_risk,
+           (round((k.cif1 + k.s * (i.d1 * CAST(1.0 AS DOUBLE) / i.n_risk)) * 1000000.0)
+            / 1000000.0),
+           (round((k.cif2 + k.s * (i.d2 * CAST(1.0 AS DOUBLE) / i.n_risk)) * 1000000.0)
+            / 1000000.0),
+           (round((k.s * (CAST(1.0 AS DOUBLE) - (i.d1 + i.d2) * CAST(1.0 AS DOUBLE) / i.n_risk)) * 1000000.0)
+            / 1000000.0)
+"""
+
+
+@register(
+    "q_aalen_johansen",
+    oracle=f"""
+WITH RECURSIVE f AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+fp AS (
+    SELECT user_id, min(epoch_us(ts)) AS p_us
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+fe AS (
+    SELECT user_id, min(epoch_us(ts)) AS e_us
+    FROM events WHERE event_type = 'error' GROUP BY user_id
+),
+subj AS (
+    SELECT f.user_id,
+           CASE
+               WHEN fp.p_us IS NOT NULL
+                    AND (fe.e_us IS NULL OR fp.p_us <= fe.e_us)
+                    AND (fp.p_us - f.first_us) // 3600000000 <= 60
+                   THEN (fp.p_us - f.first_us) // 3600000000
+               WHEN fe.e_us IS NOT NULL
+                    AND (fp.p_us IS NULL OR fe.e_us < fp.p_us)
+                    AND (fe.e_us - f.first_us) // 3600000000 <= 60
+                   THEN (fe.e_us - f.first_us) // 3600000000
+               ELSE 60
+           END AS dur,
+           CASE
+               WHEN fp.p_us IS NOT NULL
+                    AND (fe.e_us IS NULL OR fp.p_us <= fe.e_us)
+                    AND (fp.p_us - f.first_us) // 3600000000 <= 60
+                   THEN 1
+               WHEN fe.e_us IS NOT NULL
+                    AND (fp.p_us IS NULL OR fe.e_us < fp.p_us)
+                    AND (fe.e_us - f.first_us) // 3600000000 <= 60
+                   THEN 2
+               ELSE 0
+           END AS cause
+    FROM f
+    LEFT JOIN fp ON f.user_id = fp.user_id
+    LEFT JOIN fe ON f.user_id = fe.user_id
+),
+tbl AS (
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM subj GROUP BY 1
+),
+idxd AS (
+    SELECT dur, d1, d2, c,
+           CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS idx,
+           CAST(sum(d1 + d2 + c) OVER () - coalesce(sum(d1 + d2 + c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+    FROM tbl
+),
+aj AS (
+    SELECT idx, dur, d1, d2, c, n_risk,
+           (round((d1 * CAST(1.0 AS DOUBLE) / n_risk) * 1000000.0) / 1000000.0) AS cif1,
+           (round((d2 * CAST(1.0 AS DOUBLE) / n_risk) * 1000000.0) / 1000000.0) AS cif2,
+           (round((CAST(1.0 AS DOUBLE) - (d1 + d2) * CAST(1.0 AS DOUBLE) / n_risk) * 1000000.0) / 1000000.0) AS s
+    FROM idxd WHERE idx = 1
+    UNION ALL
+{_AJ_STEP}
+    FROM aj k JOIN idxd i ON i.idx = k.idx + 1
+)
+SELECT dur AS hours, n_risk, d1 AS n_purchase, d2 AS n_error, c AS n_censored,
+       cif1 AS cif_purchase, cif2 AS cif_error, s AS survival_eventfree
+FROM aj
+""",
+    description=(
+        "Aalen-Johansen cumulative incidence under competing risks: "
+        "each user's FIRST of purchase-vs-error (whole hours from "
+        "their first event, 60 h administrative censoring) is the "
+        "event, and the other cause competes — CIF_k(t) = "
+        "sum s<=t of S(s-) * d_k(s)/n(s), with S the all-cause KM "
+        "survival. This completes the survival family "
+        "(q_kaplan_meier single-cause curve, q_nelson_aalen hazard, "
+        "q_logrank_test comparison, q_cox_ph regression, "
+        "q_survival_rmst summary): naive '1 - KM per cause' "
+        "overestimates incidence when causes compete, AJ is the "
+        "correct decomposition (cif1 + cif2 + S sums to ~1). Same "
+        "scale shape as KM: two per-user aggregates are the only "
+        "data-sized work, then a <=61-row WITH RECURSIVE chain "
+        "carrying (S, CIF1, CIF2) with per-step 6dp re-rounding."
+    ),
+    tags=("analytics", "extension", "stats", "survival", "recursive"),
+)
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    fe = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("e_us"))
+    )
+    ph = F.floor((F.col("p_us") - F.col("first_us")) / F.lit(3600000000))
+    eh = F.floor((F.col("e_us") - F.col("first_us")) / F.lit(3600000000))
+    p_wins = (
+        F.col("p_us").isNotNull()
+        & (F.col("e_us").isNull() | (F.col("p_us") <= F.col("e_us")))
+        & (ph <= 60)
+    )
+    e_wins = (
+        F.col("e_us").isNotNull()
+        & (F.col("p_us").isNull() | (F.col("e_us") < F.col("p_us")))
+        & (eh <= 60)
+    )
+    subj = (
+        f.join(fp, "user_id", "left")
+        .join(fe, "user_id", "left")
+        .select(
+            F.when(p_wins, ph).when(e_wins, eh).otherwise(F.lit(60))
+            .cast("long")
+            .alias("dur"),
+            F.when(p_wins, 1).when(e_wins, 2).otherwise(0).alias("cause"),
+        )
+    )
+    tbl = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(F.col("cause") == 0, 1).otherwise(0)).cast("long").alias("c"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    tot = F.col("d1") + F.col("d2") + F.col("c")
+    idxd = tbl.select(
+        "dur",
+        "d1",
+        "d2",
+        "c",
+        F.row_number().over(Window.orderBy("dur")).cast("long").alias("idx"),
+        (
+            F.sum(tot).over(w_all)
+            - F.coalesce(F.sum(tot).over(w_prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    idxd.createOrReplaceTempView("v_aj_idxd")
+    return spark.sql(
+        f"""
+WITH RECURSIVE aj AS (
+    SELECT idx, dur, d1, d2, c, n_risk,
+           (round((d1 * CAST(1.0 AS DOUBLE) / n_risk) * 1000000.0) / 1000000.0) AS cif1,
+           (round((d2 * CAST(1.0 AS DOUBLE) / n_risk) * 1000000.0) / 1000000.0) AS cif2,
+           (round((CAST(1.0 AS DOUBLE) - (d1 + d2) * CAST(1.0 AS DOUBLE) / n_risk) * 1000000.0) / 1000000.0) AS s
+    FROM v_aj_idxd WHERE idx = 1
+    UNION ALL
+{_AJ_STEP}
+    FROM aj k JOIN v_aj_idxd i ON i.idx = k.idx + 1
+)
+SELECT dur AS hours, n_risk, d1 AS n_purchase, d2 AS n_error, c AS n_censored,
+       cif1 AS cif_purchase, cif2 AS cif_error, s AS survival_eventfree
+FROM aj
+"""
+    )
