@@ -5291,3 +5291,216 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_strength"
         ),
     )
+
+
+@register(
+    "q_pareto_skyline",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_retailprice
+""",
+    description=(
+        "Skyline (Pareto frontier) over parts: cheaper-is-better price "
+        "vs bigger-is-better size — the classic dominance operator "
+        "relational engines bolt on (Borzsony et al. 2001), returning "
+        "every part no other part dominates on BOTH axes. Oracle keeps "
+        "the textbook NOT EXISTS; the Spark plan is the scale form: a "
+        "sort-free two-pass prune — the running best-size-so-far in "
+        "price order (a bucketed carry over the DISTINCT-price table, "
+        "never a partitionless row window) kills everything strictly "
+        "dominated, then exact dominance is checked only among "
+        "survivors (the frontier, typically miniscule vs the input) "
+        "via a broadcast self-join. At 100x: frontier size grows "
+        "~log-linearly for independent dims, so the quadratic step "
+        "stays broadcast-sized; the documented fallback for adversarial "
+        "(anti-correlated) data is grid-partitioned skylines merged "
+        "hierarchically."
+    ),
+    tags=("analytics", "extension", "extra-relational"),
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    # Phase 1: prune everything strictly below the best size seen at a
+    # strictly lower price (cheap dominance filter, removes the bulk).
+    grp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_sz"))
+    carried = bucketed_prefix(
+        grp,
+        buckets=[F.expr("CAST(p_retailprice AS BIGINT) div 64")],
+        order_by=[F.asc("p_retailprice")],
+        value=F.col("best_sz"),
+        agg="max",
+        exclusive=True,
+        out_col="best_before",
+    )
+    pruned = (
+        p.join(F.broadcast(carried.select("p_retailprice", "best_before")), "p_retailprice")
+        .filter(F.col("best_before").isNull() | (F.col("p_size") >= F.col("best_before")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    # Phase 2: exact dominance among the surviving near-frontier rows.
+    cand = pruned.select(
+        F.col("p_partkey").alias("qk"),
+        F.col("p_retailprice").alias("qp"),
+        F.col("p_size").alias("qs"),
+    )
+    dominated = (
+        pruned.join(
+            F.broadcast(cand),
+            (F.col("qp") <= F.col("p_retailprice"))
+            & (F.col("qs") >= F.col("p_size"))
+            & ((F.col("qp") < F.col("p_retailprice")) | (F.col("qs") > F.col("p_size"))),
+            "left_semi",
+        )
+    )
+    return pruned.exceptAll(dominated).orderBy("p_retailprice")
+
+
+@register(
+    "q_spc_control_chart",
+    oracle="""
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS xc
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+wk AS (
+    SELECT CAST(floor((epoch(day) / 86400 + 4) / 7) AS BIGINT) AS week,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xc) AS BIGINT) AS s1,
+           CAST(max(xc) - min(xc) AS BIGINT) AS rng
+    FROM daily GROUP BY 1
+),
+full_wk AS (SELECT * FROM wk WHERE n = 7),
+lim AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           (sum(s1) * 1.0 / sum(n) / 100.0) AS xbar,
+           (sum(rng) * 1.0 / count(*) / 100.0) AS rbar
+    FROM full_wk
+)
+SELECT w.week,
+       (round((w.s1 * 1.0 / w.n / 100.0) * 1000000.0) / 1000000.0) AS week_mean,
+       (round((w.rng / 100.0) * 1000000.0) / 1000000.0) AS week_range,
+       (round((l.xbar + 0.419 * l.rbar) * 1000000.0) / 1000000.0) AS ucl,
+       (round((l.xbar - 0.419 * l.rbar) * 1000000.0) / 1000000.0) AS lcl,
+       (w.s1 * 1.0 / w.n / 100.0 > l.xbar + 0.419 * l.rbar
+        OR w.s1 * 1.0 / w.n / 100.0 < l.xbar - 0.419 * l.rbar) AS out_of_control
+FROM full_wk w CROSS JOIN lim l
+ORDER BY w.week
+""",
+    description=(
+        "Statistical process control: X-bar/R chart of daily purchase "
+        "revenue in weekly subgroups (ISO-aligned epoch weeks, "
+        "complete weeks only) — centerline = grand mean, control "
+        "limits xbar +/- A2*Rbar with the standard n=7 constant "
+        "A2=0.419, flagging Western-Electric rule-1 violations. The "
+        "manufacturing-style complement to q_cusum_changepoint / "
+        "q_page_hinkley: those detect a persistent shift as fast as "
+        "possible, the control chart certifies week-grain stability "
+        "with distribution-free limits. All moments fold as integer "
+        "cents (subgroup range = max - min commutes with cents), so "
+        "both engines emit identical limits; day/week tables are "
+        "horizon-bounded."
+    ),
+    tags=("analytics", "extension", "timeseries", "quality"),
+)
+def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100.0).cast("long").alias("xc"))
+    )
+    wk = (
+        daily.select(
+            F.floor((F.unix_date(F.col("day").cast("date")) + 4) / 7)
+            .cast("long")
+            .alias("week"),
+            "xc",
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xc").cast("long").alias("s1"),
+            (F.max("xc") - F.min("xc")).cast("long").alias("rng"),
+        )
+        .filter(F.col("n") == 7)
+    )
+    lim = wk.agg(
+        (F.sum("s1") * 1.0 / F.sum("n") / 100.0).alias("xbar"),
+        (F.sum("rng") * 1.0 / F.count(F.lit(1)) / 100.0).alias("rbar"),
+    )
+    w = wk.crossJoin(F.broadcast(lim))
+    mean = F.col("s1") * 1.0 / F.col("n") / 100.0
+    ucl = F.col("xbar") + 0.419 * F.col("rbar")
+    lcl = F.col("xbar") - 0.419 * F.col("rbar")
+    return w.select(
+        "week",
+        stable_round(mean, 6).alias("week_mean"),
+        stable_round(F.col("rng") / 100.0, 6).alias("week_range"),
+        stable_round(ucl, 6).alias("ucl"),
+        stable_round(lcl, 6).alias("lcl"),
+        ((mean > ucl) | (mean < lcl)).alias("out_of_control"),
+    ).orderBy("week")
+
+
+@register(
+    "q_srm_check",
+    oracle="""
+WITH u AS (
+    SELECT user_id, (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0) AS in_a
+    FROM events GROUP BY user_id, 2
+),
+m AS (
+    SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+    FROM u
+)
+SELECT n_a, n_b,
+       (round(((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)) * 1000000.0)
+        / 1000000.0) AS chi2,
+       ((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b) > 3.841458820694124)
+           AS srm_flag
+FROM m
+""",
+    description=(
+        "Sample-ratio mismatch (SRM) check for the deterministic A/B "
+        "split: chi-square goodness-of-fit of the observed arm counts "
+        "against the designed 50/50 allocation (chi2 = (n_a-n_b)^2/n "
+        "for two equal cells), flagged at the 95% critical value "
+        "3.8415 — the FIRST gate every experimentation platform runs "
+        "before any effect readout, since a mismatched ratio "
+        "invalidates q_ab_test_ztest/q_cuped/q_mann_whitney "
+        "downstream no matter how significant they look. One per-user "
+        "distinct pass and a 2-cell aggregate; exact integer counts, "
+        "one final float division."
+    ),
+    tags=("analytics", "extension", "stats", "governance"),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", _arm_a().alias("in_a")).distinct()
+    m = u.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    chi2 = (na - nb) * (na - nb) * 1.0 / (na + nb)
+    return m.select(
+        na,
+        nb,
+        stable_round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("srm_flag"),
+    )
