@@ -110,6 +110,13 @@ HEADLINE = [
     "q_kcore_peel",
     "q_record_linkage",
     "q_knn_classify",
+    # round-6 batch 2: the within-order pair join (CF), the TextRank
+    # adjacency+pagerank composition, the double-IRLS GLM, and the
+    # 4x-bucketed-prefix drift statistic — newly tracked scale shapes
+    "q_item_item_cf",
+    "q_textrank_keywords",
+    "q_poisson_regression",
+    "q_energy_distance",
 ]
 
 

@@ -2209,3 +2209,125 @@ def test_kmeans_return_scores_matrix_consistent(spark, sf_smoke):
     )
     got = assign.set_index("vec_id")["cluster"]
     assert (best.sort_index() == got.sort_index()).all()
+
+
+def test_energy_distance_invariants(spark, sf_smoke):
+    """Energy distance: D^2 >= 0, each E-term nonneg, and self-distance
+    of identical arms would be 0 (checked via the algebraic identity
+    2*e_xy >= e_xx + e_yy on the real arm split)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_energy_distance"].fn(spark, sf_smoke).collect()[0]
+    assert row["e_xx"] >= 0 and row["e_yy"] >= 0 and row["e_xy"] >= 0
+    assert row["energy_d2"] >= -1e-9
+    assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_cramer_von_mises_nonnegative(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_cramer_von_mises"].fn(spark, sf_smoke).collect()[0]
+    assert row["cvm_t"] >= 0.0
+    assert row["n_a"] + row["n_b"] > 0
+
+
+def test_kalman_gain_bounded_and_variance_positive(spark, sf_smoke):
+    """Gain in (0,1) after the first row; posterior variance positive and
+    below the prior-plus-process bound; level between min/max revenue
+    envelope extremes is NOT required (filters can overshoot), but the
+    steady-state gain must settle monotonically downward."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_kalman_filter"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    gains = pdf["gain"].dropna()
+    assert ((gains > 0) & (gains < 1)).all()
+    assert (pdf["variance"] > 0).all()
+    # variance never exceeds P0 + Q after the first step
+    assert (pdf["variance"] <= 2500.0 + 100.0 + 1e-9).all()
+    # gain sequence is non-increasing (variance contracts toward steady state)
+    assert (gains.diff().dropna() <= 1e-12).all()
+
+
+def test_aalen_johansen_decomposition_sums_to_one(spark, sf_smoke):
+    """At every time point CIF1 + CIF2 + S == 1 up to per-step rounding
+    (the defining property competing-risk decomposition must satisfy,
+    and the one naive 1-KM-per-cause violates)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_aalen_johansen"].fn(spark, sf_smoke).toPandas()
+    total = pdf["cif_purchase"] + pdf["cif_error"] + pdf["survival_eventfree"]
+    assert ((total - 1.0).abs() < 1e-3).all()
+    # CIFs are nondecreasing in time, survival nonincreasing
+    pdf = pdf.sort_values("hours")
+    assert (pdf["cif_purchase"].diff().dropna() >= -1e-9).all()
+    assert (pdf["cif_error"].diff().dropna() >= -1e-9).all()
+    assert (pdf["survival_eventfree"].diff().dropna() <= 1e-9).all()
+
+
+def test_naive_bayes_confusion_partitions_users(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_naive_bayes"].fn(spark, sf_smoke).collect()[0]
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == row["n_users"]
+    assert 0.0 <= row["accuracy"] <= 1.0
+
+
+def test_markov_attribution_shares_sum_to_one(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_markov_attribution"].fn(spark, sf_smoke).toPandas()
+    assert len(pdf) == 4
+    assert (pdf["p_full"] > 0).all()
+    assert ((pdf["p_removed"] >= 0) & (pdf["p_removed"] <= 1)).all()
+    # removing a touchpoint can only lose conversion probability
+    assert (pdf["p_removed"] <= pdf["p_full"] + 1e-9).all()
+    assert abs(pdf["attribution_share"].sum() - 1.0) < 1e-4
+
+
+def test_item_item_cf_similarity_bounded(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_item_item_cf"].fn(spark, sf_smoke).toPandas()
+    assert ((pdf["cosine_sim"] > 0) & (pdf["cosine_sim"] <= 1.0 + 1e-9)).all()
+    assert (pdf["n_ab"] <= pdf[["n_a", "n_b"]].min(axis=1)).all()
+    # returned in nonincreasing similarity order
+    assert (pdf["cosine_sim"].diff().dropna() <= 1e-12).all()
+
+
+def test_bias_baseline_beats_global_mean(spark, sf_smoke):
+    """The damped-bias predictor must not be WORSE than the global mean
+    on training RMSE (it nests it at lambda -> inf, and with finite
+    damping strictly improves on any data with real user/item effects)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_bias_baseline_recsys"].fn(spark, sf_smoke).collect()[0]
+    assert row["rmse_baseline"] <= row["rmse_global"] + 1e-9
+    assert row["n_pairs"] > 0
+
+
+def test_gumbel_return_levels_ordered(spark, sf_smoke):
+    """Longer return periods must give higher (or equal) return levels,
+    and both must sit above the Gumbel location parameter."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_gumbel_extremes"].fn(spark, sf_smoke).collect()[0]
+    assert row["gumbel_scale"] >= 0
+    assert row["return_level_365d"] >= row["return_level_30d"]
+    assert row["return_level_30d"] >= row["gumbel_loc"]
+
+
+def test_hurst_exponent_plausible_range(spark, sf_smoke):
+    """R/S Hurst estimates live in (0, 1) for any stationary-ish series;
+    the estimator can drift slightly outside on tiny fixtures, so assert
+    a generous but finite band and the bookkeeping columns."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_hurst_exponent"].fn(spark, sf_smoke).collect()[0]
+    assert row["n_sizes"] >= 1
+    assert row["n_blocks"] >= 1
+    assert -0.5 < row["hurst_h"] < 1.5
