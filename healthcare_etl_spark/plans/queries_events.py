@@ -1400,3 +1400,91 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@register(
+    "q_session_paths",
+    oracle=f"""
+WITH {_SESSION_CTE},
+ordered AS (
+    SELECT user_id, session_seq, event_type,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM sess
+    WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+),
+tri AS (
+    SELECT DISTINCT user_id, session_seq,
+           event_type || ' > ' || t2 || ' > ' || t3 AS path
+    FROM ordered WHERE t3 IS NOT NULL
+),
+n_sess AS (
+    SELECT CAST(count(*) AS BIGINT) AS total
+    FROM (SELECT DISTINCT user_id, session_seq FROM sess)
+)
+SELECT t.path, CAST(count(*) AS BIGINT) AS n_sessions,
+       (round((count(*) * 1.0 / max(ns.total)) * 1000000.0) / 1000000.0)
+           AS support
+FROM tri t CROSS JOIN n_sess ns
+GROUP BY t.path
+ORDER BY n_sessions DESC, t.path
+LIMIT 20
+""",
+    description=(
+        "Sequential path mining: top-20 CONTIGUOUS event-type trigrams "
+        "within 30-minute sessions, with session-level support — the "
+        "order-aware member of the basket family (q_association_rules "
+        "and q_session_cooccurrence ignore order; 'view > click > "
+        "purchase' vs 'click > view > purchase' is exactly what they "
+        "cannot distinguish), i.e. PrefixSpan-lite restricted to "
+        "contiguous patterns, which is the variant that needs no "
+        "candidate generation. One session-scoped double-lead window "
+        "pass builds trigrams, a session-distinct dedup gives "
+        "per-session support semantics, and the top-20 is a "
+        "TakeOrdered. Same scale shape as every sessionized query: "
+        "everything partitions by (user, session)."
+    ),
+    tags=("events", "extension", "analytics"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from healthcare_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, key="user_id", ts="ts", gap_minutes=30.0, order_tiebreak="event_id"
+    )
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = (
+        sess.select(
+            "user_id",
+            "session_seq",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            "session_seq",
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path"),
+        )
+        .distinct()
+    )
+    n_sess = (
+        sess.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(n_sess))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            stable_round(F.count(F.lit(1)) * F.lit(1.0) / F.max("total"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
