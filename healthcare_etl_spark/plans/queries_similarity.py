@@ -1772,3 +1772,125 @@ FROM sil GROUP BY cluster
 
 
 _register_cluster_silhouette()
+
+
+# Squared L2 distance fragment mirroring the Spark zip_with fold below
+# (strict left-to-right, elements cast to double before subtracting).
+_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), "
+    "s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _geomedian_oracle(rounds: int = 2) -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts = [
+        "pts AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        f"""m0 AS (
+    SELECT i AS pos, {r6('avg(v[i + 1]::DOUBLE)')} AS m
+    FROM pts CROSS JOIN range(64) t(i) GROUP BY i
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"m{r - 1}"
+        parts.append(
+            f"{prev}v AS (SELECT list(m ORDER BY pos) AS mv FROM {prev})"
+        )
+        parts.append(
+            f"""w{r} AS (
+    SELECT p.vec_id,
+           1.0 / greatest({r6('sqrt(' + _D2.format(a='p.v', b='c.mv') + ')')},
+                          0.000001) AS w
+    FROM pts p CROSS JOIN {prev}v c
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+    SELECT i AS pos,
+           {r6('sum(w.w * p.v[i + 1]::DOUBLE) / sum(w.w)')} AS m
+    FROM pts p JOIN w{r} w ON p.vec_id = w.vec_id
+    CROSS JOIN range(64) t(i)
+    GROUP BY i
+)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT CAST(pos AS BIGINT) AS pos, m AS coord FROM m{rounds} ORDER BY pos
+"""
+
+
+@register(
+    "q_geometric_median",
+    oracle=_geomedian_oracle(2),
+    description=(
+        "Geometric median of the embedding corpus by 2 Weiszfeld "
+        "iterations from the element-wise mean: m <- sum(v_i/d_i) / "
+        "sum(1/d_i) with d_i the L2 distance to the current iterate "
+        "(floored at 1e-6 so coincident points cannot divide by zero) "
+        "— the ROBUST centroid (50% breakdown point) next to the "
+        "mean-based q_embedding_centroid_drift / k-means machinery, "
+        "i.e. the right 'typical embedding' when the corpus contains "
+        "outlier or adversarial vectors that drag a mean arbitrarily "
+        "far. Same iteration shape as kmeans_lloyd: per round ONE "
+        "corpus scan (broadcast 1-row iterate, codegen'd zip_with "
+        "fold for distances, element-wise weighted re-aggregate); "
+        "distances and coordinates are 6dp-stable-rounded per round, "
+        "and the distance fold mirrors the oracle's list_reduce "
+        "left-to-right so the iterates stay engine-identical."
+    ),
+    tags=("similarity", "extension", "iterative", "vectors"),
+)
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.col("embedding").alias("v"))
+
+    def to_vec(long_df: DataFrame) -> DataFrame:
+        return long_df.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mv")
+        ).localCheckpoint(eager=True)
+
+    long0 = pts.select(F.posexplode("v").alias("pos", "val")).groupBy("pos").agg(
+        stable_round(F.avg(F.col("val").cast("double")), 6).alias("m")
+    )
+    cent = to_vec(long0)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("mv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    long = None
+    for _ in range(2):
+        w = pts.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            (1.0 / F.greatest(stable_round(F.sqrt(d2), 6), F.lit(0.000001))).alias(
+                "w"
+            ),
+        )
+        long = (
+            w.select("w", F.posexplode("v").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                stable_round(
+                    F.sum(F.col("w") * F.col("val").cast("double")) / F.sum("w"), 6
+                ).alias("m")
+            )
+        )
+        cent = to_vec(long)
+    return long.select(
+        F.col("pos").cast("long").alias("pos"), F.col("m").alias("coord")
+    ).orderBy("pos")
