@@ -6451,3 +6451,131 @@ def q_bias_baseline_recsys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         r.unpersist()
+
+
+def _entropy_rate_oracle(rounds: int = 12) -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    parts = [
+        """pairs AS (
+    SELECT event_type AS f,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+    FROM events
+)""",
+        """cnt AS (
+    SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2
+)""",
+        """tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY 1)""",
+        f"""p AS MATERIALIZED (
+    SELECT c.f, c.t, {r6('c.n * 1.0 / tot.tn')} AS p FROM cnt c JOIN tot ON c.f = tot.f
+)""",
+        """states AS MATERIALIZED (SELECT f AS s FROM cnt UNION SELECT t FROM cnt)""",
+        """k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM states)""",
+        f"""v_0 AS (SELECT s, {r6('1.0 / kk')} AS v FROM states CROSS JOIN k)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v_{r} AS MATERIALIZED (
+    SELECT st.s, {r6('coalesce(sum(v.v * p.p), 0.0)')} AS v
+    FROM states st
+    LEFT JOIN p ON p.t = st.s
+    LEFT JOIN v_{r - 1} v ON v.s = p.f
+    GROUP BY st.s
+)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+terms AS (
+    SELECT CAST(round(pi.v * p.p * (-log2(p.p)) * 1000000000.0) AS BIGINT) AS q
+    FROM p JOIN v_{rounds} pi ON pi.s = p.f
+    WHERE p.p > 0
+),
+m AS (
+    SELECT CAST(sum(q) AS BIGINT) AS sq,
+           (SELECT CAST(count(*) AS BIGINT) FROM states) AS k
+    FROM terms
+)
+SELECT k AS n_states,
+       {r6('sq / 1000000000.0')} AS entropy_rate_bits,
+       {r6('log2(k * 1.0)')} AS max_entropy_bits,
+       {r6('(sq / 1000000000.0) / log2(k * 1.0)')} AS efficiency
+FROM m
+"""
+
+
+@register(
+    "q_entropy_rate",
+    oracle=_entropy_rate_oracle(12),
+    description=(
+        "Entropy rate of the event-type Markov chain: H = -sum_s "
+        "pi(s) sum_t p(s,t) log2 p(s,t) bits/event, with pi the "
+        "stationary distribution from the same 12 power rounds as "
+        "q_markov_stationary — the information-theoretic summary of "
+        "session dynamics (H near log2|types| = user flows are "
+        "near-random; H near 0 = rigidly scripted journeys), the "
+        "sequence-level complement to the marginal q_token_entropy. "
+        "Data-sized work is the one lead()-window transition pass; "
+        "the chain iteration rides the driver at |types|^2 metadata "
+        "scale, and the final expectation folds as 1e-9-quantized "
+        "BIGINT terms so neither engine's float-sum order can leak "
+        "into the result."
+    ),
+    tags=("events", "extension", "analytics", "stats"),
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from healthcare_etl_spark.plans.queries_mlops import _markov_round6  # noqa: PLW0406
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cnt = pairs.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("f").agg(F.sum("n").alias("tn"))
+    prob = cnt.join(tot, "f").select(
+        "f", "t", stable_round(F.col("n") * 1.0 / F.col("tn"), 6).alias("p")
+    )
+    mat: dict[str, dict[str, float]] = {}
+    seen: set[str] = set()
+    for r in prob.collect():
+        mat.setdefault(r["f"], {})[r["t"]] = r["p"]
+        seen.add(r["f"])
+        seen.add(r["t"])
+    states = sorted(seen)
+    v = {s: _markov_round6(1.0 / len(states)) for s in states}
+    for _ in range(12):
+        nxt = {}
+        for s in states:
+            acc = 0.0
+            for f in states:
+                acc += v.get(f, 0.0) * mat.get(f, {}).get(s, 0.0)
+            nxt[s] = _markov_round6(acc)
+        v = nxt
+    sq = 0
+    for f in states:
+        for t, pp in sorted(mat.get(f, {}).items()):
+            if pp > 0:
+                sq += int(
+                    math.copysign(
+                        math.floor(
+                            abs(v[f] * pp * (-math.log2(pp)) * 1000000000.0) + 0.5
+                        ),
+                        1.0,
+                    )
+                )
+    k = len(states)
+    h = _markov_round6(sq / 1000000000.0)
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                float(h),
+                float(_markov_round6(math.log2(k * 1.0))),
+                float(_markov_round6((sq / 1000000000.0) / math.log2(k * 1.0))),
+            )
+        ],
+        "n_states long, entropy_rate_bits double, max_entropy_bits double, "
+        "efficiency double",
+    )
