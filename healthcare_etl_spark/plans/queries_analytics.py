@@ -5504,3 +5504,122 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841458820694124)).alias("srm_flag"),
     )
+
+
+def _hw_step_sql() -> str:
+    """Generated recursive step for additive Holt-Winters (period 7,
+    alpha=0.4 beta=0.2 gamma=0.3): every update re-rounds to 4dp and the
+    just-updated level expression is inlined wherever the classic
+    formulation references it, identically on both engines (the same
+    inline-the-rounded-expression discipline as q_holt_smoothing)."""
+    r4 = lambda e: f"(round(({e}) * 10000.0) / 10000.0)"  # noqa: E731
+    jj = "(CAST((d.idx - 1) % 7 AS BIGINT) + 1)"
+    jn = "(CAST(d.idx % 7 AS BIGINT) + 1)"
+    s_cur = "CASE " + " ".join(
+        f"WHEN {jj} = {j} THEN h.s{j}" for j in range(1, 8)
+    ) + " END"
+    lnew = r4(f"0.4 * (d.x - ({s_cur})) + 0.6 * (h.l + h.b)")
+    bnew = r4(f"0.2 * (({lnew}) - h.l) + 0.8 * h.b")
+    s_cols = ",\n           ".join(
+        f"CASE WHEN {jj} = {j} THEN "
+        + r4(f"0.3 * (d.x - ({lnew})) + 0.7 * h.s{j}")
+        + f" ELSE h.s{j} END"
+        for j in range(1, 8)
+    )
+    s_next = "CASE " + " ".join(
+        f"WHEN {jn} = {j} THEN h.s{j}" for j in range(1, 8)
+    ) + " END"
+    fc = r4(f"({lnew}) + ({bnew}) + ({s_next})")
+    season = r4(f"0.3 * (d.x - ({lnew})) + 0.7 * ({s_cur})")
+    return f"""    SELECT d.idx, d.day, d.x,
+           {lnew},
+           {bnew},
+           {s_cols},
+           {season},
+           {fc}
+"""
+
+
+def _hw_init_sql() -> str:
+    r4 = lambda e: f"(round(({e}) * 10000.0) / 10000.0)"  # noqa: E731
+    s_init = ",\n           ".join(
+        r4(f"(SELECT x FROM idxd WHERE idx = {j})"
+           f" - (SELECT avg(x) FROM idxd WHERE idx <= 7)")
+        + f" AS s{j}"
+        for j in range(1, 8)
+    )
+    return f"""    SELECT CAST(7 AS BIGINT) AS idx,
+           CAST(NULL AS TIMESTAMP) AS day, CAST(NULL AS DOUBLE) AS x,
+           {r4('(SELECT avg(x) FROM idxd WHERE idx <= 7)')} AS l,
+           {r4('((SELECT avg(x) FROM idxd WHERE idx BETWEEN 8 AND 14)'
+               ' - (SELECT avg(x) FROM idxd WHERE idx <= 7)) / 7.0')} AS b,
+           {s_init},
+           CAST(NULL AS DOUBLE) AS season, CAST(NULL AS DOUBLE) AS fc
+"""
+
+
+_HW_RECURSION = f"""hw AS (
+{_hw_init_sql()}
+    UNION ALL
+{_hw_step_sql()}
+    FROM hw h JOIN idxd d ON d.idx = h.idx + 1
+)"""
+
+
+@register(
+    "q_holt_winters",
+    oracle=f"""
+WITH RECURSIVE raw AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           (round(sum(value) * 10000.0) / 10000.0) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idxd AS (
+    SELECT day, x,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+    FROM raw
+),
+{_HW_RECURSION}
+SELECT strftime(day, '%Y-%m-%d') AS day, x AS revenue, l AS level, b AS trend,
+       season AS seasonal, fc AS forecast_next
+FROM hw WHERE idx >= 8
+""",
+    description=(
+        "Additive Holt-Winters triple exponential smoothing of daily "
+        "revenue with weekly (period-7) seasonality (alpha=0.4, "
+        "beta=0.2, gamma=0.3): level/trend initialized from the first "
+        "two weeks' means, seasonal indices from week-1 deviations, "
+        "then the classic three coupled updates per day — the "
+        "seasonal completion of the smoothing family (EWMA -> Holt -> "
+        "HW), i.e. the model that stops flagging every weekend dip as "
+        "an anomaly. The 7 seasonal slots ride the recursion as 7 "
+        "columns updated by weekday CASE (no arrays, so the same "
+        "WITH RECURSIVE runs verbatim on both engines); the rounded "
+        "new-level expression is inlined into the trend/seasonal/"
+        "forecast updates exactly as written in the oracle, and every "
+        "state re-rounds to 4dp per step, so the chains cannot "
+        "diverge. Recursion depth = days; data-sized work is the one "
+        "daily aggregate."
+    ),
+    tags=("analytics", "extension", "timeseries", "recursive"),
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.sum("value") * 10000.0) / 10000.0).alias("x"))
+    )
+    idxd = raw.select(
+        "day", "x", F.row_number().over(Window.orderBy("day")).cast("long").alias("idx")
+    )
+    idxd.createOrReplaceTempView("v_hw_daily")
+    return spark.sql(
+        f"""
+WITH RECURSIVE idxd AS (SELECT * FROM v_hw_daily),
+{_HW_RECURSION}
+SELECT date_format(day, 'yyyy-MM-dd') AS day, x AS revenue, l AS level,
+       b AS trend, season AS seasonal, fc AS forecast_next
+FROM hw WHERE idx >= 8
+"""
+    )
