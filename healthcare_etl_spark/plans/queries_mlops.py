@@ -6579,3 +6579,179 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_states long, entropy_rate_bits double, max_entropy_bits double, "
         "efficiency double",
     )
+
+
+@register(
+    "q_l_diversity_audit",
+    oracle="""
+WITH cells AS (
+    SELECT CAST(dayofweek(ts) AS BIGINT)       AS wd,
+           CAST(floor(value / 10.0) AS BIGINT) AS value_band,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS l,
+           CAST(count(DISTINCT user_id) AS BIGINT)    AS k,
+           CAST(count(*) AS BIGINT)                   AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+classed AS (
+    SELECT CASE WHEN l >= 3 THEN '3+' ELSE CAST(l AS VARCHAR) END AS l_class,
+           (l < 3) AS at_risk, k, n_events
+    FROM cells
+)
+SELECT l_class, at_risk,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(min(k) AS BIGINT) AS min_k,
+       (round((sum(n_events) * 1.0 / (SELECT sum(n_events) FROM cells))
+              * 1000000.0) / 1000000.0) AS event_share
+FROM classed GROUP BY 1, 2
+""",
+    description=(
+        "l-diversity audit: within each quasi-identifier cell "
+        "(weekday, value decile-band), how many DISTINCT values of "
+        "the sensitive attribute (event_type) appear — the "
+        "attribute-disclosure companion to q_kanonymity_audit, which "
+        "only counts users: a cell can be 100-anonymous yet leak "
+        "'everyone in it had an error' if l=1. Flags cells below l=3 "
+        "and the event-row share they carry, plus each class's worst "
+        "k so both audits read together. Same shape: one QI "
+        "partial-aggregated pass, then a handful-of-rows histogram."
+    ),
+    tags=("quality", "extension", "governance"),
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("wd"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_band"),
+    ).agg(
+        F.countDistinct("event_type").cast("long").alias("l"),
+        F.countDistinct("user_id").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).persist()
+    try:
+        total = cells.agg(F.sum("n_events")).collect()[0][0]
+        classed = cells.select(
+            F.when(F.col("l") >= 3, "3+").otherwise(F.col("l").cast("string")).alias(
+                "l_class"
+            ),
+            (F.col("l") < 3).alias("at_risk"),
+            "k",
+            "n_events",
+        )
+        return classed.groupBy("l_class", "at_risk").agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("k").cast("long").alias("min_k"),
+            stable_round(F.sum("n_events") * 1.0 / F.lit(total), 6).alias(
+                "event_share"
+            ),
+        )
+    finally:
+        cells.unpersist()
+
+
+@register(
+    "q_iv_wald_estimator",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS z,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN z THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN z THEN x ELSE 0 END) AS BIGINT) AS sx1,
+           CAST(sum(CASE WHEN z THEN 0 ELSE x END) AS BIGINT) AS sx0,
+           CAST(sum(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS sy1,
+           CAST(sum(CASE WHEN z THEN 0 ELSE y END) AS BIGINT) AS sy0,
+           CAST(sum(CASE WHEN z THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+           CAST(sum(CASE WHEN z THEN 0 ELSE x * x END) AS BIGINT) AS sxx0
+    FROM u
+)
+SELECT (n1 + n0) AS n_users,
+       (round(((sx1 * 1.0 / n1) - (sx0 * 1.0 / n0)) * 1000000.0) / 1000000.0)
+           AS first_stage_diff,
+       CASE WHEN (sxx1 * 1.0 / n1 - (sx1 * 1.0 / n1) * (sx1 * 1.0 / n1)) / n1
+                  + (sxx0 * 1.0 / n0 - (sx0 * 1.0 / n0) * (sx0 * 1.0 / n0)) / n0 > 0
+            THEN (round((((sx1 * 1.0 / n1) - (sx0 * 1.0 / n0))
+               / sqrt((sxx1 * 1.0 / n1 - (sx1 * 1.0 / n1) * (sx1 * 1.0 / n1)) / n1
+                      + (sxx0 * 1.0 / n0 - (sx0 * 1.0 / n0) * (sx0 * 1.0 / n0)) / n0))
+              * 1000000.0) / 1000000.0) END AS first_stage_z,
+       (round((((sy1 * 1.0 / n1) - (sy0 * 1.0 / n0)) / 100.0) * 1000000.0)
+        / 1000000.0) AS itt_diff,
+       CASE WHEN (sx1 * 1.0 / n1) - (sx0 * 1.0 / n0) <> 0
+            THEN (round(((((sy1 * 1.0 / n1) - (sy0 * 1.0 / n0)) / 100.0)
+               / ((sx1 * 1.0 / n1) - (sx0 * 1.0 / n0))) * 1000000.0) / 1000000.0) END
+           AS wald_late
+FROM m
+""",
+    description=(
+        "Instrumental-variable (Wald) estimator: the deterministic "
+        "assignment hash is the instrument z, per-user clicks the "
+        "treatment x, purchase value the outcome y — LATE = "
+        "(E[y|z=1]-E[y|z=0]) / (E[x|z=1]-E[x|z=0]), the "
+        "encouragement-design member of the causal family (DiD needs "
+        "parallel trends, PSM/AIPW need no unobserved confounding; IV "
+        "trades those for an exclusion restriction). Reports the ITT "
+        "numerator, the first-stage strength as a Welch-style z "
+        "(|z| < ~3 means a weak instrument and an untrustworthy "
+        "ratio), and the LATE. One per-user pass + one 8-moment "
+        "global fold, all BIGINT until the final divisions."
+    ),
+    tags=("analytics", "extension", "stats", "causal"),
+)
+def q_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("z"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    z = F.col("z")
+    m = u.agg(
+        F.sum(F.when(z, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(z, 0).otherwise(1)).cast("long").alias("n0"),
+        F.sum(F.when(z, F.col("x")).otherwise(0)).cast("long").alias("sx1"),
+        F.sum(F.when(z, 0).otherwise(F.col("x"))).cast("long").alias("sx0"),
+        F.sum(F.when(z, F.col("y")).otherwise(0)).cast("long").alias("sy1"),
+        F.sum(F.when(z, 0).otherwise(F.col("y"))).cast("long").alias("sy0"),
+        F.sum(F.when(z, F.col("x") * F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxx1"),
+        F.sum(F.when(z, 0).otherwise(F.col("x") * F.col("x")))
+        .cast("long")
+        .alias("sxx0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    mx1, mx0 = F.col("sx1") * 1.0 / n1, F.col("sx0") * 1.0 / n0
+    my1, my0 = F.col("sy1") * 1.0 / n1, F.col("sy0") * 1.0 / n0
+    vx1 = F.col("sxx1") * 1.0 / n1 - mx1 * mx1
+    vx0 = F.col("sxx0") * 1.0 / n0 - mx0 * mx0
+    fs = mx1 - mx0
+    itt = (my1 - my0) / 100.0
+    return m.select(
+        (n1 + n0).alias("n_users"),
+        stable_round(fs, 6).alias("first_stage_diff"),
+        F.when(
+            vx1 / n1 + vx0 / n0 > 0,
+            stable_round(fs / F.sqrt(vx1 / n1 + vx0 / n0), 6),
+        ).alias("first_stage_z"),
+        stable_round(itt, 6).alias("itt_diff"),
+        F.when(fs != 0, stable_round(itt / fs, 6)).alias("wald_late"),
+    )
