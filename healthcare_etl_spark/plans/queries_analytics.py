@@ -5623,3 +5623,167 @@ SELECT date_format(day, 'yyyy-MM-dd') AS day, x AS revenue, l AS level,
 FROM hw WHERE idx >= 8
 """
     )
+
+
+@register(
+    "q_price_elasticity",
+    oracle="""
+WITH pts AS (
+    SELECT CAST(round(ln(l_extendedprice) * 1000000.0) AS BIGINT) AS x,
+           CAST(round(ln(l_quantity) * 1000000.0) AS BIGINT) AS y
+    FROM lineitem WHERE l_extendedprice > 0 AND l_quantity > 0
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM pts
+),
+fit AS (
+    SELECT n, sx, sy,
+           (round((CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * 1000000.0) / 1000000.0) AS slope,
+           (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)) AS numd,
+           (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS dend,
+           (CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS tssd
+    FROM m
+)
+SELECT n AS n_lines,
+       slope AS elasticity,
+       (round(((sy - slope * sx) / (n * 1000000.0)) * 1000000.0) / 1000000.0)
+           AS intercept_ln_qty,
+       (round(((numd * numd) / (dend * tssd)) * 1000000.0) / 1000000.0) AS r2
+FROM fit
+""",
+    description=(
+        "Price elasticity of demand: log-log OLS of quantity on price "
+        "over lineitems (elasticity = d ln(qty) / d ln(price)) with "
+        "the fit's r^2 — the canonical retail-economics regression, "
+        "and the log-transformed member of the OLS family "
+        "(q_grouped_ols / q_regression_diagnostics fit raw scales). "
+        "Determinism contract for the float logs: each per-row ln is "
+        "quantized to a 1e-6-unit BIGINT at the scan, so every moment "
+        "(including the cross products, folded as DECIMAL(38)/"
+        "HUGEINT — BIGINT would overflow at ~1e19 with 1e13-unit "
+        "sums) is EXACT integer arithmetic; floats reappear only in "
+        "the final three divisions, and the intercept reuses the "
+        "already-rounded slope so both engines compose identically. "
+        "One scan, one 6-moment partial-aggregated fold."
+    ),
+    tags=("analytics", "extension", "stats", "tpch"),
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    pts = li.select(
+        F.round(F.log("l_extendedprice") * 1000000.0).cast("long").alias("x"),
+        F.round(F.log("l_quantity") * 1000000.0).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    n = F.col("n")
+    nd = n.cast(dec)
+    numd = (nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)).cast(
+        "double"
+    )
+    dend = (nd * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)).cast(
+        "double"
+    )
+    tssd = (nd * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)).cast(
+        "double"
+    )
+    slope = stable_round(numd / dend, 6)
+    return m.select(
+        n.alias("n_lines"),
+        slope.alias("elasticity"),
+        stable_round(
+            (F.col("sy") - slope * F.col("sx")) / (n * 1000000.0), 6
+        ).alias("intercept_ln_qty"),
+        stable_round((numd * numd) / (dend * tssd), 6).alias("r2"),
+    )
+
+
+@register(
+    "q_pruning_stats",
+    oracle="""
+WITH files AS (
+    SELECT event_id // 4096 AS file_id,
+           min(ts) AS mn, max(ts) AS mx,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+),
+pred AS (
+    SELECT TIMESTAMP '2024-01-08 00:00:00' AS lo,
+           TIMESTAMP '2024-01-15 00:00:00' AS hi
+),
+j AS (
+    SELECT f.file_id, f.n_rows,
+           (f.mx < p.lo OR f.mn >= p.hi) AS prunable,
+           CAST(epoch_us(f.mx) - epoch_us(f.mn) AS BIGINT) AS span_us
+    FROM files f CROSS JOIN pred p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT) AS n_prunable,
+       (round((sum(CASE WHEN prunable THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000.0) / 1000000.0) AS prune_ratio,
+       CAST(sum(CASE WHEN prunable THEN 0 ELSE n_rows END) AS BIGINT)
+           AS rows_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       (round((avg(span_us) / 86400000000.0) * 1000000.0) / 1000000.0)
+           AS avg_file_span_days
+FROM j
+""",
+    description=(
+        "Data-skipping audit: model 4096-row event_id ranges as files, "
+        "compute each file's ts min/max 'zone map', and measure how "
+        "many a one-week time predicate could prune and how many rows "
+        "the survivors force the scan to read — the layout-"
+        "introspection companion to q_zorder_key (which proposes a "
+        "better clustering key) and q_compaction_plan (which fixes "
+        "file sizes): THIS query quantifies why the current "
+        "insertion-ordered layout scans everything (wide per-file ts "
+        "spans = useless zone maps) before you pay for a rewrite. "
+        "One grouped min/max pass; everything downstream is "
+        "file-count-sized."
+    ),
+    tags=("analytics", "extension", "quality", "storage"),
+)
+def q_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(F.expr("event_id div 4096").alias("file_id")).agg(
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    j = files.select(
+        "n_rows",
+        ((F.col("mx") < lo) | (F.col("mn") >= hi)).alias("prunable"),
+        (F.unix_micros("mx") - F.unix_micros("mn")).cast("long").alias("span_us"),
+    )
+    pr = F.sum(F.when(F.col("prunable"), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        pr.cast("long").alias("n_prunable"),
+        stable_round(pr * 1.0 / F.count(F.lit(1)), 6).alias("prune_ratio"),
+        F.sum(F.when(F.col("prunable"), 0).otherwise(F.col("n_rows")))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        stable_round(F.avg("span_us") / 86400000000.0, 6).alias(
+            "avg_file_span_days"
+        ),
+    )
