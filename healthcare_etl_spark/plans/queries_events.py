@@ -1488,3 +1488,229 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day
+    FROM events
+),
+fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+classed AS (
+    SELECT u.day,
+           CASE WHEN u.day = f.first_day THEN 'new'
+                WHEN y.user_id IS NOT NULL THEN 'retained'
+                ELSE 'resurrected' END AS kind
+    FROM ud u
+    JOIN fs f ON f.user_id = u.user_id
+    LEFT JOIN ud y ON y.user_id = u.user_id
+                  AND y.day = u.day - INTERVAL '1 day'
+),
+churn AS (
+    SELECT y.day + INTERVAL '1 day' AS day, CAST(count(*) AS BIGINT) AS n_churned
+    FROM ud y
+    LEFT JOIN ud t ON t.user_id = y.user_id
+                  AND t.day = y.day + INTERVAL '1 day'
+    WHERE t.user_id IS NULL
+      AND y.day < (SELECT max(day) FROM ud)
+    GROUP BY 1
+),
+agg AS (
+    SELECT day,
+           CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resurrected,
+           CAST(count(*) AS BIGINT) AS dau
+    FROM classed GROUP BY day
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       a.dau, a.n_new, a.n_retained, a.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned,
+       (a.n_new + a.n_resurrected - coalesce(c.n_churned, 0)) AS net_growth
+FROM agg a LEFT JOIN churn c ON c.day = a.day
+ORDER BY a.day
+""",
+    description=(
+        "Daily growth accounting (the a16z/Social-Capital MAU "
+        "accounting identity at day grain): every active user-day is "
+        "exactly one of new / retained (active yesterday) / "
+        "resurrected (seen before, not yesterday), churn(d) = users "
+        "active on d-1 and silent on d, and DAU(d) - DAU(d-1) == "
+        "new + resurrected - churned by construction — the "
+        "decomposition that tells you WHY the active count moved, "
+        "which the plain q_weekly_churn rate cannot. One distinct "
+        "user-day grid, a first-seen aggregate, and two self-joins "
+        "on (user, adjacent-day) — all equi-joins on the grid keys; "
+        "exact integer counts only."
+    ),
+    tags=("events", "extension", "analytics"),
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct().persist()
+    try:
+        fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+        y = ud.select(
+            F.col("user_id").alias("u_y"), F.col("day").alias("day_y")
+        )
+        classed = (
+            ud.join(fs, "user_id")
+            .join(
+                y,
+                (F.col("user_id") == F.col("u_y"))
+                & (F.col("day_y") == F.col("day") - F.expr("INTERVAL 1 DAY")),
+                "left",
+            )
+            .select(
+                "day",
+                F.when(F.col("day") == F.col("first_day"), "new")
+                .when(F.col("u_y").isNotNull(), "retained")
+                .otherwise("resurrected")
+                .alias("kind"),
+            )
+        )
+        max_day = ud.agg(F.max("day")).collect()[0][0]
+        t = ud.select(
+            F.col("user_id").alias("u_t"), F.col("day").alias("day_t")
+        )
+        churn = (
+            ud.filter(F.col("day") < F.lit(max_day))
+            .join(
+                t,
+                (F.col("user_id") == F.col("u_t"))
+                & (F.col("day_t") == F.col("day") + F.expr("INTERVAL 1 DAY")),
+                "left",
+            )
+            .filter(F.col("u_t").isNull())
+            .select((F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+        )
+        agg = classed.groupBy("day").agg(
+            F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.count(F.lit(1)).cast("long").alias("dau"),
+        )
+        out = agg.join(churn, "day", "left").select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+            (
+                F.col("n_new")
+                + F.col("n_resurrected")
+                - F.coalesce("n_churned", F.lit(0))
+            ).cast("long").alias("net_growth"),
+        )
+        return out.orderBy("day")
+    finally:
+        ud.unpersist()
+
+
+@register(
+    "q_dau_wau_mau",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day
+    FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN ud u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL '7 days'
+    GROUP BY d.day
+),
+mau AS (
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+    FROM days d JOIN ud u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL '28 days'
+    GROUP BY d.day
+),
+dau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, w.wau, m.mau,
+       (round((dau.dau * 1.0 / w.wau) * 1000000.0) / 1000000.0) AS dau_wau,
+       (round((dau.dau * 1.0 / m.mau) * 1000000.0) / 1000000.0) AS stickiness
+FROM days d
+JOIN dau ON dau.day = d.day
+JOIN wau w ON w.day = d.day
+JOIN mau m ON m.day = d.day
+ORDER BY d.day
+""",
+    description=(
+        "DAU/WAU/MAU engagement ratios per day (28-day MAU): "
+        "stickiness DAU/MAU is the classic 'how many of the monthly "
+        "users show up on a given day' metric, the level-based "
+        "companion to q_growth_accounting's flow decomposition. "
+        "Rolling DISTINCT cannot ride an ordinary window frame "
+        "(distinct-over-range is not an associative fold), so the "
+        "exact form is the bounded fan-out equi-ish join: each "
+        "user-day row joins to at most 7 (WAU) / 28 (MAU) anchor "
+        "days — a fixed small blowup of the user-day grid, "
+        "shuffle-partitioned by day, NOT a window over users. At "
+        "100x the documented cheaper path is the mergeable HLL "
+        "rollup (q_hll_rollup) when +-1% suffices; this query is the "
+        "exact reference."
+    ),
+    tags=("events", "extension", "analytics"),
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct().persist()
+    try:
+        days = ud.select("day").distinct()
+        dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+        def rolling(n: int, out: str):
+            u = ud.select(
+                F.col("user_id").alias("u"), F.col("day").alias("uday")
+            )
+            return (
+                days.join(
+                    u,
+                    (F.col("uday") <= F.col("day"))
+                    & (F.col("uday") > F.col("day") - F.expr(f"INTERVAL {n} DAYS")),
+                )
+                .groupBy("day")
+                .agg(F.countDistinct("u").cast("long").alias(out))
+            )
+
+        wau = rolling(7, "wau")
+        mau = rolling(28, "mau")
+        return (
+            days.join(dau, "day")
+            .join(wau, "day")
+            .join(mau, "day")
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "dau",
+                "wau",
+                "mau",
+                stable_round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("dau_wau"),
+                stable_round(F.col("dau") * 1.0 / F.col("mau"), 6).alias(
+                    "stickiness"
+                ),
+            )
+            .orderBy("day")
+        )
+    finally:
+        ud.unpersist()
