@@ -5787,3 +5787,182 @@ def q_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_file_span_days"
         ),
     )
+
+
+@register(
+    "q_lorenz_curve",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS v
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT v, CAST(row_number() OVER (ORDER BY v, user_id) AS BIGINT) AS rk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM u
+),
+tiled AS (
+    SELECT v,
+           CASE WHEN rk <= (n % 10) * ((n // 10) + 1)
+                THEN CAST((rk - 1) // ((n // 10) + 1) AS BIGINT) + 1
+                ELSE (n % 10) + CAST((rk - 1 - (n % 10) * ((n // 10) + 1))
+                                     // greatest(n // 10, 1) AS BIGINT) + 1
+           END AS decile
+    FROM ranked
+),
+agg AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(v) AS BIGINT) AS cents
+    FROM tiled GROUP BY decile
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM agg)
+SELECT a.decile, a.n_users,
+       (round((a.cents * 1.0 / tot.t) * 1000000.0) / 1000000.0) AS revenue_share,
+       (round((sum(a.cents) OVER (ORDER BY a.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / tot.t)
+              * 1000000.0) / 1000000.0) AS lorenz_cum_share
+FROM agg a CROSS JOIN tot
+ORDER BY a.decile
+""",
+    description=(
+        "Lorenz curve of per-user purchase revenue: users ranked "
+        "ascending by spend, split into ANSI-ntile deciles, each "
+        "decile's revenue share and the cumulative (Lorenz) share — "
+        "the curve whose area deficit q_gini_concentration summarizes "
+        "to one number; this query keeps the shape ('the bottom 50% "
+        "of users hold 4% of revenue') that the scalar hides. The "
+        "global rank is a two-phase bucketed carry (bucketed_rank "
+        "over 4096-cent value buckets, ntile derived arithmetically "
+        "via ntile_from_rank — no partitionless window anywhere); "
+        "integer cents fold exactly and the only keyless window left "
+        "is the 10-row decile prefix."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v")
+    )
+    ranked = bucketed_rank(
+        u,
+        buckets=[F.expr("v div 4096")],
+        order_by=[F.asc("v"), F.asc("user_id")],
+        out_col="rk",
+    )
+    n_total = u.count()
+    tiled = ranked.select(
+        "v",
+        ntile_from_rank(F.col("rk"), F.lit(n_total), 10).alias("decile"),
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("cents").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            stable_round(F.col("cents") * 1.0 / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+            stable_round(F.sum("cents").over(w) * 1.0 / F.col("t"), 6).alias(
+                "lorenz_cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_quantile_treatment_effect",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS in_a,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS v
+    FROM events GROUP BY user_id
+),
+qa AS (
+    SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+    FROM u WHERE in_a
+),
+qb AS (
+    SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+    FROM u WHERE NOT in_a
+)
+SELECT CAST((i + 1) * 10 AS BIGINT) AS pct,
+       (qa.qs[i + 1] / 100.0) AS q_a,
+       (qb.qs[i + 1] / 100.0) AS q_b,
+       ((qa.qs[i + 1] - qb.qs[i + 1]) / 100.0) AS qte
+FROM qa CROSS JOIN qb CROSS JOIN range(9) t(i)
+ORDER BY pct
+""",
+    description=(
+        "Quantile treatment effects: per-arm discrete deciles "
+        "(percentile_disc — an actual observed value, bit-exact "
+        "cross-engine with no rounding bridge) of per-user purchase "
+        "value and their A-B gaps — the distributional readout the "
+        "mean-based q_ab_test_ztest cannot give: a treatment that "
+        "lifts the p90 while flattening the median shows a near-zero "
+        "average effect but a very nonuniform QTE profile. Exact "
+        "per-group percentiles sort within arm (two groups); the "
+        "sketch path at 100x is approx_percentile per arm. Integer "
+        "cents in, dollars out; the 9-row decile frame is metadata."
+    ),
+    tags=("analytics", "extension", "stats", "causal"),
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("in_a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    pcts = [i / 10.0 for i in range(1, 10)]
+
+    def deciles(cond, out):
+        return u.filter(cond).agg(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)"
+                    )
+                    for p in pcts
+                ]
+            ).alias(out)
+        )
+
+    qa = deciles(F.col("in_a"), "qsa")
+    qb = deciles(~F.col("in_a"), "qsb")
+    j = qa.crossJoin(F.broadcast(qb)).select(
+        F.posexplode(F.arrays_zip("qsa", "qsb")).alias("i", "z")
+    )
+    return j.select(
+        ((F.col("i") + 1) * 10).cast("long").alias("pct"),
+        (F.col("z.qsa") / 100.0).alias("q_a"),
+        (F.col("z.qsb") / 100.0).alias("q_b"),
+        ((F.col("z.qsa") - F.col("z.qsb")) / 100.0).alias("qte"),
+    ).orderBy("pct")
