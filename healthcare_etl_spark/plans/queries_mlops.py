@@ -6755,3 +6755,283 @@ def q_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(itt, 6).alias("itt_diff"),
         F.when(fs != 0, stable_round(itt / fs, 6)).alias("wald_late"),
     )
+
+
+@register(
+    "q_kfold_cv_ridge",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('cv-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 5) AS fold,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+    FROM events GROUP BY user_id
+),
+fm AS (
+    SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM u GROUP BY fold
+),
+tm AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+           CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+           CAST(sum(sxx) AS BIGINT) AS sxx
+    FROM fm
+),
+fit AS (
+    SELECT f.fold, (t.n - f.n) AS n_train, f.n AS n_test,
+           (round((((t.sxy - f.sxy) - (t.sx - f.sx) * 1.0 * (t.sy - f.sy) / (t.n - f.n))
+                   / (((t.sxx - f.sxx) - (t.sx - f.sx) * 1.0 * (t.sx - f.sx) / (t.n - f.n))
+                      + 1.0)) * 1000000.0) / 1000000.0) AS b
+    FROM fm f CROSS JOIN tm t
+),
+ab AS (
+    SELECT f.fold, f.n_train, f.n_test, f.b,
+           (round((((t.sy - fm.sy) * 1.0 / (t.n - fm.n))
+                   - f.b * ((t.sx - fm.sx) * 1.0 / (t.n - fm.n))) * 1000000.0)
+            / 1000000.0) AS a
+    FROM fit f
+    JOIN fm ON fm.fold = f.fold
+    CROSS JOIN tm t
+),
+scored AS (
+    SELECT u.fold,
+           CAST(round((u.y - ab.a - ab.b * u.x) * (u.y - ab.a - ab.b * u.x)
+                      * 0.000001) AS BIGINT) AS se_q
+    FROM u JOIN ab ON ab.fold = u.fold
+)
+SELECT ab.fold, ab.n_train, ab.n_test, ab.b AS slope_cents_per_click,
+       (round(sqrt(sum(s.se_q) * 1000000.0 / ab.n_test) / 100.0 * 1000000.0)
+        / 1000000.0) AS rmse_dollars
+FROM scored s JOIN ab ON ab.fold = s.fold
+GROUP BY ab.fold, ab.n_train, ab.n_test, ab.b
+ORDER BY ab.fold
+""",
+    description=(
+        "5-fold cross-validated ridge regression (y = per-user "
+        "purchase cents ~ clicks, lambda=1) with deterministic hash "
+        "folds: the methodology op every in-repo model (ridge, "
+        "logistic, Poisson) implicitly needs — held-out error, not "
+        "training fit. The key scale trick: train moments for each "
+        "fold are LEAVE-ONE-FOLD-OUT DIFFERENCES of one global moment "
+        "pass (total - fold, exact BIGINT), so 5 folds cost ONE scan "
+        "plus a 5-row cross join, not 5 training passes; per-row "
+        "squared errors fold as 1e-6-quantized BIGINTs against the "
+        "6dp-rounded (a, b). Reports per-fold slope and held-out "
+        "RMSE in dollars."
+    ),
+    tags=("analytics", "extension", "ml", "evaluation"),
+)
+def q_kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cv-v1:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    u = ev.groupBy("user_id").agg(
+        F.first(fold).alias("fold"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    ).persist()
+    try:
+        fm = u.groupBy("fold").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        tm = fm.agg(
+            F.sum("n").cast("long").alias("tn"),
+            F.sum("sx").cast("long").alias("tsx"),
+            F.sum("sy").cast("long").alias("tsy"),
+            F.sum("sxy").cast("long").alias("tsxy"),
+            F.sum("sxx").cast("long").alias("tsxx"),
+        )
+        j = fm.crossJoin(F.broadcast(tm))
+        nt = F.col("tn") - F.col("n")
+        cx = (F.col("tsx") - F.col("sx")) * 1.0 / nt
+        cy = (F.col("tsy") - F.col("sy")) * 1.0 / nt
+        sxy_c = (F.col("tsxy") - F.col("sxy")) - (F.col("tsx") - F.col("sx")) * 1.0 * (
+            F.col("tsy") - F.col("sy")
+        ) / nt
+        sxx_c = (F.col("tsxx") - F.col("sxx")) - (F.col("tsx") - F.col("sx")) * 1.0 * (
+            F.col("tsx") - F.col("sx")
+        ) / nt
+        b = stable_round(sxy_c / (sxx_c + 1.0), 6)
+        ab = j.select(
+            "fold",
+            nt.alias("n_train"),
+            F.col("n").alias("n_test"),
+            b.alias("b"),
+            stable_round(cy - b * cx, 6).alias("a"),
+        )
+        scored = u.join(F.broadcast(ab), "fold").select(
+            "fold",
+            "n_train",
+            "n_test",
+            "b",
+            F.round(
+                (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+                * (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+                * 0.000001
+            )
+            .cast("long")
+            .alias("se_q"),
+        )
+        return (
+            scored.groupBy("fold", "n_train", "n_test", "b")
+            .agg(
+                stable_round(
+                    F.sqrt(F.sum("se_q") * 1000000.0 / F.col("n_test")) / 100.0, 6
+                ).alias("rmse_dollars")
+            )
+            .select(
+                "fold",
+                "n_train",
+                "n_test",
+                F.col("b").alias("slope_cents_per_click"),
+                "rmse_dollars",
+            )
+            .orderBy("fold")
+        )
+    finally:
+        u.unpersist()
+
+
+@register(
+    "q_qini_curve",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS treated,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS score,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS conv
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT treated, conv,
+           CAST(row_number() OVER (ORDER BY score DESC, user_id) AS BIGINT) AS rk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM u
+),
+tiled AS (
+    SELECT treated, conv,
+           CASE WHEN rk <= (n % 10) * ((n // 10) + 1)
+                THEN CAST((rk - 1) // ((n // 10) + 1) AS BIGINT) + 1
+                ELSE (n % 10) + CAST((rk - 1 - (n % 10) * ((n // 10) + 1))
+                                     // greatest(n // 10, 1) AS BIGINT) + 1
+           END AS decile
+    FROM ranked
+),
+agg AS (
+    SELECT decile,
+           CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN treated THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+           CAST(sum(CASE WHEN treated THEN 0 ELSE conv END) AS BIGINT) AS conv_c
+    FROM tiled GROUP BY decile
+),
+cum AS (
+    SELECT decile, n_t, n_c, conv_t, conv_c,
+           CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+           CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+           CAST(sum(conv_t) OVER w AS BIGINT) AS cct,
+           CAST(sum(conv_c) OVER w AS BIGINT) AS ccc
+    FROM agg
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n_t, n_c, conv_t, conv_c,
+       CASE WHEN cnc > 0
+            THEN (round((cct - ccc * 1.0 * cnt / cnc) * 1000000.0) / 1000000.0)
+       END AS qini
+FROM cum ORDER BY decile
+""",
+    description=(
+        "Qini curve for uplift evaluation: users ranked by a targeting "
+        "score (clicks, the standing proxy model) into ANSI-ntile "
+        "deciles, cumulative incremental conversions qini(k) = "
+        "cum_treated_conv - cum_control_conv * cum_n_t/cum_n_c — the "
+        "standard 'did targeting the top deciles actually CAUSE more "
+        "conversions' readout, which neither the classifier evals "
+        "(gains chart ranks raw outcomes) nor the ATE queries "
+        "(one global number) provide. Rank is the two-phase "
+        "bucketed carry (score buckets descending), deciles are "
+        "arithmetic ntile_from_rank; the only keyless window is the "
+        "10-row cumulative."
+    ),
+    tags=("analytics", "extension", "ml", "evaluation", "causal"),
+)
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("treated"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    ranked = bucketed_rank(
+        u,
+        buckets=[F.expr("(-score) div 64")],
+        order_by=[F.desc("score"), F.asc("user_id")],
+        out_col="rk",
+    )
+    n_total = u.count()
+    tiled = ranked.select(
+        "treated",
+        "conv",
+        ntile_from_rank(F.col("rk"), F.lit(n_total), 10).alias("decile"),
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(F.col("conv")))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.when(
+            F.sum("n_c").over(w) > 0,
+            stable_round(
+                F.sum("conv_t").over(w)
+                - F.sum("conv_c").over(w) * 1.0 * F.sum("n_t").over(w)
+                / F.sum("n_c").over(w),
+                6,
+            ),
+        ).alias("qini"),
+    ).orderBy("decile")
