@@ -1894,3 +1894,130 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.select(
         F.col("pos").cast("long").alias("pos"), F.col("m").alias("coord")
     ).orderBy("pos")
+
+
+@register(
+    "q_cluster_agreement",
+    oracle=f"""
+WITH {_KMEANS_CTES},
+ct AS (
+    SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+    FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
+    GROUP BY 1, 2
+),
+tots AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nn FROM ct
+),
+rowm AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS a FROM ct GROUP BY cluster),
+colm AS (SELECT label, CAST(sum(n) AS BIGINT) AS b FROM ct GROUP BY label),
+purity AS (
+    SELECT CAST(sum(mx) AS BIGINT) AS hit FROM (
+        SELECT cluster, max(n) AS mx FROM ct GROUP BY cluster
+    )
+),
+mi AS (
+    SELECT CAST(sum(CAST(round((c.n * 1.0 / t.nn)
+                   * ln((c.n * 1.0 * t.nn) / (r.a * 1.0 * m.b))
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_q
+    FROM ct c
+    JOIN rowm r ON r.cluster = c.cluster
+    JOIN colm m ON m.label = c.label
+    CROSS JOIN tots t
+),
+hs AS (
+    SELECT
+        (SELECT CAST(sum(CAST(round(-(a * 1.0 / t.nn) * ln(a * 1.0 / t.nn)
+                    * 1000000000.0) AS BIGINT)) AS BIGINT)
+         FROM rowm CROSS JOIN tots t) AS hc_q,
+        (SELECT CAST(sum(CAST(round(-(b * 1.0 / t.nn) * ln(b * 1.0 / t.nn)
+                    * 1000000000.0) AS BIGINT)) AS BIGINT)
+         FROM colm CROSS JOIN tots t) AS hl_q
+),
+pairs AS (
+    SELECT
+        (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM ct) AS s_ij,
+        (SELECT CAST(sum(a * (a - 1) / 2) AS BIGINT) FROM rowm) AS s_a,
+        (SELECT CAST(sum(b * (b - 1) / 2) AS BIGINT) FROM colm) AS s_b,
+        (SELECT nn * (nn - 1) / 2 FROM tots) AS s_n
+)
+SELECT t.nn AS n_vectors,
+       (round((p.hit * 1.0 / t.nn) * 1000000.0) / 1000000.0) AS purity,
+       (round((mi.mi_q / sqrt(hs.hc_q * 1.0 * hs.hl_q)) * 1000000.0)
+        / 1000000.0) AS nmi,
+       (round(((pr.s_ij - pr.s_a * 1.0 * pr.s_b / pr.s_n)
+               / ((pr.s_a + pr.s_b) / 2.0 - pr.s_a * 1.0 * pr.s_b / pr.s_n))
+              * 1000000.0) / 1000000.0) AS adjusted_rand
+FROM tots t CROSS JOIN purity p CROSS JOIN mi CROSS JOIN hs CROSS JOIN pairs pr
+""",
+    description=(
+        "External clustering evaluation: the 2-round k-means "
+        "assignment (same unrolled chain as q_kmeans_clusters) scored "
+        "against the embeddings fixture's ground-truth label column "
+        "with purity, NMI (sqrt normalization) and the adjusted Rand "
+        "index — the 'did the clusters find the real classes' triple "
+        "that the INTERNAL q_kmeans_silhouette cannot answer (a "
+        "perfectly tight clustering of the wrong thing scores high "
+        "silhouette, zero ARI). Everything folds from the k x |labels| "
+        "contingency table: pair counts are exact BIGINT binomials, "
+        "MI/entropy terms are 1e-9-quantized BIGINTs before summing "
+        "(no float-order leakage), one division each at the end."
+    ),
+    tags=("similarity", "extension", "ml", "evaluation"),
+)
+def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, k=4, n_iter=2).select("vec_id", "cluster")
+    ct = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    try:
+        rows = ct.collect()  # k x |labels| contingency: metadata-scale
+    finally:
+        ct.unpersist()
+    nn = sum(r["n"] for r in rows)
+    row_m: dict[int, int] = {}
+    col_m: dict[int, int] = {}
+    for r in rows:
+        row_m[r["cluster"]] = row_m.get(r["cluster"], 0) + r["n"]
+        col_m[r["label"]] = col_m.get(r["label"], 0) + r["n"]
+    hit = sum(
+        max(r["n"] for r in rows if r["cluster"] == c) for c in row_m
+    )
+
+    def q9(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) * 1e9 + 0.5), x))
+
+    mi_q = sum(
+        q9((r["n"] / nn) * math.log(r["n"] * nn / (row_m[r["cluster"]] * col_m[r["label"]])))
+        for r in sorted(rows, key=lambda r: (r["cluster"], r["label"]))
+    )
+    hc_q = sum(q9(-(a / nn) * math.log(a / nn)) for a in row_m.values())
+    hl_q = sum(q9(-(b / nn) * math.log(b / nn)) for b in col_m.values())
+    s_ij = sum(r["n"] * (r["n"] - 1) // 2 for r in rows)
+    s_a = sum(a * (a - 1) // 2 for a in row_m.values())
+    s_b = sum(b * (b - 1) // 2 for b in col_m.values())
+    s_n = nn * (nn - 1) // 2
+
+    def r6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    exp = s_a * 1.0 * s_b / s_n
+    ari = r6((s_ij - exp) / ((s_a + s_b) / 2.0 - exp))
+    return spark.createDataFrame(
+        [
+            (
+                nn,
+                r6(hit * 1.0 / nn),
+                r6(mi_q / math.sqrt(hc_q * 1.0 * hl_q)),
+                ari,
+            )
+        ],
+        "n_vectors long, purity double, nmi double, adjusted_rand double",
+    )
