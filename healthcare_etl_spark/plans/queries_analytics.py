@@ -5966,3 +5966,170 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("z.qsb") / 100.0).alias("q_b"),
         ((F.col("z.qsa") - F.col("z.qsb")) / 100.0).alias("qte"),
     ).orderBy("pct")
+
+
+@register(
+    "q_abc_analysis",
+    oracle="""
+WITH pr AS (
+    SELECT l_partkey AS pk,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT pk, cents,
+           CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+           CAST(sum(cents) OVER () AS BIGINT) AS tot
+    FROM pr
+),
+classed AS (
+    SELECT pk, cents,
+           CASE WHEN cum_cents * 1.0 / tot <= 0.8 THEN 'A'
+                WHEN cum_cents * 1.0 / tot <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       (round((count(*) * 1.0 / (SELECT count(*) FROM pr)) * 1000000.0)
+        / 1000000.0) AS part_share,
+       (round((sum(cents) * 1.0 / (SELECT sum(cents) FROM pr)) * 1000000.0)
+        / 1000000.0) AS revenue_share
+FROM classed GROUP BY abc_class ORDER BY abc_class
+""",
+    description=(
+        "ABC (Pareto) inventory classification: parts ranked by "
+        "revenue, class A = the head covering 80% of cumulative "
+        "revenue, B to 95%, C the tail — the operations-standard "
+        "segmentation ('2% of SKUs carry 80% of revenue, manage them "
+        "differently'), the item-side counterpart to the user-side "
+        "q_lorenz_curve. Revenue folds as exact integer cents; the "
+        "cumulative rides the part-grain table (at 100x parts the "
+        "same two-phase bucketed carry as q_lorenz_curve applies — "
+        "the fixture's 200-2k parts make the single window frame "
+        "metadata-scale here, and the oracle pins identical "
+        "semantics). Output is the 3-row class summary."
+    ),
+    tags=("analytics", "extension", "tpch"),
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    carried = bucketed_prefix(
+        pr,
+        buckets=[F.expr("(-cents) div 1048576")],
+        order_by=[F.desc("cents"), F.asc("pk")],
+        value=F.col("cents"),
+        agg="sum",
+        exclusive=False,
+        out_col="cum_cents",
+    )
+    tot_df = pr.agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n_tot")
+    )
+    share = F.col("cum_cents") * 1.0 / F.col("tot")
+    classed = carried.crossJoin(F.broadcast(tot_df)).select(
+        "cents",
+        "n_tot",
+        "tot",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            stable_round(F.count(F.lit(1)) * 1.0 / F.max("n_tot"), 6).alias(
+                "part_share"
+            ),
+            stable_round(F.sum("cents") * 1.0 / F.max("tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "q_peak_detection",
+    oracle="""
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(round(sum(value) * 100.0) AS BIGINT) AS xc
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+nb AS (
+    SELECT day, xc,
+           lag(xc) OVER w AS prv,
+           lead(xc) OVER w AS nxt,
+           CAST(min(xc) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS BIGINT) AS local_min
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       (xc / 100.0) AS revenue,
+       ((xc - local_min) / 100.0) AS prominence
+FROM nb
+WHERE prv IS NOT NULL AND nxt IS NOT NULL
+  AND xc > prv AND xc >= nxt
+  AND (xc - local_min) * 10 >= xc
+ORDER BY day
+""",
+    description=(
+        "Peak detection on daily revenue: strict local maxima "
+        "(greater than yesterday, at least tomorrow — the asymmetric "
+        "tie rule makes plateau edges deterministic) with a "
+        "prominence filter (peak must rise >= 10% of its own height "
+        "above the +-3-day local minimum), returning each peak day "
+        "and its prominence — the event-marking companion to the "
+        "drift/changepoint family: CUSUM finds sustained level "
+        "shifts, THIS finds the one-day spikes (launch days, "
+        "incidents) that level-shift detectors deliberately ignore. "
+        "Integer-cent comparisons only — no floats until the output "
+        "divisions; windows ride the horizon-bounded day table."
+    ),
+    tags=("analytics", "extension", "timeseries"),
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100.0).cast("long").alias("xc"))
+    )
+    w = Window.orderBy("day")
+    nb = daily.select(
+        "day",
+        "xc",
+        F.lag("xc").over(w).alias("prv"),
+        F.lead("xc").over(w).alias("nxt"),
+        F.min("xc").over(w.rowsBetween(-3, 3)).cast("long").alias("local_min"),
+    )
+    return (
+        nb.filter(
+            F.col("prv").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("xc") > F.col("prv"))
+            & (F.col("xc") >= F.col("nxt"))
+            & ((F.col("xc") - F.col("local_min")) * 10 >= F.col("xc"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("xc") / 100.0).alias("revenue"),
+            ((F.col("xc") - F.col("local_min")) / 100.0).alias("prominence"),
+        )
+        .orderBy("day")
+    )
