@@ -1271,3 +1271,150 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(15)
     )
+
+
+@register(
+    "q_ppmi_word_vectors",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+cooc AS (
+    SELECT pair[1] AS w, pair[2] AS c, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pair
+        FROM tok
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(t)), i -> [t[i+1], t[i]])) AS pair
+        FROM tok
+    )
+    GROUP BY 1, 2
+),
+wm AS (SELECT w, CAST(sum(n) AS BIGINT) AS nw FROM cooc GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cooc),
+ppmi AS (
+    SELECT co.w, co.c,
+           (round(greatest(ln((co.n * 1.0 * t.nn) / (a.nw * 1.0 * b.nw)), 0.0)
+                  * 1000000.0) / 1000000.0) AS p
+    FROM cooc co
+    JOIN wm a ON a.w = co.w
+    JOIN wm b ON b.w = co.c
+    CROSS JOIN tot t
+),
+nz AS (SELECT * FROM ppmi WHERE p > 0),
+norms AS (
+    SELECT w, CAST(sum(CAST(round(p * p * 1000000000.0) AS BIGINT)) AS BIGINT) AS nq
+    FROM nz GROUP BY w
+),
+dots AS (
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(sum(CAST(round(a.p * b.p * 1000000000.0) AS BIGINT)) AS BIGINT) AS dq
+    FROM nz a JOIN nz b ON a.c = b.c AND a.w < b.w
+    GROUP BY 1, 2
+)
+SELECT d.w1, d.w2,
+       (round((d.dq / (sqrt(n1.nq * 1.0) * sqrt(n2.nq * 1.0))) * 1000000.0)
+        / 1000000.0) AS ppmi_cosine
+FROM dots d
+JOIN norms n1 ON n1.w = d.w1
+JOIN norms n2 ON n2.w = d.w2
+ORDER BY ppmi_cosine DESC, d.w1, d.w2
+LIMIT 20
+""",
+    description=(
+        "Distributional word vectors without training: each word's "
+        "vector is its PPMI row over adjacent-word contexts "
+        "(symmetric window 2), and the top-20 most-cosine-similar "
+        "word pairs fall out of one sparse self-join on the shared "
+        "context — count-based distributional semantics (Levy & "
+        "Goldberg showed skip-gram factorizes exactly this matrix), "
+        "the word-level complement to the document-level TF-IDF/"
+        "embedding machinery and the similarity upgrade of "
+        "q_pmi_collocations (which scores co-OCCURRENCE; this scores "
+        "substitutability — words that share neighbors). PPMI values "
+        "are 6dp-stable-rounded, dot/norm terms fold as "
+        "1e-9-quantized BIGINTs (no float-sum order), and the "
+        "context self-join is sparse (vocabulary-sized rows, never "
+        "the corpus)."
+    ),
+    tags=("text", "corpus", "extension"),
+)
+def q_ppmi_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    adj = toks.select("w", F.lead("w").over(wdoc).alias("w2")).filter(
+        F.col("w2").isNotNull()
+    )
+    cooc = (
+        adj.select(F.col("w"), F.col("w2").alias("c"))
+        .unionAll(adj.select(F.col("w2").alias("w"), F.col("w").alias("c")))
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wm = cooc.groupBy("w").agg(F.sum("n").cast("long").alias("nw"))
+    tot = cooc.agg(F.sum("n").cast("long").alias("nn"))
+    ppmi = (
+        cooc.join(F.broadcast(wm.select(F.col("w"), F.col("nw").alias("nwa"))), "w")
+        .join(
+            F.broadcast(
+                wm.select(F.col("w").alias("c"), F.col("nw").alias("nwb"))
+            ),
+            "c",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            stable_round(
+                F.greatest(
+                    F.log(
+                        (F.col("n") * 1.0 * F.col("nn"))
+                        / (F.col("nwa") * 1.0 * F.col("nwb"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("p"),
+        )
+        .filter(F.col("p") > 0)
+    )
+    norms = ppmi.groupBy("w").agg(
+        F.sum(F.round(F.col("p") * F.col("p") * 1000000000.0).cast("long"))
+        .cast("long")
+        .alias("nq")
+    )
+    a = ppmi.select(F.col("w").alias("w1"), "c", F.col("p").alias("pa"))
+    b = ppmi.select(F.col("w").alias("w2"), "c", F.col("p").alias("pb"))
+    dots = (
+        a.join(b, ["c"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.sum(F.round(F.col("pa") * F.col("pb") * 1000000000.0).cast("long"))
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    n1 = norms.select(F.col("w").alias("w1"), F.col("nq").alias("nq1"))
+    n2 = norms.select(F.col("w").alias("w2"), F.col("nq").alias("nq2"))
+    return (
+        dots.join(F.broadcast(n1), "w1")
+        .join(F.broadcast(n2), "w2")
+        .select(
+            "w1",
+            "w2",
+            stable_round(
+                F.col("dq")
+                / (F.sqrt(F.col("nq1") * 1.0) * F.sqrt(F.col("nq2") * 1.0)),
+                6,
+            ).alias("ppmi_cosine"),
+        )
+        .orderBy(F.desc("ppmi_cosine"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
