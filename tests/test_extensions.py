@@ -2331,3 +2331,146 @@ def test_hurst_exponent_plausible_range(spark, sf_smoke):
     assert row["n_sizes"] >= 1
     assert row["n_blocks"] >= 1
     assert -0.5 < row["hurst_h"] < 1.5
+
+
+def test_holt_winters_forecast_composition(spark, sf_smoke):
+    """forecast_next must equal level + trend + (the next weekday's
+    stored seasonal) — by construction of the emitted columns the
+    looser but engine-checkable property is finiteness and the
+    level tracking the revenue scale."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_holt_winters"].fn(spark, sf_smoke).toPandas()
+    assert len(pdf) >= 10
+    assert pdf[["level", "trend", "seasonal", "forecast_next"]].notna().all().all()
+    # level stays within an order of magnitude of observed revenue
+    assert (pdf["level"] > 0).all()
+    assert pdf["level"].max() < pdf["revenue"].max() * 10
+
+
+def test_growth_accounting_identity(spark, sf_smoke):
+    """DAU(d) - DAU(d-1) == new + resurrected - churned, the accounting
+    identity the decomposition exists to satisfy."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_growth_accounting"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    for i in range(1, len(pdf)):
+        delta = pdf.loc[i, "dau"] - pdf.loc[i - 1, "dau"]
+        assert delta == pdf.loc[i, "net_growth"] - (
+            0 if i > 0 else pdf.loc[i, "n_new"]
+        ) or delta == pdf.loc[i, "net_growth"]
+    assert (pdf["dau"] == pdf["n_new"] + pdf["n_retained"] + pdf["n_resurrected"]).all()
+
+
+def test_dau_wau_mau_ordering(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_dau_wau_mau"].fn(spark, sf_smoke).toPandas()
+    assert (pdf["dau"] <= pdf["wau"]).all()
+    assert (pdf["wau"] <= pdf["mau"]).all()
+    assert ((pdf["stickiness"] > 0) & (pdf["stickiness"] <= 1.0)).all()
+
+
+def test_lorenz_curve_convexity_and_bounds(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_lorenz_curve"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 10
+    assert abs(pdf["lorenz_cum_share"].iloc[-1] - 1.0) < 1e-6
+    # cumulative share nondecreasing and below the user-share diagonal
+    # (ascending sort; ntile deciles are unequal at small n, so the
+    # reference line is cumulative USERS, not decile/10)
+    assert (pdf["lorenz_cum_share"].diff().dropna() >= -1e-9).all()
+    cum_users = pdf["n_users"].cumsum() / pdf["n_users"].sum()
+    assert (pdf["lorenz_cum_share"] <= cum_users + 1e-6).all()
+
+
+def test_abc_analysis_partitions(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_abc_analysis"].fn(spark, sf_smoke).toPandas()
+    assert abs(pdf["part_share"].sum() - 1.0) < 1e-4
+    assert abs(pdf["revenue_share"].sum() - 1.0) < 1e-4
+    byc = pdf.set_index("abc_class")
+    if {"A", "C"} <= set(byc.index):
+        # A carries more revenue per part than C by construction
+        a_rpp = byc.loc["A", "revenue_share"] / byc.loc["A", "part_share"]
+        c_rpp = byc.loc["C", "revenue_share"] / byc.loc["C", "part_share"]
+        assert a_rpp > c_rpp
+
+
+def test_kfold_cv_ridge_folds_complete(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_kfold_cv_ridge"].fn(spark, sf_smoke).toPandas()
+    assert len(pdf) == 5
+    assert (pdf["rmse_dollars"] >= 0).all()
+    n_total = (pdf["n_test"]).sum()
+    assert (pdf["n_train"] + pdf["n_test"] == n_total).all()
+
+
+def test_qini_curve_monotone_denominators(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_qini_curve"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 10
+    assert (pdf["conv_t"] <= pdf["n_t"]).all()
+    assert (pdf["conv_c"] <= pdf["n_c"]).all()
+
+
+def test_cluster_agreement_bounds(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_cluster_agreement"].fn(spark, sf_smoke).collect()[0]
+    assert 0.0 < row["purity"] <= 1.0
+    assert 0.0 <= row["nmi"] <= 1.0 + 1e-9
+    assert -1.0 <= row["adjusted_rand"] <= 1.0 + 1e-9
+
+
+def test_ppmi_cosine_bounds(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_ppmi_word_vectors"].fn(spark, sf_smoke).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["ppmi_cosine"] > 0) & (pdf["ppmi_cosine"] <= 1.0 + 1e-6)).all()
+    assert (pdf["ppmi_cosine"].diff().dropna() <= 1e-12).all()
+
+
+def test_pareto_skyline_is_antichain(spark, sf_smoke):
+    """No returned point may dominate another returned point."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_pareto_skyline"].fn(spark, sf_smoke).toPandas()
+    pts = list(zip(pdf["p_retailprice"], pdf["p_size"]))
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i != j:
+                assert not (pb <= pa and sb >= sa and (pb < pa or sb > sa))
+
+
+def test_quantile_treatment_effect_monotone_quantiles(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_quantile_treatment_effect"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("pct")
+    )
+    assert len(pdf) == 9
+    assert (pdf["q_a"].diff().dropna() >= -1e-9).all()
+    assert (pdf["q_b"].diff().dropna() >= -1e-9).all()
