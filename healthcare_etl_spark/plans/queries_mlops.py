@@ -7035,3 +7035,94 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qini"),
     ).orderBy("decile")
+
+
+@register(
+    "q_ips_policy_eval",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS action_treat,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicks,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS reward
+    FROM events GROUP BY user_id
+),
+scored AS (
+    SELECT reward, action_treat,
+           (clicks >= 3) AS target_treat,
+           CASE WHEN (clicks >= 3) = action_treat THEN 2.0 ELSE 0.0 END AS w
+    FROM u
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(reward) AS BIGINT) AS r_log,
+           CAST(sum(CASE WHEN w > 0 THEN reward * 2 ELSE 0 END) AS BIGINT) AS r_ips2,
+           CAST(sum(CASE WHEN w > 0 THEN 2 ELSE 0 END) AS BIGINT) AS w_sum2
+    FROM scored
+)
+SELECT n AS n_users, n_matched,
+       (round((r_log * 1.0 / n) * 1000000.0) / 1000000.0) AS value_logging,
+       (round((r_ips2 * 1.0 / n) * 1000000.0) / 1000000.0) AS value_ips,
+       CASE WHEN w_sum2 > 0
+            THEN (round((r_ips2 * 1.0 / w_sum2) * 1000000.0) / 1000000.0)
+       END AS value_snips,
+       (round((n_matched * 1.0 / n) * 1000000.0) / 1000000.0) AS match_rate
+FROM m
+""",
+    description=(
+        "Offline (counterfactual) policy evaluation by inverse "
+        "propensity scoring: the logged 50/50 assignment is the "
+        "logging policy (known propensity 0.5, so matched actions "
+        "weight 2.0), the candidate policy 'treat users with >= 3 "
+        "clicks' is scored WITHOUT running it — V_IPS = mean of "
+        "matched rewards / propensity, plus the self-normalized SNIPS "
+        "variant that trades a little bias for much lower variance "
+        "(the standard fix when match rates are low) and the match "
+        "rate that tells you how much data actually spoke. The "
+        "bandit-flavored eval member of the causal family: ATE asks "
+        "'what did THE treatment do', this asks 'what would THAT "
+        "POLICY earn'. One per-user pass + one 5-moment fold, exact "
+        "integer sums (propensity 0.5 makes every IPS weight the "
+        "integer 2)."
+    ),
+    tags=("analytics", "extension", "ml", "evaluation", "causal"),
+)
+def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("action_treat"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("reward"),
+    )
+    matched = (F.col("clicks") >= 3) == F.col("action_treat")
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum("reward").cast("long").alias("r_log"),
+        F.sum(F.when(matched, F.col("reward") * 2).otherwise(0))
+        .cast("long")
+        .alias("r_ips2"),
+        F.sum(F.when(matched, 2).otherwise(0)).cast("long").alias("w_sum2"),
+    )
+    n = F.col("n")
+    return m.select(
+        n.alias("n_users"),
+        "n_matched",
+        stable_round(F.col("r_log") * 1.0 / n, 6).alias("value_logging"),
+        stable_round(F.col("r_ips2") * 1.0 / n, 6).alias("value_ips"),
+        F.when(
+            F.col("w_sum2") > 0,
+            stable_round(F.col("r_ips2") * 1.0 / F.col("w_sum2"), 6),
+        ).alias("value_snips"),
+        stable_round(F.col("n_matched") * 1.0 / n, 6).alias("match_rate"),
+    )
