@@ -1418,3 +1418,91 @@ def q_ppmi_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppmi_cosine"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+WITH d AS (
+    SELECT source, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+),
+g AS (
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+    FROM d GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g)
+SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+       (round((g.n_tokens * 1.0 / g.n_docs) * 1000000.0) / 1000000.0)
+           AS avg_tokens_per_doc,
+       (round((g.n_chars * 1.0 / g.n_tokens) * 1000000.0) / 1000000.0)
+           AS avg_chars_per_token,
+       (round((g.n_tokens * 1.0 / tot.t) * 1000000.0) / 1000000.0)
+           AS token_share,
+       (round(((g.n_docs - g.n_distinct) * 1.0 / g.n_docs) * 1000000.0)
+        / 1000000.0) AS exact_dup_rate
+FROM g CROSS JOIN tot
+ORDER BY g.source, g.lang
+""",
+    description=(
+        "Dataset card: the per-(source, lang) summary table a "
+        "training-data release ships — document and token counts, "
+        "mixture share of the token budget, average document length, "
+        "chars-per-token (the tokenizer-cost proxy), and the "
+        "exact-duplicate rate — one query that reads as the 'data "
+        "statement' for the corpus, stitching together what "
+        "q_mixture_balance (shares), q_dedup_exact (dups) and "
+        "q_text_stats (lengths) each report in isolation. One "
+        "grouped pass; the distinct-text count is the only "
+        "per-group distinct (hash-agg on (source, lang, text) — at "
+        "100x swap to an HLL or a pre-computed content-hash column, "
+        "both already in-repo)."
+    ),
+    tags=("corpus", "extension", "quality", "pipeline"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("nc"),
+        F.countDistinct("text").cast("long").alias("n_distinct"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            stable_round(F.col("n_tokens") * 1.0 / F.col("n_docs"), 6).alias(
+                "avg_tokens_per_doc"
+            ),
+            stable_round(F.col("nc") * 1.0 / F.col("n_tokens"), 6).alias(
+                "avg_chars_per_token"
+            ),
+            stable_round(F.col("n_tokens") * 1.0 / F.col("t"), 6).alias(
+                "token_share"
+            ),
+            stable_round(
+                (F.col("n_docs") - F.col("n_distinct")) * 1.0 / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source", "lang")
+    )
