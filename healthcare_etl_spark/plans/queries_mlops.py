@@ -7126,3 +7126,106 @@ def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_snips"),
         stable_round(F.col("n_matched") * 1.0 / n, 6).alias("match_rate"),
     )
+
+
+@register(
+    "q_fairness_audit",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0) AS grp_a,
+           (CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) >= 3)
+               AS pred,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS y
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT grp_a,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+           CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(y) AS BIGINT) AS n_pos
+    FROM u GROUP BY grp_a
+)
+SELECT CASE WHEN grp_a THEN 'A' ELSE 'B' END AS grp, n, n_sel,
+       (round((n_sel * 1.0 / n) * 1000000.0) / 1000000.0) AS selection_rate,
+       CASE WHEN n_pos > 0
+            THEN (round((tp * 1.0 / n_pos) * 1000000.0) / 1000000.0) END AS tpr,
+       CASE WHEN n - n_pos > 0
+            THEN (round((fp * 1.0 / (n - n_pos)) * 1000000.0) / 1000000.0) END AS fpr,
+       (round(((n_sel * 1.0 / n)
+               / ((SELECT max(CASE WHEN NOT grp_a THEN n_sel * 1.0 / n END) FROM g)))
+              * 1000000.0) / 1000000.0) AS disparate_impact_vs_b
+FROM g ORDER BY grp
+""",
+    description=(
+        "Fairness audit of a deployed decision rule (treat users with "
+        ">= 3 clicks) across the assignment groups: per-group "
+        "selection rate (demographic parity), TPR and FPR against the "
+        "purchase outcome (the two equalized-odds components), and "
+        "the disparate-impact ratio vs group B (the 80%-rule "
+        "quantity) — the governance op that belongs next to the "
+        "k-anonymity/l-diversity release audits but for the MODEL "
+        "side of the pipeline: a rule can be well-calibrated overall "
+        "(q_calibration_ece) and still select one group at twice the "
+        "rate. One per-user pass + a 2-group aggregate; exact integer "
+        "confusion counts, guarded divisions, one broadcastable "
+        "scalar for the ratio denominator."
+    ),
+    tags=("analytics", "extension", "ml", "governance", "evaluation"),
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(_arm_a()).alias("grp_a"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 3
+        ).alias("pred"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    g = u.groupBy("grp_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("pred"), 1).otherwise(0)).cast("long").alias("n_sel"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum("y").cast("long").alias("n_pos"),
+    ).persist()
+    try:
+        b_rate = (
+            g.filter(~F.col("grp_a"))
+            .select((F.col("n_sel") * 1.0 / F.col("n")).alias("r"))
+            .collect()[0]["r"]
+        )
+        n, n_pos = F.col("n"), F.col("n_pos")
+        return (
+            g.select(
+                F.when(F.col("grp_a"), "A").otherwise("B").alias("grp"),
+                n,
+                "n_sel",
+                stable_round(F.col("n_sel") * 1.0 / n, 6).alias("selection_rate"),
+                F.when(
+                    n_pos > 0, stable_round(F.col("tp") * 1.0 / n_pos, 6)
+                ).alias("tpr"),
+                F.when(
+                    n - n_pos > 0,
+                    stable_round(F.col("fp") * 1.0 / (n - n_pos), 6),
+                ).alias("fpr"),
+                stable_round(
+                    (F.col("n_sel") * 1.0 / n) / F.lit(b_rate), 6
+                ).alias("disparate_impact_vs_b"),
+            )
+            .orderBy("grp")
+        )
+    finally:
+        g.unpersist()
