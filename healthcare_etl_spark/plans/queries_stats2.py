@@ -2691,3 +2691,85 @@ SELECT dur AS hours, n_risk, d1 AS n_purchase, d2 AS n_error, c AS n_censored,
 FROM aj
 """
     )
+
+
+@register(
+    "q_hill_tail_index",
+    oracle="""
+WITH u AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY user_id
+),
+topk AS (
+    SELECT x, CAST(row_number() OVER (ORDER BY x DESC, user_id) AS BIGINT) AS rk
+    FROM u QUALIFY rk <= 101
+),
+thr AS (SELECT x AS xk FROM topk WHERE rk = 101),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CAST(round(ln(t.x * 1.0 / thr.xk) * 1000000000.0) AS BIGINT))
+                AS BIGINT) AS s_q
+    FROM topk t CROSS JOIN thr
+    WHERE t.rk <= 100
+)
+SELECT m.k AS k_order_stats,
+       (SELECT xk FROM thr) AS threshold_count,
+       (round((m.k * 1000000000.0 / m.s_q) * 1000000.0) / 1000000.0)
+           AS hill_alpha,
+       (round(((m.k * 1000000000.0 / m.s_q)
+               / sqrt(m.k * 1.0)) * 1000000.0) / 1000000.0) AS alpha_se
+FROM m
+""",
+    description=(
+        "Hill estimator of the power-law tail index of per-user "
+        "activity: alpha = k / sum ln(x_(i)/x_(k+1)) over the top "
+        "k=100 order statistics, with the asymptotic SE alpha/sqrt(k) "
+        "— the heavy-tail diagnostic that decides whether means and "
+        "variances of engagement metrics even exist (alpha <= 2: "
+        "infinite variance, every mean-based A/B readout above is "
+        "suspect), complementing q_gumbel_extremes (block maxima) "
+        "and q_zipf_fit (rank-frequency slope) as the third classical "
+        "tail lens. The top-(k+1) extraction is a TakeOrdered (never "
+        "a global sort); the log spacings fold as 1e-9-quantized "
+        "BIGINTs so the sum is order-free, and alpha is one final "
+        "division."
+    ),
+    tags=("analytics", "extension", "stats"),
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    topk = (
+        u.orderBy(F.desc("x"), F.asc("user_id"))
+        .limit(101)
+        .select(
+            "x",
+            F.row_number()
+            .over(Window.orderBy(F.desc("x"), F.asc("user_id")))
+            .cast("long")
+            .alias("rk"),
+        )
+    )
+    thr = topk.filter(F.col("rk") == 101).select(F.col("x").alias("xk"))
+    m = (
+        topk.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.round(
+                    F.log(F.col("x") * 1.0 / F.col("xk")) * 1000000000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_q"),
+            F.max("xk").alias("threshold_count"),
+        )
+    )
+    alpha = F.col("k") * 1000000000.0 / F.col("s_q")
+    return m.select(
+        F.col("k").alias("k_order_stats"),
+        "threshold_count",
+        stable_round(alpha, 6).alias("hill_alpha"),
+        stable_round(alpha / F.sqrt(F.col("k") * 1.0), 6).alias("alpha_se"),
+    )
