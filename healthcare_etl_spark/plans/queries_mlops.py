@@ -5853,7 +5853,7 @@ FROM scored
 """
 
 
-@register(
+_register_nb = register(
     "q_naive_bayes",
     oracle=_nb_oracle(),
     description=(
@@ -5874,7 +5874,11 @@ FROM scored
     ),
     tags=("analytics", "extension", "ml"),
 )
-def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _nb_features_and_params(spark: SparkSession, sf_dir: str):
+    """Shared Bernoulli-NB training: per-user 0/1 features + the 1-row
+    6dp-rounded log-weight parameter frame (see q_naive_bayes)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -5930,13 +5934,25 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    scored = u.crossJoin(F.broadcast(params))
+    return u, params
+
+
+def _nb_scores():
+    """Class log-score column expressions (s1, s0) over the joined
+    features x params frame, fixed association order on both engines."""
     s1 = F.col("lp1")
     s0 = F.col("lp0")
     for f in _NB_FEATS:
         fv = F.col(f"f_{f}")
         s1 = s1 + (fv * F.col(f"w1_{f}") + (1 - fv) * F.col(f"z1_{f}"))
         s0 = s0 + (fv * F.col(f"w0_{f}") + (1 - fv) * F.col(f"z0_{f}"))
+    return s1, s0
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u, params = _nb_features_and_params(spark, sf_dir)
+    scored = u.crossJoin(F.broadcast(params))
+    s1, s0 = _nb_scores()
     pred = F.when(s1 > s0, 1).otherwise(0)
     y = F.col("y")
     return scored.agg(
@@ -5949,6 +5965,9 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(pred == y, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+q_naive_bayes = _register_nb(q_naive_bayes)
 
 
 @register(
@@ -7229,3 +7248,90 @@ def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         g.unpersist()
+
+
+def _nb_margin_oracle() -> str:
+    r6 = lambda e: f"(round(({e}) * 1000000.0) / 1000000.0)"  # noqa: E731
+    feat_cols = ",\n           ".join(
+        f"CAST(max(CASE WHEN event_type = '{f}' THEN 1 ELSE 0 END) AS BIGINT) AS f_{f}"
+        for f in _NB_FEATS
+    )
+    cnt_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN y = 1 THEN f_{f} ELSE 0 END) AS BIGINT) AS c1_{f},\n"
+        f"           CAST(sum(CASE WHEN y = 0 THEN f_{f} ELSE 0 END) AS BIGINT) AS c0_{f}"
+        for f in _NB_FEATS
+    )
+    w_cols = ",\n           ".join(
+        f"{r6(f'ln((c1_{f} + 1.0) / (n1 + 2.0))')} AS w1_{f},\n"
+        f"           {r6(f'ln(1.0 - (c1_{f} + 1.0) / (n1 + 2.0))')} AS z1_{f},\n"
+        f"           {r6(f'ln((c0_{f} + 1.0) / (n0 + 2.0))')} AS w0_{f},\n"
+        f"           {r6(f'ln(1.0 - (c0_{f} + 1.0) / (n0 + 2.0))')} AS z0_{f}"
+        for f in _NB_FEATS
+    )
+    s1 = " + ".join(f"(u.f_{f} * p.w1_{f} + (1 - u.f_{f}) * p.z1_{f})" for f in _NB_FEATS)
+    s0 = " + ".join(f"(u.f_{f} * p.w0_{f} + (1 - u.f_{f}) * p.z0_{f})" for f in _NB_FEATS)
+    return f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+           {feat_cols}
+    FROM events GROUP BY user_id
+),
+cnt AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n1,
+           CAST(count(*) - sum(y) AS BIGINT) AS n0,
+           {cnt_cols}
+    FROM u
+),
+params AS (
+    SELECT n, n1, n0,
+           {r6('ln((n1 + 1.0) / (n + 2.0))')} AS lp1,
+           {r6('ln((n0 + 1.0) / (n + 2.0))')} AS lp0,
+           {w_cols}
+    FROM cnt
+),
+scored AS (
+    SELECT u.user_id,
+           {r6(f'abs((p.lp1 + {s1}) - (p.lp0 + {s0}))')} AS margin
+    FROM u CROSS JOIN params p
+)
+SELECT user_id, margin
+FROM scored
+ORDER BY margin ASC, user_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "q_uncertainty_sampling",
+    oracle=_nb_margin_oracle(),
+    description=(
+        "Active-learning annotation queue: the 20 users the Bernoulli "
+        "naive Bayes classifier (same training pass and 6dp-rounded "
+        "parameters as q_naive_bayes, via the shared helpers) is LEAST "
+        "sure about, ranked by ascending class-score margin "
+        "|s1 - s0| — margin-based uncertainty sampling, the standard "
+        "'label these next' selector for annotation pipelines, and "
+        "the missing front half of the labeling loop whose back half "
+        "(kNN label propagation, LOO target encoding) is already "
+        "in-repo. Scoring is the same broadcast-params single pass; "
+        "the queue is a TakeOrdered over (margin, user_id), never a "
+        "global sort. Margins are deterministic doubles (fixed-shape "
+        "sums of 6dp-rounded weights), re-rounded to 6dp for the "
+        "cross-engine hash."
+    ),
+    tags=("analytics", "extension", "ml", "ml-prep"),
+)
+def q_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u, params = _nb_features_and_params(spark, sf_dir)
+    scored = u.crossJoin(F.broadcast(params))
+    s1, s0 = _nb_scores()
+    return (
+        scored.select(
+            "user_id",
+            stable_round(F.abs(s1 - s0), 6).alias("margin"),
+        )
+        .orderBy(F.asc("margin"), F.asc("user_id"))
+        .limit(20)
+    )
