@@ -2773,3 +2773,247 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(alpha, 6).alias("hill_alpha"),
         stable_round(alpha / F.sqrt(F.col("k") * 1.0), 6).alias("alpha_se"),
     )
+
+
+@register(
+    "q_mediation_analysis",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           CASE WHEN {_ARM_A_SQL} THEN 1 ELSE 0 END AS t,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+    FROM events GROUP BY user_id
+),
+mo AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS st, CAST(sum(m) AS BIGINT) AS sm,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(t * m) AS BIGINT) AS stm, CAST(sum(t * y) AS BIGINT) AS sty,
+           CAST(sum(m * y) AS BIGINT) AS smy, CAST(sum(m * m) AS BIGINT) AS smm
+    FROM u
+),
+fit AS (
+    SELECT n,
+           (round(((n * stm - st * 1.0 * sm) / (n * st - st * 1.0 * st))
+                  * 1000000.0) / 1000000.0) AS a_path,
+           (round(((n * sty - st * 1.0 * sy) / (n * st - st * 1.0 * st) / 100.0)
+                  * 1000000.0) / 1000000.0) AS total_effect,
+           (round((((n * smy - sm * 1.0 * sy) * (n * st - st * 1.0 * st)
+                    - (n * sty - st * 1.0 * sy) * (n * stm - st * 1.0 * sm))
+                   / ((n * smm - sm * 1.0 * sm) * (n * st - st * 1.0 * st)
+                      - (n * stm - st * 1.0 * sm) * (n * stm - st * 1.0 * sm))
+                   / 100.0) * 1000000.0) / 1000000.0) AS b_path
+    FROM mo
+)
+SELECT n AS n_users, a_path, b_path, total_effect,
+       (round((a_path * b_path) * 1000000.0) / 1000000.0) AS indirect_effect,
+       (round((total_effect - a_path * b_path) * 1000000.0) / 1000000.0)
+           AS direct_effect,
+       CASE WHEN total_effect <> 0
+            THEN (round((a_path * b_path / total_effect) * 1000000.0) / 1000000.0)
+       END AS prop_mediated
+FROM fit
+""",
+    description=(
+        "Causal mediation analysis (product-of-coefficients): does "
+        "the assignment move purchase value THROUGH clicks? a = "
+        "effect of t on the mediator m (binary-t OLS), b = effect of "
+        "m on y controlling for t (two-regressor OLS, closed form "
+        "via the partialled normal equations), indirect = a*b, "
+        "direct = total - a*b, proportion mediated — the "
+        "mechanism-decomposition member of the causal family "
+        "(ATE/DiD/IV say THAT it works; mediation says through WHAT). "
+        "One per-user pass -> one 8-moment exact-BIGINT fold -> "
+        "closed-form coefficients, every emitted double a "
+        "6dp-rounded single expression, the rounded a/b composed "
+        "identically on both engines for the derived columns."
+    ),
+    tags=("analytics", "extension", "stats", "causal"),
+)
+def q_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(F.first(_arm_a()), 1).otherwise(0).alias("t"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    t, m_, y = F.col("t"), F.col("m"), F.col("y")
+    mo = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).cast("long").alias("st"),
+        F.sum(m_).cast("long").alias("sm"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(t * m_).cast("long").alias("stm"),
+        F.sum(t * y).cast("long").alias("sty"),
+        F.sum(m_ * y).cast("long").alias("smy"),
+        F.sum(m_ * m_).cast("long").alias("smm"),
+    )
+    n, st, sm, sy = F.col("n"), F.col("st"), F.col("sm"), F.col("sy")
+    stm, sty, smy, smm = F.col("stm"), F.col("sty"), F.col("smy"), F.col("smm")
+    ctt = n * st - st * 1.0 * st
+    a = stable_round((n * stm - st * 1.0 * sm) / ctt, 6)
+    tot = stable_round((n * sty - st * 1.0 * sy) / ctt / 100.0, 6)
+    b = stable_round(
+        (
+            (n * smy - sm * 1.0 * sy) * ctt
+            - (n * sty - st * 1.0 * sy) * (n * stm - st * 1.0 * sm)
+        )
+        / (
+            (n * smm - sm * 1.0 * sm) * ctt
+            - (n * stm - st * 1.0 * sm) * (n * stm - st * 1.0 * sm)
+        )
+        / 100.0,
+        6,
+    )
+    fit = mo.select(n.alias("n_users"), a.alias("a_path"), b.alias("b_path"), tot.alias("total_effect"))
+    ap, bp, te = F.col("a_path"), F.col("b_path"), F.col("total_effect")
+    return fit.select(
+        "n_users",
+        "a_path",
+        "b_path",
+        "total_effect",
+        stable_round(ap * bp, 6).alias("indirect_effect"),
+        stable_round(te - ap * bp, 6).alias("direct_effect"),
+        F.when(te != 0, stable_round(ap * bp / te, 6)).alias("prop_mediated"),
+    )
+
+
+@register(
+    "q_regression_discontinuity",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS r,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+    FROM events GROUP BY user_id
+),
+w AS (
+    SELECT (r - 3) AS x, y, (r >= 3) AS above
+    FROM u WHERE r >= 0 AND r <= 6
+),
+mo AS (
+    SELECT above,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM w GROUP BY above
+),
+fit AS (
+    SELECT above, n,
+           (round(((n * sxy - sx * 1.0 * sy) / (n * sxx - sx * 1.0 * sx))
+                  * 1000000.0) / 1000000.0) AS slope,
+           (round(((sy * 1.0 / n)
+                   - ((round(((n * sxy - sx * 1.0 * sy) / (n * sxx - sx * 1.0 * sx))
+                             * 1000000.0) / 1000000.0)) * (sx * 1.0 / n))
+                  * 1000000.0) / 1000000.0) AS intercept_at_cutoff
+    FROM mo
+)
+SELECT (SELECT n FROM fit WHERE above) AS n_above,
+       (SELECT n FROM fit WHERE NOT above) AS n_below,
+       (SELECT intercept_at_cutoff FROM fit WHERE above) / 100.0 AS y_above_cutoff,
+       (SELECT intercept_at_cutoff FROM fit WHERE NOT above) / 100.0 AS y_below_cutoff,
+       (round((((SELECT intercept_at_cutoff FROM fit WHERE above)
+                - (SELECT intercept_at_cutoff FROM fit WHERE NOT above)) / 100.0)
+              * 1000000.0) / 1000000.0) AS rdd_effect,
+       (SELECT slope FROM fit WHERE above) / 100.0 AS slope_above,
+       (SELECT slope FROM fit WHERE NOT above) / 100.0 AS slope_below
+""",
+    description=(
+        "Sharp regression discontinuity: purchase value as a function "
+        "of the running variable (clicks) with a cutoff at 3, local "
+        "linear fits on each side within a +-3 bandwidth, effect = "
+        "the jump between the two intercepts AT the cutoff — the "
+        "threshold-rule member of the causal family (when assignment "
+        "follows a score cutoff, neither randomization (z-test) nor "
+        "parallel trends (DiD) is available, and comparing raw side "
+        "means is biased by the running-variable slope RDD removes). "
+        "Two closed-form OLS fits from ONE grouped 5-moment "
+        "exact-BIGINT pass (the running variable is re-centered so "
+        "each intercept IS the value at the cutoff); the rounded "
+        "slope feeds the intercept identically on both engines."
+    ),
+    tags=("analytics", "extension", "stats", "causal"),
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    w = u.filter((F.col("r") >= 0) & (F.col("r") <= 6)).select(
+        (F.col("r") - 3).alias("x"), "y", (F.col("r") >= 3).alias("above")
+    )
+    x, y = F.col("x"), F.col("y")
+    mo = w.groupBy("above").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = stable_round(
+        (n * F.col("sxy") - sx * 1.0 * sy) / (n * F.col("sxx") - sx * 1.0 * sx), 6
+    )
+    fit = mo.select(
+        "above",
+        n.alias("n"),
+        slope.alias("slope"),
+        stable_round(sy * 1.0 / n - slope * (sx * 1.0 / n), 6).alias(
+            "intercept_at_cutoff"
+        ),
+    ).persist()
+    try:
+        rows_ab = fit.filter(F.col("above")).collect()
+        rows_be = fit.filter(~F.col("above")).collect()
+    finally:
+        fit.unpersist()
+    ab = rows_ab[0] if rows_ab else None
+    be = rows_be[0] if rows_be else None
+    import math
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    def g(row, col, scale=1.0):
+        return None if row is None or row[col] is None else row[col] / scale
+
+    eff = (
+        None
+        if ab is None or be is None
+        else r6((ab["intercept_at_cutoff"] - be["intercept_at_cutoff"]) / 100.0)
+    )
+    return u.sparkSession.createDataFrame(
+        [
+            (
+                None if ab is None else int(ab["n"]),
+                None if be is None else int(be["n"]),
+                g(ab, "intercept_at_cutoff", 100.0),
+                g(be, "intercept_at_cutoff", 100.0),
+                eff,
+                g(ab, "slope", 100.0),
+                g(be, "slope", 100.0),
+            )
+        ],
+        "n_above long, n_below long, y_above_cutoff double, y_below_cutoff double, "
+        "rdd_effect double, slope_above double, slope_below double",
+    )
