@@ -7335,3 +7335,161 @@ def q_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("margin"), F.asc("user_id"))
         .limit(20)
     )
+
+
+_CF_SPLIT_SQL = (
+    "(('0x' || substring(md5('cf-split:' || CAST(ok AS VARCHAR)), 1, 8))::BIGINT"
+    " % 5 < 4)"
+)
+
+
+@register(
+    "q_cf_hitrate_eval",
+    oracle=f"""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+train AS (SELECT * FROM basket WHERE {_CF_SPLIT_SQL}),
+test AS (
+    SELECT * FROM basket WHERE NOT {_CF_SPLIT_SQL}
+      AND ok IN (SELECT ok FROM basket WHERE NOT {_CF_SPLIT_SQL}
+                 GROUP BY ok HAVING count(*) >= 2)
+),
+n_i AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM train GROUP BY pk),
+cooc AS (
+    SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+    FROM train a JOIN train b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+),
+sim AS (
+    SELECT c.pa AS i, c.pb AS j,
+           (round((c.n_ab / sqrt(na.n * 1.0 * nb.n)) * 1000000.0) / 1000000.0) AS s
+    FROM cooc c JOIN n_i na ON na.pk = c.pa JOIN n_i nb ON nb.pk = c.pb
+    UNION ALL
+    SELECT c.pb AS i, c.pa AS j,
+           (round((c.n_ab / sqrt(na.n * 1.0 * nb.n)) * 1000000.0) / 1000000.0) AS s
+    FROM cooc c JOIN n_i na ON na.pk = c.pa JOIN n_i nb ON nb.pk = c.pb
+),
+nb10 AS (
+    SELECT i, j FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY s DESC, j ASC) AS rn
+        FROM sim
+    ) WHERE rn <= 10
+),
+probes AS (
+    SELECT a.ok, a.pk AS i,
+           CAST(max(CASE WHEN nb.j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit
+    FROM test a
+    JOIN test b ON a.ok = b.ok AND a.pk <> b.pk
+    LEFT JOIN nb10 nb ON nb.i = a.pk AND nb.j = b.pk
+    GROUP BY a.ok, a.pk
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(count(DISTINCT ok) AS BIGINT) AS n_test_baskets,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       (round((sum(hit) * 1.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS hit_rate_at_10
+FROM probes
+""",
+    description=(
+        "Offline recommender evaluation: co-purchase item-item cosine "
+        "neighbors (the q_item_item_cf model) TRAINED on a "
+        "deterministic 80% hash-split of orders and probed on "
+        "held-out baskets — for each item in a >= 2-item test basket, "
+        "did its top-10 training neighbors contain any other item "
+        "actually bought together? Reports probes, test baskets, "
+        "hits and hit-rate@10, completing the recsys family "
+        "(q_item_item_cf model, q_bias_baseline_recsys personalized "
+        "floor, THIS closes the loop with a leakage-free accuracy "
+        "number). Shapes: within-order pair joins (basket-size "
+        "quadratic only), the top-10 window PARTITIONED by item "
+        "(distributed), the probe a (basket, item)-grain outer "
+        "join; 6dp-rounded sims make both engines cut identical "
+        "neighbor lists."
+    ),
+    tags=("analytics", "extension", "ml", "recommender", "evaluation"),
+)
+def q_cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    is_train = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cf-split:"), F.col("ok").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        < 4
+    )
+    marked = basket.withColumn("tr", is_train).persist()
+    try:
+        train = marked.filter(F.col("tr")).select("ok", "pk")
+        test_sizes = (
+            marked.filter(~F.col("tr"))
+            .groupBy("ok")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") >= 2)
+            .select("ok")
+        )
+        test = marked.filter(~F.col("tr")).join(
+            F.broadcast(test_sizes), "ok", "left_semi"
+        ).select("ok", "pk")
+        n_i = train.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        a = train.alias("a")
+        b = train.alias("b")
+        cooc = (
+            a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+            .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        )
+        na = n_i.select(F.col("pk").alias("pa"), F.col("n").alias("n_a"))
+        nbm = n_i.select(F.col("pk").alias("pb"), F.col("n").alias("n_b"))
+        scored = (
+            cooc.join(F.broadcast(na), "pa")
+            .join(F.broadcast(nbm), "pb")
+            .select(
+                "pa",
+                "pb",
+                stable_round(
+                    F.col("n_ab") / F.sqrt(F.col("n_a") * 1.0 * F.col("n_b")), 6
+                ).alias("s"),
+            )
+        )
+        sim = scored.select(
+            F.col("pa").alias("i"), F.col("pb").alias("j"), "s"
+        ).unionAll(scored.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "s"))
+        w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("j"))
+        nb10 = (
+            sim.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("i", "j")
+        )
+        ta = test.alias("ta")
+        tb = test.alias("tb")
+        pairs = ta.join(
+            tb,
+            (F.col("ta.ok") == F.col("tb.ok")) & (F.col("ta.pk") != F.col("tb.pk")),
+        ).select(
+            F.col("ta.ok").alias("ok"),
+            F.col("ta.pk").alias("i"),
+            F.col("tb.pk").alias("j"),
+        )
+        probes = (
+            pairs.join(
+                nb10.withColumn("m", F.lit(1)), ["i", "j"], "left"
+            )
+            .groupBy("ok", "i")
+            .agg(F.max(F.coalesce("m", F.lit(0))).cast("long").alias("hit"))
+        )
+        return probes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.countDistinct("ok").cast("long").alias("n_test_baskets"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            stable_round(F.sum("hit") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "hit_rate_at_10"
+            ),
+        )
+    finally:
+        marked.unpersist()
