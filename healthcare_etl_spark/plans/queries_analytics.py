@@ -6133,3 +6133,61 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_heavy_hitters_2phase",
+    oracle="""
+WITH cnt AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(user_id % 16 AS BIGINT) AS bucket
+    FROM events GROUP BY user_id
+),
+local AS (
+    SELECT user_id, cnt, bucket,
+           row_number() OVER (PARTITION BY bucket
+                              ORDER BY cnt DESC, user_id ASC) AS lrk
+    FROM cnt
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank,
+       user_id, cnt, bucket
+FROM local WHERE lrk <= 10
+ORDER BY cnt DESC, user_id ASC
+LIMIT 10
+""",
+    description=(
+        "EXACT distributed top-k heavy hitters by the two-phase "
+        "local-top-k -> merge pattern: partition the key space by "
+        "hash(key) % B, take the per-bucket top-k with a PARTITIONED "
+        "window (never a global sort of the data), then merge the "
+        "<= B*k candidates in a metadata-scale final rank. Because "
+        "buckets partition the KEY space (not the row space), every "
+        "global top-k member is its bucket's local top-k member, so "
+        "the result is exact — this is the shape that replaces "
+        "ORDER BY count DESC LIMIT k when the group cardinality is "
+        "billions: the only global operation touches B*k rows. "
+        "Extension beyond the reference (etl_script.py:74-119 has "
+        "only whole-table aggregates)."
+    ),
+    tags=("analytics", "extension", "scale-pattern"),
+)
+def q_heavy_hitters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bucket", (F.col("user_id") % 16).cast("long"))
+    )
+    w_local = Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("user_id"))
+    cand = (
+        cnt.select("user_id", "cnt", "bucket", F.row_number().over(w_local).alias("lrk"))
+        .filter(F.col("lrk") <= 10)
+        .drop("lrk")
+    )
+    w_merge = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        cand.select(F.row_number().over(w_merge).cast("long").alias("rank"), "*")
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

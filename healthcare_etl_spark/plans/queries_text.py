@@ -930,3 +930,68 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@register(
+    "q_token_fertility",
+    oracle=r"""
+WITH feats AS (
+    SELECT lang,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT)  AS n_tokens,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       (round((sum(n_bpe) * 1.0 / sum(n_words)) * 1000000.0) / 1000000.0)
+           AS fertility,
+       (round((sum(n_chars) * 1.0 / sum(n_bpe)) * 1000000.0) / 1000000.0)
+           AS chars_per_token,
+       (round((sum(n_bpe) * 1.0 / count(*)) * 1000000.0) / 1000000.0)
+           AS tokens_per_doc
+FROM feats
+GROUP BY lang
+ORDER BY lang
+""",
+    description=(
+        "Tokenizer fertility profile per language: BPE-ish tokens per "
+        "whitespace word (fertility), chars per token, and tokens per "
+        "document. The standard multilingual-tokenizer health check — "
+        "a language whose fertility is 2x the corpus median pays 2x "
+        "the context budget for the same text, which drives vocab "
+        "rebalancing decisions before a training run. One codegen'd "
+        "projection + one groupBy(lang): map-side partial aggregation, "
+        "no shuffle beyond the ~|langs| partials."
+    ),
+    tags=("text", "extension", "tokenizer"),
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    feats = docs.select(
+        "lang",
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("n_bpe"),
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_tokens"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            stable_round(F.sum("n_bpe") * 1.0 / F.sum("n_words"), 6).alias("fertility"),
+            stable_round(F.sum("n_chars") * 1.0 / F.sum("n_bpe"), 6).alias(
+                "chars_per_token"
+            ),
+            stable_round(F.sum("n_bpe") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )

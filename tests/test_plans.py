@@ -582,6 +582,12 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_quantile_normalize": "64-char-band summary offsets",
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
     "q_heaps_fit": "bucket-totals prefix (docs/4096)",
+    "q_pareto_skyline": "bucket-maxima prefix (Pareto-front carry)",
+    "q_lorenz_curve": "decile grid + bucket-summary offsets",
+    "q_abc_analysis": "bucket-summary revenue prefix",
+    "q_qini_curve": "decile grid + bucket-summary offsets",
+    "q_energy_distance": "bucket-summary prefix over distinct cents",
+    "q_cramer_von_mises": "bucket-summary prefix over distinct cents",
     # day-series frames: one row per day after a data-sized partial agg
     "q_moving_avg": "daily series",
     "q_autocorr": "daily series",
@@ -600,6 +606,10 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_theil_sen": "daily series + day-pair slopes",
     "q_share_of_total": "daily-series global share",
     "q_stl_decompose": "daily series (7-day centered trend)",
+    "q_holt_winters": "daily series (7 seasonal recursive chains)",
+    "q_kalman_filter": "daily series (recursive CTE seed)",
+    "q_hurst_exponent": "daily series (R/S prefix)",
+    "q_peak_detection": "daily series (prominence frames)",
     "q_seasonality_strength": "daily series (7-day centered trend)",
     "q_ljung_box": "daily series + 7-lag grid",
     "q_regression_diagnostics": "daily series",
@@ -617,10 +627,13 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_nelson_aalen": "distinct day-durations (horizon-bounded)",
     "q_logrank_test": "distinct day-durations (horizon-bounded)",
     "q_survival_rmst": "distinct day-durations (horizon-bounded)",
+    "q_aalen_johansen": "distinct day-durations (horizon-bounded)",
+    "q_hill_tail_index": "post-LIMIT-101 order-statistic rank",
     # q_cox_ph's horizon-bounded suffix windows run inside the Newton
     # loop (collected during construction); the returned plan is
     # window-free, so it is intentionally NOT an offender here.
     # bounded by construction
+    "q_heavy_hitters_2phase": "merge rank over <=16*10 local-top-k candidates",
     "q_bootstrap_ci": "200 bootstrap replicates",
     "q_zipf_fit": "post-LIMIT-1000 rank",
     "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
