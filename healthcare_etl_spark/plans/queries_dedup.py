@@ -1526,3 +1526,245 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SNM_W = 4
+
+
+@register(
+    "q_dedup_sorted_neighborhood",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY substring(text, 1, 24), doc_id) AS pos
+    FROM documents
+),
+xk AS (SELECT doc_id, pos, pos // {_SNM_W} AS b FROM ranked),
+yk AS (SELECT doc_id, pos,
+              unnest([pos // {_SNM_W}, pos // {_SNM_W} - 1]) AS b
+       FROM ranked),
+cand AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, y.pos - x.pos AS gap
+    FROM xk x JOIN yk y ON x.b = y.b
+    WHERE y.pos - x.pos BETWEEN 1 AND {_SNM_W}
+),
+{_shingles_sql()},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hashed AS (SELECT DISTINCT doc_id, {_MD5H.format(x="shingle")} AS hsh FROM inv),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY 1),
+common AS (
+    SELECT doc_a, doc_b, gap, count(*) AS n_common
+    FROM cand
+    JOIN hashed a ON a.doc_id = doc_a
+    JOIN hashed b ON b.doc_id = doc_b AND b.hsh = a.hsh
+    GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, CAST(gap AS BIGINT) AS gap,
+       (round((n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)) * 1000000.0)
+        / 1000000.0) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (round((n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)) * 1000000.0)
+       / 1000000.0) >= 0.5
+""",
+    description=(
+        "Sorted-neighborhood (SNM) dedup blocking: sort the corpus by a "
+        "24-char content prefix, slide a window of 4, and exact-Jaccard "
+        "verify only the in-window candidate pairs. The complement to "
+        "the inverted-index/LSH blockers: candidate volume is EXACTLY "
+        "N*w regardless of key skew (a hot shingle never explodes a "
+        "bucket), at the cost of missing dups whose prefixes diverge. "
+        "The global sort position comes from bucketed_rank's two-phase "
+        "carry (first-prefix-char buckets; widen to 2-3 chars when a "
+        "billion-doc corpus makes 1-char buckets too coarse) — no "
+        "single-partition sort; the window pairing is an equi-join on "
+        "pos div w block keys (each right row also under its "
+        "predecessor block, so cross-boundary pairs meet exactly once)."
+    ),
+    tags=("dedup", "extension", "scale-pattern"),
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.dedup import hashed_shingle_rows
+    from healthcare_etl_spark.operators.scale import bucketed_rank
+
+    w = _SNM_W
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = docs.withColumn("bkey", F.substring("text", 1, 24))
+    ranked = bucketed_rank(
+        keyed,
+        buckets=[F.substring("bkey", 1, 1)],
+        order_by=[F.asc("bkey"), F.asc("doc_id")],
+        out_col="pos",
+    ).select("doc_id", "pos")
+    x = ranked.select("doc_id", "pos", F.expr(f"pos div {w}").alias("b"))
+    y = ranked.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array(F.expr(f"pos div {w}"), F.expr(f"pos div {w} - 1"))
+        ).alias("b"),
+    )
+    gap = F.col("y.pos") - F.col("x.pos")
+    cand = (
+        x.alias("x")
+        .join(y.alias("y"), (F.col("x.b") == F.col("y.b")) & gap.between(1, w))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            gap.cast("long").alias("gap"),
+        )
+    )
+    inv = hashed_shingle_rows(docs)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(inv.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            inv.alias("bb"),
+            (F.col("doc_b") == F.col("bb.doc_id"))
+            & (F.col("a.hsh") == F.col("bb.hsh")),
+        )
+        .groupBy("doc_a", "doc_b", "gap")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.withColumnRenamed("n_sh", "na"), F.col("doc_a") == sizes["doc_id"])
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n_sh", "nb"), F.col("doc_b") == sizes["doc_id"])
+        .drop("doc_id")
+        .select("doc_a", "doc_b", "gap", stable_round(jac, 6).alias("jaccard"))
+        .filter(stable_round(jac, 6) >= 0.5)
+    )
+
+
+@register(
+    "q_winnowing_fingerprints",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, substr(text, 1, 512) AS t
+    FROM documents WHERE length(text) >= 8
+),
+g AS (
+    SELECT doc_id, length(t) AS lt, unnest(range(1, length(t) - 6)) AS p, t
+    FROM d
+),
+gh AS (
+    SELECT doc_id, CAST(lt AS BIGINT) AS lt, CAST(p AS BIGINT) AS p,
+           {_MD5H.format(x="substr(t, CAST(p AS INTEGER), 8)")} AS h
+    FROM g
+),
+wins AS (
+    SELECT doc_id, lt, p,
+           min(h * 1024 + (1023 - p)) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mw
+    FROM gh
+),
+fps AS (
+    SELECT DISTINCT doc_id, mw // 1024 AS h
+    FROM wins WHERE p <= lt - 10
+),
+hot AS (SELECT h FROM fps GROUP BY h HAVING count(*) > 50),
+good AS (SELECT doc_id, h FROM fps WHERE h NOT IN (SELECT h FROM hot)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM good GROUP BY 1),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM good a JOIN good b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       (round((n_shared * 1.0 / least(sa.n_fp, sb.n_fp)) * 1000000.0)
+        / 1000000.0) AS overlap
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared >= 10
+  AND (round((n_shared * 1.0 / least(sa.n_fp, sb.n_fp)) * 1000000.0)
+       / 1000000.0) >= 0.5
+""",
+    description=(
+        "MOSS-style winnowing fingerprints: char 8-gram hashes over the "
+        "first 512 chars, exact winnowing with window w=4 — the "
+        "rightmost minimal hash of every complete window, computed as "
+        "ONE doc-partitioned windowed MIN via the integer encoding "
+        "h*1024 + (1023 - pos) (min h, ties to max pos; h < 2^31 and "
+        "pos <= 505 < 1024 so the encoding is collision-free) — no "
+        "per-window self-join. Fingerprints occurring in >50 docs are "
+        "dropped (the MOSS shared-boilerplate guard AND the skew guard: "
+        "the shared-hash pair join is bounded at 50^2 rows per key), "
+        "then doc pairs rank by shared-fingerprint count with overlap "
+        "= shared / min(|fp|). Winnowing guarantee: any shared "
+        "substring of >= w+k-1 = 11 chars yields a shared fingerprint. "
+        "Every window is doc_id-partitioned; the pair join shuffles "
+        "8-byte hash keys."
+    ),
+    tags=("dedup", "extension", "fingerprint"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .select("doc_id", F.substring("text", 1, 512).alias("t"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    g = docs.select(
+        "doc_id",
+        F.length("t").cast("long").alias("lt"),
+        "t",
+        F.explode(F.expr("sequence(1, length(t) - 7)")).alias("p0"),
+    )
+    gh = g.select(
+        "doc_id",
+        "lt",
+        F.col("p0").cast("long").alias("p"),
+        md5_hash31(F.expr("substring(t, p0, 8)")).alias("h"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    wins = gh.select(
+        "doc_id",
+        "lt",
+        "p",
+        F.min(F.col("h") * 1024 + (1023 - F.col("p"))).over(wspec).alias("mw"),
+    )
+    fps = (
+        wins.filter(F.col("p") <= F.col("lt") - 10)
+        .select("doc_id", F.expr("mw div 1024").alias("h"))
+        .distinct()
+    )
+    hot = fps.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 50)
+    good = fps.join(hot.select("h"), "h", "left_anti")
+    sizes = good.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    pairs = (
+        good.alias("a")
+        .join(
+            good.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+    )
+    overlap = F.col("n_shared") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(sizes.withColumnRenamed("n_fp", "na"), F.col("doc_a") == sizes["doc_id"])
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n_fp", "nb"), F.col("doc_b") == sizes["doc_id"])
+        .drop("doc_id")
+        .select("doc_a", "doc_b", "n_shared", stable_round(overlap, 6).alias("overlap"))
+        .filter(stable_round(overlap, 6) >= 0.5)
+    )
