@@ -6191,3 +6191,131 @@ def q_heavy_hitters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+_LRU_TRACE = 15000
+_LRU_BLK = 256
+
+
+@register(
+    "q_lru_miss_curve",
+    oracle=f"""
+WITH tr AS (
+    SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS pos,
+           o_custkey % 512 AS k
+    FROM orders
+),
+t AS (SELECT pos, k FROM tr WHERE pos <= {_LRU_TRACE}),
+pv AS (SELECT pos, k,
+              lag(pos) OVER (PARTITION BY k ORDER BY pos) AS prevp
+       FROM t),
+a AS (SELECT pos, prevp FROM pv WHERE prevp IS NOT NULL),
+b AS (SELECT pos, coalesce(prevp, 0) AS bp FROM pv),
+cnt AS (
+    SELECT a.pos AS apos, CAST(count(*) AS BIGINT) AS c
+    FROM a JOIN b ON b.pos > a.prevp AND b.pos < a.pos AND b.bp <= a.prevp
+    GROUP BY 1
+),
+rd AS (
+    SELECT a.pos, 1 + coalesce(c, 0) AS d
+    FROM a LEFT JOIN cnt ON cnt.apos = a.pos
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_trace FROM t),
+grid AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS cache_size)
+SELECT CAST(g.cache_size AS BIGINT) AS cache_size,
+       CAST(count(*) FILTER (WHERE rd.d <= g.cache_size) AS BIGINT) AS n_hits,
+       (round((count(*) FILTER (WHERE rd.d <= g.cache_size) * 1.0
+               / (SELECT n_trace FROM n)) * 1000000.0) / 1000000.0) AS hit_ratio
+FROM grid g CROSS JOIN rd
+GROUP BY 1
+ORDER BY 1
+""",
+    description=(
+        "LRU miss-ratio curve by exact reuse (stack) distance over the "
+        "order-arrival access trace (key = o_custkey mod 512, first "
+        "15000 accesses): hit_ratio(C) for every power-of-two cache "
+        "size in one pass, the Mattson MRC that sizes caches before "
+        "buying memory. Reuse distance d(i) = 1 + |distinct keys in "
+        "(prev(i), i)|, computed WITHOUT the naive O(n*gap) distinct "
+        "scan via the first-occurrence identity: a key occupies the "
+        "interval iff its first access j there has prevpos(j) <= "
+        "prev(i) — a 2-D dominance count expressed as a block-banded "
+        "equi-join (access intervals exploded to pos-div-256 blocks "
+        "joined to position rows, never a cartesian). The global trace "
+        "position is bucketed_rank's two-phase carry (order-month "
+        "buckets); the trace cap bounds the join at sum-of-gaps rows; "
+        "the production path shards the trace per epoch and merges "
+        "histograms (MRCs are additive across shards)."
+    ),
+    tags=("analytics", "extension", "scale-pattern", "systems"),
+)
+def q_lru_miss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank
+
+    blk = _LRU_BLK
+    orders = load_table(spark, sf_dir, "orders")
+    tr = bucketed_rank(
+        orders.select("o_orderdate", "o_orderkey", "o_custkey"),
+        buckets=[F.date_trunc("month", "o_orderdate")],
+        order_by=[F.asc("o_orderdate"), F.asc("o_orderkey")],
+        out_col="pos",
+    )
+    t = (
+        tr.filter(F.col("pos") <= _LRU_TRACE)
+        .select("pos", (F.col("o_custkey") % 512).alias("k"))
+    )
+    pv = t.select(
+        "pos",
+        "k",
+        F.lag("pos").over(Window.partitionBy("k").orderBy("pos")).alias("prevp"),
+    )
+    a = pv.filter(F.col("prevp").isNotNull()).select("pos", "prevp")
+    b = pv.select(
+        F.col("pos").alias("bpos"),
+        F.coalesce("prevp", F.lit(0)).alias("bp"),
+        F.expr(f"pos div {blk}").alias("blkid"),
+    )
+    a_blocks = a.filter(F.col("pos") - F.col("prevp") >= 2).select(
+        "pos",
+        "prevp",
+        F.explode(
+            F.expr(f"sequence((prevp + 1) div {blk}, (pos - 1) div {blk})")
+        ).alias("blkid"),
+    )
+    cnt = (
+        a_blocks.join(b, "blkid")
+        .filter(
+            (F.col("bpos") > F.col("prevp"))
+            & (F.col("bpos") < F.col("pos"))
+            & (F.col("bp") <= F.col("prevp"))
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rd = a.join(cnt, "pos", "left").select(
+        "pos", (F.lit(1) + F.coalesce("c", F.lit(0))).alias("d")
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n_trace"))
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(1 << i) for i in range(10)])).alias("cs")
+    ).select(F.col("cs").cast("long").alias("cache_size"))
+    hits = (
+        grid.crossJoin(rd)
+        .groupBy("cache_size")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("cache_size"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    return (
+        hits.crossJoin(F.broadcast(n))
+        .select(
+            "cache_size",
+            "n_hits",
+            stable_round(F.col("n_hits") * 1.0 / F.col("n_trace"), 6).alias(
+                "hit_ratio"
+            ),
+        )
+        .orderBy("cache_size")
+    )
