@@ -1506,3 +1506,221 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "q_prf_expansion",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+tf0 AS (
+    SELECT doc_id, w, count(*) AS tf FROM tok
+    WHERE w IN ('join', 'hash', 'filter') GROUP BY 1, 2
+),
+df0 AS (SELECT w, count(*) AS df FROM tf0 GROUP BY w),
+sc0 AS (
+    SELECT tf0.doc_id, tf0.w,
+           (round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                  * 1000000.0) / 1000000.0) AS s
+    FROM tf0 JOIN df0 USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg0 AS (
+    SELECT doc_id,
+           (round((coalesce(max(CASE WHEN w = 'join'   THEN s END), 0.0)
+                 + coalesce(max(CASE WHEN w = 'hash'   THEN s END), 0.0)
+                 + coalesce(max(CASE WHEN w = 'filter' THEN s END), 0.0))
+                  * 1000000.0) / 1000000.0) AS score0
+    FROM sc0 GROUP BY doc_id
+),
+fb AS (
+    SELECT doc_id, score0 FROM (
+        SELECT *, row_number() OVER (ORDER BY score0 DESC, doc_id) AS rk
+        FROM agg0
+    ) WHERE rk <= 10
+),
+mass AS (
+    SELECT fb.doc_id, CAST(round(score0 / dl * 1000000000.0) AS BIGINT) AS m
+    FROM fb JOIN dl USING (doc_id)
+),
+ftf AS (
+    SELECT tok.doc_id, w, count(*) AS tf
+    FROM tok JOIN fb USING (doc_id)
+    WHERE length(w) >= 3 AND w NOT IN ('join', 'hash', 'filter')
+    GROUP BY 1, 2
+),
+tw AS (
+    SELECT w, CAST(sum(m * tf) AS BIGINT) AS wt, count(*) AS nd
+    FROM ftf JOIN mass USING (doc_id) GROUP BY w
+),
+exp5 AS (
+    SELECT w, wt FROM (
+        SELECT w, wt, row_number() OVER (ORDER BY wt DESC, w) AS erk
+        FROM tw WHERE nd >= 2
+    ) WHERE erk <= 5
+),
+wsum AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM exp5),
+etf AS (
+    SELECT doc_id, w, count(*) AS tf FROM tok
+    WHERE w IN (SELECT w FROM exp5) GROUP BY 1, 2
+),
+edf AS (SELECT w, count(*) AS df FROM etf GROUP BY w),
+esc AS (
+    SELECT etf.doc_id, etf.w,
+           (round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                  * 1000000.0) / 1000000.0) AS s
+    FROM etf JOIN edf USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+eq AS (
+    SELECT esc.doc_id,
+           CAST(sum(CAST(round(s * (wt * 1.0 / tot) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS eqv
+    FROM esc JOIN exp5 USING (w) CROSS JOIN wsum GROUP BY 1
+),
+final AS (
+    SELECT coalesce(a.doc_id, e.doc_id) AS doc_id,
+           (round((0.6 * coalesce(score0, 0.0)
+                 + 0.4 * (coalesce(eqv, 0) / 1000000.0)) * 1000000.0)
+            / 1000000.0) AS score
+    FROM agg0 a FULL JOIN eq e ON a.doc_id = e.doc_id
+)
+SELECT doc_id, score, rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+              AS rank
+    FROM final
+) WHERE rank <= 15
+""",
+    description=(
+        "RM3-style pseudo-relevance-feedback query expansion over the "
+        "BM25 stack: score the fixed 3-term query, take the top-10 "
+        "feedback docs, extract the 5 highest-mass expansion terms "
+        "(relevance-model weight = sum over feedback docs of "
+        "score_d * tf(w,d)/dl_d, held EXACTLY as integer nano-mass so "
+        "no float summation order exists; stopword guard: len>=3, "
+        ">=2 feedback docs, query terms excluded), then re-rank with "
+        "score = 0.6*BM25_orig + 0.4*sum_e wnorm_e*BM25_e — the "
+        "per-term contributions quantized to integer micro-units "
+        "before the per-doc sum, so the interpolation is order-free "
+        "too. Both interpolation weights are the same literals on "
+        "both engines (never 1-lambda recomputed). Expansion-term "
+        "selection windows ride the feedback-doc vocabulary "
+        "(10-doc-bounded); the two data-scale rank windows take the "
+        "WindowGroupLimit k-truncated path. The full-corpus scoring "
+        "joins shuffle only the 5 expansion terms' postings."
+    ),
+    tags=("text", "extension", "retrieval"),
+)
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = F.split("text", " ")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size(toks_col)).alias("avgdl")
+    )
+    dl = docs.select("doc_id", F.size(toks_col).alias("dl"))
+    tok = docs.select("doc_id", F.explode(toks_col).alias("w"))
+
+    def bm25_scores(tf):
+        dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        norm = F.col("tf") + F.lit(_BM25_K1) * (
+            F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return (
+            tf.join(F.broadcast(dfreq), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                "w",
+                stable_round(
+                    idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / norm, 6
+                ).alias("s"),
+            )
+        )
+
+    tf0 = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sc0 = bm25_scores(tf0)
+    term_sum = None
+    for t in _BM25_TERMS:
+        part = F.coalesce(F.max(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0))
+        term_sum = part if term_sum is None else term_sum + part
+    agg0 = sc0.groupBy("doc_id").agg(stable_round(term_sum, 6).alias("score0"))
+    wfb = Window.orderBy(F.desc("score0"), F.asc("doc_id"))
+    fb = (
+        agg0.withColumn("rk", F.row_number().over(wfb))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "score0")
+    )
+    mass = fb.join(dl, "doc_id").select(
+        "doc_id",
+        F.round(F.col("score0") / F.col("dl") * 1000000000.0).cast("long").alias("m"),
+    )
+    ftf = (
+        tok.join(fb.select("doc_id"), "doc_id")
+        .filter((F.length("w") >= 3) & (~F.col("w").isin(*_BM25_TERMS)))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tw = (
+        ftf.join(mass, "doc_id")
+        .groupBy("w")
+        .agg(
+            F.sum(F.col("m") * F.col("tf")).cast("long").alias("wt"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    )
+    wexp = Window.orderBy(F.desc("wt"), F.asc("w"))
+    exp5 = (
+        tw.filter(F.col("nd") >= 2)
+        .withColumn("erk", F.row_number().over(wexp))
+        .filter(F.col("erk") <= 5)
+        .select("w", "wt")
+    )
+    wsum = exp5.agg(F.sum("wt").cast("long").alias("tot"))
+    etf = (
+        tok.join(F.broadcast(exp5.select("w")), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    esc = bm25_scores(etf)
+    equant = (
+        esc.join(F.broadcast(exp5), "w")
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            "doc_id",
+            F.round(F.col("s") * (F.col("wt") * 1.0 / F.col("tot")) * 1000000.0)
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    esum = equant.groupBy("doc_id").agg(F.sum("sq").cast("long").alias("eqv"))
+    final = agg0.join(esum, "doc_id", "full").select(
+        "doc_id",
+        stable_round(
+            F.lit(0.6) * F.coalesce("score0", F.lit(0.0))
+            + F.lit(0.4) * (F.coalesce("eqv", F.lit(0)).cast("double") / 1000000.0),
+            6,
+        ).alias("score"),
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        final.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 15)
+        .select("doc_id", "score", "rank")
+    )

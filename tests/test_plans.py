@@ -646,6 +646,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     # partition to k rows before the single-partition stage
     "q_hybrid_search_rrf": "WindowGroupLimit k-truncated",
     "q_bm25_search": "WindowGroupLimit k-truncated",
+    "q_prf_expansion": "WindowGroupLimit k-truncated + 10-doc feedback vocab",
 }
 
 
