@@ -6319,3 +6319,196 @@ def q_lru_miss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cache_size")
     )
+
+
+_CH_P = 2_147_483_647
+_CH_MD5 = f"(('0x' || substring(md5({{x}}), 1, 8))::BIGINT % {_CH_P})"
+
+
+@register(
+    "q_consistent_hash_balance",
+    oracle=f"""
+WITH ring AS (
+    SELECT s, v,
+           {_CH_MD5.format(x="'ring:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")}
+               AS rp
+    FROM (SELECT unnest(range(8)) AS s)
+    CROSS JOIN (SELECT unnest(range(16)) AS v)
+),
+kh AS (
+    SELECT user_id,
+           {_CH_MD5.format(x="'key:' || CAST(user_id AS VARCHAR)")} AS h
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+asg AS (
+    SELECT user_id,
+           CAST(min((((rp - h) % {_CH_P} + {_CH_P}) % {_CH_P}) * 1000 + s)
+                % 1000 AS BIGINT) AS sid,
+           CAST(min(CASE WHEN s <> 0
+                    THEN (((rp - h) % {_CH_P} + {_CH_P}) % {_CH_P}) * 1000 + s
+                    END) % 1000 AS BIGINT) AS sid2
+    FROM kh CROSS JOIN ring GROUP BY user_id
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM asg),
+per AS (
+    SELECT sid AS server_id,
+           CAST(count(*) AS BIGINT) AS n_before FROM asg GROUP BY 1
+),
+aft AS (
+    SELECT sid2 AS server_id,
+           CAST(count(*) AS BIGINT) AS n_after FROM asg GROUP BY 1
+),
+gained AS (
+    SELECT sid2 AS server_id, CAST(count(*) AS BIGINT) AS n_gained
+    FROM asg WHERE sid <> sid2 GROUP BY 1
+)
+SELECT p.server_id,
+       p.n_before,
+       coalesce(a.n_after, 0) AS n_after,
+       coalesce(g.n_gained, 0) AS n_gained,
+       (round((p.n_before * 1.0 / (SELECT n_keys FROM n)) * 1000000.0)
+        / 1000000.0) AS share_before
+FROM per p
+LEFT JOIN aft a ON a.server_id = p.server_id
+LEFT JOIN gained g ON g.server_id = p.server_id
+ORDER BY p.server_id
+""",
+    description=(
+        "Consistent-hash ring balance audit: 8 servers x 16 virtual "
+        "nodes on a 31-bit md5 ring, every distinct user key assigned "
+        "to the clockwise-nearest vnode (argmin of ring distance, "
+        "encoded dist*1000+server into ONE integer MIN so ties are "
+        "deterministic on both engines), then server 0 is removed and "
+        "keys reassigned. Verifies the two properties that make "
+        "consistent hashing the shard router for distributed caches/ "
+        "stores: vnode-smoothed load spread (share_before per server) "
+        "and minimal disruption — only server 0's keys move "
+        "(n_gained sums to exactly server 0's n_before; every other "
+        "server's assignment is unchanged). The ring is a 128-row "
+        "broadcast; keys stream through one codegen'd cross-product "
+        "aggregate — no shuffle beyond the per-key min."
+    ),
+    tags=("analytics", "extension", "systems"),
+)
+def q_consistent_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    p = _CH_P
+    spark_dp = spark.range(8).select(F.col("id").alias("s"))
+    ring = (
+        spark_dp.crossJoin(spark.range(16).select(F.col("id").alias("v")))
+        .select(
+            "s",
+            "v",
+            md5_hash31(
+                F.concat(
+                    F.lit("ring:"),
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ).alias("rp"),
+        )
+    )
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            md5_hash31(
+                F.concat(F.lit("key:"), F.col("user_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    dist = ((F.col("rp") - F.col("h")) % p + p) % p
+    enc = dist * 1000 + F.col("s")
+    asg = (
+        keys.crossJoin(F.broadcast(ring))
+        .groupBy("user_id")
+        .agg(
+            (F.min(enc) % 1000).cast("long").alias("sid"),
+            (F.min(F.when(F.col("s") != 0, enc)) % 1000).cast("long").alias("sid2"),
+        )
+    )
+    n = asg.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    per = asg.groupBy(F.col("sid").alias("server_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    aft = asg.groupBy(F.col("sid2").alias("server_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    gained = (
+        asg.filter(F.col("sid") != F.col("sid2"))
+        .groupBy(F.col("sid2").alias("server_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gained"))
+    )
+    return (
+        per.join(aft, "server_id", "left")
+        .join(gained, "server_id", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "server_id",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_gained", F.lit(0)).cast("long").alias("n_gained"),
+            stable_round(F.col("n_before") * 1.0 / F.col("n_keys"), 6).alias(
+                "share_before"
+            ),
+        )
+        .orderBy("server_id")
+    )
+
+
+@register(
+    "q_salted_distinct_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description=(
+        "Salted two-phase distinct-count for skewed group keys: "
+        "events has only ~5 event_type values, so a naive "
+        "count(DISTINCT user_id) GROUP BY event_type funnels every "
+        "row of a hot key through one reduce task. Phase 1 groups by "
+        "(event_type, user_id mod 32) — distinct users split "
+        "DISJOINTLY across salts, so each salt's local distinct is "
+        "exact and 32 tasks share one hot key's work; phase 2 sums "
+        "the 5x32 partial counts (metadata-scale). Identical result "
+        "to the naive form (the oracle IS the naive form), 32x the "
+        "parallelism on the hot path — the pattern behind every "
+        "billion-row count-distinct dashboard query. Counts and cent "
+        "sums fold alongside in the same two phases."
+    ),
+    tags=("analytics", "extension", "scale-pattern"),
+)
+def q_salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 32).alias("salt"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("pu"),
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum("cents").cast("long").alias("pc"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pu").cast("long").alias("n_users"),
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pc").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

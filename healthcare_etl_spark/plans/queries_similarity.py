@@ -2021,3 +2021,128 @@ def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_vectors long, purity double, nmi double, adjusted_rand double",
     )
+
+
+_MMD_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), "
+    "s -> (s[1]::DOUBLE - s[2]::DOUBLE) * (s[1]::DOUBLE - s[2]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_mmd_drift",
+    oracle=f"""
+WITH r AS (
+    SELECT vec_id, label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+    FROM embeddings WHERE label IN (0, 1)
+),
+s AS (SELECT vec_id, label, embedding FROM r WHERE rk <= 150),
+pm AS (
+    SELECT x.label AS lx, y.label AS ly,
+           CAST(round(exp(-({_MMD_D2.format(a="x.embedding", b="y.embedding")})
+                          / 64.0) * 1000000000.0) AS BIGINT) AS kq
+    FROM s x CROSS JOIN s y
+),
+g AS (
+    SELECT lx, ly, CAST(sum(kq) AS BIGINT) AS sk, CAST(count(*) AS BIGINT) AS c
+    FROM pm GROUP BY 1, 2
+),
+m AS (
+    SELECT max(CASE WHEN lx = 0 AND ly = 0 THEN sk END) AS saa,
+           max(CASE WHEN lx = 0 AND ly = 0 THEN c  END) AS caa,
+           max(CASE WHEN lx = 1 AND ly = 1 THEN sk END) AS sbb,
+           max(CASE WHEN lx = 1 AND ly = 1 THEN c  END) AS cbb,
+           max(CASE WHEN lx = 0 AND ly = 1 THEN sk END) AS sab,
+           max(CASE WHEN lx = 0 AND ly = 1 THEN c  END) AS cab
+    FROM g
+)
+SELECT CAST(round(sqrt(caa * 1.0)) AS BIGINT) AS n_a,
+       CAST(round(sqrt(cbb * 1.0)) AS BIGINT) AS n_b,
+       (round((saa / (caa * 1000000000.0)) * 1000000.0) / 1000000.0) AS k_aa,
+       (round((sbb / (cbb * 1000000000.0)) * 1000000.0) / 1000000.0) AS k_bb,
+       (round((sab / (cab * 1000000000.0)) * 1000000.0) / 1000000.0) AS k_ab,
+       (round((saa / (caa * 1000000000.0) + sbb / (cbb * 1000000000.0)
+               - 2.0 * (sab / (cab * 1000000000.0))) * 1000000.0)
+        / 1000000.0) AS mmd2
+FROM m
+""",
+    description=(
+        "Kernel two-sample drift: biased-V-statistic MMD^2 between the "
+        "label-0 and label-1 embedding populations under an RBF kernel "
+        "exp(-||x-y||^2 / 64) (fixed bandwidth; the production choice "
+        "is the median pairwise distance heuristic, computed the same "
+        "way). The distribution-free companion to q_energy_distance "
+        "for HIGH-DIMENSIONAL drift — mean-vector monitors miss "
+        "covariance/shape shift that MMD catches. Each squared "
+        "distance is a strict left-to-right fold (zip_with+aggregate "
+        "vs list_zip+list_reduce — bit-identical), each kernel value "
+        "is quantized to integer nano-units before summation, so no "
+        "float ordering exists in the O(n^2) reduction. Per-label "
+        "deterministic 150-caps bound the pair grid (WindowGroupLimit "
+        "pre-truncation); the production path subsamples per block "
+        "and averages block MMDs (an unbiased estimator that keeps "
+        "the grid bounded at any corpus size)."
+    ),
+    tags=("similarity", "extension", "drift"),
+)
+def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    r = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy("vec_id"))
+        .alias("rk"),
+    )
+    s = r.filter(F.col("rk") <= 150).select("vec_id", "label", "embedding")
+    diff2 = F.zip_with(
+        F.col("x.embedding"),
+        F.col("y.embedding"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    kq = F.round(F.exp(-d2 / F.lit(64.0)) * 1000000000.0).cast("long")
+    pm = (
+        s.alias("x")
+        .crossJoin(F.broadcast(s.alias("y")))
+        .select(
+            F.col("x.label").alias("lx"),
+            F.col("y.label").alias("ly"),
+            kq.alias("kq"),
+        )
+    )
+    g = pm.groupBy("lx", "ly").agg(
+        F.sum("kq").cast("long").alias("sk"), F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def cell(lx, ly, col):
+        return F.max(F.when((F.col("lx") == lx) & (F.col("ly") == ly), F.col(col)))
+
+    m = g.agg(
+        cell(0, 0, "sk").alias("saa"),
+        cell(0, 0, "c").alias("caa"),
+        cell(1, 1, "sk").alias("sbb"),
+        cell(1, 1, "c").alias("cbb"),
+        cell(0, 1, "sk").alias("sab"),
+        cell(0, 1, "c").alias("cab"),
+    )
+    kaa = F.col("saa") / (F.col("caa") * 1000000000.0)
+    kbb = F.col("sbb") / (F.col("cbb") * 1000000000.0)
+    kab = F.col("sab") / (F.col("cab") * 1000000000.0)
+    return m.select(
+        F.round(F.sqrt(F.col("caa") * 1.0)).cast("long").alias("n_a"),
+        F.round(F.sqrt(F.col("cbb") * 1.0)).cast("long").alias("n_b"),
+        stable_round(kaa, 6).alias("k_aa"),
+        stable_round(kbb, 6).alias("k_bb"),
+        stable_round(kab, 6).alias("k_ab"),
+        stable_round(kaa + kbb - F.lit(2.0) * kab, 6).alias("mmd2"),
+    )
