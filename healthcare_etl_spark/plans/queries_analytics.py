@@ -6512,3 +6512,94 @@ def q_salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+    SELECT event_type, user_id,
+           {_CH_MD5.format(x="'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
+    FROM du
+),
+rk AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS r
+    FROM h
+),
+kth AS (
+    SELECT event_type, max(CASE WHEN r = 256 THEN hv END) AS hk,
+           CAST(count(*) AS BIGINT) AS n_seen
+    FROM rk WHERE r <= 256 GROUP BY event_type
+),
+ex AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT ex.event_type, n_exact,
+       CAST(CASE WHEN hk IS NULL THEN n_seen
+            ELSE CAST(round(255.0 * {_CH_P} / hk) AS BIGINT) END AS BIGINT)
+           AS n_est,
+       (round((abs(CASE WHEN hk IS NULL THEN n_seen
+                   ELSE CAST(round(255.0 * {_CH_P} / hk) AS BIGINT) END - n_exact)
+               * 1.0 / n_exact) * 1000000.0) / 1000000.0) AS rel_err
+FROM ex JOIN kth ON ex.event_type = kth.event_type
+ORDER BY ex.event_type
+""",
+    description=(
+        "KMV (k-minimum-values, k=256) distinct-count sketch per event "
+        "type, with exact count and relative error alongside: estimate "
+        "= (k-1) * HASH_SPACE / h_(k) from the k smallest 31-bit md5 "
+        "hashes. The ORACLE-CHECKABLE distinct sketch — unlike HLL's "
+        "opaque register blob, a KMV synopsis is just k ordered "
+        "integers, so DuckDB reproduces it bit-for-bit, and it is "
+        "MERGEABLE (union = merge the min-k sets and re-truncate; "
+        "intersection cardinalities come from the same synopses via "
+        "Jaccard — neither is possible with exact distinct partials). "
+        "Per-type min-k rides the WindowGroupLimit pre-truncation: "
+        "every input partition is cut to its local 256 smallest before "
+        "the per-type merge, so the shuffle carries k rows per "
+        "(partition x type) no matter how many billions of rows a hot "
+        "type has. Exact fallback when a type has < k distinct keys."
+    ),
+    tags=("analytics", "extension", "sketch", "scale-pattern"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        "user_id",
+        md5_hash31(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "hv"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("hv"), F.asc("user_id"))
+    rk = h.select("event_type", "hv", F.row_number().over(w).alias("r")).filter(
+        F.col("r") <= 256
+    )
+    kth = rk.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 256, F.col("hv"))).alias("hk"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    est = F.when(F.col("hk").isNull(), F.col("n_seen")).otherwise(
+        F.round(F.lit(255.0) * _CH_P / F.col("hk")).cast("long")
+    )
+    return (
+        ex.join(kth, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.cast("long").alias("n_est"),
+            stable_round(
+                F.abs(est - F.col("n_exact")) * 1.0 / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

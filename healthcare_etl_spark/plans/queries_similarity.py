@@ -2146,3 +2146,92 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(kab, 6).alias("k_ab"),
         stable_round(kaa + kbb - F.lit(2.0) * kab, 6).alias("mmd2"),
     )
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled Gonzalez maximin greedy: round i's candidate distances
+    ride a MATERIALIZED CTE (DuckDB would otherwise inline the shared
+    point base into every round and plan exponentially)."""
+    d2 = _MMD_D2.format(a="p.embedding", b="c.embedding")
+    dq = f"CAST(round(({d2}) * 1000000.0) AS BIGINT)"
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "s0 AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT 1)",
+    ]
+    chosen_union = "SELECT vec_id FROM s0"
+    for i in range(1, k):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+    SELECT p.vec_id, min({dq}) AS dq
+    FROM pts p JOIN pts c ON c.vec_id IN ({chosen_union})
+    WHERE p.vec_id NOT IN ({chosen_union})
+    GROUP BY p.vec_id)"""
+        )
+        parts.append(
+            f"s{i} AS (SELECT vec_id, dq FROM m{i} ORDER BY dq DESC, vec_id LIMIT 1)"
+        )
+        chosen_union += f" UNION ALL SELECT vec_id FROM s{i}"
+    selects = ["SELECT CAST(0 AS BIGINT) AS k, vec_id, 0.0 AS sel_d2 FROM s0"]
+    for i in range(1, k):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT), vec_id, dq / 1000000.0 FROM s{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY k"
+
+
+@register(
+    "q_kcenter_coreset",
+    oracle=_kcenter_oracle_sql(),
+    description=(
+        "Greedy k-center coreset selection (Gonzalez maximin, k=8, "
+        "2-approximation to the optimal covering radius) over the "
+        "embedding corpus — the diversity-sampling primitive for "
+        "training-data curation: each round adds the point FARTHEST "
+        "from every already-chosen center, so the selection spans the "
+        "embedding space instead of oversampling dense clusters. "
+        "Per-round: the <=8 chosen centers are broadcast as literal "
+        "vectors into one codegen'd scan (squared distances as "
+        "strict left-to-right folds, quantized to integer micro-units "
+        "so the per-point MIN and global maximin ARGMAX are "
+        "order-free; ties break to min vec_id), and the argmax is a "
+        "TakeOrdered(1). k scans total, no pairwise materialization. "
+        "At corpus scale the standard move is per-block greedy then a "
+        "merge round over block winners (composable: same operator). "
+        "Oracle: 7 unrolled maximin rounds over MATERIALIZED CTEs."
+    ),
+    tags=("similarity", "extension", "curation"),
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    pts = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = pts.localCheckpoint(eager=True)
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(int(seed["vec_id"]), [float(v) for v in seed["embedding"]], 0)]
+    for _ in range(1, 8):
+        dqs = []
+        for _, emb, _ in chosen:
+            cen = F.array(*[F.lit(v) for v in emb])
+            diff2 = F.zip_with(
+                F.col("embedding"),
+                cen,
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            )
+            d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+            dqs.append(F.round(d2 * 1000000.0).cast("long"))
+        mind = dqs[0] if len(dqs) == 1 else F.least(*dqs)
+        ids = [c[0] for c in chosen]
+        pick = (
+            pts.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding", mind.alias("dq"))
+            .orderBy(F.desc("dq"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(
+            (int(pick["vec_id"]), [float(v) for v in pick["embedding"]], int(pick["dq"]))
+        )
+    rows = [(i, cid, dq / 1000000.0) for i, (cid, _, dq) in enumerate(chosen)]
+    out = spark.createDataFrame(rows, "k long, vec_id long, sel_d2 double")
+    return out.select("k", "vec_id", stable_round(F.col("sel_d2"), 6).alias("sel_d2")).orderBy("k")
