@@ -7493,3 +7493,203 @@ def q_cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         marked.unpersist()
+
+
+_ALS_P = 2_147_483_647
+_ALS_MD5 = f"(('0x' || substring(md5({{x}}), 1, 8))::BIGINT % {_ALS_P})"
+# Closed-form regularized 2x2 solve, shared between the user and item
+# half-sweeps (identical expression TEXT on both engines so the IEEE op
+# order is identical): sums s11/s12/s22 are exact integers in 1e-6
+# units, rhs p1/p2 in 1e-3*r units, lambda=0.1 -> +100000 on the
+# diagonal; factors clamped to [-1000, 1000] and quantized to exact
+# milli-units.
+_ALS_DET = "(({s11} + 100000) * 1.0 * ({s22} + 100000) - {s12} * 1.0 * {s12})"
+_ALS_U1 = (
+    "CAST(round(least(greatest(((({s22} + 100000) * 1.0 * ({p1} * 1000) "
+    "- {s12} * 1.0 * ({p2} * 1000)) / " + _ALS_DET + "), -1000.0), 1000.0) "
+    "* 1000.0) AS BIGINT)"
+)
+_ALS_U2 = (
+    "CAST(round(least(greatest(((({s11} + 100000) * 1.0 * ({p2} * 1000) "
+    "- {s12} * 1.0 * ({p1} * 1000)) / " + _ALS_DET + "), -1000.0), 1000.0) "
+    "* 1000.0) AS BIGINT)"
+)
+
+
+@register(
+    "q_als_sweep",
+    oracle=f"""
+WITH r AS MATERIALIZED (
+    SELECT o_custkey AS u, l_partkey AS i,
+           CAST(round(sum(l_quantity)) AS BIGINT) AS rt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+f0 AS MATERIALIZED (
+    SELECT i,
+           {_ALS_MD5.format(x="'als1:' || CAST(i AS VARCHAR)")} % 1000 AS m1,
+           {_ALS_MD5.format(x="'als2:' || CAST(i AS VARCHAR)")} % 1000 AS m2
+    FROM (SELECT DISTINCT i FROM r)
+),
+us AS (
+    SELECT u, sum(m1 * m1) AS s11, sum(m1 * m2) AS s12, sum(m2 * m2) AS s22,
+           sum(m1 * rt) AS p1, sum(m2 * rt) AS p2
+    FROM r JOIN f0 USING (i) GROUP BY u
+),
+uf AS MATERIALIZED (
+    SELECT u,
+           {_ALS_U1.format(s11="s11", s12="s12", s22="s22", p1="p1", p2="p2")} AS u1q,
+           {_ALS_U2.format(s11="s11", s12="s12", s22="s22", p1="p1", p2="p2")} AS u2q
+    FROM us
+),
+its AS (
+    SELECT i, sum(u1q * u1q) AS t11, sum(u1q * u2q) AS t12,
+           sum(u2q * u2q) AS t22, sum(u1q * rt) AS q1, sum(u2q * rt) AS q2
+    FROM r JOIN uf USING (u) GROUP BY i
+),
+f1 AS MATERIALIZED (
+    SELECT i,
+           {_ALS_U1.format(s11="t11", s12="t12", s22="t22", p1="q1", p2="q2")} AS g1q,
+           {_ALS_U2.format(s11="t11", s12="t12", s22="t22", p1="q1", p2="q2")} AS g2q
+    FROM its
+),
+e0 AS (
+    SELECT CAST(sum(CAST(round(((u1q * 1.0 * m1 + u2q * 1.0 * m2) / 1000000.0 - rt)
+                               * ((u1q * 1.0 * m1 + u2q * 1.0 * m2) / 1000000.0 - rt)
+                               * 1000.0) AS BIGINT)) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r JOIN uf USING (u) JOIN f0 USING (i)
+),
+e1 AS (
+    SELECT CAST(sum(CAST(round(((u1q * 1.0 * g1q + u2q * 1.0 * g2q) / 1000000.0 - rt)
+                               * ((u1q * 1.0 * g1q + u2q * 1.0 * g2q) / 1000000.0 - rt)
+                               * 1000.0) AS BIGINT)) AS BIGINT) AS s
+    FROM r JOIN uf USING (u) JOIN f1 USING (i)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM uf) AS n_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM f0) AS n_items,
+       (SELECT n FROM e0) AS n_ratings,
+       (round(sqrt((SELECT s FROM e0) / ((SELECT n FROM e0) * 1000.0))
+              * 1000000.0) / 1000000.0) AS rmse_init,
+       (round(sqrt((SELECT s FROM e1) / ((SELECT n FROM e0) * 1000.0))
+              * 1000000.0) / 1000000.0) AS rmse_after
+""",
+    description=(
+        "One ALS sweep of a rank-2 matrix factorization of the "
+        "customer x part quantity matrix: deterministic hash-seeded "
+        "item factors, closed-form regularized 2x2 normal-equation "
+        "solve per user (lambda=0.1), then the symmetric item "
+        "half-sweep against the solved users, with train RMSE before/ "
+        "after proving the sweep descends. THE collaborative-filtering "
+        "training primitive — each half-sweep is one groupBy over the "
+        "ratings joined to the (broadcastable) opposite-side factors, "
+        "exactly how distributed ALS iterates at any scale. Every "
+        "Gram/moment sum folds in EXACT integer milli-unit arithmetic "
+        "(no float summation order anywhere); the solves and RMSEs are "
+        "single deterministic float expressions with identical text on "
+        "both engines, factors clamped to +-1000 and re-quantized to "
+        "milli-units between half-sweeps so every cross-engine product "
+        "stays integer-exact. BIGINT holds the Gram mass to ~300 "
+        "ratings/row-key at these magnitudes; DECIMAL(38) is the "
+        "documented 100x headroom swap."
+    ),
+    tags=("mlops", "extension", "recsys"),
+)
+def q_als_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("rt"))
+    ).localCheckpoint(eager=True)
+
+    def h31(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("i").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _ALS_P
+        )
+
+    f0 = r.select("i").distinct().select(
+        "i", (h31("als1:") % 1000).alias("m1"), (h31("als2:") % 1000).alias("m2")
+    )
+
+    def solve(s11, s12, s22, p1, p2):
+        det = (s11 + 100000) * 1.0 * (s22 + 100000) - s12 * 1.0 * s12
+        x1 = ((s22 + 100000) * 1.0 * (p1 * 1000) - s12 * 1.0 * (p2 * 1000)) / det
+        x2 = ((s11 + 100000) * 1.0 * (p2 * 1000) - s12 * 1.0 * (p1 * 1000)) / det
+        clamp = lambda c: F.round(
+            F.least(F.greatest(c, F.lit(-1000.0)), F.lit(1000.0)) * 1000.0
+        ).cast("long")
+        return clamp(x1), clamp(x2)
+
+    us = (
+        r.join(f0, "i")
+        .groupBy("u")
+        .agg(
+            F.sum(F.col("m1") * F.col("m1")).alias("s11"),
+            F.sum(F.col("m1") * F.col("m2")).alias("s12"),
+            F.sum(F.col("m2") * F.col("m2")).alias("s22"),
+            F.sum(F.col("m1") * F.col("rt")).alias("p1"),
+            F.sum(F.col("m2") * F.col("rt")).alias("p2"),
+        )
+    )
+    u1, u2 = solve(F.col("s11"), F.col("s12"), F.col("s22"), F.col("p1"), F.col("p2"))
+    uf = us.select("u", u1.alias("u1q"), u2.alias("u2q")).localCheckpoint(eager=True)
+    its = (
+        r.join(uf, "u")
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("u1q") * F.col("u1q")).alias("t11"),
+            F.sum(F.col("u1q") * F.col("u2q")).alias("t12"),
+            F.sum(F.col("u2q") * F.col("u2q")).alias("t22"),
+            F.sum(F.col("u1q") * F.col("rt")).alias("q1"),
+            F.sum(F.col("u2q") * F.col("rt")).alias("q2"),
+        )
+    )
+    g1, g2 = solve(F.col("t11"), F.col("t12"), F.col("t22"), F.col("q1"), F.col("q2"))
+    f1 = its.select("i", g1.alias("g1q"), g2.alias("g2q"))
+
+    def sqerr(fa, fb):
+        pred = (F.col("u1q") * 1.0 * F.col(fa) + F.col("u2q") * 1.0 * F.col(fb)) / 1000000.0
+        return F.round((pred - F.col("rt")) * (pred - F.col("rt")) * 1000.0).cast("long")
+
+    e0 = (
+        r.join(uf, "u")
+        .join(f0, "i")
+        .agg(
+            F.sum(sqerr("m1", "m2")).cast("long").alias("s0"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    e1 = (
+        r.join(uf, "u")
+        .join(f1, "i")
+        .agg(F.sum(sqerr("g1q", "g2q")).cast("long").alias("s1"))
+    )
+    nu = uf.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    ni = f0.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    return (
+        nu.crossJoin(F.broadcast(ni))
+        .crossJoin(F.broadcast(e0))
+        .crossJoin(F.broadcast(e1))
+        .select(
+            "n_users",
+            "n_items",
+            F.col("n").alias("n_ratings"),
+            stable_round(F.sqrt(F.col("s0") / (F.col("n") * 1000.0)), 6).alias(
+                "rmse_init"
+            ),
+            stable_round(F.sqrt(F.col("s1") / (F.col("n") * 1000.0)), 6).alias(
+                "rmse_after"
+            ),
+        )
+    )

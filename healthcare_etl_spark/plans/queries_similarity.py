@@ -2235,3 +2235,97 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, cid, dq / 1000000.0) for i, (cid, _, dq) in enumerate(chosen)]
     out = spark.createDataFrame(rows, "k long, vec_id long, sel_d2 double")
     return out.select("k", "vec_id", stable_round(F.col("sel_d2"), 6).alias("sel_d2")).orderBy("k")
+
+
+@register(
+    "q_mutual_nn_pairs",
+    oracle=f"""
+WITH ra AS (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+    FROM embeddings WHERE label = 0
+),
+rb AS (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+    FROM embeddings WHERE label = 1
+),
+a AS (SELECT vec_id AS a_id, embedding AS av FROM ra WHERE rk <= 100),
+b AS (SELECT vec_id AS b_id, embedding AS bv FROM rb WHERE rk <= 100),
+sc AS (
+    SELECT a_id, b_id,
+           (round({_COS.format(a="av", b="bv")} * 1000000.0) / 1000000.0) AS c
+    FROM a CROSS JOIN b
+),
+ab AS (
+    SELECT a_id, b_id, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                   ORDER BY c DESC, b_id ASC) AS r
+        FROM sc
+    ) WHERE r = 1
+),
+ba AS (
+    SELECT a_id, b_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY b_id
+                   ORDER BY c DESC, a_id ASC) AS r
+        FROM sc
+    ) WHERE r = 1
+)
+SELECT ab.a_id, ab.b_id, ab.c AS cosine
+FROM ab JOIN ba ON ab.a_id = ba.a_id AND ab.b_id = ba.b_id
+ORDER BY ab.a_id
+""",
+    description=(
+        "Mutual-nearest-neighbor pair mining between the label-0 and "
+        "label-1 embedding populations (each capped at its first 100 "
+        "vectors): emit (a, b) only when b is a's cosine top-1 AND a is "
+        "b's — the margin-free core of bitext/parallel-data mining "
+        "(LASER-style) and of cross-modal alignment checks: mutuality "
+        "filters the asymmetric hubness matches that one-directional "
+        "top-1 retrieval accepts. Per-direction top-1 rides the "
+        "partitioned WindowGroupLimit; the mutual filter is an "
+        "equi-join on the pair key. At corpus scale the cross product "
+        "is replaced by any ANN in the same registry (IVF/LSH/PQ) — "
+        "mutuality composes with approximate candidate lists unchanged."
+    ),
+    tags=("similarity", "extension", "curation"),
+)
+def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def capped(label, idcol):
+        w = Window.partitionBy("label").orderBy("vec_id")
+        return (
+            emb.filter(F.col("label") == label)
+            .select("vec_id", "embedding", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 100)
+            .select(F.col("vec_id").alias(idcol), F.col("embedding").alias(idcol[0] + "v"))
+        )
+
+    a = capped(0, "a_id")
+    b = capped(1, "b_id")
+    sc = a.crossJoin(F.broadcast(b)).select(
+        "a_id", "b_id", stable_round(cosine_similarity(F.col("av"), F.col("bv")), 6).alias("c")
+    )
+    wab = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("b_id"))
+    ab = (
+        sc.withColumn("r", F.row_number().over(wab))
+        .filter(F.col("r") == 1)
+        .select("a_id", "b_id", "c")
+    )
+    wba = Window.partitionBy("b_id").orderBy(F.desc("c"), F.asc("a_id"))
+    ba = (
+        sc.withColumn("r", F.row_number().over(wba))
+        .filter(F.col("r") == 1)
+        .select(F.col("a_id").alias("a2"), F.col("b_id").alias("b2"))
+    )
+    return (
+        ab.join(ba, (ab.a_id == ba.a2) & (ab.b_id == ba.b2))
+        .select("a_id", "b_id", F.col("c").alias("cosine"))
+        .orderBy("a_id")
+    )
