@@ -6603,3 +6603,98 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_hits_scores",
+    oracle="""
+WITH pe AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+te AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM pe),
+a1 AS (
+    SELECT s, CAST(count(*) AS BIGINT) AS indeg,
+           CAST(round(count(*) * 10000000000.0 / (SELECT tot FROM te))
+                AS BIGINT) AS ai
+    FROM pe GROUP BY s
+),
+h1 AS (
+    SELECT c, CAST(sum(ai) AS BIGINT) AS hi
+    FROM pe JOIN a1 USING (s) GROUP BY c
+),
+nh AS (SELECT CAST(sum(hi) AS BIGINT) AS nrm FROM h1),
+h1n AS (
+    SELECT c, CAST(round(hi * 10000000000.0 / (SELECT nrm FROM nh))
+                   AS BIGINT) AS hn
+    FROM h1
+),
+a2 AS (
+    SELECT s, CAST(sum(hn) AS BIGINT) AS a2i
+    FROM pe JOIN h1n USING (c) GROUP BY s
+),
+na AS (SELECT CAST(sum(a2i) AS BIGINT) AS nrm FROM a2)
+SELECT a2.s AS supp_id, a1.indeg,
+       (round((a2i * 1.0 / (SELECT nrm FROM na)) * 100000000.0)
+        / 100000000.0) AS authority
+FROM a2 JOIN a1 ON a1.s = a2.s
+ORDER BY supp_id
+""",
+    description=(
+        "HITS authority scores over the bipartite customer->supplier "
+        "purchase graph (2 power rounds: authority <- hub mass <- "
+        "authority, L1-normalized each round): suppliers bought by "
+        "customers who buy from other authoritative suppliers — the "
+        "mutual-reinforcement centrality that plain in-degree misses. "
+        "Every iterate is held as EXACT integer deci-nano mass "
+        "(normalize = one deterministic rounded division per node; "
+        "propagate = BIGINT sums over the edge join), so unlike "
+        "float-state power iterations there is NO summation-order "
+        "surface at all. Per round: one equi-join edge pass + one hash "
+        "agg on the node id, the distributed shape every "
+        "graph-centrality engine runs; edges would be bucketed by "
+        "join side at cluster scale."
+    ),
+    tags=("analytics", "extension", "graph"),
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pe = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    te = pe.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    a1 = (
+        pe.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("indeg"))
+        .crossJoin(F.broadcast(te))
+        .select(
+            "s",
+            "indeg",
+            F.round(F.col("indeg") * 10000000000.0 / F.col("tot"))
+            .cast("long")
+            .alias("ai"),
+        )
+    )
+    h1 = pe.join(a1.select("s", "ai"), "s").groupBy("c").agg(
+        F.sum("ai").cast("long").alias("hi")
+    )
+    nh = h1.agg(F.sum("hi").cast("long").alias("nrm"))
+    h1n = h1.crossJoin(F.broadcast(nh)).select(
+        "c",
+        F.round(F.col("hi") * 10000000000.0 / F.col("nrm")).cast("long").alias("hn"),
+    )
+    a2 = pe.join(h1n, "c").groupBy("s").agg(F.sum("hn").cast("long").alias("a2i"))
+    na = a2.agg(F.sum("a2i").cast("long").alias("nrm"))
+    return (
+        a2.join(a1.select("s", "indeg"), "s")
+        .crossJoin(F.broadcast(na))
+        .select(
+            F.col("s").alias("supp_id"),
+            "indeg",
+            stable_round(F.col("a2i") * 1.0 / F.col("nrm"), 8).alias("authority"),
+        )
+        .orderBy("supp_id")
+    )

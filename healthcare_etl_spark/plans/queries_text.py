@@ -995,3 +995,82 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_kneser_ney_bigram",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+    SELECT doc_id, t, unnest(range(1, len(t))) AS p
+    FROM tk WHERE len(t) >= 2
+),
+bg AS (SELECT t[p] AS w1, t[p + 1] AS w2 FROM g),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+fwd AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS cw,
+           CAST(count(*) AS BIGINT) AS n1f
+    FROM cb GROUP BY w1
+),
+bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM cb GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb),
+top AS (
+    SELECT w1, w2, c FROM (
+        SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rk FROM cb
+    ) WHERE rk <= 30
+)
+SELECT top.w1, top.w2, top.c,
+       (round((greatest(top.c - 0.75, 0.0) / cw
+               + (0.75 * n1f / cw) * (n1b * 1.0 / (SELECT t FROM tt)))
+              * 100000000.0) / 100000000.0) AS p_kn
+FROM top JOIN fwd USING (w1) JOIN bwd USING (w2)
+ORDER BY top.c DESC, top.w1, top.w2
+""",
+    description=(
+        "Interpolated Kneser-Ney bigram probabilities (absolute "
+        "discount D=0.75) for the corpus's 30 most frequent bigrams: "
+        "P(w2|w1) = max(c-D,0)/c(w1) + D*N1+(w1,.)/c(w1) * "
+        "N1+(.,w2)/|bigram types| — the smoothing that backs off to "
+        "CONTINUATION counts (how many contexts a word follows) "
+        "rather than raw frequency, which is why KN still dominates "
+        "count-based LM baselines and perplexity-filter scoring. "
+        "Everything is four hash aggregations over the exploded "
+        "bigram stream (counts, forward/backward type counts, type "
+        "total — all exact integers; the probability is one fixed "
+        "float expression); the top-30 rank rides WindowGroupLimit "
+        "pre-truncation. Evaluating P_KN for a doc stream is the "
+        "same join shape against these count tables."
+    ),
+    tags=("text", "extension", "lm"),
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    g = docs.filter(F.size("t") >= 2).select(
+        "t", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("p")
+    )
+    bg = g.select(
+        F.element_at("t", F.col("p")).alias("w1"),
+        F.element_at("t", F.col("p") + 1).alias("w2"),
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    fwd = cb.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw"), F.count(F.lit(1)).cast("long").alias("n1f")
+    )
+    bwd = cb.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    tt = cb.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    w = Window.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    top = cb.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 30)
+    pkn = F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("cw") + (
+        F.lit(0.75) * F.col("n1f") / F.col("cw")
+    ) * (F.col("n1b") * 1.0 / F.col("t_types"))
+    return (
+        top.join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "c", stable_round(pkn, 8).alias("p_kn"))
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    )

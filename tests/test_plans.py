@@ -647,6 +647,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_hybrid_search_rrf": "WindowGroupLimit k-truncated",
     "q_bm25_search": "WindowGroupLimit k-truncated",
     "q_prf_expansion": "WindowGroupLimit k-truncated + 10-doc feedback vocab",
+    "q_kneser_ney_bigram": "WindowGroupLimit k-truncated",
 }
 
 
