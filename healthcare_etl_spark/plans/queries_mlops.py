@@ -7693,3 +7693,111 @@ def q_als_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+WITH pos AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS u, l_partkey AS i
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+items AS (
+    SELECT i, row_number() OVER (ORDER BY i) AS pos_idx
+    FROM (SELECT DISTINCT i FROM pos)
+),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM items),
+samp AS (
+    SELECT u, i, j,
+           {_ALS_MD5.format(x="'neg:' || CAST(u AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+               % (SELECT n_items FROM ni) + 1 AS idx
+    FROM pos CROSS JOIN (SELECT unnest(range(4)) AS j)
+    WHERE u % 100 = 7
+),
+mapped AS (
+    SELECT s.u, s.i AS pos_item, CAST(s.j AS BIGINT) AS j,
+           items.i AS neg_item
+    FROM samp s JOIN items ON items.pos_idx = s.idx
+)
+SELECT m.u, m.pos_item, m.j, m.neg_item
+FROM mapped m
+LEFT JOIN pos p ON p.u = m.u AND p.i = m.neg_item
+WHERE p.i IS NULL
+ORDER BY m.u, m.pos_item, m.j
+""",
+    description=(
+        "Deterministic uniform negative sampling for implicit-feedback "
+        "training: for each (customer, part) positive (2% user shard), "
+        "4 candidate negatives drawn by salted md5 over a DENSE item "
+        "index — the index is bucketed_rank's two-phase carry over the "
+        "distinct item set (partkey div 4096 buckets), so sampling "
+        "uniformly over item IDs works no matter how sparse or skewed "
+        "the raw key space is. Sampled items that collide with a true "
+        "positive are removed by an anti-join (the standard correction; "
+        "deterministic here, so both engines drop the same rows). "
+        "Hash-seeded => reproducible across epochs and resumable "
+        "mid-shard; the idx join is a uniform-key equi-join. The "
+        "epoch-varying form salts with the epoch number."
+    ),
+    tags=("mlops", "extension", "recsys", "scale-pattern"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    items = bucketed_rank(
+        pos.select("i").distinct(),
+        buckets=[F.expr("i div 4096")],
+        order_by=[F.asc("i")],
+        out_col="pos_idx",
+    )
+    ni = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    j_grid = spark.range(4).select(F.col("id").alias("j"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _ALS_P
+    )
+    samp = (
+        pos.filter(F.col("u") % 100 == 7)
+        .crossJoin(F.broadcast(j_grid))
+        .crossJoin(F.broadcast(ni))
+        .select("u", "i", "j", (h % F.col("n_items") + 1).alias("idx"))
+    )
+    mapped = samp.join(
+        items.select(F.col("i").alias("neg_item"), F.col("pos_idx")),
+        samp.idx == F.col("pos_idx"),
+    ).select(
+        "u", F.col("i").alias("pos_item"), F.col("j").cast("long").alias("j"), "neg_item"
+    )
+    return (
+        mapped.join(
+            pos.select(F.col("u").alias("pu"), F.col("i").alias("pi")),
+            (F.col("u") == F.col("pu")) & (F.col("neg_item") == F.col("pi")),
+            "left_anti",
+        )
+        .select("u", "pos_item", "j", "neg_item")
+        .orderBy("u", "pos_item", "j")
+    )

@@ -2329,3 +2329,85 @@ def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.col("c").alias("cosine"))
         .orderBy("a_id")
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+WITH ra AS (
+    SELECT vec_id, label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+    FROM embeddings
+),
+anch AS (
+    SELECT vec_id AS anchor_id, embedding AS av
+    FROM ra WHERE label = 0 AND rk <= 100
+),
+cand AS (
+    SELECT vec_id AS neg_id, label AS neg_label, embedding AS cv
+    FROM ra WHERE label <> 0 AND rk <= 30
+),
+sc AS (
+    SELECT anchor_id, neg_id, neg_label,
+           (round({_COS.format(a="av", b="cv")} * 1000000.0) / 1000000.0) AS c
+    FROM anch CROSS JOIN cand
+)
+SELECT anchor_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+       c AS cosine, CAST(rk AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+               ORDER BY c DESC, neg_id ASC) AS rk
+    FROM sc
+) WHERE rk <= 3
+ORDER BY anchor_id, rank
+""",
+    description=(
+        "Hard-negative mining for contrastive training: for each "
+        "label-0 anchor (first 100), the 3 highest-cosine vectors of "
+        "ANY OTHER label (30 per label) — the negatives nearest the "
+        "decision boundary, which carry ~all of the gradient signal in "
+        "InfoNCE/triplet training versus random negatives. Same "
+        "broadcast-scan + per-anchor WindowGroupLimit shape as "
+        "q_sim_topk; at corpus scale the candidate side comes from the "
+        "registry's ANN operators (hard negatives only need "
+        "approximately-nearest wrong-label points, so IVF/LSH "
+        "candidate lists drop in unchanged)."
+    ),
+    tags=("similarity", "extension", "curation"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = emb.select(
+        "vec_id", "label", "embedding", F.row_number().over(w).alias("rk")
+    )
+    anch = (
+        ranked.filter((F.col("label") == 0) & (F.col("rk") <= 100))
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("av"))
+    )
+    cand = (
+        ranked.filter((F.col("label") != 0) & (F.col("rk") <= 30))
+        .select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").cast("long").alias("neg_label"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    sc = anch.crossJoin(F.broadcast(cand)).select(
+        "anchor_id",
+        "neg_id",
+        "neg_label",
+        stable_round(cosine_similarity(F.col("av"), F.col("cv")), 6).alias("c"),
+    )
+    wr = Window.partitionBy("anchor_id").orderBy(F.desc("c"), F.asc("neg_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "neg_id", "neg_label", F.col("c").alias("cosine"), "rank")
+        .orderBy("anchor_id", "rank")
+    )

@@ -582,6 +582,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_quantile_normalize": "64-char-band summary offsets",
     "q_dedup_sorted_neighborhood": "prefix-char-bucket summary offsets",
     "q_lru_miss_curve": "order-month bucket summary offsets",
+    "q_negative_sampling": "item-id-bucket summary offsets (dense index)",
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
     "q_heaps_fit": "bucket-totals prefix (docs/4096)",
     "q_pareto_skyline": "bucket-maxima prefix (Pareto-front carry)",
