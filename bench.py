@@ -117,6 +117,17 @@ HEADLINE = [
     "q_textrank_keywords",
     "q_poisson_regression",
     "q_energy_distance",
+    # round-6 batch 3: the new scale-pattern family — exact two-phase
+    # heavy hitters, block-banded LRU reuse-distance, winnowing
+    # fingerprints, the rank-2 ALS half-sweeps, the KMV sketch, the
+    # kernel MMD pair grid, and the SNM sorted-blocking dedup
+    "q_heavy_hitters_2phase",
+    "q_lru_miss_curve",
+    "q_winnowing_fingerprints",
+    "q_als_sweep",
+    "q_kmv_distinct",
+    "q_mmd_drift",
+    "q_dedup_sorted_neighborhood",
 ]
 
 

@@ -6698,3 +6698,101 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_id")
     )
+
+
+@register(
+    "q_retention_halflife",
+    oracle="""
+WITH fu AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM fu),
+act AS (
+    SELECT DISTINCT e.user_id,
+           datediff('day', d0, CAST(ts AS DATE)) AS k
+    FROM events e JOIN fu USING (user_id)
+),
+ck AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS c
+    FROM act WHERE k BETWEEN 1 AND 14 GROUP BY k
+),
+y AS (
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(round(ln(c * 1.0 / (SELECT nu FROM n)) * 1000000000.0)
+                AS BIGINT) AS yq
+    FROM ck WHERE c > 0
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS sx,
+           CAST(sum(yq) AS BIGINT) AS sy, CAST(sum(k * k) AS BIGINT) AS sxx,
+           CAST(sum(k * yq) AS BIGINT) AS sxy
+    FROM y
+)
+SELECT (SELECT nu FROM n) AS n_users, nn AS n_days_fit,
+       (round((((nn * sxy - sx * sy) * 1.0 / (nn * sxx - sx * sx))
+               / 1000000000.0) * 1000000.0) / 1000000.0) AS slope_per_day,
+       (round((-693147180.5599453
+               / ((nn * sxy - sx * sy) * 1.0 / (nn * sxx - sx * sx)))
+              * 1000000.0) / 1000000.0) AS halflife_days
+FROM s
+""",
+    description=(
+        "Retention half-life by exponential-decay fit: pooled day-k "
+        "retention p_k = |users active on day first_day+k| / |users| "
+        "for k=1..14, log-linear OLS ln(p_k) = a + b*k, half-life = "
+        "-ln2/b — the single number product teams quote from a "
+        "retention curve, and the decay model capacity forecasts "
+        "plug into. Per-row ln(p_k) is quantized to integer "
+        "nano-units so the 14-point OLS moments fold exactly "
+        "(the q_price_elasticity discipline); -ln2 enters as one "
+        "literal on both engines (never recomputed). Two hash aggs "
+        "over events + a distinct on (user, day-offset): every stage "
+        "is key-partitioned."
+    ),
+    tags=("analytics", "extension", "growth"),
+)
+def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    n = fu.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    act = (
+        ev.join(fu, "user_id")
+        .select("user_id", F.datediff(F.to_date("ts"), F.col("d0")).alias("k"))
+        .distinct()
+    )
+    ck = (
+        act.filter(F.col("k").between(1, 14))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    y = (
+        ck.filter(F.col("c") > 0)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.round(F.log(F.col("c") * 1.0 / F.col("nu")) * 1000000000.0)
+            .cast("long")
+            .alias("yq"),
+        )
+    )
+    s = y.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sxx"),
+        F.sum(F.col("k") * F.col("yq")).cast("long").alias("sxy"),
+    )
+    slope_q = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .select(
+            F.col("nu").alias("n_users"),
+            F.col("nn").alias("n_days_fit"),
+            stable_round(slope_q / 1000000000.0, 6).alias("slope_per_day"),
+            stable_round(F.lit(-693147180.5599453) / slope_q, 6).alias(
+                "halflife_days"
+            ),
+        )
+    )
