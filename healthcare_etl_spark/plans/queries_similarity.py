@@ -2411,3 +2411,165 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_id", "neg_label", F.col("c").alias("cosine"), "rank")
         .orderBy("anchor_id", "rank")
     )
+
+
+def _dbscan_signs(salt: str) -> list[int]:
+    """Deterministic +-1 projection vector from md5 bits — the SAME
+    constants are interpolated into the Spark literals and the oracle
+    SQL, so both engines fold identical products."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+        for i in range(64)
+    ]
+
+
+_DB_S1 = _dbscan_signs("dbscan1")
+_DB_S2 = _dbscan_signs("dbscan2")
+_DB_CELL = 0.25
+_DB_MINPTS = 4
+
+
+def _dbscan_proj_sql(signs: list[int]) -> str:
+    lit = "[" + ",".join(f"{v}.0" for v in signs) + "]"
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip(embedding, {lit}), "
+        "s -> s[1]::DOUBLE * s[2]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "q_grid_dbscan",
+    oracle=f"""
+WITH RECURSIVE emb2 AS MATERIALIZED (
+    SELECT vec_id,
+           {_dbscan_proj_sql(_DB_S1)} AS p1,
+           {_dbscan_proj_sql(_DB_S2)} AS p2
+    FROM embeddings
+),
+cells AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(floor(p1 / {_DB_CELL}) AS BIGINT) AS cx,
+           CAST(floor(p2 / {_DB_CELL}) AS BIGINT) AS cy
+    FROM emb2
+),
+cc AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+core AS MATERIALIZED (
+    SELECT (cx + 512) * 4096 + (cy + 512) AS cid, cx, cy, n
+    FROM cc WHERE n >= {_DB_MINPTS}
+),
+nbr AS (
+    SELECT a.cid AS ca, b.cid AS cb
+    FROM core a JOIN core b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND a.cid < b.cid
+),
+edges AS (SELECT ca AS src, cb AS dst FROM nbr
+          UNION SELECT cb, ca FROM nbr),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (SELECT src AS cid, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+labels AS (
+    SELECT core.cid, coalesce(lab.comp, core.cid) AS comp
+    FROM core LEFT JOIN lab ON lab.cid = core.cid
+),
+ptc AS (
+    SELECT vec_id, (cx + 512) * 4096 + (cy + 512) AS cid FROM cells
+),
+clus AS (
+    SELECT l.comp AS cluster_id, CAST(count(DISTINCT l.cid) AS BIGINT) AS n_cells,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM labels l JOIN ptc p ON p.cid = l.cid GROUP BY 1
+),
+noise AS (
+    SELECT CAST(-1 AS BIGINT) AS cluster_id,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM ptc WHERE cid NOT IN (SELECT cid FROM core)
+)
+SELECT * FROM clus
+UNION ALL SELECT * FROM noise
+ORDER BY cluster_id
+""",
+    description=(
+        "Grid-DBSCAN over two deterministic +-1 random projections of "
+        "the embedding corpus (cell 0.25, minPts 4): occupied cells "
+        "with >= minPts points are core, 8-neighbor core cells merge "
+        "by connected components (the repo's min-label-propagation "
+        "operator; oracle mirrors with a recursive CTE), points in "
+        "non-core cells report as the noise row (cluster_id -1) — "
+        "density clustering with NO pairwise distance join at all, "
+        "which is what makes DBSCAN feasible at corpus scale: the "
+        "expensive epsilon-neighbor graph collapses to a "
+        "cell-count aggregate plus a core-cell self-join bounded by "
+        "the occupied-cell count. Projections are strict left-to-right "
+        "folds against literal sign vectors generated from md5 bits "
+        "(identical constants both engines)."
+    ),
+    tags=("similarity", "extension", "clustering"),
+)
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj(signs):
+        lit = F.array(*[F.lit(float(v)) for v in signs])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), lit, lambda a, b: a.cast("double") * b.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cells = emb.select(
+        "vec_id",
+        F.floor(proj(_DB_S1) / _DB_CELL).cast("long").alias("cx"),
+        F.floor(proj(_DB_S2) / _DB_CELL).cast("long").alias("cy"),
+    ).localCheckpoint(eager=True)
+    cid = (F.col("cx") + 512) * 4096 + (F.col("cy") + 512)
+    cc = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    core = cc.filter(F.col("n") >= _DB_MINPTS).select(
+        cid.alias("cid"), "cx", "cy", "n"
+    ).localCheckpoint(eager=True)
+    nbr = (
+        core.alias("a")
+        .join(
+            core.alias("b"),
+            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .select(F.col("a.cid").alias("pa"), F.col("b.cid").alias("pb"))
+    )
+    lab = connected_components(nbr, src="pa", dst="pb")
+    labels = core.join(
+        lab.select(F.col("node").alias("cid"), F.col("component").alias("comp")),
+        "cid",
+        "left",
+    ).select("cid", F.coalesce("comp", "cid").alias("comp"))
+    ptc = cells.select("vec_id", cid.alias("cid"))
+    clus = (
+        labels.join(ptc, "cid")
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.countDistinct("cid").cast("long").alias("n_cells"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+    )
+    noise = (
+        ptc.join(core.select("cid"), "cid", "left_anti")
+        .agg(
+            F.countDistinct("cid").cast("long").alias("n_cells"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+        .select(F.lit(-1).cast("long").alias("cluster_id"), "n_cells", "n_points")
+    )
+    return clus.unionByName(noise).orderBy("cluster_id")
