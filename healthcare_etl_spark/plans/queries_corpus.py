@@ -1724,3 +1724,111 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 15)
         .select("doc_id", "score", "rank")
     )
+
+
+def _maxcov_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled greedy max-coverage: round i counts each doc's still-
+    uncovered shingles against the union of the first i-1 picks."""
+    from healthcare_etl_spark.plans.queries_dedup import _MD5H, _shingles_sql
+
+    parts = [
+        _shingles_sql("documents").strip().rstrip(","),
+        "inv AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        + _MD5H.format(x="shingle")
+        + " AS hsh FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh))",
+        "tt AS (SELECT CAST(count(DISTINCT hsh) AS BIGINT) AS t FROM inv)",
+    ]
+    picks = []
+    for i in range(1, rounds + 1):
+        if i == 1:
+            gain_src = "SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM inv GROUP BY doc_id"
+        else:
+            prior = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+            parts.append(
+                f"cov{i - 1} AS MATERIALIZED (SELECT DISTINCT hsh FROM inv "
+                f"WHERE doc_id IN ({prior}))"
+            )
+            gain_src = (
+                f"SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM inv "
+                f"WHERE hsh NOT IN (SELECT hsh FROM cov{i - 1}) GROUP BY doc_id"
+            )
+        prior_filter = ""
+        if i > 1:
+            prior_ids = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+            prior_filter = f" WHERE doc_id NOT IN ({prior_ids})"
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT doc_id, gain FROM ({gain_src}){prior_filter} "
+            "ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        covered_ids = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i + 1))
+        picks.append(
+            f"SELECT CAST({i} AS BIGINT) AS k, doc_id, gain, "
+            f"(SELECT CAST(count(DISTINCT hsh) AS BIGINT) FROM inv "
+            f"WHERE doc_id IN ({covered_ids})) AS covered, "
+            f"(SELECT t FROM tt) AS total FROM p{i}"
+        )
+    body = "WITH " + ",\n".join(parts) + "\n"
+    sel = "\nUNION ALL ".join(picks)
+    return (
+        body
+        + f"SELECT k, doc_id, gain, covered, "
+        f"(round((covered * 1.0 / total) * 1000000.0) / 1000000.0) AS coverage_frac "
+        f"FROM ({sel})\nORDER BY k"
+    )
+
+
+@register(
+    "q_submodular_coverage",
+    oracle=_maxcov_oracle_sql(),
+    description=(
+        "Greedy submodular max-coverage selection (5 rounds, 1-1/e "
+        "guarantee): each round picks the document adding the most "
+        "still-uncovered 3-shingle hashes — the curation primitive for "
+        "'cover the most knowledge in a fixed token budget' data "
+        "selection and eval-set construction. Per round: one anti-join "
+        "of the inverted index against the covered-shingle set (which "
+        "only ever holds the picks' shingles — NOT corpus-scale) + one "
+        "count per doc + a TakeOrdered(1); ties break to min doc_id on "
+        "both engines. The distributed shape is exactly lazy-greedy "
+        "coverage at any corpus size; oracle = 5 unrolled rounds over "
+        "a MATERIALIZED index."
+    ),
+    tags=("text", "extension", "curation"),
+)
+def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.dedup import hashed_shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inv = hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    total = inv.select("hsh").distinct().count()
+    covered = None
+    picked: list[tuple[int, int, int, int]] = []
+    picked_ids: list[int] = []
+    for k in range(1, 6):
+        remaining = inv if covered is None else inv.join(covered, "hsh", "left_anti")
+        gains = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        if picked_ids:
+            gains = gains.filter(~F.col("doc_id").isin(picked_ids))
+        row = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()[0]
+        picked_ids.append(int(row["doc_id"]))
+        cov_now = (
+            inv.filter(F.col("doc_id").isin(picked_ids)).select("hsh").distinct()
+        ).localCheckpoint(eager=True)
+        covered = cov_now
+        picked.append((k, int(row["doc_id"]), int(row["gain"]), cov_now.count()))
+    out = spark.createDataFrame(
+        [(k, d, g, c, total) for k, d, g, c in picked],
+        "k long, doc_id long, gain long, covered long, total long",
+    )
+    return out.select(
+        "k",
+        "doc_id",
+        "gain",
+        "covered",
+        stable_round(F.col("covered") * 1.0 / F.col("total"), 6).alias(
+            "coverage_frac"
+        ),
+    ).orderBy("k")
