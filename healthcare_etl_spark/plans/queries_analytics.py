@@ -6796,3 +6796,122 @@ def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=f"""
+WITH c1 AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n1
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+c2 AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n2
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ex AS (
+    SELECT CAST(sum(n1 * n2) AS BIGINT) AS exact_size
+    FROM c1 JOIN c2 USING (user_id)
+),
+uni AS (
+    SELECT user_id FROM c1 UNION SELECT user_id FROM c2
+),
+h AS (
+    SELECT user_id,
+           {_CH_MD5.format(x="'jse:' || CAST(user_id AS VARCHAR)")} AS hv,
+           row_number() OVER (
+               ORDER BY {_CH_MD5.format(x="'jse:' || CAST(user_id AS VARCHAR)")},
+                        user_id) AS r
+    FROM uni
+),
+syn AS (SELECT user_id, hv, r FROM h WHERE r <= 128),
+kth AS (
+    SELECT max(CASE WHEN r = 128 THEN hv END) AS hk,
+           CAST(count(*) AS BIGINT) AS n_seen
+    FROM syn
+),
+mass AS (
+    SELECT CAST(sum(coalesce(n1, 0) * coalesce(n2, 0)) AS BIGINT) AS m
+    FROM syn
+    LEFT JOIN c1 USING (user_id)
+    LEFT JOIN c2 USING (user_id)
+)
+SELECT exact_size,
+       CAST(CASE WHEN hk IS NULL THEN (SELECT m FROM mass)
+            ELSE CAST(round((127.0 * {_CH_P} / hk) / 128.0
+                            * (SELECT m FROM mass)) AS BIGINT) END AS BIGINT)
+           AS est_size,
+       (round((abs(CASE WHEN hk IS NULL THEN (SELECT m FROM mass)
+                   ELSE CAST(round((127.0 * {_CH_P} / hk) / 128.0
+                                   * (SELECT m FROM mass)) AS BIGINT) END
+                   - exact_size) * 1.0 / exact_size) * 1000000.0) / 1000000.0)
+           AS rel_err
+FROM ex CROSS JOIN kth
+""",
+    description=(
+        "Sketch-based equi-join cardinality estimation: |clicks JOIN "
+        "purchases ON user_id| = sum_k c1(k)*c2(k), estimated from a "
+        "128-key KMV synopsis of the key UNION — per-synopsis-key "
+        "frequency products scaled by D_est/k, with D_est from the "
+        "same synopsis. The statistic a cost-based optimizer (or an "
+        "AQE-style runtime re-planner) needs BEFORE running a join "
+        "that might explode; the synopsis is mergeable across "
+        "partitions and tables, costs one WindowGroupLimit-truncated "
+        "min-k per side, and the estimate is one 128-row join against "
+        "the per-key count tables. Exact answer computed alongside "
+        "with the relative error — deterministic md5 hashing makes "
+        "the whole sketch oracle-checkable."
+    ),
+    tags=("analytics", "extension", "sketch", "scale-pattern"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    c1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    )
+    c2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    ex = c1.join(c2, "user_id").agg(
+        F.sum(F.col("n1") * F.col("n2")).cast("long").alias("exact_size")
+    )
+    uni = c1.select("user_id").union(c2.select("user_id")).distinct()
+    hv = md5_hash31(F.concat(F.lit("jse:"), F.col("user_id").cast("string")))
+    w = Window.orderBy(hv, F.col("user_id"))
+    syn = (
+        uni.select("user_id", hv.alias("hv"), F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 128)
+    )
+    kth = syn.agg(
+        F.max(F.when(F.col("r") == 128, F.col("hv"))).alias("hk"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    mass = (
+        syn.join(c1, "user_id", "left")
+        .join(c2, "user_id", "left")
+        .agg(
+            F.sum(F.coalesce("n1", F.lit(0)) * F.coalesce("n2", F.lit(0)))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    est = F.when(F.col("hk").isNull(), F.col("m")).otherwise(
+        F.round((F.lit(127.0) * _CH_P / F.col("hk")) / 128.0 * F.col("m")).cast("long")
+    )
+    return (
+        ex.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "exact_size",
+            est.cast("long").alias("est_size"),
+            stable_round(
+                F.abs(est - F.col("exact_size")) * 1.0 / F.col("exact_size"), 6
+            ).alias("rel_err"),
+        )
+    )
