@@ -146,12 +146,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_cusum_changepoint",
     "q_seasonal_naive_backtest",
     "q_watermark_audit",
-    "q_heaps_fit",
-    "q_zipf_fit",
     "q_kanonymity_audit",
-    "q_benford_audit",
-    "q_burstiness_fano",
     "q_association_rules",
+    # -- round-6 continuation-3 scale-pattern flagships: external green
+    #    rows on the patterns the 100 TB story leans on (two-phase
+    #    top-k, reuse-distance MRC, winnowing, the ALS half-sweeps).
+    #    q_heaps_fit / q_zipf_fit / q_benford_audit / q_burstiness_fano
+    #    ceded these slots and rotate back in round 7; all keep their
+    #    in-repo parity tests.
+    "q_heavy_hitters_2phase",
+    "q_lru_miss_curve",
+    "q_winnowing_fingerprints",
+    "q_als_sweep",
     # -- round-6 real codec kernels (PNG inflate+unfilter, int16 PCM):
     #    first-time external proof of the decode chain; q_trigram_search
     #    and q_gdpr_delete_plan ceded these slots and keep their in-repo
