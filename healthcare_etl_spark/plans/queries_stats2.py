@@ -3017,3 +3017,112 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_above long, n_below long, y_above_cutoff double, y_below_cutoff double, "
         "rdd_effect double, slope_above double, slope_below double",
     )
+
+
+@register(
+    "q_gmm_em_step",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS v
+    FROM events GROUP BY user_id
+),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY v),
+b AS (
+    SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi FROM g
+),
+ini AS (
+    SELECT lo + (hi - lo) / 4.0 AS mu1, lo + 3.0 * (hi - lo) / 4.0 AS mu2,
+           (hi - lo) / 4.0 AS sg
+    FROM b
+),
+resp AS (
+    SELECT v, c,
+           CAST(round((1.0 / (1.0 + exp(((v - mu2) * (v - mu2)
+                                         - (v - mu1) * (v - mu1))
+                                        / (2.0 * sg * sg))))
+                      * 1000000000.0) AS BIGINT) AS w2
+    FROM g CROSS JOIN ini
+),
+m AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * w2) AS BIGINT) AS sw2,
+           CAST(sum(c * w2 * v) AS BIGINT) AS swv2,
+           CAST(sum(c * (1000000000 - w2)) AS BIGINT) AS sw1,
+           CAST(sum(c * (1000000000 - w2) * v) AS BIGINT) AS swv1
+    FROM resp
+)
+SELECT n,
+       (round((sw2 * 1.0 / (n * 1000000000.0)) * 1000000.0) / 1000000.0)
+           AS pi2,
+       (round((swv1 / (sw1 * 100.0)) * 1000000.0) / 1000000.0) AS mu1_new,
+       (round((swv2 / (sw2 * 100.0)) * 1000000.0) / 1000000.0) AS mu2_new
+FROM m
+""",
+    description=(
+        "One EM step of a 2-component Gaussian mixture over per-user "
+        "purchase value (deterministic quartile-anchored init from the "
+        "broadcast min/max): E-step responsibilities in one exp "
+        "expression per DISTINCT cent value, quantized to integer "
+        "nano-weights so every M-step moment (mixing weight, both "
+        "component means) folds as an exact BIGINT sum — the same "
+        "distinct-value-table discipline as the rank statistics, so "
+        "the only float work is one bounded expression per distinct "
+        "value and three final divisions. The canonical "
+        "soft-clustering / latent-class step; further EM rounds are "
+        "the same one-aggregation shape with updated constants."
+    ),
+    tags=("analytics", "extension", "stats", "clustering"),
+)
+def q_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("v")
+    )
+    g = u.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b = g.agg(
+        F.min("v").cast("long").alias("lo"), F.max("v").cast("long").alias("hi")
+    )
+    ini = b.select(
+        (F.col("lo") + (F.col("hi") - F.col("lo")) / 4.0).alias("mu1"),
+        (F.col("lo") + 3.0 * (F.col("hi") - F.col("lo")) / 4.0).alias("mu2"),
+        ((F.col("hi") - F.col("lo")) / 4.0).alias("sg"),
+    )
+    v = F.col("v")
+    w2 = F.round(
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    ((v - F.col("mu2")) * (v - F.col("mu2"))
+                     - (v - F.col("mu1")) * (v - F.col("mu1")))
+                    / (F.lit(2.0) * F.col("sg") * F.col("sg"))
+                )
+            )
+        )
+        * 1000000000.0
+    ).cast("long")
+    resp = g.crossJoin(F.broadcast(ini)).select("v", "c", w2.alias("w2"))
+    m = resp.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("w2")).cast("long").alias("sw2"),
+        F.sum(F.col("c") * F.col("w2") * F.col("v")).cast("long").alias("swv2"),
+        F.sum(F.col("c") * (F.lit(1000000000) - F.col("w2"))).cast("long").alias("sw1"),
+        F.sum(F.col("c") * (F.lit(1000000000) - F.col("w2")) * F.col("v"))
+        .cast("long")
+        .alias("swv1"),
+    )
+    return m.select(
+        "n",
+        stable_round(F.col("sw2") * 1.0 / (F.col("n") * 1000000000.0), 6).alias("pi2"),
+        stable_round(F.col("swv1") / (F.col("sw1") * 100.0), 6).alias("mu1_new"),
+        stable_round(F.col("swv2") / (F.col("sw2") * 100.0), 6).alias("mu2_new"),
+    )
