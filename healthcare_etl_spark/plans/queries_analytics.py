@@ -6915,3 +6915,145 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "q_fagin_ta_audit",
+    oracle="""
+WITH pu AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+),
+sc AS (SELECT user_id, clicks, cents, 1000 * clicks + cents AS s FROM pu),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM sc),
+ra AS (
+    SELECT user_id, clicks,
+           row_number() OVER (ORDER BY clicks DESC, user_id) AS rk_a
+    FROM sc
+),
+rb AS (
+    SELECT user_id, cents,
+           row_number() OVER (ORDER BY cents DESC, user_id) AS rk_b
+    FROM sc
+),
+top10 AS (
+    SELECT user_id, s FROM (
+        SELECT user_id, s, row_number() OVER (ORDER BY s DESC, user_id) AS r
+        FROM sc
+    ) WHERE r <= 10
+),
+s10 AS (SELECT CAST(min(s) AS BIGINT) AS v FROM top10),
+dmin AS (
+    SELECT t.user_id, least(ra.rk_a, rb.rk_b) AS d
+    FROM top10 t JOIN ra ON ra.user_id = t.user_id
+                 JOIN rb ON rb.user_id = t.user_id
+),
+dcover AS (SELECT CAST(max(d) AS BIGINT) AS v FROM dmin),
+thr AS (
+    SELECT ra.rk_a AS d, 1000 * ra.clicks + rb.cents AS t
+    FROM ra JOIN rb ON ra.rk_a = rb.rk_b
+),
+dthr AS (
+    SELECT CAST(min(d) AS BIGINT) AS v FROM thr
+    WHERE t <= (SELECT v FROM s10)
+)
+SELECT (SELECT n_users FROM n) AS n_users,
+       (SELECT v FROM s10) AS s10,
+       CAST(greatest((SELECT v FROM dcover),
+                     coalesce((SELECT v FROM dthr), (SELECT n_users FROM n)))
+            AS BIGINT) AS d_star,
+       (round((greatest((SELECT v FROM dcover),
+                        coalesce((SELECT v FROM dthr),
+                                 (SELECT n_users FROM n)))
+               * 1.0 / (SELECT n_users FROM n)) * 1000000.0) / 1000000.0)
+           AS frac_scanned
+""",
+    description=(
+        "Fagin threshold-algorithm (TA) early-termination audit for "
+        "rank aggregation: combined score s = 1000*clicks + "
+        "purchase-cents over two sorted access lists (clicks-ranked, "
+        "spend-ranked). TA stops at the first depth d where the "
+        "threshold T(d) = 1000*clicks@d + cents@d falls to the 10th-"
+        "best seen score; this query computes that exact stop depth "
+        "d* = max(depth covering the true top-10, min d with T(d) <= "
+        "s10) and the scanned fraction — the audit that justifies "
+        "serving top-k from per-feature sorted indexes instead of "
+        "scoring every entity. Both global ranks ride WindowGroupLimit "
+        "/ bucketed forms; the threshold curve is an equi-join of the "
+        "two rank tables on depth. Monotonicity of T and s10-seen "
+        "makes the closed form equal to the sequential TA's stop."
+    ),
+    tags=("analytics", "extension", "systems", "retrieval"),
+)
+def q_fagin_ta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    sc = pu.select(
+        "user_id", "clicks", "cents", (1000 * F.col("clicks") + F.col("cents")).alias("s")
+    ).localCheckpoint(eager=True)
+    n = sc.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    ra = bucketed_rank(
+        sc.select("user_id", "clicks"),
+        buckets=[F.expr("-(clicks div 64)")],
+        order_by=[F.desc("clicks"), F.asc("user_id")],
+        out_col="rk_a",
+    )
+    rb = bucketed_rank(
+        sc.select("user_id", "cents"),
+        buckets=[F.expr("-(cents div 4096)")],
+        order_by=[F.desc("cents"), F.asc("user_id")],
+        out_col="rk_b",
+    )
+    w10 = Window.orderBy(F.desc("s"), F.asc("user_id"))
+    top10 = (
+        sc.select("user_id", "s", F.row_number().over(w10).alias("r"))
+        .filter(F.col("r") <= 10)
+        .select("user_id", "s")
+    )
+    s10 = top10.agg(F.min("s").cast("long").alias("s10"))
+    dcover = (
+        top10.join(ra.select("user_id", "rk_a"), "user_id")
+        .join(rb.select("user_id", "rk_b"), "user_id")
+        .agg(F.max(F.least("rk_a", "rk_b")).cast("long").alias("dcover"))
+    )
+    thr = ra.select(F.col("rk_a").alias("d"), "clicks").join(
+        rb.select(F.col("rk_b").alias("d"), "cents"), "d"
+    )
+    dthr = (
+        thr.crossJoin(F.broadcast(s10))
+        .filter(1000 * F.col("clicks") + F.col("cents") <= F.col("s10"))
+        .agg(F.min("d").cast("long").alias("dthr"))
+    )
+    d_star = F.greatest(
+        F.col("dcover"), F.coalesce(F.col("dthr"), F.col("n_users"))
+    ).cast("long")
+    return (
+        n.crossJoin(F.broadcast(s10))
+        .crossJoin(F.broadcast(dcover))
+        .crossJoin(F.broadcast(dthr))
+        .select(
+            "n_users",
+            "s10",
+            d_star.alias("d_star"),
+            stable_round(d_star * 1.0 / F.col("n_users"), 6).alias("frac_scanned"),
+        )
+    )

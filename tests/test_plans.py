@@ -650,6 +650,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_prf_expansion": "WindowGroupLimit k-truncated + 10-doc feedback vocab",
     "q_kneser_ney_bigram": "WindowGroupLimit k-truncated",
     "q_join_size_estimate": "WindowGroupLimit k-truncated (min-128 synopsis)",
+    "q_fagin_ta_audit": "WindowGroupLimit top-10 + bucketed rank summaries",
 }
 
 
