@@ -3126,3 +3126,102 @@ def q_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("swv1") / (F.col("sw1") * 100.0), 6).alias("mu1_new"),
         stable_round(F.col("swv2") / (F.col("sw2") * 100.0), 6).alias("mu2_new"),
     )
+
+
+# Viterbi recursion step for the 2-state burst HMM, shared verbatim by
+# both engines (costs pre-rounded per day; the recursion only ever adds
+# and compares, re-rounding to 6dp each step).
+_BURST_STEP = """    SELECT d.idx, d.day, d.c,
+           (round((d.e0 + least(h.v0, h.v1 + 5.0)) * 1000000.0) / 1000000.0),
+           (round((d.e1 + least(h.v1, h.v0 + 5.0)) * 1000000.0) / 1000000.0),
+           CASE WHEN h.v0 <= h.v1 + 5.0 THEN h.p0 ELSE h.p1 END || '0',
+           CASE WHEN h.v1 <= h.v0 + 5.0 THEN h.p1 ELSE h.p0 END || '1'"""
+
+
+@register(
+    "q_burst_viterbi",
+    oracle=f"""
+WITH RECURSIVE raw AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+r0 AS (
+    SELECT (round(avg(c) * 10000.0) / 10000.0) AS base FROM raw
+),
+idxd AS (
+    SELECT day, c,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+           (round((base - c * ln(base)) * 1000000.0) / 1000000.0) AS e0,
+           (round((2.0 * base - c * ln(2.0 * base)) * 1000000.0)
+            / 1000000.0) AS e1
+    FROM raw CROSS JOIN r0
+),
+vit(idx, day, c, v0, v1, p0, p1) AS (
+    SELECT idx, day, c, e0, e1, '0', '1' FROM idxd WHERE idx = 1
+    UNION ALL
+{_BURST_STEP}
+    FROM vit h JOIN idxd d ON d.idx = h.idx + 1
+),
+last AS (SELECT * FROM vit WHERE idx = (SELECT max(idx) FROM vit)),
+best AS (SELECT CASE WHEN v0 <= v1 THEN p0 ELSE p1 END AS path FROM last)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.c AS n_events,
+       CAST(substring(path, CAST(d.idx AS INTEGER), 1) AS BIGINT) AS state
+FROM idxd d CROSS JOIN best
+ORDER BY d.day
+""",
+    description=(
+        "Kleinberg-style burst detection by exact 2-state Viterbi "
+        "decoding over the daily event-count series: baseline state "
+        "emits Poisson(rate=mean), burst state Poisson(2*mean) "
+        "(negative log-likelihood costs, constant terms dropped), "
+        "switching penalty 5.0 — the minimum-cost state PATH, not a "
+        "per-day threshold, so one quiet day inside a burst stays "
+        "labeled burst. The Viterbi argmin backtrace is carried "
+        "FORWARD as a path string inside the native WITH RECURSIVE "
+        "chain (both engines run the identical step expression; "
+        "per-day emission costs are pre-rounded, per-step totals "
+        "re-rounded to 6dp, ties prefer staying). Recursion depth = "
+        "days; the only data-sized work is the daily count aggregate."
+    ),
+    tags=("analytics", "extension", "timeseries", "recursive"),
+)
+def q_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    r0 = raw.agg((F.round(F.avg("c") * 10000.0) / 10000.0).alias("base"))
+    idxd = (
+        raw.crossJoin(F.broadcast(r0))
+        .select(
+            "day",
+            "c",
+            F.row_number().over(Window.orderBy("day")).cast("long").alias("idx"),
+            stable_round(F.col("base") - F.col("c") * F.log("base"), 6).alias("e0"),
+            stable_round(
+                2.0 * F.col("base") - F.col("c") * F.log(2.0 * F.col("base")), 6
+            ).alias("e1"),
+        )
+    )
+    # 30 recursion steps each re-open the view: checkpoint the 30-row
+    # daily table once so the per-step cost is a local scan, not a
+    # re-run of the events aggregate.
+    idxd = idxd.localCheckpoint(eager=True)
+    idxd.createOrReplaceTempView("v_burst_daily")
+    return spark.sql(
+        f"""
+WITH RECURSIVE vit(idx, day, c, v0, v1, p0, p1) AS (
+    SELECT idx, day, c, e0, e1, '0', '1' FROM v_burst_daily WHERE idx = 1
+    UNION ALL
+{_BURST_STEP}
+    FROM vit h JOIN v_burst_daily d ON d.idx = h.idx + 1
+),
+last AS (SELECT * FROM vit WHERE idx = (SELECT max(idx) FROM vit)),
+best AS (SELECT CASE WHEN v0 <= v1 THEN p0 ELSE p1 END AS path FROM last)
+SELECT date_format(d.day, 'yyyy-MM-dd') AS day, d.c AS n_events,
+       CAST(substring(path, CAST(d.idx AS INT), 1) AS BIGINT) AS state
+FROM v_burst_daily d CROSS JOIN best
+ORDER BY d.day
+"""
+    )
