@@ -7801,3 +7801,154 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "pos_item", "j", "neg_item")
         .orderBy("u", "pos_item", "j")
     )
+
+
+def _isoforest_oracle_sql(levels: int = 5, trees: int = 4) -> str:
+    """Unrolled isolation-forest levels: per (tree, node) min/max stats
+    feed an integer-scaled random cut (md5-derived fraction in units of
+    1e-4), so every split comparison is exact integer arithmetic."""
+    h = (
+        f"(('0x' || substring(md5('iso:' || CAST(a.t AS VARCHAR) || ':' || "
+        f"CAST({{lvl}} AS VARCHAR) || ':' || CAST(a.node AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 2147483647) % 10000"
+    )
+    parts = [
+        """u AS MATERIALIZED (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS v
+    FROM events GROUP BY user_id
+)""",
+        "a0 AS (SELECT user_id, v, t, CAST(0 AS BIGINT) AS node "
+        "FROM u CROSS JOIN (SELECT unnest(range(%d)) AS t))" % trees,
+    ]
+    for lvl in range(levels):
+        parts.append(
+            f"""s{lvl} AS (
+    SELECT t, node, CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+    FROM a{lvl} GROUP BY t, node
+)"""
+        )
+        parts.append(
+            f"""a{lvl + 1} AS (
+    SELECT a.user_id, a.v, a.t,
+           a.node * 2 + (CASE WHEN a.v * 10000
+                > s.mn * 10000 + ({h.format(lvl=lvl)}) * (s.mx - s.mn)
+                THEN 1 ELSE 0 END) AS node
+    FROM a{lvl} a JOIN s{lvl} s ON s.t = a.t AND s.node = a.node
+)"""
+        )
+    final = f"a{levels}"
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+leaf AS (
+    SELECT t, node, CAST(count(*) AS BIGINT) AS pop FROM {final} GROUP BY t, node
+),
+sc AS (
+    SELECT a.user_id, max(a.v) AS v, CAST(sum(leaf.pop) AS BIGINT) AS sum_pop
+    FROM {final} a JOIN leaf ON leaf.t = a.t AND leaf.node = a.node
+    GROUP BY a.user_id
+)
+SELECT user_id, v AS purchase_cents, sum_pop,
+       (round((sum_pop / {float(trees)}) * 1000000.0) / 1000000.0) AS iso_score
+FROM sc
+ORDER BY sum_pop ASC, user_id ASC
+LIMIT 15"""
+    )
+
+
+@register(
+    "q_isolation_forest",
+    oracle=_isoforest_oracle_sql(),
+    description=(
+        "Deterministic isolation forest (4 trees x 5 levels) over "
+        "per-user purchase value: each level splits every (tree, node) "
+        "population at a random cut mn + U*(mx-mn), with U drawn in "
+        "exact 1e-4 units from md5(tree, level, node) so the split "
+        "comparison v*10000 > mn*10000 + u*(mx-mn) is pure integer "
+        "arithmetic — no float anywhere in the tree construction. "
+        "Users landing in small leaves are the anomalies (top-15 by "
+        "mean leaf population): the ensemble flavor of outlier "
+        "detection the distance-based (Mahalanobis/MAD) queries can't "
+        "express, and the shape matches distributed iForest exactly — "
+        "per level one hash agg for node stats (broadcastable: <= "
+        "trees*2^level rows) and one broadcast join back. Oracle: 5 "
+        "unrolled levels."
+    ),
+    tags=("mlops", "extension", "anomaly"),
+)
+def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trees, levels = 4, 5
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    a = u.crossJoin(
+        F.broadcast(spark.range(trees).select(F.col("id").alias("t")))
+    ).select("user_id", "v", "t", F.lit(0).cast("long").alias("node"))
+    for lvl in range(levels):
+        s = a.groupBy("t", "node").agg(
+            F.min("v").cast("long").alias("mn"), F.max("v").cast("long").alias("mx")
+        )
+        hfrac = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("iso:"),
+                            F.col("t").cast("string"),
+                            F.lit(f":{lvl}:"),
+                            F.col("node").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2147483647
+        ) % 10000
+        a = (
+            a.join(F.broadcast(s), ["t", "node"])
+            .select(
+                "user_id",
+                "v",
+                "t",
+                (
+                    F.col("node") * 2
+                    + F.when(
+                        F.col("v") * 10000
+                        > F.col("mn") * 10000 + hfrac * (F.col("mx") - F.col("mn")),
+                        1,
+                    ).otherwise(0)
+                ).alias("node"),
+            )
+        )
+    leaf = a.groupBy("t", "node").agg(F.count(F.lit(1)).cast("long").alias("pop"))
+    sc = (
+        a.join(F.broadcast(leaf), ["t", "node"])
+        .groupBy("user_id")
+        .agg(
+            F.max("v").alias("v"),
+            F.sum("pop").cast("long").alias("sum_pop"),
+        )
+    )
+    return (
+        sc.select(
+            "user_id",
+            F.col("v").alias("purchase_cents"),
+            "sum_pop",
+            stable_round(F.col("sum_pop") / float(trees), 6).alias("iso_score"),
+        )
+        .orderBy(F.asc("sum_pop"), F.asc("user_id"))
+        .limit(15)
+    )
