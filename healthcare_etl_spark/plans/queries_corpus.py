@@ -1832,3 +1832,214 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_frac"
         ),
     ).orderBy("k")
+
+
+def _unigram_oracle_sql(max_len: int = 12, max_piece: int = 4, top_v: int = 200) -> str:
+    """Unrolled Viterbi segmentation DP: stage i holds, per word, the
+    min-cost encoding lpad(cost,12,'0') || piece-path for prefixes of
+    length i — string MIN gives (cost, then path) argmin on both
+    engines."""
+    stages = []
+    for i in range(1, max_len + 1):
+        branches = []
+        for L in range(1, min(max_piece, i) + 1):
+            j = i - L
+            branches.append(
+                f"""    SELECT s.w, s.wc, s.lw,
+           lpad(CAST(CAST(substr(s.enc, 1, 12) AS BIGINT) + v.sq AS VARCHAR),
+                12, '0') || substr(s.enc, 13) || v.piece || ' ' AS enc
+    FROM s{j} s JOIN vs v ON v.piece = substr(s.w, {j + 1}, {L})
+    WHERE s.lw >= {i}"""
+            )
+        stages.append(
+            f"s{i} AS MATERIALIZED (\n    SELECT w, wc, lw, min(enc) AS enc FROM (\n"
+            + "\n    UNION ALL\n".join(branches)
+            + f"\n    ) GROUP BY w, wc, lw\n)"
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT w, wc, enc FROM s{i} WHERE lw = {i}" for i in range(1, max_len + 1)
+    )
+    return f"""
+WITH kept AS MATERIALIZED (
+    SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) BETWEEN 1 AND {max_len}
+    GROUP BY w
+),
+pieces AS MATERIALIZED (
+    SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
+           CAST(sum(wc) AS BIGINT) AS wcnt
+    FROM kept
+    CROSS JOIN (SELECT unnest(range(1, {max_len + 1})) AS p)
+    CROSS JOIN (SELECT unnest(range(1, {max_piece + 1})) AS l)
+    WHERE p + l - 1 <= length(w)
+    GROUP BY 1
+),
+cand AS (
+    SELECT piece FROM (
+        SELECT piece, row_number() OVER (ORDER BY wcnt DESC, piece) AS rk
+        FROM pieces
+    ) WHERE rk <= {top_v}
+),
+vocab AS (
+    SELECT DISTINCT piece FROM (
+        SELECT piece FROM cand
+        UNION ALL SELECT piece FROM pieces WHERE length(piece) = 1
+    )
+),
+tot AS (
+    SELECT CAST(sum(wcnt) AS BIGINT) AS t
+    FROM pieces JOIN vocab USING (piece)
+),
+vs AS MATERIALIZED (
+    SELECT p.piece,
+           CAST(round(-ln(p.wcnt * 1.0 / (SELECT t FROM tot)) * 1000000.0)
+                AS BIGINT) AS sq
+    FROM pieces p JOIN vocab USING (piece)
+),
+s0 AS (
+    SELECT w, wc, CAST(length(w) AS BIGINT) AS lw,
+           '000000000000' AS enc
+    FROM kept
+),
+{",".join(stages)},
+final AS (
+    {finals}
+),
+toks AS (
+    SELECT unnest(string_split(trim(substr(enc, 13)), ' ')) AS piece, wc
+    FROM final
+)
+SELECT t.piece, CAST(sum(t.wc) AS BIGINT) AS seg_count, max(v.sq) AS piece_cost_micro
+FROM toks t JOIN vs v ON v.piece = t.piece
+GROUP BY t.piece
+ORDER BY seg_count DESC, t.piece
+LIMIT 30
+"""
+
+
+@register(
+    "q_unigram_tokenizer_estep",
+    oracle=_unigram_oracle_sql(),
+    description=(
+        "Unigram-LM (SentencePiece-style) tokenizer E-step: seed a "
+        "200-piece vocabulary (top substrings of length<=4 by "
+        "frequency-weighted count, all single chars kept for "
+        "coverage), score pieces by -ln(count/total), then Viterbi-"
+        "segment every distinct corpus word (length<=12) into its "
+        "min-cost piece sequence and emit the segmented piece counts "
+        "— exactly the statistics the unigram EM M-step renormalizes. "
+        "Completes the tokenizer-training family alongside q_bpe_* "
+        "(merge-based vs likelihood-based). The DP carries (cost, "
+        "argmin path) as ONE sortable string lpad(cost,12,'0')||path, "
+        "so per-(word,prefix) argmin is a plain MIN on both engines; "
+        "each of the 12 unrolled stages is a broadcast join of the "
+        "shrinking word-prefix table against the 200-piece vocab — "
+        "per-word work is independent, the whole E-step is "
+        "embarrassingly parallel at corpus scale. Ties break to the "
+        "lexicographically smaller segmentation identically."
+    ),
+    tags=("text", "extension", "tokenizer"),
+)
+def q_unigram_tokenizer_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    max_len, max_piece, top_v = 12, 4, 200
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    kept = (
+        docs.filter(F.length("w").between(1, max_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    ).localCheckpoint(eager=True)
+    grid_p = spark.range(1, max_len + 1).select(F.col("id").alias("p"))
+    grid_l = spark.range(1, max_piece + 1).select(F.col("id").alias("l"))
+    pieces = (
+        kept.crossJoin(F.broadcast(grid_p))
+        .crossJoin(F.broadcast(grid_l))
+        .filter(F.col("p") + F.col("l") - 1 <= F.length("w"))
+        .select(
+            F.expr("substr(w, CAST(p AS INT), CAST(l AS INT))").alias("piece"), "wc"
+        )
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("wcnt"))
+    ).localCheckpoint(eager=True)
+    wrk = Window.orderBy(F.desc("wcnt"), F.asc("piece"))
+    cand = (
+        pieces.select("piece", F.row_number().over(wrk).alias("rk"))
+        .filter(F.col("rk") <= top_v)
+        .select("piece")
+    )
+    vocab = cand.unionAll(
+        pieces.filter(F.length("piece") == 1).select("piece")
+    ).distinct()
+    tot = pieces.join(vocab, "piece").agg(F.sum("wcnt").cast("long").alias("t"))
+    vs = (
+        pieces.join(vocab, "piece")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(-F.log(F.col("wcnt") * 1.0 / F.col("t")) * 1000000.0)
+            .cast("long")
+            .alias("sq"),
+        )
+    ).localCheckpoint(eager=True)
+    states = {
+        0: kept.select(
+            "w",
+            "wc",
+            F.length("w").cast("long").alias("lw"),
+            F.lit("000000000000").alias("enc"),
+        ).localCheckpoint(eager=True)
+    }
+    for i in range(1, max_len + 1):
+        branches = []
+        for L in range(1, min(max_piece, i) + 1):
+            j = i - L
+            s = states[j].filter(F.col("lw") >= i)
+            b = s.join(
+                F.broadcast(vs),
+                F.col("piece") == F.expr(f"substr(w, {j + 1}, {L})"),
+            ).select(
+                "w",
+                "wc",
+                "lw",
+                F.concat(
+                    F.lpad(
+                        (
+                            F.expr("CAST(substr(enc, 1, 12) AS BIGINT)") + F.col("sq")
+                        ).cast("string"),
+                        12,
+                        "0",
+                    ),
+                    F.expr("substr(enc, 13)"),
+                    F.col("piece"),
+                    F.lit(" "),
+                ).alias("enc"),
+            )
+            branches.append(b)
+        un = branches[0]
+        for b in branches[1:]:
+            un = un.unionAll(b)
+        states[i] = (
+            un.groupBy("w", "wc", "lw").agg(F.min("enc").alias("enc"))
+        ).localCheckpoint(eager=True)
+    final = None
+    for i in range(1, max_len + 1):
+        part = states[i].filter(F.col("lw") == i).select("w", "wc", "enc")
+        final = part if final is None else final.unionAll(part)
+    toks = final.select(
+        F.explode(F.split(F.trim(F.expr("substr(enc, 13)")), " ")).alias("piece"),
+        "wc",
+    )
+    return (
+        toks.join(F.broadcast(vs), "piece")
+        .groupBy("piece")
+        .agg(
+            F.sum("wc").cast("long").alias("seg_count"),
+            F.max("sq").alias("piece_cost_micro"),
+        )
+        .orderBy(F.desc("seg_count"), F.asc("piece"))
+        .limit(30)
+    )
