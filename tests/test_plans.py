@@ -651,7 +651,6 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_kneser_ney_bigram": "WindowGroupLimit k-truncated",
     "q_join_size_estimate": "WindowGroupLimit k-truncated (min-128 synopsis)",
     "q_fagin_ta_audit": "WindowGroupLimit top-10 + bucketed rank summaries",
-    "q_unigram_tokenizer_estep": "WindowGroupLimit top-200 vocab",
 }
 
 
