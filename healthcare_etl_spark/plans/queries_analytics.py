@@ -7057,3 +7057,97 @@ def q_fagin_ta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(d_star * 1.0 / F.col("n_users"), 6).alias("frac_scanned"),
         )
     )
+
+
+@register(
+    "q_importance_sampling_audit",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type, value,
+           CASE WHEN event_type = 'error' THEN 1
+                WHEN {_CH_MD5.format(x="'samp:' || CAST(event_id AS VARCHAR)")}
+                     % 64 = 0 THEN 64
+                ELSE 0 END AS w
+    FROM events
+),
+est AS (
+    SELECT CAST(count(*) FILTER (WHERE w > 0) AS BIGINT) AS n_kept,
+           CAST(sum(w) AS BIGINT) AS est_total,
+           CAST(sum(CASE WHEN event_type = 'error' THEN w ELSE 0 END)
+                AS BIGINT) AS est_errors,
+           CAST(sum(w * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS est_cents
+    FROM s
+),
+ex AS (
+    SELECT CAST(count(*) AS BIGINT) AS true_total,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS true_errors,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS true_cents
+    FROM events
+)
+SELECT n_kept, est_total, true_total, est_errors, true_errors,
+       (round((abs(est_total - true_total) * 1.0 / true_total) * 1000000.0)
+        / 1000000.0) AS total_rel_err,
+       (round((abs(est_cents - true_cents) * 1.0 / true_cents) * 1000000.0)
+        / 1000000.0) AS cents_rel_err
+FROM est CROSS JOIN ex
+""",
+    description=(
+        "Tail-importance-sampled telemetry with exact Horvitz-Thompson "
+        "reweighting: error events keep weight 1 (100% sampled), "
+        "everything else is hash-sampled at 1/64 with weight 64, and "
+        "the reweighted totals/error-counts/revenue are compared to "
+        "the exact answers. THE pattern for high-volume event "
+        "pipelines — rare events (errors, conversions) survive "
+        "exactly, the bulk shrinks 64x, and every downstream "
+        "aggregate stays unbiased by construction (est_errors == "
+        "true_errors ALWAYS, totals within sampling error, audited "
+        "here as rel-err columns). Deterministic md5 sampling makes "
+        "the sample reproducible and join-stable across tables "
+        "sampled on the same key."
+    ),
+    tags=("analytics", "extension", "scale-pattern", "sampling"),
+)
+def q_importance_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_hash31(F.concat(F.lit("samp:"), F.col("event_id").cast("string")))
+    w = (
+        F.when(F.col("event_type") == "error", 1)
+        .when(h % 64 == 0, 64)
+        .otherwise(0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = ev.select("event_type", cents.alias("cents"), w.alias("w"))
+    est = s.agg(
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("w").cast("long").alias("est_total"),
+        F.sum(F.when(F.col("event_type") == "error", F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("est_errors"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("est_cents"),
+    )
+    ex = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("true_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("true_errors"),
+        F.sum(cents).cast("long").alias("true_cents"),
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_kept",
+        "est_total",
+        "true_total",
+        "est_errors",
+        "true_errors",
+        stable_round(
+            F.abs(F.col("est_total") - F.col("true_total")) * 1.0 / F.col("true_total"),
+            6,
+        ).alias("total_rel_err"),
+        stable_round(
+            F.abs(F.col("est_cents") - F.col("true_cents")) * 1.0 / F.col("true_cents"),
+            6,
+        ).alias("cents_rel_err"),
+    )

@@ -7952,3 +7952,202 @@ def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("sum_pop"), F.asc("user_id"))
         .limit(15)
     )
+
+
+@register(
+    "q_recsys_diversity_eval",
+    oracle="""
+WITH basket AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+ub AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS u, l_partkey AS pk
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey % 50 = 3
+),
+n_i AS MATERIALIZED (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY pk),
+no_ AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
+np_ AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM n_i),
+cooc AS MATERIALIZED (
+    SELECT part_a, part_b,
+           CAST(round((n_ab / sqrt(na * 1.0 * nb)) * 1000000.0) AS BIGINT)
+               AS sim_q
+    FROM (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    )
+    JOIN (SELECT pk, n AS na FROM n_i) x ON x.pk = part_a
+    JOIN (SELECT pk, n AS nb FROM n_i) y ON y.pk = part_b
+),
+sims AS MATERIALIZED (
+    SELECT part_a AS i, part_b AS j, sim_q FROM cooc
+    UNION ALL SELECT part_b, part_a, sim_q FROM cooc
+),
+scored AS (
+    SELECT ub.u, s.j, CAST(sum(s.sim_q) AS BIGINT) AS score_q
+    FROM ub JOIN sims s ON s.i = ub.pk
+    WHERE NOT EXISTS (SELECT 1 FROM ub o WHERE o.u = ub.u AND o.pk = s.j)
+    GROUP BY 1, 2
+),
+recs AS MATERIALIZED (
+    SELECT u, j, score_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY u
+                   ORDER BY score_q DESC, j ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+),
+cov AS (
+    SELECT CAST(count(DISTINCT j) AS BIGINT) AS n_rec_items,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM recs
+),
+nov AS (
+    SELECT CAST(sum(CAST(round(-ln(n_i.n * 1.0 / (SELECT n_orders FROM no_))
+                               * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+    FROM recs JOIN n_i ON n_i.pk = recs.j
+),
+ils AS (
+    SELECT CAST(sum(coalesce(cooc.sim_q, 0)) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+    FROM recs a JOIN recs b ON a.u = b.u AND a.j < b.j
+    LEFT JOIN cooc ON cooc.part_a = a.j AND cooc.part_b = b.j
+)
+SELECT cov.n_users, cov.n_recs, cov.n_rec_items,
+       (round((cov.n_rec_items * 1.0 / (SELECT n_parts FROM np_))
+              * 1000000.0) / 1000000.0) AS catalog_coverage,
+       (round((nov.s / (nov.c * 1000000.0)) * 1000000.0) / 1000000.0)
+           AS mean_novelty,
+       (round((ils.s / (ils.c * 1000000.0)) * 1000000.0) / 1000000.0)
+           AS mean_intra_list_sim
+FROM cov CROSS JOIN nov CROSS JOIN ils
+""",
+    description=(
+        "Beyond-accuracy recommender evaluation of the item-item CF "
+        "scorer: top-3 recommendations per user (2% user shard, "
+        "already-purchased items excluded via anti-join), then the "
+        "three metrics accuracy evals miss — catalog coverage "
+        "(distinct recommended / catalog), mean novelty "
+        "(-ln popularity, the inverse-log-pop self-information), and "
+        "mean intra-list similarity (pairwise CF cosine within each "
+        "user's list; high = filter-bubble lists). Pair similarities "
+        "are quantized to micro-units before every sum, so scoring, "
+        "novelty and ILS all fold as exact integers. Scoring joins "
+        "the shard's profile items against the symmetric similarity "
+        "table (shuffle on item id); per-user top-3 rides the "
+        "partitioned WindowGroupLimit; the ILS pair join is 3 rows "
+        "per user."
+    ),
+    tags=("mlops", "extension", "recsys"),
+)
+def q_recsys_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct().localCheckpoint(eager=True)
+    ub = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_custkey") % 50 == 3)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n_i = basket.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    no_ = basket.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    np_ = n_i.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    cooc_raw = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    cooc = (
+        cooc_raw.join(n_i.select(F.col("pk").alias("part_a"), F.col("n").alias("na")), "part_a")
+        .join(n_i.select(F.col("pk").alias("part_b"), F.col("n").alias("nb")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.round(
+                (F.col("n_ab") / F.sqrt(F.col("na") * 1.0 * F.col("nb"))) * 1000000.0
+            )
+            .cast("long")
+            .alias("sim_q"),
+        )
+    ).localCheckpoint(eager=True)
+    sims = cooc.select(
+        F.col("part_a").alias("i"), F.col("part_b").alias("j"), "sim_q"
+    ).unionAll(
+        cooc.select(F.col("part_b").alias("i"), F.col("part_a").alias("j"), "sim_q")
+    )
+    scored = (
+        ub.join(sims, ub.pk == sims.i)
+        .join(
+            ub.select(F.col("u").alias("ou"), F.col("pk").alias("oj")),
+            (F.col("u") == F.col("ou")) & (F.col("j") == F.col("oj")),
+            "left_anti",
+        )
+        .groupBy("u", "j")
+        .agg(F.sum("sim_q").cast("long").alias("score_q"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score_q"), F.asc("j"))
+    recs = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("u", "j", "score_q")
+    ).localCheckpoint(eager=True)
+    cov = recs.agg(
+        F.countDistinct("u").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_recs"),
+        F.countDistinct("j").cast("long").alias("n_rec_items"),
+    )
+    nov = (
+        recs.join(n_i, recs.j == n_i.pk)
+        .crossJoin(F.broadcast(no_))
+        .agg(
+            F.sum(
+                F.round(
+                    -F.log(F.col("n") * 1.0 / F.col("n_orders")) * 1000000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("nov_s"),
+            F.count(F.lit(1)).cast("long").alias("nov_c"),
+        )
+    )
+    ils = (
+        recs.alias("a")
+        .join(recs.alias("b"), (F.col("a.u") == F.col("b.u")) & (F.col("a.j") < F.col("b.j")))
+        .join(
+            cooc,
+            (cooc.part_a == F.col("a.j")) & (cooc.part_b == F.col("b.j")),
+            "left",
+        )
+        .agg(
+            F.sum(F.coalesce("sim_q", F.lit(0))).cast("long").alias("ils_s"),
+            F.count(F.lit(1)).cast("long").alias("ils_c"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(nov))
+        .crossJoin(F.broadcast(ils))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_users",
+            "n_recs",
+            "n_rec_items",
+            stable_round(F.col("n_rec_items") * 1.0 / F.col("n_parts"), 6).alias(
+                "catalog_coverage"
+            ),
+            stable_round(F.col("nov_s") / (F.col("nov_c") * 1000000.0), 6).alias(
+                "mean_novelty"
+            ),
+            stable_round(F.col("ils_s") / (F.col("ils_c") * 1000000.0), 6).alias(
+                "mean_intra_list_sim"
+            ),
+        )
+    )
