@@ -7151,3 +7151,148 @@ def q_importance_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cents_rel_err"),
     )
+
+
+@register(
+    "q_forecast_reconciliation",
+    oracle="""
+WITH rev AS (
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate)
+                AS BIGINT) AS m,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2, 3
+),
+hz AS (SELECT CAST(max(m) + 1 AS BIGINT) AS h FROM rev),
+nfit AS (
+    SELECT nation, region,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sx,
+           CAST(sum(cents) AS BIGINT) AS sy, CAST(sum(m * m) AS BIGINT) AS sxx,
+           CAST(sum(m * cents) AS BIGINT) AS sxy
+    FROM rev GROUP BY 1, 2
+),
+nfc AS (
+    SELECT nation, region,
+           CAST(round((((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                       * (SELECT h FROM hz)
+                       + (sy - sx * ((n * sxy - sx * sy) * 1.0
+                                     / (n * sxx - sx * sx))) / n)
+                      ) AS BIGINT) AS fq
+    FROM nfit
+),
+rrev AS (
+    SELECT region, m, CAST(sum(cents) AS BIGINT) AS cents
+    FROM rev GROUP BY 1, 2
+),
+rfit AS (
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sx,
+           CAST(sum(cents) AS BIGINT) AS sy, CAST(sum(m * m) AS BIGINT) AS sxx,
+           CAST(sum(m * cents) AS BIGINT) AS sxy
+    FROM rrev GROUP BY 1
+),
+rfc AS (
+    SELECT region,
+           CAST(round((((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                       * (SELECT h FROM hz)
+                       + (sy - sx * ((n * sxy - sx * sy) * 1.0
+                                     / (n * sxx - sx * sx))) / n)
+                      ) AS BIGINT) AS rfq
+    FROM rfit
+),
+tot AS (
+    SELECT region, CAST(sum(fq) AS BIGINT) AS sum_fq FROM nfc GROUP BY region
+)
+SELECT nfc.nation, nfc.region,
+       (round((nfc.fq / 100.0) * 1000000.0) / 1000000.0) AS base_forecast,
+       (round((rfc.rfq / 100.0) * 1000000.0) / 1000000.0) AS region_forecast,
+       (round((nfc.fq * (rfc.rfq * 1.0 / tot.sum_fq) / 100.0) * 1000000.0)
+        / 1000000.0) AS reconciled_forecast
+FROM nfc
+JOIN rfc ON rfc.region = nfc.region
+JOIN tot ON tot.region = nfc.region
+ORDER BY nfc.region, nfc.nation
+""",
+    description=(
+        "Hierarchical forecast reconciliation (top-down proportional): "
+        "per-nation monthly-revenue OLS trend forecasts for the next "
+        "month, an independent region-level fit, and nation forecasts "
+        "rescaled by region_forecast / sum(nation forecasts) so the "
+        "hierarchy ADDS UP — the coherence constraint every "
+        "planning/finance rollup demands and which independently "
+        "fitted group forecasts always violate. Every OLS moment is "
+        "an exact BIGINT cent fold per group; forecasts are quantized "
+        "to integer cents before the region sums so the rescaling "
+        "ratio is a float of exact integers. One revenue aggregate + "
+        "two group fits + one broadcast-sized reconciliation join — "
+        "group-count-scale everywhere after the first shuffle."
+    ),
+    tags=("analytics", "extension", "timeseries", "forecast"),
+)
+def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    ).localCheckpoint(eager=True)
+    hz = rev.agg((F.max("m") + 1).cast("long").alias("h"))
+
+    def ols_forecast(df, keys):
+        fit = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("m").cast("long").alias("sx"),
+            F.sum("cents").cast("long").alias("sy"),
+            F.sum(F.col("m") * F.col("m")).cast("long").alias("sxx"),
+            F.sum(F.col("m") * F.col("cents")).cast("long").alias("sxy"),
+        )
+        slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        fc = F.round(
+            slope * F.col("h") + (F.col("sy") - F.col("sx") * slope) / F.col("n")
+        ).cast("long")
+        return fit.crossJoin(F.broadcast(hz)).select(*keys, fc.alias("fq"))
+
+    nfc = ols_forecast(rev, ["nation", "region"])
+    rrev = rev.groupBy("region", "m").agg(F.sum("cents").cast("long").alias("cents"))
+    rfc = ols_forecast(rrev, ["region"]).withColumnRenamed("fq", "rfq")
+    tot = nfc.groupBy("region").agg(F.sum("fq").cast("long").alias("sum_fq"))
+    return (
+        nfc.join(F.broadcast(rfc), "region")
+        .join(F.broadcast(tot), "region")
+        .select(
+            "nation",
+            "region",
+            stable_round(F.col("fq") / 100.0, 6).alias("base_forecast"),
+            stable_round(F.col("rfq") / 100.0, 6).alias("region_forecast"),
+            stable_round(
+                F.col("fq") * (F.col("rfq") * 1.0 / F.col("sum_fq")) / 100.0, 6
+            ).alias("reconciled_forecast"),
+        )
+        .orderBy("region", "nation")
+    )
