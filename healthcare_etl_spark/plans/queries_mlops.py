@@ -8151,3 +8151,98 @@ def q_recsys_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_cold_start_fallback",
+    oracle="""
+WITH ub AS (
+    SELECT o_custkey AS u, l_partkey AS pk
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+depth AS (SELECT u, CAST(count(*) AS BIGINT) AS n_items FROM ub GROUP BY u),
+cold AS (
+    SELECT u, n_items FROM (
+        SELECT u, n_items, row_number() OVER (ORDER BY n_items, u) AS crk
+        FROM depth
+    ) WHERE crk <= 20
+),
+pop AS (
+    SELECT pk, CAST(count(*) AS BIGINT) AS n_buyers,
+           row_number() OVER (ORDER BY count(*) DESC, pk ASC) AS rk
+    FROM ub GROUP BY pk
+),
+top5 AS (SELECT pk, n_buyers, CAST(rk AS BIGINT) AS rk FROM pop WHERE rk <= 5),
+recs AS (
+    SELECT c.u, c.n_items, t.pk, t.n_buyers, t.rk
+    FROM cold c CROSS JOIN top5 t
+    WHERE NOT EXISTS (SELECT 1 FROM ub o WHERE o.u = c.u AND o.pk = t.pk)
+),
+rr AS (
+    SELECT u, n_items, pk, n_buyers,
+           row_number() OVER (PARTITION BY u ORDER BY rk) AS pos
+    FROM recs
+)
+SELECT u AS user_id, n_items AS profile_size, CAST(pos AS BIGINT) AS pos,
+       pk AS part_id, n_buyers
+FROM rr WHERE pos <= 3
+ORDER BY user_id, pos
+""",
+    description=(
+        "Cold-start recommendation fallback: the 20 thinnest user "
+        "profiles (fewest distinct purchased items) get the top-3 "
+        "most-bought catalog items they don't already own — the path "
+        "every personalized recommender needs for new users, where "
+        "the CF scorer (q_item_item_cf / q_recsys_diversity_eval) has "
+        "no signal. Popularity is one hash agg; the top-5 candidate "
+        "list is a WindowGroupLimit-truncated broadcast; exclusion is "
+        "an anti-join on the user's own items; per-user top-3 "
+        "re-ranks the <=5 survivors. In production the profile-size "
+        "gate routes users between this and the CF path — both live "
+        "in this registry."
+    ),
+    tags=("mlops", "extension", "recsys"),
+)
+def q_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ub = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    depth = ub.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    wc = Window.orderBy(F.asc("n_items"), F.asc("u"))
+    cold = (
+        depth.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= 20)
+        .select("u", "n_items")
+    )
+    wpop = Window.orderBy(F.desc("n_buyers"), F.asc("pk"))
+    pop = ub.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n_buyers"))
+    top5 = (
+        pop.withColumn("rk", F.row_number().over(wpop).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+    recs = (
+        cold.crossJoin(F.broadcast(top5))
+        .join(
+            ub.select(F.col("u").alias("ou"), F.col("pk").alias("opk")),
+            (F.col("u") == F.col("ou")) & (F.col("pk") == F.col("opk")),
+            "left_anti",
+        )
+    )
+    wpos = Window.partitionBy("u").orderBy("rk")
+    return (
+        recs.withColumn("pos", F.row_number().over(wpos).cast("long"))
+        .filter(F.col("pos") <= 3)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("n_items").alias("profile_size"),
+            "pos",
+            F.col("pk").alias("part_id"),
+            "n_buyers",
+        )
+        .orderBy("user_id", "pos")
+    )
