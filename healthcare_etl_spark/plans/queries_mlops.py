@@ -8246,3 +8246,98 @@ def q_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "pos")
     )
+
+
+@register(
+    "q_dp_topk_exponential",
+    oracle=f"""
+WITH cnt AS (
+    SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS c FROM lineitem
+    GROUP BY 1
+),
+noisy AS (
+    SELECT pk, c,
+           (round((0.5 * c - 2.0 * ln(-ln(
+                ((('0x' || substring(md5('dpk-v1:' || CAST(pk AS VARCHAR)), 1, 8))
+                  ::BIGINT % 2147483647) + 1.0) / 2147483648.0)))
+               * 1000000.0) / 1000000.0) AS nscore
+    FROM cnt
+),
+win AS (
+    SELECT pk, c, nscore, nr FROM (
+        SELECT pk, c, nscore,
+               row_number() OVER (ORDER BY nscore DESC, pk) AS nr
+        FROM noisy
+    ) WHERE nr <= 10
+)
+SELECT CAST(w.nr AS BIGINT) AS noisy_rank, w.pk AS part_id, w.c AS true_count,
+       w.nscore AS noisy_score,
+       CAST(1 + sum(CASE WHEN o.c > w.c OR (o.c = w.c AND o.pk < w.pk)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS true_rank
+FROM win w CROSS JOIN cnt o
+GROUP BY w.nr, w.pk, w.c, w.nscore
+ORDER BY noisy_rank
+""",
+    description=(
+        "Differentially-private top-k selection by the exponential "
+        "mechanism in its Gumbel-noise formulation: noisy_score = "
+        "(eps/2)*count + Gumbel(scale=2), argtop-10 parts, with the "
+        "true ranks reported alongside so the privacy/utility rank "
+        "displacement is visible. Gumbel draws are -ln(-ln(U)) with U "
+        "from counter-based md5 (the q_dp_histogram discipline), so "
+        "both engines realize the SAME mechanism run and the query "
+        "stays value-hash-checkable while demonstrating one-shot "
+        "DP top-k (joint eps, not k sequential mechanisms). One hash "
+        "agg + one WindowGroupLimit-truncated rank; the reported "
+        "true ranks come from a broadcast dominance count over the "
+        "10 winners, never a global sort of the catalog."
+    ),
+    tags=("mlops", "extension", "privacy"),
+)
+def q_dp_topk_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpk-v1:"), F.col("pk").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2147483647
+        + 1.0
+    ) / 2147483648.0
+    nscore = stable_round(0.5 * F.col("c") - 2.0 * F.log(-F.log(u)), 6)
+    noisy = cnt.select("pk", "c", nscore.alias("nscore"))
+    wnr = Window.orderBy(F.desc("nscore"), F.asc("pk"))
+    win = (
+        noisy.withColumn("noisy_rank", F.row_number().over(wnr).cast("long"))
+        .filter(F.col("noisy_rank") <= 10)
+    )
+    o = cnt.select(F.col("pk").alias("opk"), F.col("c").alias("oc"))
+    before = F.when(
+        (F.col("oc") > F.col("c"))
+        | ((F.col("oc") == F.col("c")) & (F.col("opk") < F.col("pk"))),
+        1,
+    ).otherwise(0)
+    return (
+        F.broadcast(win)
+        .crossJoin(o)
+        .groupBy("noisy_rank", "pk", "c", "nscore")
+        .agg((1 + F.sum(before)).cast("long").alias("true_rank"))
+        .select(
+            "noisy_rank",
+            F.col("pk").alias("part_id"),
+            F.col("c").alias("true_count"),
+            F.col("nscore").alias("noisy_score"),
+            "true_rank",
+        )
+        .orderBy("noisy_rank")
+    )
