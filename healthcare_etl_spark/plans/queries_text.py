@@ -1074,3 +1074,128 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c", stable_round(pkn, 8).alias("p_kn"))
         .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
     )
+
+
+@register(
+    "q_symspell_candidates",
+    oracle="""
+WITH tok AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) BETWEEN 4 AND 12 AND regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+),
+vocab AS (SELECT w, c FROM tok WHERE c >= 10),
+typos AS (
+    SELECT substr(w, 1, CAST(length(w) // 2 - 1 AS INTEGER))
+           || substr(w, CAST(length(w) // 2 + 1 AS INTEGER)) AS typo
+    FROM (
+        SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk
+        FROM tok WHERE c >= 10
+    ) WHERE rk <= 10
+),
+vdel AS (
+    SELECT w, substr(w, 1, CAST(p - 1 AS INTEGER))
+               || substr(w, CAST(p + 1 AS INTEGER)) AS d
+    FROM vocab CROSS JOIN (SELECT unnest(range(1, 13)) AS p)
+    WHERE p <= length(w)
+    UNION ALL SELECT w, w FROM vocab
+),
+tdel AS (
+    SELECT typo, substr(typo, 1, CAST(p - 1 AS INTEGER))
+                 || substr(typo, CAST(p + 1 AS INTEGER)) AS d
+    FROM typos CROSS JOIN (SELECT unnest(range(1, 13)) AS p)
+    WHERE p <= length(typo)
+    UNION ALL SELECT typo, typo FROM typos
+),
+cand AS (
+    SELECT DISTINCT t.typo, v.w AS suggestion
+    FROM tdel t JOIN vdel v ON t.d = v.d
+    WHERE t.typo <> v.w
+),
+ver AS (
+    SELECT cd.typo, cd.suggestion, vocab.c AS sugg_freq,
+           CAST(levenshtein(cd.typo, cd.suggestion) AS BIGINT) AS dist
+    FROM cand cd JOIN vocab ON vocab.w = cd.suggestion
+)
+SELECT typo, suggestion, sugg_freq, dist
+FROM ver WHERE dist <= 1
+ORDER BY typo, sugg_freq DESC, suggestion
+""",
+    description=(
+        "SymSpell spelling-correction candidates: vocabulary words "
+        "(freq >= 10) and probe typos (middle-char deletions of the 10 "
+        "most frequent words) each expand to their 1-deletion "
+        "neighborhoods, candidates meet on an EQUI-JOIN of deletion "
+        "strings, and survivors are verified with levenshtein <= 1 — "
+        "the trick that turns edit-distance search from a vocabulary "
+        "scan per query into O(word-length) index lookups, which is "
+        "why SymSpell-style correction runs at web-log scale. The "
+        "deletion index shuffles short strings; verification touches "
+        "only hash-join survivors (identical md5-free determinism on "
+        "both engines — levenshtein is exact integer)."
+    ),
+    tags=("text", "extension", "quality"),
+)
+def q_symspell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    tok = (
+        docs.filter(
+            F.length("w").between(4, 12) & F.col("w").rlike("^[a-z]+$")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=True)
+    vocab = tok.filter(F.col("c") >= 10)
+    wrk = Window.orderBy(F.desc("c"), F.asc("w"))
+    typos = (
+        tok.filter(F.col("c") >= 10)
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.concat(
+                F.expr("substr(w, 1, CAST(length(w) div 2 - 1 AS INT))"),
+                F.expr("substr(w, CAST(length(w) div 2 + 1 AS INT))"),
+            ).alias("typo")
+        )
+    )
+    grid = spark.range(1, 13).select(F.col("id").alias("p"))
+
+    def deletions(df, col):
+        d = (
+            df.crossJoin(F.broadcast(grid))
+            .filter(F.col("p") <= F.length(col))
+            .select(
+                F.col(col),
+                F.concat(
+                    F.expr(f"substr({col}, 1, CAST(p - 1 AS INT))"),
+                    F.expr(f"substr({col}, CAST(p + 1 AS INT))"),
+                ).alias("d"),
+            )
+        )
+        return d.unionAll(df.select(F.col(col), F.col(col).alias("d")))
+
+    vdel = deletions(vocab.select("w"), "w")
+    tdel = deletions(typos, "typo")
+    cand = (
+        tdel.join(vdel, "d")
+        .filter(F.col("typo") != F.col("w"))
+        .select("typo", F.col("w").alias("suggestion"))
+        .distinct()
+    )
+    ver = cand.join(
+        vocab.select(F.col("w").alias("suggestion"), F.col("c").alias("sugg_freq")),
+        "suggestion",
+    ).select(
+        "typo",
+        "suggestion",
+        "sugg_freq",
+        F.levenshtein("typo", "suggestion").cast("long").alias("dist"),
+    )
+    return ver.filter(F.col("dist") <= 1).orderBy(
+        "typo", F.desc("sugg_freq"), "suggestion"
+    )

@@ -653,6 +653,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_fagin_ta_audit": "WindowGroupLimit top-10 + bucketed rank summaries",
     "q_cold_start_fallback": "WindowGroupLimit bottom-20 cohort + top-5 pop",
     "q_dp_topk_exponential": "WindowGroupLimit top-10 noisy scores",
+    "q_symspell_candidates": "WindowGroupLimit top-10 probe words",
 }
 
 
