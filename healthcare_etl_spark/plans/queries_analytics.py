@@ -7296,3 +7296,117 @@ def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@register(
+    "q_maxmin_fairshare",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS d
+    FROM events GROUP BY user_id
+),
+pos AS (SELECT d FROM u WHERE d > 0),
+n AS (
+    SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(d) AS BIGINT) AS total,
+           CAST(sum(d) // 2 AS BIGINT) AS budget
+    FROM pos
+),
+g AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY d),
+pre AS (
+    SELECT d, cnt,
+           CAST(coalesce(sum(d * cnt) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS sx,
+           CAST(coalesce(sum(cnt) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cx
+    FROM g
+),
+vstar AS (
+    SELECT min(d) AS v FROM pre CROSS JOIN n
+    WHERE sx + (nu - cx) * d >= budget
+),
+sol AS (
+    SELECT p.sx, p.cx FROM pre p JOIN vstar ON p.d = vstar.v
+)
+SELECT nu AS n_users, total AS total_demand_cents, budget AS budget_cents,
+       (round(((budget - sx) * 1.0 / (nu - cx) / 100.0) * 1000000.0)
+        / 1000000.0) AS water_level,
+       cx AS n_fully_satisfied,
+       CAST(nu - cx AS BIGINT) AS n_capped
+FROM n CROSS JOIN sol
+""",
+    description=(
+        "Max-min fair allocation (water-filling) of a spend budget "
+        "(50% of total demand) across users: the unique level L with "
+        "sum(min(demand_i, L)) = budget — every demand below L fully "
+        "satisfied, everyone else capped at L — the allocation rule "
+        "behind fair queuing, rate limiting, and quota splitting. "
+        "The crossing point comes from exclusive prefix sums over the "
+        "DISTINCT demand values (two-phase bucketed carry on the "
+        "Spark side, so no data-scale single-partition sort), then L "
+        "is one exact division (budget - S_below)/(n - C_below). "
+        "Integer cents throughout; monotonicity of the water function "
+        "makes min(v | g(v) >= B) the exact crossing bracket."
+    ),
+    tags=("analytics", "extension", "systems", "scale-pattern"),
+)
+def q_maxmin_fairshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("d")
+    )
+    pos = u.filter(F.col("d") > 0).select("d")
+    n = pos.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("d").cast("long").alias("total"),
+        F.expr("sum(d) div 2").cast("long").alias("budget"),
+    )
+    g = pos.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pre = bucketed_prefix(
+        g,
+        buckets=[F.expr("d div 4096")],
+        order_by=[F.asc("d")],
+        value=F.col("d") * F.col("cnt"),
+        agg="sum",
+        exclusive=True,
+        out_col="sx",
+    )
+    pre = bucketed_prefix(
+        pre,
+        buckets=[F.expr("d div 4096")],
+        order_by=[F.asc("d")],
+        value=F.col("cnt"),
+        agg="sum",
+        exclusive=True,
+        out_col="cx",
+    )
+    pre = pre.crossJoin(F.broadcast(n))
+    vstar = pre.filter(
+        F.col("sx") + (F.col("nu") - F.col("cx")) * F.col("d") >= F.col("budget")
+    ).agg(F.min("d").alias("v"))
+    sol = pre.join(F.broadcast(vstar), pre.d == F.col("v")).select("sx", "cx")
+    level = (F.col("budget") - F.col("sx")) * 1.0 / (F.col("nu") - F.col("cx")) / 100.0
+    return (
+        n.crossJoin(F.broadcast(sol))
+        .select(
+            F.col("nu").alias("n_users"),
+            F.col("total").alias("total_demand_cents"),
+            F.col("budget").alias("budget_cents"),
+            stable_round(level, 6).alias("water_level"),
+            F.col("cx").alias("n_fully_satisfied"),
+            (F.col("nu") - F.col("cx")).cast("long").alias("n_capped"),
+        )
+    )

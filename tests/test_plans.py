@@ -574,6 +574,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_rfm_segmentation": "bucket-summary offsets (3 axes)",
     "q_gini_concentration": "bucket-summary offsets",
     "q_mann_whitney": "bucket-summary prefix over distinct cents",
+    "q_maxmin_fairshare": "bucket-summary prefix over distinct cents",
     "q_kruskal_wallis": "bucket-summary prefix over distinct cents",
     "q_wilcoxon_signed_rank": "bucket-summary prefix over distinct |diffs|",
     "q_ntile_percent_rank": "bucket-summary offsets (cents buckets)",
