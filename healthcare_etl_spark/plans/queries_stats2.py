@@ -3225,3 +3225,116 @@ FROM v_burst_daily d CROSS JOIN best
 ORDER BY d.day
 """
     )
+
+
+def _esd_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled generalized-ESD rounds: round i removes the max-|z| day
+    of the remaining series; all moments fold as exact integer cents."""
+    parts = [
+        """d0 AS MATERIALIZED (
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1
+)"""
+    ]
+    sel = []
+    for i in range(1, rounds + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"""m{i} AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS s2
+    FROM {prev}
+)"""
+        )
+        parts.append(
+            f"""p{i} AS (
+    SELECT day, x, abs(x * (SELECT n FROM m{i}) - (SELECT s FROM m{i})) AS dev
+    FROM {prev}
+)"""
+        )
+        parts.append(
+            f"""o{i} AS MATERIALIZED (
+    SELECT day, x, dev FROM p{i}
+    WHERE dev = (SELECT max(dev) FROM p{i})
+    ORDER BY day LIMIT 1
+)"""
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT day, x FROM {prev} "
+            f"WHERE day <> (SELECT day FROM o{i}))"
+        )
+        sel.append(
+            f"""SELECT CAST({i} AS BIGINT) AS k, strftime(o{i}.day, '%Y-%m-%d') AS day,
+       (round((o{i}.x / 100.0) * 1000000.0) / 1000000.0) AS revenue,
+       (round((o{i}.dev / ((SELECT n FROM m{i})
+               * sqrt(((SELECT n FROM m{i}) * (SELECT s2 FROM m{i})
+                       - (SELECT s FROM m{i}) * (SELECT s FROM m{i})) * 1.0
+                      / ((SELECT n FROM m{i}) * ((SELECT n FROM m{i}) - 1)))))
+              * 1000000.0) / 1000000.0) AS r_stat
+FROM o{i}"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel) + "\nORDER BY k"
+
+
+@register(
+    "q_esd_outliers",
+    oracle=_esd_oracle_sql(),
+    description=(
+        "Generalized ESD (extreme studentized deviate) outlier rounds "
+        "on daily purchase revenue: three rounds of remove-the-max-|z| "
+        "day with the mean/std REFIT after each removal — the masking-"
+        "proof version of a z-score cut (one huge outlier inflates "
+        "the std and hides the second; ESD's refitting uncovers it), "
+        "and the core of production time-series anomaly detectors. "
+        "Deviations are held as the exact integer |x*n - S| so the "
+        "per-round argmax is integer comparison (ties to earliest "
+        "day); the studentized R statistic is one float expression "
+        "over exact moment sums. The series is day-grain, so every "
+        "round is metadata-scale after the one data-sized daily "
+        "aggregate."
+    ),
+    tags=("analytics", "extension", "timeseries", "anomaly"),
+)
+def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x")
+        )
+    ).localCheckpoint(eager=True)
+    rows = []
+    for k in range(1, 4):
+        m = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        ).collect()[0]
+        n, s, s2 = m["n"], m["s"], m["s2"]
+        p = d.select(
+            "day", "x", F.abs(F.col("x") * n - F.lit(s)).cast("long").alias("dev")
+        )
+        mx = p.agg(F.max("dev").alias("mx")).collect()[0]["mx"]
+        o = p.filter(F.col("dev") == mx).orderBy("day").limit(1).collect()[0]
+        import math
+
+        r_stat = o["dev"] / (n * math.sqrt((n * s2 - s * s) * 1.0 / (n * (n - 1))))
+        rows.append((k, o["day"].strftime("%Y-%m-%d"), o["x"] / 100.0, r_stat))
+        d = d.filter(F.col("day") != F.lit(o["day"])).localCheckpoint(eager=True)
+    out = spark.createDataFrame(rows, "k long, day string, revenue double, r_stat double")
+    return out.select(
+        "k",
+        "day",
+        stable_round(F.col("revenue"), 6).alias("revenue"),
+        stable_round(F.col("r_stat"), 6).alias("r_stat"),
+    ).orderBy("k")
