@@ -7410,3 +7410,99 @@ def q_maxmin_fairshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nu") - F.col("cx")).cast("long").alias("n_capped"),
         )
     )
+
+
+@register(
+    "q_price_index",
+    oracle="""
+WITH pq AS (
+    SELECT l_partkey AS pk, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS DOUBLE)
+                      / sum(CAST(round(l_quantity) AS BIGINT))) AS BIGINT) AS p,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+base AS (SELECT pk, p AS p0, q AS q0 FROM pq WHERE yr = 1995),
+cur AS (SELECT pk, yr, p, q FROM pq WHERE yr > 1995),
+j AS (
+    SELECT cur.yr, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cur.p * base.q0) AS BIGINT) AS l_num,
+           CAST(sum(base.p0 * base.q0) AS BIGINT) AS l_den,
+           CAST(sum(cur.p * cur.q) AS BIGINT) AS p_num,
+           CAST(sum(base.p0 * cur.q) AS BIGINT) AS p_den
+    FROM cur JOIN base ON base.pk = cur.pk
+    GROUP BY 1
+)
+SELECT yr AS year, n_parts,
+       (round((l_num * 1.0 / l_den) * 1000000.0) / 1000000.0) AS laspeyres,
+       (round((p_num * 1.0 / p_den) * 1000000.0) / 1000000.0) AS paasche,
+       (round(sqrt((l_num * 1.0 / l_den) * (p_num * 1.0 / p_den))
+              * 1000000.0) / 1000000.0) AS fisher
+FROM j
+ORDER BY yr
+""",
+    description=(
+        "Index-number price measurement over the order history: "
+        "Laspeyres (base-1995 quantity weights), Paasche (current "
+        "weights) and Fisher ideal (their geometric mean) for every "
+        "year vs the 1995 base, over parts traded in both periods — "
+        "the CPI/deflator machinery, and the canonical demonstration "
+        "of substitution bias (Laspeyres >= Fisher >= Paasche when "
+        "buyers shift away from price risers). Per-(part, year) unit "
+        "prices are quantized to integer cents-per-unit, so every "
+        "index numerator/denominator folds as an exact BIGINT "
+        "price*quantity mass; each index is one float division. One "
+        "aggregate + one self-join on part id — group-scale "
+        "everywhere after the first shuffle."
+    ),
+    tags=("analytics", "extension", "econometrics"),
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pq = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.sum(F.round("l_quantity").cast("long"))
+            )
+            .cast("long")
+            .alias("p"),
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"),
+        )
+    ).localCheckpoint(eager=True)
+    base = pq.filter(F.col("yr") == 1995).select(
+        "pk", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    cur = pq.filter(F.col("yr") > 1995)
+    j = (
+        cur.join(base, "pk")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("p") * F.col("q0")).cast("long").alias("l_num"),
+            F.sum(F.col("p0") * F.col("q0")).cast("long").alias("l_den"),
+            F.sum(F.col("p") * F.col("q")).cast("long").alias("p_num"),
+            F.sum(F.col("p0") * F.col("q")).cast("long").alias("p_den"),
+        )
+    )
+    lasp = F.col("l_num") * 1.0 / F.col("l_den")
+    paas = F.col("p_num") * 1.0 / F.col("p_den")
+    return j.select(
+        F.col("yr").alias("year"),
+        "n_parts",
+        stable_round(lasp, 6).alias("laspeyres"),
+        stable_round(paas, 6).alias("paasche"),
+        stable_round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("year")
