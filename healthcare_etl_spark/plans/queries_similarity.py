@@ -2573,3 +2573,110 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("long").alias("cluster_id"), "n_cells", "n_points")
     )
     return clus.unionByName(noise).orderBy("cluster_id")
+
+
+@register(
+    "q_grid_lof",
+    oracle=f"""
+WITH emb2 AS MATERIALIZED (
+    SELECT vec_id,
+           {_dbscan_proj_sql(_DB_S1)} AS p1,
+           {_dbscan_proj_sql(_DB_S2)} AS p2
+    FROM embeddings
+),
+cells AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(floor(p1 / {_DB_CELL}) AS BIGINT) AS cx,
+           CAST(floor(p2 / {_DB_CELL}) AS BIGINT) AS cy
+    FROM emb2
+),
+cc AS MATERIALIZED (
+    SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2
+),
+nbr AS (
+    SELECT a.cx, a.cy, a.n,
+           CAST(sum(b.n) AS BIGINT) AS nbr_mass,
+           CAST(count(*) AS BIGINT) AS nbr_cells
+    FROM cc a JOIN cc b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND NOT (b.cx = a.cx AND b.cy = a.cy)
+    GROUP BY 1, 2, 3
+),
+lof AS (
+    SELECT cx, cy, n, nbr_mass, nbr_cells,
+           (round(((nbr_mass * 1.0 / nbr_cells) / n) * 1000000.0)
+            / 1000000.0) AS density_ratio
+    FROM nbr
+)
+SELECT cx, cy, n AS n_points, nbr_cells, nbr_mass,
+       density_ratio
+FROM lof
+WHERE density_ratio >= 3.0
+ORDER BY density_ratio DESC, cx, cy
+""",
+    description=(
+        "Grid-density outlier cells (LOF flavor) over the same "
+        "deterministic 2-D projection grid as q_grid_dbscan: a cell "
+        "whose 8-neighborhood's mean density is >= 3x its own holds "
+        "points sitting in a local density trough — the local-outlier "
+        "signal that global z-scores miss when clusters have "
+        "different densities. No pairwise point distances anywhere: "
+        "one cell-count aggregate + one occupied-cell neighbor join "
+        "(bounded by occupied cells, not points), the same collapse "
+        "that makes the DBSCAN variant corpus-scale."
+    ),
+    tags=("similarity", "extension", "anomaly"),
+)
+def q_grid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj(signs):
+        lit = F.array(*[F.lit(float(v)) for v in signs])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), lit, lambda a, b: a.cast("double") * b.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cells = emb.select(
+        "vec_id",
+        F.floor(proj(_DB_S1) / _DB_CELL).cast("long").alias("cx"),
+        F.floor(proj(_DB_S2) / _DB_CELL).cast("long").alias("cy"),
+    )
+    cc = cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=True)
+    nbr = (
+        cc.alias("a")
+        .join(
+            cc.alias("b"),
+            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            & ~((F.col("b.cx") == F.col("a.cx")) & (F.col("b.cy") == F.col("a.cy"))),
+        )
+        .groupBy(
+            F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"), F.col("a.n").alias("n")
+        )
+        .agg(
+            F.sum("b.n").cast("long").alias("nbr_mass"),
+            F.count(F.lit(1)).cast("long").alias("nbr_cells"),
+        )
+    )
+    ratio = (F.col("nbr_mass") * 1.0 / F.col("nbr_cells")) / F.col("n")
+    return (
+        nbr.select(
+            "cx",
+            "cy",
+            F.col("n").alias("n_points"),
+            "nbr_cells",
+            "nbr_mass",
+            stable_round(ratio, 6).alias("density_ratio"),
+        )
+        .filter(stable_round(ratio, 6) >= 3.0)
+        .orderBy(F.desc("density_ratio"), "cx", "cy")
+    )
