@@ -1768,3 +1768,162 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", stable_round(overlap, 6).alias("overlap"))
         .filter(stable_round(overlap, 6) >= 0.5)
     )
+
+
+def _blocking_recall_oracle_sql() -> str:
+    """Truth (exact-Jaccard >= 0.5) vs the LSH-band and sorted-
+    neighborhood candidate generators — shares the shingle/hash chain
+    with the other dedup oracles; minhash fragments renamed to avoid
+    CTE collisions."""
+    sig_exprs = ",\n           ".join(
+        f"min((hsh * {a} + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coefficients())
+    )
+
+    def band_fold(j: int) -> str:
+        expr = "0::BIGINT"
+        for r in range(BAND_R):
+            expr = f"(({expr} * 31 + s{j * BAND_R + r}) % {P})"
+        return f"{j}::BIGINT * {P} + {expr}"
+
+    band_exprs = ", ".join(band_fold(j) for j in range(N_BANDS))
+    return f"""
+WITH {_jaccard_pairs_ctes()},
+truth AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+msigs AS (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM hashed GROUP BY doc_id
+),
+mbands AS (SELECT doc_id, unnest([{band_exprs}]) AS bk FROM msigs),
+lcand AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM mbands x JOIN mbands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY substring(text, 1, 24), doc_id) AS pos
+    FROM documents
+),
+sx AS (SELECT doc_id, pos, pos // {_SNM_W} AS b FROM ranked),
+sy AS (SELECT doc_id, pos,
+              unnest([pos // {_SNM_W}, pos // {_SNM_W} - 1]) AS b
+       FROM ranked),
+scand AS MATERIALIZED (
+    SELECT least(x.doc_id, y.doc_id) AS doc_a,
+           greatest(x.doc_id, y.doc_id) AS doc_b
+    FROM sx x JOIN sy y ON x.b = y.b
+    WHERE y.pos - x.pos BETWEEN 1 AND {_SNM_W}
+),
+m AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM lcand) AS lsh_cand,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM lcand c
+                           WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+               AS lsh_hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM scand) AS snm_cand,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM scand c
+                           WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+               AS snm_hits
+)
+SELECT n_truth, lsh_cand, lsh_hits,
+       (round((lsh_hits * 1.0 / n_truth) * 1000000.0) / 1000000.0)
+           AS lsh_recall,
+       snm_cand, snm_hits,
+       (round((snm_hits * 1.0 / n_truth) * 1000000.0) / 1000000.0)
+           AS snm_recall
+FROM m
+"""
+
+
+@register(
+    "q_dedup_blocking_recall",
+    oracle=_blocking_recall_oracle_sql(),
+    description=(
+        "Blocking-strategy recall evaluation: ground truth = the exact "
+        "inverted-index Jaccard pairs (>= 0.5), candidates = (a) the "
+        "MinHash-LSH band buckets and (b) the sorted-neighborhood "
+        "window — reporting candidate volume, hits, and recall for "
+        "each. The meta-eval that picks a blocker for a corpus: LSH "
+        "recall is tunable via bands x rows and content-robust; SNM "
+        "volume is exactly N*w and skew-proof but prefix-sensitive. "
+        "All three pair generators already live in this registry; "
+        "here they run against the SAME corpus in one plan, "
+        "hit-testing via semi-joins on the pair key. At 100 TB the "
+        "truth side is the expensive one — in production this eval "
+        "runs on a sampled stratum, same shapes."
+    ),
+    tags=("dedup", "extension", "evaluation"),
+)
+def q_dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_band_frame,
+    )
+    from healthcare_etl_spark.operators.scale import bucketed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    truth = (
+        jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    ).localCheckpoint(eager=True)
+    lcand = lsh_candidate_pairs(minhash_band_frame(docs)).localCheckpoint(eager=True)
+    w = _SNM_W
+    ranked = bucketed_rank(
+        docs.withColumn("bkey", F.substring("text", 1, 24)),
+        buckets=[F.substring("bkey", 1, 1)],
+        order_by=[F.asc("bkey"), F.asc("doc_id")],
+        out_col="pos",
+    ).select("doc_id", "pos")
+    x = ranked.select("doc_id", "pos", F.expr(f"pos div {w}").alias("b"))
+    y = ranked.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array(F.expr(f"pos div {w}"), F.expr(f"pos div {w} - 1"))
+        ).alias("b"),
+    )
+    gap = F.col("y.pos") - F.col("x.pos")
+    scand = (
+        x.alias("x")
+        .join(y.alias("y"), (F.col("x.b") == F.col("y.b")) & gap.between(1, w))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+    ).localCheckpoint(eager=True)
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    lc = lcand.agg(F.count(F.lit(1)).cast("long").alias("lsh_cand"))
+    lh = truth.join(lcand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("lsh_hits")
+    )
+    sc = scand.agg(F.count(F.lit(1)).cast("long").alias("snm_cand"))
+    sh = truth.join(scand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("snm_hits")
+    )
+    return (
+        nt.crossJoin(F.broadcast(lc))
+        .crossJoin(F.broadcast(lh))
+        .crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(sh))
+        .select(
+            "n_truth",
+            "lsh_cand",
+            "lsh_hits",
+            stable_round(F.col("lsh_hits") * 1.0 / F.col("n_truth"), 6).alias(
+                "lsh_recall"
+            ),
+            "snm_cand",
+            "snm_hits",
+            stable_round(F.col("snm_hits") * 1.0 / F.col("n_truth"), 6).alias(
+                "snm_recall"
+            ),
+        )
+    )
