@@ -7506,3 +7506,113 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(paas, 6).alias("paasche"),
         stable_round(F.sqrt(lasp * paas), 6).alias("fisher"),
     ).orderBy("year")
+
+
+@register(
+    "q_join_strategy_advisor",
+    oracle="""
+WITH sides AS (
+    SELECT 'customer' AS rel, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(8 + 8 + strlen(c_name) + strlen(c_mktsegment)
+                    + 8) AS BIGINT) AS est_bytes
+    FROM customer
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(sum(8 + 8 + strlen(o_orderstatus) + 8 + 8
+                    + strlen(o_orderpriority)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(sum(8 * 8 + strlen(l_returnflag)
+                    + strlen(l_linestatus)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nation', CAST(count(*) AS BIGINT),
+           CAST(sum(8 + strlen(n_name) + 8) AS BIGINT)
+    FROM nation
+)
+SELECT rel, n_rows, est_bytes,
+       (round((est_bytes / 1048576.0) * 1000000.0) / 1000000.0) AS est_mib,
+       CASE WHEN est_bytes < 10485760 THEN 'broadcast'
+            ELSE 'shuffle' END AS join_strategy,
+       CAST(greatest(1, CAST(ceil(est_bytes / 134217728.0) AS BIGINT))
+            AS BIGINT) AS suggested_shuffle_partitions
+FROM sides
+ORDER BY rel
+""",
+    description=(
+        "Join-strategy advisor from MEASURED relation statistics: "
+        "exact row counts and serialized-width estimates (fixed-width "
+        "columns at 8 bytes + octet_length of every string column) "
+        "for the four join-graph relations, with the decision a "
+        "cost-based planner makes from them — broadcast below the "
+        "10 MiB threshold (nation, customer at small SF), shuffle "
+        "with ~128 MiB-target partition counts otherwise. This is "
+        "the pre-flight audit that catches the classic plan bug of "
+        "broadcasting a 'dimension' that grew into a fact: the "
+        "advisor reads the DATA, not the table name. One aggregate "
+        "per relation, unioned — embarrassingly parallel; the same "
+        "statistics drive AQE, and at 100 TB this runs on parquet "
+        "footer stats plus a row-width sample instead of a full scan."
+    ),
+    tags=("analytics", "extension", "systems", "scale-pattern"),
+)
+def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def side(df, rel, width):
+        return df.agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(width).cast("long").alias("est_bytes"),
+        )
+
+    sides = (
+        side(
+            cust,
+            "customer",
+            F.lit(8 + 8)
+            + F.octet_length("c_name")
+            + F.octet_length("c_mktsegment")
+            + F.lit(8),
+        )
+        .unionAll(
+            side(
+                orders,
+                "orders",
+                F.lit(8 + 8)
+                + F.octet_length("o_orderstatus")
+                + F.lit(8 + 8)
+                + F.octet_length("o_orderpriority"),
+            )
+        )
+        .unionAll(
+            side(
+                li,
+                "lineitem",
+                F.lit(8 * 8)
+                + F.octet_length("l_returnflag")
+                + F.octet_length("l_linestatus"),
+            )
+        )
+        .unionAll(
+            side(nat, "nation", F.lit(8) + F.octet_length("n_name") + F.lit(8))
+        )
+    )
+    return sides.select(
+        "rel",
+        "n_rows",
+        "est_bytes",
+        stable_round(F.col("est_bytes") / 1048576.0, 6).alias("est_mib"),
+        F.when(F.col("est_bytes") < 10485760, "broadcast")
+        .otherwise("shuffle")
+        .alias("join_strategy"),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("est_bytes") / 134217728.0).cast("long")
+        )
+        .cast("long")
+        .alias("suggested_shuffle_partitions"),
+    ).orderBy("rel")
