@@ -7616,3 +7616,139 @@ def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("suggested_shuffle_partitions"),
     ).orderBy("rel")
+
+
+@register(
+    "q_kmv_set_algebra",
+    oracle=f"""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+ex AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS na,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS nb,
+           (SELECT CAST(count(*) AS BIGINT) FROM a
+             WHERE user_id IN (SELECT user_id FROM b)) AS ni
+),
+ha AS (
+    SELECT user_id, {_CH_MD5.format(x="'kmvs:' || CAST(user_id AS VARCHAR)")} AS hv
+    FROM a
+),
+hb AS (
+    SELECT user_id, {_CH_MD5.format(x="'kmvs:' || CAST(user_id AS VARCHAR)")} AS hv
+    FROM b
+),
+sa AS (
+    SELECT user_id, hv FROM
+    (SELECT user_id, hv, row_number() OVER (ORDER BY hv, user_id) AS r FROM ha)
+    WHERE r <= 128
+),
+sb AS (
+    SELECT user_id, hv FROM
+    (SELECT user_id, hv, row_number() OVER (ORDER BY hv, user_id) AS r FROM hb)
+    WHERE r <= 128
+),
+un AS (
+    SELECT user_id, hv FROM (
+        SELECT user_id, hv,
+               row_number() OVER (ORDER BY hv, user_id) AS r
+        FROM (SELECT user_id, hv FROM sa UNION SELECT user_id, hv FROM sb)
+    ) WHERE r <= 128
+),
+kth AS (SELECT CAST(max(hv) AS BIGINT) AS hk,
+               CAST(count(*) AS BIGINT) AS k FROM un),
+jacc AS (
+    SELECT CAST(count(*) AS BIGINT) AS shared
+    FROM un WHERE user_id IN (SELECT user_id FROM sa)
+              AND user_id IN (SELECT user_id FROM sb)
+),
+est AS (
+    SELECT CASE WHEN k < 128 THEN k * 1.0
+           ELSE (k - 1.0) * {_CH_P} / hk END AS d_union,
+           shared * 1.0 / k AS jac
+    FROM kth CROSS JOIN jacc
+)
+SELECT ex.na AS exact_a, ex.nb AS exact_b, ex.ni AS exact_intersection,
+       CAST(ex.na + ex.nb - ex.ni AS BIGINT) AS exact_union,
+       CAST(round(d_union) AS BIGINT) AS est_union,
+       CAST(round(d_union * jac) AS BIGINT) AS est_intersection,
+       (round(jac * 1000000.0) / 1000000.0) AS est_jaccard
+FROM ex CROSS JOIN est
+""",
+    description=(
+        "KMV synopsis set algebra: union cardinality from the merged "
+        "min-128 synopsis ((k-1)*H/h_k), Jaccard from the shared "
+        "fraction WITHIN the merged synopsis, and intersection = "
+        "jaccard * union — the estimates exact distinct partials "
+        "cannot give you (distinct counts don't compose across sets; "
+        "KMV synopses do, by merge-and-retruncate). Exact answers "
+        "computed alongside. This is how audience-overlap and "
+        "cross-table distinct dashboards run at warehouse scale: "
+        "128 BIGINTs per set, any boolean algebra after the fact. "
+        "Deterministic md5 hashing keeps the whole synopsis "
+        "oracle-checkable; min-k sides ride WindowGroupLimit."
+    ),
+    tags=("analytics", "extension", "sketch", "scale-pattern"),
+)
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    ex = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("na"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).cast("long").alias("nb"))))
+        .crossJoin(
+            F.broadcast(
+                a.join(b, "user_id", "left_semi").agg(
+                    F.count(F.lit(1)).cast("long").alias("ni")
+                )
+            )
+        )
+    )
+    hv = md5_hash31(F.concat(F.lit("kmvs:"), F.col("user_id").cast("string")))
+
+    def synopsis(df):
+        w = Window.orderBy(F.asc("hv"), F.asc("user_id"))
+        return (
+            df.select("user_id", hv.alias("hv"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 128)
+            .select("user_id", "hv")
+        )
+
+    sa = synopsis(a).localCheckpoint(eager=True)
+    sb = synopsis(b).localCheckpoint(eager=True)
+    wu = Window.orderBy(F.asc("hv"), F.asc("user_id"))
+    un = (
+        sa.union(sb)
+        .distinct()
+        .withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") <= 128)
+        .select("user_id", "hv")
+    ).localCheckpoint(eager=True)
+    kth = un.agg(
+        F.max("hv").cast("long").alias("hk"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    jacc = (
+        un.join(sa.select("user_id"), "user_id", "left_semi")
+        .join(sb.select("user_id"), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    d_union = F.when(F.col("k") < 128, F.col("k") * 1.0).otherwise(
+        (F.col("k") - 1.0) * 2147483647 / F.col("hk")
+    )
+    jac = F.col("shared") * 1.0 / F.col("k")
+    return (
+        ex.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(jacc))
+        .select(
+            F.col("na").alias("exact_a"),
+            F.col("nb").alias("exact_b"),
+            F.col("ni").alias("exact_intersection"),
+            (F.col("na") + F.col("nb") - F.col("ni")).cast("long").alias("exact_union"),
+            F.round(d_union).cast("long").alias("est_union"),
+            F.round(d_union * jac).cast("long").alias("est_intersection"),
+            stable_round(jac, 6).alias("est_jaccard"),
+        )
+    )
