@@ -651,7 +651,6 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_prf_expansion": "WindowGroupLimit k-truncated + 10-doc feedback vocab",
     "q_kneser_ney_bigram": "WindowGroupLimit k-truncated",
     "q_join_size_estimate": "WindowGroupLimit k-truncated (min-128 synopsis)",
-    "q_kmv_set_algebra": "WindowGroupLimit k-truncated (min-128 synopses)",
     "q_fagin_ta_audit": "WindowGroupLimit top-10 + bucketed rank summaries",
     "q_cold_start_fallback": "WindowGroupLimit bottom-20 cohort + top-5 pop",
     "q_dp_topk_exponential": "WindowGroupLimit top-10 noisy scores",
