@@ -2474,3 +2474,116 @@ def test_quantile_treatment_effect_monotone_quantiles(spark, sf_smoke):
     assert len(pdf) == 9
     assert (pdf["q_a"].diff().dropna() >= -1e-9).all()
     assert (pdf["q_b"].diff().dropna() >= -1e-9).all()
+
+
+def test_heavy_hitters_two_phase_is_exact(spark, sf_smoke):
+    """The bucketed local-top-k -> merge result must equal the naive
+    global ORDER BY count DESC LIMIT 10 — the exactness claim of the
+    key-disjoint bucketing."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    got = (
+        get_registry()["q_heavy_hitters_2phase"].fn(spark, sf_smoke)
+        .select("user_id", "cnt")
+        .toPandas()
+    )
+    naive = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+        .toPandas()
+    )
+    assert got.values.tolist() == naive.values.tolist()
+
+
+def test_lru_miss_curve_monotone(spark, sf_smoke):
+    """Hit counts must be nondecreasing in cache size (reuse distance is
+    a fixed per-access quantity; larger caches only add hits)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = (
+        get_registry()["q_lru_miss_curve"].fn(spark, sf_smoke)
+        .toPandas()
+        .sort_values("cache_size")
+    )
+    assert (pdf["n_hits"].diff().dropna() >= 0).all()
+    assert (pdf["hit_ratio"] <= 1.0).all() and (pdf["hit_ratio"] >= 0.0).all()
+
+
+def test_consistent_hash_minimal_disruption(spark, sf_smoke):
+    """Removing server 0 moves EXACTLY its keys and nothing else."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_consistent_hash_balance"].fn(spark, sf_smoke).toPandas()
+    s0 = pdf[pdf.server_id == 0].iloc[0]
+    assert s0["n_after"] == 0
+    assert pdf["n_gained"].sum() == s0["n_before"]
+    others = pdf[pdf.server_id != 0]
+    assert (
+        others["n_after"] == others["n_before"] + others["n_gained"]
+    ).all()
+
+
+def test_als_sweep_descends(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_als_sweep"].fn(spark, sf_smoke).collect()[0]
+    assert row["rmse_after"] <= row["rmse_init"]
+
+
+def test_kmv_distinct_reasonable(spark, sf_smoke):
+    """KMV estimate within the k=256 sketch's expected error envelope
+    (1/sqrt(k) ~ 6%; allow 25% on the small fixture)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_kmv_distinct"].fn(spark, sf_smoke).toPandas()
+    assert (pdf["rel_err"] <= 0.25).all()
+
+
+def test_mmd_drift_kernel_bounds(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_mmd_drift"].fn(spark, sf_smoke).collect()[0]
+    for c in ("k_aa", "k_bb", "k_ab"):
+        assert 0.0 <= row[c] <= 1.0
+    assert row["mmd2"] >= -1e-6
+
+
+def test_grid_dbscan_partitions_all_points(spark, sf_smoke):
+    """Cluster + noise point counts must account for every embedding."""
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    pdf = get_registry()["q_grid_dbscan"].fn(spark, sf_smoke).toPandas()
+    total = load_table(spark, sf_smoke, "embeddings").count()
+    assert pdf["n_points"].sum() == total
+
+
+def test_maxmin_fairshare_identities(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_maxmin_fairshare"].fn(spark, sf_smoke).collect()[0]
+    assert row["n_fully_satisfied"] + row["n_capped"] == row["n_users"]
+    assert row["water_level"] > 0
+    assert row["budget_cents"] * 2 <= row["total_demand_cents"] + 1
+
+
+def test_isolation_forest_leaf_bounds(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    pdf = get_registry()["q_isolation_forest"].fn(spark, sf_smoke).toPandas()
+    assert (pdf["sum_pop"] >= 4).all()  # 4 trees x leaf >= 1
+    assert (pdf["iso_score"] * 4 == pdf["sum_pop"]).all()
+
+
+def test_fagin_ta_depth_bounds(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    row = get_registry()["q_fagin_ta_audit"].fn(spark, sf_smoke).collect()[0]
+    assert 1 <= row["d_star"] <= row["n_users"]
+    assert 0.0 < row["frac_scanned"] <= 1.0
