@@ -128,6 +128,10 @@ HEADLINE = [
     "q_kmv_distinct",
     "q_mmd_drift",
     "q_dedup_sorted_neighborhood",
+    # the 12-stage Viterbi-segmentation tokenizer E-step and the
+    # three-blocker recall eval — the two heaviest new composite plans
+    "q_unigram_tokenizer_estep",
+    "q_dedup_blocking_recall",
 ]
 
 
