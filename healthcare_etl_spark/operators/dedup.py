@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.functions.text import FINGERPRINT_MOD as P
 
@@ -584,3 +585,91 @@ def containment_pairs(
         )
         .filter(stable_round(cont, 6) >= threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 3,
+    t_den: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join via PREFIX FILTERING
+    (SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08) — the third candidate-generation strategy next to the full
+    inverted index (``jaccard_pairs``) and banded MinHash-LSH: exact
+    like the former (no false negatives, unlike LSH) but with LSH-like
+    candidate volume.
+
+    The filter: order every document's shingle-hash set by GLOBAL
+    document frequency ascending (rarest token first, hsh tiebreak) and
+    keep only the first ``n - ceil(t*n) + 1`` tokens as the *prefix*.
+    Any pair with Jaccard >= t must share at least one prefix token
+    under a common total order, so the equi-join runs over prefixes
+    only. Rare-first ordering makes prefix tokens low-frequency by
+    construction — the join fanout per key is bounded where the full
+    inverted index explodes on stopword shingles. Candidates then pass
+    the exact length filter (t*max <= min) and an exact integer
+    verification: ``t_den*o >= t_num*(na+nb-o)`` — no float boundary.
+
+    Threshold is the rational ``t_num/t_den`` (default 3/5 = 0.6) so
+    prefix lengths and the final test stay in BIGINT arithmetic on both
+    engines. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    100 TB shape: shingle+hash is the same single-exchange pipeline as
+    MinHash; document frequency is one hash aggregate on the 8-byte
+    hash key; the prefix join shuffles only prefix rows (a ~(1-t)
+    fraction of the inverted index, biased to rare keys); verification
+    joins candidate pairs back to the doc-partitioned index. Skew guard
+    is inherent — a token appearing in f documents contributes at most
+    f^2 candidate pairs only if it survives into prefixes, and frequent
+    tokens are ordered OUT of prefixes.
+    """
+    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hsh"))
+    ranked = (
+        inv.join(dfreq, "hsh")
+        .select("doc_id", "hsh", F.row_number().over(w).alias("pos"))
+        .join(sizes, "doc_id")
+    )
+    # prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
+    ceil_tn = F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
+    pref = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1).select(
+        "doc_id", "hsh", "n_sh"
+    )
+    cand = (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x.hsh") == F.col("y.hsh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length filter: J >= t implies t*max(na,nb) <= min(na,nb)
+            & (
+                F.lit(t_den) * F.least("x.n_sh", "y.n_sh")
+                >= F.lit(t_num) * F.greatest("x.n_sh", "y.n_sh")
+            ),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    inv_a = inv.select(F.col("doc_id").alias("doc_a"), "hsh")
+    inv_b = inv.select(F.col("doc_id").alias("__db"), F.col("hsh").alias("__hb"))
+    common = (
+        cand.join(inv_a, "doc_a")
+        .join(inv_b, (F.col("doc_b") == F.col("__db")) & (F.col("hsh") == F.col("__hb")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    jac = F.col("o").cast("double") / (F.col("na") + F.col("nb") - F.col("o"))
+    return common.filter(
+        F.lit(t_den) * F.col("o") >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("o"))
+    ).select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))

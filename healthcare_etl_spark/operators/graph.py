@@ -414,3 +414,58 @@ def personalized_pagerank(
         if (i + 1) % 2 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label-propagation community detection
+    (Raghavan et al. 2007, made deterministic): unlike connected
+    components (which floods the min id across every reachable node),
+    LPA lets DENSE regions keep their own label, so one connected
+    component can split into several communities.
+
+    Update rule, applied to all nodes simultaneously each round:
+    new_label(v) = the label with the highest vote count among v's
+    neighbors' current labels PLUS v's own current label (one self-vote
+    — the standard damping that prevents two-coloring oscillation on
+    bipartite-ish structures), ties broken to the SMALLEST label.
+    Fixed ``rounds`` (no data-dependent stop) keeps the op oracle-
+    expressible as an unrolled SQL chain.
+
+    Scale shape: each round is one shuffle — edges join labels on the
+    neighbor id, then a (node, label) count aggregate and a per-node
+    argmax via the partitioned window (WindowGroupLimit prunes to one
+    row per node before the final exchange). Labels are checkpointed
+    per round so lineage stays bounded. Returns (node, community).
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = fwd.union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(rounds):
+        nbr = e.join(labels, e.v == labels.node).select(
+            F.col("u").alias("node"), "lbl"
+        )
+        votes = (
+            nbr.unionByName(labels.select("node", "lbl"))
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -65,6 +65,7 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_analytics  # noqa: F401
     import healthcare_etl_spark.plans.queries_mlops  # noqa: F401
     import healthcare_etl_spark.plans.queries_stats2  # noqa: F401
+    import healthcare_etl_spark.plans.queries_patterns  # noqa: F401
 
     from healthcare_etl_spark.streaming.joins import register_join_queries
     from healthcare_etl_spark.streaming.stateful import register_stateful_queries
