@@ -469,3 +469,64 @@ def label_propagation_communities(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 4,
+    rounds: int = 3,
+) -> DataFrame:
+    """k-truss peel over an undirected graph (Cohen 2008): iteratively
+    drop every edge supported by fewer than ``k - 2`` triangles among
+    the SURVIVING edges. Where k-core keeps nodes by degree, k-truss
+    keeps edges by triangle support — the stricter cohesion filter that
+    removes the bridge/chance edges a near-dup graph accumulates while
+    preserving genuine duplicate cliques.
+
+    Fixed ``rounds`` (no data-dependent stop) keeps the op oracle-
+    expressible as an unrolled SQL chain; a 4-clique stabilizes in one
+    round, chains of bridges peel one layer per round. Returns the
+    surviving canonical edges (u < v) with the support computed on the
+    LAST round's graph (the value the final filter saw).
+
+    Scale shape per round: the canonical ordered-triangle enumeration
+    (two hash joins on 8-byte node keys, each triangle generated once
+    as a<b<c), one UNION ALL + count for per-edge support, one
+    left-join filter. Edges checkpoint per round so the triangle
+    pipeline never re-executes transitively.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    min_sup = k - 2
+    out = None
+    for _ in range(rounds):
+        e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+        wedges = e.alias("e1").join(e2, F.col("e1.v") == F.col("b2")).select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), "c"
+        )
+        e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = wedges.join(
+            e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+        ).select("a", "b", "c")
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        scored = e.join(sup, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        out = scored.filter(F.col("support") >= min_sup).localCheckpoint(eager=False)
+        e = out.select("u", "v")
+    return out

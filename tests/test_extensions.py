@@ -2657,3 +2657,42 @@ def test_lpa_splits_or_matches_components_and_is_stable(spark, sf_smoke):
     assert lpa[0] != lpa[10]
     # labels are node ids
     assert set(lpa.values()) <= set(lpa.keys())
+
+
+def test_ktruss_is_subgraph_with_min_support(spark):
+    """Every surviving k-truss edge must (a) be an input edge, (b) carry
+    support >= k-2 in the SURVIVING graph, and a 4-clique must survive a
+    4-truss peel entirely while a pendant edge never does."""
+    from healthcare_etl_spark.operators.graph import ktruss_edges
+
+    edges = spark.createDataFrame(
+        # a 4-clique, plus a pendant edge and a dangling triangle chained to it
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 7), (7, 8), (8, 9), (9, 7)],
+        "u long, v long",
+    )
+    out = ktruss_edges(edges, k=4, rounds=3).collect()
+    got = {(r.u, r.v) for r in out}
+    assert got == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert all(r.support >= 2 for r in out)
+    # k=3 keeps the dangling triangle too, still not the pendant edge
+    out3 = {(r.u, r.v) for r in ktruss_edges(edges, k=3, rounds=3).collect()}
+    assert out3 == got | {(7, 8), (8, 9), (7, 9)}
+
+
+def test_ransac_winner_and_refit_invariants(spark, sf_smoke):
+    """Winner carries the max inlier count; every candidate's two
+    anchor points are themselves inliers (count >= 2); the refit
+    slope/intercept appear on exactly one row (the winner, which is the
+    min-cand argmax)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_ransac_fit"].fn(spark, sf_smoke).collect()
+    assert rows, "no surviving RANSAC candidates"
+    best = max(r.n_inliers for r in rows)
+    fitted = [r for r in rows if r.slope is not None]
+    assert len(fitted) == 1
+    assert fitted[0].n_inliers == best
+    assert fitted[0].cand == min(r.cand for r in rows if r.n_inliers == best)
+    assert all(r.n_inliers >= 2 for r in rows)
+    assert fitted[0].intercept is not None
