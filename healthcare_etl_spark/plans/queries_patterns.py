@@ -456,3 +456,382 @@ def q_ransac_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(fit), "cand", "left")
         .orderBy("cand")
     )
+
+
+_HLL_M = 64          # registers (6 index bits of the 31-bit hash)
+_HLL_WBITS = 25      # remaining width the leading-zero count runs over
+_HLL_ALPHA = 0.709   # 0.7213 / (1 + 1.079/64), the standard m=64 constant
+
+
+def _rho_case_sql(w: str) -> str:
+    """Exact leading-zero rank of a {_HLL_WBITS}-bit value as a CASE
+    ladder — identical text on both engines, because Spark's bin() and
+    DuckDB's bin() disagree on zero-padding and floor(log2(x)) sits on
+    a float boundary at exact powers of two."""
+    branches = [f"WHEN {w} = 0 THEN {_HLL_WBITS + 1}"]
+    for rho in range(1, _HLL_WBITS + 1):
+        branches.append(f"WHEN {w} >= {2 ** (_HLL_WBITS - rho)} THEN {rho}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+def _hll_oracle() -> str:
+    md5h = _MD5H.format(x="'hll:' || CAST(user_id AS VARCHAR)")
+    rho = _rho_case_sql(f"(h % {2 ** _HLL_WBITS})")
+    raw = f"({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {2 ** _HLL_WBITS}.0 / s_num)"
+    # small-range (linear-counting) correction: raw <= 2.5m with empty
+    # registers -> m * ln(m / V), the Flajolet et al. Fig. 3 rule
+    est = (
+        f"(round((CASE WHEN {raw} <= {2.5 * _HLL_M} AND n_nonzero < {_HLL_M} "
+        f"THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - n_nonzero)) "
+        f"ELSE {raw} END) * 100.0) / 100.0)"
+    )
+    return f"""
+WITH hashed AS MATERIALIZED (
+    SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS wk,
+           {md5h} AS h, user_id FROM events),
+regs AS (
+    SELECT wk, h // {2 ** _HLL_WBITS} AS idx,
+           CAST(max({rho}) AS BIGINT) AS m
+    FROM hashed GROUP BY 1, 2),
+merged AS (
+    SELECT CAST(-1 AS BIGINT) AS grp, idx, CAST(max(m) AS BIGINT) AS m
+    FROM regs GROUP BY 2
+    UNION ALL SELECT wk, idx, m FROM regs),
+folded AS (
+    SELECT grp,
+           CAST(sum(CAST(power(2, {_HLL_WBITS} - m) AS BIGINT)) AS BIGINT)
+               + ({_HLL_M} - CAST(count(*) AS BIGINT)) * {2 ** _HLL_WBITS} AS s_num,
+           CAST(count(*) AS BIGINT) AS n_nonzero
+    FROM merged GROUP BY 1),
+exact AS (
+    SELECT wk AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM hashed GROUP BY 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT) FROM hashed)
+SELECT f.grp, e.n_exact, f.n_nonzero, {est} AS hll_est
+FROM folded f JOIN exact e USING (grp)
+ORDER BY f.grp
+"""
+
+
+@register(
+    "q_hll_register_sketch",
+    oracle=_hll_oracle(),
+    description=(
+        "Explicit HyperLogLog (Flajolet et al. 2007): m=64 registers "
+        "from the 31-bit md5 hash of user_id (6 index bits, max "
+        "leading-zero rank over the remaining 25), per calendar DAY "
+        "plus a register-wise-max MERGE into one period sketch "
+        "(grp = -1) — daily uniques rolling up to period uniques is "
+        "exactly the non-additive rollup HLL exists for, and the "
+        "mergeability that makes HLL the cluster-scale distinct-count "
+        "synopsis (per-partition sketches union losslessly; contrast "
+        "q_kmv_distinct's bottom-k form). Everything is oracle-exact: "
+        "the leading-zero rank is a CASE ladder shared verbatim by "
+        "both engines (bin()/log2 disagree cross-engine), and the "
+        "harmonic sum folds 2^(25-M_j) NUMERATORS as BIGINTs — one "
+        "double division at the very end, so no float summation order "
+        "exists. Registers per group are one hash aggregate "
+        "(map-side combinable); the small-range linear-counting branch "
+        "(raw <= 2.5m with empty registers -> m*ln(m/V)) kicks in "
+        "exactly as published, and estimates land within the "
+        "~13% 1.04/sqrt(64) envelope of the exact counts alongside."
+    ),
+    tags=("agg", "extension", "sketch", "scale-pattern"),
+)
+def q_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("wk"),
+        "user_id",
+        md5_hash31(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    w = 2 ** _HLL_WBITS
+    rho = F.expr(_rho_case_sql(f"(h % {w})"))
+    regs = hashed.groupBy(
+        "wk", F.expr(f"h div {w}").alias("idx")
+    ).agg(F.max(rho).cast("long").alias("m"))
+    merged = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
+        F.lit(-1).cast("long").alias("grp"), "idx", "m"
+    ).unionByName(regs.select(F.col("wk").alias("grp"), "idx", "m"))
+    folded = merged.groupBy("grp").agg(
+        (
+            F.sum(F.expr(f"CAST(power(2, {_HLL_WBITS} - m) AS BIGINT)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(w)
+        ).cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+    )
+    exact = hashed.groupBy(F.col("wk").alias("grp")).agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    ).unionByName(
+        hashed.agg(F.count_distinct("user_id").cast("long").alias("n_exact")).select(
+            F.lit(-1).cast("long").alias("grp"), "n_exact"
+        )
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M * F.lit(float(w)) / F.col("s_num")
+    lin = F.lit(float(_HLL_M)) * F.log(
+        F.lit(_HLL_M) * F.lit(1.0) / (F.lit(_HLL_M) - F.col("n_nonzero"))
+    )
+    est = stable_round(
+        F.when((raw <= 2.5 * _HLL_M) & (F.col("n_nonzero") < _HLL_M), lin).otherwise(raw),
+        2,
+    )
+    return (
+        folded.join(exact, "grp")
+        .select("grp", "n_exact", "n_nonzero", est.alias("hll_est"))
+        .orderBy("grp")
+    )
+
+
+_WOE_THRESH = 60000  # 'good' = purchase spend above this many cents
+
+
+@register(
+    "q_woe_iv_encoding",
+    oracle=f"""
+WITH u AS MATERIALIZED (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+           CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                     > {_WOE_THRESH}
+                THEN 1 ELSE 0 END AS good
+    FROM events GROUP BY user_id),
+tiled AS (
+    SELECT good, ntile(10) OVER (ORDER BY x, user_id) AS decile FROM u),
+d AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(good) AS BIGINT) AS goods,
+           CAST(count(*) - sum(good) AS BIGINT) AS bads
+    FROM tiled GROUP BY decile),
+tot AS (
+    SELECT CAST(sum(goods) AS BIGINT) AS gt, CAST(sum(bads) AS BIGINT) AS bt
+    FROM d)
+SELECT decile, n_users, goods, bads,
+       (round(ln(((goods + 0.5) * (bt + 5.0)) / ((bads + 0.5) * (gt + 5.0)))
+              * 1000000.0) / 1000000.0) AS woe,
+       (round((((goods + 0.5) / (gt + 5.0)) - ((bads + 0.5) / (bt + 5.0)))
+              * ln(((goods + 0.5) * (bt + 5.0)) / ((bads + 0.5) * (gt + 5.0)))
+              * 1000000.0) / 1000000.0) AS iv_term
+FROM d, tot ORDER BY decile
+""",
+    description=(
+        "Weight-of-evidence / information-value encoding (the credit-"
+        "scoring feature-engineering standard): users are binned into "
+        "activity deciles and each decile gets "
+        "woe = ln(good_rate/bad_rate) with Laplace 0.5 smoothing, plus "
+        "its IV contribution — the monotone, missing-friendly encoding "
+        "scorecards and GBM preprocessing use where "
+        "q_target_encode_loo's raw mean would leak. Deciles come from "
+        "ntile_from_rank over bucketed_rank (two-phase carry keyed on "
+        "the activity value itself — no global sort; bit-identical to "
+        "ANSI ntile, which the oracle uses directly), so the op "
+        "survives a billions-of-users frame. Per-decile emission "
+        "sidesteps any cross-engine float-summation order; consumers "
+        "sum iv_term for the feature's total IV."
+    ),
+    tags=("mlops", "extension", "feature-engineering"),
+)
+def q_woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.when(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            > _WOE_THRESH,
+            1,
+        )
+        .otherwise(0)
+        .alias("good"),
+    )
+    ranked = bucketed_rank(
+        u, buckets=[F.col("x")], order_by=[F.col("x"), F.col("user_id")], out_col="rn"
+    )
+    nrow = u.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    tiled = ranked.crossJoin(F.broadcast(nrow)).select(
+        "good", ntile_from_rank(F.col("rn"), F.col("nu"), 10).alias("decile")
+    )
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("good").cast("long").alias("goods"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("long").alias("bads"),
+    )
+    tot = d.agg(
+        F.sum("goods").cast("long").alias("gt"), F.sum("bads").cast("long").alias("bt")
+    )
+    woe_raw = F.log(
+        ((F.col("goods") + 0.5) * (F.col("bt") + 5.0))
+        / ((F.col("bads") + 0.5) * (F.col("gt") + 5.0))
+    )
+    iv_raw = (
+        (F.col("goods") + 0.5) / (F.col("gt") + 5.0)
+        - (F.col("bads") + 0.5) / (F.col("bt") + 5.0)
+    ) * woe_raw
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_users", "goods", "bads",
+            stable_round(woe_raw, 6).alias("woe"),
+            stable_round(iv_raw, 6).alias("iv_term"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_encoding_advisor",
+    oracle="""
+WITH melted AS MATERIALIZED (
+    SELECT 'event_type' AS colname, event_id, event_type AS val FROM events
+    UNION ALL
+    SELECT 'user_id', event_id, CAST(user_id AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'cents', event_id, CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'day', event_id,
+           CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS VARCHAR)
+    FROM events),
+runs AS (
+    SELECT colname, val,
+           CASE WHEN lag(val) OVER (PARTITION BY colname ORDER BY event_id)
+                     IS DISTINCT FROM val THEN 1 ELSE 0 END AS is_start
+    FROM melted),
+per_col AS (
+    SELECT colname,
+           CAST(count(*) AS BIGINT)                       AS n,
+           CAST(count(DISTINCT val) AS BIGINT)            AS ndv,
+           CAST(sum(is_start) AS BIGINT)                  AS n_runs,
+           CAST(sum(length(val)) AS BIGINT)               AS plain_bytes,
+           CAST(sum(CASE WHEN is_start = 1 THEN length(val) ELSE 0 END)
+                AS BIGINT)                                AS run_val_bytes
+    FROM runs GROUP BY colname),
+dict_side AS (
+    SELECT colname, CAST(sum(length(val)) AS BIGINT) AS distinct_bytes
+    FROM (SELECT DISTINCT colname, val FROM melted) GROUP BY colname),
+est AS (
+    SELECT p.colname, p.n, p.ndv, p.n_runs, p.plain_bytes,
+           p.run_val_bytes + 4 * p.n_runs AS rle_bytes,
+           d.distinct_bytes
+               + p.n * (CASE WHEN p.ndv <= 256 THEN 1
+                             WHEN p.ndv <= 65536 THEN 2 ELSE 4 END) AS dict_bytes
+    FROM per_col p JOIN dict_side d USING (colname))
+SELECT colname, n, ndv, n_runs, plain_bytes, rle_bytes, dict_bytes,
+       CASE WHEN dict_bytes <= rle_bytes AND dict_bytes <= plain_bytes THEN 'dict'
+            WHEN rle_bytes <= plain_bytes THEN 'rle'
+            ELSE 'plain' END AS recommended
+FROM est ORDER BY colname
+""",
+    description=(
+        "Storage-encoding advisor — the write-path companion to "
+        "q_zorder_key/q_compaction_plan/q_pruning_stats: for each "
+        "column (as its serialized string), exact NDV, exact RUN count "
+        "in event_id order, and byte estimates for plain vs RLE "
+        "(run-representative bytes + 4/run) vs dictionary (distinct "
+        "bytes + n * ceil-log256(ndv) codes), recommending the "
+        "cheapest — what a table-format optimizer consults before "
+        "choosing parquet encodings or a sort-before-write. The run "
+        "count is the scale-interesting part: a GLOBAL order-sensitive "
+        "statistic computed with NO single-partition sort — within-"
+        "bucket lag() windows keyed on event_id div 4096 plus a "
+        "bucket-summary carry (arg_min/arg_max per bucket, one "
+        "bucket-count-scale window) that cancels runs continuing "
+        "across bucket boundaries. One melt (4x fanout), two hash "
+        "aggregates, no collect."
+    ),
+    tags=("storage", "extension", "scale-pattern"),
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    melted = ev.select(
+        "event_id",
+        F.expr(
+            "stack(4, "
+            "'event_type', event_type, "
+            "'user_id', CAST(user_id AS STRING), "
+            "'cents', CAST(CAST(round(value * 100) AS BIGINT) AS STRING), "
+            "'day', CAST(unix_date(CAST(ts AS DATE)) AS STRING)"
+            ") AS (colname, val)"
+        ),
+    )
+    bkt = F.expr("event_id div 4096").alias("bkt")
+    m = melted.select("colname", "event_id", "val", bkt)
+    w_in = Window.partitionBy("colname", "bkt").orderBy("event_id")
+    with_prev = m.withColumn("prev", F.lag("val").over(w_in))
+    is_start = F.when(
+        F.col("prev").isNull() | (F.col("prev") != F.col("val")), 1
+    ).otherwise(0)
+    rows = with_prev.select("colname", "val", is_start.alias("is_start"))
+    # bucket-boundary carry: a bucket whose first value equals the
+    # previous bucket's last value over-counted one run (and its bytes)
+    summ = m.groupBy("colname", "bkt").agg(
+        F.min_by("val", "event_id").alias("first_val"),
+        F.max_by("val", "event_id").alias("last_val"),
+    )
+    w_b = Window.partitionBy("colname").orderBy("bkt")
+    cont = (
+        summ.withColumn("prev_last", F.lag("last_val").over(w_b))
+        .filter(F.col("prev_last") == F.col("first_val"))
+        .groupBy("colname")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cont"),
+            F.sum(F.length("first_val")).cast("long").alias("cont_bytes"),
+        )
+    )
+    per_col = rows.groupBy("colname").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("val").cast("long").alias("ndv"),
+        F.sum("is_start").cast("long").alias("raw_runs"),
+        F.sum(F.length("val")).cast("long").alias("plain_bytes"),
+        F.sum(F.when(F.col("is_start") == 1, F.length("val")).otherwise(0))
+        .cast("long")
+        .alias("raw_run_bytes"),
+    )
+    fixed = (
+        per_col.join(cont, "colname", "left")
+        .select(
+            "colname", "n", "ndv", "plain_bytes",
+            (F.col("raw_runs") - F.coalesce("n_cont", F.lit(0))).alias("n_runs"),
+            (F.col("raw_run_bytes") - F.coalesce("cont_bytes", F.lit(0))).alias(
+                "run_val_bytes"
+            ),
+        )
+    )
+    dict_side = (
+        m.select("colname", "val")
+        .distinct()
+        .groupBy("colname")
+        .agg(F.sum(F.length("val")).cast("long").alias("distinct_bytes"))
+    )
+    code_bytes = (
+        F.when(F.col("ndv") <= 256, 1).when(F.col("ndv") <= 65536, 2).otherwise(4)
+    )
+    est = fixed.join(dict_side, "colname").select(
+        "colname", "n", "ndv", "n_runs", "plain_bytes",
+        (F.col("run_val_bytes") + F.lit(4) * F.col("n_runs")).alias("rle_bytes"),
+        (F.col("distinct_bytes") + F.col("n") * code_bytes).alias("dict_bytes"),
+    )
+    rec = (
+        F.when(
+            (F.col("dict_bytes") <= F.col("rle_bytes"))
+            & (F.col("dict_bytes") <= F.col("plain_bytes")),
+            "dict",
+        )
+        .when(F.col("rle_bytes") <= F.col("plain_bytes"), "rle")
+        .otherwise("plain")
+    )
+    return est.select(
+        "colname", "n", "ndv", "n_runs", "plain_bytes", "rle_bytes", "dict_bytes",
+        rec.alias("recommended"),
+    ).orderBy("colname")

@@ -2696,3 +2696,58 @@ def test_ransac_winner_and_refit_invariants(spark, sf_smoke):
     assert fitted[0].cand == min(r.cand for r in rows if r.n_inliers == best)
     assert all(r.n_inliers >= 2 for r in rows)
     assert fitted[0].intercept is not None
+
+
+def test_hll_register_sketch_envelope_and_merge_monotone(spark, sf_smoke):
+    """HLL estimates stay within a generous 3-sigma of 1.04/sqrt(64)
+    around the exact count; the merged period sketch (grp=-1) dominates
+    every daily sketch register-wise, so its estimate and nonzero-register
+    count are >= every daily one."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_hll_register_sketch"].fn(spark, sf_smoke).collect()
+    merged = [r for r in rows if r.grp == -1]
+    days = [r for r in rows if r.grp != -1]
+    assert len(merged) == 1 and days
+    for r in rows:
+        assert abs(r.hll_est - r.n_exact) <= 0.4 * r.n_exact + 10
+    m = merged[0]
+    assert all(m.n_nonzero >= d.n_nonzero for d in days)
+    assert all(m.hll_est >= d.hll_est - 1e-9 for d in days)
+    # non-additive: period uniques <= sum of daily uniques
+    assert m.n_exact <= sum(d.n_exact for d in days)
+
+
+def test_woe_iv_partitions_users_and_signs(spark, sf_smoke):
+    """Deciles partition the user base; WOE is positive exactly where
+    the decile's smoothed good-rate beats its bad-rate share."""
+    import math
+
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_woe_iv_encoding"].fn(spark, sf_smoke).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert all(r.goods + r.bads == r.n_users for r in rows)
+    gt, bt = sum(r.goods for r in rows), sum(r.bads for r in rows)
+    for r in rows:
+        expect = math.log(((r.goods + 0.5) * (bt + 5.0)) / ((r.bads + 0.5) * (gt + 5.0)))
+        assert abs(r.woe - expect) < 1e-5
+        assert r.iv_term >= -1e-9  # (p_g - p_b) and ln share sign
+
+
+def test_encoding_advisor_internal_consistency(spark, sf_smoke):
+    """Exact-statistic identities: ndv <= runs <= n, byte estimates
+    positive, and the recommendation is the argmin with the documented
+    dict < rle < plain tie priority."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_encoding_advisor"].fn(spark, sf_smoke).collect()
+    assert {r.colname for r in rows} == {"event_type", "user_id", "cents", "day"}
+    for r in rows:
+        assert r.ndv <= r.n_runs <= r.n
+        assert r.plain_bytes > 0 and r.rle_bytes > 0 and r.dict_bytes > 0
+        best = min(
+            [("dict", r.dict_bytes), ("rle", r.rle_bytes), ("plain", r.plain_bytes)],
+            key=lambda kv: (kv[1], ["dict", "rle", "plain"].index(kv[0])),
+        )[0]
+        assert r.recommended == best
