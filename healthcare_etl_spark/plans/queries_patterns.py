@@ -835,3 +835,207 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "colname", "n", "ndv", "n_runs", "plain_bytes", "rle_bytes", "dict_bytes",
         rec.alias("recommended"),
     ).orderBy("colname")
+
+
+_THETA_REC = """
+    SELECT i.idx, i.zt,
+           (round((0.5 * i.zt + 0.5 * k.s) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
+"""
+
+_THETA_BODY = """
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS t_n,
+           CAST(sum(idx) AS BIGINT) AS st,
+           CAST(sum(idx * idx) AS BIGINT) AS stt,
+           CAST(sum(yc) AS BIGINT) AS sy,
+           CAST(sum(idx * yc) AS BIGINT) AS sty
+    FROM {days}),
+ab AS (
+    SELECT t_n, st, sy,
+           ((t_n * sty - st * sy) * CAST(1.0 AS DOUBLE) / (t_n * stt - st * st)) AS b_raw
+    FROM mom),
+ab2 AS (SELECT t_n, b_raw, ((sy - b_raw * st) * CAST(1.0 AS DOUBLE) / t_n) AS a_raw FROM ab),
+zline AS (
+    SELECT d.idx,
+           (round((2.0 * d.yc - (ab2.a_raw + ab2.b_raw * d.idx)) * CAST(1000000.0 AS DOUBLE))
+            / CAST(1000000.0 AS DOUBLE)) AS zt
+    FROM {days} d, ab2),
+ses AS (
+    SELECT idx, zt, zt AS s FROM zline WHERE idx = 1
+    UNION ALL
+{step}
+    FROM ses k JOIN zline i ON i.idx = k.idx + 1
+),
+last_s AS (SELECT s FROM ses ORDER BY idx DESC LIMIT 1),
+hs (h) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+fc AS (
+    SELECT CAST(hs.h AS BIGINT) AS h,
+           (round((ab2.a_raw + ab2.b_raw * (ab2.t_n + hs.h)) * CAST(1000000.0 AS DOUBLE))
+            / CAST(1000000.0 AS DOUBLE)) AS trend_fc,
+           (round(last_s.s * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS ses_fc
+    FROM hs, ab2, last_s)
+SELECT h, trend_fc, ses_fc,
+       (round((trend_fc + ses_fc) * CAST(0.5 AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS theta_fc
+FROM fc ORDER BY h
+"""
+
+
+@register(
+    "q_theta_forecast",
+    oracle="WITH RECURSIVE days AS (\n"
+    "    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx, yc\n"
+    "    FROM (SELECT CAST(ts AS DATE) AS d,\n"
+    "                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc\n"
+    "          FROM events WHERE event_type = 'purchase' GROUP BY 1)),\n"
+    + _THETA_BODY.format(days="days", step=_THETA_REC),
+    description=(
+        "Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, "
+        "the M3-competition winner) of daily purchase revenue, h=1..7: "
+        "decompose into the theta=0 line (OLS trend from exact BIGINT "
+        "moments — closed-form t-sums, one aggregate) and the theta=2 "
+        "line (double-curvature series 2y - trend) smoothed by SES "
+        "alpha=0.5 carried through a native WITH RECURSIVE chain with "
+        "6dp per-step re-rounding, then average the two forecasts — "
+        "completing the forecasting family (seasonal-naive backtest, "
+        "Holt, Holt-Winters, Kalman, reconciliation) with the "
+        "deseasonalized-workhorse member. Data-sized work is ONE "
+        "day-grouped aggregate; everything after runs on the "
+        "day-count-bounded series."
+    ),
+    tags=("analytics", "extension", "forecast", "recursive"),
+)
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    )
+    days = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("idx"), "yc"
+    )
+    days.createOrReplaceTempView("v_theta_days")
+    return spark.sql(
+        "WITH RECURSIVE " + _THETA_BODY.format(days="v_theta_days", step=_THETA_REC)
+    )
+
+
+@register(
+    "q_perplexity_filter",
+    oracle="""
+WITH tok AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i]))   AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+    FROM tok WHERE len(t) >= 2),
+trainw AS (
+    SELECT unnest(t) AS w FROM tok WHERE doc_id % 2 = 0),
+vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM trainw),
+c2 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+    FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+c1 AS (
+    SELECT w1, CAST(count(*) AS BIGINT) AS cc
+    FROM big WHERE doc_id % 2 = 0 GROUP BY 1),
+scored AS (
+    SELECT b.doc_id,
+           CAST(round(-(ln((coalesce(c2.cb, 0) + 1) * 1.0
+                           / (coalesce(c1.cc, 0) + vocab.v))
+                        / ln(2.0)) * 1000000000.0) AS BIGINT) AS qbits
+    FROM big b
+    LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    LEFT JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN vocab),
+per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+           CAST(sum(qbits) AS BIGINT) AS sq
+    FROM scored GROUP BY doc_id),
+ranked AS (
+    SELECT doc_id, nb, sq, sq // nb AS avg_nq,
+           ntile(3) OVER (ORDER BY sq // nb, doc_id) AS tertile
+    FROM per_doc)
+SELECT r.tertile, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (round((sum(r.sq) * 1.0 / sum(r.nb) / 1000000000.0) * 1000000.0)
+        / 1000000.0) AS avg_bits
+FROM ranked r JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    description=(
+        "CCNet-style perplexity filter (Wenzek et al. 2020): train an "
+        "add-one bigram LM on the REFERENCE half of the corpus (even "
+        "doc_ids — the held-out-model discipline q_bigram_logprob's "
+        "self-scored corpus LM doesn't have), score every document's "
+        "bits-per-bigram against it, and bucket the corpus into "
+        "head/middle/tail perplexity tertiles with per-source counts — "
+        "the standard web-corpus quality gate where 'tail' (high "
+        "perplexity against clean reference text) is dropped or "
+        "down-sampled. Every bigram's -log2 p is quantized to nano-bit "
+        "BIGINTs before the per-doc sum, so no float summation order "
+        "exists on either engine; tertiles ride bucketed_rank + "
+        "closed-form ntile over the integer per-doc average (no global "
+        "sort). The LM tables are two hash aggregates; scoring is two "
+        "left joins on token keys."
+    ),
+    tags=("text", "extension", "curation", "scale-pattern"),
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        words.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    train_big = big.filter(F.col("doc_id") % 2 == 0)
+    vocab = words.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count_distinct("w").cast("long").alias("v")
+    )
+    c2 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    c1 = train_big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cc"))
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + 1) * F.lit(1.0) / (
+        F.coalesce(F.col("cc"), F.lit(0)) + F.col("v")
+    )
+    qbits = F.round(-(F.log(p) / F.log(F.lit(2.0))) * 1e9).cast("long")
+    scored = (
+        big.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", qbits.alias("qbits"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("qbits").cast("long").alias("sq"),
+    ).withColumn("avg_nq", F.expr("sq div nb"))
+    ranked = bucketed_rank(
+        per_doc,
+        buckets=[F.expr("avg_nq div 100000000")],
+        order_by=[F.col("avg_nq"), F.col("doc_id")],
+        out_col="rk",
+    )
+    nrow = per_doc.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tiled = ranked.crossJoin(F.broadcast(nrow)).select(
+        "doc_id", "nb", "sq", ntile_from_rank(F.col("rk"), F.col("nd"), 3).alias("tertile")
+    )
+    return (
+        tiled.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("tertile", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            stable_round(
+                F.sum("sq") * F.lit(1.0) / F.sum("nb") / F.lit(1e9), 6
+            ).alias("avg_bits"),
+        )
+        .orderBy("tertile", "source")
+    )

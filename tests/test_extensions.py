@@ -2751,3 +2751,42 @@ def test_encoding_advisor_internal_consistency(spark, sf_smoke):
             key=lambda kv: (kv[1], ["dict", "rle", "plain"].index(kv[0])),
         )[0]
         assert r.recommended == best
+
+
+def test_theta_forecast_is_midpoint_and_trend_linear(spark, sf_smoke):
+    """theta_fc must be the midpoint of trend and SES forecasts (to
+    rounding), the SES forecast is h-invariant, and the trend forecast
+    moves by a constant slope per step."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_theta_forecast"].fn(spark, sf_smoke).collect()
+    assert [r.h for r in rows] == list(range(1, 8))
+    ses = {float(r.ses_fc) for r in rows}
+    assert len(ses) == 1
+    diffs = [
+        float(rows[i + 1].trend_fc) - float(rows[i].trend_fc) for i in range(6)
+    ]
+    assert max(diffs) - min(diffs) < 1e-3
+    for r in rows:
+        mid = (float(r.trend_fc) + float(r.ses_fc)) / 2.0
+        assert abs(float(r.theta_fc) - mid) < 1e-5
+
+
+def test_perplexity_filter_tertiles_ordered_and_partition(spark, sf_smoke):
+    """Tertile-wise mean bits must increase head -> tail (that is the
+    bucketing criterion), and the tertile x source cells partition the
+    corpus exactly."""
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    rows = get_registry()["q_perplexity_filter"].fn(spark, sf_smoke).collect()
+    n_total = sum(r.n_docs for r in rows)
+    assert n_total == load_table(spark, sf_smoke, "documents").count()
+    by_t = {}
+    for r in rows:
+        agg = by_t.setdefault(r.tertile, [0, 0.0])
+        agg[0] += r.n_docs
+        agg[1] += r.n_docs * float(r.avg_bits)
+    means = {t: s / n for t, (n, s) in by_t.items()}
+    ts = sorted(means)
+    assert all(means[a] <= means[b] + 1e-6 for a, b in zip(ts, ts[1:]))
