@@ -1039,3 +1039,255 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tertile", "source")
     )
+
+
+@register(
+    "q_coec_position_bias",
+    oracle="""
+WITH strm AS MATERIALIZED (
+    SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE event_type IN ('view', 'click')),
+marked AS (
+    SELECT *,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS vpos,
+           last_value(CASE WHEN event_type = 'view' THEN item END IGNORE NULLS)
+               OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS last_item
+    FROM strm),
+imps AS (
+    SELECT vpos AS pos, item FROM marked WHERE event_type = 'view'),
+clicks AS (
+    SELECT vpos AS pos, last_item AS item FROM marked
+    WHERE event_type = 'click' AND last_item IS NOT NULL),
+posctr AS (
+    SELECT i.pos, CAST(count(*) AS BIGINT) AS v,
+           CAST(coalesce(max(c.nc), 0) AS BIGINT) AS c
+    FROM imps i LEFT JOIN (
+        SELECT pos, CAST(count(*) AS BIGINT) AS nc FROM clicks GROUP BY pos) c
+      ON i.pos = c.pos
+    GROUP BY i.pos),
+per_item AS (
+    SELECT i.item,
+           CAST(count(*) AS BIGINT) AS n_impressions,
+           CAST(sum((p.c * 1000000) // p.v) AS BIGINT) AS expected_micro
+    FROM imps i JOIN posctr p ON i.pos = p.pos
+    GROUP BY i.item),
+item_clicks AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS n_clicks FROM clicks GROUP BY item)
+SELECT pi.item, pi.n_impressions,
+       CAST(coalesce(ic.n_clicks, 0) AS BIGINT) AS n_clicks,
+       (round((pi.expected_micro / 1000000.0) * 1000000.0) / 1000000.0)
+           AS expected_clicks,
+       CASE WHEN pi.expected_micro > 0
+            THEN (round((coalesce(ic.n_clicks, 0) * 1000000.0
+                         / pi.expected_micro) * 1000000.0) / 1000000.0)
+            END AS coec
+FROM per_item pi LEFT JOIN item_clicks ic USING (item)
+ORDER BY pi.item
+""",
+    description=(
+        "COEC position-bias-corrected CTR (clicks over expected "
+        "clicks): each click attributes to the LAST view before it in "
+        "the same user-day (last_value IGNORE NULLS over the ordered "
+        "session stream), positions are the view's running index, and "
+        "an item's expected clicks = sum over its impressions of the "
+        "global position-CTR curve — so coec > 1 means the item beats "
+        "its slots, the examination-model debiasing raw CTR cannot do "
+        "(raw CTR rewards items shown at position 1). Completes the "
+        "recsys-eval family (NDCG/MRR/hit-rate/diversity/IPS) with the "
+        "production logging-side metric. Per-position CTR folds to "
+        "integer micro-units (floor per term, documented) so the "
+        "expected-click sums are exact BIGINTs. All windows are "
+        "user-day partitioned; the CTR curve is a position-count-sized "
+        "broadcast."
+    ),
+    tags=("recsys", "extension", "eval"),
+)
+def q_coec_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    strm = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("item"),
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    marked = strm.select(
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("vpos"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("item")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_item"),
+        "item",
+    )
+    imps = marked.filter(F.col("event_type") == "view").select(
+        F.col("vpos").alias("pos"), "item"
+    )
+    clicks = marked.filter(
+        (F.col("event_type") == "click") & F.col("last_item").isNotNull()
+    ).select(F.col("vpos").alias("pos"), F.col("last_item").alias("item"))
+    click_pos = clicks.groupBy("pos").agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    posctr = (
+        imps.groupBy("pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .join(click_pos, "pos", "left")
+        .select("pos", "v", F.coalesce("nc", F.lit(0)).cast("long").alias("c"))
+    )
+    per_item = (
+        imps.join(posctr, "pos")
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_impressions"),
+            F.sum(F.expr("(c * 1000000) div v")).cast("long").alias("expected_micro"),
+        )
+    )
+    item_clicks = clicks.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks")
+    )
+    return (
+        per_item.join(item_clicks, "item", "left")
+        .select(
+            "item",
+            "n_impressions",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            stable_round(F.col("expected_micro") / F.lit(1000000.0), 6).alias(
+                "expected_clicks"
+            ),
+            F.when(
+                F.col("expected_micro") > 0,
+                stable_round(
+                    F.coalesce("n_clicks", F.lit(0))
+                    * F.lit(1000000.0)
+                    / F.col("expected_micro"),
+                    6,
+                ),
+            ).alias("coec"),
+        )
+        .orderBy("item")
+    )
+
+
+_UCB_ARMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _ucb_sql(grid: str) -> str:
+    """Shared recursion body for the day-batched UCB1 replay —
+    ``grid`` is a relation (didx, c0, r0, ..., c4, r4) with one row per
+    day: per-arm logged event counts and reward-cent sums. Generated
+    once, used verbatim by both engines (all literals CAST AS DOUBLE)."""
+    n = len(_UCB_ARMS)
+    d = "CAST(1.0 AS DOUBLE)"
+    t = " + ".join(f"k.n{a}" for a in range(n))
+    u = {
+        a: (
+            f"(round((k.s{a} * {d} / (k.n{a} * CAST(10000.0 AS DOUBLE))"
+            f" + sqrt(CAST(2.0 AS DOUBLE) * ln(({t}) * {d}) / k.n{a}))"
+            f" * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
+        )
+        for a in range(n)
+    }
+    argmax = "CASE "
+    for a in range(n - 1):
+        conds = " AND ".join(f"{u[a]} >= {u[b]}" for b in range(n) if b != a)
+        argmax += f"WHEN {conds} THEN {a} "
+    argmax += f"ELSE {n - 1} END"
+    cold = " ".join(f"WHEN k.n{a} = 0 THEN {a}" for a in range(n))
+    ch = f"CASE {cold} ELSE {argmax} END"
+    upd_n = ", ".join(
+        f"k.n{a} + CASE WHEN ({ch}) = {a} THEN g.c{a} ELSE 0 END" for a in range(n)
+    )
+    upd_s = ", ".join(
+        f"k.s{a} + CASE WHEN ({ch}) = {a} THEN g.r{a} ELSE 0 END" for a in range(n)
+    )
+    zeros_n = ", ".join(f"CAST(0 AS BIGINT) AS n{a}" for a in range(n))
+    zeros_s = ", ".join(f"CAST(0 AS BIGINT) AS s{a}" for a in range(n))
+    return f"""
+rep AS (
+    SELECT CAST(0 AS BIGINT) AS didx, CAST(-1 AS BIGINT) AS chosen,
+           {zeros_n}, {zeros_s}
+    UNION ALL
+    SELECT g.didx, CAST(({ch}) AS BIGINT), {upd_n}, {upd_s}
+    FROM rep k JOIN {grid} g ON g.didx = k.didx + 1
+)
+SELECT didx AS day_idx, chosen,
+       CAST({" + ".join(f"n{a}" for a in range(n))} AS BIGINT) AS t_plays,
+       {", ".join(f"n{a}" for a in range(n))},
+       {", ".join(f"s{a}" for a in range(n))}
+FROM rep WHERE didx > 0 ORDER BY didx
+"""
+
+
+def _ucb_grid_sql() -> str:
+    cols = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN event_type = '{arm}' THEN 1 END), 0) AS BIGINT) AS c{a}, "
+        f"CAST(coalesce(sum(CASE WHEN event_type = '{arm}' "
+        f"THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS r{a}"
+        for a, arm in enumerate(_UCB_ARMS)
+    )
+    return f"""
+byday AS (
+    SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+grid AS MATERIALIZED (
+    SELECT CAST(dense_rank() OVER (ORDER BY d) AS BIGINT) AS didx, {cols}
+    FROM byday GROUP BY d)
+"""
+
+
+@register(
+    "q_ucb1_replay",
+    oracle="WITH RECURSIVE " + _ucb_grid_sql() + "," + _ucb_sql("grid"),
+    description=(
+        "Day-batched UCB1 bandit replay (Auer et al. 2002 policy, "
+        "Li et al. 2011 offline replay): arms are the five event "
+        "channels, each day the policy plays the arm maximizing "
+        "mean-reward + sqrt(2 ln t / n) from statistics accumulated "
+        "over PREVIOUS days only (cold-start: first unplayed arm), and "
+        "the logged day x arm batch updates the chosen arm's counts — "
+        "the offline evaluation loop every bandit deployment runs "
+        "before going live, completing the policy-eval family next to "
+        "q_ips_policy_eval's static importance weighting. Data-sized "
+        "work is ONE day x arm aggregate; the replay is a day-count-"
+        "bounded WITH RECURSIVE chain carrying 10 BIGINT columns "
+        "(counts and reward cents — integer-exact state), with UCB "
+        "scores 6dp-rounded before the argmax so the arm choice has no "
+        "cross-engine float boundary."
+    ),
+    tags=("mlops", "extension", "bandit", "recursive"),
+)
+def q_ucb1_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for a, arm in enumerate(_UCB_ARMS):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == arm, 1)), F.lit(0)
+            ).cast("long").alias(f"c{a}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == arm,
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"r{a}")
+        )
+    grid = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(*aggs)
+        .select(
+            F.dense_rank().over(Window.orderBy("d")).cast("long").alias("didx"),
+            *[c for a in range(5) for c in (f"c{a}", f"r{a}")],
+        )
+    )
+    grid.createOrReplaceTempView("v_ucb_grid")
+    return spark.sql("WITH RECURSIVE " + _ucb_sql("v_ucb_grid"))

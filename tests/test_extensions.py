@@ -2790,3 +2790,39 @@ def test_perplexity_filter_tertiles_ordered_and_partition(spark, sf_smoke):
     means = {t: s / n for t, (n, s) in by_t.items()}
     ts = sorted(means)
     assert all(means[a] <= means[b] + 1e-6 for a, b in zip(ts, ts[1:]))
+
+
+def test_coec_expected_clicks_conserve_and_bias(spark, sf_smoke):
+    """Sum of expected clicks equals (to the documented per-term floor)
+    the sum of attributed clicks; every item's impressions and clicks
+    are nonnegative and coec is null only when expectation is zero."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_coec_position_bias"].fn(spark, sf_smoke).collect()
+    assert rows
+    tot_exp = sum(float(r.expected_clicks) for r in rows)
+    tot_clk = sum(r.n_clicks for r in rows)
+    # expected-click mass is conserved up to one floor per (item, pos) term
+    assert tot_clk - len(rows) * 0.01 <= tot_exp <= tot_clk + 1e-6
+    for r in rows:
+        assert r.n_impressions > 0
+        assert (r.coec is None) == (float(r.expected_clicks) == 0.0)
+
+
+def test_ucb1_replay_cold_start_then_counts_monotone(spark, sf_smoke):
+    """The first five days must play the five arms in index order (cold
+    start), each day exactly one arm's count/reward advances, and total
+    plays are nondecreasing."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_ucb1_replay"].fn(spark, sf_smoke).collect()
+    assert [r.chosen for r in rows[:5]] == [0, 1, 2, 3, 4]
+    prev_t = 0
+    prev = None
+    for r in rows:
+        assert r.t_plays >= prev_t
+        if prev is not None:
+            changed = [a for a in range(5) if r[f"n{a}"] != prev[f"n{a}"]]
+            assert changed in ([], [r.chosen])
+        prev_t = r.t_plays
+        prev = r

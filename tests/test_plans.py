@@ -585,6 +585,9 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_lru_miss_curve": "order-month bucket summary offsets",
     "q_negative_sampling": "item-id-bucket summary offsets (dense index)",
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
+    "q_ransac_fit": "bucket-summary offsets (users/1024)",
+    "q_woe_iv_encoding": "bucket-summary offsets (per-activity-value buckets)",
+    "q_perplexity_filter": "bucket-summary offsets (nano-bit bands)",
     "q_heaps_fit": "bucket-totals prefix (docs/4096)",
     "q_pareto_skyline": "bucket-maxima prefix (Pareto-front carry)",
     "q_lorenz_curve": "decile grid + bucket-summary offsets",
@@ -619,6 +622,8 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_regression_diagnostics": "daily series",
     "q_durbin_watson": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
+    "q_theta_forecast": "daily series (recursive SES seed)",
+    "q_ucb1_replay": "daily series (day-grid dense_rank)",
     "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
     "q_decision_stump": "distinct per-user-count frames (activity-bounded)",
     # fixed-cardinality grids / bins
