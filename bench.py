@@ -132,6 +132,14 @@ HEADLINE = [
     # three-blocker recall eval — the two heaviest new composite plans
     "q_unigram_tokenizer_estep",
     "q_dedup_blocking_recall",
+    # round-6 continuation 4: the exact prefix-filtered similarity join
+    # (third candidate strategy), the held-out perplexity filter (LM
+    # train + score + tertile carry), the explicit HLL register fold,
+    # and the column-encoding advisor's melted two-phase run count
+    "q_dedup_prefix_filter",
+    "q_perplexity_filter",
+    "q_hll_register_sketch",
+    "q_encoding_advisor",
 ]
 
 
