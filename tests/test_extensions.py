@@ -2826,3 +2826,43 @@ def test_ucb1_replay_cold_start_then_counts_monotone(spark, sf_smoke):
             assert changed in ([], [r.chosen])
         prev_t = r.t_plays
         prev = r
+
+
+def test_join_order_advisor_recommends_exact_key_math(spark, sf_smoke):
+    """With FK->PK joins the independence estimate is exact (ndv of the
+    PK side == table size), so est_abs_err must be 0 and exactly one
+    plan recommended (the smaller intermediate)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_join_order_advisor"].fn(spark, sf_smoke).collect()
+    assert len(rows) == 2
+    assert sum(r.recommended for r in rows) >= 1
+    rec = min(rows, key=lambda r: r.est_intermediate)
+    assert rec.recommended
+
+
+def test_bloom_advisor_no_false_negatives_and_sane_fpr(spark, sf_smoke):
+    """The built filter must be sound (occupancy in (0,1), every probe
+    field consistent) and the measured FPR must be within an order of
+    magnitude of theory — the independent-salted-hash property the
+    affine probe family violated."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    r = get_registry()["q_bloom_size_advisor"].fn(spark, sf_smoke).collect()[0]
+    assert r.m_bits > r.n and r.k_hashes >= 1
+    assert 0 < r.bits_set <= min(r.m_bits, r.n * r.k_hashes)
+    assert 0.0 <= float(r.measured_fpr) <= 0.15
+    assert abs(float(r.theoretical_fpr) - 0.01) < 0.005
+
+
+def test_fd_histogram_covers_all_rows_with_uniform_width(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    rows = get_registry()["q_fd_histogram"].fn(spark, sf_smoke).collect()
+    total = sum(r.n_rows for r in rows)
+    assert total == load_table(spark, sf_smoke, "events").count()
+    widths = {r.hi_cents - r.lo_cents for r in rows}
+    assert len(widths) == 1
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins) and len(set(bins)) == len(bins)
