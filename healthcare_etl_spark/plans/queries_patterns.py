@@ -1631,3 +1631,214 @@ def q_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .orderBy("bin")
     )
+
+
+_ABS_TRANSIENT = ["click", "signup", "view"]
+_ABS_TARGET = "purchase"
+
+
+def _absorb_mat_sql(idiv: str = '//') -> str:
+    """Pivoted nano-quantized transition row: for each transient state
+    s, p_{s}_{t} = round-half-up(n_st * 1e9 / n_s) as BIGINT nanos —
+    integer arithmetic only ((2*n*1e9 + d) // (2*d)), so both engines
+    hold bit-identical probabilities."""
+    cols = []
+    for s in _ABS_TRANSIENT:
+        si = s[0]
+        for t in _ABS_TRANSIENT + [_ABS_TARGET]:
+            cols.append(
+                f"CAST((2 * coalesce(sum(CASE WHEN from_type = '{s}' AND to_type = '{t}' "
+                f"THEN n END), 0) * 1000000000 + sum(CASE WHEN from_type = '{s}' THEN n ELSE 0 END)) "
+                f"{idiv} (2 * sum(CASE WHEN from_type = '{s}' THEN n ELSE 0 END)) AS BIGINT) "
+                f"AS p_{si}_{t[0]}"
+            )
+    return (
+        """pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events),
+counts AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+mat AS (
+    SELECT """
+        + ",\n           ".join(cols)
+        + "\n    FROM counts)"
+    )
+
+
+def _absorb_rec_sql(mat: str, rounds: int = 12) -> str:
+    d = "CAST(1000000000.0 AS DOUBLE)"
+    r10 = "CAST(10000000000.0 AS DOUBLE)"
+
+    def upd(si: str) -> str:
+        terms = [f"m.p_{si}_p / {d}"]
+        for u in _ABS_TRANSIENT:
+            terms.append(f"(m.p_{si}_{u[0]} / {d}) * k.h{u[0]}")
+        return f"(round(({' + '.join(terms)}) * {r10}) / {r10})"
+
+    hcols = ", ".join(f"CAST(0.0 AS DOUBLE) AS h{s[0]}" for s in _ABS_TRANSIENT)
+    ucols = ", ".join(upd(s[0]) for s in _ABS_TRANSIENT)
+    outs = [
+        f"SELECT '{s}' AS state, h{s[0]} AS p_convert FROM it WHERE k = {rounds}"
+        for s in _ABS_TRANSIENT
+    ]
+    outs.append(f"SELECT '{_ABS_TARGET}', CAST(1.0 AS DOUBLE) FROM it WHERE k = {rounds}")
+    outs.append(f"SELECT 'error', CAST(0.0 AS DOUBLE) FROM it WHERE k = {rounds}")
+    return f"""
+it AS (
+    SELECT 0 AS k, {hcols}
+    UNION ALL
+    SELECT k.k + 1, {ucols}
+    FROM it k, {mat} m WHERE k.k < {rounds}
+)
+{" UNION ALL ".join(outs)}
+ORDER BY state
+"""
+
+
+@register(
+    "q_absorbing_markov",
+    oracle="WITH RECURSIVE "
+    + _absorb_mat_sql()
+    + ","
+    + _absorb_rec_sql("mat"),
+    description=(
+        "Absorbing-chain conversion probability: treating purchase and "
+        "error as absorbing states of the per-user event Markov chain, "
+        "h(s) = P(reach purchase before error | current state s) solved "
+        "by 12 rounds of value iteration h <- P_transient*h + p_purchase "
+        "(the fundamental-matrix (I-Q)^-1 R solution without a matrix "
+        "inverse) — the 'how likely is this session to convert from "
+        "HERE' number that q_markov_stationary's long-run shares and "
+        "q_markov_attribution's removal effects do not give. The "
+        "transition row is nano-quantized with integer round-half-up "
+        "((2n*1e9 + d) // 2d) so both engines iterate bit-identical "
+        "matrices; iterates re-round at 10dp per round (the pagerank "
+        "discipline). Data-sized work is ONE lead() pair aggregate; "
+        "the value iteration runs on a 1-row frame."
+    ),
+    tags=("analytics", "extension", "markov", "recursive"),
+)
+def q_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    counts.createOrReplaceTempView("v_absorb_counts")
+    mat_sql = _absorb_mat_sql(idiv="div").replace(
+        """pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events),
+counts AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+mat AS (""",
+        "mat AS (",
+    ).replace("FROM counts)", "FROM v_absorb_counts)")
+    return spark.sql(
+        "WITH RECURSIVE " + mat_sql + "," + _absorb_rec_sql("mat")
+    )
+
+
+_RBO_D = 20
+_RBO_P_NUM = 9  # persistence p = 9/10
+
+
+def _rbo_weights() -> list[tuple[int, int]]:
+    """(depth d, nano-quantized (1-p) * p^(d-1) / d) — the exact RBO
+    term weights, computed once in Python from the rational p and
+    inlined into both engines as literals."""
+    out = []
+    p = _RBO_P_NUM / 10.0
+    for d in range(1, _RBO_D + 1):
+        w = (1.0 - p) * (p ** (d - 1)) / d
+        out.append((d, int(round(w * 1e9))))
+    return out
+
+
+@register(
+    "q_rank_biased_overlap",
+    oracle=f"""
+WITH ra AS (
+    SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rka
+    FROM documents QUALIFY rka <= {_RBO_D}),
+rb AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+               AS rkb
+    FROM documents QUALIFY rkb <= {_RBO_D}),
+both_ranks AS (
+    SELECT ra.doc_id, greatest(ra.rka, rb.rkb) AS first_common_depth
+    FROM ra JOIN rb USING (doc_id)),
+wts (d, w_nano) AS (VALUES {", ".join(f"({d}, {w})" for d, w in _rbo_weights())}),
+xd AS (
+    SELECT w.d, w.w_nano,
+           CAST(count(b.doc_id) AS BIGINT) AS x_d
+    FROM wts w LEFT JOIN both_ranks b ON b.first_common_depth <= w.d
+    GROUP BY w.d, w.w_nano),
+tot AS (
+    SELECT CAST(sum(w_nano * x_d) AS BIGINT) AS s_nano,
+           CAST(max(CASE WHEN d = {_RBO_D} THEN x_d END) AS BIGINT) AS common_at_d
+    FROM xd)
+SELECT (round((s_nano / 1000000000.0) * 1000000.0) / 1000000.0) AS rbo,
+       common_at_d AS n_common_top{_RBO_D},
+       CAST({_RBO_D} AS BIGINT) AS depth
+FROM tot
+""",
+    description=(
+        "Rank-biased overlap (Webber et al. 2010, p = 0.9, depth 20) "
+        "between two document rankings — by raw character count vs by "
+        "whitespace token count: the top-weighted indefinite-ranking "
+        "agreement measure retrieval evaluations use where Kendall "
+        "tau-b (q_kendall_tau) weights all positions equally and "
+        "demands conjoint rankings. A doc in both top-20 lists "
+        "contributes to every depth >= max(rank_a, rank_b), so the "
+        "per-depth overlaps X_d come from ONE join + 20-row grid "
+        "aggregate; the geometric (1-p)p^(d-1)/d weights are "
+        "nano-quantized literals inlined on both engines, making the "
+        "weighted sum exact BIGINT arithmetic. Top-20 lists ride "
+        "TakeOrdered-shaped rank-limit windows."
+    ),
+    tags=("text", "extension", "eval"),
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ra = (
+        docs.select("doc_id", F.row_number().over(wa).alias("rka"))
+        .filter(F.col("rka") <= _RBO_D)
+    )
+    ntok = F.size(F.split("text", " "))
+    wb = Window.orderBy(ntok.desc(), F.asc("doc_id"))
+    rb = (
+        docs.select("doc_id", F.row_number().over(wb).alias("rkb"))
+        .filter(F.col("rkb") <= _RBO_D)
+    )
+    both = ra.join(rb, "doc_id").select(
+        "doc_id", F.greatest("rka", "rkb").alias("first_common_depth")
+    )
+    wts = spark.createDataFrame(_rbo_weights(), "d long, w_nano long")
+    xd = (
+        F.broadcast(wts)
+        .join(both, both.first_common_depth <= wts.d, "left")
+        .groupBy("d", "w_nano")
+        .agg(F.count("doc_id").cast("long").alias("x_d"))
+    )
+    tot = xd.agg(
+        F.sum(F.col("w_nano") * F.col("x_d")).cast("long").alias("s_nano"),
+        F.max(F.when(F.col("d") == _RBO_D, F.col("x_d"))).cast("long").alias(
+            "common_at_d"
+        ),
+    )
+    return tot.select(
+        stable_round(F.col("s_nano") / F.lit(1e9), 6).alias("rbo"),
+        F.col("common_at_d").alias(f"n_common_top{_RBO_D}"),
+        F.lit(_RBO_D).cast("long").alias("depth"),
+    )

@@ -2866,3 +2866,33 @@ def test_fd_histogram_covers_all_rows_with_uniform_width(spark, sf_smoke):
     assert len(widths) == 1
     bins = [r.bin for r in rows]
     assert bins == sorted(bins) and len(set(bins)) == len(bins)
+
+
+def test_absorbing_markov_probabilities_bounded(spark, sf_smoke):
+    """Absorption probabilities live in [0,1]; the absorbing rows are
+    pinned to exactly 1 (purchase) and 0 (error)."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = {
+        r.state: float(r.p_convert)
+        for r in get_registry()["q_absorbing_markov"].fn(spark, sf_smoke).collect()
+    }
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    assert rows["purchase"] == 1.0 and rows["error"] == 0.0
+    for s in ("click", "signup", "view"):
+        assert 0.0 <= rows[s] <= 1.0
+
+
+def test_rbo_identity_and_disjoint_bounds(spark):
+    """RBO of a ranking with itself is the truncated-sum maximum;
+    disjoint rankings give exactly 0 — checked through the registered
+    query's own weight table."""
+    from healthcare_etl_spark.plans.queries_patterns import _rbo_weights, _RBO_D
+
+    w = _rbo_weights()
+    # identity ranking: X_d = d at every depth -> sum of w_nano * d
+    ident = sum(w_nano * d for d, w_nano in w) / 1e9
+    # truncated RBO upper bound: (1-p) * sum p^(d-1) = 1 - p^D
+    assert 0.85 * (1 - 0.9 ** _RBO_D) <= ident <= (1 - 0.9 ** _RBO_D) + 1e-6
+    assert all(w_nano >= 0 for _, w_nano in w)
+    assert [d for d, _ in w] == list(range(1, _RBO_D + 1))

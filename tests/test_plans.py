@@ -661,6 +661,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_cold_start_fallback": "WindowGroupLimit bottom-20 cohort + top-5 pop",
     "q_dp_topk_exponential": "WindowGroupLimit top-10 noisy scores",
     "q_symspell_candidates": "WindowGroupLimit top-10 probe words",
+    "q_rank_biased_overlap": "WindowGroupLimit top-20 ranking heads",
 }
 
 
