@@ -1842,3 +1842,214 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common_at_d").alias(f"n_common_top{_RBO_D}"),
         F.lit(_RBO_D).cast("long").alias("depth"),
     )
+
+
+@register(
+    "q_forecast_eval",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+idxd AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx, yc,
+           CAST(count(*) OVER () AS BIGINT) AS t_n
+    FROM daily),
+lagged AS (
+    SELECT idx, yc, t_n,
+           lag(yc, 1) OVER (ORDER BY idx) AS y1,
+           lag(yc, 7) OVER (ORDER BY idx) AS y7,
+           first_value(yc) OVER (ORDER BY idx) AS yf
+    FROM idxd),
+scale AS (
+    SELECT CAST(sum(abs(yc - y1)) AS BIGINT) AS s_abs,
+           CAST(count(*) AS BIGINT) AS s_n
+    FROM lagged, (SELECT max(t_n) AS tt FROM idxd) m
+    WHERE y1 IS NOT NULL AND idx <= m.tt - 7),
+fc AS (
+    SELECT idx, yc, 'naive' AS model, y1 AS f
+    FROM lagged, (SELECT max(t_n) AS tt FROM idxd) m WHERE idx > m.tt - 7
+    UNION ALL
+    SELECT idx, yc, 'snaive', y7
+    FROM lagged, (SELECT max(t_n) AS tt FROM idxd) m WHERE idx > m.tt - 7
+    UNION ALL
+    SELECT idx, yc, 'drift',
+           y1 + CAST(round((y1 - yf) * 1.0 / (idx - 2)) AS BIGINT)
+    FROM lagged, (SELECT max(t_n) AS tt FROM idxd) m WHERE idx > m.tt - 7),
+ev AS (
+    SELECT model, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(abs(yc - f)) AS BIGINT) AS sum_abs_err,
+           CAST(sum((abs(yc - f) * 1000000) // yc) AS BIGINT) AS sum_ape_micro
+    FROM fc GROUP BY model)
+SELECT e.model, e.n_eval,
+       (round((e.sum_abs_err * 1.0 / e.n_eval) * 1000000.0) / 1000000.0)
+           AS mae_cents,
+       (round((e.sum_ape_micro * 1.0 / e.n_eval / 1000000.0) * 1000000.0)
+        / 1000000.0) AS mape,
+       (round(((e.sum_abs_err * 1.0 / e.n_eval)
+               / (s.s_abs * 1.0 / s.s_n)) * 1000000.0) / 1000000.0) AS mase
+FROM ev e, scale s ORDER BY e.model
+""",
+    description=(
+        "Rolling-origin forecast-accuracy evaluation over the last 7 "
+        "days of daily purchase revenue: naive (yesterday), seasonal "
+        "naive (last week), and drift (Hyndman's trend-through-first-"
+        "point) baselines scored with MAE, MAPE (per-term integer "
+        "micro-units — no float summation), and MASE (scaled by the "
+        "in-sample naive MAE, the scale-free measure that lets this "
+        "number compare across series) — the model-comparison "
+        "discipline q_seasonal_naive_backtest (single model) and "
+        "q_theta_forecast (no holdout) don't provide: before shipping "
+        "any forecast, beat these three. One day-grouped aggregate is "
+        "the only data-sized work; everything else rides the "
+        "day-count-bounded series."
+    ),
+    tags=("analytics", "extension", "forecast", "eval"),
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    )
+    w = Window.orderBy("d")
+    idxd = daily.select(
+        F.row_number().over(w).cast("long").alias("idx"),
+        "yc",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("t_n"),
+    )
+    wi = Window.orderBy("idx")
+    lagged = idxd.select(
+        "idx", "yc", "t_n",
+        F.lag("yc", 1).over(wi).alias("y1"),
+        F.lag("yc", 7).over(wi).alias("y7"),
+        F.first("yc").over(wi.rowsBetween(Window.unboundedPreceding, 0)).alias("yf"),
+    ).localCheckpoint(eager=True)
+    scale = lagged.filter(
+        F.col("y1").isNotNull() & (F.col("idx") <= F.col("t_n") - 7)
+    ).agg(
+        F.sum(F.abs(F.col("yc") - F.col("y1"))).cast("long").alias("s_abs"),
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+    )
+    tail = lagged.filter(F.col("idx") > F.col("t_n") - 7)
+    fc = (
+        tail.select("idx", "yc", F.lit("naive").alias("model"), F.col("y1").alias("f"))
+        .unionByName(
+            tail.select("idx", "yc", F.lit("snaive").alias("model"), F.col("y7").alias("f"))
+        )
+        .unionByName(
+            tail.select(
+                "idx", "yc", F.lit("drift").alias("model"),
+                (
+                    F.col("y1")
+                    + F.round(
+                        (F.col("y1") - F.col("yf")) * F.lit(1.0) / (F.col("idx") - 2)
+                    ).cast("long")
+                ).alias("f"),
+            )
+        )
+    )
+    evt = fc.groupBy("model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("yc") - F.col("f"))).cast("long").alias("sum_abs_err"),
+        F.sum(F.expr("(abs(yc - f) * 1000000) div yc")).cast("long").alias(
+            "sum_ape_micro"
+        ),
+    )
+    return (
+        evt.crossJoin(F.broadcast(scale))
+        .select(
+            "model", "n_eval",
+            stable_round(F.col("sum_abs_err") * F.lit(1.0) / F.col("n_eval"), 6).alias(
+                "mae_cents"
+            ),
+            stable_round(
+                F.col("sum_ape_micro") * F.lit(1.0) / F.col("n_eval") / F.lit(1e6), 6
+            ).alias("mape"),
+            stable_round(
+                (F.col("sum_abs_err") * F.lit(1.0) / F.col("n_eval"))
+                / (F.col("s_abs") * F.lit(1.0) / F.col("s_n")),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("model")
+    )
+
+
+@register(
+    "q_runtime_filter_audit",
+    oracle="""
+WITH dim AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_dim,
+           CAST(sum(CASE WHEN o_orderdate >= DATE '2000-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dim_kept
+    FROM orders),
+fact AS (SELECT CAST(count(*) AS BIGINT) AS n_fact FROM lineitem),
+surv AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_fact_kept
+    FROM lineitem l WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'))
+SELECT d.n_dim, d.n_dim_kept, f.n_fact, s.n_fact_kept,
+       (round((d.n_dim_kept * 1.0 / d.n_dim) * 1000000.0) / 1000000.0)
+           AS dim_selectivity,
+       (round((s.n_fact_kept * 1.0 / f.n_fact) * 1000000.0) / 1000000.0)
+           AS fact_survival,
+       CAST(f.n_fact - s.n_fact_kept AS BIGINT) AS rows_prunable,
+       (round(((f.n_fact - s.n_fact_kept) * 1.0 / f.n_fact) * 1000000.0)
+        / 1000000.0) AS scan_saving
+FROM dim d, fact f, surv s
+""",
+    description=(
+        "Runtime-filter (Bloom-join / DPP) benefit audit for the "
+        "orders-filtered lineitem join: measures the dimension "
+        "predicate's selectivity, the EXACT fraction of fact rows a "
+        "perfect semi-join filter would keep, and therefore the rows "
+        "prunable before the shuffle if the dimension's join keys are "
+        "pushed into the fact scan as a runtime filter — the number "
+        "that decides whether to enable "
+        "spark.sql.optimizer.runtimeFilter.* / DPP for a pipeline, "
+        "and the consumer of q_bloom_size_advisor's sizing (the filter "
+        "that does this pruning is exactly that Bloom). The semi-join "
+        "survival count is one left-semi hash join on the 8-byte key; "
+        "everything else is three scalar aggregates."
+    ),
+    tags=("storage", "extension", "systems"),
+)
+def q_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "2000-01-01"
+    dim = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dim"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit(cutoff).cast("date"), 1).otherwise(0)
+        ).cast("long").alias("n_dim_kept"),
+    )
+    fact = li.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
+    kept_keys = o.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("date")).select(
+        "o_orderkey"
+    )
+    surv = li.join(
+        kept_keys, li.l_orderkey == kept_keys.o_orderkey, "left_semi"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_fact_kept"))
+    return (
+        dim.crossJoin(fact)
+        .crossJoin(surv)
+        .select(
+            "n_dim", "n_dim_kept", "n_fact", "n_fact_kept",
+            stable_round(F.col("n_dim_kept") * F.lit(1.0) / F.col("n_dim"), 6).alias(
+                "dim_selectivity"
+            ),
+            stable_round(F.col("n_fact_kept") * F.lit(1.0) / F.col("n_fact"), 6).alias(
+                "fact_survival"
+            ),
+            (F.col("n_fact") - F.col("n_fact_kept")).cast("long").alias(
+                "rows_prunable"
+            ),
+            stable_round(
+                (F.col("n_fact") - F.col("n_fact_kept")) * F.lit(1.0) / F.col("n_fact"),
+                6,
+            ).alias("scan_saving"),
+        )
+    )

@@ -2896,3 +2896,30 @@ def test_rbo_identity_and_disjoint_bounds(spark):
     assert 0.85 * (1 - 0.9 ** _RBO_D) <= ident <= (1 - 0.9 ** _RBO_D) + 1e-6
     assert all(w_nano >= 0 for _, w_nano in w)
     assert [d for d, _ in w] == list(range(1, _RBO_D + 1))
+
+
+def test_forecast_eval_mase_scale_consistency(spark, sf_smoke):
+    """All three baselines evaluated over the same 7 origins; MASE is
+    MAE / in-sample-naive-MAE, so the models' MASE ratios must equal
+    their MAE ratios."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = {r.model: r for r in get_registry()["q_forecast_eval"].fn(spark, sf_smoke).collect()}
+    assert set(rows) == {"naive", "snaive", "drift"}
+    assert all(r.n_eval == 7 for r in rows.values())
+    a, b = rows["naive"], rows["snaive"]
+    if float(b.mase) > 0:
+        assert abs(
+            float(a.mase) / float(b.mase) - float(a.mae_cents) / float(b.mae_cents)
+        ) < 1e-3
+    assert all(float(r.mape) >= 0 for r in rows.values())
+
+
+def test_runtime_filter_audit_counts_consistent(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    r = get_registry()["q_runtime_filter_audit"].fn(spark, sf_smoke).collect()[0]
+    assert 0 < r.n_dim_kept < r.n_dim
+    assert 0 <= r.n_fact_kept <= r.n_fact
+    assert r.rows_prunable == r.n_fact - r.n_fact_kept
+    assert abs(float(r.scan_saving) + float(r.fact_survival) - 1.0) < 1e-5

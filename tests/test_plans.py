@@ -624,6 +624,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_durbin_watson": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_theta_forecast": "daily series (recursive SES seed)",
+    "q_forecast_eval": "daily series (lag/first frames)",
     "q_ucb1_replay": "daily series (day-grid dense_rank)",
     "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
     "q_decision_stump": "distinct per-user-count frames (activity-bounded)",
