@@ -2053,3 +2053,160 @@ def q_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_saving"),
         )
     )
+
+
+@register(
+    "q_dp_median",
+    oracle="""
+WITH cents AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+cdist AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY c),
+ccum AS (
+    SELECT c, cnt,
+           CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n
+    FROM cdist),
+scored AS (
+    SELECT c, cum, n,
+           abs(2 * cum - cnt - n) AS d,
+           (round((-0.25 * abs(2 * cum - cnt - n) - 2.0 * ln(-ln(
+                ((('0x' || substring(md5('dpm-v1:' || CAST(c AS VARCHAR)), 1, 8))
+                  ::BIGINT % 2147483647) + 1.0) / 2147483648.0)))
+               * 1000000.0) / 1000000.0) AS nscore
+    FROM ccum),
+pick AS (SELECT * FROM scored ORDER BY nscore DESC, c LIMIT 1),
+truth AS (SELECT min(c) AS true_med FROM ccum WHERE cum * 2 >= n)
+SELECT t.true_med AS true_median_cents,
+       p.c AS dp_median_cents,
+       CAST(abs(p.c - t.true_med) AS BIGINT) AS abs_error_cents,
+       CAST(p.d AS BIGINT) AS rank_imbalance,
+       p.n
+FROM pick p, truth t
+""",
+    description=(
+        "Differentially-private median by the exponential mechanism "
+        "(eps=1, sensitivity-2 rank utility u(c) = -|#below - #above|) "
+        "in the Gumbel-argmax formulation — completing the DP family "
+        "(q_dp_histogram Laplace counts, q_dp_topk_exponential "
+        "selection) with the robust-statistic member that Laplace "
+        "noise on the value CANNOT provide (the median's value "
+        "sensitivity is unbounded; its RANK utility is 2-sensitive). "
+        "Candidates are the distinct cent values with their cumulative "
+        "frame (value-domain-bounded carry, never a row sort); Gumbel "
+        "draws are -ln(-ln(U)) from counter-based md5 so both engines "
+        "realize the same mechanism run, and the true median is "
+        "reported alongside for the privacy/utility error."
+    ),
+    tags=("mlops", "extension", "privacy"),
+)
+def q_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    cdist = cents.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    ccum = cdist.select(
+        "c", "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    u = (
+        (md5_hash31(F.concat(F.lit("dpm-v1:"), F.col("c").cast("string"))) + 1.0)
+        / 2147483648.0
+    )
+    d = F.abs(2 * F.col("cum") - F.col("cnt") - F.col("n"))
+    scored = ccum.select(
+        "c", "cum", "n",
+        d.alias("d"),
+        stable_round(F.lit(-0.25) * d - F.lit(2.0) * F.log(-F.log(u)), 6).alias(
+            "nscore"
+        ),
+    )
+    pick = scored.orderBy(F.desc("nscore"), F.asc("c")).limit(1)
+    truth = ccum.agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("c"))).alias("true_med")
+    )
+    return pick.crossJoin(F.broadcast(truth)).select(
+        F.col("true_med").alias("true_median_cents"),
+        F.col("c").alias("dp_median_cents"),
+        F.abs(F.col("c") - F.col("true_med")).cast("long").alias("abs_error_cents"),
+        F.col("d").cast("long").alias("rank_imbalance"),
+        "n",
+    )
+
+
+_SESS_GAPS_MIN = [5, 10, 30, 60, 120]
+
+
+@register(
+    "q_sessionize_sensitivity",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))) // 60000000 AS gap_min
+    FROM events),
+agg AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {", ".join(f"CAST(sum(CASE WHEN gap_min >= {g} THEN 1 ELSE 0 END) AS BIGINT) AS brk{g}" for g in _SESS_GAPS_MIN)}
+    FROM gaps),
+thr (gap_minutes) AS (VALUES {", ".join(f"({g})" for g in _SESS_GAPS_MIN)})
+SELECT CAST(t.gap_minutes AS BIGINT) AS gap_minutes,
+       CAST(a.n_users + CASE t.gap_minutes
+            {" ".join(f"WHEN {g} THEN a.brk{g}" for g in _SESS_GAPS_MIN)} END
+            AS BIGINT) AS n_sessions,
+       (round((a.n_events * 1.0 / (a.n_users + CASE t.gap_minutes
+            {" ".join(f"WHEN {g} THEN a.brk{g}" for g in _SESS_GAPS_MIN)} END))
+            * 1000000.0) / 1000000.0) AS avg_events_per_session
+FROM thr t, agg a ORDER BY gap_minutes
+""",
+    description=(
+        "Sessionization gap-threshold sensitivity profile: session "
+        "counts and mean session size at 5/10/30/60/120-minute "
+        "inactivity gaps, from ONE pass over per-user lag() gaps "
+        "(n_sessions = n_users + gaps exceeding the threshold — the "
+        "gaps-and-islands identity) — the tuning table that justifies "
+        "whatever gap q_sessionize hard-codes, the same way "
+        "q_dedup_threshold_profile justifies the Jaccard cutoff: pick "
+        "the knee where session counts stabilize. One user-partitioned "
+        "window plus one 5-conditional aggregate; the threshold grid "
+        "never touches data again."
+    ),
+    tags=("events", "extension", "tuning"),
+)
+def q_sessionize_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 60000000
+        ).alias("gap_min"),
+    )
+    aggs = [
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ] + [
+        F.sum(F.when(F.col("gap_min") >= g, 1).otherwise(0)).cast("long").alias(f"brk{g}")
+        for g in _SESS_GAPS_MIN
+    ]
+    agg = gaps.agg(*aggs)
+    thr = spark.createDataFrame([(g,) for g in _SESS_GAPS_MIN], "gap_minutes long")
+    brk = None
+    for g in _SESS_GAPS_MIN:
+        cond = F.when(F.col("gap_minutes") == g, F.col(f"brk{g}"))
+        brk = cond if brk is None else brk.when(F.col("gap_minutes") == g, F.col(f"brk{g}"))
+    n_sessions = (F.col("n_users") + brk).cast("long")
+    return (
+        thr.crossJoin(F.broadcast(agg))
+        .select(
+            "gap_minutes",
+            n_sessions.alias("n_sessions"),
+            stable_round(F.col("n_events") * F.lit(1.0) / n_sessions, 6).alias(
+                "avg_events_per_session"
+            ),
+        )
+        .orderBy("gap_minutes")
+    )

@@ -2923,3 +2923,42 @@ def test_runtime_filter_audit_counts_consistent(spark, sf_smoke):
     assert 0 <= r.n_fact_kept <= r.n_fact
     assert r.rows_prunable == r.n_fact - r.n_fact_kept
     assert abs(float(r.scan_saving) + float(r.fact_survival) - 1.0) < 1e-5
+
+
+def test_dp_median_candidate_is_observed_value(spark, sf_smoke):
+    """Exponential-mechanism median must output an OBSERVED value (that
+    is the mechanism's range), and the true median must be the exact
+    discrete median."""
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    r = get_registry()["q_dp_median"].fn(spark, sf_smoke).collect()[0]
+    ev = load_table(spark, sf_smoke, "events")
+    cents = {
+        row.c
+        for row in ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("c")
+        ).distinct().collect()
+    }
+    assert r.dp_median_cents in cents and r.true_median_cents in cents
+    assert r.abs_error_cents == abs(r.dp_median_cents - r.true_median_cents)
+
+
+def test_sessionize_sensitivity_monotone(spark, sf_smoke):
+    """Larger gaps merge sessions: n_sessions must be nonincreasing and
+    avg session size nondecreasing in the threshold; every count is
+    bounded by [n_users, n_events]."""
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    rows = get_registry()["q_sessionize_sensitivity"].fn(spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert [r.gap_minutes for r in rows] == [5, 10, 30, 60, 120]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_sessions >= b.n_sessions
+        assert float(a.avg_events_per_session) <= float(b.avg_events_per_session) + 1e-9
+    for r in rows:
+        assert n_users <= r.n_sessions <= n_events

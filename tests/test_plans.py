@@ -595,6 +595,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_qini_curve": "decile grid + bucket-summary offsets",
     "q_energy_distance": "bucket-summary prefix over distinct cents",
     "q_fd_histogram": "cumulative counts over distinct cents (value-domain-bounded)",
+    "q_dp_median": "cumulative counts over distinct cents (value-domain-bounded)",
     "q_cramer_von_mises": "bucket-summary prefix over distinct cents",
     # day-series frames: one row per day after a data-sized partial agg
     "q_moving_avg": "daily series",
