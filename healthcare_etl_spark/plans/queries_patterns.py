@@ -2210,3 +2210,152 @@ def q_sessionize_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_minutes")
     )
+
+
+def _lsh_theory_rows() -> list[tuple[int, float]]:
+    """(jaccard_decile, P[>=1 shared band]) at the decile midpoint for
+    the repo's LSH shape (8 bands x 4 rows): 1 - (1 - J^4)^8, computed
+    once here and inlined as literals on both engines."""
+    out = []
+    for jb in range(10):
+        mid = (jb + 0.5) / 10.0
+        p = 1.0 - (1.0 - mid**4) ** 8
+        out.append((jb, round(p, 6)))
+    return out
+
+
+def _lsh_s_curve_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_dedup import _minhash_ctes
+
+    theory = ", ".join(f"({jb}, {p})" for jb, p in _lsh_theory_rows())
+    return f"""
+WITH {_minhash_ctes()},
+truth AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           count(*) AS o, sa.n_sh + sb.n_sh - count(*) AS u
+    FROM hashed x
+    JOIN hashed y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+    JOIN sigs sa ON sa.doc_id = x.doc_id
+    JOIN sigs sb ON sb.doc_id = y.doc_id
+    GROUP BY 1, 2, sa.n_sh, sb.n_sh),
+bucketed AS (
+    SELECT doc_a, doc_b,
+           least(CAST((10 * o) // u AS BIGINT), 9) AS jb
+    FROM truth),
+joined AS (
+    SELECT b.jb,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates
+    FROM bucketed b LEFT JOIN cand c
+      ON b.doc_a = c.doc_a AND b.doc_b = c.doc_b
+    GROUP BY b.jb),
+theory (jb, p_theory) AS (VALUES {theory})
+SELECT t.jb AS jaccard_decile, coalesce(j.n_pairs, 0) AS n_pairs,
+       coalesce(j.n_candidates, 0) AS n_candidates,
+       CASE WHEN j.n_pairs > 0
+            THEN (round((j.n_candidates * 1.0 / j.n_pairs) * 1000000.0)
+                  / 1000000.0) END AS measured_rate,
+       t.p_theory
+FROM theory t LEFT JOIN joined j ON t.jb = j.jb
+ORDER BY t.jb
+"""
+
+
+@register(
+    "q_lsh_s_curve",
+    oracle=_lsh_s_curve_oracle(),
+    description=(
+        "LSH S-curve tuning audit for the repo's MinHash shape "
+        "(8 bands x 4 rows): ground-truth Jaccard for every "
+        "shingle-sharing pair (exact integer decile bucketing "
+        "(10*o) div u), the measured fraction of each decile that the "
+        "band join actually emits as candidates, and the theoretical "
+        "1-(1-J^4)^8 at the decile midpoint (Python-precomputed "
+        "literals on both engines) — the table that justifies (b, r): "
+        "the knee must sit at the dedup threshold, low deciles near 0 "
+        "(wasted verifications), high deciles near 1 (false-negative "
+        "risk). Complements q_minhash_eval (global precision/recall) "
+        "with the per-similarity-band view, and "
+        "q_dedup_blocking_recall (blocker comparison) with the "
+        "theory-vs-practice calibration. Ground truth reuses the "
+        "inverted-index join; candidates reuse the banded signature "
+        "pipeline — both single-exchange shapes already plan-asserted."
+    ),
+    tags=("dedup", "extension", "tuning"),
+)
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import (
+        N_BANDS,
+        _band_key,
+        hashed_shingle_rows,
+        minhash_signatures_from,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv_sized = inv.join(sizes, "doc_id")
+    truth = (
+        inv_sized.alias("x")
+        .join(
+            inv_sized.alias("y"),
+            (F.col("x.hsh") == F.col("y.hsh")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .select(
+            "doc_a", "doc_b",
+            F.least(
+                F.expr("(10 * o) div (na + nb - o)").cast("long"), F.lit(9).cast("long")
+            ).alias("jb"),
+        )
+    )
+    sigs = minhash_signatures_from(inv)
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*[_band_key(b) for b in range(N_BANDS)])).alias("bk")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("ca"), F.col("y.doc_id").alias("cb")
+        )
+        .distinct()
+    )
+    joined = (
+        truth.join(
+            cand, (truth.doc_a == cand.ca) & (truth.doc_b == cand.cb), "left"
+        )
+        .groupBy("jb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ca").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+    )
+    theory = spark.createDataFrame(_lsh_theory_rows(), "jb long, p_theory double")
+    return (
+        F.broadcast(theory)
+        .join(joined, "jb", "left")
+        .select(
+            F.col("jb").alias("jaccard_decile"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.when(
+                F.col("n_pairs") > 0,
+                stable_round(F.col("n_candidates") * F.lit(1.0) / F.col("n_pairs"), 6),
+            ).alias("measured_rate"),
+            "p_theory",
+        )
+        .orderBy("jaccard_decile")
+    )

@@ -2962,3 +2962,19 @@ def test_sessionize_sensitivity_monotone(spark, sf_smoke):
         assert float(a.avg_events_per_session) <= float(b.avg_events_per_session) + 1e-9
     for r in rows:
         assert n_users <= r.n_sessions <= n_events
+
+
+def test_lsh_s_curve_theory_monotone_and_measured_within(spark, sf_smoke):
+    """The theoretical S-curve must be strictly increasing in the
+    decile; measured candidate rates live in [0,1] and candidates never
+    exceed pairs."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_lsh_s_curve"].fn(spark, sf_smoke).collect()
+    assert [r.jaccard_decile for r in rows] == list(range(10))
+    ps = [float(r.p_theory) for r in rows]
+    assert all(a < b for a, b in zip(ps, ps[1:]))
+    for r in rows:
+        assert 0 <= r.n_candidates <= r.n_pairs
+        if r.measured_rate is not None:
+            assert 0.0 <= float(r.measured_rate) <= 1.0
