@@ -2359,3 +2359,165 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_decile")
     )
+
+
+@register(
+    "q_neyman_allocation",
+    oracle="""
+WITH s AS (
+    SELECT event_type AS stratum,
+           CAST(count(*) AS BIGINT) AS n_h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+    FROM events GROUP BY 1),
+v AS (
+    SELECT stratum, n_h, 
+           sqrt((syy - sy * 1.0 * sy / n_h) / (n_h - 1)) AS s_h
+    FROM s),
+tot AS (
+    SELECT CAST(sum(n_h) AS BIGINT) AS n_tot, sum(n_h * s_h) AS w_tot FROM v)
+SELECT v.stratum, v.n_h,
+       (round(v.s_h * 1000000.0) / 1000000.0) AS s_h,
+       CAST(round(1000.0 * v.n_h / t.n_tot) AS BIGINT) AS alloc_proportional,
+       CAST(round(1000.0 * v.n_h * v.s_h / t.w_tot) AS BIGINT) AS alloc_neyman,
+       CAST(round(1000.0 * v.n_h * v.s_h / t.w_tot)
+            - round(1000.0 * v.n_h / t.n_tot) AS BIGINT) AS alloc_shift
+FROM v, tot t ORDER BY v.stratum
+""",
+    description=(
+        "Neyman optimal stratified-sample allocation (n=1000 budget "
+        "over the event-type strata): allocate n_h proportional to "
+        "N_h * S_h instead of N_h alone — the survey-sampling result "
+        "that minimizes the estimator variance at fixed budget, and "
+        "the principled upgrade to q_sample_stratified's proportional "
+        "split (strata with higher within-variance earn more samples; "
+        "the alloc_shift column shows exactly how many slots move). "
+        "Per-stratum variance comes from one pass of exact BIGINT "
+        "moment sums (the q_ratio_metric_delta_ci discipline); "
+        "allocations are integer rounding of two exact ratios. "
+        "Completes the survey family with q_raking_weights."
+    ),
+    tags=("analytics", "extension", "stats", "sampling"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(cents).alias("sy"),
+        F.sum(cents * cents).alias("syy"),
+    )
+    v = s.select(
+        "stratum", "n_h",
+        F.sqrt(
+            (F.col("syy") - F.col("sy") * F.lit(1.0) * F.col("sy") / F.col("n_h"))
+            / (F.col("n_h") - 1)
+        ).alias("s_h"),
+    )
+    tot = v.agg(
+        F.sum("n_h").cast("long").alias("n_tot"),
+        F.sum(F.col("n_h") * F.col("s_h")).alias("w_tot"),
+    )
+    prop = F.round(F.lit(1000.0) * F.col("n_h") / F.col("n_tot")).cast("long")
+    ney = F.round(F.lit(1000.0) * F.col("n_h") * F.col("s_h") / F.col("w_tot")).cast(
+        "long"
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum", "n_h",
+            stable_round(F.col("s_h"), 6).alias("s_h"),
+            prop.alias("alloc_proportional"),
+            ney.alias("alloc_neyman"),
+            (ney - prop).alias("alloc_shift"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "q_price_volume_mix",
+    oracle="""
+WITH bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+halves AS (
+    SELECT e.event_type,
+           CASE WHEN CAST(e.ts AS DATE) - b.d0 < (b.d1 - b.d0 + 1) // 2
+                THEN 0 ELSE 1 END AS half,
+           CAST(round(e.value * 100) AS BIGINT) AS cents
+    FROM events e, bounds b WHERE e.event_type = 'purchase' OR e.event_type = 'view'),
+agg AS (
+    SELECT event_type, half,
+           CAST(count(*) AS BIGINT) AS q,
+           CAST(sum(cents) AS BIGINT) AS r
+    FROM halves GROUP BY 1, 2),
+wide AS (
+    SELECT event_type,
+           CAST(max(CASE WHEN half = 0 THEN q END) AS BIGINT) AS q0,
+           CAST(max(CASE WHEN half = 1 THEN q END) AS BIGINT) AS q1,
+           CAST(max(CASE WHEN half = 0 THEN r END) AS BIGINT) AS r0,
+           CAST(max(CASE WHEN half = 1 THEN r END) AS BIGINT) AS r1
+    FROM agg GROUP BY 1)
+SELECT event_type, q0, q1, r0, r1,
+       CAST(r1 - r0 AS BIGINT) AS delta_cents,
+       CAST(round((q1 - q0) * (r0 * 1.0 / q0)) AS BIGINT) AS volume_effect,
+       CAST(round(q0 * (r1 * 1.0 / q1 - r0 * 1.0 / q0)) AS BIGINT) AS rate_effect,
+       CAST(round((q1 - q0) * (r1 * 1.0 / q1 - r0 * 1.0 / q0)) AS BIGINT)
+           AS mix_effect
+FROM wide ORDER BY event_type
+""",
+    description=(
+        "Price-volume-mix bridge between the first and second half of "
+        "the observation window, per channel: Delta revenue decomposes "
+        "into volume effect (count change at the old average rate), "
+        "rate effect (average-value change at the old volume), and the "
+        "interaction/mix term — the FP&A waterfall that answers 'did "
+        "revenue move because we did MORE events or RICHER events', "
+        "which q_dod_growth's raw deltas and q_growth_accounting's "
+        "user flows don't separate. One conditional aggregate per "
+        "half; every effect is rounded from exact integer-cent "
+        "moments, and volume+rate+mix reconciles to the exact delta "
+        "up to the documented three roundings."
+    ),
+    tags=("analytics", "extension", "business"),
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    filt = ev.filter(F.col("event_type").isin("purchase", "view"))
+    halves = filt.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            < F.expr("(datediff(d1, d0) + 1) div 2"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = halves.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("q"),
+        F.sum("cents").cast("long").alias("r"),
+    )
+    wide = agg.groupBy("event_type").agg(
+        F.max(F.when(F.col("half") == 0, F.col("q"))).cast("long").alias("q0"),
+        F.max(F.when(F.col("half") == 1, F.col("q"))).cast("long").alias("q1"),
+        F.max(F.when(F.col("half") == 0, F.col("r"))).cast("long").alias("r0"),
+        F.max(F.when(F.col("half") == 1, F.col("r"))).cast("long").alias("r1"),
+    )
+    p0 = F.col("r0") * F.lit(1.0) / F.col("q0")
+    p1 = F.col("r1") * F.lit(1.0) / F.col("q1")
+    return wide.select(
+        "event_type", "q0", "q1", "r0", "r1",
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.round((F.col("q1") - F.col("q0")) * p0).cast("long").alias("volume_effect"),
+        F.round(F.col("q0") * (p1 - p0)).cast("long").alias("rate_effect"),
+        F.round((F.col("q1") - F.col("q0")) * (p1 - p0)).cast("long").alias(
+            "mix_effect"
+        ),
+    ).orderBy("event_type")

@@ -2978,3 +2978,29 @@ def test_lsh_s_curve_theory_monotone_and_measured_within(spark, sf_smoke):
         assert 0 <= r.n_candidates <= r.n_pairs
         if r.measured_rate is not None:
             assert 0.0 <= float(r.measured_rate) <= 1.0
+
+
+def test_neyman_allocation_sums_and_shift_direction(spark, sf_smoke):
+    """Both allocations sum to ~1000 (rounding slack <= strata count);
+    strata with above-average S_h gain slots under Neyman."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_neyman_allocation"].fn(spark, sf_smoke).collect()
+    assert abs(sum(r.alloc_proportional for r in rows) - 1000) <= len(rows)
+    assert abs(sum(r.alloc_neyman for r in rows) - 1000) <= len(rows)
+    for r in rows:
+        assert r.alloc_shift == r.alloc_neyman - r.alloc_proportional
+        assert float(r.s_h) > 0
+
+
+def test_price_volume_mix_reconciles(spark, sf_smoke):
+    """volume + rate + mix must reconcile to the exact revenue delta
+    within the three documented roundings."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_price_volume_mix"].fn(spark, sf_smoke).collect()
+    assert {r.event_type for r in rows} == {"purchase", "view"}
+    for r in rows:
+        recon = r.volume_effect + r.rate_effect + r.mix_effect
+        assert abs(recon - r.delta_cents) <= 2
+        assert r.q0 > 0 and r.q1 > 0
