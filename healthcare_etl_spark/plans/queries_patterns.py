@@ -2521,3 +2521,100 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_effect"
         ),
     ).orderBy("event_type")
+
+
+_CHUNK_SIZES = [128, 256, 512, 1024]
+
+
+@register(
+    "q_chunk_size_audit",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents),
+pref AS (
+    SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+    FROM toks),
+grid (c) AS (VALUES {", ".join(f"({c})" for c in _CHUNK_SIZES)}),
+per_doc AS (
+    SELECT g.c, p.doc_id, p.n_tok, p.s,
+           (p.s + p.n_tok - 1) // g.c - p.s // g.c AS n_splits
+    FROM pref p, grid g),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM toks)
+SELECT CAST(pd.c AS BIGINT) AS chunk_tokens,
+       CAST((t.total_tok + pd.c - 1) // pd.c AS BIGINT) AS n_chunks,
+       CAST(((t.total_tok + pd.c - 1) // pd.c) * pd.c - t.total_tok AS BIGINT)
+           AS pad_tokens,
+       CAST(sum(CASE WHEN pd.n_splits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_split,
+       CAST(sum(pd.n_splits) AS BIGINT) AS n_boundary_cuts,
+       (round((sum(CASE WHEN pd.n_splits > 0 THEN 1 ELSE 0 END) * 1.0
+               / count(*)) * 1000000.0) / 1000000.0) AS split_doc_frac
+FROM per_doc pd, tot t
+GROUP BY pd.c, t.total_tok ORDER BY chunk_tokens
+""",
+    description=(
+        "Training-chunk-size audit for concat-then-split packing "
+        "(the GPT-style sequence packing q_pack_chunks implements): "
+        "for each candidate context length, the exact chunk count, "
+        "tail padding waste, and — the number that matters for "
+        "cross-document attention contamination — how many documents "
+        "get CUT by a chunk boundary (a doc spanning [s, s+n) is cut "
+        "floor((s+n-1)/C) - floor(s/C) times, computed from the "
+        "global token prefix). Longer contexts waste less padding but "
+        "cut MORE documents; this table is how you pick C (or decide "
+        "to pay for doc-boundary-respecting packing / attention "
+        "masking). The token prefix rides the two-phase bucketed "
+        "carry (doc_id div 4096 buckets) — no single-partition sort "
+        "at corpus scale; the size grid never touches data again."
+    ),
+    tags=("pipeline", "extension", "curation", "scale-pattern"),
+)
+def q_chunk_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    pref = bucketed_prefix(
+        toks,
+        buckets=[F.expr("doc_id div 4096")],
+        order_by=[F.col("doc_id")],
+        value=F.col("n_tok"),
+        agg="sum",
+        exclusive=True,
+        out_col="s",
+    )
+    grid = spark.createDataFrame([(c,) for c in _CHUNK_SIZES], "c long")
+    per_doc = pref.crossJoin(F.broadcast(grid)).select(
+        "c", "n_tok",
+        F.expr("(s + n_tok - 1) div c - s div c").alias("n_splits"),
+    )
+    tot = toks.agg(F.sum("n_tok").cast("long").alias("total_tok"))
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .groupBy("c", "total_tok")
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_split"),
+            F.sum("n_splits").cast("long").alias("n_boundary_cuts"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("c").alias("chunk_tokens"),
+            F.expr("(total_tok + c - 1) div c").cast("long").alias("n_chunks"),
+            F.expr("((total_tok + c - 1) div c) * c - total_tok")
+            .cast("long")
+            .alias("pad_tokens"),
+            "docs_split",
+            "n_boundary_cuts",
+            stable_round(F.col("docs_split") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "split_doc_frac"
+            ),
+        )
+        .orderBy("chunk_tokens")
+    )

@@ -3004,3 +3004,24 @@ def test_price_volume_mix_reconciles(spark, sf_smoke):
         recon = r.volume_effect + r.rate_effect + r.mix_effect
         assert abs(recon - r.delta_cents) <= 2
         assert r.q0 > 0 and r.q1 > 0
+
+
+def test_chunk_size_audit_identities(spark, sf_smoke):
+    """Exact packing identities: n_chunks*C - pad == total tokens;
+    boundary cuts equal n_chunks-1 minus cuts landing exactly between
+    docs (so cuts <= n_chunks - 1); docs_split <= cuts; split fraction
+    decreases as C grows."""
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = get_registry()["q_chunk_size_audit"].fn(spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("t")
+    ).collect()[0].t
+    for r in rows:
+        assert r.n_chunks * r.chunk_tokens - r.pad_tokens == total
+        assert r.docs_split <= r.n_boundary_cuts <= r.n_chunks - 1 + 1
+    fracs = [float(r.split_doc_frac) for r in rows]
+    assert all(a >= b for a, b in zip(fracs, fracs[1:]))
