@@ -351,7 +351,8 @@ fit AS (
            (round(((sy - {slope_raw} * sx) * 1.0 / k) * 1000000.0) / 1000000.0)
                AS intercept
     FROM mom)
-SELECT c.cand, c.ra, c.rb, c.n_inliers, f.slope, f.intercept
+SELECT CAST(c.cand AS BIGINT) AS cand, c.ra, c.rb, c.n_inliers,
+       f.slope, f.intercept
 FROM counts c LEFT JOIN fit f USING (cand)
 ORDER BY c.cand
 """
@@ -2251,8 +2252,9 @@ joined AS (
       ON b.doc_a = c.doc_a AND b.doc_b = c.doc_b
     GROUP BY b.jb),
 theory (jb, p_theory) AS (VALUES {theory})
-SELECT t.jb AS jaccard_decile, coalesce(j.n_pairs, 0) AS n_pairs,
-       coalesce(j.n_candidates, 0) AS n_candidates,
+SELECT CAST(t.jb AS BIGINT) AS jaccard_decile,
+       CAST(coalesce(j.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(j.n_candidates, 0) AS BIGINT) AS n_candidates,
        CASE WHEN j.n_pairs > 0
             THEN (round((j.n_candidates * 1.0 / j.n_pairs) * 1000000.0)
                   / 1000000.0) END AS measured_rate,
