@@ -3025,3 +3025,16 @@ def test_chunk_size_audit_identities(spark, sf_smoke):
         assert r.docs_split <= r.n_boundary_cuts <= r.n_chunks - 1 + 1
     fracs = [float(r.split_doc_frac) for r in rows]
     assert all(a >= b for a, b in zip(fracs, fracs[1:]))
+
+
+def test_t_closeness_shares_and_bounds(spark, sf_smoke):
+    """TVD lives in [0,1]; event shares partition to 1; at_risk iff in
+    the t>0.2 class."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_t_closeness_audit"].fn(spark, sf_smoke).collect()
+    assert abs(sum(float(r.event_share) for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= float(r.max_t) <= 1.0
+        assert r.at_risk == (r.t_class == "c_t>0.2")
+        assert r.n_groups > 0
