@@ -331,3 +331,98 @@ def test_covariance_diagonal_nonnegative_and_symmetric_moment(spark, sf_smoke):
     diag = [r for r in rows if r.i == r.j]
     assert len(diag) == 64
     assert all(r.cov >= -1e-6 for r in diag)
+
+
+# random small text corpora: 4-10 docs over a 6-word vocabulary
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsi", "zeta"])
+_doc = st.lists(_words, min_size=3, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=4, max_size=10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_prefix_filter_equals_inverted_index_on_random_corpora(spark, texts):
+    """EXACTNESS of prefix filtering on arbitrary corpora: the pair set
+    at the rational threshold 1/2 must equal the full inverted-index
+    join's pairs refiltered with the same exact integer test."""
+    from healthcare_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(docs, t_num=1, t_den=2).collect()
+    }
+    inv = hashed_shingle_rows(docs).toPandas()
+    sets = {d: set(g.hsh) for d, g in inv.groupby("doc_id")}
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            o = len(sets[a] & sets[b])
+            if 2 * o >= 1 * (len(sets[a]) + len(sets[b]) - o):
+                want.add((a, b))
+    assert got == want
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges)
+def test_ktruss_edges_subset_with_support_floor(spark, pairs):
+    """On arbitrary graphs: every surviving 3-truss edge is an input
+    edge and sits in >= 1 triangle of the surviving graph (recomputed
+    here in Python on the final edge set)."""
+    from healthcare_etl_spark.operators.graph import ktruss_edges
+
+    df = spark.createDataFrame(pairs, "u long, v long")
+    out = ktruss_edges(df, k=3, rounds=3).collect()
+    inset = {(min(a, b), max(a, b)) for a, b in pairs}
+    surv = {(r.u, r.v) for r in out}
+    assert surv <= inset
+    adj = {}
+    for a, b in surv:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in out:
+        # a triangle's three edges all carry support >= 1, so a 3-truss
+        # peel never breaks a surviving triangle: every survivor still
+        # closes one in the FINAL edge set
+        common = adj.get(r.u, set()) & adj.get(r.v, set())
+        assert len(common) >= 1
+        assert r.support >= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges)
+def test_lpa_one_label_per_node_and_refines_components(spark, pairs):
+    from healthcare_etl_spark.operators.graph import (
+        connected_components,
+        label_propagation_communities,
+    )
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    lpa = label_propagation_communities(df, rounds=3).collect()
+    nodes = [r.node for r in lpa]
+    assert len(nodes) == len(set(nodes))
+    comp = {
+        r.node: r.component
+        for r in connected_components(df, src="src", dst="dst").collect()
+    }
+    lab = {r.node: r.community for r in lpa}
+    assert set(lab) == set(comp)
+    by_label = {}
+    for n, c in lab.items():
+        by_label.setdefault(c, []).append(n)
+    for members in by_label.values():
+        comps = {comp[m] for m in members}
+        assert len(comps) == 1
