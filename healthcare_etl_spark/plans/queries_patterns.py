@@ -2753,3 +2753,207 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_class")
     )
+
+
+@register(
+    "q_synthetic_control",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM events GROUP BY 1),
+idxd AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx, d, y, x,
+           CAST(count(*) OVER () AS BIGINT) AS t_n
+    FROM daily),
+pre AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM idxd WHERE idx <= t_n // 2),
+fit AS (
+    SELECT ((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx)) AS b,
+           ((sy - ((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx)) * sx)
+            * 1.0 / k) AS a
+    FROM pre),
+post AS (
+    SELECT i.idx, i.d, i.y,
+           CAST(round(f.a + f.b * i.x) AS BIGINT) AS y_hat
+    FROM idxd i, fit f WHERE i.idx > i.t_n // 2)
+SELECT idx AS day_idx, y AS actual_cents, y_hat AS predicted_cents,
+       CAST(y - y_hat AS BIGINT) AS effect_cents,
+       CAST(sum(y - y_hat) OVER (ORDER BY idx) AS BIGINT) AS cum_effect_cents
+FROM post ORDER BY idx
+""",
+    description=(
+        "Synthetic-control / CausalImpact-lite counterfactual: fit "
+        "purchase revenue on the view-count CONTROL series over the "
+        "pre-period (first half of days; closed-form OLS from exact "
+        "BIGINT moments), project the counterfactual through the "
+        "post-period, and report pointwise and cumulative effects — "
+        "the intervention-analysis shape q_did_estimator's two-group "
+        "difference can't give when there is no untreated group, only "
+        "an untreated METRIC. Predictions round to integer cents so "
+        "the cumulative effect is an exact BIGINT running sum over the "
+        "day-count-bounded post-period frame. Data-sized work is one "
+        "day-grouped conditional aggregate."
+    ),
+    tags=("analytics", "extension", "causal"),
+)
+def q_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("d")
+    idxd = daily.select(
+        F.row_number().over(w).cast("long").alias("idx"),
+        "y", "x",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("t_n"),
+    ).localCheckpoint(eager=True)
+    pre = idxd.filter(F.col("idx") <= F.expr("t_n div 2")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1.0) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = pre.select(b.alias("b"), ((F.col("sy") - b * F.col("sx")) * F.lit(1.0) / F.col("k")).alias("a"))
+    post = (
+        idxd.filter(F.col("idx") > F.expr("t_n div 2"))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "idx", "y",
+            F.round(F.col("a") + F.col("b") * F.col("x")).cast("long").alias("y_hat"),
+        )
+    )
+    wc = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    return post.select(
+        F.col("idx").alias("day_idx"),
+        F.col("y").alias("actual_cents"),
+        F.col("y_hat").alias("predicted_cents"),
+        (F.col("y") - F.col("y_hat")).cast("long").alias("effect_cents"),
+        F.sum(F.col("y") - F.col("y_hat")).over(wc).cast("long").alias(
+            "cum_effect_cents"
+        ),
+    ).orderBy("day_idx")
+
+
+_ADSTOCK_LAMBDAS = [0, 3, 5, 7, 9]  # tenths
+
+
+@register(
+    "q_adstock_fit",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM events GROUP BY 1),
+idxd AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx, y, x FROM daily),
+adrec AS (
+    SELECT idx, y,
+           CAST(x AS DOUBLE) AS a0, CAST(x AS DOUBLE) AS a3,
+           CAST(x AS DOUBLE) AS a5, CAST(x AS DOUBLE) AS a7,
+           CAST(x AS DOUBLE) AS a9
+    FROM idxd WHERE idx = 1
+    UNION ALL
+    SELECT i.idx, i.y,
+           (round((i.x + CAST(0.0 AS DOUBLE) * k.a0) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)),
+           (round((i.x + CAST(0.3 AS DOUBLE) * k.a3) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)),
+           (round((i.x + CAST(0.5 AS DOUBLE) * k.a5) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)),
+           (round((i.x + CAST(0.7 AS DOUBLE) * k.a7) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)),
+           (round((i.x + CAST(0.9 AS DOUBLE) * k.a9) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))
+    FROM adrec k JOIN idxd i ON i.idx = k.idx + 1),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(y AS DOUBLE)) AS sy, sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy,
+           sum(a0) AS sx0, sum(a0 * a0) AS sxx0, sum(a0 * CAST(y AS DOUBLE)) AS sxy0,
+           sum(a3) AS sx3, sum(a3 * a3) AS sxx3, sum(a3 * CAST(y AS DOUBLE)) AS sxy3,
+           sum(a5) AS sx5, sum(a5 * a5) AS sxx5, sum(a5 * CAST(y AS DOUBLE)) AS sxy5,
+           sum(a7) AS sx7, sum(a7 * a7) AS sxx7, sum(a7 * CAST(y AS DOUBLE)) AS sxy7,
+           sum(a9) AS sx9, sum(a9 * a9) AS sxx9, sum(a9 * CAST(y AS DOUBLE)) AS sxy9
+    FROM adrec)
+SELECT CAST(0 AS BIGINT) AS lambda_tenths,
+       (round(((n * sxy0 - sx0 * sy) / (sqrt(n * sxx0 - sx0 * sx0) * sqrt(n * syy - sy * sy))) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS corr_purchases FROM mom
+UNION ALL
+SELECT CAST(3 AS BIGINT),
+       (round(((n * sxy3 - sx3 * sy) / (sqrt(n * sxx3 - sx3 * sx3) * sqrt(n * syy - sy * sy))) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) FROM mom
+UNION ALL
+SELECT CAST(5 AS BIGINT),
+       (round(((n * sxy5 - sx5 * sy) / (sqrt(n * sxx5 - sx5 * sx5) * sqrt(n * syy - sy * sy))) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) FROM mom
+UNION ALL
+SELECT CAST(7 AS BIGINT),
+       (round(((n * sxy7 - sx7 * sy) / (sqrt(n * sxx7 - sx7 * sx7) * sqrt(n * syy - sy * sy))) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) FROM mom
+UNION ALL
+SELECT CAST(9 AS BIGINT),
+       (round(((n * sxy9 - sx9 * sy) / (sqrt(n * sxx9 - sx9 * sx9) * sqrt(n * syy - sy * sy))) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) FROM mom
+ORDER BY lambda_tenths
+""",
+    description=(
+        "Geometric-adstock carryover fit (marketing-mix modeling's "
+        "core transform): click volume is adstocked at carryover "
+        "lambda in {0, .3, .5, .7, .9} — five recursive chains "
+        "a_t = x_t + lambda*a_(t-1) carried through one day-bounded "
+        "WITH RECURSIVE pass with 6dp per-step re-rounds — and each "
+        "adstocked series' Pearson correlation with purchase revenue "
+        "is computed from exact one-pass moments; the argmax lambda is "
+        "the media-memory estimate. Completes the marketing family "
+        "(elasticity, attribution, price index) with the carryover "
+        "dimension none of them model. Data-sized work is one "
+        "day-grouped aggregate."
+    ),
+    tags=("analytics", "extension", "marketing", "recursive"),
+)
+def q_adstock_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("d")
+    idxd = daily.select(
+        F.row_number().over(w).cast("long").alias("idx"), "y", "x"
+    )
+    idxd.createOrReplaceTempView("v_adstock_days")
+    from healthcare_etl_spark.plans.registry import REGISTRY
+
+    oracle = REGISTRY["q_adstock_fit"].oracle
+    body = oracle.replace(
+        """daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM events GROUP BY 1),
+idxd AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx, y, x FROM daily),
+adrec AS (""",
+        "adrec AS (",
+    ).replace("FROM idxd WHERE idx = 1", "FROM v_adstock_days WHERE idx = 1").replace(
+        "JOIN idxd i ON", "JOIN v_adstock_days i ON"
+    )
+    return spark.sql(body)
+

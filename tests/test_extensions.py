@@ -3038,3 +3038,23 @@ def test_t_closeness_shares_and_bounds(spark, sf_smoke):
         assert 0.0 <= float(r.max_t) <= 1.0
         assert r.at_risk == (r.t_class == "c_t>0.2")
         assert r.n_groups > 0
+
+
+def test_synthetic_control_cumulative_is_running_sum(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_synthetic_control"].fn(spark, sf_smoke).collect()
+    run = 0
+    for r in rows:
+        assert r.effect_cents == r.actual_cents - r.predicted_cents
+        run += r.effect_cents
+        assert r.cum_effect_cents == run
+
+
+def test_adstock_correlations_bounded(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_adstock_fit"].fn(spark, sf_smoke).collect()
+    assert [r.lambda_tenths for r in rows] == [0, 3, 5, 7, 9]
+    for r in rows:
+        assert -1.0 - 1e-9 <= float(r.corr_purchases) <= 1.0 + 1e-9

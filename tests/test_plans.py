@@ -626,6 +626,8 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_theta_forecast": "daily series (recursive SES seed)",
     "q_forecast_eval": "daily series (lag/first frames)",
+    "q_synthetic_control": "daily series (post-period cumulative effect)",
+    "q_adstock_fit": "daily series (recursive adstock seed)",
     "q_ucb1_replay": "daily series (day-grid dense_rank)",
     "q_spearman_corr": "distinct per-user-count frames (activity-bounded)",
     "q_decision_stump": "distinct per-user-count frames (activity-bounded)",
