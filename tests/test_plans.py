@@ -588,6 +588,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_ransac_fit": "bucket-summary offsets (users/1024)",
     "q_woe_iv_encoding": "bucket-summary offsets (per-activity-value buckets)",
     "q_perplexity_filter": "bucket-summary offsets (nano-bit bands)",
+    "q_chunk_size_audit": "bucket-summary token prefix (docs/4096)",
     "q_heaps_fit": "bucket-totals prefix (docs/4096)",
     "q_pareto_skyline": "bucket-maxima prefix (Pareto-front carry)",
     "q_lorenz_curve": "decile grid + bucket-summary offsets",
@@ -595,7 +596,6 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_qini_curve": "decile grid + bucket-summary offsets",
     "q_energy_distance": "bucket-summary prefix over distinct cents",
     "q_fd_histogram": "cumulative counts over distinct cents (value-domain-bounded)",
-    "q_dp_median": "cumulative counts over distinct cents (value-domain-bounded)",
     "q_cramer_von_mises": "bucket-summary prefix over distinct cents",
     # day-series frames: one row per day after a data-sized partial agg
     "q_moving_avg": "daily series",
@@ -625,7 +625,10 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_durbin_watson": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_theta_forecast": "daily series (recursive SES seed)",
-    "q_forecast_eval": "daily series (lag/first frames)",
+    # q_forecast_eval / q_dp_median: bounded frames hidden behind
+    # localCheckpoint (the sweep reads executed plans, which stop at the
+    # checkpoint scan) — bounded by construction, documented in their
+    # descriptions, intentionally NOT listed (stale-entry guard)
     "q_synthetic_control": "daily series (post-period cumulative effect)",
     "q_adstock_fit": "daily series (recursive adstock seed)",
     "q_ucb1_replay": "daily series (day-grid dense_rank)",
