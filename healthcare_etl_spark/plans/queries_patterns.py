@@ -2957,3 +2957,173 @@ adrec AS (""",
     )
     return spark.sql(body)
 
+
+
+@register(
+    "q_pps_systematic",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) + 1 AS BIGINT) AS w
+    FROM events GROUP BY user_id),
+pref AS (
+    SELECT user_id, w,
+           CAST(coalesce(sum(w) OVER (ORDER BY user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
+           CAST(sum(w) OVER () AS BIGINT) AS tot
+    FROM u),
+marked AS (
+    SELECT user_id, w, p, tot,
+           tot // 100 AS step,
+           ((p + w - (tot // 100) // 2 + (tot // 100)) // (tot // 100))
+         - ((p - (tot // 100) // 2 + (tot // 100)) // (tot // 100)) AS n_marks
+    FROM pref)
+SELECT user_id, w AS weight_cents, CAST(n_marks AS BIGINT) AS n_marks,
+       (round(least(1.0, 100.0 * w / tot) * 1000000.0) / 1000000.0)
+           AS inclusion_prob,
+       (round((1.0 / least(1.0, 100.0 * w / tot)) * 1000000.0) / 1000000.0)
+           AS ht_weight
+FROM marked WHERE n_marks > 0
+ORDER BY user_id
+""",
+    description=(
+        "Systematic PPS (probability-proportional-to-size) sampling "
+        "(Madow 1949): users are laid on the cumulative spend-weight "
+        "line (two-phase bucketed prefix at scale — the Spark side "
+        "rides bucketed_prefix on user_id div 1024, never a global "
+        "sort) and every step = W/100 marks, offset by step/2, selects "
+        "the unit it lands in — unequal-probability sampling WITHOUT "
+        "replacement in one pass, zero randomness (the fixed offset "
+        "makes the draw deterministic and oracle-checkable; production "
+        "uses a hashed offset, same plan). Mark counting is pure "
+        "integer floor arithmetic shifted to stay nonnegative (Spark "
+        "div truncates toward zero, DuckDB // floors — they agree only "
+        "on nonnegative operands, so the shift is load-bearing). "
+        "Heavy users earn n_marks > 1 (certainty units); "
+        "Horvitz-Thompson weights come out alongside. Completes the "
+        "sampling family: uniform hash-split, stratified, weighted "
+        "A-res, Neyman allocation, now pips-systematic."
+    ),
+    tags=("analytics", "extension", "sampling", "scale-pattern"),
+)
+def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) + 1).alias("w")
+    )
+    pref = bucketed_prefix(
+        u,
+        buckets=[F.expr("user_id div 1024")],
+        order_by=[F.col("user_id")],
+        value=F.col("w"),
+        agg="sum",
+        exclusive=True,
+        out_col="p",
+    )
+    tot = u.agg(F.sum("w").cast("long").alias("tot"))
+    marked = pref.crossJoin(F.broadcast(tot)).select(
+        "user_id", "w", "p", "tot",
+        F.expr(
+            "((p + w - (tot div 100) div 2 + (tot div 100)) div (tot div 100))"
+            " - ((p - (tot div 100) div 2 + (tot div 100)) div (tot div 100))"
+        ).alias("n_marks"),
+    )
+    pi = F.least(F.lit(1.0), F.lit(100.0) * F.col("w") / F.col("tot"))
+    return (
+        marked.filter(F.col("n_marks") > 0)
+        .select(
+            "user_id",
+            F.col("w").alias("weight_cents"),
+            F.col("n_marks").cast("long").alias("n_marks"),
+            stable_round(pi, 6).alias("inclusion_prob"),
+            stable_round(F.lit(1.0) / pi, 6).alias("ht_weight"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_concentration_indices",
+    oracle="""
+WITH src AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+    FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM src),
+sh AS (
+    SELECT source, tok,
+           CAST((2 * tok * 1000000 + t) // (2 * t) AS BIGINT) AS share_micro,
+           CAST(round(-ln(tok * 1.0 / t) * (tok * 1.0 / t) * 1000000000.0)
+                AS BIGINT) AS ent_nano,
+           row_number() OVER (ORDER BY tok DESC, source) AS rk
+    FROM src, tot),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(share_micro * share_micro) AS BIGINT) AS hhi_pico,
+           CAST(sum(ent_nano) AS BIGINT) AS shannon_nano,
+           CAST(sum(CASE WHEN rk <= 4 THEN share_micro ELSE 0 END) AS BIGINT)
+               AS top4_micro
+    FROM sh)
+SELECT n_sources,
+       (round((hhi_pico / 1000000000000.0) * 1000000.0) / 1000000.0) AS hhi,
+       (round((1000000000000.0 / hhi_pico) * 1000000.0) / 1000000.0)
+           AS effective_n,
+       (round((shannon_nano / 1000000000.0) * 1000000.0) / 1000000.0)
+           AS shannon_entropy,
+       (round((top4_micro / 1000000.0) * 1000000.0) / 1000000.0) AS cr4
+FROM agg
+""",
+    description=(
+        "Corpus concentration indices over source token shares: "
+        "Herfindahl-Hirschman (sum of squared shares), effective "
+        "source count 1/HHI, Shannon diversity, and the CR4 top-4 "
+        "concentration ratio — the one-row dashboard that says whether "
+        "a training mixture is dominated by a few sources (the "
+        "practical companion to q_mixture_balance's target weights and "
+        "q_source_kl_divergence's drift). Every term is quantized "
+        "before summation (micro shares with round-half-up, squared to "
+        "pico for HHI; nano entropy terms), so the cross-source folds "
+        "are exact BIGINT sums with one final division each — no float "
+        "summation order anywhere. One token aggregate per source is "
+        "the only data-sized work."
+    ),
+    tags=("corpus", "extension", "curation"),
+)
+def q_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tok")
+    )
+    tot = src.agg(F.sum("tok").cast("long").alias("t"))
+    w = Window.orderBy(F.desc("tok"), F.asc("source"))
+    sh = src.crossJoin(F.broadcast(tot)).select(
+        "tok", "t",
+        F.expr("CAST((2 * tok * 1000000 + t) div (2 * t) AS BIGINT)").alias(
+            "share_micro"
+        ),
+        F.round(
+            -F.log(F.col("tok") * F.lit(1.0) / F.col("t"))
+            * (F.col("tok") * F.lit(1.0) / F.col("t"))
+            * F.lit(1e9)
+        ).cast("long").alias("ent_nano"),
+        F.row_number().over(w).alias("rk"),
+    )
+    agg = sh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("share_micro") * F.col("share_micro")).cast("long").alias(
+            "hhi_pico"
+        ),
+        F.sum("ent_nano").cast("long").alias("shannon_nano"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("share_micro")).otherwise(0))
+        .cast("long")
+        .alias("top4_micro"),
+    )
+    return agg.select(
+        "n_sources",
+        stable_round(F.col("hhi_pico") / F.lit(1e12), 6).alias("hhi"),
+        stable_round(F.lit(1e12) / F.col("hhi_pico"), 6).alias("effective_n"),
+        stable_round(F.col("shannon_nano") / F.lit(1e9), 6).alias("shannon_entropy"),
+        stable_round(F.col("top4_micro") / F.lit(1e6), 6).alias("cr4"),
+    )

@@ -3058,3 +3058,32 @@ def test_adstock_correlations_bounded(spark, sf_smoke):
     assert [r.lambda_tenths for r in rows] == [0, 3, 5, 7, 9]
     for r in rows:
         assert -1.0 - 1e-9 <= float(r.corr_purchases) <= 1.0 + 1e-9
+
+
+def test_pps_systematic_sample_size_and_certainty(spark, sf_smoke):
+    """Systematic PPS draws ~n units: selected mark count sums to
+    exactly floor(W/step) or n; inclusion probs in (0,1]; HT weight is
+    the reciprocal."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_pps_systematic"].fn(spark, sf_smoke).collect()
+    total_marks = sum(r.n_marks for r in rows)
+    assert 95 <= total_marks <= 105
+    for r in rows:
+        p = float(r.inclusion_prob)
+        assert 0.0 < p <= 1.0
+        assert abs(float(r.ht_weight) - 1.0 / p) < 1e-3
+
+
+def test_concentration_indices_bounds(spark, sf_smoke):
+    """1/n <= HHI <= 1, effective_n <= n_sources, 0 <= CR4 <= 1, and
+    Shannon entropy <= ln(n_sources)."""
+    import math
+
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    r = get_registry()["q_concentration_indices"].fn(spark, sf_smoke).collect()[0]
+    assert 1.0 / r.n_sources - 1e-6 <= float(r.hhi) <= 1.0 + 1e-6
+    assert float(r.effective_n) <= r.n_sources + 1e-6
+    assert 0.0 <= float(r.cr4) <= 1.0 + 1e-6
+    assert float(r.shannon_entropy) <= math.log(r.n_sources) + 1e-6

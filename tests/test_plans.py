@@ -640,6 +640,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_calibration_ece": "probability bins",
     "q_dedup_threshold_profile": "similarity-threshold bins",
     "q_kanonymity_audit": "k-class histogram (<=6 rows)",
+    "q_concentration_indices": "source-cardinality share ranking (~20 rows)",
     "q_kaplan_meier": "distinct day-durations (horizon-bounded)",
     "q_nelson_aalen": "distinct day-durations (horizon-bounded)",
     "q_logrank_test": "distinct day-durations (horizon-bounded)",
