@@ -108,12 +108,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_inner_join",             # J1: broadcast inner equi-join
     "q_groupby_avg_sorted",     # A5: group-mean + sort
     "q_topk",                   # O1/O2: sort + limit
+    "q_format_number",          # F3: numeric formatting
     # continuation-4 scale-pattern flagships (first external check);
-    # q_select_star / q_normalize_columns / q_format_number ceded these
-    # slots (each >=3 driver-green rounds) and rotate back in round 7
+    # q_select_star / q_normalize_columns ceded these slots (each >=3
+    # driver-green rounds) and rotate back in round 7; the perplexity
+    # filter waits for round 7 and keeps its in-repo parity tests
     "q_dedup_prefix_filter",    # exact prefix-filtered similarity join
     "q_hll_register_sketch",    # mergeable register sketch, exact oracle
-    "q_perplexity_filter",      # held-out LM quality gate
     # -- round-6 scale rewrites (two-phase bucketed carry) + ADVICE
     #    fixes: each needs an externally-checked green row to prove the
     #    rewrite kept oracle parity
