@@ -3127,3 +3127,186 @@ def q_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("shannon_nano") / F.lit(1e9), 6).alias("shannon_entropy"),
         stable_round(F.col("top4_micro") / F.lit(1e6), 6).alias("cr4"),
     )
+
+
+_MIX_ALPHAS = [3, 5, 7]  # temperature exponents, tenths
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH src AS (
+    SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+    FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM src),
+alphas (alpha_tenths) AS (VALUES {", ".join(f"({a})" for a in _MIX_ALPHAS)}),
+powed AS (
+    SELECT a.alpha_tenths, s.source, s.tok,
+           CAST(round(power(s.tok * 1.0 / tot.t, a.alpha_tenths / 10.0)
+                      * 1000000000.0) AS BIGINT) AS p_nano
+    FROM src s, tot, alphas a),
+norm AS (
+    SELECT alpha_tenths, CAST(sum(p_nano) AS BIGINT) AS z FROM powed
+    GROUP BY alpha_tenths)
+SELECT CAST(p.alpha_tenths AS BIGINT) AS alpha_tenths, p.source, p.tok AS n_tokens,
+       (round((p.tok * 1.0 / tot.t) * 1000000.0) / 1000000.0) AS natural_share,
+       (round((p.p_nano * 1.0 / n.z) * 1000000.0) / 1000000.0) AS sampled_share,
+       CAST(round((p.p_nano * 1.0 / n.z) * 1000000.0)
+            - round((p.tok * 1.0 / tot.t) * 1000000.0) AS BIGINT) AS boost_micro
+FROM powed p JOIN norm n USING (alpha_tenths) CROSS JOIN tot
+ORDER BY alpha_tenths, p.source
+""",
+    description=(
+        "Temperature-scaled mixture sampling weights (the multilingual/"
+        "multi-source LM standard, Conneau & Lample 2019): sampled "
+        "share proportional to p_i^alpha for alpha in {0.3, 0.5, 0.7}, "
+        "flattening the natural token distribution so long-tail "
+        "sources are up-sampled without letting any one dominate — the "
+        "knob between q_mixture_balance's explicit target weights and "
+        "the raw natural mix. Each p_i^alpha is quantized to nano "
+        "units per term, so normalization is an exact BIGINT fold per "
+        "alpha and the boost_micro column (sampled minus natural, in "
+        "micro-shares) is exact integer arithmetic. One token "
+        "aggregate per source; the alpha grid never touches data."
+    ),
+    tags=("corpus", "extension", "curation"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tok")
+    )
+    tot = src.agg(F.sum("tok").cast("long").alias("t"))
+    alphas = spark.createDataFrame([(a,) for a in _MIX_ALPHAS], "alpha_tenths long")
+    powed = (
+        src.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(alphas))
+        .select(
+            "alpha_tenths", "source", "tok", "t",
+            F.round(
+                F.pow(
+                    F.col("tok") * F.lit(1.0) / F.col("t"),
+                    F.col("alpha_tenths") / F.lit(10.0),
+                )
+                * F.lit(1e9)
+            ).cast("long").alias("p_nano"),
+        )
+    )
+    norm = powed.groupBy("alpha_tenths").agg(
+        F.sum("p_nano").cast("long").alias("z")
+    )
+    nat = F.round((F.col("tok") * F.lit(1.0) / F.col("t")) * F.lit(1e6))
+    samp = F.round((F.col("p_nano") * F.lit(1.0) / F.col("z")) * F.lit(1e6))
+    return (
+        powed.join(F.broadcast(norm), "alpha_tenths")
+        .select(
+            F.col("alpha_tenths").cast("long").alias("alpha_tenths"),
+            "source",
+            F.col("tok").alias("n_tokens"),
+            stable_round(F.col("tok") * F.lit(1.0) / F.col("t"), 6).alias(
+                "natural_share"
+            ),
+            stable_round(F.col("p_nano") * F.lit(1.0) / F.col("z"), 6).alias(
+                "sampled_share"
+            ),
+            (samp - nat).cast("long").alias("boost_micro"),
+        )
+        .orderBy("alpha_tenths", "source")
+    )
+
+
+@register(
+    "q_length_bucketing_audit",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok
+    FROM toks),
+pow2 AS (
+    SELECT doc_id, n_tok,
+           CAST(power(2, ceil(ln(greatest(n_tok, 1)) / ln(2))) AS BIGINT) AS b2
+    FROM toks),
+by_policy AS (
+    SELECT 'a_no_bucketing' AS policy,
+           CAST(count(DISTINCT 1) AS BIGINT) AS n_buckets,
+           CAST(sum(s.max_tok) AS BIGINT) AS padded_tok
+    FROM toks, stats s
+    UNION ALL
+    SELECT 'b_pow2_buckets',
+           CAST(count(DISTINCT b2) AS BIGINT),
+           CAST(sum(b2) AS BIGINT)
+    FROM pow2
+    UNION ALL
+    SELECT 'c_exact_lengths',
+           CAST(count(DISTINCT n_tok) AS BIGINT),
+           CAST(sum(n_tok) AS BIGINT)
+    FROM toks)
+SELECT p.policy, p.n_buckets, s.real_tok, p.padded_tok,
+       CAST(p.padded_tok - s.real_tok AS BIGINT) AS wasted_tok,
+       (round((s.real_tok * 1.0 / p.padded_tok) * 1000000.0) / 1000000.0)
+           AS efficiency
+FROM by_policy p, stats s ORDER BY p.policy
+""",
+    description=(
+        "Sequence-length bucketing audit for padded batching (the "
+        "other packing regime next to q_chunk_size_audit's "
+        "concat-then-split): exact padded-token cost of three "
+        "policies — pad everything to the corpus max (one bucket), "
+        "pad to the next power of two (log-many buckets, the standard "
+        "bucketing compromise), and pad to exact lengths (max "
+        "buckets, zero waste) — with bucket counts and compute "
+        "efficiency for each. The table quantifies the "
+        "padding-vs-batching-granularity tradeoff that decides a "
+        "batcher's bucket boundaries. Two aggregates over doc token "
+        "counts; pure integer arithmetic (power-of-two bucket via the "
+        "exact ceil-log2, safe because n_tok's bin boundary cases are "
+        "exact powers where ln(2^k)/ln(2) is exactly k in IEEE for "
+        "the relevant range)."
+    ),
+    tags=("pipeline", "extension", "curation"),
+)
+def q_length_bucketing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    toks = toks.localCheckpoint(eager=True)
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("real_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+    b2 = F.pow(
+        F.lit(2.0), F.ceil(F.log(F.greatest("n_tok", F.lit(1)) * F.lit(1.0)) / F.log(F.lit(2.0)))
+    ).cast("long")
+    pow2 = toks.select("n_tok", b2.alias("b2"))
+    a = toks.crossJoin(F.broadcast(stats)).agg(
+        F.lit("a_no_bucketing").alias("policy"),
+        F.lit(1).cast("long").alias("n_buckets"),
+        F.sum("max_tok").cast("long").alias("padded_tok"),
+    )
+    b = pow2.agg(
+        F.lit("b_pow2_buckets").alias("policy"),
+        F.count_distinct("b2").cast("long").alias("n_buckets"),
+        F.sum("b2").cast("long").alias("padded_tok"),
+    )
+    c = toks.agg(
+        F.lit("c_exact_lengths").alias("policy"),
+        F.count_distinct("n_tok").cast("long").alias("n_buckets"),
+        F.sum("n_tok").cast("long").alias("padded_tok"),
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .crossJoin(F.broadcast(stats.select("real_tok")))
+        .select(
+            "policy", "n_buckets", "real_tok", "padded_tok",
+            (F.col("padded_tok") - F.col("real_tok")).cast("long").alias("wasted_tok"),
+            stable_round(F.col("real_tok") * F.lit(1.0) / F.col("padded_tok"), 6).alias(
+                "efficiency"
+            ),
+        )
+        .orderBy("policy")
+    )

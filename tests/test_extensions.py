@@ -3087,3 +3087,37 @@ def test_concentration_indices_bounds(spark, sf_smoke):
     assert float(r.effective_n) <= r.n_sources + 1e-6
     assert 0.0 <= float(r.cr4) <= 1.0 + 1e-6
     assert float(r.shannon_entropy) <= math.log(r.n_sources) + 1e-6
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark, sf_smoke):
+    """Each alpha's sampled shares sum to ~1, and lower alpha moves
+    every below-average source UP (flattening): boost_micro >= 0 for
+    sources with natural share below 1/n at the smallest alpha."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_mixture_temperature"].fn(spark, sf_smoke).collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r.alpha_tenths, []).append(r)
+    for a, rs in by_a.items():
+        assert abs(sum(float(r.sampled_share) for r in rs) - 1.0) < 1e-3
+        n = len(rs)
+        for r in rs:
+            if float(r.natural_share) < 1.0 / n - 1e-6:
+                assert r.boost_micro >= 0, (a, r.source)
+
+
+def test_length_bucketing_efficiency_ordering(spark, sf_smoke):
+    """More buckets never hurt: efficiency(no bucketing) <= (pow2) <=
+    (exact) == 1; padded >= real for all policies."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = {r.policy: r for r in get_registry()["q_length_bucketing_audit"].fn(spark, sf_smoke).collect()}
+    e1 = float(rows["a_no_bucketing"].efficiency)
+    e2 = float(rows["b_pow2_buckets"].efficiency)
+    e3 = float(rows["c_exact_lengths"].efficiency)
+    assert e1 <= e2 + 1e-9 <= e3 + 1e-9
+    assert e3 == 1.0
+    for r in rows.values():
+        assert r.padded_tok >= r.real_tok
+        assert r.wasted_tok == r.padded_tok - r.real_tok
