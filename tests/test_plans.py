@@ -589,6 +589,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_woe_iv_encoding": "bucket-summary offsets (per-activity-value buckets)",
     "q_perplexity_filter": "bucket-summary offsets (nano-bit bands)",
     "q_chunk_size_audit": "bucket-summary token prefix (docs/4096)",
+    "q_pps_systematic": "bucket-summary weight prefix (users/1024)",
     "q_heaps_fit": "bucket-totals prefix (docs/4096)",
     "q_pareto_skyline": "bucket-maxima prefix (Pareto-front carry)",
     "q_lorenz_curve": "decile grid + bucket-summary offsets",
