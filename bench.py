@@ -140,6 +140,9 @@ HEADLINE = [
     "q_perplexity_filter",
     "q_hll_register_sketch",
     "q_encoding_advisor",
+    # the composed curation capstone: perplexity gate -> prefix-filter
+    # dedup -> temperature mixture, one lazy plan
+    "q_curation_pipeline_v2",
 ]
 
 

@@ -31,12 +31,13 @@ from healthcare_etl_spark.plans.queries_dedup import _MD5H, _shingles_sql
 from healthcare_etl_spark.plans.queries_similarity import _COS
 
 
-def _prefix_filter_oracle(t_num: int = 3, t_den: int = 5) -> str:
-    """DuckDB mirror of ``prefix_filter_jaccard_pairs`` — same hashes,
-    same rare-first prefix order, same integer-exact length and
-    verification filters."""
-    return f"""
-WITH {_shingles_sql()},
+def _prefix_filter_ctes(source: str = "documents", t_num: int = 3, t_den: int = 5) -> str:
+    """Prefix-filter pair pipeline as a CTE chain (no leading WITH),
+    ending in ``pf_pairs(doc_a, doc_b, o, na, nb)`` — every pair with
+    EXACT Jaccard >= t_num/t_den among ``source``'s documents.
+    Parameterized on the source relation so q_curation_pipeline_v2 can
+    run it over a filtered upstream CTE."""
+    return f"""{_shingles_sql(source)},
 inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 inv AS MATERIALIZED (
     SELECT DISTINCT doc_id, {_MD5H.format(x="shingle")} AS hsh FROM inv0),
@@ -61,11 +62,21 @@ common AS (
     FROM cand c
     JOIN inv ia ON ia.doc_id = c.doc_a
     JOIN inv ib ON ib.doc_id = c.doc_b AND ib.hsh = ia.hsh
-    GROUP BY 1, 2, 3, 4)
+    GROUP BY 1, 2, 3, 4),
+pf_pairs AS (
+    SELECT doc_a, doc_b, o, na, nb FROM common
+    WHERE {t_den} * o >= {t_num} * (na + nb - o))"""
+
+
+def _prefix_filter_oracle(t_num: int = 3, t_den: int = 5) -> str:
+    """DuckDB mirror of ``prefix_filter_jaccard_pairs`` — same hashes,
+    same rare-first prefix order, same integer-exact length and
+    verification filters."""
+    return f"""
+WITH {_prefix_filter_ctes("documents", t_num, t_den)}
 SELECT doc_a, doc_b,
        (round((o * 1.0 / (na + nb - o)) * 1000000.0) / 1000000.0) AS jaccard
-FROM common
-WHERE {t_den} * o >= {t_num} * (na + nb - o)
+FROM pf_pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -921,6 +932,56 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppl_tertiles(docs: DataFrame) -> DataFrame:
+    """(doc_id, nb, sq, tertile) — held-out bigram-LM scoring + tertile
+    bucketing, shared by q_perplexity_filter and the v2 curation
+    pipeline. Docs with < 2 tokens have no bigrams and drop out."""
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
+    toks = F.split("text", " ")
+    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        words.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    train_big = big.filter(F.col("doc_id") % 2 == 0)
+    vocab = words.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count_distinct("w").cast("long").alias("v")
+    )
+    c2 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    c1 = train_big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cc"))
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + 1) * F.lit(1.0) / (
+        F.coalesce(F.col("cc"), F.lit(0)) + F.col("v")
+    )
+    qbits = F.round(-(F.log(p) / F.log(F.lit(2.0))) * 1e9).cast("long")
+    scored = (
+        big.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", qbits.alias("qbits"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("qbits").cast("long").alias("sq"),
+    ).withColumn("avg_nq", F.expr("sq div nb"))
+    ranked = bucketed_rank(
+        per_doc,
+        buckets=[F.expr("avg_nq div 100000000")],
+        order_by=[F.col("avg_nq"), F.col("doc_id")],
+        out_col="rk",
+    )
+    nrow = per_doc.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    return ranked.crossJoin(F.broadcast(nrow)).select(
+        "doc_id", "nb", "sq", ntile_from_rank(F.col("rk"), F.col("nd"), 3).alias("tertile")
+    )
+
+
 @register(
     "q_perplexity_filter",
     oracle="""
@@ -982,53 +1043,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
     tags=("text", "extension", "curation", "scale-pattern"),
 )
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
-
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = F.split("text", " ")
-    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        words.select(
-            "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    train_big = big.filter(F.col("doc_id") % 2 == 0)
-    vocab = words.filter(F.col("doc_id") % 2 == 0).agg(
-        F.count_distinct("w").cast("long").alias("v")
-    )
-    c2 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
-    c1 = train_big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cc"))
-    p = (F.coalesce(F.col("cb"), F.lit(0)) + 1) * F.lit(1.0) / (
-        F.coalesce(F.col("cc"), F.lit(0)) + F.col("v")
-    )
-    qbits = F.round(-(F.log(p) / F.log(F.lit(2.0))) * 1e9).cast("long")
-    scored = (
-        big.join(c2, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", qbits.alias("qbits"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("nb"),
-        F.sum("qbits").cast("long").alias("sq"),
-    ).withColumn("avg_nq", F.expr("sq div nb"))
-    ranked = bucketed_rank(
-        per_doc,
-        buckets=[F.expr("avg_nq div 100000000")],
-        order_by=[F.col("avg_nq"), F.col("doc_id")],
-        out_col="rk",
-    )
-    nrow = per_doc.agg(F.count(F.lit(1)).cast("long").alias("nd"))
-    tiled = ranked.crossJoin(F.broadcast(nrow)).select(
-        "doc_id", "nb", "sq", ntile_from_rank(F.col("rk"), F.col("nd"), 3).alias("tertile")
-    )
+    tiled = _ppl_tertiles(docs)
     return (
         tiled.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("tertile", "source")
@@ -3309,4 +3327,131 @@ def q_length_bucketing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("policy")
+    )
+
+
+def _curation_v2_oracle() -> str:
+    """Composed pipeline: perplexity tertile gate (keep head+middle) ->
+    exact prefix-filter dedup (drop each pair's doc_b) -> temperature
+    alpha=0.5 mixture weights over the surviving corpus."""
+    return f"""
+WITH ptok AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pbig AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i]))   AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+    FROM ptok WHERE len(t) >= 2),
+ptrainw AS (SELECT unnest(t) AS w FROM ptok WHERE doc_id % 2 = 0),
+pvocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ptrainw),
+pc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM pbig WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+pc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cc
+        FROM pbig WHERE doc_id % 2 = 0 GROUP BY 1),
+pscored AS (
+    SELECT b.doc_id,
+           CAST(round(-(ln((coalesce(pc2.cb, 0) + 1) * 1.0
+                           / (coalesce(pc1.cc, 0) + pvocab.v))
+                        / ln(2.0)) * 1000000000.0) AS BIGINT) AS qbits
+    FROM pbig b
+    LEFT JOIN pc2 ON b.w1 = pc2.w1 AND b.w2 = pc2.w2
+    LEFT JOIN pc1 ON b.w1 = pc1.w1
+    CROSS JOIN pvocab),
+pper_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+           CAST(sum(qbits) AS BIGINT) AS sq
+    FROM pscored GROUP BY doc_id),
+pranked AS (
+    SELECT doc_id,
+           ntile(3) OVER (ORDER BY sq // nb, doc_id) AS tertile
+    FROM pper_doc),
+kept1 AS MATERIALIZED (
+    SELECT d.doc_id, d.text, d.source
+    FROM documents d JOIN pranked r USING (doc_id) WHERE r.tertile <= 2),
+{_prefix_filter_ctes("kept1")},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pf_pairs),
+kept2 AS (
+    SELECT k.doc_id, k.text, k.source FROM kept1 k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)),
+bysrc AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+    FROM kept2 GROUP BY source),
+btot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM bysrc),
+bpow AS (
+    SELECT source, n_docs_kept, tok,
+           CAST(round(power(tok * 1.0 / btot.t, 0.5) * 1000000000.0) AS BIGINT)
+               AS p_nano
+    FROM bysrc, btot),
+bz AS (SELECT CAST(sum(p_nano) AS BIGINT) AS z FROM bpow)
+SELECT p.source, p.n_docs_kept, p.tok AS n_tokens_kept,
+       (round((p.tok * 1.0 / btot.t) * 1000000.0) / 1000000.0) AS natural_share,
+       (round((p.p_nano * 1.0 / bz.z) * 1000000.0) / 1000000.0) AS sampled_share
+FROM bpow p, btot, bz
+ORDER BY p.source
+"""
+
+
+@register(
+    "q_curation_pipeline_v2",
+    oracle=_curation_v2_oracle(),
+    description=(
+        "Second-generation curation capstone composing this round's "
+        "operators as ONE lazy plan (the q_corpus_pipeline discipline "
+        "over the new surface): held-out perplexity gate (bigram LM "
+        "trained on even doc_ids, tail tertile dropped) -> EXACT "
+        "prefix-filtered Jaccard dedup among survivors (doc_b of every "
+        ">= 3/5 pair dropped via anti-join — no false negatives, so "
+        "the keep-set is exactly reproducible) -> temperature "
+        "alpha=0.5 mixture weights over the surviving per-source token "
+        "mass. Output is the training-mixture manifest: kept docs and "
+        "tokens per source with natural and temperature-flattened "
+        "sampled shares. Every stage is the already-verified operator "
+        "run over the previous stage's CTE (the oracles parameterize "
+        "on the source relation), proving the ops COMPOSE — the "
+        "property a real pipeline needs that per-op tests can't show."
+    ),
+    tags=("pipeline", "extension", "curation", "flagship"),
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tiled = _ppl_tertiles(docs)
+    kept1 = (
+        docs.join(tiled.select("doc_id", "tertile"), "doc_id")
+        .filter(F.col("tertile") <= 2)
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=True)
+    )
+    pairs = prefix_filter_jaccard_pairs(kept1, t_num=3, t_den=5)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept2 = kept1.join(drops, "doc_id", "left_anti")
+    bysrc = kept2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tok"),
+    )
+    btot = bysrc.agg(F.sum("tok").cast("long").alias("t"))
+    bpow = bysrc.crossJoin(F.broadcast(btot)).select(
+        "source", "n_docs_kept", "tok", "t",
+        F.round(F.pow(F.col("tok") * F.lit(1.0) / F.col("t"), F.lit(0.5)) * F.lit(1e9))
+        .cast("long")
+        .alias("p_nano"),
+    )
+    bz = bpow.agg(F.sum("p_nano").cast("long").alias("z"))
+    return (
+        bpow.crossJoin(F.broadcast(bz))
+        .select(
+            "source",
+            "n_docs_kept",
+            F.col("tok").alias("n_tokens_kept"),
+            stable_round(F.col("tok") * F.lit(1.0) / F.col("t"), 6).alias(
+                "natural_share"
+            ),
+            stable_round(F.col("p_nano") * F.lit(1.0) / F.col("z"), 6).alias(
+                "sampled_share"
+            ),
+        )
+        .orderBy("source")
     )

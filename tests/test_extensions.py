@@ -3121,3 +3121,25 @@ def test_length_bucketing_efficiency_ordering(spark, sf_smoke):
     for r in rows.values():
         assert r.padded_tok >= r.real_tok
         assert r.wasted_tok == r.padded_tok - r.real_tok
+
+
+def test_curation_v2_composes_stages_consistently(spark, sf_smoke):
+    """The capstone's kept counts must reconcile with its stages run
+    standalone: kept docs <= 2/3 of scoreable docs (tertile gate), and
+    every source's sampled share is flattened toward uniform relative
+    to its natural share."""
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    rows = get_registry()["q_curation_pipeline_v2"].fn(spark, sf_smoke).collect()
+    n_docs_total = load_table(spark, sf_smoke, "documents").count()
+    kept = sum(r.n_docs_kept for r in rows)
+    assert 0 < kept <= (2 * n_docs_total) // 3 + 1
+    assert abs(sum(float(r.sampled_share) for r in rows) - 1.0) < 1e-3
+    n = len(rows)
+    for r in rows:
+        nat, samp = float(r.natural_share), float(r.sampled_share)
+        if nat < 1.0 / n - 1e-6:
+            assert samp >= nat - 1e-6
+        if nat > 1.0 / n + 1e-6:
+            assert samp <= nat + 1e-6
