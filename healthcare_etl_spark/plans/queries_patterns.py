@@ -3455,3 +3455,80 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SPLIT_SQL = (
+    "CASE WHEN b >= 0 AND b < 800 THEN 'train' "
+    "WHEN b >= 800 AND b < 900 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "q_split_leakage_audit",
+    oracle=f"""
+WITH {_prefix_filter_ctes("documents", 1, 2)},
+assigned AS (
+    SELECT doc_id, {_SPLIT_SQL} AS split FROM (
+        SELECT doc_id,
+               (('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 2147483647) % 1000 AS b
+        FROM documents)),
+crossed AS (
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pf_pairs p
+    JOIN assigned a ON a.doc_id = p.doc_a
+    JOIN assigned b ON b.doc_id = p.doc_b
+    GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM crossed)
+SELECT c.split_a, c.split_b, c.n_pairs,
+       (c.split_a <> c.split_b) AS is_leak,
+       (round((c.n_pairs * 1.0 / tot.t) * 1000000.0) / 1000000.0) AS pair_share
+FROM crossed c, tot ORDER BY c.split_a, c.split_b
+""",
+    description=(
+        "Train/val/test near-dup LEAKAGE audit (the Lee et al. 2022 "
+        "finding operationalized): every EXACT Jaccard >= 1/2 pair "
+        "(prefix-filtered join — no false negatives, so 'no leaks "
+        "found' actually means none exist at the threshold) is "
+        "bucketed by the two documents' deterministic hash-split "
+        "assignments; rows with split_a <> split_b are evaluation "
+        "contamination — a val/test doc whose near-duplicate sits in "
+        "train inflates held-out metrics. Composes q_hash_split's "
+        "salted assignment (hash-stable across engines and "
+        "partitionings) with the prefix-filter candidate path; the "
+        "fix it motivates is cluster-aware splitting (assign whole "
+        "q_dedup_clusters components to one split), which this audit "
+        "then verifies as zero leak rows."
+    ),
+    tags=("pipeline", "extension", "curation", "eval"),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from healthcare_etl_spark.operators.text_analysis import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, t_num=1, t_den=2).select(
+        "doc_a", "doc_b"
+    )
+    assigned = hash_split(docs, key_col="doc_id").select("doc_id", "split")
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    crossed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = crossed.agg(F.sum("n_pairs").cast("long").alias("t"))
+    return (
+        crossed.crossJoin(F.broadcast(tot))
+        .select(
+            "split_a", "split_b", "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+            stable_round(F.col("n_pairs") * F.lit(1.0) / F.col("t"), 6).alias(
+                "pair_share"
+            ),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -3143,3 +3143,16 @@ def test_curation_v2_composes_stages_consistently(spark, sf_smoke):
             assert samp >= nat - 1e-6
         if nat > 1.0 / n + 1e-6:
             assert samp <= nat + 1e-6
+
+
+def test_split_leakage_shares_and_flags(spark, sf_smoke):
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    rows = get_registry()["q_split_leakage_audit"].fn(spark, sf_smoke).collect()
+    if rows:
+        assert abs(sum(float(r.pair_share) for r in rows) - 1.0) < 1e-4
+    valid = {"train", "val", "test"}
+    for r in rows:
+        assert r.split_a in valid and r.split_b in valid
+        assert r.is_leak == (r.split_a != r.split_b)
+        assert r.n_pairs > 0
