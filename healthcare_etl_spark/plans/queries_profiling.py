@@ -1,0 +1,355 @@
+"""Data-profiling and physical-layout advisor queries: functional-
+dependency discovery, inclusion-dependency (foreign-key candidate)
+discovery, a per-ingestion-bucket sortedness audit, and a shuffle-skew
+planner that simulates reducer loads before a big shuffle.
+
+Extension surface beyond the reference (`etl_app/etl_script.py:74-119`
+has only filter/rename/aggregate) — these are the schema/layout
+discovery steps a 100 TB lakehouse runs before committing to a join
+strategy, a sort order, or a declared constraint. Every shape is a
+grouped aggregate (distributed; no partitionless windows over data-
+scale frames — the sortedness window partitions by ingestion bucket),
+and every emitted double goes through the stable_round idiom.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+# Candidate FDs to screen: (table, determinant, dependent). The point
+# of the operator is the screen itself (exact violation counts), not
+# the candidate enumeration policy — at 100 TB you seed this list from
+# column-name heuristics or a sampled pre-pass.
+_FD_PAIRS: tuple[tuple[str, str, str], ...] = (
+    ("events", "event_id", "user_id"),
+    ("events", "user_id", "event_type"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, det, dep in _FD_PAIRS:
+        parts.append(
+            f"""
+SELECT '{tbl}' AS table_name, '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+       (sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0) AS fd_holds
+FROM (SELECT {det} AS k, count(DISTINCT {dep}) AS ndep FROM {tbl} GROUP BY 1)"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY table_name, determinant, dependent"
+
+
+@register(
+    "q_fd_discovery",
+    oracle=_fd_oracle(),
+    description=(
+        "Functional-dependency screen: for each candidate (determinant -> "
+        "dependent) pair, the exact number of determinant keys carrying "
+        "more than one dependent value. FD holds iff zero violating keys. "
+        "Pure two-level hash aggregation per pair (group by determinant, "
+        "count distinct dependent, then a 1-row rollup) — fully "
+        "distributed with partial aggregation; no windows, no sorts. At "
+        "100 TB the per-pair scans share the table read via column "
+        "pruning; violating-key EXAMPLES (not counted here) would be a "
+        "top-k per pair, not a collect."
+    ),
+    tags=("profiling", "extension", "parity"),
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, det, dep in _FD_PAIRS:
+        t = load_table(spark, sf_dir, tbl)
+        per_key = t.groupBy(F.col(det).alias("k")).agg(
+            F.countDistinct(dep).alias("ndep")
+        )
+        outs.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("ndep") > 1).cast("long")).cast("long").alias(
+                    "n_violating_keys"
+                ),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_keys",
+                "n_violating_keys",
+                (F.col("n_violating_keys") == 0).alias("fd_holds"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy(
+        "table_name", "determinant", "dependent"
+    )
+
+
+# Candidate inclusion dependencies: (child table, child col, parent
+# table, parent col). Mix of true FKs, a partial containment, and a
+# negative control.
+_IND_PAIRS: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+)
+
+
+def _ind_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _IND_PAIRS:
+        parts.append(
+            f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+       '{pt}' AS parent_table, '{pc}' AS parent_col,
+       CAST(count(*) AS BIGINT) AS n_child_keys,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+       (round((sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000.0)
+        / 1000000.0) AS containment,
+       (sum(CASE WHEN hit THEN 1 ELSE 0 END) = count(*)) AS fk_candidate
+FROM (
+    SELECT c.k, p.k IS NOT NULL AS hit
+    FROM (SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p ON c.k = p.k
+)"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return (
+        f"SELECT * FROM ({body}) "
+        "ORDER BY child_table, child_col, parent_table, parent_col"
+    )
+
+
+@register(
+    "q_fk_discovery",
+    oracle=_ind_oracle(),
+    description=(
+        "Inclusion-dependency (foreign-key candidate) discovery: for each "
+        "candidate (child.col -> parent.col) edge, the exact containment "
+        "fraction of DISTINCT child keys present among parent keys. Both "
+        "sides distinct-reduce BEFORE the join (the classic IND trick: "
+        "the join runs on |distinct| rows, not |table| rows), and the "
+        "parent side of a true FK is dimension-sized — broadcast. "
+        "fk_candidate = containment == 1.0 feeds the join-order advisor's "
+        "PK-FK cardinality assumption."
+    ),
+    tags=("profiling", "extension", "parity"),
+)
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for ct, cc, pt, pc in _IND_PAIRS:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .filter(F.col(cc).isNotNull())
+            .select(F.col(cc).alias("k"))
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        joined = child.join(parent, "k", "left").select(
+            F.coalesce("hit", F.lit(False)).alias("hit")
+        )
+        outs.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+                F.sum(F.col("hit").cast("long")).cast("long").alias("n_contained"),
+            ).select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child_keys",
+                "n_contained",
+                stable_round(
+                    F.col("n_contained") / F.col("n_child_keys"), 6
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child_keys")).alias("fk_candidate"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy(
+        "child_table", "child_col", "parent_table", "parent_col"
+    )
+
+
+@register(
+    "q_sortedness_audit",
+    oracle="""
+WITH b AS (
+    SELECT CAST(event_id // 4096 AS BIGINT) AS bucket, event_id, ts
+    FROM events
+),
+adj AS (
+    SELECT bucket,
+           CASE WHEN lag(ts) OVER (PARTITION BY bucket ORDER BY event_id)
+                     IS NULL THEN NULL
+                WHEN ts >= lag(ts) OVER (PARTITION BY bucket ORDER BY event_id)
+                     THEN 1 ELSE 0 END AS in_order
+    FROM b
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(in_order) AS BIGINT) AS n_pairs,
+       CAST(sum(in_order) AS BIGINT) AS n_ascending,
+       (round((sum(in_order) * 1.0 / count(in_order)) * 1000000.0) / 1000000.0)
+           AS sortedness,
+       (sum(in_order) * 1.0 / count(in_order)) >= 0.99 AS skip_sort
+FROM adj GROUP BY bucket
+ORDER BY bucket
+""",
+    description=(
+        "Physical-layout sortedness audit: within each ingestion bucket "
+        "(event_id div 4096), the fraction of adjacent rows (ordered by "
+        "event_id) whose timestamp is non-decreasing. Feeds the decision "
+        "'is a sort needed before writing a ts-clustered layout, or is "
+        "the data already ingest-ordered?' (nearly-sorted data makes "
+        "zone maps effective without paying a global sort). The lag "
+        "window partitions by bucket — bounded frames, fully distributed; "
+        "the output is bucket-count-sized (metadata scale)."
+    ),
+    tags=("profiling", "layout", "extension", "parity"),
+)
+def q_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("event_id") / 4096).cast("long").alias("bucket"),
+        "event_id",
+        "ts",
+    )
+    w = Window.partitionBy("bucket").orderBy("event_id")
+    adj = ev.select(
+        "bucket",
+        F.when(F.lag("ts").over(w).isNull(), F.lit(None).cast("int"))
+        .when(F.col("ts") >= F.lag("ts").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_order"),
+    )
+    return (
+        adj.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("in_order").cast("long").alias("n_pairs"),
+            F.sum("in_order").cast("long").alias("n_ascending"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "n_pairs",
+            "n_ascending",
+            stable_round(F.col("n_ascending") / F.col("n_pairs"), 6).alias(
+                "sortedness"
+            ),
+            ((F.col("n_ascending") / F.col("n_pairs")) >= 0.99).alias("skip_sort"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PLANNER_P = 32  # reducer count being simulated
+_PLANNER_SALT = 8
+
+
+@register(
+    "q_shuffle_skew_planner",
+    oracle=f"""
+WITH unsalted AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_PLANNER_P} AS part,
+           count(*) AS load
+    FROM events GROUP BY 1
+),
+salted AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':'
+               || CAST(event_id % {_PLANNER_SALT} AS VARCHAR)), 1, 8))::BIGINT
+               % {_PLANNER_P} AS part,
+           count(*) AS load
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT 'unsalted' AS strategy, count(*) AS parts_used,
+           CAST(max(load) AS BIGINT) AS max_load, CAST(sum(load) AS BIGINT) AS total
+    FROM unsalted
+    UNION ALL
+    SELECT 'salted{_PLANNER_SALT}' AS strategy, count(*) AS parts_used,
+           CAST(max(load) AS BIGINT) AS max_load, CAST(sum(load) AS BIGINT) AS total
+    FROM salted
+)
+SELECT strategy, CAST(parts_used AS BIGINT) AS parts_used, max_load,
+       (round((total * 1.0 / {_PLANNER_P}) * 1000000.0) / 1000000.0) AS mean_load,
+       (round((max_load / (total * 1.0 / {_PLANNER_P})) * 1000000.0) / 1000000.0)
+           AS skew_ratio
+FROM s
+ORDER BY strategy
+""",
+    description=(
+        "Shuffle-skew planner: simulates the reducer loads a "
+        f"{_PLANNER_P}-way hash shuffle on user_id would produce, versus "
+        f"the same shuffle with an {_PLANNER_SALT}-way salt appended to "
+        "the key, and reports max/mean load (skew ratio) for each "
+        "strategy — the pre-flight check that decides between a plain "
+        "shuffle, a salted two-phase aggregate, and AQE skew handling. "
+        "Cost is one group-by per strategy over the key column only "
+        "(column-pruned scan); the per-partition load table is "
+        f"{_PLANNER_P} rows — metadata scale. Uses md5-derived partition "
+        "ids so both engines simulate the identical placement."
+    ),
+    tags=("diagnostics", "scale", "extension", "parity"),
+)
+def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def md5_part(expr):
+        return (
+            F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("long")
+            % _PLANNER_P
+        )
+
+    unsalted = ev.groupBy(
+        md5_part(F.col("user_id").cast("string")).alias("part")
+    ).agg(F.count(F.lit(1)).alias("load"))
+    salted = ev.groupBy(
+        md5_part(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                (F.col("event_id") % _PLANNER_SALT).cast("string"),
+            )
+        ).alias("part")
+    ).agg(F.count(F.lit(1)).alias("load"))
+
+    def summarize(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("parts_used"),
+            F.max("load").cast("long").alias("max_load"),
+            F.sum("load").cast("long").alias("total"),
+        ).select(
+            F.lit(name).alias("strategy"),
+            "parts_used",
+            "max_load",
+            stable_round(F.col("total") / _PLANNER_P, 6).alias("mean_load"),
+            stable_round(
+                F.col("max_load") / (F.col("total") / _PLANNER_P), 6
+            ).alias("skew_ratio"),
+        )
+
+    return summarize(unsalted, "unsalted").unionByName(
+        summarize(salted, f"salted{_PLANNER_SALT}")
+    ).orderBy("strategy")

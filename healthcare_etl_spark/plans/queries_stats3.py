@@ -1,0 +1,682 @@
+"""Third statistics extension module: distributional normality (Jarque-
+Bera), heteroscedasticity (Breusch-Pagan LM), structural break (Chow F),
+multicollinearity (variance inflation factors), and Holm step-down
+multiple-testing correction.
+
+Extension surface beyond the reference (`etl_app/etl_script.py:74-119`
+has only filter/rename/aggregate). Contracts shared with the rest of
+the stats family: per-row quantities are quantized to integer units at
+the scan so every moment folds as EXACT integer arithmetic (BIGINT, or
+DECIMAL(38)/HUGEINT where squares of 1e9-unit values cross 9.2e18 — the
+q_price_elasticity discipline); doubles reappear only in the final
+textually-mirrored divisions; every emitted double is stable_round-ed.
+No partitionless windows over data-scale frames (the one global window,
+Holm's step-down, runs over the #hypotheses grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_spark.functions.rounding import stable_round
+from healthcare_etl_spark.plans.registry import register
+from healthcare_etl_spark.sources import load_table
+
+_DEC = "decimal(38,0)"
+
+# chi-square / F critical values at alpha=0.05, inlined as literals on
+# both engines (no distribution code needed at fixed df).
+_CHI2_1_95 = 3.841459
+_CHI2_2_95 = 5.991465
+_F_2_INF_95 = 2.995732  # = chi2(2)/2 upper bound for large n
+
+
+@register(
+    "q_jarque_bera",
+    oracle=f"""
+WITH pts AS (
+    SELECT o_orderpriority, CAST(round(o_totalprice) AS BIGINT) AS c
+    FROM orders
+),
+mu AS (
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS s1
+    FROM pts GROUP BY 1
+),
+dev AS (
+    SELECT p.o_orderpriority, m.n,
+           CAST(round(p.c - CAST(m.s1 AS DOUBLE) / m.n) AS BIGINT) AS d
+    FROM pts p JOIN mu m USING (o_orderpriority)
+),
+mom AS (
+    SELECT o_orderpriority, any_value(n) AS n,
+           sum(CAST(d AS HUGEINT) * d) AS s2,
+           sum(CAST(d AS HUGEINT) * d * d) AS s3,
+           sum(CAST(d AS HUGEINT) * d * d * d) AS s4
+    FROM dev GROUP BY 1
+),
+c AS (
+    SELECT o_orderpriority, n,
+           (CAST(s2 AS DOUBLE) / n) AS m2,
+           (CAST(s3 AS DOUBLE) / n) AS m3,
+           (CAST(s4 AS DOUBLE) / n) AS m4
+    FROM mom
+),
+jb AS (
+    SELECT o_orderpriority, n,
+           (round((m3 / (m2 * sqrt(m2))) * 1000000.0) / 1000000.0) AS skewness,
+           (round((m4 / (m2 * m2) - 3.0) * 1000000.0) / 1000000.0) AS ex_kurtosis,
+           m2, m3, m4
+    FROM c
+)
+SELECT o_orderpriority, n, skewness, ex_kurtosis,
+       (round(((n / 6.0) * (skewness * skewness
+              + ex_kurtosis * ex_kurtosis / 4.0)) * 1000000.0) / 1000000.0)
+           AS jb_stat,
+       ((n / 6.0) * (skewness * skewness + ex_kurtosis * ex_kurtosis / 4.0))
+           > {_CHI2_2_95} AS reject_normal
+FROM jb
+ORDER BY o_orderpriority
+""",
+    description=(
+        "Jarque-Bera normality test per order-priority segment: sample "
+        "skewness and excess kurtosis from exact central moments, "
+        "JB = n/6*(g1^2 + g2^2/4) vs the chi2(2) 95% critical value. "
+        "Two-pass exactness: pass 1 computes each group's exact integer "
+        "mean numerator; pass 2 re-scans with the 5-row mean table "
+        "broadcast back, quantizes each deviation to a whole-dollar "
+        "BIGINT, and folds d^2/d^3/d^4 as exact HUGEINT/DECIMAL(38) "
+        "sums (d^3 alone reaches ~1.7e17 per row). Both passes are "
+        "partial-aggregated group-bys — no windows, no sorts; at 100 TB "
+        "this is two column-pruned scans and a broadcast."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice")).cast("long").alias("c"),
+    )
+    mu = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    dev = pts.join(F.broadcast(mu), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("c") - F.col("s1").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("d"),
+    )
+    d = F.col("d").cast(_DEC)
+    mom = dev.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n"),
+        F.sum(d * F.col("d")).alias("s2"),
+        F.sum(d * F.col("d") * F.col("d")).alias("s3"),
+        F.sum(d * F.col("d") * F.col("d") * F.col("d")).alias("s4"),
+    )
+    n = F.col("n")
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    sk = stable_round(m3 / (m2 * F.sqrt(m2)), 6)
+    ku = stable_round(m4 / (m2 * m2) - 3.0, 6)
+    out = mom.select(
+        "o_orderpriority",
+        n.alias("n"),
+        sk.alias("skewness"),
+        ku.alias("ex_kurtosis"),
+    )
+    jb = (F.col("n") / 6.0) * (
+        F.col("skewness") * F.col("skewness")
+        + F.col("ex_kurtosis") * F.col("ex_kurtosis") / 4.0
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        "skewness",
+        "ex_kurtosis",
+        stable_round(jb, 6).alias("jb_stat"),
+        (jb > _CHI2_2_95).alias("reject_normal"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q_breusch_pagan",
+    oracle=f"""
+WITH pts AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+m1 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy
+    FROM pts
+),
+fit AS (
+    SELECT n, sx, sy, sxx,
+           (round((CAST(CAST(n AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * 1000000.0) / 1000000.0) AS b
+    FROM m1
+),
+fit2 AS (
+    SELECT n, b,
+           (round(((sy - b * sx) / n) * 1000000.0) / 1000000.0) AS a
+    FROM fit
+),
+res AS (
+    SELECT p.x,
+           CAST(round((p.y - f.a - f.b * p.x) * (p.y - f.a - f.b * p.x)
+                      / 1000000.0) AS BIGINT) AS u
+    FROM pts p CROSS JOIN fit2 f
+),
+m2 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(u) AS BIGINT) AS su,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           sum(CAST(x AS HUGEINT) * u) AS sxu,
+           sum(CAST(u AS HUGEINT) * u) AS suu
+    FROM res
+),
+lm AS (
+    SELECT n,
+           (CAST(CAST(n AS HUGEINT) * sxu - CAST(sx AS HUGEINT) * su AS DOUBLE))
+               AS cv,
+           (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+               AS vx,
+           (CAST(CAST(n AS HUGEINT) * suu - CAST(su AS HUGEINT) * su AS DOUBLE))
+               AS vu
+    FROM m2
+)
+SELECT f.n AS n_rows, f.b AS slope, f.a AS intercept,
+       (round((l.n * (l.cv * l.cv) / (l.vx * l.vu)) * 1000000.0) / 1000000.0)
+           AS lm_stat,
+       (l.n * (l.cv * l.cv) / (l.vx * l.vu)) > {_CHI2_1_95} AS het_detected
+FROM fit2 f CROSS JOIN lm l
+""",
+    description=(
+        "Breusch-Pagan heteroscedasticity test on the price~quantity "
+        "OLS: fit y = a + b*x from exact integer moments (price "
+        "quantized to cents, HUGEINT/DECIMAL(38) cross products), then "
+        "regress the per-row squared residual (quantized back to a "
+        "BIGINT unit at the row) on x; LM = n * R^2 of that auxiliary "
+        "regression vs chi2(1). Two column-pruned scans with a 1-row "
+        "broadcast fit between them; both moment folds are partial "
+        "aggregates — the diagnostic that says whether q_grouped_ols's "
+        "homoscedastic standard errors can be trusted."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast(_DEC)
+    m1 = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(xd * F.col("y").cast(_DEC)).alias("sxy"),
+    )
+    nd = F.col("n").cast(_DEC)
+    b = stable_round(
+        (nd * F.col("sxy") - F.col("sx").cast(_DEC) * F.col("sy").cast(_DEC)).cast(
+            "double"
+        )
+        / (nd * F.col("sxx").cast(_DEC) - F.col("sx").cast(_DEC) * F.col("sx").cast(_DEC)).cast(
+            "double"
+        ),
+        6,
+    )
+    fit = m1.select(
+        "n",
+        "sx",
+        "sy",
+        b.alias("b"),
+    ).select(
+        "n",
+        "b",
+        stable_round((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n"), 6).alias(
+            "a"
+        ),
+    )
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    res = pts.crossJoin(F.broadcast(fit)).select(
+        "x", F.round(e * e / 1000000.0).cast("long").alias("u")
+    )
+    ud = F.col("u").cast(_DEC)
+    m2 = res.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x").cast(_DEC) * ud).alias("sxu"),
+        F.sum(ud * ud).alias("suu"),
+    )
+    nd2 = F.col("n").cast(_DEC)
+    cv = (nd2 * F.col("sxu") - F.col("sx").cast(_DEC) * F.col("su").cast(_DEC)).cast(
+        "double"
+    )
+    vx = (nd2 * F.col("sxx").cast(_DEC) - F.col("sx").cast(_DEC) * F.col("sx").cast(_DEC)).cast(
+        "double"
+    )
+    vu = (nd2 * F.col("suu") - F.col("su").cast(_DEC) * F.col("su").cast(_DEC)).cast(
+        "double"
+    )
+    lm = m2.select((F.col("n") * (cv * cv) / (vx * vu)).alias("lm_raw"))
+    return fit.crossJoin(F.broadcast(lm)).select(
+        F.col("n").alias("n_rows"),
+        F.col("b").alias("slope"),
+        F.col("a").alias("intercept"),
+        stable_round(F.col("lm_raw"), 6).alias("lm_stat"),
+        (F.col("lm_raw") > _CHI2_1_95).alias("het_detected"),
+    )
+
+
+_CHOW_BREAK = "1998-01-01"
+
+
+@register(
+    "q_chow_test",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y,
+           (CAST(o_orderdate AS DATE) < DATE '{_CHOW_BREAK}') AS pre
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+),
+seg AS (
+    SELECT CASE WHEN pre THEN 'pre' ELSE 'post' END AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM daily GROUP BY 1
+    UNION ALL
+    SELECT 'pooled' AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM daily
+),
+sse AS (
+    SELECT seg, n,
+           (CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+               AS a,
+           (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+               AS bq,
+           (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+               AS cq
+    FROM seg
+),
+e AS (
+    SELECT seg, n,
+           ((a * bq - cq * cq) / (n * bq)) AS sse,
+           (cq / bq) AS slope
+    FROM sse
+),
+w AS (
+    SELECT
+        max(CASE WHEN seg = 'pre' THEN n END) AS n_pre,
+        max(CASE WHEN seg = 'post' THEN n END) AS n_post,
+        max(CASE WHEN seg = 'pre' THEN slope END) AS slope_pre_raw,
+        max(CASE WHEN seg = 'post' THEN slope END) AS slope_post_raw,
+        max(CASE WHEN seg = 'pre' THEN sse END) AS sse1,
+        max(CASE WHEN seg = 'post' THEN sse END) AS sse2,
+        max(CASE WHEN seg = 'pooled' THEN sse END) AS ssep
+    FROM e
+)
+SELECT n_pre, n_post,
+       (round(slope_pre_raw * 1000000.0) / 1000000.0) AS slope_pre,
+       (round(slope_post_raw * 1000000.0) / 1000000.0) AS slope_post,
+       (round((((ssep - sse1 - sse2) / 2.0)
+               / ((sse1 + sse2) / (n_pre + n_post - 4.0)))
+              * 1000000.0) / 1000000.0) AS f_stat,
+       (((ssep - sse1 - sse2) / 2.0)
+        / ((sse1 + sse2) / (n_pre + n_post - 4.0))) > {_F_2_INF_95}
+           AS structural_break
+FROM w
+""",
+    description=(
+        "Chow structural-break test on the daily-revenue trend at a "
+        f"fixed break date ({_CHOW_BREAK}): OLS of daily revenue (exact "
+        "integer cents) on day index for the pre segment, post segment, "
+        "and pooled; F = ((SSE_p - SSE_1 - SSE_2)/k) / "
+        "((SSE_1+SSE_2)/(n-2k)) vs the F(2,inf) 95% point. The data-"
+        "scale work is ONE grouped day-aggregation (partial-aggregated); "
+        "all three moment folds run over the day series. SSEs come from "
+        "the closed-form moment identity — no residual pass needed."
+    ),
+    tags=("stats", "timeseries", "extension", "parity"),
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+            (F.col("day") < F.lit(_CHOW_BREAK).cast("date")).alias("pre"),
+        )
+    )
+
+    def moments(df: DataFrame, seg: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x").cast(_DEC) * F.col("y").cast(_DEC)).alias("sxy"),
+            F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias("syy"),
+        ).select(F.lit(seg).alias("seg"), "*")
+
+    seg = (
+        moments(daily.filter("pre"), "pre")
+        .unionByName(moments(daily.filter("NOT pre"), "post"))
+        .unionByName(moments(daily, "pooled"))
+    )
+    nd = F.col("n").cast(_DEC)
+    a = (nd * F.col("syy") - F.col("sy").cast(_DEC) * F.col("sy").cast(_DEC)).cast(
+        "double"
+    )
+    bq = (nd * F.col("sxx").cast(_DEC) - F.col("sx").cast(_DEC) * F.col("sx").cast(_DEC)).cast(
+        "double"
+    )
+    cq = (nd * F.col("sxy") - F.col("sx").cast(_DEC) * F.col("sy").cast(_DEC)).cast(
+        "double"
+    )
+    e = seg.select(
+        "seg",
+        "n",
+        ((a * bq - cq * cq) / (F.col("n") * bq)).alias("sse"),
+        (cq / bq).alias("slope"),
+    )
+    w = e.agg(
+        F.max(F.when(F.col("seg") == "pre", F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("seg") == "post", F.col("n"))).alias("n_post"),
+        F.max(F.when(F.col("seg") == "pre", F.col("slope"))).alias("slope_pre_raw"),
+        F.max(F.when(F.col("seg") == "post", F.col("slope"))).alias("slope_post_raw"),
+        F.max(F.when(F.col("seg") == "pre", F.col("sse"))).alias("sse1"),
+        F.max(F.when(F.col("seg") == "post", F.col("sse"))).alias("sse2"),
+        F.max(F.when(F.col("seg") == "pooled", F.col("sse"))).alias("ssep"),
+    )
+    fstat = ((F.col("ssep") - F.col("sse1") - F.col("sse2")) / 2.0) / (
+        (F.col("sse1") + F.col("sse2")) / (F.col("n_pre") + F.col("n_post") - 4.0)
+    )
+    return w.select(
+        "n_pre",
+        "n_post",
+        stable_round(F.col("slope_pre_raw"), 6).alias("slope_pre"),
+        stable_round(F.col("slope_post_raw"), 6).alias("slope_post"),
+        stable_round(fstat, 6).alias("f_stat"),
+        (fstat > _F_2_INF_95).alias("structural_break"),
+    )
+
+
+def _vif_oracle() -> str:
+    return """
+WITH pts AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100) AS BIGINT) AS d,
+           CAST(round(l_tax * 100) AS BIGINT) AS t
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(d * d) AS BIGINT) AS sdd,
+           CAST(sum(t * t) AS BIGINT) AS stt,
+           CAST(sum(q * d) AS BIGINT) AS sqd, CAST(sum(q * t) AS BIGINT) AS sqt,
+           CAST(sum(d * t) AS BIGINT) AS sdt
+    FROM pts
+),
+r AS (
+    SELECT
+      (CAST(n * sqd - sq * sd AS DOUBLE)
+        / sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE)))
+          AS rqd,
+      (CAST(n * sqt - sq * st AS DOUBLE)
+        / sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * stt - st * st AS DOUBLE)))
+          AS rqt,
+      (CAST(n * sdt - sd * st AS DOUBLE)
+        / sqrt(CAST(n * sdd - sd * sd AS DOUBLE) * CAST(n * stt - st * st AS DOUBLE)))
+          AS rdt
+    FROM m
+),
+r2 AS (
+    SELECT 'l_quantity' AS feature,
+           ((rqd * rqd + rqt * rqt - 2.0 * rqd * rqt * rdt)
+            / (1.0 - rdt * rdt)) AS r2_on_others
+    FROM r
+    UNION ALL
+    SELECT 'l_discount' AS feature,
+           ((rqd * rqd + rdt * rdt - 2.0 * rqd * rdt * rqt)
+            / (1.0 - rqt * rqt)) AS r2_on_others
+    FROM r
+    UNION ALL
+    SELECT 'l_tax' AS feature,
+           ((rqt * rqt + rdt * rdt - 2.0 * rqt * rdt * rqd)
+            / (1.0 - rqd * rqd)) AS r2_on_others
+    FROM r
+)
+SELECT feature,
+       (round(r2_on_others * 1000000.0) / 1000000.0) AS r2_on_others,
+       (round((1.0 / (1.0 - r2_on_others)) * 1000000.0) / 1000000.0) AS vif,
+       (1.0 / (1.0 - r2_on_others)) > 5.0 AS collinear
+FROM r2
+ORDER BY feature
+"""
+
+
+@register(
+    "q_vif",
+    oracle=_vif_oracle(),
+    description=(
+        "Variance inflation factors over the (quantity, discount, tax) "
+        "feature triple: VIF_i = 1/(1 - R^2 of feature i regressed on "
+        "the other two), with the 3-feature R^2 in closed form from the "
+        "pairwise correlation matrix — the multicollinearity pre-check "
+        "for q_grouped_ols / q_ridge_regression feature sets. All nine "
+        "moments fold in ONE exact-integer partial-aggregated scan "
+        "(features quantized to percent units at the row); everything "
+        "after the 1-row moment table is scalar arithmetic."
+    ),
+    tags=("stats", "mlops", "extension", "parity"),
+)
+def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("q") * F.col("d")).cast("long").alias("sqd"),
+        F.sum(F.col("q") * F.col("t")).cast("long").alias("sqt"),
+        F.sum(F.col("d") * F.col("t")).cast("long").alias("sdt"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double") / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        )
+
+    r = m.select(
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("rqd"),
+        corr("sqt", "sq", "st", "sqq", "stt").alias("rqt"),
+        corr("sdt", "sd", "st", "sdd", "stt").alias("rdt"),
+    )
+
+    def r2_row(name: str, ra: str, rb: str, rc: str):
+        a, bb, c = F.col(ra), F.col(rb), F.col(rc)
+        return r.select(
+            F.lit(name).alias("feature"),
+            ((a * a + bb * bb - 2.0 * a * bb * c) / (1.0 - c * c)).alias(
+                "r2_on_others"
+            ),
+        )
+
+    r2 = (
+        r2_row("l_quantity", "rqd", "rqt", "rdt")
+        .unionByName(r2_row("l_discount", "rqd", "rdt", "rqt"))
+        .unionByName(r2_row("l_tax", "rqt", "rdt", "rqd"))
+    )
+    vif = 1.0 / (1.0 - F.col("r2_on_others"))
+    return r2.select(
+        "feature",
+        stable_round(F.col("r2_on_others"), 6).alias("r2_on_others"),
+        stable_round(vif, 6).alias("vif"),
+        (vif > 5.0).alias("collinear"),
+    ).orderBy("feature")
+
+
+_HOLM_ALPHA = 0.05
+
+
+def _holm_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_analytics import _tail_p_sql
+
+    return f"""
+WITH g AS (
+    SELECT count(*) AS n, sum(value) AS s, sum(value * value) AS ss FROM events
+),
+gm AS (
+    SELECT (round((s / n) * 1000000.0) / 1000000.0) AS gmean,
+           (round(sqrt((ss - s * s / n) / n) * 1000000.0) / 1000000.0) AS gstd
+    FROM g
+),
+cells AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           (round((sum(value) / count(*)) * 1000000.0) / 1000000.0) AS cmean
+    FROM events GROUP BY 1
+),
+zs AS (
+    SELECT event_type, n,
+           (round(((cmean - gmean) / (gstd / sqrt(n))) * 1000000.0) / 1000000.0) AS z
+    FROM cells, gm
+),
+ps AS (
+    SELECT event_type, n, z,
+           (round({_tail_p_sql("abs(z)")} * 1000000.0) / 1000000.0) AS p
+    FROM zs
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY p ASC, event_type ASC) AS BIGINT)
+                  AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM ps
+),
+holm AS (
+    SELECT *, max((m - rnk + 1) * p) OVER (
+                  ORDER BY rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS madj
+    FROM ranked
+)
+SELECT event_type, n, z, p, rnk,
+       (round(least(1.0, madj) * 1000000.0) / 1000000.0) AS p_holm,
+       madj <= {_HOLM_ALPHA} AS rejected
+FROM holm
+"""
+
+
+@register(
+    "q_holm_correction",
+    oracle=_holm_oracle(),
+    description=(
+        "Holm step-down multiple-testing correction over the per-event-"
+        "type one-sample z-tests (mean value vs corpus mean, the same "
+        "Zelen-Severo tail machinery as q_bh_fdr): p-values rank "
+        "ascending, adjusted p_i = running max of (m-j+1)*p_j (clipped "
+        "at 1), reject while the running max stays under alpha. The FWER-"
+        "controlling companion to q_bh_fdr's FDR step-up — strictly "
+        "stronger guarantee, fewer rejections. The step-down window runs "
+        "over the #event-types hypothesis grid (5 rows), never the event "
+        "table; everything data-scale is the two grouped aggregates."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_holm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_analytics import _PHI_CONSTS, _SQRT_2PI
+
+    ev = load_table(spark, sf_dir, "events")
+    b0, b1, b2, b3, b4, b5 = _PHI_CONSTS
+    g = ev.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    ).select(
+        stable_round(F.col("s") / F.col("gn"), 6).alias("gmean"),
+        stable_round(
+            F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("gn")) / F.col("gn")),
+            6,
+        ).alias("gstd"),
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        stable_round(F.sum("value") / F.count(F.lit(1)), 6).alias("cmean"),
+    )
+    zs = cells.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        stable_round(
+            (F.col("cmean") - F.col("gmean")) / (F.col("gstd") / F.sqrt("n")), 6
+        ).alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(b0) * az)
+    poly = t * (
+        F.lit(b1)
+        + t * (F.lit(b2) + t * (F.lit(b3) + t * (F.lit(b4) + t * F.lit(b5))))
+    )
+    pdf = F.exp(-az * az / F.lit(2.0)) / F.lit(_SQRT_2PI)
+    ps = zs.withColumn(
+        "p", stable_round(F.least(F.lit(1.0), F.lit(2.0) * pdf * poly), 6)
+    )
+    wr = Window.orderBy(F.asc("p"), F.asc("event_type"))
+    wall = Window.partitionBy()
+    ranked = ps.withColumn("rnk", F.row_number().over(wr).cast("long")).withColumn(
+        "m", F.count(F.lit(1)).over(wall).cast("long")
+    )
+    wmax = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    holm = ranked.withColumn(
+        "madj", F.max((F.col("m") - F.col("rnk") + 1) * F.col("p")).over(wmax)
+    )
+    return holm.select(
+        "event_type",
+        "n",
+        "z",
+        "p",
+        "rnk",
+        stable_round(F.least(F.lit(1.0), F.col("madj")), 6).alias("p_holm"),
+        (F.col("madj") <= _HOLM_ALPHA).alias("rejected"),
+    )

@@ -638,6 +638,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     # fixed-cardinality grids / bins
     "q_chi2_independence": "event_type x weekday grid",
     "q_bh_fdr": "hypothesis grid (types x weekdays)",
+    "q_holm_correction": "hypothesis grid (event types)",
     "q_calibration_ece": "probability bins",
     "q_dedup_threshold_profile": "similarity-threshold bins",
     "q_kanonymity_audit": "k-class histogram (<=6 rows)",
