@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_patterns  # noqa: F401
     import healthcare_etl_spark.plans.queries_profiling  # noqa: F401
     import healthcare_etl_spark.plans.queries_stats3  # noqa: F401
+    import healthcare_etl_spark.plans.queries_timeseries2  # noqa: F401
 
     from healthcare_etl_spark.streaming.joins import register_join_queries
     from healthcare_etl_spark.streaming.stateful import register_stateful_queries

@@ -626,6 +626,8 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_durbin_watson": "daily series",
     "q_interpolate_linear": "calendar-grid carries (days-sized)",
     "q_theta_forecast": "daily series (recursive SES seed)",
+    "q_binary_segmentation": "daily series (prefix-moment split scan)",
+    "q_croston": "daily series (nonzero-demand days)",
     # q_forecast_eval / q_dp_median: bounded frames hidden behind
     # localCheckpoint (the sweep reads executed plans, which stop at the
     # checkpoint scan) — bounded by construction, documented in their
