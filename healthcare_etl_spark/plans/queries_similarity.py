@@ -2680,3 +2680,202 @@ def q_grid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(stable_round(ratio, 6) >= 3.0)
         .orderBy(F.desc("density_ratio"), "cx", "cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination + ERR retrieval eval (round-6 continuation-5)
+
+_SEMDECON_THRESHOLD = 0.3
+
+
+@register(
+    "q_semantic_decontaminate",
+    oracle=f"""
+WITH {_KMEANS_CTES},
+clustered AS (
+    SELECT a2.vec_id, a2.cluster, p.v
+    FROM a2 JOIN pts p ON a2.vec_id = p.vec_id
+),
+held AS (
+    SELECT cluster, vec_id AS h_id, v AS hv FROM clustered
+    WHERE (vec_id % 101) < 5
+),
+corp AS (
+    SELECT cluster, vec_id, v FROM clustered
+    WHERE (vec_id % 101) >= 5
+),
+contaminated AS (
+    SELECT DISTINCT c.vec_id
+    FROM corp c JOIN held h ON c.cluster = h.cluster
+    WHERE (round({_COS.format(a="h.hv", b="c.v")} * 1000000.0) / 1000000.0)
+          >= {_SEMDECON_THRESHOLD}
+)
+SELECT c.vec_id, c.cluster, (d.vec_id IS NOT NULL) AS is_contaminated
+FROM corp c LEFT JOIN contaminated d ON c.vec_id = d.vec_id
+""",
+    description=(
+        "Semantic (embedding-level) train/eval decontamination: the "
+        "held-out set (deterministic vec_id % 101 < 5 slice) is "
+        "clustered together with the corpus by the shared spherical "
+        "k-means quantizer, and a corpus vector is flagged when its "
+        "cosine to ANY same-cluster held-out vector reaches "
+        f"{_SEMDECON_THRESHOLD} — the paraphrase-robust companion to "
+        "q_decontaminate's exact 8-gram overlap and q_bloom_decontaminate"
+        "'s sketch form (n-gram methods miss reworded eval leakage; "
+        "embedding cosine catches it). Same scale shape as SemDeDup: "
+        "candidate pairs come from a cluster-keyed equi-join, never an "
+        "all-pairs cross join; the held-out side of each cluster is "
+        "eval-set-sized (broadcastable). Multiprobe (assign held-out "
+        "vectors to their top-2 cells) is the recall knob at 100 TB, "
+        "same as q_sim_ann_ivf_probe2."
+    ),
+    tags=("similarity", "decontamination", "extension", "iterative"),
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.functions.vectors import cosine_similarity
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, k=4, n_iter=2)
+    pts = emb.select("vec_id", F.col("embedding").alias("v"))
+    clustered = assign.select("vec_id", "cluster").join(pts, "vec_id")
+    held = clustered.filter((F.col("vec_id") % 101) < 5).select(
+        "cluster", F.col("vec_id").alias("h_id"), F.col("v").alias("hv")
+    )
+    corp = clustered.filter((F.col("vec_id") % 101) >= 5)
+    contaminated = (
+        corp.join(F.broadcast(held), "cluster")
+        .filter(
+            stable_round(cosine_similarity("hv", "v"), 6) >= _SEMDECON_THRESHOLD
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return corp.join(contaminated, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("is_contaminated"),
+    )
+
+
+@register(
+    "q_err_eval",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, label AS c_label
+    FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+    SELECT query_id, q_label, neighbor_id, c_label,
+           (round({_COS.format(a="qv", b="cv")} * 1000000.0) / 1000000.0) AS cosine
+    FROM c CROSS JOIN q
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+),
+hb AS (
+    SELECT query_id, rnk,
+           (CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS hit,
+           CAST(coalesce(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                OVER (PARTITION BY query_id ORDER BY rnk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS hits_before
+    FROM top
+),
+terms AS (
+    SELECT query_id,
+           CAST(sum(CASE WHEN hit = 1 THEN CAST(round(
+                10000000000.0 / (rnk * CAST(1::BIGINT
+                    << CAST(hits_before + 1 AS INTEGER) AS DOUBLE))) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS err_q,
+           CAST(sum(hit) AS BIGINT) AS n_hits
+    FROM hb GROUP BY 1
+)
+SELECT query_id AS vec_id, n_hits,
+       (round((err_q / 10000000000.0) * 1000000.0) / 1000000.0) AS err
+FROM terms
+""",
+    description=(
+        "Expected Reciprocal Rank @10 (Chapelle et al. 2009) over the "
+        "same probe/corpus retrieval as q_ndcg_eval: with binary "
+        "relevance mapped to the standard R = 1/2, the cascade model "
+        "gives term(r) = (1/r) * (1/2)^(hits_before+1) — satisfied "
+        "users stop earlier, so later hits are discounted by every "
+        "earlier hit, the property NDCG's position-only discount lacks. "
+        "Every term is a dyadic rational over an integer rank, "
+        "quantized to a 1e-10 BIGINT before the order-free integer sum "
+        "(the q_ndcg_eval discipline; the power of two comes from an "
+        "integer shift, not libm pow). Retrieval reuses the broadcast-"
+        "probe rank-limit-pushdown plan; the cascade prefix window runs "
+        "inside the 10-row per-query head."
+    ),
+    tags=("similarity", "extension", "vectors", "evaluation"),
+)
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        "c_label",
+        stable_round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top = scored.withColumn("rnk", F.row_number().over(wk).cast("long")).filter(
+        F.col("rnk") <= 10
+    )
+    wh = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hit = F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
+    hb = top.select(
+        "query_id",
+        "rnk",
+        hit.alias("hit"),
+        F.coalesce(F.sum(hit).over(wh), F.lit(0)).cast("long").alias("hits_before"),
+    )
+    term = F.round(
+        F.lit(10000000000.0)
+        / (
+            F.col("rnk")
+            * F.expr("shiftleft(1L, cast(hits_before + 1 as int))").cast("double")
+        )
+    ).cast("long")
+    terms = hb.groupBy("query_id").agg(
+        F.sum(F.when(F.col("hit") == 1, term).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("err_q"),
+        F.sum("hit").cast("long").alias("n_hits"),
+    )
+    return terms.select(
+        F.col("query_id").alias("vec_id"),
+        "n_hits",
+        stable_round(F.col("err_q") / 10000000000.0, 6).alias("err"),
+    )

@@ -1199,3 +1199,211 @@ def q_symspell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.filter(F.col("dist") <= 1).orderBy(
         "typo", F.desc("sugg_freq"), "suggestion"
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE overlap + code-switch detection (round-6 continuation-5)
+
+
+@register(
+    "q_rouge_overlap",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, source, string_split(lower(text), ' ') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id,
+           list_distinct(w) AS u1,
+           list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1])) AS u2
+    FROM toks
+),
+pairs AS (
+    SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+           CAST(len(list_intersect(c.u1, r.u1)) AS BIGINT) AS n_overlap1,
+           CAST(len(list_intersect(c.u2, r.u2)) AS BIGINT) AS n_overlap2,
+           CAST(len(r.u1) AS BIGINT) AS n_ref1,
+           CAST(len(r.u2) AS BIGINT) AS n_ref2
+    FROM grams c JOIN grams r ON r.doc_id = c.ref_id
+)
+SELECT cand_id, ref_id, n_overlap1, n_overlap2,
+       (round((n_overlap1 * 1.0 / n_ref1) * 1000000.0) / 1000000.0)
+           AS rouge1_recall,
+       CASE WHEN n_ref2 = 0 THEN 0.0
+            ELSE (round((n_overlap2 * 1.0 / n_ref2) * 1000000.0) / 1000000.0)
+       END AS rouge2_recall
+FROM pairs
+""",
+    description=(
+        "Set-based ROUGE-1/ROUGE-2 recall between adjacent same-source "
+        "document pairs (the deterministic pairing stands in for any "
+        "candidate/reference alignment — summarization eval, near-dup "
+        "explanation, paraphrase screening): unique-unigram and unique-"
+        "bigram recall of the candidate against the reference. Bigrams "
+        "come from a zip of the token array with its own tail — pure "
+        "expression-tree work, no explode, no shuffle beyond the "
+        "adjacent-id equi-join (which at 100 TB co-partitions on "
+        "doc_id just like the q_passage_dedup key join). The multiset-"
+        "clipped ROUGE variant swaps list_intersect for a clipped "
+        "frequency join; the set form is the standard dedup-screen "
+        "approximation."
+    ),
+    tags=("text", "extension", "evaluation", "parity"),
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.split(F.lower(F.col("text")), " ")
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    from pyspark.sql.window import Window
+
+    ws = Window.partitionBy("source").orderBy("doc_id")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(w).alias("u1"),
+        F.array_distinct(bigrams).alias("u2"),
+    ).withColumn("next_id", F.lead("doc_id").over(ws))
+    c = grams.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("next_id"),
+        F.col("u1").alias("cu1"),
+        F.col("u2").alias("cu2"),
+    )
+    r = grams.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("u1").alias("ru1"),
+        F.col("u2").alias("ru2"),
+    )
+    pairs = c.join(r, F.col("ref_id") == F.col("next_id")).select(
+        "cand_id",
+        "ref_id",
+        F.size(F.array_intersect("cu1", "ru1")).cast("long").alias("n_overlap1"),
+        F.size(F.array_intersect("cu2", "ru2")).cast("long").alias("n_overlap2"),
+        F.size("ru1").cast("long").alias("n_ref1"),
+        F.size("ru2").cast("long").alias("n_ref2"),
+    )
+    return pairs.select(
+        "cand_id",
+        "ref_id",
+        "n_overlap1",
+        "n_overlap2",
+        stable_round(F.col("n_overlap1") * 1.0 / F.col("n_ref1"), 6).alias(
+            "rouge1_recall"
+        ),
+        F.when(F.col("n_ref2") == 0, F.lit(0.0))
+        .otherwise(stable_round(F.col("n_overlap2") * 1.0 / F.col("n_ref2"), 6))
+        .alias("rouge2_recall"),
+    )
+
+
+def _half_lang_sql(half_expr: str, tag: str) -> str:
+    """Score/argmax SQL for one half's token list — mirrors
+    operators.text_analysis.language_id's first-maximizer tie-break."""
+    from healthcare_etl_spark.operators.text_analysis import STOPWORD_PROFILES
+
+    langs = list(STOPWORD_PROFILES)
+    scores = ", ".join(
+        f"len(list_intersect({half_expr}, ["
+        + ", ".join(f"'{w}'" for w in STOPWORD_PROFILES[lang])
+        + f"]))::BIGINT AS s_{tag}_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{tag}_{other}" for other in langs[i + 1 :]]
+        cond = f"s_{tag}_{lang} > 0"
+        if later:
+            cond += f" AND s_{tag}_{lang} >= greatest({', '.join(later)})"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_chain = " ".join(cases)
+    return scores, f"CASE {case_chain} ELSE 'und' END"
+
+
+def _code_switch_oracle() -> str:
+    s1, c1 = _half_lang_sql("h1", "a")
+    s2, c2 = _half_lang_sql("h2", "b")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+halves AS (
+    SELECT doc_id,
+           list_distinct(w[1 : CAST(len(w) // 2 AS INTEGER)]) AS h1,
+           list_distinct(w[CAST(len(w) // 2 + 1 AS INTEGER) : CAST(len(w) AS INTEGER)]) AS h2
+    FROM toks
+),
+scored AS (
+    SELECT doc_id, {s1}, {s2}
+    FROM halves
+),
+pred AS (
+    SELECT doc_id, {c1} AS lang_first, {c2} AS lang_second
+    FROM scored
+)
+SELECT doc_id, lang_first, lang_second,
+       (lang_first <> lang_second) AS is_code_switched
+FROM pred
+"""
+
+
+def _lang_pred_col(toks):
+    """First-maximizer stopword argmax over a distinct-token array column
+    (the language_id loop lifted to an arbitrary Column)."""
+    from healthcare_etl_spark.operators.text_analysis import STOPWORD_PROFILES
+
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in STOPWORD_PROFILES:
+        s = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(x) for x in STOPWORD_PROFILES[lang]]))
+        )
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+@register(
+    "q_code_switch_detect",
+    oracle=_code_switch_oracle(),
+    description=(
+        "Mixed-language (code-switch) detection: each document's token "
+        "stream splits at the midpoint, both halves run the stopword-"
+        "argmax language ID (same profiles and first-maximizer tie-break "
+        "as q_lang_id, inlined into the oracle), and a disagreement "
+        "flags the document — the document-purity check that a per-doc "
+        "single-label language filter (q_lang_id) cannot express, and "
+        "the gate a monolingual training mix needs before trusting the "
+        "lang column. Pure per-row expression trees (array slice + "
+        "intersect); no shuffle at all beyond the scan."
+    ),
+    tags=("text", "extension", "quality", "parity"),
+)
+def q_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.lower(F.col("text")), " ")
+    n = F.size(w)
+    h = F.floor(n / 2).cast("int")
+    halves = docs.select(
+        "doc_id",
+        F.array_distinct(F.slice(w, 1, h)).alias("h1"),
+        F.array_distinct(F.slice(w, h + 1, n - h)).alias("h2"),
+    )
+    pred = halves.select(
+        "doc_id",
+        _lang_pred_col(F.col("h1")).alias("lang_first"),
+        _lang_pred_col(F.col("h2")).alias("lang_second"),
+    )
+    return pred.select(
+        "doc_id",
+        "lang_first",
+        "lang_second",
+        (F.col("lang_first") != F.col("lang_second")).alias("is_code_switched"),
+    )
