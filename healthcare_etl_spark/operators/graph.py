@@ -530,3 +530,55 @@ def ktruss_edges(
         out = scored.filter(F.col("support") >= min_sup).localCheckpoint(eager=False)
         e = out.select("u", "v")
     return out
+
+
+def bfs_hops_per_seed(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    seed_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-seed hop distances over the symmetrized pair graph: returns
+    (seed, node, hops) for every (seed, reachable node) pair within
+    ``max_iter`` hops — ``bfs_hops`` generalized from "min distance to
+    the seed SET" to independent single-source BFS runs sharing one
+    frontier pipeline (state keyed by (seed, node), so all sources
+    expand in the same per-round join; the classic multi-source trick
+    that makes k centrality probes cost one BFS, not k).
+
+    Same iteration discipline as ``connected_components``: edges
+    checkpointed once, per-round anti-join against settled labels so
+    each (seed, node) is expanded exactly once, lineage truncated with
+    localCheckpoint, one (empty?) action per round. Feeds closeness /
+    harmonic centrality estimates from a hash-chosen probe set.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels
+    for _ in range(max_iter):
+        neighbors = (
+            edges.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("seed", F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .distinct()
+        )
+        new = neighbors.join(
+            labels.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        labels = labels.union(new).localCheckpoint(eager=True)
+        frontier = new
+    return labels

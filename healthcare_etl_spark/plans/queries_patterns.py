@@ -3532,3 +3532,90 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (round-6 continuation-5)
+
+
+def _harmonic_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_dedup import _jaccard_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM jpairs
+    WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
+),
+bedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+bnodes AS (SELECT DISTINCT src AS node FROM bedges),
+seeds AS (
+    SELECT node FROM bnodes
+    WHERE (('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT % 5) = 0
+),
+reach(seed, node, hops) AS (
+    SELECT node, node, 0 FROM seeds
+    UNION
+    SELECT r.seed, e.dst, r.hops + 1
+    FROM reach r JOIN bedges e ON e.src = r.node
+    WHERE r.hops < 20
+),
+d AS (
+    SELECT seed, node, CAST(min(hops) AS BIGINT) AS hops
+    FROM reach GROUP BY 1, 2
+)
+SELECT seed AS doc_id,
+       CAST(count(*) FILTER (WHERE hops > 0) AS BIGINT) AS n_reached,
+       (coalesce(sum(CASE WHEN hops > 0
+            THEN CAST(round(1000000.0 / hops) AS BIGINT) END), 0) / 1000000.0)
+           AS harmonic
+FROM d GROUP BY seed
+"""
+
+
+@register(
+    "q_harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    description=(
+        "Harmonic centrality (sum of 1/distance over reachable nodes — "
+        "the closeness variant that stays well-defined on DISCONNECTED "
+        "graphs, Boldi & Vigna 2014) for a hash-chosen probe set over "
+        "the near-dup graph: all probes run as ONE multi-source BFS "
+        "with state keyed by (seed, node) — k centrality probes cost "
+        "one frontier pipeline, each (seed, node) expanded exactly once "
+        "(per-round anti-join), edges checkpointed once. Per-node "
+        "reciprocal distances are quantized to 1e-6 BIGINTs before the "
+        "order-free integer sum. Complements q_pagerank (eigenvector "
+        "family) and q_degree_distribution (local) with a true "
+        "distance-based centrality; the sampled-probe form IS the scale "
+        "path (exact all-nodes closeness is O(nm) — at 100 TB you "
+        "always estimate from a probe sample)."
+    ),
+    tags=("graph", "extension", "iterative", "parity"),
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import jaccard_pairs
+    from healthcare_etl_spark.operators.graph import bfs_hops_per_seed
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    seeds = nodes.filter(h == 0)
+    d = bfs_hops_per_seed(pairs, seeds, max_iter=20)
+    term = F.when(
+        F.col("hops") > 0, F.round(F.lit(1000000.0) / F.col("hops")).cast("long")
+    )
+    return d.groupBy(F.col("seed").alias("doc_id")).agg(
+        F.sum(F.when(F.col("hops") > 0, 1).otherwise(0)).cast("long").alias("n_reached"),
+        (F.coalesce(F.sum(term), F.lit(0)) / 1000000.0).alias("harmonic"),
+    )

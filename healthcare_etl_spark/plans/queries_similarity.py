@@ -2879,3 +2879,94 @@ def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         stable_round(F.col("err_q") / 10000000000.0, 6).alias("err"),
     )
+
+
+@register(
+    "q_smote_synthesis",
+    oracle=f"""
+WITH cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+mino AS (SELECT label FROM cnt ORDER BY n ASC, label ASC LIMIT 1),
+m AS (
+    SELECT e.vec_id, e.embedding AS v
+    FROM embeddings e JOIN mino ON e.label = mino.label
+),
+nn AS (
+    SELECT vec_id, neighbor_id, av, bv, cosine FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id, a.v AS av, b.v AS bv,
+               (round({_COS.format(a="a.v", b="b.v")} * 1000000.0) / 1000000.0)
+                   AS cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY (round({_COS.format(a="a.v", b="b.v")} * 1000000.0)
+                             / 1000000.0) DESC, b.vec_id ASC) AS rn
+        FROM m a JOIN m b ON a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+),
+synth AS (
+    SELECT vec_id, neighbor_id, cosine,
+           list_transform(list_zip(av, bv),
+               s -> (s[1]::DOUBLE + s[2]::DOUBLE) / 2.0) AS sv
+    FROM nn
+)
+SELECT vec_id AS base_id, neighbor_id, cosine,
+       (round({_NORM.format(v="sv")} * 1000000.0) / 1000000.0) AS synth_norm,
+       (round((list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(sv, x -> x::DOUBLE)), (acc, x) -> acc + x) / 64.0)
+              * 1000000.0) / 1000000.0) AS synth_mean
+FROM synth
+""",
+    description=(
+        "SMOTE-style minority-class synthesis (Chawla et al. 2002) over "
+        "the embedding table: the scarcest label's vectors each pair "
+        "with their nearest same-class neighbor (cosine, deterministic "
+        "tie-break) and emit the lambda = 1/2 interpolant's norm and "
+        "mean — the class-imbalance augmentation move for classifier "
+        "training sets (production SMOTE draws lambda ~ U(0,1); the "
+        "fixed midpoint keeps the op hash-checkable, and a salted-hash "
+        "lambda is the determinism-preserving generalization). Scale "
+        "shape: the self-join runs ONLY within the minority class — by "
+        "definition the small side, broadcastable; the majority corpus "
+        "is never paired. The interpolant itself is a zip_with "
+        "expression, no UDF."
+    ),
+    tags=("similarity", "mlops", "extension", "vectors"),
+)
+def q_smote_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.functions.vectors import cosine_similarity, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mino = cnt.orderBy(F.asc("n"), F.asc("label")).limit(1).select("label")
+    m = emb.join(F.broadcast(mino), "label").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    a = m.select(F.col("vec_id"), F.col("v").alias("av"))
+    b = m.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    scored = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
+        "vec_id",
+        "neighbor_id",
+        "av",
+        "bv",
+        stable_round(cosine_similarity("av", "bv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sv = F.zip_with("av", "bv", lambda x, y: (x.cast("double") + y.cast("double")) / 2.0)
+    synth = nn.select("vec_id", "neighbor_id", "cosine", sv.alias("sv"))
+    mean = (
+        F.aggregate(
+            F.transform("sv", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / 64.0
+    )
+    return synth.select(
+        F.col("vec_id").alias("base_id"),
+        "neighbor_id",
+        "cosine",
+        stable_round(l2_norm("sv"), 6).alias("synth_norm"),
+        stable_round(mean, 6).alias("synth_mean"),
+    )
