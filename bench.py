@@ -143,6 +143,12 @@ HEADLINE = [
     # the composed curation capstone: perplexity gate -> prefix-filter
     # dedup -> temperature mixture, one lazy plan
     "q_curation_pipeline_v2",
+    # round-6 continuation 5: the FD screen (8 grouped count-distinct
+    # passes over shared scans), the cluster-keyed semantic
+    # decontamination join, and the multi-source per-seed BFS centrality
+    "q_fd_discovery",
+    "q_semantic_decontaminate",
+    "q_harmonic_centrality",
 ]
 
 
