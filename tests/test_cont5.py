@@ -1,0 +1,162 @@
+"""Invariant tests for the round-6 continuation-5 queries — cheap
+mathematical sanity properties on top of the oracle value-hash parity
+(which test_oracle_parity already runs for every one of these)."""
+
+from __future__ import annotations
+
+import math
+
+from healthcare_etl_spark.plans.registry import get_registry
+
+
+def _rows(spark, sf, name):
+    return get_registry()[name].fn(spark, sf).collect()
+
+
+def test_fd_discovery_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_fd_discovery")
+    byname = {(r.table_name, r.determinant, r.dependent): r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_violating_keys <= r.n_keys
+        assert r.fd_holds == (r.n_violating_keys == 0)
+    # event_id is the events PK: the FD to any column must hold exactly
+    assert byname[("events", "event_id", "user_id")].fd_holds
+    assert byname[("orders", "o_orderkey", "o_custkey")].fd_holds
+
+
+def test_fk_discovery_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_fk_discovery")
+    byname = {(r.child_table, r.child_col): r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_contained <= r.n_child_keys
+        assert 0.0 <= r.containment <= 1.0
+        assert r.fk_candidate == (r.n_contained == r.n_child_keys)
+    # the TPC-H referential skeleton must be discovered
+    assert byname[("lineitem", "l_orderkey")].fk_candidate
+    assert byname[("orders", "o_custkey")].fk_candidate
+
+
+def test_shuffle_skew_planner_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_shuffle_skew_planner")
+    assert {r.strategy for r in rows} == {"unsalted", "salted8"}
+    for r in rows:
+        assert r.parts_used <= 32
+        assert r.max_load >= r.mean_load * (r.parts_used / 32.0) / 32.0
+        assert r.skew_ratio > 0
+
+
+def test_sortedness_audit_bounds(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_sortedness_audit"):
+        assert 0.0 <= r.sortedness <= 1.0
+        assert r.n_pairs == r.n_rows - 1
+
+
+def test_vif_at_least_one(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_vif"):
+        assert r.vif >= 1.0 - 1e-9
+        assert 0.0 <= r.r2_on_others <= 1.0
+
+
+def test_jarque_bera_nonnegative(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_jarque_bera"):
+        assert r.jb_stat >= 0.0
+        assert r.n > 0
+
+
+def test_holm_monotone_and_dominates_raw(spark, sf_smoke):
+    rows = sorted(_rows(spark, sf_smoke, "q_holm_correction"), key=lambda r: r.rnk)
+    prev = 0.0
+    for r in rows:
+        assert r.p_holm >= r.p - 1e-9  # adjusted never below raw
+        assert r.p_holm >= prev - 1e-9  # step-down is monotone in rank
+        prev = r.p_holm
+        if r.rejected:
+            assert r.p_holm <= 0.05 + 1e-9
+
+
+def test_periodogram_shares_sum_to_one(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_periodogram")
+    assert len(rows) == 9
+    assert math.isclose(sum(r.power_share for r in rows), 1.0, abs_tol=1e-4)
+    for r in rows:
+        assert r.power >= 0.0
+
+
+def test_binary_segmentation_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_binary_segmentation")
+    assert r.n_left >= 5 and r.n_right >= 5
+    assert 0.0 <= r.sse_drop_ratio <= 1.0
+
+
+def test_croston_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_croston")
+    assert r.n_demand_days >= 1
+    if r.smoothed_interval is not None:
+        assert r.smoothed_interval >= 1.0
+        assert r.forecast_per_day > 0.0
+
+
+def test_fixed_effects_r2_bounds(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_fixed_effects_panel")
+    assert 0.0 <= r.within_r2 <= 1.0
+    assert r.n_entities <= 64
+
+
+def test_event_study_baseline_is_zero(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_event_study")
+    base = [r for r in rows if r.rel_week == -1]
+    assert len(base) == 1
+    assert base[0].effect_cents == 0.0
+
+
+def test_err_eval_bounds(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_err_eval")
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r.err <= 1.0
+        assert 0 <= r.n_hits <= 10
+
+
+def test_rouge_overlap_bounds(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_rouge_overlap"):
+        assert 0.0 <= r.rouge1_recall <= 1.0
+        assert 0.0 <= r.rouge2_recall <= 1.0
+        assert r.ref_id > r.cand_id
+
+
+def test_harmonic_centrality_bounds(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_harmonic_centrality"):
+        # every term 1/d <= 1, so harmonic <= n_reached; every node in a
+        # pair graph has >= 1 neighbor at distance 1
+        assert r.n_reached >= 1
+        assert r.harmonic <= r.n_reached + 1e-9
+        assert r.harmonic > 0.0
+
+
+def test_semantic_decontaminate_partition(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.sources import load_table
+
+    rows = _rows(spark, sf_smoke, "q_semantic_decontaminate")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    total = emb.count()
+    held = emb.filter((F.col("vec_id") % 101) < 5).count()
+    assert len(rows) == total - held
+
+
+def test_smote_rows_cover_minority(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.sources import load_table
+
+    rows = _rows(spark, sf_smoke, "q_smote_synthesis")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    counts = (
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("n", "label")
+    ).collect()
+    minority_n = counts[0].n
+    assert len(rows) == minority_n
+    for r in rows:
+        assert r.neighbor_id != r.base_id
+        assert r.synth_norm >= 0.0
