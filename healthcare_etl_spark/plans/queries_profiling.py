@@ -353,3 +353,169 @@ def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(unsalted, "unsalted").unionByName(
         summarize(salted, f"salted{_PLANNER_SALT}")
     ).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
+# Partition-count advisor + stratified k-fold (continuation-5, wave F)
+
+# Per-table physical model: fixed in-memory bytes per row (8 for
+# long/double/timestamp, 4 for int) plus variable-width columns
+# (avg string bytes + 4 length overhead each); embeddings' float array
+# is 64*4 data + 16 header. The MODEL constants are shared between the
+# Spark plan and the oracle, so the advisor's arithmetic is identical.
+_ADVISOR_TABLES: dict[str, tuple[int, tuple[str, ...]]] = {
+    "lineitem": (8 * 9 + 4, ("l_returnflag", "l_linestatus")),
+    "orders": (8 * 4, ("o_orderstatus", "o_orderpriority")),
+    "events": (8 * 4, ("event_type", "props")),
+    "documents": (8 * 2, ("text", "lang", "source")),
+    "embeddings": (8 + 272 + 4, ()),
+}
+_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+_TARGET_FILE_BYTES = 1024 * 1024 * 1024
+
+
+def _advisor_oracle() -> str:
+    parts = []
+    for tbl, (fixed, varcols) in _ADVISOR_TABLES.items():
+        var_sum = (
+            " + ".join(f"sum(length({c}) + 4)" for c in varcols) if varcols else "0"
+        )
+        parts.append(
+            f"""
+SELECT '{tbl}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) * {fixed} + {var_sum} AS BIGINT) AS est_bytes
+FROM {tbl}"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return f"""
+WITH est AS ({body})
+SELECT table_name, n_rows,
+       (round((est_bytes / 1048576.0) * 1000000.0) / 1000000.0) AS est_mb,
+       CAST(greatest(1, ceil(est_bytes * 1.0 / {_TARGET_PARTITION_BYTES}))
+            AS BIGINT) AS shuffle_partitions_128mb,
+       CAST(greatest(1, ceil(est_bytes * 1.0 / {_TARGET_FILE_BYTES}))
+            AS BIGINT) AS files_1gb,
+       CAST(n_rows // greatest(1, ceil(est_bytes * 1.0 / {_TARGET_PARTITION_BYTES}))
+            AS BIGINT) AS rows_per_partition
+FROM est
+ORDER BY table_name
+"""
+
+
+@register(
+    "q_partition_count_advisor",
+    oracle=_advisor_oracle(),
+    description=(
+        "Partition-count / file-size advisor: per table, estimated "
+        "in-memory bytes from exact column-width accounting (fixed "
+        "widths per type + exact summed string lengths), then the "
+        "recommended shuffle partition count at the 128 MB target and "
+        "output file count at the 1 GB compaction target — the sizing "
+        "pre-flight for spark.sql.shuffle.partitions and "
+        "maxPartitionBytes that q_compaction_plan assumes and "
+        "q_shuffle_skew_planner refines (this one sizes VOLUME, that "
+        "one shapes KEY DISTRIBUTION). One column-pruned aggregate per "
+        "table; at 100 TB the same fold runs per partition-directory to "
+        "drive incremental compaction."
+    ),
+    tags=("diagnostics", "scale", "extension", "parity"),
+)
+def q_partition_count_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, (fixed, varcols) in _ADVISOR_TABLES.items():
+        t = load_table(spark, sf_dir, tbl)
+        var_total = (
+            sum((F.length(c) + 4) for c in varcols) if varcols else F.lit(0)
+        )
+        if varcols:
+            agg = t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(var_total).cast("long").alias("var_bytes"),
+            )
+        else:
+            agg = t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.lit(0).cast("long").alias("var_bytes"),
+            )
+        outs.append(
+            agg.select(
+                F.lit(tbl).alias("table_name"),
+                "n_rows",
+                (F.col("n_rows") * fixed + F.col("var_bytes"))
+                .cast("long")
+                .alias("est_bytes"),
+            )
+        )
+    est = reduce(DataFrame.unionByName, outs)
+    parts = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("est_bytes") * 1.0 / _TARGET_PARTITION_BYTES).cast("long"),
+    )
+    files = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("est_bytes") * 1.0 / _TARGET_FILE_BYTES).cast("long"),
+    )
+    return est.select(
+        "table_name",
+        "n_rows",
+        stable_round(F.col("est_bytes") / 1048576.0, 6).alias("est_mb"),
+        parts.alias("shuffle_partitions_128mb"),
+        files.alias("files_1gb"),
+        F.floor(F.col("n_rows") / parts).cast("long").alias("rows_per_partition"),
+    ).orderBy("table_name")
+
+
+_KFOLD = 5
+
+
+@register(
+    "q_stratified_kfold",
+    oracle=f"""
+WITH ranked AS (
+    SELECT label, vec_id,
+           row_number() OVER (PARTITION BY label
+               ORDER BY ('0x' || substring(md5('fold-v1:'
+                   || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                   vec_id ASC) AS rn
+    FROM embeddings
+),
+assigned AS (
+    SELECT label, CAST((rn - 1) % {_KFOLD} AS BIGINT) AS fold
+    FROM ranked
+)
+SELECT fold, label, CAST(count(*) AS BIGINT) AS n_vecs
+FROM assigned GROUP BY 1, 2
+ORDER BY fold, label
+""",
+    description=(
+        "Exactly-stratified k-fold assignment: within each label "
+        "stratum, rows rank by salted content hash (repartition-stable, "
+        "no rand()) and fold = (rank-1) mod k — every stratum's fold "
+        "sizes differ by at most 1, the guarantee plain hash-mod-k "
+        "(q_hash_split) does NOT give on small strata. The CV-split "
+        "primitive under q_kfold_cv_ridge, emitted as the per-(fold, "
+        "label) count audit. The rank window partitions by label — "
+        "fully distributed; for a label so hot it dominates a partition "
+        "the bucketed_rank carry applies within the stratum."
+    ),
+    tags=("mlops", "sampling", "extension", "parity"),
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    skey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fold-v1:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("label").orderBy(skey.asc(), F.col("vec_id").asc())
+    assigned = emb.select(
+        "label", ((F.row_number().over(w) - 1) % _KFOLD).cast("long").alias("fold")
+    )
+    return (
+        assigned.groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("fold", "label")
+    )

@@ -680,3 +680,230 @@ def q_holm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.least(F.lit(1.0), F.col("madj")), 6).alias("p_holm"),
         (F.col("madj") <= _HOLM_ALPHA).alias("rejected"),
     )
+
+
+@register(
+    "q_weibull_fit",
+    oracle="""
+WITH f AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+),
+p AS (
+    SELECT user_id, min(epoch_us(ts)) AS p_us
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+subj AS (
+    SELECT CASE WHEN p.p_us IS NOT NULL
+                     AND (p.p_us - f.first_us) // 3600000000 <= 60
+                THEN (p.p_us - f.first_us) // 3600000000 ELSE 60 END AS dur,
+           (p.p_us IS NOT NULL AND (p.p_us - f.first_us) // 3600000000 <= 60)
+               AS event
+    FROM f LEFT JOIN p ON f.user_id = p.user_id
+),
+evs AS (
+    SELECT CAST(dur AS BIGINT) AS dur, CAST(count(*) AS BIGINT) AS d
+    FROM subj WHERE event AND dur >= 1 GROUP BY 1
+),
+n AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM evs),
+ranked AS (
+    SELECT dur, d,
+           CAST(sum(d) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM evs
+),
+pts AS (
+    SELECT CAST(round(ln(dur) * 1000000.0) AS BIGINT) AS x,
+           CAST(round(ln(-ln(1.0 - (cum - 0.3) / (nn.n + 0.4))) * 1000000.0)
+                AS BIGINT) AS y
+    FROM ranked CROSS JOIN n nn
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pts
+),
+fit AS (
+    SELECT np,
+           ((np * sxy - sx * 1.0 * sy) / (np * sxx - sx * 1.0 * sx)) AS k,
+           (CAST(np * sxy - sx * 1.0 * sy AS DOUBLE)) AS cv,
+           (CAST(np * sxx - sx * 1.0 * sx AS DOUBLE)) AS vx,
+           (CAST(np * syy - sy * 1.0 * sy AS DOUBLE)) AS vy,
+           sx, sy
+    FROM m
+)
+SELECT nn.n AS n_events, np AS n_points,
+       (round(k * 1000000.0) / 1000000.0) AS shape_k,
+       (round(exp(-(((sy - k * sx) / np) / 1000000.0) / k) * 1000000.0)
+        / 1000000.0) AS scale_hours,
+       (round(((cv * cv) / (vx * vy)) * 1000000.0) / 1000000.0) AS r2
+FROM fit CROSS JOIN n nn
+""",
+    description=(
+        "Weibull fit of the activation-delay distribution by median-rank "
+        "regression (the probability-plot method): over the uncensored "
+        "conversion durations (same subject table as q_kaplan_meier, "
+        "dur >= 1h), Bernard's approximation F_i = (i-0.3)/(n+0.4) at "
+        "each distinct duration, then OLS of ln(-ln(1-F)) on ln(t) — "
+        "slope = shape k (k<1 burn-in, k>1 wear-out), scale = "
+        "exp(-a/k). Completes the survival family (KM / Nelson-Aalen / "
+        "log-rank / RMST are nonparametric; this is the parametric "
+        "member that extrapolates beyond the horizon). Per-point logs "
+        "quantize to 1e-6 BIGINTs so the OLS moments fold exactly; the "
+        "rank window rides the horizon-bounded distinct-duration table "
+        "(<=60 rows); data-scale work is the two per-user aggregates."
+    ),
+    tags=("stats", "survival", "extension", "parity"),
+)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    hours = F.floor((F.col("p_us") - F.col("first_us")) / 3600000000)
+    subj = f.join(p, "user_id", "left").select(
+        F.when(F.col("p_us").isNotNull() & (hours <= 60), hours)
+        .otherwise(F.lit(60))
+        .cast("long")
+        .alias("dur"),
+        (F.col("p_us").isNotNull() & (hours <= 60)).alias("event"),
+    )
+    evs = (
+        subj.filter(F.col("event") & (F.col("dur") >= 1))
+        .groupBy("dur")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    n = evs.agg(F.sum("d").cast("long").alias("n"))
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = evs.select("dur", "d", F.sum("d").over(wc).cast("long").alias("cum"))
+    pts = ranked.crossJoin(F.broadcast(n)).select(
+        F.round(F.log(F.col("dur")) * 1000000.0).cast("long").alias("x"),
+        F.round(
+            F.log(-F.log(1.0 - (F.col("cum") - 0.3) / (F.col("n") + 0.4)))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    k = (np_ * F.col("sxy") - sx * 1.0 * sy) / (np_ * F.col("sxx") - sx * 1.0 * sx)
+    cv = (np_ * F.col("sxy") - sx * 1.0 * sy).cast("double")
+    vx = (np_ * F.col("sxx") - sx * 1.0 * sx).cast("double")
+    vy = (np_ * F.col("syy") - sy * 1.0 * sy).cast("double")
+    fit = m.select(
+        "np",
+        k.alias("k"),
+        cv.alias("cv"),
+        vx.alias("vx"),
+        vy.alias("vy"),
+        "sx",
+        "sy",
+    )
+    return fit.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_events"),
+        F.col("np").alias("n_points"),
+        stable_round(F.col("k"), 6).alias("shape_k"),
+        stable_round(
+            F.exp(
+                -(((F.col("sy") - F.col("k") * F.col("sx")) / F.col("np")) / 1000000.0)
+                / F.col("k")
+            ),
+            6,
+        ).alias("scale_hours"),
+        stable_round((F.col("cv") * F.col("cv")) / (F.col("vx") * F.col("vy")), 6).alias(
+            "r2"
+        ),
+    )
+
+
+@register(
+    "q_gamma_interarrival",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS BIGINT)
+               AS gap_s
+    FROM events
+),
+g AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL AND gap_s > 0),
+m AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(gap_s) AS BIGINT) AS s1,
+           sum(CAST(gap_s AS HUGEINT) * gap_s) AS s2
+    FROM g GROUP BY 1
+),
+mv AS (
+    SELECT event_type, n,
+           (CAST(s1 AS DOUBLE) / n) AS mean_s,
+           (CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / (n * (n - 1.0))) AS var_s
+    FROM m
+)
+SELECT event_type, n AS n_gaps,
+       (round(mean_s * 1000000.0) / 1000000.0) AS mean_gap_s,
+       (round(var_s * 1.0) / 1.0) AS var_gap_s,
+       (round((mean_s * mean_s / var_s) * 1000000.0) / 1000000.0) AS shape_k,
+       (round((var_s / mean_s) * 1000000.0) / 1000000.0) AS scale_theta_s
+FROM mv
+ORDER BY event_type
+""",
+    description=(
+        "Gamma fit of inter-event arrival times by method of moments, "
+        "per event type (gap attributed to the later event): shape "
+        "k = mean^2/var, scale theta = var/mean — k near 1 means "
+        "Poisson-like memoryless arrivals, k < 1 bursty (the parametric "
+        "companion to q_burstiness_fano's index, usable for simulation "
+        "and anomaly thresholds). Gaps come from a per-user lag window "
+        "(partitioned — fully distributed); both moments fold as exact "
+        "integers (HUGEINT/DECIMAL(38) squares: a 30-day gap in seconds "
+        "squares to ~6.7e12 per row)."
+    ),
+    tags=("stats", "timeseries", "extension", "parity"),
+)
+def q_gamma_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        F.floor(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1000000
+        )
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_s").cast("long").alias("s1"),
+        F.sum(F.col("gap_s").cast(_DEC) * F.col("gap_s").cast(_DEC)).alias("s2"),
+    )
+    n = F.col("n")
+    mean_s = F.col("s1").cast("double") / n
+    var_s = (
+        (n.cast(_DEC) * F.col("s2") - F.col("s1").cast(_DEC) * F.col("s1").cast(_DEC))
+        .cast("double")
+        / (n * (n - 1.0))
+    )
+    mv = m.select("event_type", "n", mean_s.alias("mean_s"), var_s.alias("var_s"))
+    return mv.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        stable_round(F.col("mean_s"), 6).alias("mean_gap_s"),
+        stable_round(F.col("var_s"), 0).alias("var_gap_s"),
+        stable_round(F.col("mean_s") * F.col("mean_s") / F.col("var_s"), 6).alias(
+            "shape_k"
+        ),
+        stable_round(F.col("var_s") / F.col("mean_s"), 6).alias("scale_theta_s"),
+    ).orderBy("event_type")
