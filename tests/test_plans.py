@@ -650,6 +650,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_logrank_test": "distinct day-durations (horizon-bounded)",
     "q_survival_rmst": "distinct day-durations (horizon-bounded)",
     "q_aalen_johansen": "distinct day-durations (horizon-bounded)",
+    "q_weibull_fit": "distinct hour-durations (horizon-bounded, <=60)",
     "q_hill_tail_index": "post-LIMIT-101 order-statistic rank",
     # q_cox_ph's horizon-bounded suffix windows run inside the Newton
     # loop (collected during construction); the returned plan is
