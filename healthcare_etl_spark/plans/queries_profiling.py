@@ -519,3 +519,127 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .orderBy("fold", "label")
     )
+
+
+def _health_oracle() -> str:
+    return f"""
+WITH fd AS ({_fd_oracle()}),
+ind AS ({_ind_oracle()}),
+srt AS (
+    SELECT bucket, sortedness, skip_sort FROM (
+        WITH b AS (
+            SELECT CAST(event_id // 4096 AS BIGINT) AS bucket, event_id, ts
+            FROM events
+        ),
+        adj AS (
+            SELECT bucket,
+                   CASE WHEN lag(ts) OVER (PARTITION BY bucket ORDER BY event_id)
+                             IS NULL THEN NULL
+                        WHEN ts >= lag(ts) OVER (PARTITION BY bucket
+                             ORDER BY event_id) THEN 1 ELSE 0 END AS in_order
+            FROM b
+        )
+        SELECT bucket,
+               (round((sum(in_order) * 1.0 / count(in_order)) * 1000000.0)
+                / 1000000.0) AS sortedness,
+               (sum(in_order) * 1.0 / count(in_order)) >= 0.99 AS skip_sort
+        FROM adj GROUP BY bucket
+    )
+),
+adv AS ({_advisor_oracle()}),
+long AS (
+    SELECT 'fd' AS section,
+           table_name || '.' || determinant || '->' || dependent AS entity,
+           'violating_keys' AS metric,
+           CAST(n_violating_keys AS DOUBLE) AS value,
+           fd_holds AS ok
+    FROM fd
+    UNION ALL
+    SELECT 'fk' AS section,
+           child_table || '.' || child_col || '->' || parent_table || '.'
+               || parent_col AS entity,
+           'containment' AS metric, containment AS value, fk_candidate AS ok
+    FROM ind
+    UNION ALL
+    SELECT 'layout' AS section,
+           'events.bucket_' || CAST(bucket AS VARCHAR) AS entity,
+           'sortedness' AS metric, sortedness AS value, skip_sort AS ok
+    FROM srt
+    UNION ALL
+    SELECT 'size' AS section, table_name AS entity,
+           'est_mb' AS metric, est_mb AS value,
+           (shuffle_partitions_128mb <= 10000) AS ok
+    FROM adv
+)
+SELECT * FROM long ORDER BY section, entity, metric
+"""
+
+
+@register(
+    "q_table_health_report",
+    oracle=_health_oracle(),
+    description=(
+        "Profiling capstone: the FD screen, FK-candidate containment, "
+        "per-bucket sortedness audit, and partition-sizing advisor "
+        "composed as ONE lazy long-format report (section, entity, "
+        "metric, value, ok) — the single artifact a data platform "
+        "publishes per table per day, and the composition proof that "
+        "the profiling operators share scans and union without "
+        "materialization barriers (the q_curation_pipeline_v2 pattern "
+        "applied to the metadata plane). Each section's arithmetic is "
+        "identical to its standalone query, so the composition itself "
+        "is value-hash-checked."
+    ),
+    tags=("profiling", "capstone", "extension", "parity"),
+)
+def q_table_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fd = q_fd_discovery(spark, sf_dir).select(
+        F.lit("fd").alias("section"),
+        F.concat(
+            F.col("table_name"),
+            F.lit("."),
+            F.col("determinant"),
+            F.lit("->"),
+            F.col("dependent"),
+        ).alias("entity"),
+        F.lit("violating_keys").alias("metric"),
+        F.col("n_violating_keys").cast("double").alias("value"),
+        F.col("fd_holds").alias("ok"),
+    )
+    fk = q_fk_discovery(spark, sf_dir).select(
+        F.lit("fk").alias("section"),
+        F.concat(
+            F.col("child_table"),
+            F.lit("."),
+            F.col("child_col"),
+            F.lit("->"),
+            F.col("parent_table"),
+            F.lit("."),
+            F.col("parent_col"),
+        ).alias("entity"),
+        F.lit("containment").alias("metric"),
+        F.col("containment").alias("value"),
+        F.col("fk_candidate").alias("ok"),
+    )
+    srt = q_sortedness_audit(spark, sf_dir).select(
+        F.lit("layout").alias("section"),
+        F.concat(F.lit("events.bucket_"), F.col("bucket").cast("string")).alias(
+            "entity"
+        ),
+        F.lit("sortedness").alias("metric"),
+        F.col("sortedness").alias("value"),
+        F.col("skip_sort").alias("ok"),
+    )
+    adv = q_partition_count_advisor(spark, sf_dir).select(
+        F.lit("size").alias("section"),
+        F.col("table_name").alias("entity"),
+        F.lit("est_mb").alias("metric"),
+        F.col("est_mb").alias("value"),
+        (F.col("shuffle_partitions_128mb") <= 10000).alias("ok"),
+    )
+    return (
+        fd.unionByName(fk)
+        .unionByName(srt)
+        .unionByName(adv)
+        .orderBy("section", "entity", "metric")
+    )
