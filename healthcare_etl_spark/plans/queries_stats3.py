@@ -907,3 +907,152 @@ def q_gamma_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         stable_round(F.col("var_s") / F.col("mean_s"), 6).alias("scale_theta_s"),
     ).orderBy("event_type")
+
+
+_HUBER_K = 1.345
+_HUBER_ROUNDS = 3
+
+
+def _huber_oracle() -> str:
+    pre = f"""
+WITH pts AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS x FROM events
+),
+m0 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s1,
+           sum(CAST(x AS HUGEINT) * x) AS s2
+    FROM pts
+),
+st AS (
+    SELECT n,
+           (round((CAST(s1 AS DOUBLE) / n) * 1000000.0) / 1000000.0) AS mu0,
+           (round(({_HUBER_K} * sqrt(
+                CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                / (n * (n - 1.0)))) * 1000000.0) / 1000000.0) AS c
+    FROM m0
+)"""
+    # round k reads mu from round k-1 (st.mu0 for round 1) and c from st,
+    # so each r{k} cross-joins st plus the previous round's 1-row state
+    rounds = []
+    prev = None
+    for k in range(1, _HUBER_ROUNDS + 1):
+        mu_ref = "st.mu0" if prev is None else f"{prev}.mu"
+        extra = "" if prev is None else f" CROSS JOIN {prev}"
+        rounds.append(
+            f""",
+r{k} AS (
+    SELECT
+        CAST(sum(CAST(round((CASE WHEN abs(p.x - {mu_ref}) <= st.c THEN 1.0
+                             ELSE st.c / abs(p.x - {mu_ref}) END) * p.x
+                            * 1000000.0) AS BIGINT)) AS BIGINT) AS swx,
+        CAST(sum(CAST(round((CASE WHEN abs(p.x - {mu_ref}) <= st.c THEN 1.0
+                             ELSE st.c / abs(p.x - {mu_ref}) END)
+                            * 1000000000.0) AS BIGINT)) AS BIGINT) AS sw,
+        CAST(sum(CASE WHEN abs(p.x - {mu_ref}) > st.c THEN 1 ELSE 0 END)
+             AS BIGINT) AS nd
+    FROM pts p CROSS JOIN st{extra}
+),
+s{k} AS (
+    SELECT (round(((swx / 1000000.0) / (sw / 1000000000.0)) * 1000000.0)
+            / 1000000.0) AS mu, nd
+    FROM r{k}
+)"""
+        )
+        prev = f"s{k}"
+    last = f"s{_HUBER_ROUNDS}"
+    return (
+        pre
+        + "".join(rounds)
+        + f"""
+SELECT st.n AS n_rows,
+       (round((st.mu0 / 100.0) * 1000000.0) / 1000000.0) AS mean_value,
+       (round(({last}.mu / 100.0) * 1000000.0) / 1000000.0) AS huber_location,
+       (round((st.c / 100.0) * 1000000.0) / 1000000.0) AS tuning_c,
+       {last}.nd AS n_downweighted,
+       (round(({last}.nd * 1.0 / st.n) * 1000000.0) / 1000000.0)
+           AS frac_downweighted
+FROM st CROSS JOIN {last}
+"""
+    )
+
+
+@register(
+    "q_huber_location",
+    oracle=_huber_oracle(),
+    description=(
+        f"Huber M-estimator of the event-value location ({_HUBER_ROUNDS} "
+        "IRLS rounds, tuning constant 1.345 sigma for 95% Gaussian "
+        "efficiency): outliers beyond c get weight c/|x-mu| instead of "
+        "1, so the estimate sits between the mean (efficient, fragile) "
+        "and the median (robust, inefficient) — the robust-location "
+        "member alongside q_winsorized_mean (fixed trim) and "
+        "q_anomaly_mad (detection). Each round is one partial-aggregated "
+        "fold over the scan with the 1-row state broadcast back; "
+        "weighted sums quantize per-row to BIGINTs (order-free exact "
+        "folds), the divide-by-zero branch is CASE-guarded because "
+        "Spark doubles yield Infinity where DuckDB yields NULL, and "
+        "round-k state is 6dp-rounded so both engines iterate from "
+        "identical values."
+    ),
+    tags=("stats", "extension", "iterative", "parity"),
+)
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("x")
+    )
+    m0 = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x").cast(_DEC)).alias("s2"),
+    )
+    n = F.col("n")
+    st = m0.select(
+        "n",
+        stable_round(F.col("s1").cast("double") / n, 6).alias("mu0"),
+        stable_round(
+            _HUBER_K
+            * F.sqrt(
+                (n.cast(_DEC) * F.col("s2") - F.col("s1").cast(_DEC) * F.col("s1").cast(_DEC)).cast(
+                    "double"
+                )
+                / (n * (n - 1.0))
+            ),
+            6,
+        ).alias("c"),
+    )
+    state = st
+    mu_col = "mu0"
+    nd_last = None
+    for _ in range(_HUBER_ROUNDS):
+        d = F.abs(F.col("x") - F.col(mu_col))
+        w = F.when(d <= F.col("c"), F.lit(1.0)).otherwise(F.col("c") / d)
+        r = pts.crossJoin(F.broadcast(state)).agg(
+            F.sum(F.round(w * F.col("x") * 1000000.0).cast("long"))
+            .cast("long")
+            .alias("swx"),
+            F.sum(F.round(w * 1000000000.0).cast("long")).cast("long").alias("sw"),
+            F.sum(F.when(d > F.col("c"), 1).otherwise(0)).cast("long").alias("nd"),
+            F.first("n").alias("n"),
+            F.first("mu0").alias("mu0"),
+            F.first("c").alias("c"),
+        )
+        state = r.select(
+            "n",
+            "mu0",
+            "c",
+            "nd",
+            stable_round(
+                (F.col("swx") / 1000000.0) / (F.col("sw") / 1000000000.0), 6
+            ).alias("mu"),
+        )
+        mu_col = "mu"
+        nd_last = "nd"
+    return state.select(
+        F.col("n").alias("n_rows"),
+        stable_round(F.col("mu0") / 100.0, 6).alias("mean_value"),
+        stable_round(F.col("mu") / 100.0, 6).alias("huber_location"),
+        stable_round(F.col("c") / 100.0, 6).alias("tuning_c"),
+        F.col(nd_last).alias("n_downweighted"),
+        stable_round(F.col(nd_last) * 1.0 / F.col("n"), 6).alias("frac_downweighted"),
+    )
