@@ -2043,3 +2043,121 @@ def q_unigram_tokenizer_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("seg_count"), F.asc("piece"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (round-6 continuation-5)
+
+_QL_TERMS = ("join", "hash", "filter")
+_QL_MU = 2000.0
+
+
+@register(
+    "q_ql_dirichlet_search",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+cf AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok
+    WHERE w IN ('join', 'hash', 'filter') GROUP BY w
+),
+tf AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+    WHERE w IN ('join', 'hash', 'filter') GROUP BY doc_id, w
+),
+terms(w) AS (VALUES ('join'), ('hash'), ('filter')),
+grid AS (
+    SELECT d.doc_id, d.dl, t.w, coalesce(f.tf, 0) AS tf, c.cf, o.n_tokens
+    FROM dl d CROSS JOIN terms t
+    LEFT JOIN tf f ON f.doc_id = d.doc_id AND f.w = t.w
+    JOIN cf c ON c.w = t.w
+    CROSS JOIN tot o
+),
+scored AS (
+    SELECT doc_id, w,
+           (round(ln((tf + {_QL_MU} * (cf * 1.0 / n_tokens)) / (dl + {_QL_MU}))
+                  * 1000000.0) / 1000000.0) AS s
+    FROM grid
+),
+agg AS (
+    SELECT doc_id,
+           (round((max(CASE WHEN w = 'join'   THEN s END)
+                 + max(CASE WHEN w = 'hash'   THEN s END)
+                 + max(CASE WHEN w = 'filter' THEN s END)) * 1000000.0)
+            / 1000000.0) AS score
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                  AS rank
+    FROM agg
+) WHERE rank <= 20
+""",
+    description=(
+        "Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty "
+        f"2001, mu={_QL_MU:g}) for the same fixed 3-term query as "
+        "q_bm25_search: score(d) = sum_t ln((tf + mu*p_t)/(dl + mu)) "
+        "with p_t the collection unigram probability — the language-"
+        "model member of the lexical-ranking family (BM25's tf "
+        "saturation vs QL's length-aware smoothing; q_hybrid_search_rrf "
+        "can fuse either). EVERY document scores against every query "
+        "term (absent terms contribute the smoothed background), via a "
+        "docs x 3 grid with tf left-joined and the collection stats "
+        "broadcast; per-term scores round at 6dp and sum in FIXED term "
+        "order (conditional aggregation — no engine-dependent float "
+        "order). Top-20 rides TakeOrderedAndProject."
+    ),
+    tags=("text", "extension", "retrieval", "parity"),
+)
+def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    dl = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    hits = tok.filter(F.col("w").isin(*_QL_TERMS))
+    cf = hits.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    terms = spark.createDataFrame([(t,) for t in _QL_TERMS], "w string")
+    grid = (
+        dl.crossJoin(F.broadcast(terms))
+        .join(tf, ["doc_id", "w"], "left")
+        .join(F.broadcast(cf), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+            "dl",
+            "cf",
+            "n_tokens",
+        )
+    )
+    s = stable_round(
+        F.log(
+            (F.col("tf") + _QL_MU * (F.col("cf") * 1.0 / F.col("n_tokens")))
+            / (F.col("dl") + _QL_MU)
+        ),
+        6,
+    )
+    scored = grid.select("doc_id", "w", s.alias("s"))
+    agg = scored.groupBy("doc_id").agg(
+        stable_round(
+            F.max(F.when(F.col("w") == "join", F.col("s")))
+            + F.max(F.when(F.col("w") == "hash", F.col("s")))
+            + F.max(F.when(F.col("w") == "filter", F.col("s"))),
+            6,
+        ).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )

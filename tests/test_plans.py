@@ -667,6 +667,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     # partition to k rows before the single-partition stage
     "q_hybrid_search_rrf": "WindowGroupLimit k-truncated",
     "q_bm25_search": "WindowGroupLimit k-truncated",
+    "q_ql_dirichlet_search": "WindowGroupLimit k-truncated",
     "q_prf_expansion": "WindowGroupLimit k-truncated + 10-doc feedback vocab",
     "q_kneser_ney_bigram": "WindowGroupLimit k-truncated",
     "q_join_size_estimate": "WindowGroupLimit k-truncated (min-128 synopsis)",
