@@ -643,3 +643,100 @@ def q_table_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(adv)
         .orderBy("section", "entity", "metric")
     )
+
+
+# Categorical columns to profile: (table, column).
+_ENTROPY_COLS: tuple[tuple[str, str], ...] = (
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("customer", "c_mktsegment"),
+)
+
+
+def _entropy_oracle() -> str:
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        parts.append(
+            f"""
+SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS ndv,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(-(cnt * 1.0 / tot) * ln(cnt * 1.0 / tot)
+                           * 1000000000.0) AS BIGINT)) AS BIGINT) AS h_q
+FROM (
+    SELECT {col} AS v, count(*) AS cnt,
+           sum(count(*)) OVER () AS tot
+    FROM {tbl} GROUP BY 1
+)"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return f"""
+WITH h AS ({body})
+SELECT table_name, column_name, ndv, n_rows,
+       (h_q / 1000000000.0) AS entropy_nats,
+       CASE WHEN ndv <= 1 THEN 0.0
+            ELSE (round(((h_q / 1000000000.0) / ln(ndv)) * 1000000.0) / 1000000.0)
+       END AS normalized_entropy
+FROM h
+ORDER BY table_name, column_name
+"""
+
+
+@register(
+    "q_column_entropy_profile",
+    oracle=_entropy_oracle(),
+    description=(
+        "Shannon-entropy profile of the categorical columns: per "
+        "column, NDV, H = -sum p ln p over the value distribution, and "
+        "H/ln(NDV) normalized to [0,1] (1 = uniform, near 0 = one "
+        "dominant value) — the column-level uniformity signal that "
+        "feeds q_encoding_advisor (low entropy -> dictionary/RLE wins) "
+        "and flags skewed join/agg keys before q_shuffle_skew_planner "
+        "simulates placement. Each column is one grouped count (the "
+        "value-domain frame is categorical-cardinality-sized, so the "
+        "share window rides a tiny grid); per-value -p ln p terms "
+        "quantize to 1e-9 BIGINTs before the order-free sum."
+    ),
+    tags=("profiling", "extension", "parity"),
+)
+def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, col in _ENTROPY_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        counts = t.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        tot = counts.agg(F.sum("cnt").alias("tot"))
+        shares = counts.crossJoin(F.broadcast(tot))
+        p = F.col("cnt") * 1.0 / F.col("tot")
+        term = F.round(-p * F.log(p) * 1000000000.0).cast("long")
+        outs.append(
+            shares.agg(
+                F.count(F.lit(1)).cast("long").alias("ndv"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.sum(term).cast("long").alias("h_q"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                "ndv",
+                "n_rows",
+                "h_q",
+            )
+        )
+    h = reduce(DataFrame.unionByName, outs)
+    return h.select(
+        "table_name",
+        "column_name",
+        "ndv",
+        "n_rows",
+        (F.col("h_q") / 1000000000.0).alias("entropy_nats"),
+        F.when(F.col("ndv") <= 1, F.lit(0.0))
+        .otherwise(
+            stable_round((F.col("h_q") / 1000000000.0) / F.log("ndv"), 6)
+        )
+        .alias("normalized_entropy"),
+    ).orderBy("table_name", "column_name")

@@ -1056,3 +1056,194 @@ def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(nd_last).alias("n_downweighted"),
         stable_round(F.col(nd_last) * 1.0 / F.col("n"), 6).alias("frac_downweighted"),
     )
+
+
+@register(
+    "q_paired_ttest",
+    oracle="""
+WITH halves AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS pre_c,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS post_c,
+           CAST(count(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN 1 END) AS BIGINT) AS n_pre,
+           CAST(count(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 END) AS BIGINT) AS n_post
+    FROM events GROUP BY user_id
+),
+diffs AS (
+    SELECT (post_c - pre_c) AS d FROM halves
+    WHERE n_pre > 0 AND n_post > 0
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d) AS BIGINT) AS s1,
+           sum(CAST(d AS HUGEINT) * d) AS s2
+    FROM diffs
+),
+t AS (
+    SELECT n,
+           (CAST(s1 AS DOUBLE) / n) AS dbar,
+           sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                / (n * (n - 1.0))) AS sd
+    FROM m
+)
+SELECT n AS n_users,
+       (round((dbar / 100.0) * 1000000.0) / 1000000.0) AS mean_diff,
+       (round((sd / 100.0) * 1000000.0) / 1000000.0) AS sd_diff,
+       (round((dbar / (sd / sqrt(n))) * 1000000.0) / 1000000.0) AS t_stat,
+       abs(dbar / (sd / sqrt(n))) > 1.959964 AS significant
+FROM t
+""",
+    description=(
+        "Paired t-test of per-user spend, first half vs second half of "
+        "the month: each user is their own control (the within-subject "
+        "design q_welch_ttest's independent-arms form cannot express; "
+        "q_wilcoxon_signed_rank is its rank-based robust sibling, "
+        "q_cuped_adjustment its regression generalization). Per-user "
+        "paired sums fold exactly in cents; users active in only one "
+        "half drop (no pair); the diff moments fold as exact "
+        "HUGEINT/DECIMAL(38) integers; t vs the normal 95% point "
+        "(df >> 30). One grouped aggregate + one 3-moment fold."
+    ),
+    tags=("stats", "experimentation", "extension", "parity"),
+)
+def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.to_date("ts") < cut
+    halves = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("pre_c"),
+        F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("post_c"),
+        F.count(F.when(pre, 1)).cast("long").alias("n_pre"),
+        F.count(F.when(~pre, 1)).cast("long").alias("n_post"),
+    )
+    diffs = halves.filter((F.col("n_pre") > 0) & (F.col("n_post") > 0)).select(
+        (F.col("post_c") - F.col("pre_c")).alias("d")
+    )
+    m = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d").cast(_DEC) * F.col("d").cast(_DEC)).alias("s2"),
+    )
+    n = F.col("n")
+    dbar = F.col("s1").cast("double") / n
+    sd = F.sqrt(
+        (n.cast(_DEC) * F.col("s2") - F.col("s1").cast(_DEC) * F.col("s1").cast(_DEC)).cast(
+            "double"
+        )
+        / (n * (n - 1.0))
+    )
+    tstat = dbar / (sd / F.sqrt(n))
+    return m.select(
+        n.alias("n_users"),
+        stable_round(dbar / 100.0, 6).alias("mean_diff"),
+        stable_round(sd / 100.0, 6).alias("sd_diff"),
+        stable_round(tstat, 6).alias("t_stat"),
+        (F.abs(tstat) > 1.959964).alias("significant"),
+    )
+
+
+@register(
+    "q_icc_oneway",
+    oracle="""
+WITH cells AS (
+    SELECT (user_id % 64) AS u, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+per_u AS (
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM cells GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(sy) AS BIGINT) AS st,
+           CAST(sum(CAST(syy AS HUGEINT)) AS HUGEINT) AS sst,
+           sum(CAST(round(CAST(CAST(sy AS HUGEINT) * sy AS DOUBLE) / n)
+                    AS BIGINT)) AS ssb_q
+    FROM per_u
+),
+ss AS (
+    SELECT nt, k,
+           (CAST(ssb_q AS DOUBLE) - CAST(CAST(st AS HUGEINT) * st AS DOUBLE) / nt)
+               AS ssb,
+           (CAST(sst AS DOUBLE) - CAST(ssb_q AS DOUBLE)) AS ssw,
+           ((nt - CAST(round(CAST(CAST(nt AS HUGEINT) * nt AS DOUBLE) / nt)
+                 AS BIGINT) * 1.0 / 1.0)) AS unused
+    FROM tot
+),
+msq AS (
+    SELECT nt, k,
+           (ssb / (k - 1.0)) AS msb,
+           (ssw / (nt - k * 1.0)) AS msw,
+           ((nt * 1.0) / k) AS k0
+    FROM ss
+)
+SELECT nt AS n_cells, k AS n_groups,
+       (round(msb * 1.0) / 1.0) AS ms_between,
+       (round(msw * 1.0) / 1.0) AS ms_within,
+       (round(((msb - msw) / (msb + (k0 - 1.0) * msw)) * 1000000.0) / 1000000.0)
+           AS icc1,
+       (round((msb / msw) * 1000000.0) / 1000000.0) AS f_ratio
+FROM msq
+""",
+    description=(
+        "One-way intraclass correlation ICC(1) of daily spend within "
+        "user buckets: variance decomposition into between-group and "
+        "within-group mean squares (balanced-approximation k0 = N/k for "
+        "the group-size constant), ICC = (MSB - MSW)/(MSB + (k0-1)MSW) "
+        "— how much of daily revenue variance is explained by WHICH "
+        "user bucket it comes from; the reliability companion to "
+        "q_fixed_effects_panel (same panel, asking 'how big are the "
+        "fixed effects' instead of 'what survives them') and the "
+        "random-effects cousin of q_anova_f. Per-group exact integer "
+        "moments; the one rational per-group term (Sy^2/n) quantizes to "
+        "a BIGINT before the global fold."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 64).alias("u"), F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    )
+    per_u = cells.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias("syy"),
+    )
+    ssb_q = F.round(
+        (F.col("sy").cast(_DEC) * F.col("sy").cast(_DEC)).cast("double") / F.col("n")
+    ).cast("long")
+    tot = per_u.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sy").cast("long").alias("st"),
+        F.sum(F.col("syy")).alias("sst"),
+        F.sum(ssb_q).cast("long").alias("ssb_q"),
+    )
+    nt, k = F.col("nt"), F.col("k")
+    ssb = F.col("ssb_q").cast("double") - (
+        F.col("st").cast(_DEC) * F.col("st").cast(_DEC)
+    ).cast("double") / nt
+    ssw = F.col("sst").cast("double") - F.col("ssb_q").cast("double")
+    msb = ssb / (k - 1.0)
+    msw = ssw / (nt - k * 1.0)
+    k0 = nt * 1.0 / k
+    return tot.select(
+        nt.alias("n_cells"),
+        k.alias("n_groups"),
+        stable_round(msb, 0).alias("ms_between"),
+        stable_round(msw, 0).alias("ms_within"),
+        stable_round((msb - msw) / (msb + (k0 - 1.0) * msw), 6).alias("icc1"),
+        stable_round(msb / msw, 6).alias("f_ratio"),
+    )
