@@ -740,3 +740,126 @@ def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("normalized_entropy"),
     ).orderBy("table_name", "column_name")
+
+
+_FRESHNESS_ASOF = "2024-01-31 00:00:00"
+_FRESHNESS_SLA_HOURS = 24
+
+
+@register(
+    "q_data_freshness_audit",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_event,
+       CAST((epoch_us(TIMESTAMP '{_FRESHNESS_ASOF}') - epoch_us(max(ts)))
+            // 3600000000 AS BIGINT) AS hours_stale,
+       ((epoch_us(TIMESTAMP '{_FRESHNESS_ASOF}') - epoch_us(max(ts)))
+            // 3600000000) > {_FRESHNESS_SLA_HOURS} AS sla_breach
+FROM events GROUP BY event_type
+ORDER BY event_type
+""",
+    description=(
+        "Data-freshness audit per event stream: latest event timestamp, "
+        "staleness in whole hours against a fixed as-of reference "
+        f"(pipelines pass now(); the fixture pins {_FRESHNESS_ASOF} so "
+        "the check is reproducible), and a "
+        f"{_FRESHNESS_SLA_HOURS}h-SLA breach flag — the first panel on "
+        "any ingestion dashboard and the trigger for "
+        "q_watermark_audit's deeper lateness analysis. One grouped "
+        "max/count — partial-aggregated, no windows; at 100 TB this "
+        "reads only partition-level max statistics when the layout is "
+        "time-partitioned (the zone-map point q_pruning_stats makes)."
+    ),
+    tags=("profiling", "quality", "extension", "parity"),
+)
+def q_data_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    asof = F.lit(_FRESHNESS_ASOF).cast("timestamp")
+    stale_h = F.floor(
+        (F.unix_micros(asof) - F.unix_micros(F.max("ts"))) / 3600000000
+    ).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_event"),
+            stale_h.alias("hours_stale"),
+            (stale_h > _FRESHNESS_SLA_HOURS).alias("sla_breach"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Columns to null-profile: (table, column).
+_NULL_COLS: tuple[tuple[str, str], ...] = (
+    ("events", "event_id"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("events", "value"),
+    ("events", "props"),
+    ("documents", "text"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_custkey"),
+    ("orders", "o_totalprice"),
+)
+
+
+def _null_oracle() -> str:
+    parts = []
+    for tbl, col in _NULL_COLS:
+        parts.append(
+            f"""
+SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+       (round(((count(*) - count({col})) * 1.0 / count(*)) * 1000000.0)
+        / 1000000.0) AS null_rate,
+       (count(*) - count({col})) = 0 AS complete
+FROM {tbl}"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY table_name, column_name"
+
+
+@register(
+    "q_null_rate_profile",
+    oracle=_null_oracle(),
+    description=(
+        "Null-rate (completeness) profile per column: exact null counts "
+        "and rates with a completeness flag — the third leg of the "
+        "profiling triad (q_column_entropy_profile: distribution shape; "
+        "q_fd_discovery/q_fk_discovery: relationships; this: "
+        "completeness), and the check that feeds "
+        "operators.quality.check_expectations thresholds. count(col) "
+        "vs count(*) per table in one partial-aggregated pass each — "
+        "all columns of a table share one scan via column pruning."
+    ),
+    tags=("profiling", "quality", "extension", "parity"),
+)
+def q_null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[str]] = {}
+    for tbl, col in _NULL_COLS:
+        by_table.setdefault(tbl, []).append(col)
+    outs = []
+    for tbl, cols in by_table.items():
+        t = load_table(spark, sf_dir, tbl)
+        agg = t.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[F.count(c).cast("long").alias(f"__nn_{c}") for c in cols],
+        )
+        for c in cols:
+            outs.append(
+                agg.select(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("__n").alias("n_rows"),
+                    (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_null"),
+                    stable_round(
+                        (F.col("__n") - F.col(f"__nn_{c}")) * 1.0 / F.col("__n"), 6
+                    ).alias("null_rate"),
+                    ((F.col("__n") - F.col(f"__nn_{c}")) == 0).alias("complete"),
+                )
+            )
+    return reduce(DataFrame.unionByName, outs).orderBy("table_name", "column_name")
