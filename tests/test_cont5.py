@@ -160,3 +160,87 @@ def test_smote_rows_cover_minority(spark, sf_smoke):
     for r in rows:
         assert r.neighbor_id != r.base_id
         assert r.synth_norm >= 0.0
+
+
+def test_weibull_fit_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_weibull_fit")
+    assert r.n_points >= 2
+    assert r.shape_k > 0.0
+    assert r.scale_hours > 0.0
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_gamma_interarrival_invariants(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_gamma_interarrival"):
+        assert r.shape_k > 0.0
+        assert r.scale_theta_s > 0.0
+        # MoM identity: k * theta == mean (up to rounding)
+        assert abs(r.shape_k * r.scale_theta_s - r.mean_gap_s) < max(
+            1.0, r.mean_gap_s * 1e-3
+        )
+
+
+def test_partition_advisor_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_partition_count_advisor")
+    assert {r.table_name for r in rows} == {
+        "lineitem", "orders", "events", "documents", "embeddings",
+    }
+    for r in rows:
+        assert r.shuffle_partitions_128mb >= 1
+        assert r.files_1gb <= r.shuffle_partitions_128mb
+        assert r.rows_per_partition <= r.n_rows
+
+
+def test_stratified_kfold_balance(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_stratified_kfold")
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.label, []).append(r.n_vecs)
+    for label, counts in per_label.items():
+        assert max(counts) - min(counts) <= 1, f"label {label}: {counts}"
+
+
+def test_table_health_report_sections(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_table_health_report")
+    sections = {r.section for r in rows}
+    assert sections == {"fd", "fk", "layout", "size"}
+
+
+def test_huber_location_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_huber_location")
+    assert r.tuning_c > 0.0
+    assert 0.0 <= r.frac_downweighted <= 1.0
+    assert r.huber_location > 0.0
+
+
+def test_ql_dirichlet_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_ql_dirichlet_search")
+    assert len(rows) == 20
+    for r in rows:
+        assert r.score < 0.0  # log-probabilities
+
+
+def test_paired_ttest_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_paired_ttest")
+    assert r.n_users > 1
+    assert r.sd_diff > 0.0
+
+
+def test_icc_bounds(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_icc_oneway")
+    assert -1.0 <= r.icc1 <= 1.0
+    assert r.ms_within > 0.0
+
+
+def test_column_entropy_bounds(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_column_entropy_profile"):
+        assert r.entropy_nats >= 0.0
+        assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-9
+
+
+def test_freshness_and_nulls(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_data_freshness_audit"):
+        assert r.hours_stale >= 0
+    for r in _rows(spark, sf_smoke, "q_null_rate_profile"):
+        assert 0.0 <= r.null_rate <= 1.0
+        assert r.complete == (r.n_null == 0)
