@@ -305,6 +305,123 @@ def batch_sliding_topk(
     )
 
 
+
+
+def _hll_fold(regs: DataFrame, group_col: str = "window_start") -> DataFrame:
+    """Registers -> HLL estimate, shared by the streaming sink frame and
+    the batch twin (both are plain DataFrames here). Same integer-
+    numerator harmonic fold + linear-counting branch as the oracle-
+    checked batch q_hll_register_sketch."""
+    from healthcare_etl_spark.plans.queries_patterns import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    w = 2 ** _HLL_WBITS
+    folded = regs.groupBy(group_col).agg(
+        (
+            F.sum(F.expr(f"CAST(power(2, {_HLL_WBITS} - m) AS BIGINT)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(w)
+        ).cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M * F.lit(float(w)) / F.col("s_num")
+    lin = F.lit(float(_HLL_M)) * F.log(
+        F.lit(_HLL_M) * F.lit(1.0) / (F.lit(_HLL_M) - F.col("n_nonzero"))
+    )
+    est = stable_round(
+        F.when((raw <= 2.5 * _HLL_M) & (F.col("n_nonzero") < _HLL_M), lin).otherwise(raw),
+        2,
+    )
+    return folded.select(group_col, "n_nonzero", est.alias("hll_est"))
+
+
+def _hll_register_stream_cols(ev: DataFrame) -> DataFrame:
+    from healthcare_etl_spark.operators.dedup import md5_hash31
+    from healthcare_etl_spark.plans.queries_patterns import _HLL_WBITS
+
+    return ev.select(
+        "ts",
+        md5_hash31(
+            F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).withColumn("idx", F.expr(f"h div {2 ** _HLL_WBITS}"))
+
+
+def run_streaming_hll_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    query_name: str = "stream_hll",
+    source_opts: dict | None = None,
+) -> DataFrame:
+    """Streaming approximate distinct users per day via an incremental
+    HyperLogLog: the streaming STATE is the (window, register) -> max
+    leading-zero rank table — m=64 rows per window, mergeable across
+    micro-batches because register max is commutative/idempotent (the
+    same property that makes HLL the cluster-scale distinct synopsis in
+    batch q_hll_register_sketch). The estimate fold runs on the
+    materialized sink frame plus a register-wise merged ALL row, so the
+    day->period rollup happens WITHOUT ever re-reading events. Exactly
+    equals the batch twin on replay (asserted in tests) because the
+    register function and fold are shared code.
+    """
+    from healthcare_etl_spark.plans.queries_patterns import _rho_case_sql, _HLL_WBITS
+
+    ev = streaming_events(spark, sf_dir, **(source_opts or {}))
+    hashed = _hll_register_stream_cols(ev)
+    rho = F.expr(_rho_case_sql(f"(h % {2 ** _HLL_WBITS})"))
+    agg = (
+        hashed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "idx")
+        .agg(F.max(rho).cast("long").alias("m"))
+        .select(F.date_format("w.start", _TS_FMT).alias("window_start"), "idx", "m")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = spark.table(query_name)
+    merged = regs.groupBy("idx").agg(F.max("m").cast("long").alias("m")).select(
+        F.lit("ALL").alias("window_start"), "idx", "m"
+    )
+    return _hll_fold(regs.unionByName(merged)).orderBy("window_start")
+
+
+def batch_hll_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 day",
+) -> DataFrame:
+    """Batch twin of :func:`run_streaming_hll_distinct` — the
+    equivalence anchor (F.window + the shared register/fold code)."""
+    from healthcare_etl_spark.plans.queries_patterns import _rho_case_sql, _HLL_WBITS
+    from healthcare_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = _hll_register_stream_cols(ev)
+    rho = F.expr(_rho_case_sql(f"(h % {2 ** _HLL_WBITS})"))
+    regs = (
+        hashed.groupBy(F.window("ts", window).alias("w"), "idx")
+        .agg(F.max(rho).cast("long").alias("m"))
+        .select(F.date_format("w.start", _TS_FMT).alias("window_start"), "idx", "m")
+    )
+    merged = regs.groupBy("idx").agg(F.max("m").cast("long").alias("m")).select(
+        F.lit("ALL").alias("window_start"), "idx", "m"
+    )
+    return _hll_fold(regs.unionByName(merged)).orderBy("window_start")
+
+
 def register_streaming_queries() -> None:
     """Register streaming jobs in the main registry (rows-only checks —
     the driver can execute them; equivalence to the oracle-checked batch
@@ -368,3 +485,19 @@ def register_streaming_queries() -> None:
         ),
         tags=("streaming", "extension", "timeseries"),
     )(_stream_psi)
+
+    def _stream_hll(spark, sf_dir):
+        return run_streaming_hll_distinct(spark, sf_dir, query_name="q_stream_hll_sink")
+
+    register(
+        "q_stream_hll_distinct",
+        description=(
+            "Streaming incremental HyperLogLog distinct-users per day: "
+            "state = (window, register) max-rank table (m=64 rows per "
+            "window, commutative/idempotent merge across micro-batches), "
+            "estimate folded on the sink frame plus a register-merged "
+            "ALL rollup row. Equals the batch twin on replay (shared "
+            "register + fold code); equivalence unit-tested."
+        ),
+        tags=("streaming", "sketch", "extension"),
+    )(_stream_hll)

@@ -23,3 +23,29 @@ def test_stream_sliding_topk_equals_batch(spark, sf_smoke):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_stream_hll_distinct_equals_batch(spark, sf_smoke):
+    """The incremental streaming HLL must equal its batch twin exactly
+    on a one-batch replay (shared register + fold code), include the
+    register-merged ALL rollup row, and the ALL estimate must be at
+    least every per-day estimate's register support."""
+    from healthcare_etl_spark.streaming.windows import (
+        batch_hll_distinct,
+        run_streaming_hll_distinct,
+    )
+
+    got = (
+        run_streaming_hll_distinct(spark, sf_smoke, query_name="t_stream_hll")
+        .orderBy("window_start")
+        .collect()
+    )
+    want = batch_hll_distinct(spark, sf_smoke).orderBy("window_start").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    rows = {r.window_start: r for r in got}
+    assert "ALL" in rows
+    days = [r for r in got if r.window_start != "ALL"]
+    assert len(days) >= 1
+    # merged registers dominate every day's registers
+    assert all(rows["ALL"].n_nonzero >= d.n_nonzero for d in days)
+    assert all(rows["ALL"].hll_est >= d.hll_est - 1e-6 for d in days)
