@@ -643,3 +643,45 @@ def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_week")
     )
+
+
+@register(
+    "q_trailing_hour_sum",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_hour_cents,
+       CAST(count(*) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_in_hour
+FROM events
+""",
+    description=(
+        "Per-user trailing one-hour spend via a time-RANGE window frame "
+        "(RANGE BETWEEN 3599999999 micros PRECEDING AND CURRENT ROW "
+        "over the epoch-micros order key) — the frame type ROWS frames "
+        "cannot express when events arrive irregularly, and the "
+        "velocity/rate-limit feature (spend-in-last-hour) fraud and "
+        "abuse rules key on. RANGE frames include ties on the order "
+        "key identically on both engines, sums fold in exact cents, "
+        "and the window partitions by user — fully distributed."
+    ),
+    tags=("events", "windows", "extension", "parity"),
+)
+def q_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3599999999, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("long").alias("trailing_hour_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_hour"),
+    )
