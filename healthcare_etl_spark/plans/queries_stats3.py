@@ -1247,3 +1247,186 @@ def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((msb - msw) / (msb + (k0 - 1.0) * msw), 6).alias("icc1"),
         stable_round(msb / msw, 6).alias("f_ratio"),
     )
+
+
+@register(
+    "q_grouped_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type,
+           (round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                  * 1000000.0) / 1000000.0) AS med_c
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, abs(CAST(round(e.value * 100) AS BIGINT) - m.med_c) AS ad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type,
+           (round(quantile_cont(ad, 0.5) * 1000000.0) / 1000000.0) AS mad_c
+    FROM dev GROUP BY event_type
+)
+SELECT m.event_type,
+       (round((m.med_c / 100.0) * 1000000.0) / 1000000.0) AS median_value,
+       (round((d.mad_c / 100.0) * 1000000.0) / 1000000.0) AS mad_value,
+       (round((1.4826 * d.mad_c / 100.0) * 1000000.0) / 1000000.0)
+           AS robust_sigma
+FROM med m JOIN mad d ON m.event_type = d.event_type
+ORDER BY m.event_type
+""",
+    description=(
+        "Grouped median absolute deviation per event type (plus the "
+        "1.4826-scaled robust sigma that makes MAD comparable to a "
+        "Gaussian SD): the per-group robust-scale companion to "
+        "q_anomaly_mad's global detector and q_huber_location's robust "
+        "location — the trio a metrics platform needs before alerting "
+        "on heavy-tailed value streams. Two grouped exact percentiles "
+        "with the 5-row median table broadcast between them (values "
+        "quantized to cents first so interpolation happens on identical "
+        "integers); the exact per-group sort is the documented small-"
+        "group path, approx_percentile the 100 TB default."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = ev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(c, 0.5)"), 6).alias("med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med_c")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(ad, 0.5)"), 6).alias("mad_c")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            stable_round(F.col("med_c") / 100.0, 6).alias("median_value"),
+            stable_round(F.col("mad_c") / 100.0, 6).alias("mad_value"),
+            stable_round(1.4826 * F.col("mad_c") / 100.0, 6).alias("robust_sigma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PB_TARGET_CENTS = 60000  # same 'good user' target as q_woe_iv_encoding
+
+
+def _pb_features_sql() -> str:
+    return """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS f_events,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS f_active_days,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS f_purchases,
+           CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                     > 60000
+                THEN 1 ELSE 0 END AS y
+    FROM events GROUP BY user_id
+"""
+
+
+def _pb_oracle() -> str:
+    feats = ("f_events", "f_active_days", "f_purchases")
+    parts = []
+    for f in feats:
+        parts.append(
+            f"""
+SELECT '{f}' AS feature,
+       CAST(count(*) AS BIGINT) AS n,
+       (CAST(count(*) * sum(CASE WHEN y = 1 THEN {f} ELSE 0 END)
+             - sum(y) * sum({f}) AS DOUBLE)
+        / (sqrt(CAST(count(*) * sum({f} * {f})
+                     - sum({f}) * sum({f}) AS DOUBLE))
+           * sqrt(CAST(count(*) * sum(y) - sum(y) * sum(y) AS DOUBLE))))
+           AS r_raw
+FROM u"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return f"""
+WITH u AS ({_pb_features_sql()})
+SELECT feature, n,
+       (round(r_raw * 1000000.0) / 1000000.0) AS point_biserial_r,
+       abs(r_raw) >= 0.1 AS keep_feature
+FROM ({body})
+ORDER BY feature
+"""
+
+
+@register(
+    "q_pointbiserial_screen",
+    oracle=_pb_oracle(),
+    description=(
+        "Point-biserial correlation screen of per-user activity features "
+        "against the binary high-spender target (same 600-dollar label "
+        "as q_woe_iv_encoding): r_pb is Pearson r with a 0/1 variable, "
+        "computed from exact integer moments in ONE pass over the "
+        "per-user feature frame — the univariate feature-selection "
+        "pre-filter that runs before q_mutual_info (nonlinear), q_vif "
+        "(redundancy), and q_permutation_importance (model-based). "
+        "Features and target fold exactly (counts and 0/1 sums); the "
+        "|r| >= 0.1 keep flag is the conventional screening threshold."
+    ),
+    tags=("stats", "mlops", "extension", "parity"),
+)
+def q_pointbiserial_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("f_events"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("f_active_days"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("f_purchases"),
+        F.when(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            > _PB_TARGET_CENTS,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    outs = []
+    for f in ("f_events", "f_active_days", "f_purchases"):
+        fc, y = F.col(f), F.col("y")
+        m = u.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(y == 1, fc).otherwise(0)).cast("long").alias("sfy"),
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(fc).cast("long").alias("sf"),
+            F.sum(fc * fc).cast("long").alias("sff"),
+        )
+        n = F.col("n")
+        r_raw = (n * F.col("sfy") - F.col("sy") * F.col("sf")).cast("double") / (
+            F.sqrt((n * F.col("sff") - F.col("sf") * F.col("sf")).cast("double"))
+            * F.sqrt((n * F.col("sy") - F.col("sy") * F.col("sy")).cast("double"))
+        )
+        outs.append(
+            m.select(
+                F.lit(f).alias("feature"),
+                "n",
+                r_raw.alias("r_raw"),
+            )
+        )
+    from functools import reduce
+
+    allf = reduce(DataFrame.unionByName, outs)
+    return allf.select(
+        "feature",
+        "n",
+        stable_round(F.col("r_raw"), 6).alias("point_biserial_r"),
+        (F.abs(F.col("r_raw")) >= 0.1).alias("keep_feature"),
+    ).orderBy("feature")
