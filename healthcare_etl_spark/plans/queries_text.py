@@ -1407,3 +1407,83 @@ def q_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_second",
         (F.col("lang_first") != F.col("lang_second")).alias("is_code_switched"),
     )
+
+
+def _label_noise_oracle() -> str:
+    s1, c1 = _half_lang_sql("toks", "p")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, {s1},
+           greatest(s_p_en, s_p_es, s_p_de, s_p_fr, 0)::BIGINT AS best_score
+    FROM toks
+),
+pred AS (
+    SELECT doc_id, lang, best_score, {c1} AS lang_pred
+    FROM scored
+)
+SELECT lang AS label, lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(best_score) AS BIGINT) AS max_score
+FROM pred
+WHERE lang_pred <> 'und' AND lang_pred <> lang AND best_score >= 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+
+
+@register(
+    "q_label_noise_screen",
+    oracle=_label_noise_oracle()[0],
+    description=(
+        "Label-noise screen (confident-learning-lite, Northcutt et al. "
+        "2021): documents whose stored lang label disagrees with a "
+        "confident stopword-argmax prediction (>=1 hit, not 'und') "
+        "aggregate into a (label, predicted) disagreement matrix of "
+        "relabel/review candidates — the "
+        "label-quality gate a classifier training set needs before "
+        "q_naive_bayes trusts the lang column as ground truth "
+        "(q_langid_eval measures the model against labels; THIS query "
+        "questions the labels). Pure per-row expression trees over one "
+        "scan; the same scores/argmax inlined in the oracle as "
+        "q_lang_id."
+    ),
+    tags=("text", "quality", "mlops", "extension", "parity"),
+)
+def q_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    from healthcare_etl_spark.operators.text_analysis import STOPWORD_PROFILES
+
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lg in STOPWORD_PROFILES:
+        s = F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(x) for x in STOPWORD_PROFILES[lg]])
+            )
+        )
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    pred = docs.select(
+        F.col("lang").alias("label"),
+        best_lang.alias("lang_pred"),
+        F.greatest(best_score, F.lit(0)).cast("long").alias("best_score"),
+    )
+    flagged = pred.filter(
+        (F.col("lang_pred") != "und")
+        & (F.col("lang_pred") != F.col("label"))
+        & (F.col("best_score") >= 1)
+    )
+    return (
+        flagged.groupBy("label", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("best_score").cast("long").alias("max_score"),
+        )
+        .orderBy("label", "lang_pred")
+    )
