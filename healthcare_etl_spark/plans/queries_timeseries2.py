@@ -685,3 +685,59 @@ def q_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).cast("long").alias("trailing_hour_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_in_hour"),
     )
+
+
+@register(
+    "q_top_movers",
+    oracle="""
+WITH halves AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS pre_cents,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS post_cents
+    FROM events GROUP BY user_id
+)
+SELECT user_id, pre_cents, post_cents,
+       (post_cents - pre_cents) AS delta_cents,
+       CASE WHEN post_cents >= pre_cents THEN 'up' ELSE 'down' END AS direction
+FROM halves
+ORDER BY abs(post_cents - pre_cents) DESC, user_id ASC
+LIMIT 10
+""",
+    description=(
+        "Top movers: the 10 users whose spend shifted most between the "
+        "two halves of the month (exact integer cents, absolute-delta "
+        "TakeOrderedAndProject — no global sort materializes) — the "
+        "'movers & shakers' tile every revenue dashboard carries, and "
+        "the per-entity drill-down behind q_paired_ttest's aggregate "
+        "verdict and q_price_volume_mix's category bridge. One grouped "
+        "conditional aggregate; top-k rides the rank-limit path."
+    ),
+    tags=("analytics", "extension", "parity"),
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.to_date("ts") < cut
+    halves = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("pre_cents"),
+        F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("post_cents"),
+    )
+    delta = F.col("post_cents") - F.col("pre_cents")
+    return (
+        halves.select(
+            "user_id",
+            "pre_cents",
+            "post_cents",
+            delta.alias("delta_cents"),
+            F.when(F.col("post_cents") >= F.col("pre_cents"), "up")
+            .otherwise("down")
+            .alias("direction"),
+        )
+        .orderBy(F.abs(F.col("delta_cents")).desc(), F.asc("user_id"))
+        .limit(10)
+    )
