@@ -244,3 +244,33 @@ def test_freshness_and_nulls(spark, sf_smoke):
     for r in _rows(spark, sf_smoke, "q_null_rate_profile"):
         assert 0.0 <= r.null_rate <= 1.0
         assert r.complete == (r.n_null == 0)
+
+
+def _plan(spark, sf, name):
+    df = get_registry()[name].fn(spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semantic_decontaminate_broadcasts_heldout(spark, sf_smoke):
+    """The held-out side of each cluster is eval-set-sized: it must come
+    in as a broadcast join, never a shuffle join, and the pair
+    generation must be the cluster-keyed equi-join (no cartesian)."""
+    plan = _plan(spark, sf_smoke, "q_semantic_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_smote_minority_join_is_broadcast(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q_smote_synthesis")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_periodogram_factor_join_is_broadcast(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q_periodogram")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_movers_uses_rank_limit(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q_top_movers")
+    assert "TakeOrderedAndProject" in plan
