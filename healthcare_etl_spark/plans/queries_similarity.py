@@ -2970,3 +2970,115 @@ def q_smote_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(l2_norm("sv"), 6).alias("synth_norm"),
         stable_round(mean, 6).alias("synth_mean"),
     )
+
+
+_USEG_PTS_SQL = """
+    SELECT user_id AS vec_id,
+           [CAST(count(*) AS DOUBLE),
+            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE),
+            CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE)] AS v
+    FROM events GROUP BY user_id
+"""
+
+
+def _useg_oracle() -> str:
+    cos = _COS.format(a="p.v", b="c.centroid")
+    cos2 = _COS.format(a="p.v", b="c.centroid")
+    return f"""
+WITH pts AS ({_USEG_PTS_SQL}),
+c0 AS (
+    SELECT vec_id::INT AS cluster, v AS centroid
+    FROM pts ORDER BY vec_id LIMIT 3
+),
+s1 AS (
+    SELECT p.vec_id, p.v, c.cluster,
+           (round({cos} * 1000000.0) / 1000000.0) AS cos
+    FROM pts p CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, v, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cluster ASC) AS rn
+        FROM s1
+    ) WHERE rn = 1
+),
+c1_long AS (
+    SELECT cluster, i AS pos,
+           (round(avg(v[i + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS m
+    FROM a1 CROSS JOIN range(3) t(i)
+    GROUP BY cluster, i
+),
+c1 AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM c1_long GROUP BY cluster),
+s2 AS (
+    SELECT p.vec_id, c.cluster,
+           (round({cos2} * 1000000.0) / 1000000.0) AS cos
+    FROM pts p CROSS JOIN c1 c
+),
+a2 AS (
+    SELECT vec_id, cluster, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cluster ASC) AS rn
+        FROM s2
+    ) WHERE rn = 1
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_users,
+       (round(avg(v[1]) * 1000000.0) / 1000000.0) AS mean_events,
+       (round(avg(v[2]) * 1000000.0) / 1000000.0) AS mean_purchases,
+       (round(avg(v[3]) * 1000000.0) / 1000000.0) AS mean_active_days
+FROM a2 JOIN pts USING (vec_id)
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+@register(
+    "q_user_segments_kmeans",
+    oracle=_useg_oracle(),
+    description=(
+        "Behavioral user segmentation: spherical k-means (k=3, 2 Lloyd "
+        "iterations — the SAME kmeans_lloyd operator that trains the "
+        "IVF quantizer, proving it is feature-agnostic) over each "
+        "user's (events, purchases, active-days) vector, reported as "
+        "per-segment sizes and mean profiles — the activity/engagement "
+        "segmentation every growth team maintains, with a fully "
+        "deterministic unrolled-CTE oracle (lowest-id seeding, 6dp "
+        "similarity rounding, cluster-id tie-break). Data-scale work is "
+        "the per-user aggregate; clustering then runs on the user-count "
+        "frame with k-row broadcast centroids."
+    ),
+    tags=("similarity", "analytics", "extension", "iterative"),
+)
+def q_user_segments_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.similarity import kmeans_lloyd
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.groupBy(F.col("user_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("f_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("f_purchases"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("f_days"),
+    )
+    pts = feats.select(
+        "user_id",
+        F.array("f_events", "f_purchases", "f_days").alias("v"),
+        "f_events",
+        "f_purchases",
+        "f_days",
+    )
+    assign = kmeans_lloyd(
+        pts.select("user_id", "v"), k=3, n_iter=2, id_col="user_id", vec_col="v"
+    )
+    joined = assign.join(pts, assign.vec_id == pts.user_id)
+    return (
+        joined.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            stable_round(F.avg("f_events"), 6).alias("mean_events"),
+            stable_round(F.avg("f_purchases"), 6).alias("mean_purchases"),
+            stable_round(F.avg("f_days"), 6).alias("mean_active_days"),
+        )
+        .orderBy("cluster")
+    )
