@@ -274,3 +274,48 @@ def test_periodogram_factor_join_is_broadcast(spark, sf_smoke):
 def test_top_movers_uses_rank_limit(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "q_top_movers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trailing_hour_sum_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_trailing_hour_sum")
+    assert len(rows) > 0
+    for r in rows[:200]:
+        assert r.n_in_hour >= 1  # frame includes the current row
+        assert r.trailing_hour_cents >= 0
+
+
+def test_grouped_mad_scaling(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_grouped_mad"):
+        assert abs(r.robust_sigma - 1.4826 * r.mad_value) < 1e-3
+        assert r.mad_value >= 0.0
+
+
+def test_pointbiserial_bounds(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_pointbiserial_screen")
+    assert len(rows) == 3
+    for r in rows:
+        assert -1.0 <= r.point_biserial_r <= 1.0
+
+
+def test_label_noise_screen_nonempty(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_label_noise_screen")
+    assert len(rows) > 0
+    for r in rows:
+        assert r.lang_pred != r.label
+        assert r.n_docs >= 1
+
+
+def test_top_movers_sorted_by_abs_delta(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_top_movers")
+    assert len(rows) == 10
+    deltas = [abs(r.delta_cents) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+
+
+def test_user_segments_cover_all_users(spark, sf_smoke):
+    from healthcare_etl_spark.sources import load_table
+
+    rows = _rows(spark, sf_smoke, "q_user_segments_kmeans")
+    assert 1 <= len(rows) <= 3
+    n_users = load_table(spark, sf_smoke, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
