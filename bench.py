@@ -149,6 +149,12 @@ HEADLINE = [
     "q_fd_discovery",
     "q_semantic_decontaminate",
     "q_harmonic_centrality",
+    # closing wave: the composed profiling report (4 sections, one lazy
+    # plan), the LM retrieval scorer's docs x terms grid, and the
+    # data-scale time-RANGE velocity frame
+    "q_table_health_report",
+    "q_ql_dirichlet_search",
+    "q_trailing_hour_sum",
 ]
 
 
