@@ -8341,3 +8341,213 @@ def q_dp_topk_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noisy_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DeLong confidence interval for ROC-AUC (round-6 continuation-5)
+
+
+def _auc_delong_oracle() -> str:
+    from healthcare_etl_spark.operators.logistic import irls_beta_ctes
+
+    parts, final = irls_beta_ctes(_logistic_features_sql(), rounds=4)
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+scored AS (
+    SELECT y,
+           (round((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x1 + b.b2 * x2)))) * 1000000.0)
+            / 1000000.0) AS p
+    FROM feat CROSS JOIN {final} b
+),
+grp AS (
+    SELECT p, CAST(count(*) AS BIGINT) AS t,
+           CAST(sum(y) AS BIGINT) AS t_pos,
+           CAST(count(*) - sum(y) AS BIGINT) AS t_neg
+    FROM scored GROUP BY p
+),
+ranked AS (
+    SELECT p, t_pos, t_neg,
+           CAST(coalesce(sum(t_neg) OVER (ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cnb,
+           CAST(coalesce(sum(t_pos) OVER (ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cpb
+    FROM grp
+),
+tot AS (
+    SELECT CAST(sum(t_pos) AS BIGINT) AS m_pos,
+           CAST(sum(t_neg) AS BIGINT) AS n_neg
+    FROM grp
+),
+place AS (
+    SELECT r.t_pos, r.t_neg,
+           (2 * r.cnb + r.t_neg) AS v,
+           (2 * (t.m_pos - r.cpb - r.t_pos) + r.t_pos) AS u,
+           t.m_pos, t.n_neg
+    FROM ranked r CROSS JOIN tot t
+),
+mom AS (
+    SELECT any_value(m_pos) AS m_pos, any_value(n_neg) AS n_neg,
+           CAST(sum(t_pos * v) AS BIGINT) AS sv,
+           sum(CAST(t_pos AS HUGEINT) * v * v) AS svv,
+           CAST(sum(t_neg * u) AS BIGINT) AS su,
+           sum(CAST(t_neg AS HUGEINT) * u * u) AS suu
+    FROM place
+),
+stats AS (
+    SELECT m_pos, n_neg,
+           (sv / (2.0 * m_pos * n_neg)) AS auc,
+           ((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / m_pos)
+            / (m_pos - 1.0) / (4.0 * n_neg * n_neg)) AS s10,
+           ((CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * su / n_neg)
+            / (n_neg - 1.0) / (4.0 * m_pos * m_pos)) AS s01
+    FROM mom
+)
+SELECT m_pos AS n_pos, n_neg,
+       (round(auc * 1000000.0) / 1000000.0) AS auc,
+       (round(sqrt(s10 / m_pos + s01 / n_neg) * 1000000.0) / 1000000.0)
+           AS se_delong,
+       (round(greatest(0.0, auc - 1.959964 * sqrt(s10 / m_pos + s01 / n_neg))
+              * 1000000.0) / 1000000.0) AS ci_lo,
+       (round(least(1.0, auc + 1.959964 * sqrt(s10 / m_pos + s01 / n_neg))
+              * 1000000.0) / 1000000.0) AS ci_hi
+FROM stats
+""".strip()
+
+
+def _register_auc_delong() -> None:
+    @register(
+        "q_auc_delong_ci",
+        oracle=_auc_delong_oracle(),
+        description=(
+            "DeLong (1988) standard error and 95% CI for the IRLS "
+            "model's ROC-AUC via the placement formulation: each "
+            "positive's placement V10 = fraction of negatives scored "
+            "below it (ties half-weighted), each negative's V01 "
+            "symmetric; var(AUC) = S10/m + S01/n — the inference layer "
+            "q_roc_auc's point estimate needs before anyone compares "
+            "two models. Placements are constant within a distinct "
+            "score, so the whole computation lives on the bounded "
+            "distinct-score table: placement numerators are exact "
+            "half-unit integers (2*below + ties), both variance folds "
+            "are HUGEINT/DECIMAL(38) weighted integer moments, and the "
+            "two cumulative counts ride the same bucketed two-phase "
+            "carry as q_roc_auc (micro-prob div-4096 summary — no "
+            "single-partition sort)."
+        ),
+        tags=("analytics", "extension", "stats", "ml"),
+    )
+    def q_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_etl_spark.operators.logistic import logistic_fit
+        from healthcare_etl_spark.operators.scale import bucketed_prefix
+
+        ev = load_table(spark, sf_dir, "events")
+        features = ev.groupBy("user_id").agg(
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log(
+                F.lit(1.0)
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        ).persist()
+        try:
+            b0, b1, b2 = logistic_fit(features, rounds=4)
+            eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+            pm = F.round(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))) * 1000000.0
+            ).cast("long")
+            grp = (
+                features.select(pm.alias("pm"), "y")
+                .groupBy("pm")
+                .agg(
+                    F.count(F.lit(1)).alias("t"),
+                    F.sum("y").cast("long").alias("t_pos"),
+                )
+                .select(
+                    "pm",
+                    "t_pos",
+                    (F.col("t") - F.col("t_pos")).cast("long").alias("t_neg"),
+                )
+            )
+            r1 = bucketed_prefix(
+                grp,
+                buckets=[F.expr("pm div 4096")],
+                order_by=[F.col("pm")],
+                value=F.col("t_neg"),
+                agg="sum",
+                exclusive=True,
+                out_col="cnb",
+            )
+            ranked = bucketed_prefix(
+                r1,
+                buckets=[F.expr("pm div 4096")],
+                order_by=[F.col("pm")],
+                value=F.col("t_pos"),
+                agg="sum",
+                exclusive=True,
+                out_col="cpb",
+            ).select(
+                "t_pos",
+                "t_neg",
+                F.col("cnb").cast("long").alias("cnb"),
+                F.col("cpb").cast("long").alias("cpb"),
+            )
+            tot = grp.agg(
+                F.sum("t_pos").cast("long").alias("m_pos"),
+                F.sum("t_neg").cast("long").alias("n_neg"),
+            )
+            place = ranked.crossJoin(F.broadcast(tot)).select(
+                "t_pos",
+                "t_neg",
+                (2 * F.col("cnb") + F.col("t_neg")).alias("v"),
+                (
+                    2 * (F.col("m_pos") - F.col("cpb") - F.col("t_pos"))
+                    + F.col("t_pos")
+                ).alias("u"),
+                "m_pos",
+                "n_neg",
+            )
+            dec = "decimal(38,0)"
+            mom = place.agg(
+                F.first("m_pos").alias("m_pos"),
+                F.first("n_neg").alias("n_neg"),
+                F.sum(F.col("t_pos") * F.col("v")).cast("long").alias("sv"),
+                F.sum(F.col("t_pos").cast(dec) * F.col("v").cast(dec) * F.col("v").cast(dec)).alias("svv"),
+                F.sum(F.col("t_neg") * F.col("u")).cast("long").alias("su"),
+                F.sum(F.col("t_neg").cast(dec) * F.col("u").cast(dec) * F.col("u").cast(dec)).alias("suu"),
+            )
+            m_pos, n_neg = F.col("m_pos"), F.col("n_neg")
+            auc = F.col("sv") / (2.0 * m_pos * n_neg)
+            s10 = (
+                (F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv") / m_pos)
+                / (m_pos - 1.0)
+                / (4.0 * n_neg * n_neg)
+            )
+            s01 = (
+                (F.col("suu").cast("double") - F.col("su").cast("double") * F.col("su") / n_neg)
+                / (n_neg - 1.0)
+                / (4.0 * m_pos * m_pos)
+            )
+            se = F.sqrt(s10 / m_pos + s01 / n_neg)
+            out = mom.select(
+                m_pos.alias("n_pos"),
+                n_neg.alias("n_neg"),
+                stable_round(auc, 6).alias("auc"),
+                stable_round(se, 6).alias("se_delong"),
+                stable_round(F.greatest(F.lit(0.0), auc - 1.959964 * se), 6).alias("ci_lo"),
+                stable_round(F.least(F.lit(1.0), auc + 1.959964 * se), 6).alias("ci_hi"),
+            )
+            return out
+        finally:
+            features.unpersist()
+
+
+_register_auc_delong()

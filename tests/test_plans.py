@@ -661,6 +661,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_zipf_fit": "post-LIMIT-1000 rank",
     "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
     "q_roc_auc": "bucket-summary prefix (micro-prob div 4096, <=245)",
+    "q_auc_delong_ci": "bucket-summary prefix (micro-prob div 4096, <=245)",
     "q_wasserstein_drift": "bucket-summary prefix+lead carry (cents div 4096)",
     "q_pr_auc": "bucket-summary prefix (micro-prob div 4096, <=245)",
     # rank-limit pushdown: WindowGroupLimit pre-truncates every input
