@@ -741,3 +741,56 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta_cents")).desc(), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "q_newsvendor_stock",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS demand
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       (round(avg(demand) * 1000000.0) / 1000000.0) AS mean_daily,
+       (round(quantile_cont(demand, 0.8) * 1000000.0) / 1000000.0)
+           AS stock_level_p80,
+       (round((quantile_cont(demand, 0.8) - avg(demand)) * 1000000.0)
+        / 1000000.0) AS safety_stock
+FROM daily GROUP BY event_type
+ORDER BY event_type
+""",
+    description=(
+        "Newsvendor stocking level per event stream: with underage cost "
+        "4x overage cost the critical ratio is 0.8, so the optimal "
+        "capacity/stock is the 80th percentile of daily demand "
+        "(F^-1(cu/(cu+co)), the classic single-period inventory "
+        "optimum) — the capacity-planning read of the demand "
+        "distribution that a mean-based plan (q_moving_avg) underbuys "
+        "by exactly the safety-stock column. One grouped day-aggregate "
+        "then an exact per-type percentile over the bounded day frame; "
+        "approx_percentile is the 100 TB default."
+    ),
+    tags=("analytics", "forecasting", "extension", "parity"),
+)
+def q_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            stable_round(F.avg("demand"), 6).alias("mean_daily"),
+            stable_round(F.expr("percentile(demand, 0.8)"), 6).alias(
+                "stock_level_p80"
+            ),
+            stable_round(
+                F.expr("percentile(demand, 0.8)") - F.avg("demand"), 6
+            ).alias("safety_stock"),
+        )
+        .orderBy("event_type")
+    )
