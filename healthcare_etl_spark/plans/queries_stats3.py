@@ -1430,3 +1430,139 @@ def q_pointbiserial_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("r_raw"), 6).alias("point_biserial_r"),
         (F.abs(F.col("r_raw")) >= 0.1).alias("keep_feature"),
     ).orderBy("feature")
+
+
+def _bayes_ab_oracle() -> str:
+    from healthcare_etl_spark.plans.queries_analytics import _tail_p_sql
+
+    arm = (
+        "(('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 2 = 0)"
+    )
+    tailp = _tail_p_sql("abs(z)")
+    return f"""
+WITH u AS (
+    SELECT user_id, {arm} AS in_a,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT CASE WHEN in_a THEN 'A' ELSE 'B' END AS arm,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS s
+    FROM u GROUP BY 1
+),
+post AS (
+    SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'A' THEN s END) AS s_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'B' THEN s END) AS s_b
+    FROM g
+),
+moments AS (
+    SELECT n_a, s_a, n_b, s_b,
+           ((1.0 + s_a) / (2.0 + n_a)) AS m_a,
+           ((1.0 + s_b) / (2.0 + n_b)) AS m_b,
+           (((1.0 + s_a) * (1.0 + n_a - s_a))
+            / ((2.0 + n_a) * (2.0 + n_a) * (3.0 + n_a))) AS v_a,
+           (((1.0 + s_b) * (1.0 + n_b - s_b))
+            / ((2.0 + n_b) * (2.0 + n_b) * (3.0 + n_b))) AS v_b
+    FROM post
+),
+zed AS (
+    SELECT *, (round(((m_b - m_a) / sqrt(v_a + v_b)) * 1000000.0) / 1000000.0) AS z
+    FROM moments
+),
+pr AS (
+    SELECT *,
+           (round((CASE WHEN z >= 0 THEN 1.0 - {tailp} / 2.0
+                        ELSE {tailp} / 2.0 END) * 1000000.0) / 1000000.0)
+               AS prob_b_beats_a
+    FROM zed
+)
+SELECT n_a, s_a AS conv_a, n_b, s_b AS conv_b,
+       (round(m_a * 1000000.0) / 1000000.0) AS post_mean_a,
+       (round(m_b * 1000000.0) / 1000000.0) AS post_mean_b,
+       prob_b_beats_a,
+       CASE WHEN prob_b_beats_a >= 0.95 THEN 'ship_b'
+            WHEN prob_b_beats_a <= 0.05 THEN 'ship_a'
+            ELSE 'continue' END AS decision
+FROM pr
+"""
+
+
+@register(
+    "q_bayes_ab_prob",
+    oracle=_bayes_ab_oracle(),
+    description=(
+        "Bayesian A/B read of the conversion experiment: Beta(1+s, "
+        "1+n-s) posteriors per arm (uniform prior), P(B > A) via the "
+        "normal approximation of the posterior difference and the same "
+        "Zelen-Severo Phi machinery as q_bh_fdr (z 6dp-rounded before "
+        "the tail polynomial) — the 'probability B is better' framing "
+        "stakeholders actually ask for, next to q_ab_test_ztest's "
+        "p-value and q_sequential_ab_monitor's stopping rule; ship "
+        "thresholds at 95%. Exact integer (n, s) per arm from one "
+        "grouped pass; everything after is 4-number scalar arithmetic."
+    ),
+    tags=("stats", "experimentation", "extension", "parity"),
+)
+def q_bayes_ab_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.plans.queries_analytics import _PHI_CONSTS, _SQRT_2PI
+    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(_arm_a("user_id").alias("in_a"), "conv")
+    g = u.groupBy(F.when(F.col("in_a"), "A").otherwise("B").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("s"),
+    )
+    post = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("s_b"),
+    )
+    n_a, s_a, n_b, s_b = F.col("n_a"), F.col("s_a"), F.col("n_b"), F.col("s_b")
+    m_a = (1.0 + s_a) / (2.0 + n_a)
+    m_b = (1.0 + s_b) / (2.0 + n_b)
+    v_a = ((1.0 + s_a) * (1.0 + n_a - s_a)) / ((2.0 + n_a) * (2.0 + n_a) * (3.0 + n_a))
+    v_b = ((1.0 + s_b) * (1.0 + n_b - s_b)) / ((2.0 + n_b) * (2.0 + n_b) * (3.0 + n_b))
+    zed = post.select(
+        "n_a", "s_a", "n_b", "s_b",
+        m_a.alias("m_a"), m_b.alias("m_b"),
+        stable_round((m_b - m_a) / F.sqrt(v_a + v_b), 6).alias("z"),
+    )
+    b0, b1, b2, b3, b4, b5 = _PHI_CONSTS
+    az = F.abs(F.col("z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(b0) * az)
+    poly = t * (
+        F.lit(b1)
+        + t * (F.lit(b2) + t * (F.lit(b3) + t * (F.lit(b4) + t * F.lit(b5))))
+    )
+    pdf = F.exp(-az * az / F.lit(2.0)) / F.lit(_SQRT_2PI)
+    tailp = F.least(F.lit(1.0), F.lit(2.0) * pdf * poly)
+    prob = stable_round(
+        F.when(F.col("z") >= 0, F.lit(1.0) - tailp / 2.0).otherwise(tailp / 2.0), 6
+    )
+    pr = zed.withColumn("prob_b_beats_a", prob)
+    return pr.select(
+        "n_a",
+        F.col("s_a").alias("conv_a"),
+        "n_b",
+        F.col("s_b").alias("conv_b"),
+        stable_round(F.col("m_a"), 6).alias("post_mean_a"),
+        stable_round(F.col("m_b"), 6).alias("post_mean_b"),
+        "prob_b_beats_a",
+        F.when(F.col("prob_b_beats_a") >= 0.95, "ship_b")
+        .when(F.col("prob_b_beats_a") <= 0.05, "ship_a")
+        .otherwise("continue")
+        .alias("decision"),
+    )
