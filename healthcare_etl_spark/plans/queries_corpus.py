@@ -2161,3 +2161,69 @@ def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("doc_id", "score", "rank")
     )
+
+
+@register(
+    "q_term_burstiness",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+td AS (
+    SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY w, doc_id
+),
+m AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           CAST(sum(tf * tf) AS BIGINT) AS cf2
+    FROM td GROUP BY w
+),
+stats AS (
+    SELECT w, df, cf,
+           (CAST(cf AS DOUBLE) / df) AS mean_tf,
+           (CAST(df * cf2 - cf * cf AS DOUBLE) / (df * 1.0 * df)) AS var_tf
+    FROM m WHERE df >= 10
+)
+SELECT w AS term, df, cf,
+       (round(mean_tf * 1000000.0) / 1000000.0) AS mean_tf,
+       (round((var_tf / mean_tf) * 1000000.0) / 1000000.0) AS burstiness_vmr
+FROM stats
+ORDER BY (round((var_tf / mean_tf) * 1000000.0) / 1000000.0) DESC, w ASC
+LIMIT 20
+""",
+    description=(
+        "Per-term burstiness (Church & Gale 1995): variance-to-mean "
+        "ratio of within-document term frequency over the documents "
+        "containing the term (df >= 10 support floor) — bursty terms "
+        "(VMR >> 1) are topical/content words, Poisson-like terms "
+        "(VMR near 1) are function words; the term-level complement to "
+        "q_burstiness_fano's user-level index and the signal behind "
+        "DFR/divergence-from-randomness ranking models. One explode + "
+        "two hash aggregates with exact integer moments (population "
+        "variance over containing docs); top-20 rides "
+        "TakeOrderedAndProject."
+    ),
+    tags=("text", "extension", "corpus", "parity"),
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    td = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    m = td.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("cf2"),
+    ).filter(F.col("df") >= 10)
+    mean_tf = F.col("cf").cast("double") / F.col("df")
+    var_tf = (F.col("df") * F.col("cf2") - F.col("cf") * F.col("cf")).cast(
+        "double"
+    ) / (F.col("df") * 1.0 * F.col("df"))
+    stats = m.select(
+        F.col("w").alias("term"),
+        "df",
+        "cf",
+        stable_round(mean_tf, 6).alias("mean_tf"),
+        stable_round(var_tf / mean_tf, 6).alias("burstiness_vmr"),
+    )
+    return stats.orderBy(F.desc("burstiness_vmr"), F.asc("term")).limit(20)
