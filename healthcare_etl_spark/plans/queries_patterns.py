@@ -3619,3 +3619,190 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("hops") > 0, 1).otherwise(0)).cast("long").alias("n_reached"),
         (F.coalesce(F.sum(term), F.lit(0)) / 1000000.0).alias("harmonic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ChiMerge supervised discretization (round-6 continuation-5)
+
+_CHIMERGE_START = 16
+_CHIMERGE_ROUNDS = 8  # 16 -> 8 bins
+
+
+def _chimerge_chi_sql(a: str, b: str) -> str:
+    """Textually-mirrored 2x2 chi-square between adjacent bins; zero
+    when a class column is empty in both bins (degenerate pair merges
+    first, the published ChiMerge convention)."""
+    n1, n2 = f"({a}.g + {a}.b)", f"({b}.g + {b}.b)"
+    cg, cb = f"({a}.g + {b}.g)", f"({a}.b + {b}.b)"
+    nn = f"({n1} + {n2})"
+    cells = []
+    for side, cls, col in ((a, "g", cg), (a, "b", cb), (b, "g", cg), (b, "b", cb)):
+        nrow = f"({side}.g + {side}.b)"
+        e = f"({nrow} * 1.0 * {col} / {nn})"
+        o = f"{side}.{cls}"
+        cells.append(f"(({o} - {e}) * ({o} - {e}) / {e})")
+    total = " + ".join(cells)
+    return (
+        f"(round((CASE WHEN {cg} = 0 OR {cb} = 0 THEN 0.0 ELSE {total} END)"
+        " * 1000000.0) / 1000000.0)"
+    )
+
+
+def _chimerge_oracle() -> str:
+    chi = _chimerge_chi_sql("a", "b")
+    rounds = []
+    for k in range(1, _CHIMERGE_ROUNDS + 1):
+        prev = f"bins{k-1}"
+        rounds.append(
+            f""",
+chi{k} AS (
+    SELECT a.id AS m, {chi} AS chi
+    FROM {prev} a JOIN {prev} b ON b.id = a.id + 1
+),
+best{k} AS (SELECT m FROM chi{k} ORDER BY chi ASC, m ASC LIMIT 1),
+bins{k} AS MATERIALIZED (
+    SELECT CASE WHEN id <= bm.m THEN id ELSE id - 1 END AS id,
+           CAST(sum(g) AS BIGINT) AS g, CAST(sum(b) AS BIGINT) AS b,
+           min(lo) AS lo, max(hi) AS hi
+    FROM {prev} CROSS JOIN best{k} bm
+    GROUP BY 1
+)"""
+        )
+    last = f"bins{_CHIMERGE_ROUNDS}"
+    return f"""
+WITH u AS MATERIALIZED (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+           CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                     > {_WOE_THRESH}
+                THEN 1 ELSE 0 END AS good
+    FROM events GROUP BY user_id
+),
+tiled AS (
+    SELECT x, good,
+           CAST(ntile({_CHIMERGE_START}) OVER (ORDER BY x, user_id) AS BIGINT)
+               AS id
+    FROM u
+),
+bins0 AS MATERIALIZED (
+    SELECT id, CAST(sum(good) AS BIGINT) AS g,
+           CAST(count(*) - sum(good) AS BIGINT) AS b,
+           CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+    FROM tiled GROUP BY id
+){''.join(rounds)}
+SELECT id AS bin, lo AS lo_x, hi AS hi_x,
+       (g + b) AS n_users, g AS goods, b AS bads,
+       (round((g * 1.0 / (g + b)) * 1000000.0) / 1000000.0) AS good_rate
+FROM {last}
+ORDER BY id
+"""
+
+
+@register(
+    "q_chimerge_binning",
+    oracle=_chimerge_oracle(),
+    description=(
+        "ChiMerge supervised discretization (Kerber 1992): the per-user "
+        "activity feature starts in 16 equal-frequency bins and the "
+        "adjacent pair with the SMALLEST 2x2 chi-square (most similar "
+        "class mix; degenerate pairs merge first) merges each round, "
+        "8 unrolled rounds down to 8 bins — the label-aware alternative "
+        "to q_woe_iv_encoding's fixed deciles and q_fd_histogram's "
+        "unsupervised widths, producing the monotone-rate bins a credit "
+        "scorecard wants. Initial tiling is the bucketed_rank + "
+        "closed-form ntile carry (no global sort); every merge round "
+        "then runs on the <=16-row bin summary (broadcast argmin, "
+        "checkpointed per round). Oracle unrolls all 8 rounds as "
+        "MATERIALIZED CTEs with a textually-mirrored chi expression."
+    ),
+    tags=("mlops", "extension", "iterative", "scale-pattern"),
+)
+def q_chimerge_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.when(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            > _WOE_THRESH,
+            1,
+        )
+        .otherwise(0)
+        .alias("good"),
+    )
+    ranked = bucketed_rank(
+        u, buckets=[F.col("x")], order_by=[F.col("x"), F.col("user_id")], out_col="rn"
+    )
+    nrow = u.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    tiled = ranked.crossJoin(F.broadcast(nrow)).select(
+        "x",
+        "good",
+        ntile_from_rank(F.col("rn"), F.col("nu"), _CHIMERGE_START).alias("id"),
+    )
+    bins = (
+        tiled.groupBy("id")
+        .agg(
+            F.sum("good").cast("long").alias("g"),
+            (F.count(F.lit(1)) - F.sum("good")).cast("long").alias("b"),
+            F.min("x").cast("long").alias("lo"),
+            F.max("x").cast("long").alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CHIMERGE_ROUNDS):
+        a = bins.alias("a")
+        b = bins.alias("b")
+        n1 = F.col("a.g") + F.col("a.b")
+        n2 = F.col("b.g") + F.col("b.b")
+        cg = F.col("a.g") + F.col("b.g")
+        cb = F.col("a.b") + F.col("b.b")
+        nn = n1 + n2
+        total = None
+        for side, cls, col in (("a", "g", cg), ("a", "b", cb), ("b", "g", cg), ("b", "b", cb)):
+            nrow_ = F.col(f"{side}.g") + F.col(f"{side}.b")
+            e = nrow_ * 1.0 * col / nn
+            o = F.col(f"{side}.{cls}")
+            cell = (o - e) * (o - e) / e
+            total = cell if total is None else total + cell
+        chi = F.round(
+            F.when((cg == 0) | (cb == 0), F.lit(0.0)).otherwise(total) * 1000000.0
+        ) / 1000000.0
+        pairs = a.join(b, F.col("b.id") == F.col("a.id") + 1).select(
+            F.col("a.id").alias("m"), chi.alias("chi")
+        )
+        best = pairs.orderBy(F.asc("chi"), F.asc("m")).limit(1).select("m")
+        bins = (
+            bins.crossJoin(F.broadcast(best))
+            .groupBy(
+                F.when(F.col("id") <= F.col("m"), F.col("id"))
+                .otherwise(F.col("id") - 1)
+                .alias("id")
+            )
+            .agg(
+                F.sum("g").cast("long").alias("g"),
+                F.sum("b").cast("long").alias("b"),
+                F.min("lo").alias("lo"),
+                F.max("hi").alias("hi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return bins.select(
+        F.col("id").alias("bin"),
+        F.col("lo").alias("lo_x"),
+        F.col("hi").alias("hi_x"),
+        (F.col("g") + F.col("b")).cast("long").alias("n_users"),
+        F.col("g").alias("goods"),
+        F.col("b").alias("bads"),
+        stable_round(F.col("g") * 1.0 / (F.col("g") + F.col("b")), 6).alias(
+            "good_rate"
+        ),
+    ).orderBy("bin")

@@ -587,6 +587,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
     "q_ransac_fit": "bucket-summary offsets (users/1024)",
     "q_woe_iv_encoding": "bucket-summary offsets (per-activity-value buckets)",
+    "q_chimerge_binning": "bucket-summary offsets (per-activity-value buckets)",
     "q_perplexity_filter": "bucket-summary offsets (nano-bit bands)",
     "q_chunk_size_audit": "bucket-summary token prefix (docs/4096)",
     "q_pps_systematic": "bucket-summary weight prefix (users/1024)",
