@@ -587,7 +587,10 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
     "q_ransac_fit": "bucket-summary offsets (users/1024)",
     "q_woe_iv_encoding": "bucket-summary offsets (per-activity-value buckets)",
-    "q_chimerge_binning": "bucket-summary offsets (per-activity-value buckets)",
+    # q_chimerge_binning: same bucketed ntile carry as q_woe_iv_encoding,
+    # but hidden behind its per-round localCheckpoint (executed plans stop
+    # at the checkpoint scan) — bounded by construction, intentionally NOT
+    # listed (stale-entry guard), same as q_forecast_eval / q_dp_median
     "q_perplexity_filter": "bucket-summary offsets (nano-bit bands)",
     "q_chunk_size_audit": "bucket-summary token prefix (docs/4096)",
     "q_pps_systematic": "bucket-summary weight prefix (users/1024)",
