@@ -794,3 +794,151 @@ def q_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DECAY_ASOF = "2024-01-31"
+
+
+@register(
+    "q_decayed_popularity",
+    oracle=f"""
+WITH w AS (
+    SELECT event_type,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_ASOF}')
+                // 7 AS INTEGER) AS age_weeks
+    FROM events
+),
+terms AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(1000000.0 / (1::BIGINT << age_weeks)) AS score_raw
+    FROM w GROUP BY event_type, age_weeks
+),
+agg AS (
+    SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+           (sum(score_raw * n / 1000000.0)) AS decayed_raw
+    FROM (SELECT event_type, n, score_raw / n AS score_raw FROM terms)
+    GROUP BY event_type
+),
+tot AS (SELECT sum(decayed_raw) AS total FROM agg)
+SELECT a.event_type, a.n_events,
+       (round(a.decayed_raw * 1000000.0) / 1000000.0) AS decayed_score,
+       (round((a.decayed_raw / t.total) * 1000000.0) / 1000000.0) AS decayed_share,
+       CAST(row_number() OVER (ORDER BY a.decayed_raw DESC, a.event_type ASC)
+            AS BIGINT) AS trend_rank
+FROM agg a CROSS JOIN tot t
+""",
+    description=(
+        "Half-life-decayed popularity per event stream (weekly half-life "
+        "against a pinned as-of date): each event contributes 2^(-age "
+        "weeks), computed as an exact integer SHIFT — every weight is a "
+        "dyadic rational that folds exactly in binary doubles on both "
+        "engines (the q_croston discipline; no libm pow) — giving the "
+        "'trending now' ranking raw counts (q_token_topk) and "
+        "all-time counts cannot: recency-weighted without a cutoff "
+        "cliff. Weights are constant within an (event_type, age_week) "
+        "cell, so the fold is one grouped count + a cell-level weighted "
+        "sum; the rank rides the 5-row aggregate."
+    ),
+    tags=("analytics", "recsys", "extension", "parity"),
+)
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    age_w = F.floor(
+        F.datediff(F.lit(_DECAY_ASOF).cast("date"), F.to_date("ts")) / 7
+    ).cast("int")
+    cells = ev.groupBy("event_type", age_w.alias("age_weeks")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wgt = F.lit(1000000.0) / F.expr("shiftleft(1L, age_weeks)")
+    agg = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(wgt * F.col("n") / 1000000.0).alias("decayed_raw"),
+    )
+    tot = agg.agg(F.sum("decayed_raw").alias("total"))
+    w = Window.orderBy(F.desc("decayed_raw"), F.asc("event_type"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        stable_round(F.col("decayed_raw"), 6).alias("decayed_score"),
+        stable_round(F.col("decayed_raw") / F.col("total"), 6).alias("decayed_share"),
+        F.row_number().over(w).cast("long").alias("trend_rank"),
+    )
+
+
+_TSPLIT_CUT = "2024-01-24"  # last week held out for eval
+
+
+@register(
+    "q_temporal_split_audit",
+    oracle=f"""
+WITH flags AS (
+    SELECT user_id,
+           max(CASE WHEN CAST(ts AS DATE) <  DATE '{_TSPLIT_CUT}' THEN 1 ELSE 0 END)
+               AS in_train,
+           max(CASE WHEN CAST(ts AS DATE) >= DATE '{_TSPLIT_CUT}' THEN 1 ELSE 0 END)
+               AS in_eval,
+           CAST(count(CASE WHEN CAST(ts AS DATE) <  DATE '{_TSPLIT_CUT}'
+                           THEN 1 END) AS BIGINT) AS n_train_events,
+           CAST(count(CASE WHEN CAST(ts AS DATE) >= DATE '{_TSPLIT_CUT}'
+                           THEN 1 END) AS BIGINT) AS n_eval_events
+    FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN in_train = 1 AND in_eval = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS train_only,
+       CAST(sum(CASE WHEN in_train = 0 AND in_eval = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS eval_only_cold_start,
+       CAST(sum(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS in_both,
+       (round((sum(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END)
+               * 1.0 / sum(in_eval)) * 1000000.0) / 1000000.0)
+           AS eval_user_overlap_rate,
+       CAST(sum(n_train_events) AS BIGINT) AS train_events,
+       CAST(sum(n_eval_events) AS BIGINT) AS eval_events
+FROM flags
+""",
+    description=(
+        "Temporal split-hygiene audit for a time-based train/eval cut: "
+        "per-user presence on each side of the cut date, the eval-side "
+        "user overlap rate (returning users whose HISTORY the model has "
+        "seen — fine for forecasting, leakage for user-level "
+        "generalization claims), and the cold-start share of eval users "
+        "— the temporal counterpart to q_split_leakage_audit's content-"
+        "level near-dup check and the context q_seasonal_naive_backtest "
+        "assumes. One grouped pass; everything else is a 1-row fold."
+    ),
+    tags=("mlops", "quality", "extension", "parity"),
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_TSPLIT_CUT).cast("date")
+    pre = F.to_date("ts") < cut
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(pre, 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(~pre, 1).otherwise(0)).alias("in_eval"),
+        F.count(F.when(pre, 1)).cast("long").alias("n_train_events"),
+        F.count(F.when(~pre, 1)).cast("long").alias("n_eval_events"),
+    )
+    both = F.sum(
+        F.when((F.col("in_train") == 1) & (F.col("in_eval") == 1), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.when((F.col("in_train") == 1) & (F.col("in_eval") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("train_only"),
+        F.sum(
+            F.when((F.col("in_train") == 0) & (F.col("in_eval") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("eval_only_cold_start"),
+        both.cast("long").alias("in_both"),
+        stable_round(both * 1.0 / F.sum("in_eval"), 6).alias(
+            "eval_user_overlap_rate"
+        ),
+        F.sum("n_train_events").cast("long").alias("train_events"),
+        F.sum("n_eval_events").cast("long").alias("eval_events"),
+    )

@@ -643,6 +643,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_decision_stump": "distinct per-user-count frames (activity-bounded)",
     # fixed-cardinality grids / bins
     "q_chi2_independence": "event_type x weekday grid",
+    "q_decayed_popularity": "event-type aggregate rank (5 rows)",
     "q_bh_fdr": "hypothesis grid (types x weekdays)",
     "q_holm_correction": "hypothesis grid (event types)",
     "q_calibration_ece": "probability bins",
