@@ -7752,3 +7752,155 @@ def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(jac, 6).alias("est_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation-5: weighted median + duplicate-charge screen
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+WITH pts AS (
+    SELECT l_returnflag AS flag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+           CAST(l_quantity AS BIGINT) AS w
+    FROM lineitem
+),
+grp AS (
+    SELECT flag, c, CAST(sum(w) AS BIGINT) AS w
+    FROM pts GROUP BY flag, c
+),
+cum AS (
+    SELECT flag, c, w,
+           CAST(sum(w) OVER (PARTITION BY flag ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cw,
+           CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+    FROM grp
+)
+SELECT flag AS l_returnflag, tw AS total_qty,
+       (round((CAST(min(CASE WHEN 2 * cw >= tw THEN c END) AS DOUBLE) / 100.0)
+              * 1000000.0) / 1000000.0) AS weighted_median_price
+FROM cum GROUP BY flag, tw
+ORDER BY flag
+""",
+    description=(
+        "Quantity-weighted median unit price per return flag (lower "
+        "weighted median: smallest price whose cumulative quantity "
+        "reaches half the total) — the volume-representative 'typical "
+        "price' that q_group_median's row-weighted median misstates "
+        "when big orders cluster at different price points. The "
+        "cumulative weight rides the distinct-cents table PARTITIONED "
+        "by group (value-domain-bounded frames, fully distributed); "
+        "all arithmetic is exact integers until the final cents->"
+        "dollars division."
+    ),
+    tags=("agg", "analytics", "extension", "parity"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    grp = pts.groupBy("flag", "c").agg(F.sum("w").cast("long").alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    cum = grp.select(
+        "flag",
+        "c",
+        F.sum("w").over(wc).cast("long").alias("cw"),
+        F.sum("w").over(wt).cast("long").alias("tw"),
+    )
+    return (
+        cum.groupBy("flag", "tw")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("c"))).alias("med_c")
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("tw").alias("total_qty"),
+            stable_round(F.col("med_c").cast("double") / 100.0, 6).alias(
+                "weighted_median_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_duplicate_charge_screen",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts, CAST(round(value) AS BIGINT) AS d
+    FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+    SELECT a.user_id, a.d AS amount_dollars,
+           a.event_id AS first_id, b.event_id AS second_id,
+           CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) // 60000000 AS BIGINT)
+               AS gap_minutes
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id AND a.d = b.d AND a.event_id < b.event_id
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 86400000000
+)
+SELECT user_id, amount_dollars, first_id, second_id, gap_minutes
+FROM pairs
+ORDER BY user_id, amount_dollars, first_id, second_id
+""",
+    description=(
+        "Duplicate-charge screen: purchase pairs from the SAME user for "
+        "the SAME whole-dollar amount within 24 hours — the classic "
+        "double-billing / retry-storm fraud-ops query, complementing "
+        "q_trailing_hour_sum's velocity feature with an exact pair-"
+        "level explanation. The self-join is an equi-join on the "
+        "(user, amount) composite key — candidate fanout is bounded by "
+        "per-key purchase counts, never an all-pairs product — with "
+        "the time band as a post-join filter; at 100 TB both sides "
+        "co-partition on the same key."
+    ),
+    tags=("analytics", "quality", "extension", "parity"),
+)
+def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value")).cast("long").alias("d"),
+        )
+    )
+    a = p.select(
+        F.col("user_id"),
+        F.col("d"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = p.select(
+        F.col("user_id"),
+        F.col("d"),
+        F.col("event_id").alias("second_id"),
+        F.col("ts").alias("ts_b"),
+    )
+    gap_us = F.abs(F.unix_micros("ts_a") - F.unix_micros("ts_b"))
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("first_id") < F.col("second_id"))
+        .filter(gap_us <= 86400000000)
+        .select(
+            "user_id",
+            F.col("d").alias("amount_dollars"),
+            "first_id",
+            "second_id",
+            F.floor(gap_us / 60000000).cast("long").alias("gap_minutes"),
+        )
+    )
+    return pairs.orderBy("user_id", "amount_dollars", "first_id", "second_id")
