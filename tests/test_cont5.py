@@ -319,3 +319,65 @@ def test_user_segments_cover_all_users(spark, sf_smoke):
     assert 1 <= len(rows) <= 3
     n_users = load_table(spark, sf_smoke, "events").select("user_id").distinct().count()
     assert sum(r.n_users for r in rows) == n_users
+
+
+def test_auc_delong_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_auc_delong_ci")
+    assert 0.0 <= r.auc <= 1.0
+    assert r.se_delong > 0.0
+    assert r.ci_lo <= r.auc <= r.ci_hi
+
+
+def test_newsvendor_invariants(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_newsvendor_stock"):
+        assert r.n_days <= 31
+        assert r.stock_level_p80 > 0.0
+
+
+def test_bayes_ab_invariants(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_bayes_ab_prob")
+    assert 0.0 <= r.prob_b_beats_a <= 1.0
+    assert 0.0 < r.post_mean_a < 1.0 and 0.0 < r.post_mean_b < 1.0
+
+
+def test_chimerge_partition(spark, sf_smoke):
+    from healthcare_etl_spark.sources import load_table
+
+    rows = sorted(_rows(spark, sf_smoke, "q_chimerge_binning"), key=lambda r: r.bin)
+    n_users = load_table(spark, sf_smoke, "events").select("user_id").distinct().count()
+    # ntile yields min(16, n_users) non-empty initial bins; 8 merges follow
+    assert len(rows) == max(1, min(16, n_users) - 8)
+    assert sum(r.n_users for r in rows) == n_users
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_x <= b.lo_x  # bins stay ordered, non-overlapping ranges
+
+
+def test_weighted_median_in_range(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_weighted_median"):
+        assert r.weighted_median_price > 0.0
+        assert r.total_qty > 0
+
+
+def test_decayed_popularity_shares(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_decayed_popularity")
+    assert abs(sum(r.decayed_share for r in rows) - 1.0) < 1e-4
+    ranks = sorted(r.trend_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_temporal_split_partition(spark, sf_smoke):
+    (r,) = _rows(spark, sf_smoke, "q_temporal_split_audit")
+    assert r.train_only + r.eval_only_cold_start + r.in_both == r.n_users
+    assert 0.0 <= r.eval_user_overlap_rate <= 1.0
+
+
+def test_term_burstiness_bounds(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_term_burstiness"):
+        assert r.burstiness_vmr >= 0.0
+        assert r.df >= 10
+
+
+def test_duplicate_charge_pairs_valid(spark, sf_smoke):
+    for r in _rows(spark, sf_smoke, "q_duplicate_charge_screen"):
+        assert r.first_id < r.second_id
+        assert 0 <= r.gap_minutes <= 24 * 60
