@@ -7904,3 +7904,196 @@ def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy("user_id", "amount_dollars", "first_id", "second_id")
+
+
+_SEGMIG_CUT = "2024-01-16"
+
+
+@register(
+    "q_segment_migration",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(count(CASE WHEN CAST(ts AS DATE) < DATE '{_SEGMIG_CUT}'
+                           THEN 1 END) AS BIGINT) AS x_pre,
+           CAST(count(CASE WHEN CAST(ts AS DATE) >= DATE '{_SEGMIG_CUT}'
+                           THEN 1 END) AS BIGINT) AS x_post
+    FROM events GROUP BY user_id
+),
+act AS (SELECT * FROM u WHERE x_pre > 0 AND x_post > 0),
+tiled AS (
+    SELECT user_id,
+           CAST(ntile(3) OVER (ORDER BY x_pre, user_id) AS BIGINT) AS seg_pre,
+           CAST(ntile(3) OVER (ORDER BY x_post, user_id) AS BIGINT) AS seg_post
+    FROM act
+),
+mat AS (
+    SELECT seg_pre, seg_post, CAST(count(*) AS BIGINT) AS n_users
+    FROM tiled GROUP BY 1, 2
+),
+rowtot AS (
+    SELECT seg_pre, CAST(sum(n_users) AS BIGINT) AS row_n FROM mat GROUP BY 1
+)
+SELECT m.seg_pre, m.seg_post, m.n_users,
+       (round((m.n_users * 1.0 / r.row_n) * 1000000.0) / 1000000.0) AS row_share,
+       (m.seg_pre = m.seg_post) AS retained_segment
+FROM mat m JOIN rowtot r ON m.seg_pre = r.seg_pre
+ORDER BY m.seg_pre, m.seg_post
+""",
+    description=(
+        "Activity-segment migration matrix: users active in BOTH month "
+        "halves get an activity tercile per half (low/mid/high) and the "
+        "3x3 transition matrix shows who climbed, who churned toward "
+        "low, and the diagonal retention share — the segment-dynamics "
+        "view behind q_rfm_segmentation's static snapshot and "
+        "q_weekly_churn's binary cut. Both tercile assignments ride the "
+        "bucketed_rank + closed-form ntile carry (no global sort); the "
+        "matrix itself is a 9-row aggregate."
+    ),
+    tags=("analytics", "extension", "parity"),
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_SEGMIG_CUT).cast("date")
+    pre = F.to_date("ts") < cut
+    u = ev.groupBy("user_id").agg(
+        F.count(F.when(pre, 1)).cast("long").alias("x_pre"),
+        F.count(F.when(~pre, 1)).cast("long").alias("x_post"),
+    )
+    act = u.filter((F.col("x_pre") > 0) & (F.col("x_post") > 0)).localCheckpoint(
+        eager=True
+    )
+    n = act.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    r_pre = bucketed_rank(
+        act,
+        buckets=[F.col("x_pre")],
+        order_by=[F.col("x_pre"), F.col("user_id")],
+        out_col="rn_pre",
+    ).select("user_id", "rn_pre")
+    r_post = bucketed_rank(
+        act,
+        buckets=[F.col("x_post")],
+        order_by=[F.col("x_post"), F.col("user_id")],
+        out_col="rn_post",
+    ).select("user_id", "rn_post")
+    tiled = (
+        r_pre.join(r_post, "user_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            ntile_from_rank(F.col("rn_pre"), F.col("nu"), 3).alias("seg_pre"),
+            ntile_from_rank(F.col("rn_post"), F.col("nu"), 3).alias("seg_post"),
+        )
+    )
+    mat = tiled.groupBy("seg_pre", "seg_post").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rowtot = mat.groupBy("seg_pre").agg(F.sum("n_users").cast("long").alias("row_n"))
+    return (
+        mat.join(F.broadcast(rowtot), "seg_pre")
+        .select(
+            "seg_pre",
+            "seg_post",
+            "n_users",
+            stable_round(F.col("n_users") * 1.0 / F.col("row_n"), 6).alias(
+                "row_share"
+            ),
+            (F.col("seg_pre") == F.col("seg_post")).alias("retained_segment"),
+        )
+        .orderBy("seg_pre", "seg_post")
+    )
+
+
+@register(
+    "q_lognormal_fit",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_c
+    FROM events GROUP BY user_id
+),
+pts AS (
+    SELECT spend_c,
+           CAST(round(ln(spend_c) * 1000000.0) AS BIGINT) AS lx
+    FROM u WHERE spend_c > 0
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(lx) AS BIGINT) AS s1,
+           sum(CAST(lx AS HUGEINT) * lx) AS s2,
+           CAST(sum(spend_c) AS BIGINT) AS sc
+    FROM pts
+),
+fit AS (
+    SELECT n, sc,
+           ((CAST(s1 AS DOUBLE) / n) / 1000000.0) AS mu,
+           (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / (n * (n - 1.0))) / 1000000.0) AS sigma
+    FROM m
+)
+SELECT n AS n_users,
+       (round(mu * 1000000.0) / 1000000.0) AS mu_log,
+       (round(sigma * 1000000.0) / 1000000.0) AS sigma_log,
+       (round((exp(mu) / 100.0) * 1000000.0) / 1000000.0) AS implied_median,
+       (round((exp(mu + sigma * sigma / 2.0) / 100.0) * 1000000.0) / 1000000.0)
+           AS implied_mean,
+       (round((CAST(sc AS DOUBLE) / n / 100.0) * 1000000.0) / 1000000.0)
+           AS actual_mean
+FROM fit
+""",
+    description=(
+        "Lognormal fit of per-user total spend (the canonical heavy-"
+        "tailed spend model): mu/sigma from exact moments of 1e-6-"
+        "quantized log-cents, with the implied median exp(mu) and "
+        "implied mean exp(mu + sigma^2/2) reported NEXT TO the exact "
+        "actual mean — the gap between implied and actual mean is the "
+        "immediate lognormality diagnostic (a perfect fit matches; "
+        "heavier tails overshoot). Completes the parametric-fit family "
+        "(gamma, Weibull, Gumbel, negbin, Zipf, Hill). One grouped "
+        "pass + one 4-moment fold."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_c")
+        )
+        .filter(F.col("spend_c") > 0)
+    )
+    pts = u.select(
+        "spend_c", F.round(F.log("spend_c") * 1000000.0).cast("long").alias("lx")
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("s1"),
+        F.sum(F.col("lx").cast(dec) * F.col("lx").cast(dec)).alias("s2"),
+        F.sum("spend_c").cast("long").alias("sc"),
+    )
+    n = F.col("n")
+    mu = (F.col("s1").cast("double") / n) / 1000000.0
+    sigma = (
+        F.sqrt(
+            (n.cast(dec) * F.col("s2") - F.col("s1").cast(dec) * F.col("s1").cast(dec)).cast(
+                "double"
+            )
+            / (n * (n - 1.0))
+        )
+        / 1000000.0
+    )
+    return m.select(
+        n.alias("n_users"),
+        stable_round(mu, 6).alias("mu_log"),
+        stable_round(sigma, 6).alias("sigma_log"),
+        stable_round(F.exp(mu) / 100.0, 6).alias("implied_median"),
+        stable_round(F.exp(mu + sigma * sigma / 2.0) / 100.0, 6).alias(
+            "implied_mean"
+        ),
+        stable_round(F.col("sc").cast("double") / n / 100.0, 6).alias("actual_mean"),
+    )

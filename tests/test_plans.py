@@ -572,6 +572,7 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     # SUMMARY (data/4096 rows), never the data — operators/scale.py
     "q_id_gap_detection": "bucket-summary prefix (data/4096)",
     "q_rfm_segmentation": "bucket-summary offsets (3 axes)",
+    "q_segment_migration": "bucket-summary offsets (2 activity axes)",
     "q_gini_concentration": "bucket-summary offsets",
     "q_mann_whitney": "bucket-summary prefix over distinct cents",
     "q_maxmin_fairshare": "bucket-summary prefix over distinct cents",
