@@ -1566,3 +1566,92 @@ def q_bayes_ab_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "q_beta_fit",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(round((count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       * 1.0 / count(*)) * 1000000.0) AS BIGINT) AS r
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(r) AS BIGINT) AS s1,
+           sum(CAST(r AS HUGEINT) * r) AS s2
+    FROM u
+),
+mv AS (
+    SELECT n,
+           ((CAST(s1 AS DOUBLE) / n) / 1000000.0) AS mean_r,
+           ((CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+             / (n * (n - 1.0))) / 1000000000000.0) AS var_r
+    FROM m
+),
+fit AS (
+    SELECT n, mean_r, var_r,
+           (mean_r * (mean_r * (1.0 - mean_r) / var_r - 1.0)) AS alpha,
+           ((1.0 - mean_r) * (mean_r * (1.0 - mean_r) / var_r - 1.0)) AS beta
+    FROM mv
+)
+SELECT n AS n_users,
+       (round(mean_r * 1000000.0) / 1000000.0) AS mean_rate,
+       (round(var_r * 100000000.0) / 100000000.0) AS var_rate,
+       (round(alpha * 1000000.0) / 1000000.0) AS alpha,
+       (round(beta * 1000000.0) / 1000000.0) AS beta,
+       (round((alpha + beta) * 1000000.0) / 1000000.0) AS concentration
+FROM fit
+""",
+    description=(
+        "Method-of-moments Beta fit of per-user purchase-rate shares: "
+        "alpha/beta from the mean and variance of the micro-quantized "
+        "rates — the population prior behind q_eb_ctr_shrinkage's "
+        "empirical-Bayes pull (this query ESTIMATES the prior those "
+        "shrinkage weights assume; concentration alpha+beta is the "
+        "implicit pseudo-count). Rates quantize to 1e-6 BIGINTs at the "
+        "user row so both moments fold exactly; one grouped pass + one "
+        "3-moment fold."
+    ),
+    tags=("stats", "extension", "parity"),
+)
+def q_beta_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                (
+                    F.count(F.when(F.col("event_type") == "purchase", 1))
+                    * 1.0
+                    / F.count(F.lit(1))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r").cast(_DEC) * F.col("r").cast(_DEC)).alias("s2"),
+    )
+    n = F.col("n")
+    mean_r = (F.col("s1").cast("double") / n) / 1000000.0
+    var_r = (
+        (n.cast(_DEC) * F.col("s2") - F.col("s1").cast(_DEC) * F.col("s1").cast(_DEC)).cast(
+            "double"
+        )
+        / (n * (n - 1.0))
+    ) / 1000000000000.0
+    k = mean_r * (1.0 - mean_r) / var_r - 1.0
+    return m.select(
+        n.alias("n_users"),
+        stable_round(mean_r, 6).alias("mean_rate"),
+        stable_round(var_r, 8).alias("var_rate"),
+        stable_round(mean_r * k, 6).alias("alpha"),
+        stable_round((1.0 - mean_r) * k, 6).alias("beta"),
+        stable_round(mean_r * k + (1.0 - mean_r) * k, 6).alias("concentration"),
+    )
