@@ -1714,3 +1714,139 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ud.unpersist()
+
+
+@register(
+    "q_attribution_position",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS seg
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+clicks AS (
+    SELECT user_id, seg, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id, seg
+                ORDER BY ts, event_id) AS BIGINT) AS pos
+    FROM seq WHERE event_type = 'click'
+),
+seginfo AS (
+    SELECT user_id, seg,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n,
+           CAST(max(CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100) END) AS BIGINT) AS vc
+    FROM seq GROUP BY 1, 2
+),
+credit AS (
+    SELECT c.user_id,
+           CASE WHEN c.pos = 1 THEN 'first'
+                WHEN c.pos = s.n THEN 'last' ELSE 'middle' END AS touch,
+           CASE WHEN s.n = 1 THEN s.vc * 10000
+                WHEN s.n = 2 THEN (s.vc * 10000) // 2
+                WHEN c.pos = 1 OR c.pos = s.n THEN s.vc * 4000
+                ELSE (s.vc * 2000) // (s.n - 2) END AS ucents
+    FROM clicks c JOIN seginfo s ON c.user_id = s.user_id AND c.seg = s.seg
+    WHERE s.vc IS NOT NULL
+)
+SELECT user_id,
+       CAST(coalesce(sum(CASE WHEN touch = 'first' THEN ucents END), 0) AS BIGINT)
+           AS first_ucents,
+       CAST(coalesce(sum(CASE WHEN touch = 'middle' THEN ucents END), 0) AS BIGINT)
+           AS middle_ucents,
+       CAST(coalesce(sum(CASE WHEN touch = 'last' THEN ucents END), 0) AS BIGINT)
+           AS last_ucents,
+       CAST(count(*) AS BIGINT) AS n_credited_clicks
+FROM credit GROUP BY user_id
+""",
+    description=(
+        "Position-based (U-shaped 40/20/40) multi-touch attribution: "
+        "within each conversion segment the first and last click take "
+        "40% of the purchase value each and the middle clicks split the "
+        "remaining 20% — completing the attribution family's spectrum "
+        "(last-touch / linear / time-agnostic Shapley / Markov removal; "
+        "this is the industry-default compromise between them). Credits "
+        "are exact integer micro-cents with floor division (the "
+        "q_attribution_linear discipline); segmentation reuses the "
+        "join-free running-purchase-count trick, and every window "
+        "partitions by user — one user_id shuffle end to end."
+    ),
+    tags=("events", "extension", "timeseries", "parity"),
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    wseg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                wseg
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("seg"),
+    )
+    wpos = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    clicks = seq.filter(F.col("event_type") == "click").select(
+        "user_id", "seg", F.row_number().over(wpos).cast("long").alias("pos")
+    )
+    seginfo = seq.groupBy("user_id", "seg").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase", F.round(F.col("value") * 100)
+            )
+        )
+        .cast("long")
+        .alias("vc"),
+    )
+    joined = clicks.join(seginfo, ["user_id", "seg"]).filter(
+        F.col("vc").isNotNull()
+    )
+    n, pos, vc = F.col("n"), F.col("pos"), F.col("vc")
+    ucents = (
+        F.when(n == 1, vc * 10000)
+        .when(n == 2, F.floor(vc * 10000 / 2).cast("long"))
+        .when((pos == 1) | (pos == n), vc * 4000)
+        .otherwise(F.floor(vc * 2000 / (n - 2)).cast("long"))
+    )
+    touch = (
+        F.when(pos == 1, "first").when(pos == n, "last").otherwise("middle")
+    )
+    credit = joined.select("user_id", touch.alias("touch"), ucents.alias("ucents"))
+    return credit.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("touch") == "first", F.col("ucents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_ucents"),
+        F.coalesce(
+            F.sum(F.when(F.col("touch") == "middle", F.col("ucents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("middle_ucents"),
+        F.coalesce(
+            F.sum(F.when(F.col("touch") == "last", F.col("ucents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("last_ucents"),
+        F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
+    )
