@@ -1850,3 +1850,128 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_ucents"),
         F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
     )
+
+
+@register(
+    "q_attribution_time_decay",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, ts, value,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS seg
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+seginfo AS (
+    SELECT user_id, seg,
+           CAST(max(CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100) END) AS BIGINT) AS vc,
+           max(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS p_us
+    FROM seq GROUP BY 1, 2
+),
+clicks AS (
+    SELECT s.user_id, s.seg,
+           (1.0 / (1::BIGINT << CAST(least(
+                (i.p_us - epoch_us(s.ts)) // 86400000000, 30) AS INTEGER))) AS w
+    FROM seq s JOIN seginfo i ON s.user_id = i.user_id AND s.seg = i.seg
+    WHERE s.event_type = 'click' AND i.vc IS NOT NULL
+),
+segw AS (
+    SELECT user_id, seg, sum(w) AS sw, CAST(count(*) AS BIGINT) AS n_clicks
+    FROM clicks GROUP BY 1, 2
+),
+credit AS (
+    SELECT c.user_id,
+           CAST(floor(i.vc * 10000 * (c.w / g.sw)) AS BIGINT) AS ucents
+    FROM clicks c
+    JOIN segw g ON c.user_id = g.user_id AND c.seg = g.seg
+    JOIN seginfo i ON c.user_id = i.user_id AND c.seg = i.seg
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_credited_clicks,
+       CAST(sum(ucents) AS BIGINT) AS decay_ucents
+FROM credit GROUP BY user_id
+""",
+    description=(
+        "Time-decay multi-touch attribution with a ONE-DAY half-life: "
+        "each click's weight is 2^(-days before its segment's "
+        "conversion) — an exact integer shift, so every weight and "
+        "every per-segment weight sum is a dyadic rational that folds "
+        "exactly in binary doubles on both engines (the q_croston / "
+        "q_decayed_popularity discipline, here normalizing shares "
+        "w/sum(w) deterministically) — the recency-weighted member "
+        "completing the attribution spectrum (last-touch / linear / "
+        "position / Shapley / Markov). Credits floor to exact integer "
+        "micro-cents; segmentation reuses the join-free running-"
+        "purchase-count window; all joins key on (user, segment)."
+    ),
+    tags=("events", "extension", "timeseries", "parity"),
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    wseg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                wseg
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("seg"),
+    )
+    seginfo = seq.groupBy("user_id", "seg").agg(
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase", F.round(F.col("value") * 100)
+            )
+        )
+        .cast("long")
+        .alias("vc"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p_us"),
+    )
+    clicks = (
+        seq.filter(F.col("event_type") == "click")
+        .join(seginfo, ["user_id", "seg"])
+        .filter(F.col("vc").isNotNull())
+        .select(
+            "user_id",
+            "seg",
+            "vc",
+            (
+                F.lit(1.0)
+                / F.expr(
+                    "shiftleft(1L, cast(least((p_us - unix_micros(ts)) div 86400000000,"
+                    " 30L) as int))"
+                )
+            ).alias("w"),
+        )
+    )
+    segw = clicks.groupBy("user_id", "seg").agg(F.sum("w").alias("sw"))
+    credit = clicks.join(segw, ["user_id", "seg"]).select(
+        "user_id",
+        F.floor(F.col("vc") * 10000 * (F.col("w") / F.col("sw")))
+        .cast("long")
+        .alias("ucents"),
+    )
+    return credit.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
+        F.sum("ucents").cast("long").alias("decay_ucents"),
+    )
