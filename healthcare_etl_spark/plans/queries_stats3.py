@@ -1175,9 +1175,7 @@ ss AS (
     SELECT nt, k,
            (CAST(ssb_q AS DOUBLE) - CAST(CAST(st AS HUGEINT) * st AS DOUBLE) / nt)
                AS ssb,
-           (CAST(sst AS DOUBLE) - CAST(ssb_q AS DOUBLE)) AS ssw,
-           ((nt - CAST(round(CAST(CAST(nt AS HUGEINT) * nt AS DOUBLE) / nt)
-                 AS BIGINT) * 1.0 / 1.0)) AS unused
+           (CAST(sst AS DOUBLE) - CAST(ssb_q AS DOUBLE)) AS ssw
     FROM tot
 ),
 msq AS (

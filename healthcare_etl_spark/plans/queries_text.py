@@ -1410,7 +1410,10 @@ def q_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _label_noise_oracle() -> str:
+    from healthcare_etl_spark.operators.text_analysis import STOPWORD_PROFILES
+
     s1, c1 = _half_lang_sql("toks", "p")
+    best = ", ".join(f"s_p_{lang}" for lang in STOPWORD_PROFILES)
     return f"""
 WITH toks AS (
     SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
@@ -1418,7 +1421,7 @@ WITH toks AS (
 ),
 scored AS (
     SELECT doc_id, lang, {s1},
-           greatest(s_p_en, s_p_es, s_p_de, s_p_fr, 0)::BIGINT AS best_score
+           greatest({best}, 0)::BIGINT AS best_score
     FROM toks
 ),
 pred AS (
@@ -1432,12 +1435,12 @@ FROM pred
 WHERE lang_pred <> 'und' AND lang_pred <> lang AND best_score >= 1
 GROUP BY 1, 2
 ORDER BY 1, 2
-""",
+"""
 
 
 @register(
     "q_label_noise_screen",
-    oracle=_label_noise_oracle()[0],
+    oracle=_label_noise_oracle(),
     description=(
         "Label-noise screen (confident-learning-lite, Northcutt et al. "
         "2021): documents whose stored lang label disagrees with a "

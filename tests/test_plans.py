@@ -127,16 +127,22 @@ def test_tfidf_builds_lazily(spark, sf_smoke):
 
     tracker = spark.sparkContext._jsc.sc().statusTracker()
 
-    def n_jobs():
-        return len(tracker.getJobIdsForGroup(None))
+    # Job ids are assigned sequentially, so the max retained id is a
+    # monotonic "jobs started so far" counter even after the UI evicts old
+    # entries (spark.ui.retainedJobs) — a len() diff goes negative once the
+    # shared-session suite passes the retention boundary (order-dependent
+    # flake adjudicated in VERDICT r6).
+    def max_job_id():
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
-    before = n_jobs()
+    before = max_job_id()
     load_table(spark, sf_smoke, "documents")
-    footer_jobs = n_jobs() - before
+    footer_jobs = max_job_id() - before
 
-    before = n_jobs()
+    before = max_job_id()
     get_registry()["q_tfidf_topterms"].fn(spark, sf_smoke)
-    assert n_jobs() - before <= footer_jobs
+    assert max_job_id() - before <= footer_jobs
 
 
 def test_corpus_pipeline_plan_hygiene(spark, sf_smoke):

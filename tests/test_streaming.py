@@ -46,6 +46,9 @@ def test_stream_hll_distinct_equals_batch(spark, sf_smoke):
     assert "ALL" in rows
     days = [r for r in got if r.window_start != "ALL"]
     assert len(days) >= 1
-    # merged registers dominate every day's registers
+    # merged registers dominate every day's registers. NOTE: only the
+    # register-level dominance is asserted — the hll_est *estimate* is not
+    # monotone under register merge when a day sits on the linear-counting
+    # side of the correction switch while ALL uses the raw branch, so an
+    # estimate-ordering assertion would be a latent flake at other SFs.
     assert all(rows["ALL"].n_nonzero >= d.n_nonzero for d in days)
-    assert all(rows["ALL"].hll_est >= d.hll_est - 1e-6 for d in days)
