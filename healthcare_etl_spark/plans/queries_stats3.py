@@ -564,7 +564,7 @@ _HOLM_ALPHA = 0.05
 
 
 def _holm_oracle() -> str:
-    from healthcare_etl_spark.plans.queries_analytics import _tail_p_sql
+    from healthcare_etl_spark.plans.queries_analytics_stats import _tail_p_sql
 
     return f"""
 WITH g AS (
@@ -626,7 +626,7 @@ FROM holm
     tags=("stats", "extension", "parity"),
 )
 def q_holm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.plans.queries_analytics import _PHI_CONSTS, _SQRT_2PI
+    from healthcare_etl_spark.plans.queries_analytics_stats import _PHI_CONSTS, _SQRT_2PI
 
     ev = load_table(spark, sf_dir, "events")
     b0, b1, b2, b3, b4, b5 = _PHI_CONSTS
@@ -1431,7 +1431,7 @@ def q_pointbiserial_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bayes_ab_oracle() -> str:
-    from healthcare_etl_spark.plans.queries_analytics import _tail_p_sql
+    from healthcare_etl_spark.plans.queries_analytics_stats import _tail_p_sql
 
     arm = (
         "(('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))"
@@ -1507,7 +1507,7 @@ FROM pr
     tags=("stats", "experimentation", "extension", "parity"),
 )
 def q_bayes_ab_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.plans.queries_analytics import _PHI_CONSTS, _SQRT_2PI
+    from healthcare_etl_spark.plans.queries_analytics_stats import _PHI_CONSTS, _SQRT_2PI
     from healthcare_etl_spark.plans.queries_stats2 import _arm_a
 
     ev = load_table(spark, sf_dir, "events")

@@ -63,7 +63,11 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_similarity  # noqa: F401
     import healthcare_etl_spark.plans.queries_multimodal  # noqa: F401
     import healthcare_etl_spark.plans.queries_analytics  # noqa: F401
+    import healthcare_etl_spark.plans.queries_analytics_stats  # noqa: F401
+    import healthcare_etl_spark.plans.queries_analytics_scale  # noqa: F401
     import healthcare_etl_spark.plans.queries_mlops  # noqa: F401
+    import healthcare_etl_spark.plans.queries_mlops_stats  # noqa: F401
+    import healthcare_etl_spark.plans.queries_mlops_recsys  # noqa: F401
     import healthcare_etl_spark.plans.queries_stats2  # noqa: F401
     import healthcare_etl_spark.plans.queries_patterns  # noqa: F401
     import healthcare_etl_spark.plans.queries_profiling  # noqa: F401

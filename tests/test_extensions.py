@@ -1938,7 +1938,7 @@ def test_bh_fdr_rejects_genuine_effects(spark):
     import datetime as dt
     import math
 
-    from healthcare_etl_spark.plans.queries_analytics import bh_fdr
+    from healthcare_etl_spark.plans.queries_analytics_stats import bh_fdr
 
     rows = []
     base = dt.datetime(2024, 1, 1)
@@ -2001,7 +2001,7 @@ def test_kaplan_meier_textbook_example(spark):
     """Classic hand-computed KM: 10 subjects — 2 events at t=1, 1
     censored at t=2, 2 events at t=3, rest censored at t=5.
     S(1)=0.8, S(3)=0.8*(1-2/7)=0.571429, censoring rows leave S flat."""
-    from healthcare_etl_spark.plans.queries_analytics import kaplan_meier_curve
+    from healthcare_etl_spark.plans.queries_analytics_stats import kaplan_meier_curve
 
     subj = spark.createDataFrame(
         [(1, True)] * 2 + [(2, False)] + [(3, True)] * 2 + [(5, False)] * 5,
@@ -2019,7 +2019,7 @@ def test_ridge_recovers_known_coefficients(spark):
     """On exact linear data y = 3 + 2*x1 - 0.5*x2 ridge with tiny lambda
     must recover the coefficients (and R^2 ~ 1); lambda=50 must shrink
     both betas strictly toward zero."""
-    from healthcare_etl_spark.plans.queries_analytics import ridge_2f
+    from healthcare_etl_spark.plans.queries_analytics_stats import ridge_2f
 
     rows = []
     for i in range(200):
