@@ -71,19 +71,26 @@ def _subvectors(
     return df.select(F.col(id_col).alias(id_out), F.inline(slices))
 
 
-def _argmin_code(subs: DataFrame, codebook: DataFrame, *, id_field: str) -> DataFrame:
+def _argmin_code(
+    subs: DataFrame, codebook: DataFrame, *, id_field: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest codebook centroid per (id, subspace): broadcast the
     ``m*ksub``-row codebook, score with the deterministic l2_sq fold,
     keep rank 1 (tie-break on code asc). The rank-limit window triggers
     Catalyst's partial WindowGroupLimit, so each scan partition
-    pre-truncates to one row per (id, j) before the exchange."""
+    pre-truncates to one row per (id, j) before the exchange. ``carry``
+    columns ride along through the window (free — they are in the row),
+    so callers that need them avoid a join back to the source."""
     w = Window.partitionBy(id_field, "j").orderBy(F.asc("dist"), F.asc("code"))
     return (
         subs.join(F.broadcast(codebook), "j")
-        .select(id_field, "j", "code", l2_sq(F.col("sub"), F.col("cent")).alias("dist"))
+        .select(
+            id_field, "j", "code", *carry,
+            l2_sq(F.col("sub"), F.col("cent")).alias("dist"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_field, "j", "code")
+        .select(id_field, "j", "code", *carry)
     )
 
 
@@ -118,9 +125,9 @@ def pq_codebook(
     corpus_subs = _subvectors(
         pts, id_out="vec_id", id_col="vec_id", vec_col="v", m=m, sub_dim=sub_dim
     )
-    assign0 = _argmin_code(corpus_subs, seed_subs, id_field="vec_id")
+    assign0 = _argmin_code(corpus_subs, seed_subs, id_field="vec_id", carry=("sub",))
     refined = (
-        assign0.join(corpus_subs, ["vec_id", "j"])
+        assign0
         .select("j", "code", F.posexplode("sub").alias("pos", "val"))
         .groupBy("j", "code", "pos")
         .agg(stable_round(F.avg(F.col("val").cast("double")), 6).alias("v"))
@@ -179,8 +186,17 @@ def pq_topk(
     final top-k. Returns (query_id, neighbor_id, cosine, rank) — the
     same contract as ``similarity.cosine_topk``, whose exact scan is
     the recall baseline in tests."""
-    codebook = pq_codebook(
+    # Materialize the trained codebook ONCE: collect the m*ksub rows
+    # (metadata-scale — the IRLS-coefficient precedent) and rebuild them
+    # as a lineage-free local frame, so the two consumers below (encode
+    # and the LUT) do not each re-execute the training subtree.
+    trained = pq_codebook(
         corpus, m=m, ksub=ksub, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    codebook = spark.createDataFrame(
+        [(int(r["j"]), int(r["code"]), [float(x) for x in r["cent"]]) for r in trained.collect()],
+        schema="j int, code int, cent array<double>",
     )
     codes = pq_encode(
         corpus, codebook, m=m, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
