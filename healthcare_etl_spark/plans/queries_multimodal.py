@@ -10,9 +10,13 @@ Three tiers, all oracle-checked:
   GIF LZW, and baseline JPEG Huffman+IDCT — the pixel/sample rules
   are pure integer functions, so the oracles regenerate the grids
   with range() joins.
-Only MP4/H.264 entropy decode remains stubbed (genuinely needs
-ffmpeg, absent in this container) — decode_and_featurize documents
-that.
+The generic paths are real too (r7): decode_and_featurize
+(decode_stub=False) sniffs magic bytes and dispatches all four real
+codecs in one Arrow kernel (q_multimodal_featurize_real), and
+resize_media(decode_stub=False) is a real PNG decode ->
+nearest-neighbor -> re-encode (q_multimodal_resize_real). Only
+MP4/H.264 entropy decode remains NULL (genuinely needs ffmpeg,
+absent in this container).
 """
 
 from __future__ import annotations
@@ -510,4 +514,164 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
         stable_round(F.col("sum_v") * F.lit(1.0) / F.col("n_px"), 6).alias("mean_v"),
+    )
+
+
+def _featurize_real_oracle() -> str:
+    """Arithmetic mirror of the four real decoders over the mixed
+    doc_id%4 corpus: each branch regenerates its pixel/sample grid from
+    the same pure-integer rules the encoders use, so any dispatch or
+    codec bug in the generic real path cannot hash-match."""
+    return """
+WITH docs AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+png AS (
+    SELECT d.doc_id,
+           CAST(d.n % 16 + 1 AS INT) AS w, CAST(d.n % 8 + 1 AS INT) AS h,
+           sum(((d.doc_id * 7 + x.i * 3 + y.j * 5) % 256)
+             + ((d.doc_id * 11 + x.i + 2 * y.j) % 256)
+             + ((d.doc_id + x.i * y.j) % 256)) AS sum_v
+    FROM docs d
+    JOIN range(16) x(i) ON x.i < d.n % 16 + 1
+    JOIN range(8)  y(j) ON y.j < d.n % 8 + 1
+    WHERE d.doc_id % 4 = 0
+    GROUP BY 1, 2, 3
+),
+wav AS (
+    SELECT d.doc_id, CAST((d.n % 200 + 50) * (d.n % 2 + 1) AS BIGINT) AS ns,
+           sum(((d.doc_id * 31 + k.k * 7) % 4096) - 2048) AS sum_v
+    FROM docs d
+    JOIN range(500) k(k) ON k.k < (d.n % 200 + 50) * (d.n % 2 + 1)
+    WHERE d.doc_id % 4 = 1
+    GROUP BY 1, 2
+),
+gif AS (
+    SELECT d.doc_id,
+           CAST(d.n % 16 + 1 AS INT) AS w, CAST(d.n % 8 + 1 AS INT) AS h,
+           sum((d.doc_id * 7 + x.i * 3 + y.j * 5) % 256) AS sum_v
+    FROM docs d
+    JOIN range(16) x(i) ON x.i < d.n % 16 + 1
+    JOIN range(8)  y(j) ON y.j < d.n % 8 + 1
+    WHERE d.doc_id % 4 = 2
+    GROUP BY 1, 2, 3
+),
+jpg AS (
+    SELECT d.doc_id,
+           CAST((d.n % 3 + 1) * 8 AS INT) AS w, CAST((d.n % 2 + 1) * 8 AS INT) AS h,
+           CAST((d.n % 3 + 1) * (d.n % 2 + 1) * 64 AS BIGINT) AS n_px,
+           sum((((d.doc_id * 5 + b.b * 11) % 61 - 30) * 2 + 128) * 64) AS sum_v
+    FROM docs d
+    JOIN range(6) b(b) ON b.b < (d.n % 3 + 1) * (d.n % 2 + 1)
+    WHERE d.doc_id % 4 = 3
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id AS media_id, 'png' AS media_type, w AS width, h AS height,
+       (round((sum_v * 1.0 / (3 * w * h * 255.0)) * 1000000.0) / 1000000.0) AS feature_norm
+FROM png
+UNION ALL
+SELECT doc_id, 'wav', NULL::INT, NULL::INT,
+       (round((sum_v * 1.0 / (ns * 32768.0)) * 1000000.0) / 1000000.0)
+FROM wav
+UNION ALL
+SELECT doc_id, 'gif', w, h,
+       (round((sum_v * 1.0 / (w * h * 255.0)) * 1000000.0) / 1000000.0)
+FROM gif
+UNION ALL
+SELECT doc_id, 'jpeg', w, h,
+       (round((sum_v * 1.0 / (n_px * 255.0)) * 1000000.0) / 1000000.0)
+FROM jpg
+ORDER BY 1
+"""
+
+
+@register(
+    "q_multimodal_featurize_real",
+    oracle=_featurize_real_oracle(),
+    description=(
+        "REAL generic decode-and-featurize (retires the r6 residual "
+        "stub): a mixed corpus where doc_id%4 selects the codec "
+        "(PNG/WAV/GIF/JPEG), every payload a byte-valid file from the "
+        "real encoders, run through ONE magic-byte-dispatching Arrow "
+        "kernel (featurize_media_real) that inflates+unfilters PNG, "
+        "Huffman+IDCT-decodes JPEG, LZW-decodes GIF, and unpacks int16 "
+        "PCM — feature_norm is an engine-side stable-rounded division "
+        "of the exact integer decode moments. The oracle regenerates "
+        "all four grids arithmetically; a wrong dispatch, a codec bug, "
+        "or a wrong normalization cannot hash-match."
+    ),
+    tags=("multimodal", "extension", "codec"),
+)
+def q_multimodal_featurize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import (
+        encode_gif_media,
+        encode_jpeg_gray,
+        encode_png_pixels,
+        encode_wav_pcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        encode_png_pixels(docs.filter(F.col("doc_id") % 4 == 0))
+        .unionByName(encode_wav_pcm(docs.filter(F.col("doc_id") % 4 == 1)))
+        .unionByName(encode_gif_media(docs.filter(F.col("doc_id") % 4 == 2)))
+        .unionByName(encode_jpeg_gray(docs.filter(F.col("doc_id") % 4 == 3)))
+    )
+    feats = decode_and_featurize(media, decode_stub=False)
+    return feats.select("media_id", "media_type", "width", "height", "feature_norm")
+
+
+@register(
+    "q_multimodal_resize_real",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(n % 16 + 1 AS INT) AS w, CAST(n % 8 + 1 AS INT) AS h FROM docs
+),
+px AS (
+    SELECT d.doc_id,
+           ((d.doc_id * 7 + ((x.i * d.w) // 5) * 3 + ((y.j * d.h) // 4) * 5) % 256) AS r,
+           ((d.doc_id * 11 + ((x.i * d.w) // 5) + 2 * ((y.j * d.h) // 4)) % 256)    AS g,
+           ((d.doc_id + ((x.i * d.w) // 5) * ((y.j * d.h) // 4)) % 256)             AS b
+    FROM dims d
+    CROSS JOIN range(5) x(i)
+    CROSS JOIN range(4) y(j)
+)
+SELECT doc_id AS media_id,
+       CAST(5 AS INT)           AS width,
+       CAST(4 AS INT)           AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(r) AS BIGINT)   AS sum_r,
+       CAST(sum(g) AS BIGINT)   AS sum_g,
+       CAST(sum(b) AS BIGINT)   AS sum_b
+FROM px GROUP BY doc_id
+ORDER BY 1
+""",
+    description=(
+        "REAL image resize (replaces the r6 byte-cap stub for PNG): "
+        "encode_png_pixels -> resize_media(decode_stub=False) does a "
+        "full decode (chunk walk, IDAT inflate, filter reversal), "
+        "nearest-neighbor resample to 5x4 (integer sx = x*w//5, "
+        "sy = y*h//4), and a fully valid filtered+zlib PNG re-encode; "
+        "decode_png_pixel_stats then REALLY re-decodes the resized "
+        "payloads. The oracle regenerates the resampled grid from the "
+        "pixel rule with the same integer index arithmetic — a resample "
+        "or re-encode bug anywhere in the chain cannot hash-match."
+    ),
+    tags=("multimodal", "extension", "codec"),
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_png_pixel_stats,
+        encode_png_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(
+        encode_png_pixels(docs), target_w=5, target_h=4, decode_stub=False
+    )
+    return decode_png_pixel_stats(resized).select(
+        "media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b"
     )

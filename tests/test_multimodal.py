@@ -265,3 +265,99 @@ def test_jpeg_decoder_rejects_garbage_gracefully(spark):
     out = decode_jpeg_pixel_stats(df).toPandas().set_index("media_id")
     for mid in (1, 2, 3):
         assert out.loc[mid].isna().all()
+
+
+def test_sniff_kind_dispatch():
+    """Magic-byte sniffing recognizes every container the real
+    featurize path dispatches on, and nothing else."""
+    from healthcare_etl_spark.operators.multimodal import PNG_SIGNATURE, _sniff_kind
+
+    assert _sniff_kind(PNG_SIGNATURE + b"x") == "png"
+    assert _sniff_kind(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert _sniff_kind(b"GIF89a" + b"\x00" * 7) == "gif"
+    assert _sniff_kind(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
+    assert _sniff_kind(b"\x00\x00\x00\x18ftypisom") == "mp4"
+    assert _sniff_kind(b"plain text") == "unknown"
+    assert _sniff_kind(None) == "unknown"
+    assert _sniff_kind(b"") == "unknown"
+
+
+def test_featurize_real_mixed_dispatch(spark, sf_smoke):
+    """One mixed batch through the generic real kernel: every payload is
+    decoded by ITS codec — cross-checked against the dedicated decoders."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_png_pixel_stats,
+        decode_wav_sample_stats,
+        encode_png_pixels,
+        encode_wav_pcm,
+        featurize_media_real,
+    )
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(6)
+    png = encode_png_pixels(docs.filter(F.col("doc_id") % 2 == 0))
+    wav = encode_wav_pcm(docs.filter(F.col("doc_id") % 2 == 1))
+    mixed = png.unionByName(wav)
+    got = featurize_media_real(mixed).toPandas().set_index("media_id")
+    png_want = decode_png_pixel_stats(png).toPandas().set_index("media_id")
+    wav_want = decode_wav_sample_stats(wav).toPandas().set_index("media_id")
+    for mid, row in png_want.iterrows():
+        g = got.loc[mid]
+        assert g["kind"] == "png"
+        assert int(g["n_units"]) == 3 * int(row["n_px"])
+        assert int(g["sum_v"]) == int(row["sum_r"] + row["sum_g"] + row["sum_b"])
+        assert (int(g["width"]), int(g["height"])) == (int(row["width"]), int(row["height"]))
+    for mid, row in wav_want.iterrows():
+        g = got.loc[mid]
+        assert g["kind"] == "wav"
+        assert int(g["n_units"]) == int(row["n_samples"])
+        assert int(g["sum_v"]) == int(row["sum_s"])
+
+
+def test_resize_real_roundtrip_exact_pixels(spark, sf_smoke):
+    """Real PNG resize: decode the resized payloads and check every
+    pixel equals the nearest-neighbor sample of the source rule."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.multimodal import (
+        _png_decode_raw,
+        _png_pixel,
+        encode_png_pixels,
+        resize_media,
+    )
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(4)
+    src = encode_png_pixels(docs)
+    dims = {
+        int(r["media_id"]): (len(r["text"].encode("utf-8")) % 16 + 1,
+                             len(r["text"].encode("utf-8")) % 8 + 1)
+        for r in docs.select(F.col("doc_id").alias("media_id"), "text").collect()
+    }
+    out = resize_media(src, target_w=5, target_h=4, decode_stub=False)
+    for r in out.collect():
+        mid = int(r["media_id"])
+        w, h = dims[mid]
+        decoded = _png_decode_raw(bytes(r["payload"]))
+        assert decoded is not None
+        ow, oh, lines = decoded
+        assert (ow, oh) == (5, 4)
+        for y in range(4):
+            for x in range(5):
+                want = _png_pixel(mid, x * w // 5, y * h // 4)
+                gotpx = tuple(lines[y][3 * x : 3 * x + 3])
+                assert gotpx == want, (mid, x, y)
+
+
+def test_resize_real_non_png_is_null(spark):
+    """Non-PNG payloads pass through the real resize as NULL (the real
+    path only re-encodes the codec it owns end-to-end), never raising."""
+    from healthcare_etl_spark.operators.multimodal import resize_media
+
+    rows = [(1, "audio", bytearray(b"RIFFxxxxWAVE")), (2, "image", None)]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    out = resize_media(df, target_w=5, target_h=4, decode_stub=False).toPandas()
+    assert out["payload"].isna().all()
+    assert out["n_bytes_out"].isna().all()
