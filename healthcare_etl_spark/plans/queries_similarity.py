@@ -1420,6 +1420,117 @@ FROM (
 _register_knn_classify()
 
 
+def _register_knn_classify_ivf() -> None:
+    @register(
+        "q_knn_classify_ivf",
+        oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+cent_long AS (
+    SELECT label AS cell, i AS pos,
+           (round(avg(embedding[i + 1]::DOUBLE) * 1000000.0) / 1000000.0) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+    WHERE vec_id % 10 <> 0
+    GROUP BY label, i
+),
+cents AS (SELECT cell, list(v ORDER BY pos) AS centroid FROM cent_long GROUP BY cell),
+assign AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (round({_COS.format(a="q.qv", b="c.centroid")} * 1000000.0) / 1000000.0) DESC,
+                   c.cell ASC) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT a.query_id, q.true_label, e.vec_id AS neighbor_id, e.label AS c_label,
+           (round({_COS.format(a="q.qv", b="e.embedding")} * 1000000.0) / 1000000.0) AS cosine
+    FROM assign a
+    JOIN embeddings e ON e.label = a.cell AND e.vec_id % 10 <> 0
+    JOIN q ON q.query_id = a.query_id
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+),
+votes AS (
+    SELECT query_id, true_label, c_label AS pred_label,
+           CAST(count(*) AS BIGINT) AS votes
+    FROM top GROUP BY 1, 2, 3
+)
+SELECT query_id AS vec_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       votes,
+       CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT)
+           AS correct
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, pred_label ASC) AS vr
+    FROM votes
+) WHERE vr = 1
+""",
+        description=(
+            "IVF-backed k-NN labeler (r6 verdict task 4 — the pipeline "
+            "hot-path form of q_knn_classify): each held-out vector "
+            "(vec_id % 10 = 0) probes its nprobe=2 nearest label-"
+            "centroid cells and takes the majority label of its 5 "
+            "nearest neighbors WITHIN those cells. The exact all-pairs "
+            "form stays registered as the offline eval; this variant's "
+            "scored set is |Q| x (2 cells) instead of |Q| x corpus — at "
+            "100 TB the cells are bucketed at write time so the probe "
+            "is a partition-pruned scan. Agreement with the exact "
+            "labeler is unit-tested; ties break (votes DESC, label ASC) "
+            "identically on both engines."
+        ),
+        tags=("similarity", "extension", "vectors", "ml-prep", "approx"),
+    )
+    def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from healthcare_etl_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        c = emb.filter(F.col("vec_id") % 10 != 0)
+        top = ivf_topk(q, c, k=5, nprobe=2)
+        labels_q = q.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+        )
+        labels_c = c.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("c_label")
+        )
+        votes = (
+            top.join(F.broadcast(labels_q), "query_id")
+            .join(labels_c, "neighbor_id")
+            .groupBy("query_id", "true_label", F.col("c_label").alias("pred_label"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("pred_label"))
+        return (
+            votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select(
+                F.col("query_id").alias("vec_id"),
+                F.col("true_label").cast("long").alias("true_label"),
+                F.col("pred_label").cast("long").alias("pred_label"),
+                "votes",
+                (F.col("pred_label") == F.col("true_label"))
+                .cast("long")
+                .alias("correct"),
+            )
+        )
+
+
+_register_knn_classify_ivf()
+
+
 def _register_ndcg_eval() -> None:
     @register(
         "q_ndcg_eval",

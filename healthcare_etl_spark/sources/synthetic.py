@@ -82,3 +82,99 @@ class SyntheticDocsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotent per-session registration of the connector."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Scale-proof corpus generator (r7, verdict task 1).
+#
+# Deterministic fixture-SHAPED corpora at arbitrary row counts, built
+# entirely from Spark expressions over ``spark.range`` — partition-
+# parallel generation with ZERO driver-side materialization and zero
+# Python evaluation (xxhash64 is the JVM-side mixer), so a 100x corpus
+# costs one codegen scan + one parquet write. Schemas match the driver
+# fixtures (documents: doc_id/text/lang/source/n_chars; embeddings:
+# vec_id/embedding<float[64]>/label) so every registered query runs
+# unmodified against the generated directory.
+#
+# Dup structure is controlled, mirroring what dedup operators face in a
+# real crawl: ~1/16 of docs copy the text of a nearby base doc (half of
+# those with one extra token appended -> near-dups, half verbatim ->
+# exact dups), giving candidate-pair volume that grows LINEARLY with
+# corpus size — the property the 10x/100x wall-clock table in
+# BASELINE.md measures.
+# ---------------------------------------------------------------------------
+
+_SCALE_VOCAB = [
+    "spark", "query", "table", "column", "line", "scan", "filter", "join",
+    "agg", "group", "sort", "order", "hash", "merge", "stream", "batch",
+    "vector", "value", "key", "part", "customer", "fast", "slow", "small",
+    "big", "the", "a", "x",
+]
+
+
+def scale_documents(spark, n_docs: int, n_partitions: int = 64):
+    """Lazy fixture-shaped ``documents`` frame with ``n_docs`` rows."""
+    from pyspark.sql import functions as F
+
+    vocab = F.array(*[F.lit(w) for w in _SCALE_VOCAB])
+    nv = len(_SCALE_VOCAB)
+    base = spark.range(0, n_docs, 1, n_partitions).withColumnRenamed("id", "doc_id")
+    # ~1/16 of docs reuse a nearby base doc's text (pure function of the
+    # base id -> no join needed); odd copies append a marker token so
+    # both exact- and near-dup candidates exist at every scale.
+    is_dup = F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(16)) == 0
+    back = F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(97)) + 1
+    src_id = F.when(is_dup & (F.col("doc_id") >= back), F.col("doc_id") - back).otherwise(
+        F.col("doc_id")
+    )
+    near = is_dup & (F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(2)) == 0)
+    n_words = (F.pmod(F.xxhash64(src_id, F.lit(4)), F.lit(93)) + 8).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(src_id * 128 + i, F.lit(5)), F.lit(nv)) + 1).cast("int")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(near, F.concat(text, F.lit(" dupmark"))).otherwise(text)
+    langs = F.array(*[F.lit(x) for x in ["en", "en", "zh", "fr", "es", "de"]])
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(langs, (F.pmod(F.xxhash64("doc_id", F.lit(6)), F.lit(6)) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20))).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def scale_embeddings(spark, n_vecs: int, n_partitions: int = 64, dim: int = 64):
+    """Lazy fixture-shaped ``embeddings`` frame with ``n_vecs`` rows."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n_vecs, 1, n_partitions).withColumnRenamed("id", "vec_id")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("vec_id") * dim + i, F.lit(11)), F.lit(2001)) - 1000)
+            / 1000.0
+        ).cast("float"),
+    )
+    return base.select(
+        "vec_id",
+        emb.alias("embedding"),
+        F.pmod(F.xxhash64("vec_id", F.lit(12)), F.lit(10)).cast("int").alias("label"),
+    )
+
+
+def write_scale_corpus(
+    spark, out_dir: str, *, n_docs: int, n_vecs: int, n_partitions: int = 64
+) -> None:
+    """Write a fixture-shaped corpus (documents + embeddings parquet) to
+    ``out_dir`` — the input layout ``load_table`` expects, so any
+    registered query can run against it via ``fn(spark, out_dir)``."""
+    scale_documents(spark, n_docs, n_partitions).write.mode("overwrite").parquet(
+        f"{out_dir.rstrip('/')}/documents.parquet"
+    )
+    scale_embeddings(spark, n_vecs, n_partitions).write.mode("overwrite").parquet(
+        f"{out_dir.rstrip('/')}/embeddings.parquet"
+    )

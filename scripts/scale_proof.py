@@ -1,0 +1,163 @@
+"""Empirical scale proof (r7, verdict task 1).
+
+Every 100 TB claim in this repo is a plan-shape argument verified at
+sf0.1 (~5k documents). This script measures it: generate fixture-shaped
+corpora at 10x (and 100x for the dedup candidate stage) with the
+partition-parallel synthetic generator (sources/synthetic.py — pure
+Spark expressions, zero driver materialization), run the scale
+flagships at 1x and 10x, and re-run the two fleet plan sweeps against
+the 10x directory. Results go into BASELINE.md's scaling table.
+
+Usage: python scripts/scale_proof.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FLAGSHIPS = [
+    "q_dedup_minhash",
+    "q_dedup_prefix_filter",
+    "q_dedup_clusters_2phase",
+    "q_sim_ann_ivf",
+    "q_corpus_pipeline",
+    "q_curation_pipeline_v2",
+]
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK = os.environ.get("SCALE_PROOF_DIR", "/tmp/scale_proof")
+
+
+def _link_other_tables(big_dir: str) -> None:
+    """Symlink the non-scaled fixture tables into the big dir so every
+    registered query can build its plan against it (documents and
+    embeddings are the scaled ones)."""
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ]:
+        dst = f"{big_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE_SF}/{t}.parquet", dst)
+
+
+def main() -> None:
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.session import get_spark
+    from healthcare_etl_spark.sources.synthetic import (
+        scale_documents,
+        write_scale_corpus,
+    )
+
+    os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Dspark.ui.showConsoleProgress=false")
+    spark = get_spark(app_name="scale-proof", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reg = get_registry()
+
+    dir10 = f"{WORK}/x10"
+    dir100 = f"{WORK}/x100"
+    t0 = time.perf_counter()
+    write_scale_corpus(spark, dir10, n_docs=50_000, n_vecs=20_000, n_partitions=64)
+    gen10 = time.perf_counter() - t0
+    os.makedirs(dir100, exist_ok=True)
+    t0 = time.perf_counter()
+    scale_documents(spark, 500_000, 128).write.mode("overwrite").parquet(
+        f"{dir100}/documents.parquet"
+    )
+    gen100 = time.perf_counter() - t0
+    _link_other_tables(dir10)
+    print(f"# generated 10x in {gen10:.1f}s, 100x docs in {gen100:.1f}s", flush=True)
+
+    # Warm plans at the smallest SF so JVM/codegen costs don't bias 1x.
+    for name in FLAGSHIPS:
+        try:
+            reg[name].fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    results: dict[str, dict] = {}
+    for name in FLAGSHIPS:
+        row: dict = {}
+        for tag, d in [("x1", BASE_SF), ("x10", dir10)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = reg[name].fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            row[tag] = round(best, 2)
+            row[f"{tag}_rows"] = n
+        row["growth"] = round(row["x10"] / row["x1"], 2) if row["x1"] else None
+        results[name] = row
+        print(f"# {name}: x1={row['x1']}s x10={row['x10']}s growth={row['growth']}x", flush=True)
+
+    # 100x point: the minhash LSH candidate-pair stage alone (shingle ->
+    # 64-perm signatures -> banded buckets -> candidate pairs).
+    from healthcare_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        lsh_candidate_pairs,
+        minhash_band_frame,
+        minhash_signatures_from,
+    )
+
+    def cand_pairs(docs_dir: str) -> tuple[float, int]:
+        docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        sigs = minhash_signatures_from(hashed_shingle_rows(docs))
+        n = lsh_candidate_pairs(minhash_band_frame(sigs)).count()
+        return time.perf_counter() - t0, n
+
+    cand: dict[str, dict] = {}
+    for tag, d in [("x1", BASE_SF), ("x10", dir10), ("x100", dir100)]:
+        secs, n = cand_pairs(d)
+        cand[tag] = {"sec": round(secs, 2), "pairs": n}
+        print(f"# minhash_candidates {tag}: {secs:.2f}s, {n} pairs", flush=True)
+
+    # Plan sweeps against the 10x directory: same invariants the quick
+    # suite enforces at sf0.001 must hold on the big inputs.
+    sweep_offenders: dict[str, list[str]] = {}
+    window_offenders: dict[str, list[str]] = {}
+    import re
+
+    from tests.test_plans import PARTITIONLESS_WINDOW_ALLOWLIST, _partitionless_windows
+
+    n_swept = 0
+    for name, q in sorted(reg.items()):
+        if name.startswith("q_stream"):
+            continue
+        try:
+            df = q.fn(spark, dir10)
+        except Exception as exc:  # pragma: no cover - report, don't die
+            sweep_offenders[name] = [f"BUILD_ERROR {type(exc).__name__}"]
+            continue
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_swept += 1
+        hits = [f for f in ("CartesianProduct", "BatchEvalPython") if f in plan]
+        if hits:
+            sweep_offenders[name] = hits
+        whits = _partitionless_windows(plan)
+        if whits and name not in PARTITIONLESS_WINDOW_ALLOWLIST:
+            window_offenders[name] = whits
+    print(f"# plan sweeps at 10x: {n_swept} plans, "
+          f"{len(sweep_offenders)} cartesian/python offenders, "
+          f"{len(window_offenders)} unvetted partitionless windows", flush=True)
+
+    out = {
+        "gen_secs": {"x10": round(gen10, 1), "x100_docs": round(gen100, 1)},
+        "flagships": results,
+        "minhash_candidates": cand,
+        "sweep_plans": n_swept,
+        "sweep_offenders": sweep_offenders,
+        "window_offenders": window_offenders,
+    }
+    print(json.dumps(out))
+    if len(sys.argv) > 1:
+        Path(sys.argv[1]).write_text(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -3156,3 +3156,29 @@ def test_split_leakage_shares_and_flags(spark, sf_smoke):
         assert r.split_a in valid and r.split_b in valid
         assert r.is_leak == (r.split_a != r.split_b)
         assert r.n_pairs > 0
+
+
+def test_knn_classify_ivf_structure_matches_exact(spark, sf_smoke):
+    """The IVF-backed labeler classifies exactly the held-out set the
+    exact labeler does, with votes in [1, 5] and predictions drawn from
+    the corpus label domain. (Prediction AGREEMENT with the exact form
+    is chance-level by construction on this fixture — embeddings are
+    random, so cosine neighborhoods carry no label signal; the recall
+    guarantees live in the ANN operators' own tests.)"""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    r = get_registry()
+    ex = r["q_knn_classify"].fn(spark, sf_smoke).toPandas().set_index("vec_id")
+    iv = r["q_knn_classify_ivf"].fn(spark, sf_smoke).toPandas().set_index("vec_id")
+    assert set(ex.index) == set(iv.index)
+    assert iv["votes"].between(1, 5).all()
+    labels = {
+        row["label"]
+        for row in spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        .filter(F.col("vec_id") % 10 != 0)
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    assert set(iv["pred_label"]).issubset(labels)
+    assert (iv["true_label"] == ex["true_label"]).all()
