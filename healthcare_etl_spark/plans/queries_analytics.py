@@ -1258,11 +1258,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     counts = b.groupBy("event_type", "period", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    # The (event_type x bucket x period) grid is metadata-sized (a few
+    # hundred rows at most), but its left side is an aggregate whose
+    # cardinality Catalyst cannot estimate — at 10x-fixture stats the
+    # planner degraded these cross joins to CartesianProduct (caught by
+    # the r7 scale-proof sweep). Explicit broadcast hints pin them to
+    # BroadcastNestedLoopJoin at every scale.
     grid = (
         counts.select("event_type")
         .distinct()
-        .crossJoin(spark.range(10).select(F.col("id").alias("bucket")))
-        .crossJoin(spark.createDataFrame([("ref",), ("cur",)], ["period"]))
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bucket"))))
+        .crossJoin(F.broadcast(spark.createDataFrame([("ref",), ("cur",)], ["period"])))
     )
     filled = grid.join(counts, ["event_type", "bucket", "period"], "left").select(
         "event_type", "bucket", "period", F.coalesce("n", F.lit(0)).alias("n")

@@ -2626,7 +2626,13 @@ ORDER BY cluster_id
     tags=("similarity", "extension", "clustering"),
 )
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.graph import connected_components
+    # Two-phase star CC, not label propagation: the occupied-cell
+    # adjacency graph over a dense corpus is a MESH whose diameter grows
+    # with the cell-grid side (the r7 10x scale proof pushed plain
+    # label-prop past its 50-round diameter bound); the alternating
+    # large/small-star form contracts whole subtrees per round and
+    # converges in O(log n) rounds with identical labels.
+    from healthcare_etl_spark.operators.graph import connected_components_two_phase
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -2660,7 +2666,7 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.cid").alias("pa"), F.col("b.cid").alias("pb"))
     )
-    lab = connected_components(nbr, src="pa", dst="pb")
+    lab = connected_components_two_phase(nbr, src="pa", dst="pb")
     labels = core.join(
         lab.select(F.col("node").alias("cid"), F.col("component").alias("comp")),
         "cid",

@@ -129,12 +129,21 @@ def scale_documents(spark, n_docs: int, n_partitions: int = 64):
     )
     near = is_dup & (F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(2)) == 0)
     n_words = (F.pmod(F.xxhash64(src_id, F.lit(4)), F.lit(93)) + 8).cast("int")
-    words = F.transform(
-        F.sequence(F.lit(0), n_words - 1),
-        lambda i: F.element_at(
-            vocab, (F.pmod(F.xxhash64(src_id * 128 + i, F.lit(5)), F.lit(nv)) + 1).cast("int")
-        ),
-    )
+    # Zipf-ish mixture: ~60% of positions draw from the 28 fixture-style
+    # head words, the rest from a 20k-token tail ("tokNNNNN"). The tail
+    # is what makes the corpus scale-HONEST for similarity joins: real
+    # crawls have vocabularies that grow with corpus size, so shingle/
+    # token document frequencies stay low and candidate generation stays
+    # ~linear. An all-head corpus (28-word vocab at any size) makes ANY
+    # exact token-overlap join inherently quadratic — a property of the
+    # data, not the algorithm — and was measured doing exactly that.
+    def word_at(i):
+        h = F.xxhash64(src_id * 128 + i, F.lit(5))
+        head = F.element_at(vocab, (F.pmod(h, F.lit(nv)) + 1).cast("int"))
+        tail = F.concat(F.lit("tok"), F.pmod(F.xxhash64(src_id * 128 + i, F.lit(8)), F.lit(20000)))
+        return F.when(F.pmod(F.xxhash64(src_id * 128 + i, F.lit(9)), F.lit(5)) < 3, head).otherwise(tail)
+
+    words = F.transform(F.sequence(F.lit(0), n_words - 1), word_at)
     text = F.concat_ws(" ", words)
     text = F.when(near, F.concat(text, F.lit(" dupmark"))).otherwise(text)
     langs = F.array(*[F.lit(x) for x in ["en", "en", "zh", "fr", "es", "de"]])

@@ -59,9 +59,13 @@ def main() -> None:
     spark = get_spark(app_name="scale-proof", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reg = get_registry()
 
+    # x1 is the SAME generator at fixture-sf0.1 row counts, so the
+    # 1x -> 10x -> 100x series varies only scale, not corpus shape.
+    dir1 = f"{WORK}/x1"
     dir10 = f"{WORK}/x10"
     dir100 = f"{WORK}/x100"
     t0 = time.perf_counter()
+    write_scale_corpus(spark, dir1, n_docs=5_000, n_vecs=2_000, n_partitions=16)
     write_scale_corpus(spark, dir10, n_docs=50_000, n_vecs=20_000, n_partitions=64)
     gen10 = time.perf_counter() - t0
     os.makedirs(dir100, exist_ok=True)
@@ -70,8 +74,9 @@ def main() -> None:
         f"{dir100}/documents.parquet"
     )
     gen100 = time.perf_counter() - t0
+    _link_other_tables(dir1)
     _link_other_tables(dir10)
-    print(f"# generated 10x in {gen10:.1f}s, 100x docs in {gen100:.1f}s", flush=True)
+    print(f"# generated 1x+10x in {gen10:.1f}s, 100x docs in {gen100:.1f}s", flush=True)
 
     # Warm plans at the smallest SF so JVM/codegen costs don't bias 1x.
     for name in FLAGSHIPS:
@@ -83,7 +88,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in FLAGSHIPS:
         row: dict = {}
-        for tag, d in [("x1", BASE_SF), ("x10", dir10)]:
+        for tag, d in [("x1", dir1), ("x10", dir10)]:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -98,21 +103,22 @@ def main() -> None:
     # 100x point: the minhash LSH candidate-pair stage alone (shingle ->
     # 64-perm signatures -> banded buckets -> candidate pairs).
     from healthcare_etl_spark.operators.dedup import (
-        hashed_shingle_rows,
         lsh_candidate_pairs,
         minhash_band_frame,
-        minhash_signatures_from,
     )
 
     def cand_pairs(docs_dir: str) -> tuple[float, int]:
         docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
         t0 = time.perf_counter()
-        sigs = minhash_signatures_from(hashed_shingle_rows(docs))
-        n = lsh_candidate_pairs(minhash_band_frame(sigs)).count()
-        return time.perf_counter() - t0, n
+        n = lsh_candidate_pairs(minhash_band_frame(docs)).count()
+        secs = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        return secs, n
 
     cand: dict[str, dict] = {}
-    for tag, d in [("x1", BASE_SF), ("x10", dir10), ("x100", dir100)]:
+    for tag, d in [("x1", dir1), ("x10", dir10), ("x100", dir100)]:
         secs, n = cand_pairs(d)
         cand[tag] = {"sec": round(secs, 2), "pairs": n}
         print(f"# minhash_candidates {tag}: {secs:.2f}s, {n} pairs", flush=True)

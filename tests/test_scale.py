@@ -256,3 +256,40 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_smoke, tmp_path):
     # perfect time sort, but well below reading everything)
     z_m, _ = files_touched(zdir, "minute", 0, 59)
     assert z_m < z_total, (z_m, z_total)
+
+
+def test_scale_corpus_generator_schema_and_dups(spark, sf_smoke):
+    """The scale-proof generator (sources.synthetic.scale_documents /
+    scale_embeddings) must emit frames schema-identical to the driver
+    fixtures (so every registered query runs unmodified against a
+    generated directory) with deterministic content and a controlled,
+    scale-linear duplicate fraction."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.synthetic import (
+        scale_documents,
+        scale_embeddings,
+    )
+
+    def shape(df):  # name/type pairs; nullability differs pre-parquet
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    docs = scale_documents(spark, 2000, 8)
+    fix_docs = load_table(spark, sf_smoke, "documents")
+    assert shape(docs) == shape(fix_docs)
+    emb = scale_embeddings(spark, 500, 4)
+    fix_emb = load_table(spark, sf_smoke, "embeddings")
+    assert shape(emb) == shape(fix_emb)
+    assert emb.filter(F.size("embedding") != 64).count() == 0
+
+    # determinism: two independent builds agree exactly
+    a = docs.orderBy("doc_id").limit(50).collect()
+    b = scale_documents(spark, 2000, 3).orderBy("doc_id").limit(50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # controlled dup structure: some exact duplicates, well under 20%
+    n = docs.count()
+    nd = docs.select("text").distinct().count()
+    assert n == 2000
+    assert 0 < n - nd < 0.2 * n
+    # n_chars is the real text length (fixture invariant)
+    assert docs.filter(F.length("text") != F.col("n_chars")).count() == 0
