@@ -2862,3 +2862,107 @@ def _register_auc_delong() -> None:
 
 
 _register_auc_delong()
+
+
+@register(
+    "q_tcloseness_audit",
+    oracle="""
+WITH tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS m FROM events
+),
+gdist AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS mi FROM events GROUP BY 1
+),
+cells AS (
+    -- DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1) — +1 aligns
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT)   AS wd,
+           CAST(floor(value / 10.0) AS BIGINT) AS value_band,
+           event_type,
+           CAST(count(*) AS BIGINT) AS ni
+    FROM events GROUP BY 1, 2, 3
+),
+cell_tot AS (
+    SELECT wd, value_band, CAST(sum(ni) AS BIGINT) AS nc
+    FROM cells GROUP BY 1, 2
+),
+grid AS (
+    SELECT c.wd, c.value_band, c.nc, g.event_type, g.mi,
+           coalesce(x.ni, 0) AS ni
+    FROM cell_tot c
+    CROSS JOIN gdist g
+    LEFT JOIN cells x
+      ON x.wd = c.wd AND x.value_band = c.value_band
+     AND x.event_type = g.event_type
+),
+tvd AS (
+    SELECT wd, value_band, max(nc) AS n_events,
+           CAST(sum(abs(CAST(ni AS HUGEINT) * (SELECT m FROM tot)
+                        - CAST(mi AS HUGEINT) * nc)) AS HUGEINT) AS num,
+           (CAST(max(nc) AS HUGEINT) * (SELECT m FROM tot)) AS den
+    FROM grid GROUP BY 1, 2
+)
+SELECT wd, value_band, CAST(n_events AS BIGINT) AS n_events,
+       (round((CAST(num AS DOUBLE) / (2.0 * CAST(den AS DOUBLE))) * 1000000.0)
+        / 1000000.0) AS tvd,
+       (CAST(num AS DOUBLE) / (2.0 * CAST(den AS DOUBLE)) > 0.2) AS exceeds_t
+FROM tvd
+ORDER BY 1, 2
+""",
+    description=(
+        "t-closeness audit (Li et al. ICDE'07) — the third leg of the "
+        "privacy triad after q_kanonymity_audit (membership size) and "
+        "q_l_diversity_audit (distinct sensitive values): per "
+        "quasi-identifier cell (weekday, value decile-band), the total "
+        "variation distance between the cell's sensitive-attribute "
+        "(event_type) distribution and the GLOBAL distribution — a "
+        "cell can be k-anonymous AND l-diverse yet still leak if its "
+        "distribution is badly skewed vs the population. TVD is "
+        "computed in exact integer cross-products "
+        "(|ni*M - mi*Nc| summed as BIGINTs, one final division) so "
+        "the sum is order-independent; the type grid is a broadcast "
+        "cross join against the handful of global types (the "
+        "q_psi_drift lesson: hint the unestimable side). One "
+        "partial-agg pass over the fact table; everything after is "
+        "metadata-sized. Flags cells with TVD > t = 0.2."
+    ),
+    tags=("quality", "extension", "governance"),
+)
+def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("wd"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_band"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    glob = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("mi"))
+    m_total = ev.count()
+    cell_tot = cells.groupBy("wd", "value_band").agg(
+        F.sum("ni").cast("long").alias("nc")
+    )
+    grid = (
+        cell_tot.crossJoin(F.broadcast(glob))
+        .join(cells, ["wd", "value_band", "event_type"], "left")
+        .select(
+            "wd",
+            "value_band",
+            "nc",
+            "mi",
+            F.coalesce("ni", F.lit(0)).cast("long").alias("ni"),
+        )
+    )
+    tvd_num = F.sum(
+        F.abs(F.col("ni") * F.lit(int(m_total)) - F.col("mi") * F.col("nc"))
+    )
+    out = grid.groupBy("wd", "value_band").agg(
+        F.max("nc").cast("long").alias("n_events"),
+        tvd_num.alias("num"),
+        (F.max("nc") * F.lit(int(m_total))).alias("den"),
+    )
+    tvd = F.col("num") / (F.lit(2.0) * F.col("den"))
+    return out.select(
+        "wd",
+        "value_band",
+        "n_events",
+        stable_round(tvd, 6).alias("tvd"),
+        (tvd > F.lit(0.2)).alias("exceeds_t"),
+    )

@@ -774,3 +774,14 @@ def test_psm_match_banded_join_not_cartesian(spark, sf_smoke):
     plan = plan_of(spark, sf_smoke, "q_psm_match")
     assert "CartesianProduct" not in plan
     assert "c_bkt" in plan or "t_bkt" in plan
+
+
+def test_psi_drift_grid_joins_stay_broadcast(spark, sf_smoke):
+    """The (event_type x bucket x period) fill grid is metadata-sized
+    but its left side is an aggregate Catalyst cannot estimate — without
+    explicit broadcast hints the cross joins degraded to CartesianProduct
+    at 10x-fixture stats (caught by the r7 scale-proof sweep). Pin the
+    hinted shape."""
+    plan = plan_of(spark, sf_smoke, "q_psi_drift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
