@@ -3806,3 +3806,124 @@ def q_chimerge_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_rate"
         ),
     ).orderBy("bin")
+
+
+_QSK_BINS = 128
+_QSK_W = 4.0  # bin width: value in [0, 512) by fixture construction
+_QSK_QS = [(1, 2), (9, 10), (99, 100)]  # quantiles as exact rationals
+
+
+def _qsketch_oracle() -> str:
+    qs_rows = ", ".join(f"({num}, {den})" for num, den in _QSK_QS)
+    return f"""
+WITH ev AS (
+    SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(least(floor(value / {_QSK_W}), {_QSK_BINS - 1}) AS BIGINT) AS bin
+    FROM events
+),
+hist AS (
+    SELECT day AS grp, bin, CAST(count(*) AS BIGINT) AS n
+    FROM ev GROUP BY 1, 2
+),
+allh AS (
+    SELECT CAST(-1 AS BIGINT) AS grp, bin, CAST(sum(n) AS BIGINT) AS n
+    FROM hist GROUP BY 2
+),
+h AS (SELECT * FROM hist UNION ALL SELECT * FROM allh),
+cum AS (
+    SELECT grp, bin, n,
+           CAST(sum(n) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum,
+           CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS nt
+    FROM h
+),
+qs AS (SELECT * FROM (VALUES {qs_rows}) t(qn, qd)),
+tgt AS (
+    SELECT c.*, q.qn, q.qd,
+           CAST((c.nt * q.qn + q.qd - 1) // q.qd AS BIGINT) AS target
+    FROM cum c CROSS JOIN qs q
+),
+pick AS (
+    SELECT grp, qn, qd, nt, bin, n, cum, target,
+           row_number() OVER (PARTITION BY grp, qn, qd ORDER BY bin) AS rn
+    FROM tgt WHERE cum >= target
+)
+SELECT grp,
+       (round((qn * 1.0 / qd) * 1000000.0) / 1000000.0) AS q,
+       nt AS n,
+       (round((bin * {_QSK_W} + {_QSK_W} * ((target - (cum - n)) * 1.0 / n))
+              * 1000000.0) / 1000000.0) AS est
+FROM pick WHERE rn = 1
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_quantile_sketch_merge",
+    oracle=_qsketch_oracle(),
+    description=(
+        "Mergeable fixed-bin histogram quantile sketch — the quantile "
+        "member of the sketch family next to HLL (distinct), KMV "
+        "(distinct/join-size), CMS (frequency), and Bloom (membership): "
+        "per-day 128-bin equi-width histograms of events.value, merged "
+        "by plain addition into a period sketch (grp = -1 — additivity "
+        "IS the mergeability, same rollup contract as "
+        "q_hll_register_sketch), then p50/p90/p99 read off each sketch "
+        "by cumulative-count bin location + linear interpolation. "
+        "Every arithmetic step is exact-integer until one final "
+        "double interpolation (targets are ceil(N*num/den) computed "
+        "with integer division), so the estimate is order-independent "
+        "and hash-stable. Error is bounded by one bin width (4.0) by "
+        "construction — unit-tested against exact percentiles. The "
+        "histogram is one partial-agg pass (map-side combinable — the "
+        "100 TB shape); cumulative sums ride per-grp windows bounded "
+        "by the 128-bin domain, never data rows."
+    ),
+    tags=("agg", "extension", "sketch", "scale-pattern"),
+)
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("day"),
+        F.least(
+            F.floor(F.col("value") / _QSK_W), F.lit(_QSK_BINS - 1)
+        ).cast("long").alias("bin"),
+    )
+    hist = binned.groupBy(F.col("day").alias("grp"), "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    merged = hist.groupBy("bin").agg(F.sum("n").cast("long").alias("n")).select(
+        F.lit(-1).cast("long").alias("grp"), "bin", "n"
+    )
+    h = hist.unionByName(merged)
+    w_cum = Window.partitionBy("grp").orderBy("bin")
+    w_tot = Window.partitionBy("grp")
+    cum = h.select(
+        "grp",
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).cast("long").alias("cum"),
+        F.sum("n").over(w_tot).cast("long").alias("nt"),
+    )
+    qs = spark.createDataFrame(_QSK_QS, "qn long, qd long")
+    tgt = cum.crossJoin(F.broadcast(qs)).withColumn(
+        "target",
+        ((F.col("nt") * F.col("qn") + F.col("qd") - 1) / F.col("qd"))
+        .cast("long"),
+    )
+    w_pick = Window.partitionBy("grp", "qn", "qd").orderBy("bin")
+    pick = (
+        tgt.filter(F.col("cum") >= F.col("target"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+    )
+    est = F.col("bin") * F.lit(_QSK_W) + F.lit(_QSK_W) * (
+        (F.col("target") - (F.col("cum") - F.col("n"))) * F.lit(1.0) / F.col("n")
+    )
+    return pick.select(
+        "grp",
+        stable_round(F.col("qn") * F.lit(1.0) / F.col("qd"), 6).alias("q"),
+        F.col("nt").alias("n"),
+        stable_round(est, 6).alias("est"),
+    ).orderBy("grp", "q")

@@ -3182,3 +3182,30 @@ def test_knn_classify_ivf_structure_matches_exact(spark, sf_smoke):
     }
     assert set(iv["pred_label"]).issubset(labels)
     assert (iv["true_label"] == ex["true_label"]).all()
+
+
+def test_quantile_sketch_within_one_bin_of_exact(spark, sf_smoke):
+    """The histogram quantile sketch's estimate must land within one bin
+    width (4.0) of the exact percentile, per group and quantile — the
+    construction bound — and the merged (grp=-1) sketch must equal the
+    estimate computed from the globally summed histogram (additivity =
+    mergeability)."""
+    import math
+
+    from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
+
+    out = (
+        get_registry()["q_quantile_sketch_merge"]
+        .fn(spark, sf_smoke)
+        .toPandas()
+    )
+    ev = load_table(spark, sf_smoke, "events").select(
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("day"), "value"
+    ).toPandas()
+    for _, r in out.iterrows():
+        vals = ev["value"] if r["grp"] == -1 else ev.loc[ev["day"] == r["grp"], "value"]
+        vals = sorted(vals)
+        target = math.ceil(len(vals) * r["q"])
+        exact = vals[max(target - 1, 0)]
+        assert abs(r["est"] - exact) <= 4.0 + 1e-9, (r["grp"], r["q"], r["est"], exact)
