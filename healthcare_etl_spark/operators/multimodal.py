@@ -1782,3 +1782,121 @@ def decode_jpeg_pixel_stats(
     return media.select("media_id", F.col(payload_col)).mapInPandas(
         parse, schema=JPEG_PIXEL_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# Perceptual image dedup support (r7): a family-structured PNG corpus
+# encoder and a block-mean perceptual hash over REALLY decoded pixels.
+# Together they give the image half of the dedup story: text dedup has
+# minhash/simhash/prefix-filter; images get hash buckets over decoded
+# pixel content (the aHash/blockhash family — Yang et al., "Block Mean
+# Value Based Image Perceptual Hashing", IIH-MSP'06), with byte-band
+# candidate generation exactly like SimHash's.
+# --------------------------------------------------------------------
+
+BLOCKHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _png_family_dims(base: int) -> tuple[int, int]:
+    """Family image dims — multiples of the 8x4 hash grid so block
+    boundaries are exact (w in {16,24,32,40}, h in {8,12,16,20}; kept
+    small because the from-scratch codec pays per-byte Python cost)."""
+    return (base % 4 + 2) * 8, (base % 4 + 2) * 4
+
+
+def encode_png_family(
+    df: DataFrame, *, id_col: str = "doc_id", group: int = 8
+) -> DataFrame:
+    """Near-duplicate image corpus: every ``group`` consecutive ids share
+    a base image (pixels = ``_png_pixel(base, x, y)``); each member
+    perturbs ONLY the top-left pixel's red channel by ``(id % group) *
+    8`` — the classic re-export/watermark near-dup. Fully valid PNGs
+    (same filter cycle + zlib IDAT as ``encode_png_pixels``)."""
+
+    def one(mid: int) -> bytes:
+        base = mid // group
+        w, h = _png_family_dims(base)
+        bump = (mid % group) * 8
+        raw_lines = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = _png_pixel(base, x, y)
+                if x == 0 and y == 0:
+                    r = (r + bump) % 256
+                row.extend((r, g, b))
+            raw_lines.append(bytes(row))
+        return _png_encode_from_lines(w, h, raw_lines)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [one(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(encode, schema=PNG_MEDIA_SCHEMA)
+
+
+def decode_png_blockhash(
+    media: DataFrame, *, payload_col: str = "payload", gx: int = 8, gy: int = 4
+) -> DataFrame:
+    """Block-mean perceptual hash over REALLY decoded PNG pixels: full
+    decode (chunk walk, IDAT inflate, filter reversal), then a gx x gy
+    grid of integer luminance-sum blocks (block b spans columns
+    ``[bx*w//gx, (bx+1)*w//gx)`` — exact integer splits), bit i set iff
+    ``S_b * C_total > S_total * C_b`` (cross-multiplied BIGINTs: the
+    block's mean exceeds the image mean with NO float anywhere, so the
+    hash is bit-identical to the oracle's arithmetic regeneration).
+    Bit order: ``i = by*gx + bx``. NULL for undecodable payloads."""
+
+    def one(b):
+        decoded = _png_decode_raw(b)
+        if decoded is None:
+            return (None, None, None)
+        w, h, lines = decoded
+        sums = [[0] * gx for _ in range(gy)]
+        cnts = [[0] * gx for _ in range(gy)]
+        col_block = [min(x * gx // w, gx - 1) for x in range(w)]
+        for y in range(h):
+            by = min(y * gy // h, gy - 1)
+            raw = lines[y]
+            srow, crow = sums[by], cnts[by]
+            for x in range(w):
+                bx = col_block[x]
+                o = 3 * x
+                srow[bx] += raw[o] + raw[o + 1] + raw[o + 2]
+                crow[bx] += 1
+        s_tot = sum(map(sum, sums))
+        c_tot = sum(map(sum, cnts))
+        hash_v = 0
+        for by in range(gy):
+            for bx in range(gx):
+                if sums[by][bx] * c_tot > s_tot * cnts[by][bx]:
+                    hash_v |= 1 << (by * gx + bx)
+        return (w, h, hash_v)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "phash": pd.array([p[2] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=BLOCKHASH_SCHEMA
+    )

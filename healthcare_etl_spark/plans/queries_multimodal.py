@@ -675,3 +675,128 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_pixel_stats(resized).select(
         "media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "q_image_phash_dedup",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id AS m, doc_id // 8 AS base, (doc_id % 8) * 8 AS bump
+    FROM documents
+),
+dims AS (
+    SELECT m, base, bump,
+           CAST((base % 4 + 2) * 8 AS BIGINT) AS w,
+           CAST((base % 4 + 2) * 4 AS BIGINT) AS h
+    FROM docs
+),
+px AS (
+    SELECT d.m, d.w, d.h,
+           x.i // (d.w // 8) AS bx,
+           y.j // (d.h // 4) AS by,
+           (((d.base * 7 + x.i * 3 + y.j * 5) % 256
+             + CASE WHEN x.i = 0 AND y.j = 0 THEN d.bump ELSE 0 END) % 256
+            + (d.base * 11 + x.i + 2 * y.j) % 256
+            + (d.base + x.i * y.j) % 256) AS lum
+    FROM dims d
+    JOIN range(40) x(i) ON x.i < d.w
+    JOIN range(20) y(j) ON y.j < d.h
+),
+blocks AS (
+    SELECT m, bx, by, CAST(sum(lum) AS BIGINT) AS sb
+    FROM px GROUP BY 1, 2, 3
+),
+tot AS (SELECT m, CAST(sum(sb) AS BIGINT) AS st FROM blocks GROUP BY 1),
+hashes AS (
+    SELECT b.m,
+           CAST(sum(CASE WHEN 32 * b.sb > t.st
+                         THEN CAST(1 AS BIGINT) << CAST(b.by * 8 + b.bx AS INT)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM blocks b JOIN tot t ON t.m = b.m
+    GROUP BY 1
+),
+bands AS (
+    SELECT m, phash, k.k AS band, (phash >> CAST(8 * k.k AS INT)) & 255 AS bv
+    FROM hashes CROSS JOIN range(4) k(k)
+),
+cand AS (
+    SELECT DISTINCT a.m AS doc_a, b.m AS doc_b, a.phash AS pa, b.phash AS pb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.m < b.m
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(pa, pb) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(pa, pb) AS BIGINT)) <= 3
+ORDER BY 1, 2
+""",
+    description=(
+        "Perceptual image near-dup dedup (r7 — the image leg of the "
+        "dedup stack next to text MinHash/SimHash/prefix-filter and "
+        "embedding SemDeDup): a family-structured corpus of byte-valid "
+        "PNGs (every 8 consecutive ids share a base image; each member "
+        "perturbs one pixel — the re-export/watermark near-dup), "
+        "REALLY decoded (inflate + unfilter), reduced to a 32-bit "
+        "block-mean hash (8x4 grid, bit = block luminance mean above "
+        "image mean, exact cross-multiplied BIGINTs — no float "
+        "anywhere), then candidate pairs from 4 byte-band buckets "
+        "(pigeonhole: hamming <= 3 guarantees a shared band — the "
+        "SimHash discipline, NO all-pairs join) verified by exact "
+        "bit_count(xor) <= 3. The oracle regenerates pixels, blocks, "
+        "hashes, bands, and pairs arithmetically: a decode, hashing, "
+        "banding, or popcount bug cannot hash-match. 100 TB shape: "
+        "decode+hash is one Arrow map pass; the band join is the only "
+        "shuffle and its keys are 10-bit-bounded."
+    ),
+    tags=("multimodal", "extension", "codec", "dedup"),
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_png_blockhash,
+        encode_png_family,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the (4-column, one-row-per-image) hash frame so the
+    # band self-join does not re-execute the encode+decode kernels on
+    # both sides (localCheckpoint: the grid_dbscan discipline)
+    hashes = decode_png_blockhash(encode_png_family(docs)).localCheckpoint()
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("media_id", "phash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

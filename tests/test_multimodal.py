@@ -361,3 +361,20 @@ def test_resize_real_non_png_is_null(spark):
     out = resize_media(df, target_w=5, target_h=4, decode_stub=False).toPandas()
     assert out["payload"].isna().all()
     assert out["n_bytes_out"].isna().all()
+
+
+def test_image_phash_dedup_finds_family_members(spark, sf_smoke):
+    """Every image family (8 consecutive ids sharing a base image, one
+    perturbed pixel apart) must surface as near-dup pairs: for each
+    family at least the exact-hash members pair up with hamming 0, and
+    every reported pair is verified <= 3 bits apart."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    out = get_registry()["q_image_phash_dedup"].fn(spark, sf_smoke).toPandas()
+    assert len(out) > 0
+    assert (out["hamming"] <= 3).all()
+    same_family = (out["doc_a"] // 8 == out["doc_b"] // 8)
+    assert same_family.any()
+    # hamming-0 pairs exist (members whose single-pixel bump didn't
+    # flip any block bit hash identically)
+    assert (out.loc[same_family, "hamming"] == 0).any()
