@@ -167,15 +167,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # profiling
     "q_column_entropy_profile",
     "q_null_rate_profile",
-    "q_shuffle_skew_planner",
-    # r7 NEW queries: real generic multimodal decode/resize + the
-    # IVF-backed kNN labeler (bench-core swap, verdict task 4)
+    # r7 NEW queries: real generic multimodal decode/resize, the
+    # IVF-backed kNN labeler (bench-core swap, verdict task 4), the
+    # t-closeness privacy audit, the mergeable quantile sketch, and
+    # the perceptual image near-dup dedup — every new r7 capability
+    # gets an external green row in its birth round
     "q_multimodal_featurize_real",
     "q_multimodal_resize_real",
     "q_knn_classify_ivf",
-    # analytics long tail
-    "q_weighted_median",
-    "q_capture_recapture",
+    "q_tcloseness_audit",
+    "q_quantile_sketch_merge",
+    "q_image_phash_dedup",
 )
 
 
