@@ -364,8 +364,18 @@ def test_multimodal_stub_deterministic(spark, sf_smoke):
     pd.testing.assert_frame_equal(f1, f2)
     assert (f1["width"] >= 1).all() and (f1["height"] >= 1).all()
 
-    with pytest.raises(NotImplementedError):
+    # decode_stub=False is REAL since r7: raw-text payloads are not a
+    # known container, so the dispatching kernel returns NULL features
+    # (kind 'unknown') instead of fabricating numbers — and never raises.
+    real = (
         decode_and_featurize(media, decode_stub=False)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(real) == len(f1)
+    assert real["feature_norm"].isna().all()
+    assert real["width"].isna().all()
 
 
 def test_ivf_multiprobe_recall_monotone(spark, sf_smoke):
