@@ -1900,3 +1900,114 @@ def decode_png_blockhash(
     return media.select("media_id", F.col(payload_col)).mapInPandas(
         parse, schema=BLOCKHASH_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# Audio fingerprint dedup support (r7): the audio sibling of the image
+# block-mean hash — family-structured WAV corpus + a 32-band energy
+# fingerprint over REALLY decoded int16 PCM.
+# --------------------------------------------------------------------
+
+AUDIOHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("fp", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav_family(
+    df: DataFrame, *, id_col: str = "doc_id", group: int = 8
+) -> DataFrame:
+    """Near-duplicate audio corpus: every ``group`` consecutive ids
+    share a base clip (samples = ``_wav_sample(base, k)``, length
+    ``base % 320 + 64`` samples); each member perturbs ONLY sample 0 by
+    ``(id % group) * 16`` — the re-encode/level-tweak near-dup. Fully
+    valid RIFF/WAVE int16 PCM files."""
+    import struct
+
+    def one(mid: int) -> bytes:
+        base = mid // group
+        ns = base % 320 + 64
+        samples = [_wav_sample(base, k) for k in range(ns)]
+        samples[0] += (mid % group) * 16
+        pcm = struct.pack(f"<{ns}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [one(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(encode, schema=PNG_MEDIA_SCHEMA)
+
+
+def decode_wav_fingerprint(
+    media: DataFrame, *, payload_col: str = "payload", n_bands: int = 32
+) -> DataFrame:
+    """Energy-band audio fingerprint over REALLY decoded PCM: unpack the
+    int16 data chunk, split into ``n_bands`` contiguous sample blocks
+    (block b spans ``[b*n//32, (b+1)*n//32)`` — exact integer splits),
+    bit b set iff the block's energy beats its share of the total:
+    ``E_b * n > E_tot * c_b`` (cross-multiplied BIGINTs, no float), the
+    exact analogue of the image block-mean hash. NULL for non-WAV."""
+    import struct
+
+    def one(b):
+        if b is None:
+            return (None, None)
+        bb = bytes(b)
+        if len(bb) < 12 or bb[:4] != b"RIFF" or bb[8:12] != b"WAVE":
+            return (None, None)
+        i = 12
+        data = None
+        while i + 8 <= len(bb):
+            cid = bb[i : i + 4]
+            (clen,) = struct.unpack("<I", bb[i + 4 : i + 8])
+            if cid == b"data":
+                data = bb[i + 8 : i + 8 + clen]
+            i += 8 + clen + (clen & 1)
+        if data is None or len(data) % 2:
+            return (None, None)
+        n = len(data) // 2
+        if n < n_bands:
+            return (n, None)
+        samples = struct.unpack(f"<{n}h", data)
+        e_band = [0] * n_bands
+        c_band = [0] * n_bands
+        for k, s in enumerate(samples):
+            bnd = min(k * n_bands // n, n_bands - 1)
+            e_band[bnd] += s * s
+            c_band[bnd] += 1
+        e_tot = sum(e_band)
+        fp = 0
+        for bnd in range(n_bands):
+            if e_band[bnd] * n > e_tot * c_band[bnd]:
+                fp |= 1 << bnd
+        return (n, fp)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_samples": pd.array([p[0] for p in parsed], dtype="Int64"),
+                    "fp": pd.array([p[1] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=AUDIOHASH_SCHEMA
+    )

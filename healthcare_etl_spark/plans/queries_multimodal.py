@@ -800,3 +800,114 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q_audio_fingerprint_dedup",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id AS m, doc_id // 8 AS base, (doc_id % 8) * 16 AS bump
+    FROM documents
+),
+dims AS (
+    SELECT m, base, bump, CAST(base % 320 + 64 AS BIGINT) AS ns FROM docs
+),
+smp AS (
+    SELECT d.m, d.ns,
+           k.k * 32 // d.ns AS band,
+           (((d.base * 31 + k.k * 7) % 4096) - 2048
+            + CASE WHEN k.k = 0 THEN d.bump ELSE 0 END) AS s
+    FROM dims d JOIN range(384) k(k) ON k.k < d.ns
+),
+bands_e AS (
+    SELECT m, ns, band,
+           CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS eb,
+           CAST(count(*) AS BIGINT) AS cb
+    FROM smp GROUP BY 1, 2, 3
+),
+tot AS (SELECT m, CAST(sum(eb) AS HUGEINT) AS et FROM bands_e GROUP BY 1),
+fps AS (
+    SELECT b.m,
+           CAST(sum(CASE WHEN b.eb * b.ns > t.et * b.cb
+                         THEN CAST(1 AS BIGINT) << CAST(b.band AS INT)
+                         ELSE 0 END) AS BIGINT) AS fp
+    FROM bands_e b JOIN tot t ON t.m = b.m
+    GROUP BY 1
+),
+bnd AS (
+    SELECT m, fp, k.k AS band, (fp >> CAST(8 * k.k AS INT)) & 255 AS bv
+    FROM fps CROSS JOIN range(4) k(k)
+),
+cand AS (
+    SELECT DISTINCT a.m AS doc_a, b.m AS doc_b, a.fp AS fa, b.fp AS fb
+    FROM bnd a JOIN bnd b
+      ON a.band = b.band AND a.bv = b.bv AND a.m < b.m
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(fa, fb) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(fa, fb) AS BIGINT)) <= 3
+ORDER BY 1, 2
+""",
+    description=(
+        "Audio fingerprint near-dup dedup — the audio sibling of "
+        "q_image_phash_dedup, completing perceptual dedup across both "
+        "decoded-media modalities: a family-structured corpus of valid "
+        "RIFF/WAVE int16 PCM clips (8 consecutive ids share a base "
+        "clip; each member perturbs one sample — the re-encode/level-"
+        "tweak near-dup), REALLY decoded, reduced to a 32-band energy "
+        "fingerprint (bit = band energy above its share of total, "
+        "exact cross-multiplied integers), candidates from 4 byte-band "
+        "buckets (pigeonhole: hamming <= 3 implies a shared band, no "
+        "all-pairs), verified by bit_count(xor). Oracle regenerates "
+        "samples, band energies, fingerprints, and pairs arithmetically."
+    ),
+    tags=("multimodal", "extension", "codec", "dedup"),
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_wav_fingerprint,
+        encode_wav_family,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = decode_wav_fingerprint(encode_wav_family(docs)).localCheckpoint()
+    bands = fps.select(
+        "media_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("media_id", "fp", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -378,3 +378,18 @@ def test_image_phash_dedup_finds_family_members(spark, sf_smoke):
     # hamming-0 pairs exist (members whose single-pixel bump didn't
     # flip any block bit hash identically)
     assert (out.loc[same_family, "hamming"] == 0).any()
+
+
+def test_audio_fingerprint_dedup_finds_family_members(spark, sf_smoke):
+    """Audio families (8 consecutive ids sharing a base clip, one
+    perturbed sample apart) must surface as near-dup pairs with
+    hamming <= 3; hamming-0 pairs exist where the one-sample bump never
+    flips a band-energy bit."""
+    from healthcare_etl_spark.plans.registry import get_registry
+
+    out = get_registry()["q_audio_fingerprint_dedup"].fn(spark, sf_smoke).toPandas()
+    assert len(out) > 0
+    assert (out["hamming"] <= 3).all()
+    same_family = (out["doc_a"] // 8 == out["doc_b"] // 8)
+    assert same_family.any()
+    assert (out.loc[same_family, "hamming"] == 0).any()
