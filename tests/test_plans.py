@@ -671,7 +671,9 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_heavy_hitters_2phase": "merge rank over <=16*10 local-top-k candidates",
     "q_bootstrap_ci": "200 bootstrap replicates",
     "q_zipf_fit": "post-LIMIT-1000 rank",
-    "q_sim_ann_pq": "codebook seed rank post-limit(ksub)",
+    # q_sim_ann_pq left the list in r7: the trained codebook is
+    # localCheckpointed, so the seed-rank window no longer appears in
+    # the search plan (the training plan keeps it, bounded by limit(ksub)).
     "q_roc_auc": "bucket-summary prefix (micro-prob div 4096, <=245)",
     "q_auc_delong_ci": "bucket-summary prefix (micro-prob div 4096, <=245)",
     "q_wasserstein_drift": "bucket-summary prefix+lead carry (cents div 4096)",
