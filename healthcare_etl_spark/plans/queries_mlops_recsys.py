@@ -2950,15 +2950,22 @@ def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ni", F.lit(0)).cast("long").alias("ni"),
         )
     )
+    # DECIMAL(38,0) cross-products (the oracle's HUGEINT): BIGINT would
+    # overflow once ni * M passes 2^63 — true at real corpus sizes even
+    # though fixture scales never get close.
+    dec = "decimal(38,0)"
     tvd_num = F.sum(
-        F.abs(F.col("ni") * F.lit(int(m_total)) - F.col("mi") * F.col("nc"))
+        F.abs(
+            F.col("ni").cast(dec) * F.lit(int(m_total)).cast(dec)
+            - F.col("mi").cast(dec) * F.col("nc").cast(dec)
+        )
     )
     out = grid.groupBy("wd", "value_band").agg(
         F.max("nc").cast("long").alias("n_events"),
         tvd_num.alias("num"),
-        (F.max("nc") * F.lit(int(m_total))).alias("den"),
+        (F.max("nc").cast(dec) * F.lit(int(m_total)).cast(dec)).alias("den"),
     )
-    tvd = F.col("num") / (F.lit(2.0) * F.col("den"))
+    tvd = F.col("num").cast("double") / (F.lit(2.0) * F.col("den").cast("double"))
     return out.select(
         "wd",
         "value_band",

@@ -3908,9 +3908,10 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = spark.createDataFrame(_QSK_QS, "qn long, qd long")
     tgt = cum.crossJoin(F.broadcast(qs)).withColumn(
+        # integer ceil-division via `div` (exact at any corpus size; a
+        # double `/` would be exact only below 2^53)
         "target",
-        ((F.col("nt") * F.col("qn") + F.col("qd") - 1) / F.col("qd"))
-        .cast("long"),
+        F.expr("(nt * qn + qd - 1) div qd").cast("long"),
     )
     w_pick = Window.partitionBy("grp", "qn", "qd").orderBy("bin")
     pick = (
