@@ -115,69 +115,67 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_groupby_avg_sorted",     # A5: group-mean + sort
     "q_topk",                   # O1/O2: sort + limit
     "q_format_number",          # F3: numeric formatting
-    # -- round 7 rotation: 41 FIRST-TIME external checks (r6 verdict
-    #    task 2: >=40 first-time rows, prioritizing the stats2/stats3/
-    #    timeseries2/profiling and cont3-5 pattern families the judge
-    #    named). Every query rotated out keeps its in-repo parity test
+    # -- round 8 rotation: 41 FIRST-TIME external checks (r7 verdict
+    #    task 1: >=40 first-time rows). Leads with q_audio_fingerprint_dedup
+    #    (landed after the r7 window froze; judge-verified but never
+    #    driver-checked), then every query the r7 verdict named by family
+    #    (attribution, q_auc_delong_ci, q_chimerge_binning,
+    #    q_newsvendor_stock, q_segment_migration, q_beta_fit, the two
+    #    TPC-H deep shapes never externally seen), then a spread across
+    #    every module that still has never-checked names. Every query
+    #    rotated out keeps its in-repo parity test
     #    (tests/test_oracle_parity.py, all 500+ oracle rows at sf0.001;
-    #    -m sf001 at sf0.01) plus the r7 full-sweep record in
-    #    BASELINE.md. The r6 comment promised q_select_star /
-    #    q_normalize_columns / q_heaps_fit / q_zipf_fit slots back this
-    #    round; first-time coverage outranks re-checks (all six already
-    #    have >=1 driver-green round), so they wait.
-    # judge-named cont3-5 flagships
-    "q_table_health_report",
-    "q_fd_discovery",
-    "q_kcore_peel",
-    "q_harmonic_centrality",
-    "q_item_item_cf",
-    "q_poisson_regression",
-    # survival family
-    "q_nelson_aalen",
-    "q_survival_rmst",
-    "q_logrank_test",
-    "q_aalen_johansen",
-    # forecast family
-    "q_holt_winters",
-    "q_theta_forecast",
-    "q_forecast_eval",
-    "q_croston",
-    "q_forecast_reconciliation",
-    "q_stl_decompose",
-    # stats2: causal / tests / state-space
-    "q_cox_ph",
-    "q_kalman_filter",
-    "q_kruskal_wallis",
-    "q_tukey_hsd",
-    "q_granger_causality",
-    "q_mutual_info",
-    "q_gmm_em_step",
-    "q_conformal_interval",
-    # stats3: diagnostics / robust fits
-    "q_vif",
-    "q_weibull_fit",
-    "q_jarque_bera",
-    "q_holm_correction",
-    "q_paired_ttest",
-    # timeseries2
-    "q_periodogram",
-    "q_binary_segmentation",
-    "q_event_study",
-    "q_top_movers",
-    # profiling
-    "q_column_entropy_profile",
-    "q_null_rate_profile",
-    # r7 NEW queries: real generic multimodal decode/resize, the
-    # IVF-backed kNN labeler (bench-core swap, verdict task 4), the
-    # t-closeness privacy audit, the mergeable quantile sketch, and
-    # the perceptual image near-dup dedup — every new r7 capability
-    # gets an external green row in its birth round
-    "q_multimodal_featurize_real",
-    "q_multimodal_resize_real",
-    "q_knn_classify_ivf",
-    "q_tcloseness_audit",
-    "q_quantile_sketch_merge",
-    "q_image_phash_dedup",
+    #    -m sf001 at sf0.01) plus the r7 full-sweep record in BASELINE.md.
+    # judge-named (r7 verdict task 1)
+    "q_audio_fingerprint_dedup",
+    "q_attribution_position",
+    "q_attribution_time_decay",
+    "q_auc_delong_ci",
+    "q_chimerge_binning",
+    "q_newsvendor_stock",
+    "q_segment_migration",
+    "q_beta_fit",
+    "q_tpch_q2_shape",
+    "q_tpch_q4_shape",
+    # attribution / funnel family (never sampled)
+    "q_attribution_last_touch",
+    "q_attribution_linear",
+    "q_markov_attribution",
+    "q_cohort_retention",
+    # mlops / evaluation
+    "q_naive_bayes",
+    "q_qini_curve",
+    "q_pr_auc",
+    "q_psm_match",
+    "q_wilcoxon_signed_rank",
+    # dedup family depth
+    "q_dedup_clusters_2phase",
+    "q_dedup_incremental",
+    "q_record_linkage",
+    # similarity / ANN depth
+    "q_sim_neardup",
+    "q_ann_recall_eval",
+    "q_knn_classify",
+    # corpus / text
+    "q_bpe_merges",
+    "q_good_turing",
+    "q_kneser_ney_bigram",
+    "q_langid_eval",
+    "q_passage_dedup",
+    "q_perplexity_filter",
+    # multimodal metadata paths never externally seen
+    "q_multimodal_mp4_meta",
+    "q_multimodal_jpeg_stats",
+    # stats2/stats3/timeseries2
+    "q_did_estimator",
+    "q_pacf",
+    "q_huber_location",
+    "q_fixed_effects_panel",
+    # scale patterns / graph / profiling / sources
+    "q_graph_bfs",
+    "q_salted_distinct_agg",
+    "q_json_scan",
+    "q_fk_discovery",
 )
 
 
