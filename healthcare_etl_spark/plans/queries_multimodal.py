@@ -517,6 +517,81 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_mp4_frames",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+vids AS (
+    SELECT doc_id,
+           CAST(n % 4 + 1 AS INT) AS nf,
+           CAST(n % 3 + 1 AS INT) AS bw,
+           CAST(n % 2 + 1 AS INT) AS bh
+    FROM docs
+),
+frames AS (
+    SELECT v.doc_id, v.bw, v.bh, CAST(k.k AS INT) AS frame_idx
+    FROM vids v JOIN range(4) k(k) ON k.k < v.nf
+),
+blk AS (
+    SELECT f.doc_id, f.frame_idx, f.bw, f.bh,
+           (((f.doc_id * 4 + f.frame_idx) * 5 + b.b * 11) % 61 - 30) * 2 + 128 AS v
+    FROM frames f JOIN range(6) b(b) ON b.b < f.bw * f.bh
+)
+SELECT doc_id AS media_id,
+       frame_idx,
+       CAST(max(bw) * 8 AS INT)      AS width,
+       CAST(max(bh) * 8 AS INT)      AS height,
+       CAST(count(*) * 64 AS BIGINT) AS n_px,
+       CAST(sum(v) * 64 AS BIGINT)   AS sum_v,
+       CAST(min(v) AS INT)           AS min_v,
+       CAST(max(v) AS INT)           AS max_v,
+       (round((sum(v) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS mean_v
+FROM blk GROUP BY doc_id, frame_idx
+""",
+    description=(
+        "REAL video decode (r8 — retires the last decode stub): "
+        "encode_mjpeg_mp4 writes byte-valid MJPEG-in-MP4 files (full "
+        "ISO BMFF moov with tkhd/mdhd/hdlr/vmhd/dinf and real stbl "
+        "sample tables — 'jpeg' VisualSampleEntry, stts/stsc/stsz/stco "
+        "with true per-frame byte sizes and a back-patched absolute "
+        "chunk offset), each frame an independent baseline JPEG from "
+        "the from-scratch T.81 encoder. decode_mp4_mjpeg_frames walks "
+        "the box tree to the sample tables, slices every sample out of "
+        "mdat, and runs the full T.81 entropy decode + dequant + IDCT "
+        "per frame, one output row per frame (the row-expanding "
+        "mapInPandas shape — how video corpora become frame datasets "
+        "at 100 TB). Frame k's DC content is pure (doc_id*4+k, block) "
+        "integer arithmetic, so the oracle regenerates every decoded "
+        "pixel of every frame; a sample-table or entropy bug cannot "
+        "hash-match. H.264/H.265 stay documented as out of reach "
+        "(entropy decode needs ffmpeg)."
+    ),
+    tags=("multimodal", "extension", "codec", "video"),
+)
+def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_mp4_mjpeg_frames,
+        encode_mjpeg_mp4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_mp4_mjpeg_frames(encode_mjpeg_mp4(docs))
+    return stats.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_px",
+        "sum_v",
+        "min_v",
+        "max_v",
+        stable_round(F.col("sum_v") * F.lit(1.0) / F.col("n_px"), 6).alias("mean_v"),
+    )
+
+
 def _featurize_real_oracle() -> str:
     """Arithmetic mirror of the four real decoders over the mixed
     doc_id%4 corpus: each branch regenerates its pixel/sample grid from

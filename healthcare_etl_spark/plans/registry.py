@@ -163,8 +163,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_langid_eval",
     "q_passage_dedup",
     "q_perplexity_filter",
-    # multimodal metadata paths never externally seen
-    "q_multimodal_mp4_meta",
+    # multimodal: the r8 NEW real-video decode (birth-round external row;
+    # subsumes q_multimodal_mp4_meta's box walk) + the JPEG still path
+    "q_multimodal_mp4_frames",
     "q_multimodal_jpeg_stats",
     # stats2/stats3/timeseries2
     "q_did_estimator",

@@ -393,3 +393,108 @@ def test_audio_fingerprint_dedup_finds_family_members(spark, sf_smoke):
     same_family = (out["doc_a"] // 8 == out["doc_b"] // 8)
     assert same_family.any()
     assert (out.loc[same_family, "hamming"] == 0).any()
+
+
+# ----------------------------------------------------------------------
+# MJPEG-in-MP4 video decode (r8 — retires the last decode stub)
+# ----------------------------------------------------------------------
+
+
+def test_mjpeg_mp4_container_structure():
+    """The encoder emits a spec-shaped ISO BMFF file: ftyp first, a moov
+    whose stbl carries true per-frame sizes, and an stco offset that
+    lands exactly on the first JPEG's SOI marker."""
+    import struct
+
+    from healthcare_etl_spark.operators.multimodal import (
+        _jpeg_encode_one,
+        _mjpeg_mp4_encode_one,
+        _mp4_n_frames,
+    )
+
+    mid, text = 42, "hello mjpeg"
+    b = _mjpeg_mp4_encode_one(mid, text)
+    assert b[4:8] == b"ftyp"
+    n = len(text.encode("utf-8"))
+    nf = _mp4_n_frames(n)
+    # stco holds the absolute offset of the first sample: must be SOI
+    i = b.index(b"stco")
+    (off,) = struct.unpack(">I", b[i + 12 : i + 16])
+    assert b[off : off + 2] == b"\xff\xd8"
+    # stsz sizes are the true JPEG byte lengths, frames concatenated
+    i = b.index(b"stsz")
+    fixed, count = struct.unpack(">II", b[i + 8 : i + 16])
+    assert (fixed, count) == (0, nf)
+    sizes = struct.unpack(f">{nf}I", b[i + 16 : i + 16 + 4 * nf])
+    cur = off
+    for k, sz in enumerate(sizes):
+        assert b[cur : cur + sz] == _jpeg_encode_one(mid * 4 + k, text)
+        cur += sz
+
+
+def test_mjpeg_mp4_frame_decode_roundtrip():
+    """Every frame decodes through the real T.81 kernel to the exact
+    arithmetic pixel stats (flat blocks: pixel = 2*DC + 128)."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _jpeg_block_dc,
+        _mjpeg_mp4_encode_one,
+        _mp4_mjpeg_frames_one,
+        _mp4_n_frames,
+    )
+
+    for mid, text in [(0, ""), (7, "hello world"), (123, "x" * 57)]:
+        n = len(text.encode("utf-8"))
+        bw, bh = n % 3 + 1, n % 2 + 1
+        frames = _mp4_mjpeg_frames_one(_mjpeg_mp4_encode_one(mid, text))
+        assert frames is not None and len(frames) == _mp4_n_frames(n)
+        for k, w, h, n_px, sv, mn, mx in frames:
+            assert (w, h, n_px) == (8 * bw, 8 * bh, 64 * bw * bh)
+            vals = [2 * _jpeg_block_dc(mid * 4 + k, bb) + 128 for bb in range(bw * bh)]
+            assert sv == 64 * sum(vals)
+            assert (mn, mx) == (min(vals), max(vals))
+
+
+def test_mjpeg_mp4_decoder_rejects_non_mjpeg(spark):
+    """Payloads without a 'jpeg' sample track expand to ZERO rows —
+    filtered, not faked: the mvhd-only shell from encode_mp4_media, raw
+    text, None, and a truncated file all yield nothing."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _mjpeg_mp4_encode_one,
+        _mp4_mjpeg_frames_one,
+        decode_mp4_mjpeg_frames,
+    )
+
+    good = _mjpeg_mp4_encode_one(5, "ok")
+    assert _mp4_mjpeg_frames_one(good[: len(good) // 2]) is None
+    rows = [
+        (1, bytearray(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)),
+        (2, None),
+        (3, bytearray(b"plain text")),
+        (4, bytearray(good)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_mp4_mjpeg_frames(df).toPandas()
+    assert set(out["media_id"]) == {4}
+
+
+def test_featurize_real_decodes_mjpeg_mp4(spark):
+    """The generic real featurize path now decodes MJPEG MP4s: width/
+    height from the track, sums over ALL frames."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _mp4_mjpeg_frames_one,
+        encode_mjpeg_mp4,
+        featurize_media_real,
+    )
+
+    docs = spark.createDataFrame(
+        [(9, "multi frame"), (10, "x")], "doc_id long, text string"
+    )
+    media = encode_mjpeg_mp4(docs)
+    out = featurize_media_real(media).toPandas().set_index("media_id")
+    rows = {int(r[0]): r for r in media.collect()}
+    for mid in (9, 10):
+        frames = _mp4_mjpeg_frames_one(bytes(rows[mid][1]))
+        assert out.loc[mid, "kind"] == "mp4"
+        assert int(out.loc[mid, "width"]) == frames[0][1]
+        assert int(out.loc[mid, "n_units"]) == sum(f[3] for f in frames)
+        assert int(out.loc[mid, "sum_v"]) == sum(f[4] for f in frames)
