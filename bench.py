@@ -207,9 +207,45 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Host-speed canary (r8, verdict task 2). This host shows heavy neighbor
+# contention (r7: three identical runs spread 1.5x), which made
+# round-over-round totals uninterpretable. Every bench run now times a
+# FIXED single-threaded pure-DuckDB workload (no Spark, no disk, no repo
+# code — immune to every change this repo can make) before and after the
+# query loop and records it in the JSON. CANARY_REF_S pins the quiet-host
+# value measured when the canary was introduced (r8, load ~1.0: reps
+# 1.38/1.25/1.15 s); `subtotals_normalized` scales each subtotal by
+# CANARY_REF_S / canary_s so cross-round comparisons can correct for
+# host steal. The raw subtotals remain the primary record; normalization
+# is an interpretive aid, not a replacement.
+# ---------------------------------------------------------------------------
+CANARY_REF_S = 1.25
+_CANARY_SQL = (
+    "SELECT sum(CAST(x*x AS HUGEINT)) AS s, count(DISTINCT x % 9973) AS d "
+    "FROM range(30000000) t(x)"
+)
+
+
+def run_canary(reps: int = 3) -> list[float]:
+    """Time the fixed single-threaded DuckDB workload ``reps`` times."""
+    import duckdb
+
+    con = duckdb.connect(config={"threads": 1})
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.sql(_CANARY_SQL).fetchall()
+        times.append(round(time.perf_counter() - t0, 4))
+    con.close()
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    canary_start = run_canary()
 
     from healthcare_etl_spark.session import get_spark
     from healthcare_etl_spark.plans.registry import get_queries
@@ -301,12 +337,22 @@ def main() -> None:
             sum(t for q, t in per_query.items() if q not in core_set), 4
         ),
     }
+    canary_end = run_canary()
+    canary_all = canary_start + canary_end
+    canary_s = round(sum(canary_all) / len(canary_all), 4)
+    speed = CANARY_REF_S / canary_s if canary_s > 0 else 1.0
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "subtotals": subtotals,
+        "canary_s": canary_s,
+        "canary_reps": {"start": canary_start, "end": canary_end},
+        "canary_ref_s": CANARY_REF_S,
+        "subtotals_normalized": {
+            k: round(v * speed, 4) for k, v in subtotals.items()
+        },
         "sf": sf_val,
         "cpus": cpus,
     }
