@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_mlops_recsys  # noqa: F401
     import healthcare_etl_spark.plans.queries_stats2  # noqa: F401
     import healthcare_etl_spark.plans.queries_patterns  # noqa: F401
+    import healthcare_etl_spark.plans.queries_patterns2  # noqa: F401
     import healthcare_etl_spark.plans.queries_profiling  # noqa: F401
     import healthcare_etl_spark.plans.queries_stats3  # noqa: F401
     import healthcare_etl_spark.plans.queries_timeseries2  # noqa: F401

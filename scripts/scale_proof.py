@@ -1,12 +1,15 @@
-"""Empirical scale proof (r7, verdict task 1).
+"""Empirical scale proof (r7, verdict task 1; extended r8, task 5).
 
 Every 100 TB claim in this repo is a plan-shape argument verified at
 sf0.1 (~5k documents). This script measures it: generate fixture-shaped
-corpora at 10x (and 100x for the dedup candidate stage) with the
+corpora at 10x AND 100x (500k docs / 200k vectors) with the
 partition-parallel synthetic generator (sources/synthetic.py — pure
 Spark expressions, zero driver materialization), run the scale
-flagships at 1x and 10x, and re-run the two fleet plan sweeps against
-the 10x directory. Results go into BASELINE.md's scaling table.
+flagships at 1x and 10x, run the END-TO-END pipeline flagships
+(minhash dedup, corpus pipeline, curation capstone, two-phase CC) at
+100x, and re-run the two fleet plan sweeps against the 100x directory
+(the 10x sweep was green in r7; 100x stats strictly dominate). Results
+go into BASELINE.md's scaling table.
 
 Usage: python scripts/scale_proof.py [out_json]
 """
@@ -33,6 +36,15 @@ FLAGSHIPS = [
 BASE_SF = "/root/testdata/sf0.1"
 WORK = os.environ.get("SCALE_PROOF_DIR", "/tmp/scale_proof")
 
+# End-to-end at 100x (r8): the full pipelines, not just the candidate
+# stage — the r7 verdict's task 5.
+X100_FLAGSHIPS = [
+    "q_dedup_minhash",
+    "q_corpus_pipeline",
+    "q_curation_pipeline_v2",
+    "q_dedup_clusters_2phase",
+]
+
 
 def _link_other_tables(big_dir: str) -> None:
     """Symlink the non-scaled fixture tables into the big dir so every
@@ -50,10 +62,7 @@ def _link_other_tables(big_dir: str) -> None:
 def main() -> None:
     from healthcare_etl_spark.plans.registry import get_registry
     from healthcare_etl_spark.session import get_spark
-    from healthcare_etl_spark.sources.synthetic import (
-        scale_documents,
-        write_scale_corpus,
-    )
+    from healthcare_etl_spark.sources.synthetic import write_scale_corpus
 
     os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Dspark.ui.showConsoleProgress=false")
     spark = get_spark(app_name="scale-proof", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -68,14 +77,12 @@ def main() -> None:
     write_scale_corpus(spark, dir1, n_docs=5_000, n_vecs=2_000, n_partitions=16)
     write_scale_corpus(spark, dir10, n_docs=50_000, n_vecs=20_000, n_partitions=64)
     gen10 = time.perf_counter() - t0
-    os.makedirs(dir100, exist_ok=True)
     t0 = time.perf_counter()
-    scale_documents(spark, 500_000, 128).write.mode("overwrite").parquet(
-        f"{dir100}/documents.parquet"
-    )
+    write_scale_corpus(spark, dir100, n_docs=500_000, n_vecs=200_000, n_partitions=128)
     gen100 = time.perf_counter() - t0
     _link_other_tables(dir1)
     _link_other_tables(dir10)
+    _link_other_tables(dir100)
     print(f"# generated 1x+10x in {gen10:.1f}s, 100x docs in {gen100:.1f}s", flush=True)
 
     # Warm plans at the smallest SF so JVM/codegen costs don't bias 1x.
@@ -123,7 +130,34 @@ def main() -> None:
         cand[tag] = {"sec": round(secs, 2), "pairs": n}
         print(f"# minhash_candidates {tag}: {secs:.2f}s, {n} pairs", flush=True)
 
-    # Plan sweeps against the 10x directory: same invariants the quick
+    # END-TO-END 100x point (r8, task 5): the full pipeline flagships at
+    # 500k docs / 200k vectors, best-of-2, with block release between
+    # runs (the bench.py lesson — checkpoint blocks outlive their query).
+    def _release() -> None:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    x100: dict[str, dict] = {}
+    for name in X100_FLAGSHIPS:
+        best = float("inf")
+        n = None
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = reg[name].fn(spark, dir100).count()
+                best = min(best, time.perf_counter() - t0)
+                _release()
+            x100[name] = {"sec": round(best, 2), "rows": n}
+        except Exception as exc:  # pragma: no cover - report, don't die
+            x100[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            _release()
+        print(f"# x100 {name}: {x100[name]}", flush=True)
+
+    # Plan sweep against the 100x directory: same invariants the quick
     # suite enforces at sf0.001 must hold on the big inputs.
     sweep_offenders: dict[str, list[str]] = {}
     window_offenders: dict[str, list[str]] = {}
@@ -136,7 +170,7 @@ def main() -> None:
         if name.startswith("q_stream"):
             continue
         try:
-            df = q.fn(spark, dir10)
+            df = q.fn(spark, dir100)
         except Exception as exc:  # pragma: no cover - report, don't die
             sweep_offenders[name] = [f"BUILD_ERROR {type(exc).__name__}"]
             continue
@@ -148,14 +182,16 @@ def main() -> None:
         whits = _partitionless_windows(plan)
         if whits and name not in PARTITIONLESS_WINDOW_ALLOWLIST:
             window_offenders[name] = whits
-    print(f"# plan sweeps at 10x: {n_swept} plans, "
+    print(f"# plan sweeps at 100x: {n_swept} plans, "
           f"{len(sweep_offenders)} cartesian/python offenders, "
           f"{len(window_offenders)} unvetted partitionless windows", flush=True)
 
     out = {
-        "gen_secs": {"x10": round(gen10, 1), "x100_docs": round(gen100, 1)},
+        "gen_secs": {"x10": round(gen10, 1), "x100": round(gen100, 1)},
         "flagships": results,
         "minhash_candidates": cand,
+        "x100_end_to_end": x100,
+        "sweep_dir": "x100",
         "sweep_plans": n_swept,
         "sweep_offenders": sweep_offenders,
         "window_offenders": window_offenders,
