@@ -1521,9 +1521,12 @@ def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[i
     return codes
 
 
-def _jpeg_encode_one(mid: int, text: str) -> bytes:
-    """Build one byte-valid baseline JFIF grayscale JPEG (module-level
-    so spec tests exercise it without a SparkSession)."""
+def _jpeg_encode_blocks(bw: int, bh: int, dcs: list[int]) -> bytes:
+    """Build one byte-valid baseline JFIF grayscale JPEG of ``bw x bh``
+    flat blocks with the given quantized DC per block (raster order) —
+    the core T.81 encoder under both the per-doc still encoder and the
+    MJPEG family encoder. DC values must stay within Huffman category 6
+    (|DC| <= 63 and successive |diff| <= 63)."""
     import struct
 
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -1532,9 +1535,6 @@ def _jpeg_encode_one(mid: int, text: str) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    body = ("" if text is None else text).encode("utf-8")
-    n = len(body)
-    bw, bh = n % 3 + 1, n % 2 + 1
     w, h = 8 * bw, 8 * bh
     zz_q = bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[i]] for i in range(64))
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1547,8 +1547,7 @@ def _jpeg_encode_one(mid: int, text: str) -> bytes:
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     wtr = _JpegBitWriter()
     pred = 0
-    for b in range(bw * bh):
-        dc = _jpeg_block_dc(mid, b)
+    for dc in dcs:
         diff = dc - pred
         pred = dc
         mag = abs(diff)
@@ -1563,6 +1562,16 @@ def _jpeg_encode_one(mid: int, text: str) -> bytes:
     return (
         b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof0)
         + seg(0xC4, dht) + seg(0xDA, sos) + wtr.flush() + b"\xff\xd9"
+    )
+
+
+def _jpeg_encode_one(mid: int, text: str) -> bytes:
+    """Build one byte-valid baseline JFIF grayscale JPEG (module-level
+    so spec tests exercise it without a SparkSession)."""
+    n = len(("" if text is None else text).encode("utf-8"))
+    bw, bh = n % 3 + 1, n % 2 + 1
+    return _jpeg_encode_blocks(
+        bw, bh, [_jpeg_block_dc(mid, b) for b in range(bw * bh)]
     )
 
 
@@ -1651,10 +1660,11 @@ def _jpeg_idct_basis():
     return basis
 
 
-def _jpeg_decode_stats_one(b):
-    """Decode one baseline grayscale JPEG to (w, h, n_px, sum, min,
-    max) pixel stats; None-tuple on any structural error (module-level
-    so spec tests exercise the full decode path without Spark)."""
+def _jpeg_decode_blocks_one(b):
+    """Decode one baseline grayscale JPEG to ``(w, h, blocks)`` where
+    ``blocks`` is the raster-order list of 8x8 int64 pixel arrays —
+    the shared full-decode kernel under both the pixel-stats reduction
+    and the per-frame fingerprint (r8). None on any structural error."""
     import struct
 
     import numpy as np
@@ -1662,7 +1672,7 @@ def _jpeg_decode_stats_one(b):
     basis = _jpeg_idct_basis()
 
     def parse_one(b):
-        none = (None, None, None, None, None, None)
+        none = None
         if b is None:
             return none
         b = bytes(b)
@@ -1738,8 +1748,7 @@ def _jpeg_decode_stats_one(b):
             ac_tab = huff[(1, comp_ac)]
             bw, bh = w // 8, h // 8
             pred = 0
-            total = 0
-            mn, mx = 255, 0
+            blocks = []
             for _ in range(bw * bh):
                 coef = np.zeros(64, dtype=np.float64)
                 s = _jpeg_decode_huffman(rdr, dc_tab)
@@ -1761,15 +1770,26 @@ def _jpeg_decode_stats_one(b):
                     coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(rdr.bits(ssss), ssss)
                 block = coef.reshape(8, 8) * q
                 spatial = basis.T @ block @ basis
-                px = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.int64)
-                total += int(px.sum())
-                mn = min(mn, int(px.min()))
-                mx = max(mx, int(px.max()))
-            return (w, h, w * h, total, mn, mx)
+                blocks.append(np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.int64))
+            return (w, h, blocks)
         except (ValueError, IndexError, KeyError, struct.error):
             return none
 
     return parse_one(b)
+
+
+def _jpeg_decode_stats_one(b):
+    """Decode one baseline grayscale JPEG to (w, h, n_px, sum, min,
+    max) pixel stats; None-tuple on any structural error (module-level
+    so spec tests exercise the full decode path without Spark)."""
+    decoded = _jpeg_decode_blocks_one(b)
+    if decoded is None:
+        return (None, None, None, None, None, None)
+    w, h, blocks = decoded
+    total = sum(int(px.sum()) for px in blocks)
+    mn = min((int(px.min()) for px in blocks), default=255)
+    mx = max((int(px.max()) for px in blocks), default=0)
+    return (w, h, w * h, total, mn, mx)
 
 
 def decode_jpeg_pixel_stats(
@@ -2071,25 +2091,19 @@ def _mp4_n_frames(n: int) -> int:
     return n % 4 + 1
 
 
-def _mjpeg_mp4_encode_one(mid: int, text: str) -> bytes:
-    """One byte-valid MJPEG-in-MP4 file: ftyp + a full moov (mvhd, trak
-    with tkhd/mdhd/hdlr/minf/vmhd/dinf/stbl) + mdat of concatenated
-    baseline JPEGs from the T.81 encoder.
+def _mp4_mjpeg_container(frames: list[bytes], w: int, h: int) -> bytes:
+    """Wrap pre-encoded JPEG frames in a byte-valid MJPEG-in-MP4 file:
+    ftyp + a full moov (mvhd, trak with tkhd/mdhd/hdlr/minf/vmhd/dinf/
+    stbl) + mdat of the concatenated frames.
 
-    Frame ``k`` is ``_jpeg_encode_one(mid * 4 + k, text)`` — per-frame
-    distinct DC content from pure integer arithmetic, so a SQL oracle
-    regenerates every decoded pixel without touching bytes.  The stbl
-    holds real sample tables: stsd with an 86-byte 'jpeg'
+    The stbl holds real sample tables: stsd with an 86-byte 'jpeg'
     VisualSampleEntry, stts (constant delta), stsc (one chunk), stsz
     (true per-frame byte sizes), stco (absolute file offset of the
     first sample, back-patched after moov's size is known).
     """
     import struct
 
-    body_n = len(("" if text is None else text).encode("utf-8"))
-    n_frames = _mp4_n_frames(body_n)
-    frames = [_jpeg_encode_one(mid * 4 + k, text) for k in range(n_frames)]
-    w, h = 8 * (body_n % 3 + 1), 8 * (body_n % 2 + 1)
+    n_frames = len(frames)
     duration = n_frames * _MJPEG_SAMPLE_DELTA
 
     def box(btype: bytes, payload: bytes) -> bytes:
@@ -2171,6 +2185,18 @@ def _mjpeg_mp4_encode_one(mid: int, text: str) -> bytes:
     return ftyp + moov + mdat
 
 
+def _mjpeg_mp4_encode_one(mid: int, text: str) -> bytes:
+    """One MJPEG-in-MP4 file whose frame ``k`` is
+    ``_jpeg_encode_one(mid * 4 + k, text)`` — per-frame distinct DC
+    content from pure integer arithmetic, so a SQL oracle regenerates
+    every decoded pixel without touching bytes."""
+    body_n = len(("" if text is None else text).encode("utf-8"))
+    n_frames = _mp4_n_frames(body_n)
+    frames = [_jpeg_encode_one(mid * 4 + k, text) for k in range(n_frames)]
+    w, h = 8 * (body_n % 3 + 1), 8 * (body_n % 2 + 1)
+    return _mp4_mjpeg_container(frames, w, h)
+
+
 def encode_mjpeg_mp4(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -2195,14 +2221,15 @@ def encode_mjpeg_mp4(
     )
 
 
-def _mp4_mjpeg_frames_one(b) -> list[tuple] | None:
-    """Decode every MJPEG frame of one MP4: stbl-indexed sample slicing
-    + the from-scratch T.81 JPEG decode per frame.
+def _mp4_mjpeg_samples(b) -> list[bytes] | None:
+    """Slice every MJPEG sample out of one MP4 via its sample tables.
 
-    Returns ``[(frame_idx, w, h, n_px, sum_v, min_v, max_v), ...]`` or
-    None when the payload is not an MP4 with a 'jpeg' sample track
-    (missing moov/stbl, non-MJPEG codec, corrupt tables) — the honest
-    NULL for codecs this container cannot decode (H.264 etc.).
+    Walks moov>trak>mdia>minf>stbl, requires a 'jpeg' VisualSampleEntry
+    in stsd, reads the true per-sample sizes from stsz and the absolute
+    first-sample offset from stco, and returns the frame byte slices in
+    sample order. None when the payload is not an MP4 with a 'jpeg'
+    sample track (missing moov/stbl, non-MJPEG codec, corrupt tables) —
+    the honest NULL for codecs this container cannot decode (H.264 etc.).
     """
     import struct
 
@@ -2260,15 +2287,25 @@ def _mp4_mjpeg_frames_one(b) -> list[tuple] | None:
             return None
         out = []
         cur = offset
-        for k, sz in enumerate(sizes):
+        for sz in sizes:
             if cur + sz > len(b):
                 return None
-            stats = _jpeg_decode_stats_one(b[cur : cur + sz])
-            out.append((k, *stats))
+            out.append(b[cur : cur + sz])
             cur += sz
         return out
     except (struct.error, IndexError, ValueError):
         return None
+
+
+def _mp4_mjpeg_frames_one(b) -> list[tuple] | None:
+    """Decode every MJPEG frame of one MP4: stbl-indexed sample slicing
+    + the from-scratch T.81 JPEG decode per frame. Returns
+    ``[(frame_idx, w, h, n_px, sum_v, min_v, max_v), ...]`` or None
+    when the payload has no MJPEG track."""
+    samples = _mp4_mjpeg_samples(b)
+    if samples is None:
+        return None
+    return [(k, *_jpeg_decode_stats_one(s)) for k, s in enumerate(samples)]
 
 
 def decode_mp4_mjpeg_frames(
@@ -2315,4 +2352,183 @@ def decode_mp4_mjpeg_frames(
 
     return media.select("media_id", F.col(payload_col)).mapInPandas(
         parse, schema=MJPEG_FRAME_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------
+# Video near-duplicate detection (r8): per-frame fingerprints computed
+# during the REAL MJPEG decode, then set-intersection matching between
+# videos — the video member of the dedup family (text has MinHash /
+# SimHash / prefix-filter; stills have the block-mean pHash; audio has
+# the band-energy fingerprint). The frame fingerprint is the frame's
+# block-mean vector encoded injectively in base 257 over the first
+# _FHASH_BLOCKS blocks (a block-mean is 0..255, so 257 digits never
+# carry) — two frames hash equal iff their leading block means are
+# identical, and both engines compute it in exact BIGINT arithmetic.
+# --------------------------------------------------------------------
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fhash", T.LongType(), True),
+    ]
+)
+
+_FHASH_BLOCKS = 7  # 256 * 257^6 * 7 < 2^63: no BIGINT overflow
+
+
+def _frame_fingerprint(blocks) -> int:
+    """Base-257 positional encoding of the first ``_FHASH_BLOCKS``
+    block means (mean = floor(pixel_sum / 64), an exact integer)."""
+    fh = 0
+    for b, px in enumerate(blocks[:_FHASH_BLOCKS]):
+        fh += (int(px.sum()) // 64 + 1) * (257 ** b)
+    return fh
+
+
+def _mjpeg_family_video(doc_id: int, group: int = 4) -> bytes:
+    """One member of a near-duplicate video family.
+
+    Every ``group`` consecutive ids share a base video (dims, frame
+    count, and all frame DCs derive from the family index ``fam =
+    doc_id // group``); member ``m = doc_id % group`` perturbs ONLY
+    frame 0's first block DC by ``+m``, so members share all frames
+    except the first — the shot-level overlap a frame-fingerprint
+    matcher must find (single-frame families share nothing: honest
+    non-dups). DC stays within Huffman category 6 (base DC in
+    [-30, 30], +m <= +3 -> [-30, 33]; worst DPCM diff 63)."""
+    fam = doc_id // group
+    m = doc_id % group
+    nf = fam % 4 + 1
+    bw, bh = fam % 3 + 1, fam % 2 + 1
+    frames = []
+    for k in range(nf):
+        dcs = [_jpeg_block_dc(fam * 4 + k, b) for b in range(bw * bh)]
+        if k == 0:
+            dcs[0] += m
+        frames.append(_jpeg_encode_blocks(bw, bh, dcs))
+    return _mp4_mjpeg_container(frames, 8 * bw, 8 * bh)
+
+
+def encode_mjpeg_family(
+    df: DataFrame, *, id_col: str = "doc_id", group: int = 4
+) -> DataFrame:
+    """Encode the near-duplicate MJPEG video corpus (one video per row,
+    Arrow ``mapInPandas``)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [_mjpeg_family_video(int(i), group) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(encode, schema=PNG_MEDIA_SCHEMA)
+
+
+def decode_mp4_mjpeg_frame_hashes(
+    media: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL per-frame fingerprinting: stbl-indexed sample slicing, full
+    T.81 decode per frame, then the base-257 block-mean fingerprint —
+    one row per frame. Non-MJPEG payloads expand to zero rows. At
+    100 TB this is one Arrow map pass over the video bytes; everything
+    downstream (set-distinct, the fingerprint equi-join) is JVM-side."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "width", "height", "fhash")}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                samples = _mp4_mjpeg_samples(b)
+                if samples is None:
+                    continue
+                for k, frame in enumerate(samples):
+                    decoded = _jpeg_decode_blocks_one(frame)
+                    if decoded is None:
+                        continue
+                    w, h, blocks = decoded
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(k)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["fhash"].append(_frame_fingerprint(blocks))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "fhash": pd.array(rows["fhash"], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_frame_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
+    """Near-duplicate video pairs from per-frame fingerprints: distinct
+    (video, dims, fingerprint) signature sets, an equi-join on the
+    fingerprint (the only shuffle — fingerprint keys are bounded-fanout
+    by construction, exactly like a SimHash band join), then the exact
+    integer set-overlap verify ``2 * |A ∩ B| >= min(|A|, |B|)``.
+
+    Returns (video_a, video_b, n_shared, n_sig_a, n_sig_b, overlap)
+    with video_a < video_b; ``overlap`` is the shared fraction of the
+    smaller signature set, stable-rounded.
+
+    Fanout note (the small-synthetic-vocab lesson from the r7 scale
+    proof, this time for video): a fingerprint key appearing in ``f``
+    videos contributes ~f^2/2 join rows. Real frame fingerprints are
+    near-unique (the base-257 encoding is injective over block means),
+    but the FIXTURE corpus draws flat-block DCs from a 61-value space,
+    so its single-block frames collide across families by construction
+    — a data property, not an engine bug; those pairs are true
+    identical-content matches and the oracle reproduces every one. At
+    production scale, guard ultra-frequent fingerprints exactly like
+    MinHash band skew: cap key document-frequency before the join."""
+    from healthcare_etl_spark.functions.rounding import stable_round
+
+    sigs = frame_hashes.select("media_id", "width", "height", "fhash").distinct()
+    counts = sigs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_sig"))
+    shared = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            (F.col("x.fhash") == F.col("y.fhash"))
+            & (F.col("x.width") == F.col("y.width"))
+            & (F.col("x.height") == F.col("y.height"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .groupBy(
+            F.col("x.media_id").alias("video_a"),
+            F.col("y.media_id").alias("video_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(F.col("media_id").alias("video_a"), F.col("n_sig").alias("n_sig_a"))
+    cb = counts.select(F.col("media_id").alias("video_b"), F.col("n_sig").alias("n_sig_b"))
+    return (
+        shared.join(ca, "video_a")
+        .join(cb, "video_b")
+        .filter(F.lit(2) * F.col("n_shared") >= F.least("n_sig_a", "n_sig_b"))
+        .select(
+            "video_a",
+            "video_b",
+            "n_shared",
+            "n_sig_a",
+            "n_sig_b",
+            stable_round(
+                F.col("n_shared") * F.lit(1.0) / F.least("n_sig_a", "n_sig_b"), 6
+            ).alias("overlap"),
+        )
     )

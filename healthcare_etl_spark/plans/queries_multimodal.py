@@ -986,3 +986,83 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q_video_frame_dedup",
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           doc_id // 4 AS fam,
+           doc_id % 4 AS m,
+           CAST((doc_id // 4) % 4 + 1 AS INT) AS nf,
+           CAST((doc_id // 4) % 3 + 1 AS INT) AS bw,
+           CAST((doc_id // 4) % 2 + 1 AS INT) AS bh
+    FROM documents
+),
+frames AS (
+    SELECT p.*, k.k AS k FROM params p JOIN range(4) k(k) ON k.k < p.nf
+),
+fh AS (
+    SELECT f.doc_id, CAST(f.bw * 8 AS INT) AS width, CAST(f.bh * 8 AS INT) AS height,
+           sum(
+             (2 * (((f.fam * 4 + f.k) * 5 + b.b * 11) % 61 - 30
+                   + CASE WHEN f.k = 0 AND b.b = 0 THEN f.m ELSE 0 END) + 129)
+             * (CASE b.b WHEN 0 THEN 1 WHEN 1 THEN 257 WHEN 2 THEN 66049
+                         WHEN 3 THEN 16974593 WHEN 4 THEN 4362470401
+                         WHEN 5 THEN 1121154893057 END)
+           ) AS fhash
+    FROM frames f JOIN range(6) b(b) ON b.b < f.bw * f.bh
+    GROUP BY f.doc_id, f.fam, f.k, f.bw, f.bh, f.m
+),
+sigs AS (SELECT DISTINCT doc_id, width, height, fhash FROM fh),
+counts AS (SELECT doc_id, count(*) AS n_sig FROM sigs GROUP BY doc_id),
+shared AS (
+    SELECT x.doc_id AS video_a, y.doc_id AS video_b, count(*) AS n_shared
+    FROM sigs x JOIN sigs y
+      ON x.fhash = y.fhash AND x.width = y.width AND x.height = y.height
+     AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.video_a, s.video_b, s.n_shared,
+       ca.n_sig AS n_sig_a, cb.n_sig AS n_sig_b,
+       (round((s.n_shared * 1.0 / least(ca.n_sig, cb.n_sig)) * 1000000.0)
+        / 1000000.0) AS overlap
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.video_a
+JOIN counts cb ON cb.doc_id = s.video_b
+WHERE 2 * s.n_shared >= least(ca.n_sig, cb.n_sig)
+""",
+    description=(
+        "Video near-duplicate detection over REALLY decoded frames — "
+        "the video member of the dedup family (text: MinHash/SimHash/"
+        "prefix-filter; stills: block-mean pHash; audio: band-energy "
+        "fingerprint). encode_mjpeg_family writes a family-structured "
+        "MJPEG-in-MP4 corpus (every 4 consecutive ids share a base "
+        "video; each member perturbs only frame 0, so members share all "
+        "other frames); decode_mp4_mjpeg_frame_hashes slices the stbl-"
+        "indexed samples, runs the full T.81 decode per frame, and "
+        "fingerprints each frame as the base-257 positional encoding of "
+        "its first 7 block means (injective for 8-bit means, exact "
+        "BIGINT on both engines); video_frame_dedup_pairs then matches "
+        "videos by distinct-signature equi-join (the only shuffle — "
+        "bounded-fanout keys, the SimHash-band shape) and verifies with "
+        "the exact integer set-overlap rule 2*|A∩B| >= min(|A|,|B|). "
+        "The whole chain is pure (doc_id, frame, block) integer "
+        "arithmetic, so the oracle regenerates every fingerprint — a "
+        "sample-table, entropy-decode, or join bug cannot hash-match. "
+        "100 TB shape: decode+fingerprint is one Arrow map pass; "
+        "everything downstream is JVM-side hash joins/aggregates."
+    ),
+    tags=("multimodal", "dedup", "extension", "codec", "video"),
+)
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_mp4_mjpeg_frame_hashes,
+        encode_mjpeg_family,
+        video_frame_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame_hashes = decode_mp4_mjpeg_frame_hashes(encode_mjpeg_family(docs))
+    return video_frame_dedup_pairs(frame_hashes)

@@ -164,19 +164,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_langid_eval",
     "q_passage_dedup",
     "q_perplexity_filter",
-    # multimodal: the r8 NEW real-video decode (birth-round external row;
-    # subsumes q_multimodal_mp4_meta's box walk) + the JPEG still path
+    # multimodal: the two r8 NEW real-video queries (birth-round external
+    # rows; frames subsumes q_multimodal_mp4_meta's box walk) + the JPEG
+    # still path
     "q_multimodal_mp4_frames",
+    "q_video_frame_dedup",
     "q_multimodal_jpeg_stats",
     # stats2/stats3/timeseries2
     "q_did_estimator",
     "q_pacf",
     "q_huber_location",
     "q_fixed_effects_panel",
-    # scale patterns / graph / profiling / sources
+    # scale patterns / graph / profiling
     "q_graph_bfs",
     "q_salted_distinct_agg",
-    "q_json_scan",
     "q_fk_discovery",
 )
 

@@ -498,3 +498,79 @@ def test_featurize_real_decodes_mjpeg_mp4(spark):
         assert int(out.loc[mid, "width"]) == frames[0][1]
         assert int(out.loc[mid, "n_units"]) == sum(f[3] for f in frames)
         assert int(out.loc[mid, "sum_v"]) == sum(f[4] for f in frames)
+
+
+# ----------------------------------------------------------------------
+# Video near-dup detection (r8)
+# ----------------------------------------------------------------------
+
+
+def test_mjpeg_family_structure():
+    """Members of a family share exactly nf-1 frame fingerprints (frame
+    0 is perturbed per member); different families share none at small
+    family indices (distinct DC sequences)."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _frame_fingerprint,
+        _jpeg_decode_blocks_one,
+        _mjpeg_family_video,
+        _mp4_mjpeg_samples,
+    )
+
+    def sigset(doc):
+        out = set()
+        for s in _mp4_mjpeg_samples(_mjpeg_family_video(doc)):
+            w, h, blocks = _jpeg_decode_blocks_one(s)
+            out.add((w, h, _frame_fingerprint(blocks)))
+        return out
+
+    for fam_start in (4, 8, 12, 20):
+        fam = fam_start // 4
+        nf = fam % 4 + 1
+        sets = [sigset(fam_start + m) for m in range(4)]
+        for m in (1, 2, 3):
+            assert len(sets[0] & sets[m]) == nf - 1
+        assert len(sets[1] & sets[2]) == nf - 1
+        assert not (sets[0] & sigset(fam_start + 4))
+
+
+def test_frame_fingerprint_injective_and_truncated():
+    """The base-257 encoding separates frames differing in any leading
+    block mean, and ignores blocks past the 7-block truncation."""
+    import numpy as np
+
+    from healthcare_etl_spark.operators.multimodal import (
+        _FHASH_BLOCKS,
+        _frame_fingerprint,
+    )
+
+    def blocks(vals):
+        return [np.full((8, 8), v, dtype=np.int64) for v in vals]
+
+    assert _frame_fingerprint(blocks([10, 20])) != _frame_fingerprint(blocks([11, 20]))
+    assert _frame_fingerprint(blocks([10, 20])) != _frame_fingerprint(blocks([20, 10]))
+    # carry-free: max mean 255 < 257 means no aliasing between positions
+    assert _frame_fingerprint(blocks([255, 0])) != _frame_fingerprint(blocks([0, 1]))
+    seven = list(range(1, 8))
+    assert _frame_fingerprint(blocks(seven)) == _frame_fingerprint(
+        blocks(seven + [99])
+    )
+    assert _FHASH_BLOCKS == 7
+
+
+def test_video_frame_dedup_pairs(spark):
+    """End-to-end on one family of 4 (nf=3): every member pair shares
+    nf-1=2 of 3 signatures -> 6 verified pairs, overlap 2/3."""
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_mp4_mjpeg_frame_hashes,
+        encode_mjpeg_family,
+        video_frame_dedup_pairs,
+    )
+
+    # fam=2 -> nf=3, bw=3, bh=1
+    docs = spark.createDataFrame([(8 + m,) for m in range(4)], "doc_id long")
+    fh = decode_mp4_mjpeg_frame_hashes(encode_mjpeg_family(docs))
+    out = video_frame_dedup_pairs(fh).toPandas()
+    assert len(out) == 6
+    assert set(out["n_shared"]) == {2}
+    assert set(out["n_sig_a"]) == {3} and set(out["n_sig_b"]) == {3}
+    assert all(abs(v - 0.666667) < 1e-9 for v in out["overlap"])
