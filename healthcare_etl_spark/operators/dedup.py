@@ -631,10 +631,21 @@ def prefix_filter_jaccard_pairs(
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hsh"))
+    # dfreq and sizes are AGGREGATE outputs that scale with the corpus
+    # (distinct shingles / distinct docs). Catalyst's static estimate for
+    # them is tiny, so without a hint it plans BroadcastHashJoin and at
+    # the 100x scale proof died building a 26M-row broadcast ("Not
+    # enough memory to build and broadcast") — the same
+    # aggregates-are-unestimable planner class as the r7 q_psi_drift
+    # CartesianProduct flip, in the opposite direction. merge (sort-
+    # merge join) is the only strategy whose memory is bounded at any
+    # scale: shuffle_hash was tried first and its UNSPILLABLE build
+    # side still died at x100 under 32-way task concurrency ("Can't
+    # acquire ... to build hash relation").
     ranked = (
-        inv.join(dfreq, "hsh")
+        inv.join(dfreq.hint("merge"), "hsh")
         .select("doc_id", "hsh", F.row_number().over(w).alias("pos"))
-        .join(sizes, "doc_id")
+        .join(sizes.hint("merge"), "doc_id")
     )
     # prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
     ceil_tn = F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
@@ -661,13 +672,20 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    inv_a = inv.select(F.col("doc_id").alias("doc_a"), "hsh")
-    inv_b = inv.select(F.col("doc_id").alias("__db"), F.col("hsh").alias("__hb"))
+    # Verify via carried shingle-hash SETS — the minhash verify shape
+    # (array_intersect over two per-doc arrays), doc-count-sized frames
+    # instead of rejoining the FULL inverted index (whose 26M rows the
+    # x100 static plan tried to broadcast). merge hints for the same
+    # unestimable-aggregate reason as above; the sorted frames here are
+    # docs, not shingle rows, so the fixture-scale cost is small.
+    doc_sets = inv.groupBy("doc_id").agg(F.collect_set("hsh").alias("hs"))
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    o = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
     common = (
-        cand.join(inv_a, "doc_a")
-        .join(inv_b, (F.col("doc_b") == F.col("__db")) & (F.col("hsh") == F.col("__hb")))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("o"))
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+        .select("doc_a", "doc_b", "na", "nb", o.alias("o"))
     )
     jac = F.col("o").cast("double") / (F.col("na") + F.col("nb") - F.col("o"))
     return common.filter(

@@ -229,11 +229,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clusters_oracle_sql() -> str:
     """Recursive-CTE mirror of min-label connected components over the
-    exact-Jaccard near-dup pairs (same pair query as q_dedup_ngram_jaccard)."""
+    MinHash-LSH verified near-dup pairs.
+
+    r8 scale fix: the cluster flagships used the exact inverted-index
+    pair join (`jaccard_pairs`), whose join output is sum(df^2)/2 over
+    shingle document frequencies — measured 735M rows at the 100x
+    corpus, OOMing the 8 GB local executor (the first genuine scale
+    kill found by scripts/scale_proof.py's end-to-end 100x run). The
+    production dedup pipeline clusters LSH-VERIFIED pairs (banded
+    candidates, exact array_intersect verify — q_dedup_minhash, 11 s at
+    100x), so the clustering queries now consume that pair source; the
+    oracle mirrors the full LSH chain via the shared _minhash_ctes()."""
     return f"""
-WITH RECURSIVE {_jaccard_pairs_ctes()},
+WITH RECURSIVE {_minhash_ctes()},
 pairs AS (
-    SELECT doc_a, doc_b FROM jpairs
+    SELECT doc_a, doc_b FROM verified
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
 ),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -255,8 +265,12 @@ FROM reach GROUP BY src
     oracle=_clusters_oracle_sql(),
     description=(
         "Near-dup clustering: connected components (iterative min-label "
-        "propagation) over exact-Jaccard pairs, keeper = min doc per cluster — "
-        "the step that actually drops duplicates. Oracle via recursive CTE."
+        "propagation) over the MinHash-LSH verified pairs, keeper = min doc "
+        "per cluster — the step that actually drops duplicates. Oracle via "
+        "recursive CTE over the shared LSH chain. (r8: pair source switched "
+        "from the exact inverted-index join, whose sum(df^2) output OOMed at "
+        "the 100x scale proof, to the banded pipeline shape that runs 100x "
+        "in 11 s — see _clusters_oracle_sql.)"
     ),
     tags=("dedup", "extension", "iterative"),
 )
@@ -264,7 +278,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return dedup_clusters(pairs)
 
 
@@ -277,7 +291,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rounds instead of O(diameter), the variant to run when dup chains "
         "are long or the graph is web-scale. Identical output (same oracle); "
         "equivalence with label propagation also unit-tested on adversarial "
-        "graph shapes."
+        "graph shapes. Pair source is the LSH-verified graph (r8 scale fix, "
+        "see _clusters_oracle_sql) — measured end-to-end at the 100x corpus."
     ),
     tags=("dedup", "extension", "iterative"),
 )
@@ -287,7 +302,7 @@ def q_dedup_clusters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.graph import connected_components_two_phase
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     comp = connected_components_two_phase(pairs)
     return comp.select(
         F.col("node").alias("doc_id"),
