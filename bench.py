@@ -204,6 +204,10 @@ HEADLINE = [
     "q_table_health_report",
     "q_ql_dirichlet_search",
     "q_trailing_hour_sum",
+    # round-8: the real-video decode pair (stbl slicing + per-frame T.81
+    # decode; the dedup variant adds the fingerprint equi-join)
+    "q_multimodal_mp4_frames",
+    "q_video_frame_dedup",
 ]
 
 

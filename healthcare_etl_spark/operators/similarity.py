@@ -450,3 +450,90 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick.select(*selected.columns))
     return selected.select("query_id", "neighbor_id", "step", "relevance", "mmr_score")
+
+
+def nn_descent_graph(
+    points: DataFrame,
+    *,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN GRAPH construction by NN-Descent (Dong et al., WWW'11) —
+    the standard way to build an all-nodes neighbor graph without the
+    O(n^2) all-pairs scan: start from an arbitrary neighbor guess and
+    iteratively improve it with the observation that *a neighbor of a
+    neighbor is likely a neighbor*.
+
+    Deterministic formulation (fixed ``rounds``, no sampling): the
+    initial guess for node u is its ``k`` successors in id space
+    ((u + j + 1) mod n — ids are assumed dense, the usual contract for
+    array-indexed ANN builds); each round forms the co-neighbor
+    candidate set {(a, b) : a, b in B(w) ∪ R(w) for some w} from the
+    current graph B and its reverse R, scores candidates with the
+    strict-fold cosine, unions them with the current edges, and keeps
+    each node's top-k (cosine desc, id asc). Returns
+    (node, neighbor_id, cosine, rank).
+
+    100 TB shape: per round, the reverse-union is a projection, the
+    co-neighbor join is ONE self-equi-join on the node id whose fanout
+    is bounded by (2k)^2 per node — O(n * k^2) candidates, never
+    all-pairs — and top-k is the rank-limit window (partial
+    WindowGroupLimit pre-truncates before the exchange). Lineage is cut
+    per round like every iterative operator here. The exact all-pairs
+    graph (the _knn_edges_ctes oracle shape) is the recall baseline in
+    tests.
+    """
+    pts = points.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    n_df = pts.agg(F.count(F.lit(1)).alias("n"))
+    init = (
+        pts.select("nid")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("nid").alias("u"),
+            F.explode(
+                F.array(*[F.pmod(F.col("nid") + F.lit(j + 1), F.col("n")) for j in range(k)])
+            ).alias("nbr"),
+        )
+    )
+
+    pa = pts.select(F.col("nid").alias("u"), F.col("v").alias("va"))
+    pb = pts.select(F.col("nid").alias("nbr"), F.col("v").alias("vb"))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(pa, "u")
+            .join(pb, "nbr")
+            .select(
+                "u", "nbr", stable_round(cosine_similarity("va", "vb"), 6).alias("cosine")
+            )
+        )
+
+    w = Window.partitionBy("u").orderBy(F.desc("cosine"), F.asc("nbr"))
+    graph = score(init)
+    for _ in range(rounds):
+        un = graph.select("u", "nbr").union(
+            graph.select(F.col("nbr").alias("u"), F.col("u").alias("nbr"))
+        )
+        x = un.select(F.col("u").alias("w"), F.col("nbr").alias("a"))
+        y = un.select(F.col("u").alias("w"), F.col("nbr").alias("b"))
+        cand = (
+            x.join(y, "w")
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("nbr"))
+            .distinct()
+        )
+        improved = graph.select("u", "nbr", "cosine").union(score(cand)).distinct()
+        graph = (
+            improved.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("u", "nbr", "cosine")
+            .localCheckpoint(eager=False)
+        )
+    return graph.select(
+        F.col("u").alias("node"),
+        F.col("nbr").alias("neighbor_id"),
+        "cosine",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

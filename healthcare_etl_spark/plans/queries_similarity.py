@@ -3199,3 +3199,82 @@ def q_user_segments_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _nndescent_oracle(k: int = 4, rounds: int = 2, cap: int = 256) -> str:
+    """Unrolled-CTE mirror of ``nn_descent_graph``: the true cosine
+    table (same _COS fold, same 6dp rounding) stands in for the score()
+    joins, then per round the reverse-union, the co-neighbor candidate
+    set, the union with current edges (UNION dedupes, matching Spark's
+    union().distinct()), and the per-node top-k with the identical
+    (cosine desc, id asc) tiebreak. Every b_i is MATERIALIZED — it is
+    referenced three times per round and DuckDB inlines single-ref CTEs
+    exponentially otherwise (the q_kcore_peel lesson)."""
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    parts = [
+        f"pts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {cap})",
+        "nn AS (SELECT count(*) AS n FROM pts)",
+        f"""sc AS MATERIALIZED (
+    SELECT a.vec_id AS s, b.vec_id AS d,
+           (round(({cos}) * 1000000.0) / 1000000.0) AS c
+    FROM pts a JOIN pts b ON a.vec_id <> b.vec_id)""",
+        f"""b0 AS MATERIALIZED (
+    SELECT i.u, i.nbr, sc.c FROM (
+        SELECT p.vec_id AS u,
+               (p.vec_id + j.j + 1) % (SELECT n FROM nn) AS nbr
+        FROM pts p CROSS JOIN range({k}) j(j)) i
+    JOIN sc ON sc.s = i.u AND sc.d = i.nbr)""",
+    ]
+    for r in range(rounds):
+        prev, cur = f"b{r}", f"b{r + 1}"
+        parts += [
+            f"un{r} AS (SELECT u, nbr FROM {prev} UNION SELECT nbr, u FROM {prev})",
+            f"""cand{r} AS (
+    SELECT DISTINCT x.nbr AS u, y.nbr AS nbr
+    FROM un{r} x JOIN un{r} y ON x.u = y.u AND x.nbr <> y.nbr)""",
+            f"""all{r} AS (
+    SELECT u, nbr, c FROM {prev}
+    UNION
+    SELECT ca.u, ca.nbr, sc.c FROM cand{r} ca
+    JOIN sc ON sc.s = ca.u AND sc.d = ca.nbr)""",
+            f"""{cur} AS MATERIALIZED (
+    SELECT u, nbr, c FROM (
+        SELECT u, nbr, c,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, nbr ASC) AS rk
+        FROM all{r}) WHERE rk <= {k})""",
+        ]
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT u AS node, nbr AS neighbor_id, c AS cosine,
+       CAST(row_number() OVER (PARTITION BY u ORDER BY c DESC, nbr ASC) AS BIGINT) AS rank
+FROM b{rounds}
+"""
+
+
+@register(
+    "q_knn_graph_nndescent",
+    oracle=_nndescent_oracle(),
+    description=(
+        "k-NN GRAPH construction by NN-Descent (Dong et al. WWW'11) — "
+        "the graph-based ANN index family next to the bucketed (LSH), "
+        "cell-probed (IVF), and compressed (PQ) ones: build every "
+        "node's neighbor list WITHOUT the O(n^2) all-pairs scan by "
+        "iterating 'a neighbor of a neighbor is likely a neighbor'. "
+        "Deterministic fixed-round formulation: id-successor init, per "
+        "round ONE co-neighbor self-join on the node id (fanout "
+        "bounded by (2k)^2 per node -> O(n*k^2) candidates), strict-"
+        "fold cosine scoring, per-node rank-limit top-k. The oracle "
+        "unrolls both rounds over the true cosine table with identical "
+        "arithmetic and tiebreaks, so a candidate-generation or top-k "
+        "bug cannot hash-match. Capped at 256 nodes so the oracle's "
+        "all-pairs cosine CTE stays tractable; the Spark operator "
+        "itself never materializes all-pairs."
+    ),
+    tags=("similarity", "extension", "iterative", "approx"),
+)
+def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.operators.similarity import nn_descent_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 256)
+    return nn_descent_graph(emb, k=4, rounds=2)

@@ -170,10 +170,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_multimodal_mp4_frames",
     "q_video_frame_dedup",
     "q_multimodal_jpeg_stats",
-    # stats2/stats3/timeseries2
+    # similarity: the r8 NEW graph-based ANN index builder (birth-round row)
+    "q_knn_graph_nndescent",
+    # stats2/timeseries2
     "q_did_estimator",
     "q_pacf",
-    "q_huber_location",
     "q_fixed_effects_panel",
     # scale patterns / graph / profiling
     "q_graph_bfs",
