@@ -322,18 +322,54 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, *, max_frames: int = 4) -> DataFrame:
+def sample_frames(
+    media: DataFrame, *, max_frames: int = 4, decode_stub: bool = True
+) -> DataFrame:
     """Frame sampling: one video row expands to ``n_frames`` frame rows —
     the row-expanding ``mapInPandas`` shape (a Python-side explode over
     Arrow batches), which is how video corpora become frame datasets at
     scale.
 
-    Deterministic stub kernel: ``n_frames = n_bytes % max_frames + 1``,
-    frame timestamps spread uniformly over a fake ``n_bytes/1000`` s
-    duration, frame bytes sliced from the payload (16-byte strides). A
-    real kernel seeks keyframes with ffmpeg in the same spot; schema,
-    expansion, and batch shape are production-real.
+    ``decode_stub=False`` is the REAL path (r8): MJPEG-in-MP4 payloads
+    are sliced at their stbl sample boundaries (``_mp4_mjpeg_samples``),
+    ``frame_bytes`` is each frame's ACTUAL JPEG bytes (decodable by the
+    T.81 kernel), and ``frame_ts`` comes from the container's real
+    timing (stts sample delta over the mdhd timescale). Non-MJPEG
+    payloads expand to zero rows. The stub kernel remains for plumbing
+    tests: ``n_frames = n_bytes % max_frames + 1``, uniform fake
+    timestamps, 16-byte payload strides.
     """
+    if not decode_stub:
+        def frames_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {k: [] for k in (
+                    "media_id", "frame_idx", "n_frames", "frame_ts", "frame_bytes",
+                )}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    samples = _mp4_mjpeg_samples(payload)
+                    if samples is None:
+                        continue
+                    timing = _mp4_video_timing(bytes(payload))
+                    timescale, delta = timing if timing else (_MJPEG_TIMESCALE, _MJPEG_SAMPLE_DELTA)
+                    for k, frame in enumerate(samples):
+                        rows["media_id"].append(int(mid))
+                        rows["frame_idx"].append(k)
+                        rows["n_frames"].append(len(samples))
+                        rows["frame_ts"].append(k * delta / timescale)
+                        rows["frame_bytes"].append(frame)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.array(rows["media_id"], dtype="int64"),
+                        "frame_idx": pd.array(rows["frame_idx"], dtype="int32"),
+                        "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                        "frame_ts": pd.array(rows["frame_ts"], dtype="float64"),
+                        "frame_bytes": rows["frame_bytes"],
+                    }
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            frames_real, schema=FRAME_SCHEMA
+        )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2294,6 +2330,58 @@ def _mp4_mjpeg_samples(b) -> list[bytes] | None:
             cur += sz
         return out
     except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _mp4_video_timing(b: bytes) -> tuple[int, int] | None:
+    """(mdhd timescale, stts first sample delta) from the track's real
+    timing boxes, or None when either is missing/corrupt."""
+    import struct
+
+    def children(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            if size < 8 or i + size > hi:
+                return
+            yield b[i + 4 : i + 8], i + 8, i + size
+            i += size
+
+    def find(lo: int, hi: int, btype: bytes):
+        for t, plo, phi in children(lo, hi):
+            if t == btype:
+                return plo, phi
+        return None
+
+    try:
+        span = find(0, len(b), b"moov")
+        for part in (b"trak", b"mdia"):
+            if span is None:
+                return None
+            span = find(span[0], span[1], part)
+        if span is None:
+            return None
+        mdia_lo, mdia_hi = span
+        mdhd = find(mdia_lo, mdia_hi, b"mdhd")
+        if mdhd is None:
+            return None
+        version = b[mdhd[0]]
+        ts_off = mdhd[0] + (4 + 16 if version == 1 else 4 + 8)
+        (timescale,) = struct.unpack(">I", b[ts_off : ts_off + 4])
+        span = find(mdia_lo, mdia_hi, b"minf")
+        if span is None:
+            return None
+        span = find(span[0], span[1], b"stbl")
+        if span is None:
+            return None
+        stts = find(span[0], span[1], b"stts")
+        if stts is None:
+            return None
+        n_entries, _count, delta = struct.unpack(">III", b[stts[0] + 4 : stts[0] + 16])
+        if n_entries < 1 or timescale <= 0:
+            return None
+        return timescale, delta
+    except (struct.error, IndexError):
         return None
 
 

@@ -1066,3 +1066,47 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frame_hashes = decode_mp4_mjpeg_frame_hashes(encode_mjpeg_family(docs))
     return video_frame_dedup_pairs(frame_hashes)
+
+
+@register(
+    "q_video_frame_sample",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+vids AS (SELECT doc_id, CAST(n % 4 + 1 AS INT) AS nf FROM docs)
+SELECT doc_id AS media_id,
+       CAST(k.k AS INT) AS frame_idx,
+       nf AS n_frames,
+       (round((k.k * 25 / 600.0) * 1000000.0) / 1000000.0) AS frame_ts
+FROM vids JOIN range(4) k(k) ON k.k < nf
+""",
+    description=(
+        "REAL video frame sampling (retires sample_frames' stub as the "
+        "query path): MJPEG-in-MP4 payloads are sliced at their stbl "
+        "sample boundaries into one row per frame whose frame_bytes is "
+        "the frame's actual decodable JPEG, with frame_ts taken from "
+        "the container's REAL timing boxes (stts sample delta over the "
+        "mdhd timescale — 25/600 ticks = 24 fps). The oracle predicts "
+        "frame count (from the encoder's byte-length rule) and every "
+        "timestamp arithmetically; the binary frame column is exercised "
+        "by unit tests (each sampled frame decodes through the T.81 "
+        "kernel) and excluded from the hash projection."
+    ),
+    tags=("multimodal", "extension", "video"),
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.multimodal import (
+        encode_mjpeg_mp4,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(encode_mjpeg_mp4(docs), decode_stub=False)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        stable_round(F.col("frame_ts"), 6).alias("frame_ts"),
+    )

@@ -574,3 +574,29 @@ def test_video_frame_dedup_pairs(spark):
     assert set(out["n_shared"]) == {2}
     assert set(out["n_sig_a"]) == {3} and set(out["n_sig_b"]) == {3}
     assert all(abs(v - 0.666667) < 1e-9 for v in out["overlap"])
+
+
+def test_sample_frames_real_emits_decodable_jpegs(spark):
+    """The real frame-sampling path slices true stbl samples: every
+    frame_bytes decodes through the T.81 kernel with the right dims,
+    and frame_ts follows the container's stts/mdhd timing (24 fps)."""
+    from healthcare_etl_spark.operators.multimodal import (
+        _jpeg_decode_stats_one,
+        encode_mjpeg_mp4,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "hello world"), (3, "xyz")], "doc_id long, text string"
+    )
+    out = sample_frames(encode_mjpeg_mp4(docs), decode_stub=False).toPandas()
+    assert set(out["media_id"]) == {7, 3}
+    for _, row in out.iterrows():
+        w, h, n_px, sv, mn, mx = _jpeg_decode_stats_one(bytes(row["frame_bytes"]))
+        assert w is not None and n_px == w * h
+        assert abs(row["frame_ts"] - row["frame_idx"] * 25 / 600) < 1e-12
+    # non-MJPEG payloads expand to zero rows on the real path
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not a video"))], "media_id long, payload binary"
+    )
+    assert sample_frames(junk, decode_stub=False).count() == 0
