@@ -428,10 +428,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle() -> str:
-    from healthcare_etl_spark.plans.queries_dedup import _jaccard_pairs_ctes
+    from healthcare_etl_spark.plans.queries_dedup import _lsh_jpairs_ctes
 
     parts = [
-        f"WITH {_jaccard_pairs_ctes()},",
+        f"WITH {_lsh_jpairs_ctes()},",
         """
 pedges AS (
     SELECT doc_a AS u, doc_b AS v FROM jpairs
@@ -481,11 +481,11 @@ r{t} AS (
     tags=("dedup", "extension", "iterative", "parity"),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.dedup import jaccard_pairs
+    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs
     from healthcare_etl_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return pagerank(pairs, iterations=5, teleport_weight=0.15).select(
         F.col("node").alias("doc_id"), "rank"
     )
@@ -831,10 +831,10 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bfs_oracle() -> str:
-    from healthcare_etl_spark.plans.queries_dedup import _jaccard_pairs_ctes
+    from healthcare_etl_spark.plans.queries_dedup import _lsh_jpairs_ctes
 
     return f"""
-WITH RECURSIVE {_jaccard_pairs_ctes()},
+WITH RECURSIVE {_lsh_jpairs_ctes()},
 pairs AS (
     SELECT doc_a, doc_b FROM jpairs
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -873,11 +873,11 @@ FROM reach GROUP BY node
     tags=("dedup", "extension", "iterative", "parity"),
 )
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.dedup import jaccard_pairs
+    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs
     from healthcare_etl_spark.operators.graph import bfs_hops
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     nodes = (
         pairs.select(F.col("doc_a").alias("node"))
         .union(pairs.select(F.col("doc_b").alias("node")))

@@ -86,6 +86,21 @@ jpairs AS (
 )"""
 
 
+def _lsh_jpairs_ctes(source: str = "documents") -> str:
+    """Drop-in replacement for ``_jaccard_pairs_ctes`` that sources the
+    pair graph from the MinHash-LSH chain instead of the exact
+    inverted-index join: same terminal contract ``jpairs(doc_a, doc_b,
+    jac)``, but candidates come from the banded bucket join and jac is
+    the exact array_intersect verify — the pair source that runs at the
+    100x scale proof (the exact join's sum(df^2) output OOMs there; see
+    _clusters_oracle_sql). Graph-analytics queries over the near-dup
+    graph consume this; queries whose SEMANTICS are the exact join
+    (q_dedup_ngram_jaccard, containment, threshold profiles, the
+    blocking-recall truth) keep _jaccard_pairs_ctes."""
+    return f"""{_minhash_ctes(source)},
+jpairs AS (SELECT doc_a, doc_b, jac FROM verified)"""
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
@@ -488,7 +503,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_report",
     oracle=f"""
-WITH RECURSIVE {_jaccard_pairs_ctes()},
+WITH RECURSIVE {_lsh_jpairs_ctes()},
 pairs AS (
     SELECT doc_a, doc_b FROM jpairs
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -537,7 +552,7 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     clusters = dedup_clusters(pairs)
     joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
     return joined.groupBy("source").agg(
@@ -554,7 +569,7 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_triangle_count",
     oracle=f"""
-WITH {_jaccard_pairs_ctes()},
+WITH {_lsh_jpairs_ctes()},
 edges AS (
     SELECT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
     FROM jpairs WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -591,7 +606,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     edges = pairs.select(
         F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
     )
@@ -716,7 +731,7 @@ def q_dedup_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_best_keeper",
     oracle=r"""
-WITH RECURSIVE """ + _jaccard_pairs_ctes() + r""",
+WITH RECURSIVE """ + _lsh_jpairs_ctes() + r""",
 pairs AS (
     SELECT doc_a, doc_b FROM jpairs
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -781,7 +796,7 @@ def q_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.text_analysis import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
     q = quality_score(docs).select("doc_id", F.col("quality_score").alias("score"))
     joined = clusters.join(q, "doc_id")
@@ -884,7 +899,7 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_graph_assortativity",
     oracle=f"""
-WITH {_jaccard_pairs_ctes()},
+WITH {_lsh_jpairs_ctes()},
 edges AS (
     SELECT doc_a AS u, doc_b AS v FROM jpairs
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -931,7 +946,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -1431,7 +1446,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_graph_modularity",
     oracle=f"""
-WITH RECURSIVE {_jaccard_pairs_ctes()},
+WITH RECURSIVE {_lsh_jpairs_ctes()},
 pairs AS (
     SELECT doc_a, doc_b FROM jpairs
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -1495,7 +1510,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     comp = dedup_clusters(pairs).select(
         F.col("doc_id").alias("node"), "cluster_id"
     )

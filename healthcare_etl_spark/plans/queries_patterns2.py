@@ -788,10 +788,10 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _harmonic_oracle() -> str:
-    from healthcare_etl_spark.plans.queries_dedup import _jaccard_pairs_ctes
+    from healthcare_etl_spark.plans.queries_dedup import _lsh_jpairs_ctes
 
     return f"""
-WITH RECURSIVE {_jaccard_pairs_ctes()},
+WITH RECURSIVE {_lsh_jpairs_ctes()},
 pairs AS (
     SELECT doc_a, doc_b FROM jpairs
     WHERE (round(jac * 1000000.0) / 1000000.0) >= 0.5
@@ -844,11 +844,11 @@ FROM d GROUP BY seed
     tags=("graph", "extension", "iterative", "parity"),
 )
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.operators.dedup import jaccard_pairs
+    from healthcare_etl_spark.operators.dedup import minhash_lsh_pairs
     from healthcare_etl_spark.operators.graph import bfs_hops_per_seed
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     nodes = (
         pairs.select(F.col("doc_a").alias("node"))
         .union(pairs.select(F.col("doc_b").alias("node")))

@@ -2768,10 +2768,16 @@ def q_grid_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = cells.groupBy("cx", "cy").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).localCheckpoint(eager=True)
+    # The 3x3-neighborhood join is an INEQUALITY join over the cell
+    # GRID — a metadata-scale aggregate output (occupied cells, not
+    # vectors). Catalyst cannot estimate aggregate outputs, and at the
+    # 100x scale proof this flipped BroadcastNestedLoopJoin ->
+    # CartesianProduct (exactly the r7 q_psi_drift class); the explicit
+    # broadcast pins the provably tiny side.
     nbr = (
         cc.alias("a")
         .join(
-            cc.alias("b"),
+            F.broadcast(cc.alias("b")),
             F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
             & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
             & ~((F.col("b.cx") == F.col("a.cx")) & (F.col("b.cy") == F.col("a.cy"))),
