@@ -1901,10 +1901,17 @@ def q_dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.scale import bucketed_rank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Lineage-cut checkpoints are LAZY here: each frame is consumed by
+    # several aggregates inside the ONE final action, so a lazy
+    # localCheckpoint still computes once (the RDD's partitions persist
+    # at first materialization) — and plan BUILD stays free, which is
+    # what lets the 100x fleet plan sweep inspect this eval's plan
+    # without executing the exact-truth join (quadratic by definition;
+    # this eval is fixture-scale by design).
     truth = (
         jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    ).localCheckpoint(eager=True)
-    lcand = lsh_candidate_pairs(minhash_band_frame(docs)).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    lcand = lsh_candidate_pairs(minhash_band_frame(docs)).localCheckpoint(eager=False)
     w = _SNM_W
     ranked = bucketed_rank(
         docs.withColumn("bkey", F.substring("text", 1, 24)),
@@ -1928,7 +1935,7 @@ def q_dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
             F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     lc = lcand.agg(F.count(F.lit(1)).cast("long").alias("lsh_cand"))
     lh = truth.join(lcand, ["doc_a", "doc_b"], "left_semi").agg(
