@@ -168,6 +168,168 @@ def pq_encode(
     return _argmin_code(subs, codebook, id_field="vec_id")
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    sub_dim: int = 8,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ ANN (Jegou et al. 2011 §V, the FAISS ``IVFx,PQy`` index):
+    a coarse quantizer partitions the corpus into cells, each vector
+    stores only the PQ code of its RESIDUAL (vector minus its cell
+    centroid), and a query scans just its ``nprobe`` nearest cells with
+    a per-(query, cell) integer ADC lookup table built from the query's
+    residual against that cell. Residual coding is what makes PQ codes
+    sharp inside a cell: residual magnitudes are much smaller than raw
+    vectors, so 16 codes per subspace quantize them far more finely.
+
+    This composes the two scale tiers this module and
+    ``operators.similarity`` already provide — IVF's partition pruning
+    (touch nprobe/N_cells of the corpus) and PQ's 32x code compression
+    (never read float vectors during the scan) — into the canonical
+    100 TB ANN layout:
+
+    - the corpus is bucketed by cell at write time => the probe is a
+      partition-pruned scan of the 8-byte code column only;
+    - the codebook (m*ksub rows) and the per-query LUTs
+      (|Q| * nprobe * m * ksub rows, bounded by the query batch) are
+      broadcast; the only data-scale shuffle is the ADC partial-sum
+      groupBy, whose input is m rows per scanned code;
+    - each corpus vector lives in exactly one cell, so multi-probe
+      never produces duplicate candidate pairs;
+    - only ``rerank`` candidates per query touch the float column.
+
+    Determinism: cell centroids, residuals, and refined codebook
+    centroids are stable-rounded to 6dp; ADC entries are exact integer
+    micro-units (``floor(x*1e6 + 0.5)``); all argmins fold ``l2_sq``
+    left-to-right — the full train->encode->probe->ADC->rerank chain is
+    hash-identical to the unrolled-CTE DuckDB oracle.
+
+    Returns (query_id, neighbor_id, cosine, rank) — the same contract
+    as ``similarity.cosine_topk`` (the recall baseline in tests).
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    from healthcare_etl_spark.operators.similarity import label_centroids
+
+    dim = m * sub_dim
+    cents = label_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
+    # Residual corpus: v - centroid(cell), element-wise, 6dp-stable.
+    # At 100 TB this frame is computed once at index-build time and only
+    # its 8-byte codes are persisted (bucketed by cell).
+    res = F.zip_with(
+        F.col("v"), F.col("centroid"), lambda a, b: stable_round(a.cast("double") - b, 6)
+    )
+    c_res = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.col(cell_col).alias("cell"),
+        )
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell", res.alias("rv"))
+    )
+    # PQ codebook trained on residuals across all cells (the standard
+    # shared-codebook IVF-PQ form; per-cell codebooks multiply codebook
+    # size by N_cells for marginal recall). localCheckpoint: two
+    # consumers (encode + LUT) must not re-run training.
+    codebook = pq_codebook(
+        c_res, m=m, ksub=ksub, sub_dim=sub_dim, id_col="vec_id", vec_col="rv"
+    ).localCheckpoint()
+    # Subvector expansion with the cell carried in-row (narrow inline;
+    # no join back to the residual frame, which would re-run its
+    # centroid join and shuffle the corpus a second time).
+    c_slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col("rv"), j * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for j in range(m)
+        ]
+    )
+    corpus_subs = c_res.select("vec_id", "cell", F.inline(c_slices))
+    codes = _argmin_code(corpus_subs, codebook, id_field="vec_id", carry=("cell",))
+    # Query side: nprobe nearest cells by cosine to the cell centroid
+    # (the coarse quantizer), then a PER-CELL residual and LUT.
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
+    q_assign = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            "centroid",
+            stable_round(cosine_similarity("q_vec", "centroid"), 6).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("centroid"),
+                lambda a, b: stable_round(a.cast("double") - b, 6),
+            ).alias("q_res"),
+        )
+    )
+    q_subs = _subvectors(
+        q_assign.select(F.struct("query_id", "cell").alias("qc"), "q_res"),
+        id_out="qc",
+        id_col="qc",
+        vec_col="q_res",
+        m=m,
+        sub_dim=sub_dim,
+    )
+    lut = q_subs.join(F.broadcast(codebook), "j").select(
+        F.col("qc.query_id").alias("query_id"),
+        F.col("qc.cell").alias("cell"),
+        "j",
+        "code",
+        F.floor(l2_sq(F.col("sub"), F.col("cent")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("ldist"),
+    )
+    # ADC restricted to probed cells by construction: the join key
+    # includes the cell, so unprobed cells' codes never match a LUT row.
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "j", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ldist").alias("adc_dist"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    rer = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

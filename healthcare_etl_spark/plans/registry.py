@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_subqueries  # noqa: F401
     import healthcare_etl_spark.plans.queries_dedup  # noqa: F401
     import healthcare_etl_spark.plans.queries_similarity  # noqa: F401
+    import healthcare_etl_spark.plans.queries_similarity2  # noqa: F401
     import healthcare_etl_spark.plans.queries_multimodal  # noqa: F401
     import healthcare_etl_spark.plans.queries_analytics  # noqa: F401
     import healthcare_etl_spark.plans.queries_analytics_stats  # noqa: F401

@@ -1738,6 +1738,91 @@ def test_pq_recall_vs_exact(spark, sf_smoke):
     assert mean_recall(pq_topk(q, c, k=10, rerank=n_corpus).toPandas()) == 1.0
 
 
+def test_ivfpq_recall_structure(spark, sf_smoke):
+    """IVF-PQ structural recall properties (near-random fixtures are the
+    adversarial case: true neighbors spread uniformly over cells, so
+    cell pruning — not residual quantization — is the binding recall
+    constraint):
+
+    1. recall(ivfpq, nprobe=p) <= recall(exact IVF scan, nprobe=p):
+       ivfpq candidates are a subset of the probed cells and the rerank
+       is exact cosine, so the exact within-probed-cells scan is a hard
+       ceiling;
+    2. recall is well above the probed-cell chance floor
+       (~0.2 * 32/98 ~ 0.065 here) — the residual ADC is selecting
+       genuinely near vectors inside the probed cells;
+    3. nprobe=n_cells + rerank=corpus must reproduce the exact scan
+       EXACTLY (full coverage + exact rerank — structural, not tuned).
+    """
+    from healthcare_etl_spark.operators.pq import ivfpq_topk
+    from healthcare_etl_spark.operators.similarity import cosine_topk, ivf_topk
+    from healthcare_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    n_corpus = c.count()
+    n_cells = c.select("label").distinct().count()
+    exact = cosine_topk(q, c, k=10).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    def mean_recall(ann):
+        sets = ann.groupby("query_id")["neighbor_id"].apply(set)
+        recalls = [
+            len(exact_sets[qid] & sets.get(qid, set())) / len(exact_sets[qid])
+            for qid in exact_sets.index
+        ]
+        return sum(recalls) / len(recalls)
+
+    r_ivfpq = mean_recall(ivfpq_topk(q, c, k=10, nprobe=2, rerank=32).toPandas())
+    r_ceiling = mean_recall(ivf_topk(q, c, k=10, nprobe=2).toPandas())
+    assert r_ivfpq <= r_ceiling, (r_ivfpq, r_ceiling)
+    assert r_ivfpq > 0.15, r_ivfpq
+    full = ivfpq_topk(q, c, k=10, nprobe=n_cells, rerank=n_corpus).toPandas()
+    assert mean_recall(full) == 1.0
+
+
+def test_ivfpq_codes_shape(spark, sf_smoke):
+    """Every corpus vector gets exactly m residual codes, each tagged
+    with its single home cell (multi-probe can therefore never produce
+    duplicate candidate pairs), codes within [0, ksub)."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity with module style)
+    from healthcare_etl_spark.operators.pq import ivfpq_topk  # noqa: F401
+    from healthcare_etl_spark.operators.pq import _argmin_code, _subvectors, pq_codebook
+    from healthcare_etl_spark.operators.similarity import label_centroids
+    from healthcare_etl_spark.sources import load_table
+
+    corpus = load_table(spark, sf_smoke, "embeddings").filter(F.col("vec_id") >= 5)
+    n_corpus = corpus.count()
+    cents = label_centroids(corpus)
+    res = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda a, b: F.round((a.cast("double") - b) * 1000000.0) / 1000000.0,
+    )
+    c_res = (
+        corpus.select("vec_id", "embedding", F.col("label").alias("cell"))
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell", res.alias("rv"))
+    )
+    cb = pq_codebook(c_res, m=8, ksub=16, id_col="vec_id", vec_col="rv").localCheckpoint()
+    subs = _subvectors(c_res, id_out="vec_id", id_col="vec_id", vec_col="rv", m=8, sub_dim=8)
+    codes = _argmin_code(subs, cb, id_field="vec_id")
+    stats = codes.groupBy().agg(
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+        F.countDistinct("vec_id").alias("n_vec"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < 16
+    assert stats["n_vec"] == n_corpus
+    assert stats["n_rows"] == n_corpus * 8
+    # one home cell per vector
+    assert c_res.groupBy("vec_id").agg(F.countDistinct("cell").alias("nc")).filter(
+        F.col("nc") != 1
+    ).count() == 0
+
+
 def test_bpe_merges_classic_example(spark):
     """The Sennrich-paper-style example: on a corpus where 'lo' is the
     most frequent adjacent pair, round 1 must merge (l, o); later rounds
