@@ -2639,137 +2639,3 @@ def q_chunk_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("chunk_tokens")
     )
 
-
-@register(
-    "q_t_closeness_audit",
-    oracle="""
-WITH cellt AS (
-    SELECT CAST(dayofweek(ts) AS BIGINT)       AS wd,
-           CAST(floor(value / 10.0) AS BIGINT) AS value_band,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_ct
-    FROM events GROUP BY 1, 2, 3),
-cells AS (
-    SELECT wd, value_band, CAST(sum(n_ct) AS BIGINT) AS n_c
-    FROM cellt GROUP BY 1, 2),
-gl AS (
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
-           CAST(sum(count(*)) OVER () AS BIGINT) AS n
-    FROM events GROUP BY 1),
-terms AS (
-    SELECT c.wd, c.value_band, c.n_c, g.n,
-           abs(coalesce(ct.n_ct, 0) * g.n - g.n_t * c.n_c) AS term
-    FROM cells c CROSS JOIN gl g
-    LEFT JOIN cellt ct
-      ON ct.wd = c.wd AND ct.value_band = c.value_band
-     AND ct.event_type = g.event_type),
-tcell AS (
-    SELECT wd, value_band, n_c,
-           CAST((2 * sum(term) * 1000000 + 2 * n_c * max(n))
-                // (2 * 2 * n_c * max(n)) AS BIGINT) AS t_micro
-    FROM terms GROUP BY 1, 2, 3),
-classed AS (
-    SELECT CASE WHEN t_micro <= 100000 THEN 'a_t<=0.1'
-                WHEN t_micro <= 200000 THEN 'b_0.1<t<=0.2'
-                ELSE 'c_t>0.2' END AS t_class,
-           (t_micro > 200000) AS at_risk, n_c, t_micro
-    FROM tcell)
-SELECT t_class, at_risk,
-       CAST(count(*) AS BIGINT) AS n_groups,
-       CAST(sum(n_c) AS BIGINT) AS n_events,
-       (round((max(t_micro) / 1000000.0) * 1000000.0) / 1000000.0) AS max_t,
-       (round((sum(n_c) * 1.0 / (SELECT sum(n_c) FROM tcell)) * 1000000.0)
-        / 1000000.0) AS event_share
-FROM classed GROUP BY 1, 2 ORDER BY t_class
-""",
-    description=(
-        "t-closeness audit (Li et al. 2007), completing the "
-        "release-audit triad with q_kanonymity_audit (group size) and "
-        "q_l_diversity_audit (distinct sensitive values): per "
-        "quasi-identifier cell (weekday, value band), the total-"
-        "variation distance between the cell's sensitive-attribute "
-        "(event_type) distribution and the global one — the audit "
-        "that catches what l-diversity misses (a cell can have all 5 "
-        "types yet be 90% errors: skewed-distribution disclosure). "
-        "TVD is computed in EXACT cross-multiplied integers "
-        "(|n_ct*n - n_t*n_c| summed, one round-half-up division to "
-        "micro-units), missing cell-type combinations contribute "
-        "their full global mass via the cells x types grid, and the "
-        "report buckets cells at the conventional t=0.1/0.2 fences. "
-        "One QI x type aggregate is the only data-sized work."
-    ),
-    tags=("quality", "extension", "governance"),
-)
-def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    cellt = ev.groupBy(
-        F.dayofweek("ts").cast("long").alias("wd"),
-        F.floor(F.col("value") / 10.0).cast("long").alias("value_band"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_ct"))
-    cellt = cellt.localCheckpoint(eager=True)
-    cells = cellt.groupBy("wd", "value_band").agg(
-        F.sum("n_ct").cast("long").alias("n_c")
-    )
-    glob = (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
-        .select(
-            "event_type", "n_t",
-            F.sum("n_t").over(Window.partitionBy()).cast("long").alias("n"),
-        )
-    )
-    ct2 = cellt.select(
-        F.col("wd").alias("cwd"), F.col("value_band").alias("cvb"),
-        F.col("event_type").alias("cet"), "n_ct",
-    )
-    terms = (
-        cells.crossJoin(F.broadcast(glob))
-        .join(
-            ct2,
-            (F.col("wd") == F.col("cwd"))
-            & (F.col("value_band") == F.col("cvb"))
-            & (F.col("event_type") == F.col("cet")),
-            "left",
-        )
-        .select(
-            "wd", "value_band", "n_c", "n",
-            F.abs(
-                F.coalesce("n_ct", F.lit(0)) * F.col("n") - F.col("n_t") * F.col("n_c")
-            ).alias("term"),
-        )
-    )
-    tcell = terms.groupBy("wd", "value_band", "n_c").agg(
-        F.expr(
-            "CAST((2 * sum(term) * 1000000 + 2 * n_c * max(n))"
-            " div (2 * 2 * n_c * max(n)) AS BIGINT)"
-        ).alias("t_micro")
-    ).localCheckpoint(eager=True)
-    total = tcell.agg(F.sum("n_c").cast("long").alias("tot"))
-    classed = tcell.select(
-        F.when(F.col("t_micro") <= 100000, "a_t<=0.1")
-        .when(F.col("t_micro") <= 200000, "b_0.1<t<=0.2")
-        .otherwise("c_t>0.2")
-        .alias("t_class"),
-        (F.col("t_micro") > 200000).alias("at_risk"),
-        "n_c",
-        "t_micro",
-    )
-    return (
-        classed.groupBy("t_class", "at_risk")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum("n_c").cast("long").alias("n_events"),
-            stable_round(F.max("t_micro") / F.lit(1e6), 6).alias("max_t"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "t_class", "at_risk", "n_groups", "n_events", "max_t",
-            stable_round(F.col("n_events") * F.lit(1.0) / F.col("tot"), 6).alias(
-                "event_share"
-            ),
-        )
-        .orderBy("t_class")
-    )
-
-

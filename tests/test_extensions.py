@@ -3122,17 +3122,19 @@ def test_chunk_size_audit_identities(spark, sf_smoke):
     assert all(a >= b for a, b in zip(fracs, fracs[1:]))
 
 
-def test_t_closeness_shares_and_bounds(spark, sf_smoke):
-    """TVD lives in [0,1]; event shares partition to 1; at_risk iff in
-    the t>0.2 class."""
+def test_t_closeness_tvd_bounds_and_partition(spark, sf_smoke):
+    """TVD lives in [0,1]; exceeds_t iff tvd > 0.2; QI cells partition
+    the fact table (n_events sums to the total event count)."""
     from healthcare_etl_spark.plans.registry import get_registry
+    from healthcare_etl_spark.sources import load_table
 
-    rows = get_registry()["q_t_closeness_audit"].fn(spark, sf_smoke).collect()
-    assert abs(sum(float(r.event_share) for r in rows) - 1.0) < 1e-4
+    rows = get_registry()["q_tcloseness_audit"].fn(spark, sf_smoke).collect()
+    total = load_table(spark, sf_smoke, "events").count()
+    assert sum(r.n_events for r in rows) == total
     for r in rows:
-        assert 0.0 <= float(r.max_t) <= 1.0
-        assert r.at_risk == (r.t_class == "c_t>0.2")
-        assert r.n_groups > 0
+        assert 0.0 <= float(r.tvd) <= 1.0
+        assert r.exceeds_t == (float(r.tvd) > 0.2)
+        assert r.n_events > 0
 
 
 def test_synthetic_control_cumulative_is_running_sum(spark, sf_smoke):
