@@ -21,56 +21,6 @@ from pyspark.sql import functions as F
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
 from healthcare_etl_spark.sources import load_table
-@register(
-    "q_srm_check",
-    oracle="""
-WITH u AS (
-    SELECT user_id, (('0x' || substring(md5('ab-v1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0) AS in_a
-    FROM events GROUP BY user_id, 2
-),
-m AS (
-    SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-    FROM u
-)
-SELECT n_a, n_b,
-       (round(((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)) * 1000000.0)
-        / 1000000.0) AS chi2,
-       ((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b) > 3.841458820694124)
-           AS srm_flag
-FROM m
-""",
-    description=(
-        "Sample-ratio mismatch (SRM) check for the deterministic A/B "
-        "split: chi-square goodness-of-fit of the observed arm counts "
-        "against the designed 50/50 allocation (chi2 = (n_a-n_b)^2/n "
-        "for two equal cells), flagged at the 95% critical value "
-        "3.8415 — the FIRST gate every experimentation platform runs "
-        "before any effect readout, since a mismatched ratio "
-        "invalidates q_ab_test_ztest/q_cuped/q_mann_whitney "
-        "downstream no matter how significant they look. One per-user "
-        "distinct pass and a 2-cell aggregate; exact integer counts, "
-        "one final float division."
-    ),
-    tags=("analytics", "extension", "stats", "governance"),
-)
-def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_spark.plans.queries_stats2 import _arm_a
-
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.select("user_id", _arm_a().alias("in_a")).distinct()
-    m = u.agg(
-        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
-    )
-    na, nb = F.col("n_a"), F.col("n_b")
-    chi2 = (na - nb) * (na - nb) * 1.0 / (na + nb)
-    return m.select(
-        na,
-        nb,
-        stable_round(chi2, 6).alias("chi2"),
-        (chi2 > F.lit(3.841458820694124)).alias("srm_flag"),
-    )
 
 
 def _hw_step_sql() -> str:
