@@ -29,6 +29,7 @@ FLAGSHIPS = [
     "q_dedup_prefix_filter",
     "q_dedup_clusters_2phase",
     "q_sim_ann_ivf",
+    "q_sim_ann_ivfpq",
     "q_corpus_pipeline",
     "q_curation_pipeline_v2",
 ]
@@ -43,6 +44,7 @@ X100_FLAGSHIPS = [
     "q_corpus_pipeline",
     "q_curation_pipeline_v2",
     "q_dedup_clusters_2phase",
+    "q_sim_ann_ivfpq",
 ]
 
 
