@@ -208,6 +208,10 @@ HEADLINE = [
     # decode; the dedup variant adds the fingerprint equi-join)
     "q_multimodal_mp4_frames",
     "q_video_frame_dedup",
+    # round-8 batch 2: the composed IVF-PQ index (residual codes,
+    # cell-pruned integer ADC — the canonical 100 TB ANN layout, and the
+    # newest multi-stage train->encode->probe chain worth tracking)
+    "q_sim_ann_ivfpq",
 ]
 
 

@@ -171,6 +171,14 @@ def main() -> None:
     for name, q in sorted(reg.items()):
         if name.startswith("q_stream"):
             continue
+        # Release checkpoint/broadcast blocks every few builds: plan
+        # construction runs each query's eager localCheckpoints against
+        # the 500k-doc corpus, and 500+ builds' blocks accumulate in the
+        # one local JVM (8 GB driver heap) — the sweep OOMed at ~274
+        # plans without this. Real clusters don't share one heap across
+        # 500 jobs; this is bench-harness hygiene, not an engine fix.
+        if n_swept % 5 == 0:
+            _release()
         try:
             df = q.fn(spark, dir100)
         except Exception as exc:  # pragma: no cover - report, don't die
