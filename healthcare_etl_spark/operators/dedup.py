@@ -188,7 +188,13 @@ def jaccard_pairs(
     # sizes is one row per document — AQE broadcasts it at fixture scale;
     # at cluster scale this join co-partitions on doc_id (no hard-coded
     # broadcast: a billion-document sizes frame must be allowed to shuffle).
-    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # The shingle-row checkpoint is LAZY (r8): it is the one data-scale
+    # frame here (docs x shingles rows), and an eager checkpoint
+    # materializes it at PLAN BUILD time — meaning even .explain() on a
+    # large corpus runs a corpus-sized job (measured: OOMed the x100
+    # fleet plan sweep). Lazy keeps the same share-one-materialization
+    # semantics, paid inside the first action where it belongs.
+    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inv_sized = inv.join(sizes, "doc_id")
     common = (
@@ -557,7 +563,7 @@ def containment_pairs(
     metrics so consumers can separate subset-dups (high containment,
     low Jaccard) from near-identical pairs (both high).
     """
-    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
+    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inv_sized = inv.join(sizes, "doc_id")
     common = (
@@ -627,7 +633,7 @@ def prefix_filter_jaccard_pairs(
     f^2 candidate pairs only if it survives into prefixes, and frequent
     tokens are ordered OUT of prefixes.
     """
-    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=True)
+    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hsh"))
