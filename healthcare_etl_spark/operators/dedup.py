@@ -312,9 +312,17 @@ def minhash_band_frame(
 ) -> DataFrame:
     """(doc_id, hs, n_sh, bks): shingle-hash set, its size, and the
     N_BANDS LSH bucket keys — ONE aggregation pass over the shingle
-    rows, materialized with ``localCheckpoint`` (it feeds the band
-    self-join probe+build and both verify sides; on a real cluster use
-    a reliable checkpoint / staging table).
+    rows, checkpointed LAZILY (it feeds the band self-join probe+build
+    and both verify sides, which share the one materialization; on a
+    real cluster use a reliable checkpoint / staging table). Lazy, not
+    eager (r8): this frame is corpus-doc-count-sized (the carried
+    ``hs`` set is ~shingles-per-doc longs per row), and an eager
+    checkpoint materializes it at PLAN BUILD time — .explain() on a
+    100 TB corpus must not run a corpus-sized job, and consecutive
+    plan builds' resident copies OOMed the x100 fleet sweep. The join
+    strategy cost of losing build-time exact stats is nil: the band
+    self-join sits behind exchanges, so AQE re-plans it from actual
+    runtime sizes.
 
     Carrying ``collect_set(hsh)`` through the signature aggregate is
     what makes verification cheap: the exact-Jaccard check becomes
@@ -335,17 +343,17 @@ def minhash_band_frame(
         "hs",
         F.size("hs").alias("n_sh"),
         F.array(*[_band_key(j) for j in range(N_BANDS)]).alias("bks"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def lsh_candidate_pairs(band_frame: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing >= 1 LSH band bucket.
 
     The banded self-equi-join is the ~linear-time candidate generator;
-    at fixture scale AQE broadcasts one side (the band frame is a
-    materialized checkpoint so its size is known exactly), at cluster
-    scale it becomes a plain shuffle equi-join on the bucket key — no
-    all-pairs comparison either way.
+    at fixture scale AQE broadcasts one side at runtime (the exploded
+    band rows sit behind an exchange, so AQE sees their actual size),
+    at cluster scale it becomes a plain shuffle equi-join on the bucket
+    key — no all-pairs comparison either way.
     """
     bands = band_frame.select("doc_id", F.explode("bks").alias("bk"))
     return (
