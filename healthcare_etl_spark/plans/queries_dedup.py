@@ -1901,17 +1901,21 @@ def q_dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.scale import bucketed_rank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Lineage-cut checkpoints are LAZY here: each frame is consumed by
-    # several aggregates inside the ONE final action, so a lazy
-    # localCheckpoint still computes once (the RDD's partitions persist
-    # at first materialization) — and plan BUILD stays free, which is
-    # what lets the 100x fleet plan sweep inspect this eval's plan
-    # without executing the exact-truth join (quadratic by definition;
-    # this eval is fixture-scale by design).
-    truth = (
-        jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    ).localCheckpoint(eager=False)
-    lcand = lsh_candidate_pairs(minhash_band_frame(docs)).localCheckpoint(eager=False)
+    # NO checkpoints on the pair frames (r8): under AQE, localCheckpoint
+    # — eager OR lazy — finalizes the adaptive plan, which EXECUTES the
+    # subtree's shuffle stages at call time; checkpointing the exact
+    # truth join here meant merely BUILDING this plan ran the quadratic
+    # join (infeasible at x100 by definition — this eval's truth is
+    # fixture/sampled-stratum scale by design, see docstring). Each pair
+    # frame is consumed by several aggregates inside the ONE final
+    # action, and the consumers are textually identical subtrees, so
+    # Catalyst's ReuseExchange computes each underlying shuffle once —
+    # same single-materialization economics, with a genuinely free plan
+    # build (interleaved sf0.1 A/B vs the checkpointed form, identical
+    # results: min 4.36 s vs 4.86 s — see AB_RUNS.jsonl
+    # blocking-recall-ckpt-vs-reuse-r8).
+    truth = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    lcand = lsh_candidate_pairs(minhash_band_frame(docs))
     w = _SNM_W
     ranked = bucketed_rank(
         docs.withColumn("bkey", F.substring("text", 1, 24)),
@@ -1935,7 +1939,7 @@ def q_dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
             F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
         )
-    ).localCheckpoint(eager=False)
+    )
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     lc = lcand.agg(F.count(F.lit(1)).cast("long").alias("lsh_cand"))
     lh = truth.join(lcand, ["doc_a", "doc_b"], "left_semi").agg(
