@@ -173,7 +173,13 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
     grid = (
-        totals.crossJoin(vocab)
+        # totals is provably #sources rows (a handful) but Catalyst
+        # statically UNDERestimates nothing about aggregates — at x100
+        # corpus vocab the unhinted cross join flips
+        # BroadcastNestedLoop -> CartesianProduct (the q_psi_drift /
+        # q_grid_lof planner class, caught by the r8 fleet sweep).
+        # Pin the provably-tiny side.
+        F.broadcast(totals).crossJoin(vocab)
         .crossJoin(F.broadcast(vsize))
         .join(counts, ["source", "w"], "left")
         .select(

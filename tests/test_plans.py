@@ -589,6 +589,10 @@ PARTITIONLESS_WINDOW_ALLOWLIST = {
     "q_quality_gains_chart": "bucket-summary offsets",
     "q_quantile_normalize": "64-char-band summary offsets",
     "q_dedup_sorted_neighborhood": "prefix-char-bucket summary offsets",
+    # r8: visible again after the pair-frame checkpoints were dropped
+    # (the truncated plan used to stop at the checkpoint scan) — same
+    # bucketed_rank bucket-summary window as the SNM query above
+    "q_dedup_blocking_recall": "prefix-char-bucket summary offsets (SNM arm)",
     "q_lru_miss_curve": "order-month bucket summary offsets",
     "q_negative_sampling": "item-id-bucket summary offsets (dense index)",
     "q_watermark_audit": "bucket-maxima prefix (data/4096)",
