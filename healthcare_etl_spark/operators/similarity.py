@@ -69,10 +69,18 @@ def neardup_pairs(
     """All (a < b) pairs with cosine >= threshold. Exact O(n^2) form —
     correct at any n, affordable at fixture scale; swap candidate
     generation to ``lsh_ann_topk``'s bucketing for 100 TB corpora.
+
+    The probe side is broadcast-pinned: the exact scan's one sane
+    distributed shape is broadcast(a) x stream(b) (BroadcastNestedLoop),
+    and without the pin Catalyst silently degrades to CartesianProduct
+    once the corpus outgrows the auto-broadcast threshold (caught by the
+    r8 x100 fleet sweep) — a strictly worse plan for the same work. If
+    the probe side cannot be broadcast, this operator is the wrong tool
+    by its own contract (use the LSH form).
     """
     a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
     cos = cosine_similarity("va", "vb")
     return (
         pairs.select("vec_a", "vec_b", stable_round(cos, 6).alias("cosine"))

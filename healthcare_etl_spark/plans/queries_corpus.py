@@ -586,7 +586,12 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
     grid = (
-        totals.crossJoin(vocab)
+        # Explicit pin: totals is provably #sources rows, but Catalyst
+        # cannot statically size aggregate outputs, and at the x100
+        # corpus the unhinted cross join flips BroadcastNestedLoop ->
+        # CartesianProduct (same planner class as q_psi_drift /
+        # q_js_divergence; caught by the r8 fleet sweep).
+        F.broadcast(totals).crossJoin(vocab)
         .crossJoin(F.broadcast(vsize))
         .join(counts, ["source", "w"], "left")
         .select(
