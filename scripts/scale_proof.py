@@ -67,6 +67,12 @@ def main() -> None:
     from healthcare_etl_spark.sources.synthetic import write_scale_corpus
 
     os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Dspark.ui.showConsoleProgress=false")
+    # 16 GB driver heap for the proof harness: local mode puts all 32
+    # executor threads AND 500+ consecutive x100 plan builds (iterative
+    # operators execute their rounds at build) in ONE JVM; the default
+    # 8 GB OOMed around build ~200. A real cluster never shares one heap
+    # across 500 jobs — this is harness capacity, not an engine knob.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(app_name="scale-proof", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reg = get_registry()
 
