@@ -221,7 +221,15 @@ def ivfpq_topk(
     from healthcare_etl_spark.operators.similarity import label_centroids
 
     dim = m * sub_dim
-    cents = label_centroids(corpus, vec_col=vec_col, cell_col=cell_col, dim=dim)
+    # The 10-row coarse quantizer is consumed by THREE subtrees (corpus
+    # residuals feeding train, corpus residuals feeding encode, query
+    # assignment+residual) — checkpoint it so the corpus centroid pass
+    # runs once, as part of index BUILD alongside codebook training
+    # (the iterative-operator discipline; interleaved sf0.1 A/B:
+    # min 4.59 s vs 4.96 s unchecked, identical results).
+    cents = label_centroids(
+        corpus, vec_col=vec_col, cell_col=cell_col, dim=dim
+    ).localCheckpoint()
     # Residual corpus: v - centroid(cell), element-wise, 6dp-stable.
     # At 100 TB this frame is computed once at index-build time and only
     # its 8-byte codes are persisted (bucketed by cell).
