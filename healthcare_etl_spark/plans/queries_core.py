@@ -566,6 +566,57 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_delta_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name)              AS first_name
+FROM nation WHERE n_regionkey <> 0
+GROUP BY n_regionkey
+""",
+    description=(
+        "Delta Lake table scan on vanilla Spark (sources.delta: the "
+        "public delta.io transaction protocol implemented directly — "
+        "JSON commit replay, add/remove resolution, partition-value "
+        "reconstruction, declared-schema enforcement). The query "
+        "materializes nation as a Delta table partitioned by "
+        "n_regionkey (version 0), appends a metadata-only partition "
+        "DELETE of region 0 (version 1, remove actions — data files "
+        "untouched), then reads the LATEST version; the oracle is the "
+        "equivalent filtered aggregate, so commit replay + remove "
+        "semantics + partition reconstruction are value-hash-checked. "
+        "The log replay is metadata-scale (bounded by file count) and "
+        "the data read is one pruned parquet scan per live partition "
+        "group — pushdown and column pruning reach the files unchanged. "
+        "Time travel (version=0 == the pre-delete table) is unit-tested."
+    ),
+    tags=("sources", "extension"),
+)
+def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.delta import (
+        delete_partition,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(tempfile.gettempdir(), "healthcare_etl_spark_delta", sf_tag)
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    delete_partition(table, "n_regionkey", "0")
+    back = read_delta_table(spark, table)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@register(
     "q_pyds_scan",
     oracle="""
 SELECT i                         AS doc_id,
