@@ -18,8 +18,11 @@ reach the parquet scans unchanged, and partition-column equality
 predicates prune whole groups before any I/O.
 
 Honest scope (unsupported features raise, never misread):
-- JSON commits only — no ``_last_checkpoint``/checkpoint-parquet replay
-  (trivial extension: a checkpoint is the same actions in parquet);
+- JSON commits plus CLASSIC checkpoint parquet (``_last_checkpoint`` +
+  ``<version>.checkpoint.parquet`` — the standard every-10-commits log
+  compaction; replay starts from the newest checkpoint at or below the
+  requested version and applies the JSON commits after it). Multi-part
+  and v2/sidecar checkpoints are not implemented and raise;
 - ``minReaderVersion`` must be 1 (deletion vectors / column mapping /
   v2 checkpoints need 3/2/3 and change data-file interpretation).
 """
@@ -36,7 +39,7 @@ from pyspark.sql import types as T
 _LOG_DIR = "_delta_log"
 
 
-def _commit_files(table_path: str) -> list[tuple[int, str]]:
+def _commit_files(table_path: str, *, allow_empty: bool = False) -> list[tuple[int, str]]:
     log_dir = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table_path}")
@@ -45,27 +48,88 @@ def _commit_files(table_path: str) -> list[tuple[int, str]]:
         stem, ext = os.path.splitext(name)
         if ext == ".json" and stem.isdigit():
             out.append((int(stem), os.path.join(log_dir, name)))
-    if not out:
+    if not out and not allow_empty:
         raise FileNotFoundError(f"empty Delta log: {log_dir}")
     return sorted(out)
+
+
+def _checkpoint_at_or_below(
+    table_path: str, version: int | None
+) -> tuple[int, str] | None:
+    """Newest classic checkpoint parquet usable for ``version`` (None =
+    latest), from ``_last_checkpoint`` when valid, else a log-dir scan.
+    Multi-part checkpoints (``parts`` field / .checkpoint.NNN.of.MMM)
+    raise — silently replaying one part would drop files."""
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    candidates: list[int] = []
+    last = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last):
+        with open(last, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        if meta.get("parts"):
+            raise NotImplementedError("multi-part Delta checkpoints not supported")
+        candidates.append(int(meta["version"]))
+    for name in os.listdir(log_dir):
+        if ".checkpoint." in name and not name.endswith(".checkpoint.parquet"):
+            raise NotImplementedError(f"non-classic Delta checkpoint: {name}")
+        if name.endswith(".checkpoint.parquet"):
+            candidates.append(int(name.split(".", 1)[0]))
+    usable = [v for v in set(candidates) if version is None or v <= version]
+    if not usable:
+        return None
+    v = max(usable)
+    path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    return (v, path) if os.path.exists(path) else None
 
 
 def read_delta_table(
     spark: SparkSession, table_path: str, *, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest) by replaying
-    the JSON commit log. Returns a DataFrame with the table's declared
+    the log: newest usable checkpoint parquet first (if any), then the
+    JSON commits after it. Returns a DataFrame with the table's declared
     schema (partition columns reconstructed from ``partitionValues`` and
     cast to their declared types, Delta semantics)."""
-    commits = _commit_files(table_path)
+    commits = _commit_files(table_path, allow_empty=True)
+    ckpt = _checkpoint_at_or_below(table_path, version)
     if version is not None:
         commits = [(v, p) for v, p in commits if v <= version]
-        if not commits or commits[-1][0] != version:
-            have = [v for v, _ in _commit_files(table_path)]
+        reachable = commits and commits[-1][0] == version
+        if not reachable and not (ckpt is not None and ckpt[0] == version):
+            have = sorted(
+                {v for v, _ in _commit_files(table_path, allow_empty=True)}
+                | ({ckpt[0]} if ckpt else set())
+            )
             raise ValueError(f"version {version} not in Delta log (have {have})")
+    if not commits and ckpt is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}/{_LOG_DIR}")
     live: dict[str, dict] = {}
     schema_string: str | None = None
     partition_columns: list[str] = []
+    if ckpt is not None:
+        ckpt_version, ckpt_path = ckpt
+        # A checkpoint is the full action state in parquet: one row per
+        # action with nullable protocol/metaData/add/remove structs.
+        # Metadata-scale (file count), so the driver-side collect is the
+        # protocol-prescribed replay, not a data-scale collect.
+        for row in spark.read.parquet(ckpt_path).collect():
+            d = row.asDict(recursive=True)
+            if d.get("protocol"):
+                mrv = d["protocol"].get("minReaderVersion") or 1
+                if mrv > 1:
+                    raise NotImplementedError(
+                        f"Delta minReaderVersion={mrv} needs reader features "
+                        "this minimal reader does not implement"
+                    )
+            if d.get("metaData"):
+                schema_string = d["metaData"]["schemaString"]
+                partition_columns = list(d["metaData"].get("partitionColumns") or [])
+            if d.get("add"):
+                live[d["add"]["path"]] = d["add"]
+            # remove actions in a checkpoint are tombstones for vacuum,
+            # not live-set state: a checkpointed remove's file is already
+            # absent from the checkpoint's add set.
+        commits = [(v, p) for v, p in commits if v > ckpt_version]
     for _v, commit_path in commits:
         with open(commit_path, encoding="utf-8") as fh:
             for line in fh:
@@ -211,6 +275,80 @@ def delete_partition(table_path: str, column: str, value: str) -> int:
     new_version = commits[-1][0] + 1
     _write_commit(table_path, new_version, removes)
     return new_version
+
+
+def write_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Compact the JSON log into a CLASSIC checkpoint parquet at the
+    latest version (+ ``_last_checkpoint`` pointer) — the standard
+    every-10-commits Delta maintenance op that bounds log-replay cost.
+    After this, readers replay [checkpoint] + [later JSON commits] and
+    the older JSON commits are dead weight (vacuumable). Returns the
+    checkpointed version. Fixture-grade: carries the action fields this
+    reader (and the live-set semantics) need; a production writer also
+    carries txn/commitInfo and stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    commits = _commit_files(table_path)
+    live: dict[str, dict] = {}
+    schema_string = None
+    partition_columns: list[str] = []
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for _v, commit_path in commits:
+        with open(commit_path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                    partition_columns = list(
+                        action["metaData"].get("partitionColumns", [])
+                    )
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    if schema_string is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    version = commits[-1][0]
+    rows = [
+        {"protocol": protocol, "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "schemaString": schema_string,
+                "partitionColumns": partition_columns,
+            },
+            "add": None,
+        },
+    ]
+    for path in sorted(live):
+        add = live[path]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": add.get("partitionValues", {}),
+                    "size": add.get("size", 0),
+                    "modificationTime": add.get("modificationTime", 0),
+                    "dataChange": False,
+                },
+            }
+        )
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    papq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
 
 
 def _write_commit(table_path: str, version: int, actions: list[dict]) -> None:

@@ -726,3 +726,38 @@ def test_delta_unsupported_reader_version_raises(spark, tmp_path):
         read_delta_table(spark, table)
     with pytest.raises(ValueError):
         read_delta_table(spark, str(tmp_path / "delta_v3"), version=99)
+
+
+def test_delta_checkpoint_replay(spark, tmp_path):
+    """Classic checkpoint parquet: after write_checkpoint, the reader
+    replays [checkpoint] + [later JSON commits]; the checkpoint alone
+    carries the full live set (proved by vacuuming every JSON commit);
+    commits AFTER the checkpoint still apply on top."""
+    import os
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        delete_partition,
+        read_delta_table,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_ckpt")
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    delete_partition(table, "n_regionkey", "0")
+    assert write_checkpoint(spark, table) == 1
+    # a post-checkpoint commit must still apply on top of the checkpoint
+    delete_partition(table, "n_regionkey", "1")
+    assert read_delta_table(spark, table).count() == 15
+    assert read_delta_table(spark, table, version=1).count() == 20
+    # vacuum the JSON commits at/below the checkpoint: replay must
+    # come from the checkpoint parquet alone
+    log_dir = os.path.join(table, "_delta_log")
+    for v in (0, 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    assert read_delta_table(spark, table, version=1).count() == 20
+    assert read_delta_table(spark, table).count() == 15
