@@ -366,6 +366,30 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
+    # truncates the per-query map once the headline list is this long.
+    # Persist the COMPLETE payload to a committed file so every round's
+    # per-query times stay diffable (r8 verdict task 3). Round number
+    # from the newest CORRECTNESS_r*.json on disk + 1 (the bench for
+    # round N runs before CORRECTNESS_rN lands), overridable via env.
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re as _re
+
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+            ]
+            rnd = f"{(max(seen) + 1) if seen else 1:02d}"
+        full_path = os.path.join(repo, f"BENCH_FULL_r{rnd}.json")
+        with open(full_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+    except Exception:
+        pass  # the stdout contract must never break on bookkeeping
     print(json.dumps(payload))
 
 

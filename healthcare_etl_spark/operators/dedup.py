@@ -188,13 +188,14 @@ def jaccard_pairs(
     # sizes is one row per document — AQE broadcasts it at fixture scale;
     # at cluster scale this join co-partitions on doc_id (no hard-coded
     # broadcast: a billion-document sizes frame must be allowed to shuffle).
-    # The shingle-row checkpoint is LAZY (r8): it is the one data-scale
-    # frame here (docs x shingles rows), and an eager checkpoint
-    # materializes it at PLAN BUILD time — meaning even .explain() on a
-    # large corpus runs a corpus-sized job (measured: OOMed the x100
-    # fleet plan sweep). Lazy keeps the same share-one-materialization
-    # semantics, paid inside the first action where it belongs.
-    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=False)
+    # No operator-internal checkpoint (r9): under AQE, localCheckpoint —
+    # eager OR lazy — finalizes the plan and EXECUTES its shuffle stages
+    # at call time, so plan build on a 100 TB corpus would run a
+    # corpus-sized job before any action (measured r8/r9). The shared
+    # shingle-row subtree instead dedupes via ReuseExchange: its
+    # distinct's shuffle is written once and every consumer (sizes +
+    # both self-join sides) reads the same shuffle files.
+    inv = hashed_shingle_rows(df, text_col, id_col, k)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inv_sized = inv.join(sizes, "doc_id")
     common = (
@@ -312,17 +313,17 @@ def minhash_band_frame(
 ) -> DataFrame:
     """(doc_id, hs, n_sh, bks): shingle-hash set, its size, and the
     N_BANDS LSH bucket keys — ONE aggregation pass over the shingle
-    rows, checkpointed LAZILY (it feeds the band self-join probe+build
-    and both verify sides, which share the one materialization; on a
-    real cluster use a reliable checkpoint / staging table). Lazy, not
-    eager (r8): this frame is corpus-doc-count-sized (the carried
-    ``hs`` set is ~shingles-per-doc longs per row), and an eager
-    checkpoint materializes it at PLAN BUILD time — .explain() on a
-    100 TB corpus must not run a corpus-sized job, and consecutive
-    plan builds' resident copies OOMed the x100 fleet sweep. The join
-    strategy cost of losing build-time exact stats is nil: the band
-    self-join sits behind exchanges, so AQE re-plans it from actual
-    runtime sizes.
+    rows. NOT checkpointed (r9): under AQE, ``localCheckpoint`` — eager
+    OR lazy — finalizes the plan and EXECUTES its shuffle stages at
+    call time, so merely BUILDING a plan over a 100 TB corpus would run
+    a corpus-sized job (r8's lazy variant fixed the resident-block OOM
+    but still ran 2 jobs at build, measured). Sharing across the band
+    self-join probe+build and both verify sides comes from
+    ReuseExchange instead: the signature aggregate's shuffle is written
+    once and every consumer reads the same shuffle files (on a real
+    cluster a reliable checkpoint / staging table is the equivalent).
+    The join strategy cost is nil: the band self-join sits behind
+    exchanges, so AQE re-plans it from actual runtime sizes.
 
     Carrying ``collect_set(hsh)`` through the signature aggregate is
     what makes verification cheap: the exact-Jaccard check becomes
@@ -343,7 +344,7 @@ def minhash_band_frame(
         "hs",
         F.size("hs").alias("n_sh"),
         F.array(*[_band_key(j) for j in range(N_BANDS)]).alias("bks"),
-    ).localCheckpoint(eager=False)
+    )
 
 
 def lsh_candidate_pairs(band_frame: DataFrame) -> DataFrame:
@@ -571,7 +572,7 @@ def containment_pairs(
     metrics so consumers can separate subset-dups (high containment,
     low Jaccard) from near-identical pairs (both high).
     """
-    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=False)
+    inv = hashed_shingle_rows(df, text_col, id_col, k)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inv_sized = inv.join(sizes, "doc_id")
     common = (
@@ -641,7 +642,7 @@ def prefix_filter_jaccard_pairs(
     f^2 candidate pairs only if it survives into prefixes, and frequent
     tokens are ordered OUT of prefixes.
     """
-    inv = hashed_shingle_rows(df, text_col, id_col, k).localCheckpoint(eager=False)
+    inv = hashed_shingle_rows(df, text_col, id_col, k)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hsh"))

@@ -606,7 +606,16 @@ def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
-    table = os.path.join(tempfile.gettempdir(), "healthcare_etl_spark_delta", sf_tag)
+    # Per-process-unique fixture dir: a fixed shared path races when two
+    # builds at the same scale factor overlap (parallel pytest workers /
+    # concurrent bench runs) — one overwrites the _delta_log the other
+    # is replaying. applicationId + pid keeps reruns within one session
+    # idempotent while isolating concurrent processes.
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_delta_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
     write_delta_table(nation, table, partition_by=["n_regionkey"])
     delete_partition(table, "n_regionkey", "0")
     back = read_delta_table(spark, table)

@@ -117,70 +117,72 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_groupby_avg_sorted",     # A5: group-mean + sort
     "q_topk",                   # O1/O2: sort + limit
     "q_format_number",          # F3: numeric formatting
-    # -- round 8 rotation: 41 FIRST-TIME external checks (r7 verdict
-    #    task 1: >=40 first-time rows). Leads with q_audio_fingerprint_dedup
-    #    (landed after the r7 window froze; judge-verified but never
-    #    driver-checked), then every query the r7 verdict named by family
-    #    (attribution, q_auc_delong_ci, q_chimerge_binning,
-    #    q_newsvendor_stock, q_segment_migration, q_beta_fit, the two
-    #    TPC-H deep shapes never externally seen), then a spread across
-    #    every module that still has never-checked names. Every query
-    #    rotated out keeps its in-repo parity test
-    #    (tests/test_oracle_parity.py, all 500+ oracle rows at sf0.001;
-    #    -m sf001 at sf0.01) plus the r7 full-sweep record in BASELINE.md.
-    # judge-named (r7 verdict task 1)
-    "q_audio_fingerprint_dedup",
-    "q_attribution_position",
-    "q_attribution_time_decay",
-    "q_auc_delong_ci",
-    "q_chimerge_binning",
-    "q_newsvendor_stock",
-    "q_segment_migration",
-    "q_beta_fit",
-    "q_tpch_q2_shape",
-    "q_tpch_q4_shape",
-    # attribution / funnel family (never sampled)
-    "q_attribution_last_touch",
-    "q_attribution_linear",
-    "q_markov_attribution",
-    "q_cohort_retention",
-    # mlops / evaluation
-    "q_naive_bayes",
-    "q_qini_curve",
-    "q_pr_auc",
-    "q_psm_match",
-    "q_wilcoxon_signed_rank",
-    # dedup family depth
-    "q_dedup_clusters_2phase",
-    "q_dedup_incremental",
-    "q_record_linkage",
-    # similarity / ANN depth
-    "q_sim_neardup",
-    "q_ann_recall_eval",
-    "q_knn_classify",
-    # corpus / text
-    "q_bpe_merges",
-    "q_good_turing",
-    "q_kneser_ney_bigram",
-    "q_langid_eval",
-    "q_passage_dedup",
-    "q_perplexity_filter",
-    # multimodal: the two r8 NEW real-video queries (birth-round external
-    # rows; frames subsumes q_multimodal_mp4_meta's box walk) + the JPEG
-    # still path
-    "q_multimodal_mp4_frames",
-    "q_video_frame_dedup",
-    "q_multimodal_jpeg_stats",
-    # similarity: the r8 NEW graph-based ANN index builder (birth-round row)
-    "q_knn_graph_nndescent",
-    # stats2/timeseries2
-    "q_did_estimator",
-    "q_pacf",
-    "q_fixed_effects_panel",
-    # scale patterns / graph / profiling
-    "q_graph_bfs",
-    "q_salted_distinct_agg",
-    "q_fk_discovery",
+    # -- round 9 rotation: 41 FIRST-TIME external checks (r8 verdict
+    #    task 1: >=40 first-time rows from the 289 never-externally-
+    #    checked pool). Leads with the three the r8 verdict named
+    #    (landed after the r8 window froze; judge-verified but never
+    #    driver-checked), then the never-sampled MODULES
+    #    (profiling, timeseries2, patterns2 incl. the capstone
+    #    q_curation_pipeline_v2), then new source classes
+    #    (JSON/ORC scans), then a spread across every module that
+    #    still has never-checked names — including two of the r8
+    #    bench movers (q_embedding_covariance, q_boilerplate_filter)
+    #    so their adjudication gets an external correctness row too.
+    #    Every query rotated out keeps its in-repo parity test
+    #    (tests/test_oracle_parity.py, all 500+ oracle rows at
+    #    sf0.001; -m sf001 at sf0.01) plus its prior external green.
+    # judge-named (r8 verdict task 1)
+    "q_sim_ann_ivfpq",
+    "q_delta_scan",
+    "q_multimodal_mp4_meta",
+    # profiling module (never sampled)
+    "q_sortedness_audit",
+    "q_shuffle_skew_planner",
+    "q_partition_count_advisor",
+    "q_stratified_kfold",
+    "q_data_freshness_audit",
+    # timeseries2 module (never sampled)
+    "q_trailing_hour_sum",
+    "q_decayed_popularity",
+    "q_temporal_split_audit",
+    # patterns2 module (never sampled; capstone pipeline first)
+    "q_curation_pipeline_v2",
+    "q_synthetic_control",
+    "q_split_leakage_audit",
+    # source classes never externally scanned
+    "q_json_scan",
+    "q_orc_scan",
+    # core SQL surface never sampled
+    "q_window_analytics",
+    "q_percentile_disc",
+    "q_full_outer_join",
+    "q_null_safe_join",
+    "q_union_by_name",
+    "q_null_group_keys",
+    "q_pivot_wide",
+    # multimodal codec paths never sampled
+    "q_multimodal_wav_meta",
+    "q_multimodal_gif_stats",
+    # dedup depth
+    "q_dedup_blocking_recall",
+    "q_dedup_sorted_neighborhood",
+    "q_minhash_eval",
+    # similarity / embeddings depth (covariance is an r8 bench mover)
+    "q_pca_projection",
+    "q_grid_dbscan",
+    "q_mmr_rerank",
+    "q_embedding_covariance",
+    # text / corpus
+    "q_quality_gate",
+    "q_readability",
+    "q_rouge_overlap",
+    "q_vocab_coverage",
+    "q_ql_dirichlet_search",
+    "q_submodular_coverage",
+    "q_boilerplate_filter",
+    # events
+    "q_dau_wau_mau",
+    "q_session_funnel",
 )
 
 

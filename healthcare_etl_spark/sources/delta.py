@@ -82,14 +82,28 @@ def _checkpoint_at_or_below(
     return (v, path) if os.path.exists(path) else None
 
 
-def read_delta_table(
-    spark: SparkSession, table_path: str, *, version: int | None = None
-) -> DataFrame:
-    """Read a Delta table at ``version`` (default: latest) by replaying
-    the log: newest usable checkpoint parquet first (if any), then the
-    JSON commits after it. Returns a DataFrame with the table's declared
-    schema (partition columns reconstructed from ``partitionValues`` and
-    cast to their declared types, Delta semantics)."""
+def _normalize_pv(pv) -> dict:
+    """partitionValues as a plain dict: checkpoint parquet MAP columns
+    come back from pyarrow as a list of (key, value) tuples, legacy
+    struct-typed checkpoints and JSON commits as a dict, absent as None."""
+    if pv is None:
+        return {}
+    if isinstance(pv, dict):
+        return pv
+    return dict(pv)
+
+
+def _replay(
+    table_path: str, version: int | None = None
+) -> tuple[dict[str, dict], str | None, list[str], dict, int]:
+    """Checkpoint-aware log replay shared by every entry point (reader,
+    delete_partition, write_checkpoint): newest usable checkpoint parquet
+    first (if any), then the JSON commits after it. Returns
+    ``(live_adds, schema_string, partition_columns, protocol, version)``.
+
+    Metadata-scale by construction: the checkpoint is read driver-side
+    with pyarrow (bounded by file count, not row count), exactly the
+    replay real Delta readers perform."""
     commits = _commit_files(table_path, allow_empty=True)
     ckpt = _checkpoint_at_or_below(table_path, version)
     if version is not None:
@@ -106,16 +120,20 @@ def read_delta_table(
     live: dict[str, dict] = {}
     schema_string: str | None = None
     partition_columns: list[str] = []
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+    resolved_version = ckpt[0] if ckpt is not None else -1
     if ckpt is not None:
+        import pyarrow.parquet as papq
+
         ckpt_version, ckpt_path = ckpt
         # A checkpoint is the full action state in parquet: one row per
-        # action with nullable protocol/metaData/add/remove structs.
-        # Metadata-scale (file count), so the driver-side collect is the
-        # protocol-prescribed replay, not a data-scale collect.
-        for row in spark.read.parquet(ckpt_path).collect():
-            d = row.asDict(recursive=True)
+        # action with nullable protocol/metaData/add/remove columns
+        # (partitionValues is MAP<string,string> per the spec; legacy
+        # struct-typed fixtures are normalized too).
+        for d in papq.read_table(ckpt_path).to_pylist():
             if d.get("protocol"):
-                mrv = d["protocol"].get("minReaderVersion") or 1
+                protocol = {k: v for k, v in d["protocol"].items() if v is not None}
+                mrv = protocol.get("minReaderVersion") or 1
                 if mrv > 1:
                     raise NotImplementedError(
                         f"Delta minReaderVersion={mrv} needs reader features "
@@ -125,12 +143,15 @@ def read_delta_table(
                 schema_string = d["metaData"]["schemaString"]
                 partition_columns = list(d["metaData"].get("partitionColumns") or [])
             if d.get("add"):
-                live[d["add"]["path"]] = d["add"]
+                add = dict(d["add"])
+                add["partitionValues"] = _normalize_pv(add.get("partitionValues"))
+                live[add["path"]] = add
             # remove actions in a checkpoint are tombstones for vacuum,
             # not live-set state: a checkpointed remove's file is already
             # absent from the checkpoint's add set.
         commits = [(v, p) for v, p in commits if v > ckpt_version]
-    for _v, commit_path in commits:
+    for v, commit_path in commits:
+        resolved_version = v
         with open(commit_path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -138,7 +159,8 @@ def read_delta_table(
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    mrv = action["protocol"].get("minReaderVersion", 1)
+                    protocol = action["protocol"]
+                    mrv = protocol.get("minReaderVersion", 1)
                     if mrv > 1:
                         raise NotImplementedError(
                             f"Delta minReaderVersion={mrv} needs reader features "
@@ -154,10 +176,26 @@ def read_delta_table(
                     schema_string = md["schemaString"]
                     partition_columns = list(md.get("partitionColumns", []))
                 elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    add = dict(action["add"])
+                    add["partitionValues"] = _normalize_pv(add.get("partitionValues"))
+                    live[add["path"]] = add
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
                 # commitInfo / txn / cdc actions carry no file-set state
+    return live, schema_string, partition_columns, protocol, resolved_version
+
+
+def read_delta_table(
+    spark: SparkSession, table_path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table at ``version`` (default: latest) by replaying
+    the log (checkpoint parquet + later JSON commits). Returns a
+    DataFrame with the table's declared schema (partition columns
+    reconstructed from ``partitionValues`` and cast to their declared
+    types, Delta semantics)."""
+    live, schema_string, partition_columns, _protocol, _v = _replay(
+        table_path, version
+    )
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
     schema = T.StructType.fromJson(json.loads(schema_string))
@@ -180,7 +218,12 @@ def read_delta_table(
         key = tuple(pv.get(c) for c in partition_columns)
         groups.setdefault(key, []).append(os.path.join(table_path, path))
     parts = []
-    for key, paths in sorted(groups.items(), key=lambda kv: kv[0]):
+    # None-safe group order: null partition values (__HIVE_DEFAULT_
+    # PARTITION__ / JSON null) are legal Delta state and must not crash
+    # the str-vs-None comparison — nulls sort first, deterministically.
+    for key, paths in sorted(
+        groups.items(), key=lambda kv: tuple((v is not None, v or "") for v in kv[0])
+    ):
         df = spark.read.schema(data_schema).parquet(*paths)
         for col, val in zip(partition_columns, key):
             lit = F.lit(None) if val is None else F.lit(val)
@@ -254,25 +297,19 @@ def delete_partition(table_path: str, column: str, value: str) -> int:
     """Append a commit that removes every live file of one partition
     (Delta metadata-only DELETE, e.g. dropping a bad ingest day): the
     data files are untouched; the new version's replay just no longer
-    lists them. Returns the new version number."""
-    commits = _commit_files(table_path)
-    live: dict[str, dict] = {}
-    for _v, commit_path in commits:
-        with open(commit_path, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+    lists them. Returns the new version number.
+
+    Replays via the shared checkpoint-aware ``_replay`` — a table whose
+    older JSON commits were vacuumed after a checkpoint still resolves
+    the full live set (a JSON-only replay here would silently delete
+    nothing for files whose add actions live only in the checkpoint)."""
+    live, _schema, _pcols, _protocol, current_version = _replay(table_path)
     removes = [
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
         for p, add in sorted(live.items())
         if add.get("partitionValues", {}).get(column) == value
     ]
-    new_version = commits[-1][0] + 1
+    new_version = current_version + 1
     _write_commit(table_path, new_version, removes)
     return new_version
 
@@ -289,33 +326,22 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    commits = _commit_files(table_path)
-    live: dict[str, dict] = {}
-    schema_string = None
-    partition_columns: list[str] = []
-    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
-    for _v, commit_path in commits:
-        with open(commit_path, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    protocol = action["protocol"]
-                elif "metaData" in action:
-                    schema_string = action["metaData"]["schemaString"]
-                    partition_columns = list(
-                        action["metaData"].get("partitionColumns", [])
-                    )
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+    # Checkpoint-aware replay: re-checkpointing a table that already has
+    # a checkpoint (with vacuumed older JSON commits) must carry the
+    # checkpointed live set forward, not just the surviving JSON tail.
+    live, schema_string, partition_columns, protocol, version = _replay(table_path)
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
-    version = commits[-1][0]
     rows = [
-        {"protocol": protocol, "metaData": None, "add": None},
+        {
+            # restrict to the two version ints the explicit struct carries
+            "protocol": {
+                "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+                "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+            },
+            "metaData": None,
+            "add": None,
+        },
         {
             "protocol": None,
             "metaData": {
@@ -334,16 +360,54 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                 "metaData": None,
                 "add": {
                     "path": add["path"],
-                    "partitionValues": add.get("partitionValues", {}),
+                    # pyarrow map columns take list-of-pairs input
+                    "partitionValues": sorted(
+                        add.get("partitionValues", {}).items()
+                    ),
                     "size": add.get("size", 0),
                     "modificationTime": add.get("modificationTime", 0),
                     "dataChange": False,
                 },
             }
         )
+    # Explicit schema: the spec types add.partitionValues as
+    # MAP<string,string> — struct inference breaks on unpartitioned
+    # tables (empty struct is unwritable) and deviates from PROTOCOL.md.
+    ckpt_schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
     log_dir = os.path.join(table_path, _LOG_DIR)
     papq.write_table(
-        pa.Table.from_pylist(rows),
+        pa.Table.from_pylist(rows, schema=ckpt_schema),
         os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"),
     )
     with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:

@@ -761,3 +761,120 @@ def test_delta_checkpoint_replay(spark, tmp_path):
         os.remove(os.path.join(log_dir, f"{v:020d}.json"))
     assert read_delta_table(spark, table, version=1).count() == 20
     assert read_delta_table(spark, table).count() == 15
+
+
+def test_delta_delete_partition_after_checkpoint_vacuum(spark, tmp_path):
+    """delete_partition must resolve the live set through the checkpoint
+    (ADVICE r8 medium): after write_checkpoint + vacuuming the
+    checkpointed JSON commits, the add actions live only in the
+    checkpoint parquet — a JSON-only replay would return a new version
+    while silently removing nothing."""
+    import os
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        delete_partition,
+        read_delta_table,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_del_ckpt")
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    assert write_checkpoint(spark, table) == 0
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    v = delete_partition(table, "n_regionkey", "2")
+    assert v == 1
+    latest = read_delta_table(spark, table)
+    assert latest.count() == 20
+    assert latest.filter("n_regionkey = 2").count() == 0
+    # re-checkpoint on top of a checkpoint (JSON tail vacuumed) must
+    # carry the checkpointed live set forward too
+    assert write_checkpoint(spark, table) == 1
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    assert read_delta_table(spark, table).count() == 20
+
+
+def test_delta_null_partition_value(spark, tmp_path):
+    """Null partition values (__HIVE_DEFAULT_PARTITION__ / JSON null)
+    are legal Delta state (ADVICE r8 medium): the reader must group and
+    order them None-safely, and reconstruct the column as NULL."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import read_delta_table, write_delta_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_regionkey") == 0, F.lit(None))
+        .otherwise(F.col("n_regionkey"))
+        .alias("n_regionkey"),
+    )
+    table = str(tmp_path / "delta_null_part")
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    back = read_delta_table(spark, table)
+    assert back.count() == 25
+    assert back.filter(F.col("n_regionkey").isNull()).count() == 5
+    assert sorted(back.collect(), key=str) == sorted(nation.collect(), key=str)
+
+
+def test_delta_checkpoint_unpartitioned_map_typed(spark, tmp_path):
+    """write_checkpoint on an UNPARTITIONED table (ADVICE r8 low): the
+    spec types checkpoint partitionValues as MAP<string,string>; struct
+    inference breaks on the all-empty case. Assert the write succeeds,
+    the parquet carries a map-typed column, and replay-from-checkpoint-
+    only reproduces the table."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        read_delta_table,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_unpart_ckpt")
+    write_delta_table(nation, table)
+    assert write_checkpoint(spark, table) == 0
+    ckpt = os.path.join(table, "_delta_log", f"{0:020d}.checkpoint.parquet")
+    schema = papq.read_schema(ckpt)
+    add_type = schema.field("add").type
+    pv_field = add_type.field(add_type.get_field_index("partitionValues"))
+    assert "map" in str(pv_field.type), pv_field.type
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    back = read_delta_table(spark, table)
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_delta_partition_pruning_plan(spark, tmp_path):
+    """An equality predicate on the partition column must prune whole
+    file groups BEFORE scan (VERDICT r8 task 5): each partition group is
+    a parquet relation with the partition value as a cast literal, so
+    Catalyst constant-folds the filter per union branch and collapses
+    non-matching branches to empty LocalRelations — the optimized plan
+    must keep exactly ONE parquet relation."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import read_delta_table, write_delta_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_prune")
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    back = read_delta_table(spark, table)
+    pruned = back.filter(F.col("n_regionkey") == 3)
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation")
+    assert n_scans == 1, f"expected 1 surviving parquet relation, plan:\n{plan}"
+    assert pruned.count() == 5
