@@ -602,6 +602,62 @@ def containment_pairs(
     )
 
 
+def prefix_filter_candidates(
+    inv: DataFrame, *, t_num: int = 3, t_den: int = 5
+) -> DataFrame:
+    """Prefix-filter CANDIDATE stage over hashed shingle rows ``inv``
+    ((doc_id, hsh)): rank tokens rare-first per doc, keep the
+    ``n - ceil(t*n) + 1`` prefix, equi-join prefixes with the length
+    filter. Returns (doc_a, doc_b, na, nb) distinct candidates — the
+    stage the x1000 scale proof measures in isolation.
+
+    dfreq and sizes are AGGREGATE outputs that scale with the corpus
+    (distinct shingles / distinct docs). Catalyst's static estimate for
+    them is tiny, so without a hint it plans BroadcastHashJoin and at
+    the 100x scale proof died building a 26M-row broadcast ("Not
+    enough memory to build and broadcast") — the same
+    aggregates-are-unestimable planner class as the r7 q_psi_drift
+    CartesianProduct flip, in the opposite direction. merge (sort-
+    merge join) is the only strategy whose memory is bounded at any
+    scale: shuffle_hash was tried first and its UNSPILLABLE build
+    side still died at x100 under 32-way task concurrency ("Can't
+    acquire ... to build hash relation").
+    """
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hsh"))
+    ranked = (
+        inv.join(dfreq.hint("merge"), "hsh")
+        .select("doc_id", "hsh", F.row_number().over(w).alias("pos"))
+        .join(sizes.hint("merge"), "doc_id")
+    )
+    # prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
+    ceil_tn = F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
+    pref = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1).select(
+        "doc_id", "hsh", "n_sh"
+    )
+    return (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x.hsh") == F.col("y.hsh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length filter: J >= t implies t*max(na,nb) <= min(na,nb)
+            & (
+                F.lit(t_den) * F.least("x.n_sh", "y.n_sh")
+                >= F.lit(t_num) * F.greatest("x.n_sh", "y.n_sh")
+            ),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     *,
@@ -643,50 +699,7 @@ def prefix_filter_jaccard_pairs(
     tokens are ordered OUT of prefixes.
     """
     inv = hashed_shingle_rows(df, text_col, id_col, k)
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hsh"))
-    # dfreq and sizes are AGGREGATE outputs that scale with the corpus
-    # (distinct shingles / distinct docs). Catalyst's static estimate for
-    # them is tiny, so without a hint it plans BroadcastHashJoin and at
-    # the 100x scale proof died building a 26M-row broadcast ("Not
-    # enough memory to build and broadcast") — the same
-    # aggregates-are-unestimable planner class as the r7 q_psi_drift
-    # CartesianProduct flip, in the opposite direction. merge (sort-
-    # merge join) is the only strategy whose memory is bounded at any
-    # scale: shuffle_hash was tried first and its UNSPILLABLE build
-    # side still died at x100 under 32-way task concurrency ("Can't
-    # acquire ... to build hash relation").
-    ranked = (
-        inv.join(dfreq.hint("merge"), "hsh")
-        .select("doc_id", "hsh", F.row_number().over(w).alias("pos"))
-        .join(sizes.hint("merge"), "doc_id")
-    )
-    # prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
-    ceil_tn = F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
-    pref = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1).select(
-        "doc_id", "hsh", "n_sh"
-    )
-    cand = (
-        pref.alias("x")
-        .join(
-            pref.alias("y"),
-            (F.col("x.hsh") == F.col("y.hsh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id"))
-            # length filter: J >= t implies t*max(na,nb) <= min(na,nb)
-            & (
-                F.lit(t_den) * F.least("x.n_sh", "y.n_sh")
-                >= F.lit(t_num) * F.greatest("x.n_sh", "y.n_sh")
-            ),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n_sh").alias("na"),
-            F.col("y.n_sh").alias("nb"),
-        )
-        .distinct()
-    )
+    cand = prefix_filter_candidates(inv, t_num=t_num, t_den=t_den)
     # Verify via carried shingle-hash SETS — the minhash verify shape
     # (array_intersect over two per-doc arrays), doc-count-sized frames
     # instead of rejoining the FULL inverted index (whose 26M rows the

@@ -21,10 +21,14 @@ Honest scope (unsupported features raise, never misread):
 - JSON commits plus CLASSIC checkpoint parquet (``_last_checkpoint`` +
   ``<version>.checkpoint.parquet`` — the standard every-10-commits log
   compaction; replay starts from the newest checkpoint at or below the
-  requested version and applies the JSON commits after it). Multi-part
-  and v2/sidecar checkpoints are not implemented and raise;
-- ``minReaderVersion`` must be 1 (deletion vectors / column mapping /
-  v2 checkpoints need 3/2/3 and change data-file interpretation).
+  requested version and applies the JSON commits after it) plus V2
+  checkpoints (``<version>.checkpoint.<uuid>.{parquet,json}`` top-level
+  file with ``checkpointMetadata`` + ``sidecar`` actions; file actions
+  read from the ``_delta_log/_sidecars/`` parquet files, PROTOCOL.md
+  "V2 spec"). Multi-part classic checkpoints raise;
+- ``minReaderVersion`` must be 1, or 3 with ``readerFeatures`` a subset
+  of {v2Checkpoint} (deletion vectors / column mapping change data-file
+  interpretation and raise).
 """
 
 from __future__ import annotations
@@ -53,33 +57,95 @@ def _commit_files(table_path: str, *, allow_empty: bool = False) -> list[tuple[i
     return sorted(out)
 
 
+# Reader features this module implements: v2Checkpoint only (deletion
+# vectors / column mapping / type widening change how data files are
+# interpreted and MUST raise, never misread).
+_SUPPORTED_READER_FEATURES = frozenset({"v2Checkpoint"})
+
+
+def _check_protocol(protocol: dict) -> None:
+    """Raise unless this reader can honor the table's protocol action:
+    minReaderVersion 1, or 3 with readerFeatures we implement (table
+    features, PROTOCOL.md). mrv=2 is column mapping — unsupported."""
+    mrv = protocol.get("minReaderVersion") or 1
+    if mrv == 1:
+        return
+    if mrv == 3:
+        features = protocol.get("readerFeatures")
+        if features is None:
+            # the spec REQUIRES readerFeatures at mrv 3; absent means we
+            # cannot know what reading needs — fail loud, never misread
+            raise NotImplementedError(
+                "Delta minReaderVersion=3 without a readerFeatures list"
+            )
+        unsupported = set(features) - _SUPPORTED_READER_FEATURES
+        if not unsupported:
+            return
+        raise NotImplementedError(
+            f"Delta readerFeatures {sorted(unsupported)} not implemented "
+            "by this minimal reader"
+        )
+    raise NotImplementedError(
+        f"Delta minReaderVersion={mrv} needs reader features "
+        "(column mapping / deletion vectors) this minimal reader "
+        "does not implement"
+    )
+
+
+def _classify_checkpoint_name(name: str) -> tuple[int, str] | None:
+    """(version, kind) for a checkpoint file name, else None.
+    kinds: 'classic' (<v>.checkpoint.parquet), 'v2' (<v>.checkpoint.
+    <uuid>.{parquet,json}); multi-part classic (<v>.checkpoint.<i>.<n>.
+    parquet) raises — silently replaying one part would drop files."""
+    parts = name.split(".")
+    if len(parts) < 3 or parts[1] != "checkpoint" or not parts[0].isdigit():
+        return None
+    v = int(parts[0])
+    if len(parts) == 3 and parts[2] == "parquet":
+        return (v, "classic")
+    if len(parts) == 5 and parts[2].isdigit() and parts[3].isdigit() and parts[4] == "parquet":
+        raise NotImplementedError(f"multi-part Delta checkpoint not supported: {name}")
+    if len(parts) == 4 and parts[3] in ("parquet", "json"):
+        return (v, "v2")
+    raise NotImplementedError(f"unrecognized Delta checkpoint layout: {name}")
+
+
 def _checkpoint_at_or_below(
     table_path: str, version: int | None
-) -> tuple[int, str] | None:
-    """Newest classic checkpoint parquet usable for ``version`` (None =
-    latest), from ``_last_checkpoint`` when valid, else a log-dir scan.
-    Multi-part checkpoints (``parts`` field / .checkpoint.NNN.of.MMM)
-    raise — silently replaying one part would drop files."""
+) -> tuple[int, str, str] | None:
+    """Newest checkpoint usable for ``version`` (None = latest) as
+    ``(version, path, kind)`` — classic parquet or v2 (top-level file +
+    sidecars), discovered from ``_last_checkpoint`` when valid plus a
+    log-dir scan. Classic preferred when both exist at one version."""
     log_dir = os.path.join(table_path, _LOG_DIR)
-    candidates: list[int] = []
+    # (version, kind_rank, path): kind_rank 0 = classic preferred
+    found: dict[tuple[int, int], str] = {}
     last = os.path.join(log_dir, "_last_checkpoint")
+    last_version: int | None = None
     if os.path.exists(last):
         with open(last, encoding="utf-8") as fh:
             meta = json.load(fh)
         if meta.get("parts"):
             raise NotImplementedError("multi-part Delta checkpoints not supported")
-        candidates.append(int(meta["version"]))
+        last_version = int(meta["version"])
     for name in os.listdir(log_dir):
-        if ".checkpoint." in name and not name.endswith(".checkpoint.parquet"):
-            raise NotImplementedError(f"non-classic Delta checkpoint: {name}")
-        if name.endswith(".checkpoint.parquet"):
-            candidates.append(int(name.split(".", 1)[0]))
-    usable = [v for v in set(candidates) if version is None or v <= version]
+        classified = _classify_checkpoint_name(name)
+        if classified is None:
+            continue
+        v, kind = classified
+        found[(v, 0 if kind == "classic" else 1)] = os.path.join(log_dir, name)
+    usable = [
+        (v, rank) for (v, rank) in found if version is None or v <= version
+    ]
     if not usable:
+        if last_version is not None and (version is None or last_version <= version):
+            raise FileNotFoundError(
+                f"_last_checkpoint points at version {last_version} but no "
+                f"checkpoint file exists in {log_dir}"
+            )
         return None
-    v = max(usable)
-    path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
-    return (v, path) if os.path.exists(path) else None
+    v, rank = min(usable, key=lambda t: (-t[0], t[1]))
+    return (v, found[(v, rank)], "classic" if rank == 0 else "v2")
 
 
 def _normalize_pv(pv) -> dict:
@@ -123,22 +189,13 @@ def _replay(
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     resolved_version = ckpt[0] if ckpt is not None else -1
     if ckpt is not None:
-        import pyarrow.parquet as papq
+        ckpt_version, ckpt_path, ckpt_kind = ckpt
 
-        ckpt_version, ckpt_path = ckpt
-        # A checkpoint is the full action state in parquet: one row per
-        # action with nullable protocol/metaData/add/remove columns
-        # (partitionValues is MAP<string,string> per the spec; legacy
-        # struct-typed fixtures are normalized too).
-        for d in papq.read_table(ckpt_path).to_pylist():
+        def _apply_ckpt_row(d: dict) -> None:
+            nonlocal schema_string, partition_columns, protocol
             if d.get("protocol"):
                 protocol = {k: v for k, v in d["protocol"].items() if v is not None}
-                mrv = protocol.get("minReaderVersion") or 1
-                if mrv > 1:
-                    raise NotImplementedError(
-                        f"Delta minReaderVersion={mrv} needs reader features "
-                        "this minimal reader does not implement"
-                    )
+                _check_protocol(protocol)
             if d.get("metaData"):
                 schema_string = d["metaData"]["schemaString"]
                 partition_columns = list(d["metaData"].get("partitionColumns") or [])
@@ -149,6 +206,21 @@ def _replay(
             # remove actions in a checkpoint are tombstones for vacuum,
             # not live-set state: a checkpointed remove's file is already
             # absent from the checkpoint's add set.
+
+        # A checkpoint is the full action state: one row per action with
+        # nullable protocol/metaData/add/remove columns (partitionValues
+        # is MAP<string,string> per the spec; legacy struct-typed
+        # fixtures are normalized too). V2 top-level files additionally
+        # carry checkpointMetadata + sidecar actions, with the file
+        # actions living in _delta_log/_sidecars/ parquet files.
+        if ckpt_kind == "classic":
+            import pyarrow.parquet as papq
+
+            for d in papq.read_table(ckpt_path).to_pylist():
+                _apply_ckpt_row(d)
+        else:
+            for d in _v2_checkpoint_rows(table_path, ckpt_path):
+                _apply_ckpt_row(d)
         commits = [(v, p) for v, p in commits if v > ckpt_version]
     for v, commit_path in commits:
         resolved_version = v
@@ -160,13 +232,7 @@ def _replay(
                 action = json.loads(line)
                 if "protocol" in action:
                     protocol = action["protocol"]
-                    mrv = protocol.get("minReaderVersion", 1)
-                    if mrv > 1:
-                        raise NotImplementedError(
-                            f"Delta minReaderVersion={mrv} needs reader features "
-                            "(deletion vectors / column mapping) this minimal "
-                            "reader does not implement"
-                        )
+                    _check_protocol(protocol)
                 elif "metaData" in action:
                     md = action["metaData"]
                     if md.get("format", {}).get("provider", "parquet") != "parquet":
@@ -183,6 +249,47 @@ def _replay(
                     live.pop(action["remove"]["path"], None)
                 # commitInfo / txn / cdc actions carry no file-set state
     return live, schema_string, partition_columns, protocol, resolved_version
+
+
+def _v2_checkpoint_rows(table_path: str, ckpt_path: str):
+    """Yield action dicts from a V2 checkpoint: the top-level file
+    (parquet or json) first — its checkpointMetadata is validated, its
+    sidecar actions resolved to ``_delta_log/_sidecars/`` parquet files
+    whose rows are yielded too (PROTOCOL.md V2 spec: file actions may
+    live inline in the top-level file, in sidecars, or both)."""
+    import pyarrow.parquet as papq
+
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    expected_version = int(os.path.basename(ckpt_path).split(".", 1)[0])
+    if ckpt_path.endswith(".json"):
+        with open(ckpt_path, encoding="utf-8") as fh:
+            top = [json.loads(line) for line in fh if line.strip()]
+    else:
+        top = papq.read_table(ckpt_path).to_pylist()
+    sidecars: list[str] = []
+    for d in top:
+        cm = d.get("checkpointMetadata")
+        if cm and int(cm.get("version", expected_version)) != expected_version:
+            raise ValueError(
+                f"v2 checkpoint metadata version {cm['version']} != file "
+                f"name version {expected_version}: {ckpt_path}"
+            )
+        sc = d.get("sidecar")
+        if sc:
+            rel = sc["path"]
+            # spec: sidecars always live in _delta_log/_sidecars; writers
+            # are encouraged to store just the file name
+            full = (
+                os.path.join(log_dir, rel)
+                if "/" in rel
+                else os.path.join(log_dir, "_sidecars", rel)
+            )
+            sidecars.append(full)
+        yield d
+    for sidecar_path in sidecars:
+        if not os.path.exists(sidecar_path):
+            raise FileNotFoundError(f"v2 checkpoint sidecar missing: {sidecar_path}")
+        yield from papq.read_table(sidecar_path).to_pylist()
 
 
 def read_delta_table(
@@ -412,6 +519,140 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     )
     with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
+    return version
+
+
+def write_checkpoint_v2(
+    spark: SparkSession, table_path: str, *, n_sidecars: int = 2
+) -> int:
+    """Compact the log into a V2 checkpoint (PROTOCOL.md V2 spec): a
+    top-level ``<version>.checkpoint.<uuid>.parquet`` carrying
+    checkpointMetadata + protocol + metaData + sidecar actions, with the
+    file actions split across ``_delta_log/_sidecars/`` parquet files —
+    the layout modern writers emit for very large tables (sidecars are
+    readable in parallel and reusable across checkpoints). Upgrades the
+    protocol row to table features (minReaderVersion 3 + readerFeatures
+    [v2Checkpoint]) as the spec requires for a v2-checkpointed table.
+    Fixture-grade, same caveats as ``write_checkpoint``. Returns the
+    checkpointed version."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    live, schema_string, partition_columns, _protocol, version = _replay(table_path)
+    if schema_string is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+
+    add_field = pa.field(
+        "add",
+        pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        ),
+    )
+    sidecar_schema = pa.schema([add_field])
+    add_rows = [
+        {
+            "add": {
+                "path": add["path"],
+                "partitionValues": sorted(add.get("partitionValues", {}).items()),
+                "size": add.get("size", 0),
+                "modificationTime": add.get("modificationTime", 0),
+                "dataChange": False,
+            }
+        }
+        for _path, add in sorted(live.items())
+    ]
+    n_sidecars = max(1, min(n_sidecars, len(add_rows)) if add_rows else 1)
+    chunk = -(-len(add_rows) // n_sidecars) if add_rows else 1
+    sidecar_actions = []
+    # deterministic uuids so fixture writes are reproducible
+    ns = uuid.uuid5(uuid.NAMESPACE_URL, f"{os.path.abspath(table_path)}@{version}")
+    for i in range(n_sidecars):
+        rows = add_rows[i * chunk : (i + 1) * chunk]
+        name = f"{uuid.uuid5(ns, f'sidecar-{i}')}.parquet"
+        full = os.path.join(sidecar_dir, name)
+        papq.write_table(pa.Table.from_pylist(rows, schema=sidecar_schema), full)
+        sidecar_actions.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(full),
+                    "modificationTime": 0,
+                }
+            }
+        )
+    top_schema = pa.schema(
+        [
+            pa.field("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    top_rows = [
+        {"checkpointMetadata": {"version": version}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "schemaString": schema_string,
+                "partitionColumns": partition_columns,
+            }
+        },
+        *sidecar_actions,
+    ]
+    top_name = f"{version:020d}.checkpoint.{uuid.uuid5(ns, 'top')}.parquet"
+    papq.write_table(
+        pa.Table.from_pylist(top_rows, schema=top_schema),
+        os.path.join(log_dir, top_name),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": len(top_rows) + len(add_rows)}, fh)
     return version
 
 

@@ -878,3 +878,110 @@ def test_delta_partition_pruning_plan(spark, tmp_path):
     n_scans = plan.count("Relation")
     assert n_scans == 1, f"expected 1 surviving parquet relation, plan:\n{plan}"
     assert pruned.count() == 5
+
+
+def test_delta_v2_checkpoint_sidecar_replay(spark, tmp_path):
+    """V2 checkpoint (PROTOCOL.md V2 spec): top-level
+    <version>.checkpoint.<uuid>.parquet with checkpointMetadata +
+    sidecar actions, file actions in _delta_log/_sidecars/ parquet.
+    After vacuuming every JSON commit the reader must reproduce the
+    table from the v2 checkpoint alone (multi-sidecar merge), and a
+    post-checkpoint JSON commit must still apply on top."""
+    import os
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        delete_partition,
+        read_delta_table,
+        write_checkpoint_v2,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_v2_ckpt")
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    delete_partition(table, "n_regionkey", "0")
+    assert write_checkpoint_v2(spark, table, n_sidecars=2) == 1
+    log_dir = os.path.join(table, "_delta_log")
+    assert len(os.listdir(os.path.join(log_dir, "_sidecars"))) == 2
+    for v in (0, 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    back = read_delta_table(spark, table)
+    assert back.count() == 20
+    assert back.filter("n_regionkey = 0").count() == 0
+    assert dict(back.dtypes)["n_regionkey"] == "int"
+    # a commit after the v2 checkpoint still applies on top
+    delete_partition(table, "n_regionkey", "1")
+    assert read_delta_table(spark, table).count() == 15
+    # time travel pinned AT the checkpoint version still works
+    assert read_delta_table(spark, table, version=1).count() == 20
+
+
+def test_delta_v2_checkpoint_unpartitioned_and_single_sidecar(spark, tmp_path):
+    """V2 checkpoint on an unpartitioned table with one sidecar; replay
+    from checkpoint alone reproduces every row."""
+    import os
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        read_delta_table,
+        write_checkpoint_v2,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_v2_unpart")
+    write_delta_table(nation, table)
+    assert write_checkpoint_v2(spark, table, n_sidecars=1) == 0
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    back = read_delta_table(spark, table)
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_delta_unsupported_reader_feature_raises(spark, tmp_path):
+    """minReaderVersion=3 with a reader feature we do NOT implement
+    (deletionVectors) must raise; with only v2Checkpoint it must read."""
+    import json
+    import os
+
+    import pytest
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import read_delta_table, write_delta_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_features")
+    write_delta_table(nation, table)
+    commit = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = open(commit).read().splitlines()
+    lines[0] = json.dumps(
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        }
+    )
+    open(commit, "w").write("\n".join(lines) + "\n")
+    assert read_delta_table(spark, table).count() == 25
+    lines[0] = json.dumps(
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+                "writerFeatures": ["v2Checkpoint", "deletionVectors"],
+            }
+        }
+    )
+    open(commit, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(NotImplementedError):
+        read_delta_table(spark, table)
