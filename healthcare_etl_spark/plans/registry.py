@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
     import healthcare_etl_spark.plans.queries_tpch  # noqa: F401
     import healthcare_etl_spark.plans.queries_tpch_deep  # noqa: F401
     import healthcare_etl_spark.plans.queries_pipeline_ops  # noqa: F401
+    import healthcare_etl_spark.plans.queries_pipeline_ops2  # noqa: F401
     import healthcare_etl_spark.plans.queries_events  # noqa: F401
     import healthcare_etl_spark.plans.queries_text  # noqa: F401
     import healthcare_etl_spark.plans.queries_corpus  # noqa: F401
