@@ -634,7 +634,23 @@ def prefix_filter_candidates(
     # prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
     ceil_tn = F.expr(f"({t_num} * n_sh + {t_den} - 1) div {t_den}")
     pref = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1).select(
-        "doc_id", "hsh", "n_sh"
+        "doc_id", "hsh", "pos", "n_sh"
+    )
+    # PPJoin POSITIONAL filter (Xiao et al. WWW'08 §4): for a shared
+    # prefix token at positions (i, j) under the common total order,
+    # overlap <= 1 + min(na - i, nb - j); a pair reaching Jaccard t
+    # needs overlap >= alpha = ceil(t/(1+t) * (na+nb)). The bound is
+    # maximal at the pair's FIRST shared token (which the prefix-filter
+    # theorem guarantees lies inside both prefixes), so keeping a pair
+    # if ANY matched row passes is exact — no false negatives. This is
+    # the df-skew guard the x1000 proof demanded: when vocabulary
+    # growth lags corpus growth (measured: 6.9x vocab per 10x docs,
+    # avg df 1.44 -> 2.09), raw prefix-match pairs grow ~df^2
+    # superlinearly (71.7x per decade at x1000); the positional bound
+    # prunes row-wise BEFORE the pair distinct, restoring near-linear
+    # candidate volume without touching the verified result.
+    alpha = F.expr(
+        f"({t_num} * (na + nb) + {t_num} + {t_den} - 1) div ({t_num} + {t_den})"
     )
     return (
         pref.alias("x")
@@ -653,7 +669,15 @@ def prefix_filter_candidates(
             F.col("y.doc_id").alias("doc_b"),
             F.col("x.n_sh").alias("na"),
             F.col("y.n_sh").alias("nb"),
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("x.n_sh") - F.col("x.pos"), F.col("y.n_sh") - F.col("y.pos")
+                )
+            ).alias("ubound"),
         )
+        .filter(F.col("ubound") >= alpha)
+        .drop("ubound")
         .distinct()
     )
 

@@ -2620,3 +2620,142 @@ def video_frame_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+BMP_PIXEL_STATS_SCHEMA = T.StructType(
+    PNG_PIXEL_STATS_SCHEMA.fields + [T.StructField("wsum_r", T.LongType(), True)]
+)
+
+
+def _bmp_pixel(mid: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic BMP pixel rule (distinct constants from
+    :func:`_png_pixel` so a copy-paste bug between codecs cannot
+    hash-match) — pure (media_id, x, y) integer arithmetic,
+    SQL-reproducible with two range() joins."""
+    return (
+        (mid * 13 + 5 * x + 11 * y) % 256,
+        (mid * 17 + 7 * x + 3 * y) % 256,
+        (mid * 19 + x + 9 * y) % 256,
+    )
+
+
+def encode_bmp_pixels(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encode a fully VALID 24-bit BI_RGB Windows bitmap per row —
+    BITMAPFILEHEADER ('BM', file size, bfOffBits=54) +
+    BITMAPINFOHEADER (biSize=40) + BGR pixel rows with the mandatory
+    4-byte stride padding. Odd media_ids are written TOP-DOWN
+    (negative biHeight) and even ones bottom-up, so the decoder must
+    implement both row orders plus stride math to recover the logical
+    pixel grid. Dimensions derive from the text's UTF-8 byte length
+    (w = n%14+1, h = n%7+1); pixels follow :func:`_bmp_pixel`."""
+    import struct
+
+    def one(mid: int, text: str) -> bytes:
+        n = len(("" if text is None else text).encode("utf-8"))
+        w, h = n % 14 + 1, n % 7 + 1
+        stride = (w * 3 + 3) & ~3
+        top_down = mid % 2 == 1
+        rows = []
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            row = bytearray()
+            for x in range(w):
+                r, g, b = _bmp_pixel(mid, x, y)
+                row += bytes((b, g, r))  # BMP stores BGR
+            row += bytes(stride - w * 3)
+            rows.append(bytes(row))
+        pixels = b"".join(rows)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (-h if top_down else h), 1, 24, 0,
+            stride * h, 2835, 2835, 0, 0,
+        )
+        header = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        return header + info + pixels
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        one(int(m), t) for m, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode, schema=PNG_MEDIA_SCHEMA
+    )
+
+
+def _bmp_decode_stats_one(b):
+    """Parse one BMP payload: validate 'BM' + BITMAPINFOHEADER, honor
+    bfOffBits, 4-byte stride and signed biHeight (bottom-up vs
+    top-down), reduce pixels to exact integer channel sums. Returns
+    (w, h, n_px, sum_r, sum_g, sum_b, wsum_r) or Nones on malformed
+    input; wsum_r is the (y+1)-weighted red sum, which is row-order-
+    sensitive and therefore proves the bottom-up/top-down handling."""
+    import struct
+
+    bad = (None, None, None, None, None, None, None)
+    b = bytes(b) if b is not None else b""
+    if len(b) < 54 or b[:2] != b"BM":
+        return bad
+    off_bits = struct.unpack_from("<I", b, 10)[0]
+    bi_size = struct.unpack_from("<I", b, 14)[0]
+    if bi_size < 40:
+        return bad
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+        return bad
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = (w * 3 + 3) & ~3
+    if len(b) < off_bits + stride * h:
+        return bad
+    sr = sg = sb = wsum_r = 0
+    for row_i in range(h):
+        # logical y depends on row order — wsum_r weights red by (y+1),
+        # so a decoder that ignores biHeight's sign cannot hash-match
+        y = row_i if top_down else h - 1 - row_i
+        base = off_bits + row_i * stride
+        for x in range(w):
+            p = base + x * 3
+            sb += b[p]
+            sg += b[p + 1]
+            sr += b[p + 2]
+            wsum_r += (y + 1) * b[p + 2]
+    return (w, h, w * h, sr, sg, sb, wsum_r)
+
+
+def decode_bmp_pixel_stats(
+    media: DataFrame, *, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL BMP decode over Arrow batches — header walk, stride and
+    row-order handling, exact integer channel sums (the uncompressed
+    sibling of :func:`decode_png_pixel_stats`; same output schema so
+    downstream stats expressions are codec-agnostic)."""
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_bmp_decode_stats_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "n_px": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "sum_r": pd.array([p[3] for p in parsed], dtype="Int64"),
+                    "sum_g": pd.array([p[4] for p in parsed], dtype="Int64"),
+                    "sum_b": pd.array([p[5] for p in parsed], dtype="Int64"),
+                    "wsum_r": pd.array([p[6] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", F.col(payload_col)).mapInPandas(
+        parse, schema=BMP_PIXEL_STATS_SCHEMA
+    )

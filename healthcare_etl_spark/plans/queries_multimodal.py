@@ -1110,3 +1110,73 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         stable_round(F.col("frame_ts"), 6).alias("frame_ts"),
     )
+
+
+@register(
+    "q_multimodal_bmp_stats",
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(n % 14 + 1 AS INT) AS w, CAST(n % 7 + 1 AS INT) AS h FROM docs
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, y.j,
+           ((d.doc_id * 13 + 5 * x.i + 11 * y.j) % 256) AS r,
+           ((d.doc_id * 17 + 7 * x.i + 3 * y.j) % 256)  AS g,
+           ((d.doc_id * 19 + x.i + 9 * y.j) % 256)      AS b
+    FROM dims d
+    JOIN range(14) x(i) ON x.i < d.w
+    JOIN range(7)  y(j) ON y.j < d.h
+)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INT)              AS width,
+       CAST(max(h) AS INT)              AS height,
+       CAST(count(*) AS BIGINT)         AS n_px,
+       CAST(sum(r) AS BIGINT)           AS sum_r,
+       CAST(sum(g) AS BIGINT)           AS sum_g,
+       CAST(sum(b) AS BIGINT)           AS sum_b,
+       CAST(sum((j + 1) * r) AS BIGINT) AS wsum_r,
+       (round((sum(r) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS mean_r,
+       (round((sum(g) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS mean_g,
+       (round((sum(b) * 1.0 / count(*)) * 1000000.0) / 1000000.0) AS mean_b
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "REAL BMP codec round-trip — the uncompressed member of the real-"
+        "decode family (PNG/JPEG/GIF/WAV/MJPEG-MP4): encode_bmp_pixels "
+        "writes byte-valid 24-bit BI_RGB bitmaps (BITMAPFILEHEADER + "
+        "BITMAPINFOHEADER, BGR order, mandatory 4-byte stride padding, odd "
+        "media_ids TOP-DOWN via negative biHeight, even bottom-up) and "
+        "decode_bmp_pixel_stats parses headers, stride and signed-height "
+        "row order to recover the exact pixel grid. wsum_r weights red by "
+        "(y+1), so a decoder that ignores row order cannot hash-match; the "
+        "oracle regenerates the grid from the pure (doc_id, x, y) pixel "
+        "rule with two range() joins. One Arrow map pass per codec step."
+    ),
+    tags=("multimodal", "extension", "codec"),
+)
+def q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_spark.functions.rounding import stable_round
+    from healthcare_etl_spark.operators.multimodal import (
+        decode_bmp_pixel_stats,
+        encode_bmp_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_bmp_pixel_stats(encode_bmp_pixels(docs))
+    npx = F.col("n_px")
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "wsum_r",
+        stable_round(F.col("sum_r") * F.lit(1.0) / npx, 6).alias("mean_r"),
+        stable_round(F.col("sum_g") * F.lit(1.0) / npx, 6).alias("mean_g"),
+        stable_round(F.col("sum_b") * F.lit(1.0) / npx, 6).alias("mean_b"),
+    )

@@ -600,3 +600,44 @@ def test_sample_frames_real_emits_decodable_jpegs(spark):
         [(1, bytearray(b"not a video"))], "media_id long, payload binary"
     )
     assert sample_frames(junk, decode_stub=False).count() == 0
+
+
+def test_bmp_codec_round_trip_row_orders(spark, sf_smoke):
+    """REAL BMP round-trip: encode (both bottom-up and top-down rows,
+    strided) -> decode recovers exact dims, channel sums and the
+    row-order-sensitive weighted sum for every doc; malformed payloads
+    yield NULL stats."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.operators.multimodal import (
+        _bmp_decode_stats_one,
+        _bmp_pixel,
+        decode_bmp_pixel_stats,
+        encode_bmp_pixels,
+    )
+    from healthcare_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    media = encode_bmp_pixels(docs)
+    out = {r["media_id"]: r for r in decode_bmp_pixel_stats(media).collect()}
+    rows = docs.select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).collect()
+    assert len(out) == len(rows)
+    for r in rows:
+        mid, n = r["doc_id"], r["n"]
+        w, h = n % 14 + 1, n % 7 + 1
+        exp_r = exp_g = exp_b = exp_w = 0
+        for y in range(h):
+            for x in range(w):
+                pr, pg, pb = _bmp_pixel(mid, x, y)
+                exp_r += pr
+                exp_g += pg
+                exp_b += pb
+                exp_w += (y + 1) * pr
+        got = out[mid]
+        assert (got["width"], got["height"], got["n_px"]) == (w, h, w * h)
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (exp_r, exp_g, exp_b)
+        assert got["wsum_r"] == exp_w, f"row-order bug for media {mid}"
+    # malformed payloads: NULL stats, never an exception
+    assert _bmp_decode_stats_one(b"") == (None,) * 7
+    assert _bmp_decode_stats_one(b"BM" + b"\x00" * 10) == (None,) * 7
+    assert _bmp_decode_stats_one(b"PNG whatever") == (None,) * 7
