@@ -760,3 +760,56 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("not_null_events_value", "events", nn_ev, n_ev))
         .unionAll(row("range_events_value_0_100", "events", rg_ev, n_ev))
     )
+
+
+@register(
+    "q_delta_dv_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name)              AS first_name
+FROM nation WHERE n_nationkey % 3 <> 0
+GROUP BY n_regionkey
+""",
+    description=(
+        "Delta Lake DELETION-VECTOR scan on vanilla Spark (sources.delta + "
+        "sources.roaring — the public PROTOCOL.md DV contract implemented "
+        "directly): materialize nation as a Delta table, row-level DELETE "
+        "of every third nation via an inline Z85 RoaringBitmapArray "
+        "deletion vector (re-add with descriptor + remove, protocol "
+        "upgraded to table features), then read the LATEST version; the "
+        "oracle is the equivalent filtered aggregate, so the Z85 decode, "
+        "the 64-bit roaring parse AND the _metadata.row_index anti-join "
+        "masking are all value-hash-checked. 100 TB shape: the DV bitmap "
+        "is per-file bounded metadata (exactly what real DV readers hold "
+        "in memory); the masked read is scan -> broadcast anti-join, "
+        "pushdown and pruning untouched on the data columns."
+    ),
+    tags=("sources", "extension"),
+)
+def q_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.delta import (
+        delete_rows,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_delta_dv_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    delete_rows(spark, table, "n_nationkey % 3 = 0")
+    back = read_delta_table(spark, table)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -26,9 +26,15 @@ Honest scope (unsupported features raise, never misread):
   file with ``checkpointMetadata`` + ``sidecar`` actions; file actions
   read from the ``_delta_log/_sidecars/`` parquet files, PROTOCOL.md
   "V2 spec"). Multi-part classic checkpoints raise;
+- DELETION VECTORS (PROTOCOL.md "Deletion Vectors"): adds carrying a
+  ``deletionVector`` descriptor are read with the DV's row indexes
+  masked out — inline ('i', Z85 payload), relative-path ('u', Z85 uuid
+  file name) and path ('p') storage, CRC-verified file blobs, and the
+  64-bit RoaringBitmapArray portable format parsed natively
+  (``sources.roaring``, all three container types);
 - ``minReaderVersion`` must be 1, or 3 with ``readerFeatures`` a subset
-  of {v2Checkpoint} (deletion vectors / column mapping change data-file
-  interpretation and raise).
+  of {v2Checkpoint, deletionVectors} (column mapping / type widening
+  change data-file interpretation and raise).
 """
 
 from __future__ import annotations
@@ -57,10 +63,10 @@ def _commit_files(table_path: str, *, allow_empty: bool = False) -> list[tuple[i
     return sorted(out)
 
 
-# Reader features this module implements: v2Checkpoint only (deletion
-# vectors / column mapping / type widening change how data files are
+# Reader features this module implements: v2 checkpoints and deletion
+# vectors (column mapping / type widening change how data files are
 # interpreted and MUST raise, never misread).
-_SUPPORTED_READER_FEATURES = frozenset({"v2Checkpoint"})
+_SUPPORTED_READER_FEATURES = frozenset({"v2Checkpoint", "deletionVectors"})
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -310,36 +316,124 @@ def read_delta_table(
         return spark.createDataFrame([], schema)
     data_fields = [f for f in schema.fields if f.name not in partition_columns]
     data_schema = T.StructType(data_fields)
-    if not partition_columns:
-        paths = [os.path.join(table_path, p) for p in sorted(live)]
+
+    def _scan_plain(paths: list[str]) -> DataFrame:
         return spark.read.schema(data_schema).parquet(*paths)
+
+    def _scan_with_dv(path: str, dv: dict) -> DataFrame:
+        # A deletion vector marks PHYSICAL row indexes of the parquet
+        # file as deleted; Spark's _metadata.row_index exposes exactly
+        # that index, so the masked read is scan -> broadcast anti-join
+        # against the (per-file, bounded-by-file-rows) position set —
+        # the same shape real DV readers use (the bitmap is per-file
+        # memory-resident there too).
+        positions = _load_dv(table_path, dv)
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(path)
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        pos_df = spark.createDataFrame(
+            [(int(p),) for p in positions], T.StructType([T.StructField("__dv_pos", T.LongType())])
+        )
+        return df.join(F.broadcast(pos_df), "__dv_pos", "left_anti").drop("__dv_pos")
+
+    def _file_frames(adds: list[dict]) -> list[DataFrame]:
+        """One frame per contiguous plain-file run + one per DV'd file."""
+        frames: list[DataFrame] = []
+        plain: list[str] = []
+        for add in adds:
+            full = os.path.join(table_path, add["path"])
+            dv = add.get("deletionVector")
+            if dv:
+                if plain:
+                    frames.append(_scan_plain(plain))
+                    plain = []
+                frames.append(_scan_with_dv(full, dv))
+            else:
+                plain.append(full)
+        if plain:
+            frames.append(_scan_plain(plain))
+        return frames
+
+    if not partition_columns:
+        frames = _file_frames([live[p] for p in sorted(live)])
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
     # Partitioned: group live files by their partitionValues tuple; the
     # group count is the live-partition count (metadata-scale), each
     # group is ONE parquet scan with the partition values injected as
     # cast literals (Delta stores them as strings in the log, typed by
     # the table schema).
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in partition_columns}
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[dict]] = {}
     for path, add in sorted(live.items()):
         pv = add.get("partitionValues", {})
         key = tuple(pv.get(c) for c in partition_columns)
-        groups.setdefault(key, []).append(os.path.join(table_path, path))
+        groups.setdefault(key, []).append(add)
     parts = []
     # None-safe group order: null partition values (__HIVE_DEFAULT_
     # PARTITION__ / JSON null) are legal Delta state and must not crash
     # the str-vs-None comparison — nulls sort first, deterministically.
-    for key, paths in sorted(
+    for key, adds in sorted(
         groups.items(), key=lambda kv: tuple((v is not None, v or "") for v in kv[0])
     ):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for col, val in zip(partition_columns, key):
-            lit = F.lit(None) if val is None else F.lit(val)
-            df = df.withColumn(col, lit.cast(ptypes[col]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        for df in _file_frames(adds):
+            for col, val in zip(partition_columns, key):
+                lit = F.lit(None) if val is None else F.lit(val)
+                df = df.withColumn(col, lit.cast(ptypes[col]))
+            parts.append(df.select(*[f.name for f in schema.fields]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _load_dv(table_path: str, dv: dict) -> list[int]:
+    """Resolve a deletionVector descriptor to its deleted row indexes.
+
+    storageType 'i': pathOrInlineDv IS the Z85-encoded serialized
+    RoaringBitmapArray (sizeInBytes trims the 4-byte-block padding).
+    storageType 'p'/'u': an on-disk DV file — format version byte 1,
+    then at ``offset``: 4-byte big-endian data size, the bitmap bytes,
+    and a 4-byte big-endian CRC-32 of the data, which is verified.
+    'u' descriptors encode the file name as <optional prefix><20-char
+    Z85 uuid> -> <prefix>/deletion_vector_<uuid>.bin under the table."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from healthcare_etl_spark.sources.roaring import parse_rbm_array, z85_decode
+
+    storage = dv.get("storageType")
+    size = int(dv.get("sizeInBytes"))
+    if storage == "i":
+        return parse_rbm_array(z85_decode(dv["pathOrInlineDv"], size))
+    if storage == "p":
+        dv_path = os.path.join(table_path, dv["pathOrInlineDv"])
+    elif storage == "u":
+        raw = dv["pathOrInlineDv"]
+        prefix, enc = raw[:-20], raw[-20:]
+        u = _uuid.UUID(bytes=z85_decode(enc, 16))
+        parts = [table_path] + ([prefix] if prefix else []) + [f"deletion_vector_{u}.bin"]
+        dv_path = os.path.join(*parts)
+    else:
+        raise NotImplementedError(f"deletion vector storageType {storage!r}")
+    with open(dv_path, "rb") as fh:
+        blob = fh.read()
+    if not blob or blob[0] != 1:
+        raise ValueError(f"unsupported DV file format version in {dv_path}")
+    offset = int(dv["offset"])
+    (data_size,) = struct.unpack_from(">i", blob, offset)
+    if data_size != size:
+        raise ValueError(f"DV size mismatch in {dv_path}: {data_size} != {size}")
+    data = blob[offset + 4 : offset + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch in {dv_path}")
+    return parse_rbm_array(data)
 
 
 def write_delta_table(
@@ -439,6 +533,13 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     live, schema_string, partition_columns, protocol, version = _replay(table_path)
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
+    if any(a.get("deletionVector") for a in live.values()):
+        # the fixture checkpoint schema has no DV struct; compacting a
+        # DV table here would silently RESURRECT deleted rows
+        raise NotImplementedError(
+            "checkpointing a table with live deletion vectors is not "
+            "supported by the fixture checkpoint writers"
+        )
     rows = [
         {
             # restrict to the two version ints the explicit struct carries
@@ -543,6 +644,11 @@ def write_checkpoint_v2(
     live, schema_string, partition_columns, _protocol, version = _replay(table_path)
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
+    if any(a.get("deletionVector") for a in live.values()):
+        raise NotImplementedError(
+            "checkpointing a table with live deletion vectors is not "
+            "supported by the fixture checkpoint writers"
+        )
     log_dir = os.path.join(table_path, _LOG_DIR)
     sidecar_dir = os.path.join(log_dir, "_sidecars")
     os.makedirs(sidecar_dir, exist_ok=True)
@@ -663,3 +769,107 @@ def _write_commit(table_path: str, version: int, actions: list[dict]) -> None:
     with open(commit, "w", encoding="utf-8") as fh:
         for action in actions:
             fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    *,
+    storage: str = "i",
+) -> int:
+    """Row-level DELETE via deletion vectors (fixture-grade writer for
+    the reader above + any DV-capable reader): for every live file with
+    rows matching ``predicate`` (a Spark SQL boolean over the data
+    columns), append a commit that re-adds the file with a deletion
+    vector marking those physical row indexes and removes the old add —
+    data files untouched, the Delta DV contract. Upgrades the protocol
+    to table features (minReaderVersion 3 / minWriterVersion 7 with
+    deletionVectors listed). ``storage``: 'i' (inline Z85) or 'u'
+    (CRC'd .bin file under the table root). Returns the new version.
+
+    The row-index discovery reads each affected file once with
+    ``_metadata.row_index`` — bounded by file size, the same per-file
+    pass a real DV writer's touched-file rewrite performs."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from healthcare_etl_spark.sources.roaring import serialize_rbm_array, z85_encode
+
+    live, schema_string, partition_columns, protocol, current_version = _replay(
+        table_path
+    )
+    if schema_string is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    data_fields = [f for f in schema.fields if f.name not in partition_columns]
+    data_schema = T.StructType(data_fields)
+    actions: list[dict] = []
+    for path in sorted(live):
+        add = live[path]
+        if add.get("deletionVector"):
+            raise NotImplementedError(
+                "fixture delete_rows does not merge with an existing DV"
+            )
+        full = os.path.join(table_path, path)
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(full)
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        hit = [r["__ri"] for r in df.filter(predicate).select("__ri").collect()]
+        if not hit:
+            continue
+        data = serialize_rbm_array(hit)
+        if storage == "i":
+            descriptor = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(data),
+                "sizeInBytes": len(data),
+                "cardinality": len(hit),
+            }
+        elif storage == "u":
+            u = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{os.path.abspath(full)}@dv")
+            blob = (
+                b"\x01"
+                + struct.pack(">i", len(data))
+                + data
+                + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+            )
+            with open(
+                os.path.join(table_path, f"deletion_vector_{u}.bin"), "wb"
+            ) as fh:
+                fh.write(blob)
+            descriptor = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": 1,
+                "sizeInBytes": len(data),
+                "cardinality": len(hit),
+            }
+        else:
+            raise ValueError(f"storage must be 'i' or 'u', got {storage!r}")
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": 0, "dataChange": True}}
+        )
+        new_add = {k: v for k, v in add.items() if k != "deletionVector"}
+        new_add["deletionVector"] = descriptor
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    features = sorted(set(protocol.get("readerFeatures") or []) | {"deletionVectors"})
+    wfeatures = sorted(set(protocol.get("writerFeatures") or []) | {"deletionVectors"})
+    actions.insert(
+        0,
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": features,
+                "writerFeatures": wfeatures,
+            }
+        },
+    )
+    new_version = current_version + 1
+    _write_commit(table_path, new_version, actions)
+    return new_version

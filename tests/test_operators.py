@@ -944,7 +944,7 @@ def test_delta_v2_checkpoint_unpartitioned_and_single_sidecar(spark, tmp_path):
 
 def test_delta_unsupported_reader_feature_raises(spark, tmp_path):
     """minReaderVersion=3 with a reader feature we do NOT implement
-    (deletionVectors) must raise; with only v2Checkpoint it must read."""
+    (columnMapping) must raise; with implemented features it must read."""
     import json
     import os
 
@@ -977,11 +977,77 @@ def test_delta_unsupported_reader_feature_raises(spark, tmp_path):
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint", "deletionVectors"],
-                "writerFeatures": ["v2Checkpoint", "deletionVectors"],
+                "readerFeatures": ["v2Checkpoint", "columnMapping"],
+                "writerFeatures": ["v2Checkpoint", "columnMapping"],
             }
         }
     )
     open(commit, "w").write("\n".join(lines) + "\n")
     with pytest.raises(NotImplementedError):
         read_delta_table(spark, table)
+
+
+def test_delta_deletion_vectors_inline_and_file(spark, tmp_path):
+    """Deletion vectors (PROTOCOL.md): delete_rows appends a commit that
+    re-adds files with DV descriptors (inline Z85 / CRC'd .bin) and the
+    reader masks exactly those physical row indexes; time travel to the
+    pre-DV version still returns every row; protocol upgrades to table
+    features and an unknown feature still raises."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        delete_rows,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    for storage in ("i", "u"):
+        table = str(tmp_path / f"delta_dv_{storage}")
+        write_delta_table(nation, table, partition_by=["n_regionkey"])
+        v = delete_rows(spark, table, "n_nationkey % 3 = 0", storage=storage)
+        assert v == 1
+        back = read_delta_table(spark, table)
+        expected = nation.filter(~(F.col("n_nationkey") % 3 == 0))
+        assert sorted(back.collect()) == sorted(expected.collect()), storage
+        # pre-DV version intact
+        assert read_delta_table(spark, table, version=0).count() == 25
+    # unpartitioned + a second DV pass on remaining rows must refuse to
+    # silently merge (fixture-grade guard)
+    import pytest
+
+    table2 = str(tmp_path / "delta_dv_unpart")
+    write_delta_table(nation, table2)
+    delete_rows(spark, table2, "n_regionkey = 2")
+    assert read_delta_table(spark, table2).count() == 20
+    with pytest.raises(NotImplementedError):
+        delete_rows(spark, table2, "n_regionkey = 3")
+
+
+def test_delta_dv_roundtrip_through_checkpoint(spark, tmp_path):
+    """A DV'd add must survive classic checkpoint compaction: the
+    checkpoint cannot carry the descriptor (fixture schema), so
+    write_checkpoint must REFUSE on a DV table rather than silently
+    dropping deletes."""
+    import pytest
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        delete_rows,
+        read_delta_table,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_dv_ckpt")
+    write_delta_table(nation, table)
+    delete_rows(spark, table, "n_nationkey < 5")
+    assert read_delta_table(spark, table).count() == 20
+    with pytest.raises(NotImplementedError):
+        write_checkpoint(spark, table)
