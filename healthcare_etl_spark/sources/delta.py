@@ -32,9 +32,13 @@ Honest scope (unsupported features raise, never misread):
   file name) and path ('p') storage, CRC-verified file blobs, and the
   64-bit RoaringBitmapArray portable format parsed natively
   (``sources.roaring``, all three container types);
-- ``minReaderVersion`` must be 1, or 3 with ``readerFeatures`` a subset
-  of {v2Checkpoint, deletionVectors} (column mapping / type widening
-  change data-file interpretation and raise).
+- COLUMN MAPPING in 'name' mode (PROTOCOL.md "Column Mapping"): scans
+  use the fields' delta.columnMapping.physicalName, partitionValues are
+  keyed by physical name, the result carries the logical schema; 'id'
+  mode (parquet field-id matching) raises;
+- ``minReaderVersion`` must be 1, 2 (column mapping), or 3 with
+  ``readerFeatures`` a subset of {v2Checkpoint, deletionVectors,
+  columnMapping}; anything else (type widening, ...) raises.
 """
 
 from __future__ import annotations
@@ -66,7 +70,9 @@ def _commit_files(table_path: str, *, allow_empty: bool = False) -> list[tuple[i
 # Reader features this module implements: v2 checkpoints and deletion
 # vectors (column mapping / type widening change how data files are
 # interpreted and MUST raise, never misread).
-_SUPPORTED_READER_FEATURES = frozenset({"v2Checkpoint", "deletionVectors"})
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"v2Checkpoint", "deletionVectors", "columnMapping"}
+)
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -75,6 +81,10 @@ def _check_protocol(protocol: dict) -> None:
     features, PROTOCOL.md). mrv=2 is column mapping — unsupported."""
     mrv = protocol.get("minReaderVersion") or 1
     if mrv == 1:
+        return
+    if mrv == 2:
+        # reader version 2 = column mapping; implemented ('name' mode —
+        # 'id' mode raises at read time where the mode is known)
         return
     if mrv == 3:
         features = protocol.get("readerFeatures")
@@ -92,9 +102,7 @@ def _check_protocol(protocol: dict) -> None:
             "by this minimal reader"
         )
     raise NotImplementedError(
-        f"Delta minReaderVersion={mrv} needs reader features "
-        "(column mapping / deletion vectors) this minimal reader "
-        "does not implement"
+        f"Delta minReaderVersion={mrv} is newer than this minimal reader"
     )
 
 
@@ -167,11 +175,12 @@ def _normalize_pv(pv) -> dict:
 
 def _replay(
     table_path: str, version: int | None = None
-) -> tuple[dict[str, dict], str | None, list[str], dict, int]:
+) -> tuple[dict[str, dict], str | None, list[str], dict, int, dict]:
     """Checkpoint-aware log replay shared by every entry point (reader,
     delete_partition, write_checkpoint): newest usable checkpoint parquet
     first (if any), then the JSON commits after it. Returns
-    ``(live_adds, schema_string, partition_columns, protocol, version)``.
+    ``(live_adds, schema_string, partition_columns, protocol, version,
+    configuration)``.
 
     Metadata-scale by construction: the checkpoint is read driver-side
     with pyarrow (bounded by file count, not row count), exactly the
@@ -192,19 +201,21 @@ def _replay(
     live: dict[str, dict] = {}
     schema_string: str | None = None
     partition_columns: list[str] = []
+    configuration: dict = {}
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     resolved_version = ckpt[0] if ckpt is not None else -1
     if ckpt is not None:
         ckpt_version, ckpt_path, ckpt_kind = ckpt
 
         def _apply_ckpt_row(d: dict) -> None:
-            nonlocal schema_string, partition_columns, protocol
+            nonlocal schema_string, partition_columns, protocol, configuration
             if d.get("protocol"):
                 protocol = {k: v for k, v in d["protocol"].items() if v is not None}
                 _check_protocol(protocol)
             if d.get("metaData"):
                 schema_string = d["metaData"]["schemaString"]
                 partition_columns = list(d["metaData"].get("partitionColumns") or [])
+                configuration = _normalize_pv(d["metaData"].get("configuration"))
             if d.get("add"):
                 add = dict(d["add"])
                 add["partitionValues"] = _normalize_pv(add.get("partitionValues"))
@@ -247,6 +258,7 @@ def _replay(
                         )
                     schema_string = md["schemaString"]
                     partition_columns = list(md.get("partitionColumns", []))
+                    configuration = _normalize_pv(md.get("configuration"))
                 elif "add" in action:
                     add = dict(action["add"])
                     add["partitionValues"] = _normalize_pv(add.get("partitionValues"))
@@ -254,7 +266,7 @@ def _replay(
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
                 # commitInfo / txn / cdc actions carry no file-set state
-    return live, schema_string, partition_columns, protocol, resolved_version
+    return live, schema_string, partition_columns, protocol, resolved_version, configuration
 
 
 def _v2_checkpoint_rows(table_path: str, ckpt_path: str):
@@ -306,7 +318,7 @@ def read_delta_table(
     DataFrame with the table's declared schema (partition columns
     reconstructed from ``partitionValues`` and cast to their declared
     types, Delta semantics)."""
-    live, schema_string, partition_columns, _protocol, _v = _replay(
+    live, schema_string, partition_columns, _protocol, _v, configuration = _replay(
         table_path, version
     )
     if schema_string is None:
@@ -314,8 +326,30 @@ def read_delta_table(
     schema = T.StructType.fromJson(json.loads(schema_string))
     if not live:
         return spark.createDataFrame([], schema)
+    # COLUMN MAPPING (PROTOCOL.md): in 'name' mode the parquet files
+    # carry physical column names (field metadata
+    # delta.columnMapping.physicalName) and partitionValues are keyed by
+    # physical name; the scan uses physical names and the final select
+    # renames to the logical schema. 'id' mode (parquet field-id
+    # matching) is not implemented and raises.
+    mapping_mode = configuration.get("delta.columnMapping.mode", "none")
+    if mapping_mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"Delta columnMapping.mode={mapping_mode!r} not implemented"
+        )
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
     data_fields = [f for f in schema.fields if f.name not in partition_columns]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+    )
+    logical_select = [
+        F.col(phys[f.name]).alias(f.name) if f.name not in partition_columns
+        else F.col(f.name)
+        for f in schema.fields
+    ]
 
     def _scan_plain(paths: list[str]) -> DataFrame:
         return spark.read.schema(data_schema).parquet(*paths)
@@ -361,7 +395,7 @@ def read_delta_table(
         out = frames[0]
         for fdf in frames[1:]:
             out = out.unionByName(fdf)
-        return out
+        return out.select(*logical_select)
     # Partitioned: group live files by their partitionValues tuple; the
     # group count is the live-partition count (metadata-scale), each
     # group is ONE parquet scan with the partition values injected as
@@ -371,7 +405,7 @@ def read_delta_table(
     groups: dict[tuple, list[dict]] = {}
     for path, add in sorted(live.items()):
         pv = add.get("partitionValues", {})
-        key = tuple(pv.get(c) for c in partition_columns)
+        key = tuple(pv.get(phys[c]) for c in partition_columns)
         groups.setdefault(key, []).append(add)
     parts = []
     # None-safe group order: null partition values (__HIVE_DEFAULT_
@@ -384,7 +418,7 @@ def read_delta_table(
             for col, val in zip(partition_columns, key):
                 lit = F.lit(None) if val is None else F.lit(val)
                 df = df.withColumn(col, lit.cast(ptypes[col]))
-            parts.append(df.select(*[f.name for f in schema.fields]))
+            parts.append(df.select(*logical_select))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -441,16 +475,57 @@ def write_delta_table(
     table_path: str,
     *,
     partition_by: list[str] | None = None,
+    column_mapping: bool = False,
 ) -> None:
     """Write ``df`` as version 0 of a new Delta table (data files +
     hand-built JSON commit). Fixture-grade writer: enough protocol for
     ``read_delta_table`` and any real Delta reader to consume — used by
     the registered scan query and the round-trip tests; a production
-    sink would add optimistic-concurrency commit semantics."""
+    sink would add optimistic-concurrency commit semantics.
+
+    ``column_mapping=True`` writes a NAME-mode column-mapping table
+    (PROTOCOL.md): parquet files carry deterministic physical column
+    names, the schemaString fields carry delta.columnMapping.id /
+    physicalName metadata, configuration sets the mode, and the protocol
+    is the legacy column-mapping pair (2, 5)."""
+    import uuid as _uuid
+
     partition_by = partition_by or []
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    configuration: dict = {}
+    schema_json = df.schema.json()
+    physical_partition_by = partition_by
+    if column_mapping:
+        phys = {
+            f.name: "col-"
+            + str(_uuid.uuid5(_uuid.NAMESPACE_URL, f"hes-delta-col-{f.name}"))[:8]
+            for f in df.schema.fields
+        }
+        fields = [
+            T.StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": phys[f.name],
+                },
+            )
+            for i, f in enumerate(df.schema.fields)
+        ]
+        schema_json = T.StructType(fields).json()
+        df = df.select(
+            *[F.col(f.name).alias(phys[f.name]) for f in df.schema.fields]
+        )
+        physical_partition_by = [phys[c] for c in partition_by]
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(fields)),
+        }
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
     writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if physical_partition_by:
+        writer = writer.partitionBy(*physical_partition_by)
     writer.parquet(table_path)
     adds = []
     for root, _dirs, files in os.walk(table_path):
@@ -478,14 +553,14 @@ def write_delta_table(
                 }
             )
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": "00000000-0000-0000-0000-000000000000",
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": schema_json,
                 "partitionColumns": partition_by,
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": 0,
             }
         },
@@ -504,7 +579,7 @@ def delete_partition(table_path: str, column: str, value: str) -> int:
     older JSON commits were vacuumed after a checkpoint still resolves
     the full live set (a JSON-only replay here would silently delete
     nothing for files whose add actions live only in the checkpoint)."""
-    live, _schema, _pcols, _protocol, current_version = _replay(table_path)
+    live, _schema, _pcols, _protocol, current_version, _conf = _replay(table_path)
     removes = [
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
         for p, add in sorted(live.items())
@@ -530,7 +605,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     # Checkpoint-aware replay: re-checkpointing a table that already has
     # a checkpoint (with vacuumed older JSON commits) must carry the
     # checkpointed live set forward, not just the surviving JSON tail.
-    live, schema_string, partition_columns, protocol, version = _replay(table_path)
+    live, schema_string, partition_columns, protocol, version, _conf = _replay(table_path)
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
     if any(a.get("deletionVector") for a in live.values()):
@@ -641,7 +716,7 @@ def write_checkpoint_v2(
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    live, schema_string, partition_columns, _protocol, version = _replay(table_path)
+    live, schema_string, partition_columns, _protocol, version, _conf = _replay(table_path)
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
     if any(a.get("deletionVector") for a in live.values()):
@@ -797,14 +872,27 @@ def delete_rows(
 
     from healthcare_etl_spark.sources.roaring import serialize_rbm_array, z85_encode
 
-    live, schema_string, partition_columns, protocol, current_version = _replay(
+    live, schema_string, partition_columns, protocol, current_version, conf = _replay(
         table_path
     )
     if schema_string is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
     schema = T.StructType.fromJson(json.loads(schema_string))
+    mapping_mode = conf.get("delta.columnMapping.mode", "none")
+    if mapping_mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"Delta columnMapping.mode={mapping_mode!r} not implemented"
+        )
+    # column mapping: scan by physical name, rename to logical so the
+    # caller's predicate is written over the logical schema
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
     data_fields = [f for f in schema.fields if f.name not in partition_columns]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+    )
     actions: list[dict] = []
     for path in sorted(live):
         add = live[path]
@@ -817,6 +905,10 @@ def delete_rows(
             spark.read.schema(data_schema)
             .parquet(full)
             .withColumn("__ri", F.col("_metadata.row_index"))
+            .select(
+                "__ri",
+                *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
+            )
         )
         hit = [r["__ri"] for r in df.filter(predicate).select("__ri").collect()]
         if not hit:

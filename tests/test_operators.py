@@ -944,7 +944,7 @@ def test_delta_v2_checkpoint_unpartitioned_and_single_sidecar(spark, tmp_path):
 
 def test_delta_unsupported_reader_feature_raises(spark, tmp_path):
     """minReaderVersion=3 with a reader feature we do NOT implement
-    (columnMapping) must raise; with implemented features it must read."""
+    (typeWidening) must raise; with implemented features it must read."""
     import json
     import os
 
@@ -977,8 +977,8 @@ def test_delta_unsupported_reader_feature_raises(spark, tmp_path):
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint", "columnMapping"],
-                "writerFeatures": ["v2Checkpoint", "columnMapping"],
+                "readerFeatures": ["v2Checkpoint", "typeWidening"],
+                "writerFeatures": ["v2Checkpoint", "typeWidening"],
             }
         }
     )
@@ -1051,3 +1051,60 @@ def test_delta_dv_roundtrip_through_checkpoint(spark, tmp_path):
     assert read_delta_table(spark, table).count() == 20
     with pytest.raises(NotImplementedError):
         write_checkpoint(spark, table)
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """NAME-mode column mapping (PROTOCOL.md): parquet files carry
+    physical column names, partitionValues are keyed by physical name,
+    and the reader renames back to the logical schema. 'id' mode and
+    unknown modes raise."""
+    import json
+    import os
+
+    import pytest
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import read_delta_table, write_delta_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_cm")
+    write_delta_table(nation, table, partition_by=["n_regionkey"], column_mapping=True)
+    # the parquet files must NOT contain logical names (mapping is real)
+    import pyarrow.parquet as papq
+
+    pq_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(table)
+        if "_delta_log" not in r
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    names = set(papq.read_schema(pq_files[0]).names)
+    assert "n_nationkey" not in names and any(n.startswith("col-") for n in names)
+    back = read_delta_table(spark, table)
+    assert back.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert sorted(back.collect()) == sorted(nation.collect())
+    # DV on a mapped table composes: logical-name predicate, masked read
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_spark.sources.delta import delete_rows
+
+    delete_rows(spark, table, "n_nationkey % 5 = 0")
+    masked = read_delta_table(spark, table)
+    expected = nation.filter(~(F.col("n_nationkey") % 5 == 0))
+    assert sorted(masked.collect()) == sorted(expected.collect())
+    # unknown mapping mode must raise
+    commit = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = open(commit).read().splitlines()
+    for i, line in enumerate(lines):
+        action = json.loads(line)
+        if "metaData" in action:
+            action["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            lines[i] = json.dumps(action)
+    open(commit, "w").write("\n".join(lines) + "\n")
+    # remove the later commit so version 0's metaData is current
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(NotImplementedError):
+        read_delta_table(spark, table).count()
