@@ -578,12 +578,24 @@ def delete_partition(table_path: str, column: str, value: str) -> int:
     Replays via the shared checkpoint-aware ``_replay`` — a table whose
     older JSON commits were vacuumed after a checkpoint still resolves
     the full live set (a JSON-only replay here would silently delete
-    nothing for files whose add actions live only in the checkpoint)."""
-    live, _schema, _pcols, _protocol, current_version, _conf = _replay(table_path)
+    nothing for files whose add actions live only in the checkpoint).
+    ``column`` is the LOGICAL name; on column-mapping tables the
+    partitionValues keys are physical, so the name is resolved through
+    the schema metadata first (matching on the logical key would
+    silently remove nothing — the same fail-silent class the r8 advice
+    flagged for the checkpoint replay)."""
+    live, schema_string, _pcols, _protocol, current_version, _conf = _replay(table_path)
+    pv_key = column
+    if schema_string is not None:
+        for f in T.StructType.fromJson(json.loads(schema_string)).fields:
+            if f.name == column:
+                pv_key = (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", column
+                )
     removes = [
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
         for p, add in sorted(live.items())
-        if add.get("partitionValues", {}).get(column) == value
+        if add.get("partitionValues", {}).get(pv_key) == value
     ]
     new_version = current_version + 1
     _write_commit(table_path, new_version, removes)

@@ -1095,6 +1095,14 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     masked = read_delta_table(spark, table)
     expected = nation.filter(~(F.col("n_nationkey") % 5 == 0))
     assert sorted(masked.collect()) == sorted(expected.collect())
+    # partition DELETE with the LOGICAL column name must resolve the
+    # physical partitionValues key (silently removing nothing = bug)
+    from healthcare_etl_spark.sources.delta import delete_partition
+
+    delete_partition(table, "n_regionkey", "2")
+    after = read_delta_table(spark, table)
+    assert after.filter("n_regionkey = 2").count() == 0
+    assert after.count() == expected.filter("n_regionkey <> 2").count()
     # unknown mapping mode must raise
     commit = os.path.join(table, "_delta_log", f"{0:020d}.json")
     lines = open(commit).read().splitlines()
