@@ -212,6 +212,17 @@ HEADLINE = [
     # cell-pruned integer ADC — the canonical 100 TB ANN layout, and the
     # newest multi-stage train->encode->probe chain worth tracking)
     "q_sim_ann_ivfpq",
+    # round-9: the new pipeline-ops family (content-defined chunking's
+    # double-window per-doc plan, the watermark z-screen, the exploded
+    # int8 calibration), the Delta transaction-log scans (log replay +
+    # pruned reads; the DV variant adds the roaring-masked per-file
+    # path), and the real-BMP codec round trip
+    "q_cdc_chunking",
+    "q_watermark_greenlist_screen",
+    "q_embedding_int8_calibration",
+    "q_delta_scan",
+    "q_delta_dv_scan",
+    "q_multimodal_bmp_stats",
 ]
 
 

@@ -188,11 +188,13 @@ def jaccard_pairs(
     # sizes is one row per document — AQE broadcasts it at fixture scale;
     # at cluster scale this join co-partitions on doc_id (no hard-coded
     # broadcast: a billion-document sizes frame must be allowed to shuffle).
-    # No operator-internal checkpoint (r9): under AQE, localCheckpoint —
-    # eager OR lazy — finalizes the plan and EXECUTES its shuffle stages
-    # at call time, so plan build on a 100 TB corpus would run a
-    # corpus-sized job before any action (measured r8/r9). The shared
-    # shingle-row subtree instead dedupes via ReuseExchange: its
+    # No operator-internal checkpoint/persist (r9): under AQE,
+    # localCheckpoint — eager OR lazy — finalizes the plan and EXECUTES
+    # its shuffle stages at call time, so plan build on a 100 TB corpus
+    # would run a corpus-sized job before any action (measured r8/r9),
+    # and persist's columnar re-encode of the big index measured slower
+    # than the recompute it saves (AB_RUNS.jsonl r9-dedup-*). The
+    # shared shingle-index subtree dedupes via ReuseExchange: its
     # distinct's shuffle is written once and every consumer (sizes +
     # both self-join sides) reads the same shuffle files.
     inv = hashed_shingle_rows(df, text_col, id_col, k)
@@ -232,7 +234,15 @@ def hashed_shingle_rows(
     Single-exchange: the doc_id partitioning from ``_shingle_text_rows``
     satisfies both this distinct and the signature ``groupBy(doc_id)``
     downstream, so scan -> shingle -> distinct -> signatures is one
-    shuffle total.
+    shuffle total. Sharing across the 3-4 consumers (sizes /
+    doc-frequency / ranked join / verify sets) comes from ReuseExchange
+    on that bottom shuffle; r9 measured the alternatives and kept this
+    form — ``persist`` pays a columnar re-encode of the ~26M-row index
+    that exceeds the recompute it saves, an explicit top
+    ``repartition`` adds a second full shuffle of the index for no
+    measured win (AB_RUNS.jsonl r9-dedup-{persist,top-exchange,
+    combined-vs-head}), and ``localCheckpoint`` is banned because under
+    AQE it executes corpus-sized shuffle stages at PLAN BUILD time.
     """
     return (
         _shingle_text_rows(df, text_col, id_col, k)
@@ -313,13 +323,18 @@ def minhash_band_frame(
 ) -> DataFrame:
     """(doc_id, hs, n_sh, bks): shingle-hash set, its size, and the
     N_BANDS LSH bucket keys — ONE aggregation pass over the shingle
-    rows. NOT checkpointed (r9): under AQE, ``localCheckpoint`` — eager
-    OR lazy — finalizes the plan and EXECUTES its shuffle stages at
-    call time, so merely BUILDING a plan over a 100 TB corpus would run
-    a corpus-sized job (r8's lazy variant fixed the resident-block OOM
-    but still ran 2 jobs at build, measured). Sharing across the band
-    self-join probe+build and both verify sides comes from
-    ReuseExchange instead: the signature aggregate's shuffle is written
+    rows. NOT checkpointed and NOT persisted (r9 adjudication): under
+    AQE, ``localCheckpoint`` — eager OR lazy — finalizes the plan and
+    EXECUTES its shuffle stages at call time, so merely BUILDING a plan
+    over a 100 TB corpus would run a corpus-sized job (r8's lazy
+    variant fixed the resident-block OOM but still ran 2 jobs at build,
+    measured); ``persist(MEMORY_AND_DISK)`` keeps build job-free but
+    its interleaved A/Bs vs the plain form flip inside the host noise
+    band (q_dedup_minhash -9..13%, q_dedup_blocking_recall +13%/tie
+    across two runs — AB_RUNS.jsonl r9-dedup-persist-band-only-vs-head,
+    r9-dedup-combined-vs-head), so the simpler form stands. Sharing
+    across the band self-join probe+build and both verify sides comes
+    from ReuseExchange: the signature aggregate's shuffle is written
     once and every consumer reads the same shuffle files (on a real
     cluster a reliable checkpoint / staging table is the equivalent).
     The join strategy cost is nil: the band self-join sits behind
