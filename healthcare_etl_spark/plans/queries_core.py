@@ -813,3 +813,62 @@ def q_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "q_iceberg_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name)              AS first_name
+FROM nation WHERE n_regionkey <> 1
+GROUP BY n_regionkey
+""",
+    description=(
+        "Apache Iceberg format-version-2 table scan on vanilla Spark "
+        "(sources.iceberg + the in-repo sources.avro object-container "
+        "codec — the public iceberg.apache.org/spec implemented directly, "
+        "no iceberg-spark runtime jar): materialize nation as an Iceberg "
+        "table identity-partitioned by n_regionkey (snapshot 1), append a "
+        "metadata-only partition DELETE snapshot (surviving files carried "
+        "as EXISTING manifest entries, dropped files as DELETED — data "
+        "files untouched), then read the LATEST snapshot through "
+        "version-hint -> metadata JSON -> manifest-list Avro -> manifest "
+        "Avro replay with identity partition reconstruction. The oracle "
+        "is the equivalent filtered aggregate, so the Avro decode, the "
+        "manifest status semantics AND the partition reconstruction are "
+        "value-hash-checked. Snapshot time travel and metadata-plane "
+        "partition pruning (pruned file groups never reach the Spark "
+        "scan) are unit-tested. 100 TB shape: manifest replay is "
+        "metadata-plane exactly as in real Iceberg readers (bounded by "
+        "file counts, driver-side); the data plane is one pruned "
+        "spark.read.parquet per partition group with pushdown intact."
+    ),
+    tags=("sources", "extension"),
+)
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.iceberg import (
+        delete_partition,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_iceberg_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
+    write_iceberg_table(nation, table, partition_by=["n_regionkey"])
+    delete_partition(table, "n_regionkey", 1)
+    back = read_iceberg_table(spark, table)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -331,3 +331,115 @@ def q_reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+# Gopher rule parameters (Rae et al. 2021, Appendix A) adapted only in
+# the stop-word list: the canonical 8 English stop words barely occur
+# in the synthetic fixture vocabulary, so the list is a parameter and
+# the fixture run uses function words that DO occur ('the', 'a') plus
+# the canonical remainder — the rule logic (>= 2 DISTINCT stop words
+# present) is unchanged.
+_GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.80
+_GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "q_gopher_rules_filter",
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE length(text) > 0
+),
+per_doc AS (
+    SELECT doc_id, source,
+           count(*) AS n_words,
+           avg(length(w)) AS mwl,
+           avg(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1.0 ELSE 0.0 END) AS alpha_frac,
+           count(DISTINCT CASE WHEN lower(w) IN {_GOPHER_STOPWORDS!r} THEN lower(w) END) AS n_stop
+    FROM words GROUP BY doc_id, source
+),
+flags AS (
+    SELECT source,
+           CASE WHEN n_words < {_GOPHER_MIN_WORDS} OR n_words > {_GOPHER_MAX_WORDS}
+                THEN 1 ELSE 0 END AS f_wc,
+           CASE WHEN mwl < {_GOPHER_MIN_MWL} OR mwl > {_GOPHER_MAX_MWL}
+                THEN 1 ELSE 0 END AS f_mwl,
+           CASE WHEN alpha_frac < {_GOPHER_MIN_ALPHA_FRAC} THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN n_stop < {_GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS f_stop
+    FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(f_wc) AS BIGINT)   AS n_fail_wordcount,
+       CAST(sum(f_mwl) AS BIGINT)  AS n_fail_meanwordlen,
+       CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+       CAST(sum(CASE WHEN f_wc + f_mwl + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass
+FROM flags GROUP BY source ORDER BY source
+""",
+    description=(
+        "The Gopher quality-rule battery (Rae et al. 2021, Appendix A — the "
+        "rule set MassiveText/RedPajama/Dolma pipelines standardized on): "
+        "per document, word count within [50, 100k], mean word length "
+        "within [3, 10], >= 80% of words containing an alphabetic "
+        "character, and >= 2 distinct stop words present; reported as a "
+        "per-source census of failures per rule plus the pass count — the "
+        "audit table a curation run emits before dropping anything. 100 TB "
+        "shape: one explode + one per-doc hash aggregate (all four rules "
+        "fold into the same groupBy; the distinct-stopword count is a "
+        "count_distinct over a CASE key, not a second pass) + one "
+        "per-source rollup; every predicate is a codegen expression."
+    ),
+    tags=("text", "extension", "parity"),
+)
+def q_gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    lw = F.lower("w")
+    per_doc = words.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.avg(F.length("w")).alias("mwl"),
+        F.avg(F.col("w").rlike("[A-Za-z]").cast("double")).alias("alpha_frac"),
+        F.count_distinct(
+            F.when(lw.isin(*_GOPHER_STOPWORDS), lw)
+        ).alias("n_stop"),
+    )
+    f_wc = (
+        (F.col("n_words") < _GOPHER_MIN_WORDS)
+        | (F.col("n_words") > _GOPHER_MAX_WORDS)
+    ).cast("long")
+    f_mwl = (
+        (F.col("mwl") < _GOPHER_MIN_MWL) | (F.col("mwl") > _GOPHER_MAX_MWL)
+    ).cast("long")
+    f_alpha = (F.col("alpha_frac") < _GOPHER_MIN_ALPHA_FRAC).cast("long")
+    f_stop = (F.col("n_stop") < _GOPHER_MIN_STOPWORDS).cast("long")
+    flags = per_doc.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_mwl.alias("f_mwl"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_wc").alias("n_fail_wordcount"),
+            F.sum("f_mwl").alias("n_fail_meanwordlen"),
+            F.sum("f_alpha").alias("n_fail_alpha"),
+            F.sum("f_stop").alias("n_fail_stopwords"),
+            F.sum(
+                (
+                    F.col("f_wc") + F.col("f_mwl") + F.col("f_alpha") + F.col("f_stop")
+                    == 0
+                ).cast("long")
+            ).alias("n_pass"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,580 @@
+"""Minimal Apache Iceberg (format-version 2) reader on vanilla Spark.
+
+Implements the public Iceberg table spec (iceberg.apache.org/spec/)
+directly — no iceberg-spark runtime jar, which this container does not
+ship — the same way ``sources.delta`` implements delta.io PROTOCOL.md:
+
+* metadata resolution: ``metadata/version-hint.text`` (HadoopTables
+  convention) or the highest ``v<N>.metadata.json``;
+* snapshot selection: ``current-snapshot-id`` or explicit time travel
+  by ``snapshot_id`` through the metadata's snapshot list;
+* the manifest LIST (Avro, via the in-repo ``sources.avro`` codec) to
+  enumerate manifest files, then each manifest's ``manifest_entry``
+  records to the live data-file set (status DELETED excluded);
+* identity-transform partition reconstruction: partition values come
+  from the manifest's typed partition struct and are attached as
+  literal columns when missing from the data files (the spec's rule
+  for identity transforms / migrated files);
+* optional partition pruning BEFORE the scan: an equality filter on a
+  partition column drops file groups at the metadata plane, so the
+  Spark job never opens pruned files.
+
+Scope is honest, fail-loud (misreading is worse than raising):
+* row-level deletes (position/equality delete files, manifest-list
+  ``content=1``) raise ``NotImplementedError`` — a reader that ignored
+  delete files would silently resurrect deleted rows;
+* non-identity partition transforms (bucket/truncate/days/...) raise —
+  reconstructing them needs the transform implementations;
+* non-parquet data files raise.
+
+All log/manifest handling is metadata-plane (bounded by file counts,
+exactly like real Iceberg readers, which also replay manifests on the
+driver); the data plane is one pruned ``spark.read.parquet`` per
+partition group, so predicate pushdown and column pruning reach the
+files unchanged. The writer is fixture-grade by volume but spec-grade
+by format: data files + manifest + manifest list + metadata JSON that
+a real Iceberg reader can consume, used by the registered scan query,
+the round-trip tests and the time-travel tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_spark.sources.avro import read_avro_file, write_avro_file
+
+_META_DIR = "metadata"
+_VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+# ------------------------------------------------------------- type maps
+
+_ICEBERG_TO_SPARK: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+_SPARK_TO_ICEBERG: dict[type, str] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.DateType: "date",
+    T.TimestampNTZType: "timestamp",
+    T.TimestampType: "timestamptz",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+}
+
+_ICEBERG_TO_AVRO: dict[str, str] = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": "int",
+    "timestamp": "long",
+    "timestamptz": "long",
+}
+
+
+def _spark_type(iceberg_type) -> T.DataType:
+    if isinstance(iceberg_type, str):
+        if iceberg_type in _ICEBERG_TO_SPARK:
+            return _ICEBERG_TO_SPARK[iceberg_type]
+        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", iceberg_type)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    raise NotImplementedError(f"Iceberg type not supported: {iceberg_type!r}")
+
+
+def _iceberg_type(spark_type: T.DataType) -> str:
+    if type(spark_type) in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[type(spark_type)]
+    if isinstance(spark_type, T.DecimalType):
+        return f"decimal({spark_type.precision},{spark_type.scale})"
+    raise NotImplementedError(f"Spark type not supported: {spark_type!r}")
+
+
+# ------------------------------------------------------------ metadata IO
+
+
+def _metadata_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _META_DIR, f"v{version}.metadata.json")
+
+
+def _current_metadata(table_path: str) -> dict:
+    meta_dir = os.path.join(table_path, _META_DIR)
+    if not os.path.isdir(meta_dir):
+        raise FileNotFoundError(f"not an Iceberg table (no metadata dir): {table_path}")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    version: int | None = None
+    if os.path.exists(hint):
+        with open(hint, encoding="utf-8") as fh:
+            version = int(fh.read().strip())
+    else:
+        versions = [
+            int(m.group(1))
+            for name in os.listdir(meta_dir)
+            if (m := _VERSION_RE.match(name))
+        ]
+        if versions:
+            version = max(versions)
+    if version is None:
+        raise FileNotFoundError(f"no metadata json found under {meta_dir}")
+    with open(_metadata_path(table_path, version), encoding="utf-8") as fh:
+        meta = json.loads(fh.read())
+    if meta.get("format-version") not in (1, 2):
+        raise NotImplementedError(
+            f"Iceberg format-version {meta.get('format-version')!r} not supported"
+        )
+    return meta
+
+
+def _current_schema(meta: dict) -> list[dict]:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s["fields"]
+        raise ValueError(f"current-schema-id {sid} not in schemas")
+    return meta["schema"]["fields"]  # format-version 1 legacy key
+
+
+def _partition_fields(meta: dict) -> list[dict]:
+    if "partition-specs" in meta:
+        sid = meta.get("default-spec-id", 0)
+        for s in meta["partition-specs"]:
+            if s.get("spec-id") == sid:
+                return s["fields"]
+        raise ValueError(f"default-spec-id {sid} not in partition-specs")
+    return meta.get("partition-spec", [])  # v1 legacy key
+
+
+def _local_path(p: str, table_path: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://") :]
+    if p.startswith("file:"):
+        return p[len("file:") :]
+    if os.path.isabs(p):
+        return p
+    return os.path.join(table_path, p)
+
+
+# ---------------------------------------------------------------- reader
+
+
+def _live_files(
+    meta: dict, snapshot: dict, table_path: str
+) -> list[tuple[tuple, str]]:
+    """[(partition value tuple, local data-file path)] for a snapshot,
+    replayed through manifest list -> manifests. Fail-loud on delete
+    manifests / delete files / non-parquet."""
+    pnames = [f["name"] for f in _partition_fields(meta)]
+    _, manifests = read_avro_file(_local_path(snapshot["manifest-list"], table_path))
+    out: list[tuple[tuple, str]] = []
+    for mf in manifests:
+        if mf.get("content", 0) == 1:
+            raise NotImplementedError(
+                "Iceberg row-level deletes (delete manifests) not supported — "
+                "refusing to read a table whose correct contents need them"
+            )
+        _, entries = read_avro_file(_local_path(mf["manifest_path"], table_path))
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            dfile = e["data_file"]
+            if dfile.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "Iceberg delete files (position/equality) not supported"
+                )
+            if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"data file format {dfile.get('file_format')!r} not supported"
+                )
+            part = dfile.get("partition") or {}
+            pv = tuple(part.get(n) for n in pnames)
+            out.append((pv, _local_path(dfile["file_path"], table_path)))
+    return out
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read an Iceberg table as a DataFrame at the current (or an
+    explicit ``snapshot_id``) snapshot. ``partition_filter`` is an
+    equality predicate dict on identity partition columns, applied at
+    the METADATA plane: pruned file groups are never handed to Spark,
+    so the scan job opens only matching files (the Iceberg contract —
+    partition pruning without touching data)."""
+    meta = _current_metadata(table_path)
+    fields = _current_schema(meta)
+    pfields = _partition_fields(meta)
+    for pf in pfields:
+        if pf.get("transform") != "identity":
+            raise NotImplementedError(
+                f"partition transform {pf.get('transform')!r} not supported "
+                "(identity only)"
+            )
+    field_by_id = {f["id"]: f for f in fields}
+    pnames = [f["name"] for f in pfields]
+    ptypes = [
+        _spark_type(field_by_id[f["source-id"]]["type"]) for f in pfields
+    ]
+
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    schema = T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), not f.get("required", False))
+            for f in fields
+        ]
+    )
+    if sid is None or sid == -1:
+        return spark.createDataFrame([], schema)
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not found in {table_path}")
+
+    files = _live_files(meta, snaps[sid], table_path)
+    if partition_filter:
+        unknown = set(partition_filter) - set(pnames)
+        if unknown:
+            raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+        files = [
+            (pv, p)
+            for pv, p in files
+            if all(pv[pnames.index(k)] == v for k, v in partition_filter.items())
+        ]
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    groups: dict[tuple, list[str]] = {}
+    for pv, p in files:
+        groups.setdefault(pv, []).append(p)
+
+    frames: list[DataFrame] = []
+    # None-safe deterministic group order (null partition values are
+    # legal Iceberg state — the sort key mirrors the delta reader fix).
+    for pv in sorted(groups, key=lambda t: tuple((v is None, str(v)) for v in t)):
+        part = spark.read.parquet(*sorted(groups[pv]))
+        for name, typ, val in zip(pnames, ptypes, pv):
+            if name not in part.columns:
+                part = part.withColumn(name, F.lit(val).cast(typ))
+        frames.append(part.select(*[f["name"] for f in fields]))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    # .to() casts to the DECLARED schema including nullability — the
+    # reconstructed partition literals are otherwise non-nullable.
+    return out.to(schema)
+
+
+# ---------------------------------------------------------------- writer
+
+
+def _manifest_entry_schema(pfields: list[dict], fields: list[dict]) -> dict:
+    field_by_id = {f["id"]: f for f in fields}
+    part_fields = [
+        {
+            "name": pf["name"],
+            "type": ["null", _ICEBERG_TO_AVRO[field_by_id[pf["source-id"]]["type"]]],
+            "default": None,
+            "field-id": pf["field-id"],
+        }
+        for pf in pfields
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": part_fields},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _typed_partition_value(raw: str | None, iceberg_type: str):
+    if raw is None:
+        return None
+    if iceberg_type in ("long", "int", "date", "timestamp", "timestamptz"):
+        return int(raw)
+    if iceberg_type in ("double", "float"):
+        return float(raw)
+    if iceberg_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _write_snapshot(
+    table_path: str,
+    meta: dict,
+    entries: list[dict],
+    *,
+    operation: str,
+) -> int:
+    """Append one snapshot (manifest + manifest list + metadata json +
+    version hint) whose single manifest holds ``entries``. Returns the
+    new snapshot id (== new metadata version, deterministic)."""
+    fields = _current_schema(meta)
+    pfields = _partition_fields(meta)
+    version = (
+        max((s["snapshot-id"] for s in meta.get("snapshots", [])), default=0) + 1
+    )
+    seq = meta.get("last-sequence-number", 0) + 1
+    meta_dir = os.path.join(table_path, _META_DIR)
+    for e in entries:
+        if e["status"] == 1:  # ADDED inherits this snapshot/sequence
+            e["snapshot_id"] = version
+            e["sequence_number"] = seq
+            e["file_sequence_number"] = seq
+    manifest_path = os.path.join(meta_dir, f"manifest-{version}.avro")
+    write_avro_file(
+        manifest_path, _manifest_entry_schema(pfields, fields), entries
+    )
+    live = [e for e in entries if e["status"] != 2]
+    mlist_path = os.path.join(meta_dir, f"snap-{version}-manifest-list.avro")
+    write_avro_file(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "file://" + manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    (e["sequence_number"] for e in live if e["sequence_number"]),
+                    default=seq,
+                ),
+                "added_snapshot_id": version,
+                "added_files_count": sum(1 for e in entries if e["status"] == 1),
+                "existing_files_count": sum(1 for e in entries if e["status"] == 0),
+                "deleted_files_count": sum(1 for e in entries if e["status"] == 2),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries if e["status"] == 1
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries if e["status"] == 0
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries if e["status"] == 2
+                ),
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": version,
+        "sequence-number": seq,
+        "timestamp-ms": version,  # deterministic fixture clock
+        "manifest-list": "file://" + mlist_path,
+        "summary": {"operation": operation},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    new_meta["current-snapshot-id"] = version
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = version
+    with open(_metadata_path(table_path, version), "w", encoding="utf-8") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    return version
+
+
+def write_iceberg_table(
+    df: DataFrame,
+    table_path: str,
+    *,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as snapshot 1 of a new Iceberg format-version-2
+    table (parquet data files + Avro manifest/manifest-list + metadata
+    JSON + version hint). Identity partitioning only. Returns the
+    snapshot id."""
+    partition_by = partition_by or []
+    fields = [
+        {
+            "id": i + 1,
+            "name": f.name,
+            "required": False,
+            "type": _iceberg_type(f.dataType),
+        }
+        for i, f in enumerate(df.schema.fields)
+    ]
+    fid = {f["name"]: f["id"] for f in fields}
+    pfields = [
+        {
+            "source-id": fid[c],
+            "field-id": 1000 + i,
+            "name": c,
+            "transform": "identity",
+        }
+        for i, c in enumerate(partition_by)
+    ]
+    ptype = {
+        pf["name"]: next(f["type"] for f in fields if f["id"] == pf["source-id"])
+        for pf in pfields
+    }
+
+    data_dir = os.path.join(table_path, "data")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    entries: list[dict] = []
+    for root, _dirs, names in os.walk(data_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel_pieces = os.path.relpath(full, data_dir).split(os.sep)[:-1]
+            pv: dict = {c: None for c in partition_by}
+            for piece in rel_pieces:
+                if "=" in piece:
+                    k, v = piece.split("=", 1)
+                    raw = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    pv[k] = _typed_partition_value(raw, ptype[k])
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": {c: pv[c] for c in partition_by},
+                        "record_count": _parquet_row_count(full),
+                        "file_size_in_bytes": os.path.getsize(full),
+                    },
+                }
+            )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": table_path,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": len(fields),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": pfields}],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 + len(pfields) - 1 if pfields else 999,
+        "properties": {},
+        "snapshots": [],
+        "current-snapshot-id": -1,
+    }
+    os.makedirs(os.path.join(table_path, _META_DIR), exist_ok=True)
+    return _write_snapshot(table_path, meta, sorted(
+        entries, key=lambda e: e["data_file"]["file_path"]
+    ), operation="append")
+
+
+def delete_partition(table_path: str, column: str, value) -> int:
+    """Append a metadata-only partition DELETE snapshot: surviving
+    files are carried as EXISTING entries (their original sequence
+    numbers preserved), dropped files recorded as DELETED entries; the
+    data files themselves are untouched, so time travel to the prior
+    snapshot still reads them. Returns the new snapshot id."""
+    meta = _current_metadata(table_path)
+    pnames = [f["name"] for f in _partition_fields(meta)]
+    if column not in pnames:
+        raise ValueError(f"{column!r} is not a partition column of {table_path}")
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    _, manifests = read_avro_file(
+        _local_path(snaps[sid]["manifest-list"], table_path)
+    )
+    entries: list[dict] = []
+    col_idx = pnames.index(column)
+    for mf in manifests:
+        _, es = read_avro_file(_local_path(mf["manifest_path"], table_path))
+        for e in es:
+            if e["status"] == 2:
+                continue
+            pv = (e["data_file"].get("partition") or {}).get(pnames[col_idx])
+            dropped = pv == value
+            entries.append(
+                {
+                    "status": 2 if dropped else 0,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": e.get("sequence_number"),
+                    "file_sequence_number": e.get("file_sequence_number"),
+                    "data_file": e["data_file"],
+                }
+            )
+    return _write_snapshot(table_path, meta, entries, operation="delete")

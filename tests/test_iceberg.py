@@ -1,0 +1,247 @@
+"""sources.avro + sources.iceberg: codec roundtrips, spec semantics,
+fail-loud scope guards (an Iceberg reader that guesses is worse than
+one that raises).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_spark.sources.avro import read_avro_file, write_avro_file
+from healthcare_etl_spark.sources.iceberg import (
+    delete_partition,
+    read_iceberg_table,
+    write_iceberg_table,
+)
+
+_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snap", "type": ["null", "long"], "default": None},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "path", "type": "string"},
+                    {"name": "vals", "type": {"type": "array", "items": "double"}},
+                    {"name": "props", "type": {"type": "map", "values": "bytes"}},
+                    {
+                        "name": "fmt",
+                        "type": {"type": "enum", "name": "E", "symbols": ["P", "A"]},
+                    },
+                    {"name": "fx", "type": {"type": "fixed", "name": "FX", "size": 2}},
+                ],
+            },
+        },
+        # Named-type REFERENCE — Iceberg manifests reuse record names.
+        {"name": "again", "type": ["null", "r2"], "default": None},
+    ],
+}
+
+_RECS = [
+    {
+        "status": 1,
+        "snap": 123456789012345,
+        "inner": {
+            "path": "ü/ñ.parquet",
+            "vals": [1.5, -2.25],
+            "props": {"k": b"\x00\xff"},
+            "fmt": "P",
+            "fx": b"ab",
+        },
+        "again": None,
+    },
+    {
+        "status": 2,
+        "snap": None,
+        "inner": {
+            "path": "q",
+            "vals": [],
+            "props": {},
+            "fmt": "A",
+            "fx": b"xy",
+        },
+        "again": {"path": "r", "vals": [0.0], "props": {"a": b""}, "fmt": "P", "fx": b"12"},
+    },
+]
+
+
+class TestAvroCodec:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_roundtrip(self, tmp_path, codec):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro_file(p, _ENTRY_SCHEMA, _RECS, codec=codec)
+        schema, recs = read_avro_file(p)
+        assert schema == _ENTRY_SCHEMA
+        assert recs == _RECS
+
+    def test_negative_and_boundary_longs(self, tmp_path):
+        schema = {"type": "record", "name": "n", "fields": [{"name": "v", "type": "long"}]}
+        vals = [0, -1, 1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+        p = str(tmp_path / "longs.avro")
+        write_avro_file(p, schema, [{"v": v} for v in vals])
+        _, recs = read_avro_file(p)
+        assert [r["v"] for r in recs] == vals
+
+    def test_unknown_codec_raises(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        with pytest.raises(NotImplementedError, match="codec"):
+            write_avro_file(p, _ENTRY_SCHEMA, _RECS, codec="snappy")
+
+    def test_not_avro_raises(self, tmp_path):
+        p = str(tmp_path / "junk.avro")
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1 not avro")
+        with pytest.raises(ValueError, match="not an Avro"):
+            read_avro_file(p)
+
+    def test_corrupt_sync_raises(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        write_avro_file(p, _ENTRY_SCHEMA, _RECS, codec="null")
+        data = bytearray(open(p, "rb").read())
+        data[-1] ^= 0xFF  # flip the trailing sync marker byte
+        with open(p, "wb") as fh:
+            fh.write(bytes(data))
+        with pytest.raises(ValueError, match="sync"):
+            read_avro_file(p)
+
+
+@pytest.fixture
+def nation(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+class TestIcebergRoundtrip:
+    def test_partitioned_roundtrip(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t1")
+        snap = write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        assert snap == 1
+        back = read_iceberg_table(spark, tbl)
+        # Names and types must match exactly; nullability may be STRICTER
+        # (the reconstructed partition literal is provably non-null).
+        assert [(f.name, f.dataType) for f in back.schema.fields] == [
+            (f.name, f.dataType) for f in nation.schema.fields
+        ]
+        assert sorted(back.collect()) == sorted(nation.collect())
+
+    def test_unpartitioned_roundtrip(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t2")
+        write_iceberg_table(nation, tbl)
+        back = read_iceberg_table(spark, tbl)
+        assert sorted(back.collect()) == sorted(nation.collect())
+
+    def test_null_partition_value(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")],
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("p", T.StringType()),
+                ]
+            ),
+        )
+        tbl = str(tmp_path / "t3")
+        write_iceberg_table(df, tbl, partition_by=["p"])
+        back = read_iceberg_table(spark, tbl)
+        assert sorted(back.collect(), key=str) == sorted(df.collect(), key=str)
+
+    def test_delete_partition_and_time_travel(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t4")
+        snap1 = write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        snap2 = delete_partition(tbl, "n_regionkey", 0)
+        cur = read_iceberg_table(spark, tbl)
+        assert cur.filter(F.col("n_regionkey") == 0).count() == 0
+        assert cur.count() == nation.filter("n_regionkey <> 0").count()
+        old = read_iceberg_table(spark, tbl, snapshot_id=snap1)
+        assert old.count() == nation.count()
+        assert snap2 == 2
+
+    def test_partition_pruning_is_metadata_plane(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t5")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        full = read_iceberg_table(spark, tbl)
+        pruned = read_iceberg_table(spark, tbl, partition_filter={"n_regionkey": 2})
+        # Pruning happens BEFORE the scan: the pruned plan's file list is
+        # strictly smaller — Spark never even opens the other groups.
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        assert pruned.count() == nation.filter("n_regionkey = 2").count()
+        assert pruned.select(F.count_distinct("n_regionkey")).first()[0] == 1
+
+    def test_version_hint_fallback(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t6")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        os.remove(os.path.join(tbl, "metadata", "version-hint.text"))
+        back = read_iceberg_table(spark, tbl)  # falls back to max v*.metadata.json
+        assert back.count() == nation.count()
+
+    def test_unknown_snapshot_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t7")
+        write_iceberg_table(nation, tbl)
+        with pytest.raises(ValueError, match="snapshot"):
+            read_iceberg_table(spark, tbl, snapshot_id=999)
+
+    def test_not_a_table_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_iceberg_table(spark, str(tmp_path / "nope"))
+
+
+class TestIcebergScopeGuards:
+    def _mangle_metadata(self, tbl: str, fn) -> None:
+        hint = os.path.join(tbl, "metadata", "version-hint.text")
+        with open(hint, encoding="utf-8") as fh:
+            v = int(fh.read())
+        mp = os.path.join(tbl, "metadata", f"v{v}.metadata.json")
+        with open(mp, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        fn(meta)
+        with open(mp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+
+    def test_delete_manifest_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t8")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        # Hand-mark the manifest list's manifest as a DELETE manifest
+        # (content=1): the reader must refuse rather than resurrect rows.
+        meta_dir = os.path.join(tbl, "metadata")
+        mlist = [f for f in os.listdir(meta_dir) if f.endswith("manifest-list.avro")][0]
+        p = os.path.join(meta_dir, mlist)
+        schema, recs = read_avro_file(p)
+        recs[0]["content"] = 1
+        write_avro_file(p, schema, recs)
+        with pytest.raises(NotImplementedError, match="delete"):
+            read_iceberg_table(spark, tbl)
+
+    def test_nonidentity_transform_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t9")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+
+        def bucketify(meta):
+            meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+
+        self._mangle_metadata(tbl, bucketify)
+        with pytest.raises(NotImplementedError, match="transform"):
+            read_iceberg_table(spark, tbl)
+
+    def test_future_format_version_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t10")
+        write_iceberg_table(nation, tbl)
+        self._mangle_metadata(tbl, lambda m: m.update({"format-version": 4}))
+        with pytest.raises(NotImplementedError, match="format-version"):
+            read_iceberg_table(spark, tbl)
+
+    def test_filter_on_nonpartition_column_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "t11")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        with pytest.raises(ValueError, match="non-partition"):
+            read_iceberg_table(spark, tbl, partition_filter={"n_name": "FRANCE"})
