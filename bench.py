@@ -222,6 +222,8 @@ HEADLINE = [
     "q_embedding_int8_calibration",
     "q_delta_scan",
     "q_delta_dv_scan",
+    "q_iceberg_scan",
+    "q_iceberg_pos_delete_scan",
     "q_multimodal_bmp_stats",
 ]
 

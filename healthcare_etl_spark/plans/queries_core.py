@@ -872,3 +872,57 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "q_iceberg_pos_delete_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name)              AS first_name
+FROM nation WHERE n_nationkey % 3 <> 0
+GROUP BY n_regionkey
+""",
+    description=(
+        "Apache Iceberg POSITION-DELETE scan on vanilla Spark "
+        "(sources.iceberg — table spec v2 row-level deletes): "
+        "materialize nation as a partitioned Iceberg table, row-level "
+        "DELETE every third nation via a sorted (file_path, pos) "
+        "position-delete parquet committed through a content=1 delete "
+        "manifest, then read the LATEST snapshot; the oracle is the "
+        "equivalent filtered aggregate, so the delete-manifest replay "
+        "AND the _metadata.row_index anti-join masking are value-hash-"
+        "checked. 100 TB shape: the delete frame is a distributed "
+        "parquet read anti-joined against the scan (AQE broadcasts "
+        "small delete sets); data files untouched, pushdown and "
+        "pruning intact on the data columns — the same shape as the "
+        "Delta deletion-vector path, per-spec for each format."
+    ),
+    tags=("sources", "extension"),
+)
+def q_iceberg_pos_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.iceberg import (
+        delete_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_iceberg_pd_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
+    write_iceberg_table(nation, table, partition_by=["n_regionkey"])
+    delete_rows(spark, table, "n_nationkey % 3 = 0")
+    back = read_iceberg_table(spark, table)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -136,6 +136,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_sim_ann_ivfpq",
     "q_delta_scan",
     "q_multimodal_mp4_meta",
+    # landed in r9 after the plan above was drafted: the Iceberg reader
+    # (new source class, mirrors r8's Delta marquee) and the Gopher
+    # rule battery — both first-time, swapped in for two events-module
+    # names so new-in-r9 code gets external rows first (higher risk).
+    "q_iceberg_scan",
+    "q_gopher_rules_filter",
     # profiling module (never sampled)
     "q_sortedness_audit",
     "q_shuffle_skew_planner",
@@ -181,9 +187,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ql_dirichlet_search",
     "q_submodular_coverage",
     "q_boilerplate_filter",
-    # events
-    "q_dau_wau_mau",
-    "q_session_funnel",
 )
 
 

@@ -17,12 +17,16 @@ ship — the same way ``sources.delta`` implements delta.io PROTOCOL.md:
   for identity transforms / migrated files);
 * optional partition pruning BEFORE the scan: an equality filter on a
   partition column drops file groups at the metadata plane, so the
-  Spark job never opens pruned files.
+  Spark job never opens pruned files;
+* POSITION delete files (v2 row-level deletes): delete parquet files
+  of (file_path, pos) are read as a DataFrame and masked out with a
+  distributed LEFT ANTI join on ``_metadata.file_path`` +
+  ``_metadata.row_index`` — the same Spark-first shape as the Delta
+  deletion-vector path; ``delete_rows`` writes them.
 
 Scope is honest, fail-loud (misreading is worse than raising):
-* row-level deletes (position/equality delete files, manifest-list
-  ``content=1``) raise ``NotImplementedError`` — a reader that ignored
-  delete files would silently resurrect deleted rows;
+* EQUALITY delete files raise ``NotImplementedError`` — a reader that
+  ignored them would silently resurrect deleted rows;
 * non-identity partition transforms (bucket/truncate/days/...) raise —
   reconstructing them needs the transform implementations;
 * non-parquet data files raise.
@@ -180,38 +184,52 @@ def _local_path(p: str, table_path: str) -> str:
 # ---------------------------------------------------------------- reader
 
 
-def _live_files(
+def _live_entries(
     meta: dict, snapshot: dict, table_path: str
-) -> list[tuple[tuple, str]]:
-    """[(partition value tuple, local data-file path)] for a snapshot,
-    replayed through manifest list -> manifests. Fail-loud on delete
-    manifests / delete files / non-parquet."""
-    pnames = [f["name"] for f in _partition_fields(meta)]
+) -> tuple[list[dict], list[dict]]:
+    """(data entries, position-delete entries) live at a snapshot,
+    replayed through manifest list -> manifests (DELETED entries
+    dropped). Fail-loud on equality deletes / non-parquet (misreading
+    is worse than raising)."""
     _, manifests = read_avro_file(_local_path(snapshot["manifest-list"], table_path))
-    out: list[tuple[tuple, str]] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for mf in manifests:
-        if mf.get("content", 0) == 1:
-            raise NotImplementedError(
-                "Iceberg row-level deletes (delete manifests) not supported — "
-                "refusing to read a table whose correct contents need them"
-            )
         _, entries = read_avro_file(_local_path(mf["manifest_path"], table_path))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             dfile = e["data_file"]
-            if dfile.get("content", 0) != 0:
+            content = dfile.get("content", 0)
+            if content == 2:
                 raise NotImplementedError(
-                    "Iceberg delete files (position/equality) not supported"
+                    "Iceberg EQUALITY delete files not supported — refusing "
+                    "to read a table whose correct contents need them"
                 )
             if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
                 raise NotImplementedError(
                     f"data file format {dfile.get('file_format')!r} not supported"
                 )
-            part = dfile.get("partition") or {}
-            pv = tuple(part.get(n) for n in pnames)
-            out.append((pv, _local_path(dfile["file_path"], table_path)))
-    return out
+            (deletes if content == 1 else data).append(e)
+    return data, deletes
+
+
+def _live_files(
+    meta: dict, snapshot: dict, table_path: str
+) -> tuple[list[tuple[tuple, str]], list[str]]:
+    """(data files as [(partition tuple, local path)], position-delete
+    file local paths) live at a snapshot."""
+    pnames = [f["name"] for f in _partition_fields(meta)]
+    data_e, del_e = _live_entries(meta, snapshot, table_path)
+    data = [
+        (
+            tuple((e["data_file"].get("partition") or {}).get(n) for n in pnames),
+            _local_path(e["data_file"]["file_path"], table_path),
+        )
+        for e in data_e
+    ]
+    deletes = [_local_path(e["data_file"]["file_path"], table_path) for e in del_e]
+    return data, deletes
 
 
 def read_iceberg_table(
@@ -255,7 +273,7 @@ def read_iceberg_table(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not found in {table_path}")
 
-    files = _live_files(meta, snaps[sid], table_path)
+    files, delete_files = _live_files(meta, snaps[sid], table_path)
     if partition_filter:
         unknown = set(partition_filter) - set(pnames)
         if unknown:
@@ -272,6 +290,12 @@ def read_iceberg_table(
     for pv, p in files:
         groups.setdefault(pv, []).append(p)
 
+    # Scheme-insensitive path key: position-delete rows carry
+    # 'file://...' URIs while _metadata.file_path reports 'file:///...'.
+    def _norm(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    names_only = [f["name"] for f in fields]
     frames: list[DataFrame] = []
     # None-safe deterministic group order (null partition values are
     # legal Iceberg state — the sort key mirrors the delta reader fix).
@@ -280,10 +304,32 @@ def read_iceberg_table(
         for name, typ, val in zip(pnames, ptypes, pv):
             if name not in part.columns:
                 part = part.withColumn(name, F.lit(val).cast(typ))
-        frames.append(part.select(*[f["name"] for f in fields]))
+        if delete_files:
+            part = part.select(
+                *names_only,
+                _norm(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        else:
+            part = part.select(*names_only)
+        frames.append(part)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
+    if delete_files:
+        # Position-delete masking, the Spark-first shape (same as the
+        # Delta deletion-vector path): read the delete files as a frame
+        # of (file_path, pos) and LEFT ANTI join on the file identity +
+        # _metadata.row_index. Delete frames are per-snapshot bounded;
+        # at cluster scale AQE broadcasts small ones and shuffles big
+        # ones — never a driver-side materialization. Position deletes
+        # name exact immutable file paths, so path-scoped application
+        # is sequence-safe (a delete cannot name a future file).
+        dels = spark.read.parquet(*sorted(delete_files)).select(
+            _norm(F.col("file_path")).alias("__fp"),
+            F.col("pos").cast("long").alias("__ri"),
+        )
+        out = out.join(dels, ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
     # .to() casts to the DECLARED schema including nullability — the
     # reconstructed partition literals are otherwise non-nullable.
     return out.to(schema)
@@ -380,9 +426,12 @@ def _write_snapshot(
     entries: list[dict],
     *,
     operation: str,
+    delete_entries: list[dict] | None = None,
 ) -> int:
-    """Append one snapshot (manifest + manifest list + metadata json +
-    version hint) whose single manifest holds ``entries``. Returns the
+    """Append one snapshot (manifests + manifest list + metadata json +
+    version hint): a data manifest holding ``entries`` and, when
+    ``delete_entries`` is given, a DELETE manifest (manifest-list
+    ``content=1``) holding position-delete file entries. Returns the
     new snapshot id (== new metadata version, deterministic)."""
     fields = _current_schema(meta)
     pfields = _partition_fields(meta)
@@ -391,47 +440,50 @@ def _write_snapshot(
     )
     seq = meta.get("last-sequence-number", 0) + 1
     meta_dir = os.path.join(table_path, _META_DIR)
-    for e in entries:
-        if e["status"] == 1:  # ADDED inherits this snapshot/sequence
-            e["snapshot_id"] = version
-            e["sequence_number"] = seq
-            e["file_sequence_number"] = seq
-    manifest_path = os.path.join(meta_dir, f"manifest-{version}.avro")
-    write_avro_file(
-        manifest_path, _manifest_entry_schema(pfields, fields), entries
-    )
-    live = [e for e in entries if e["status"] != 2]
-    mlist_path = os.path.join(meta_dir, f"snap-{version}-manifest-list.avro")
-    write_avro_file(
-        mlist_path,
-        _MANIFEST_LIST_SCHEMA,
-        [
+    entry_schema = _manifest_entry_schema(pfields, fields)
+    mlist_rows: list[dict] = []
+    manifest_groups = [(entries, 0, f"manifest-{version}.avro")]
+    if delete_entries:
+        manifest_groups.append(
+            (delete_entries, 1, f"manifest-{version}-deletes.avro")
+        )
+    for grp, content, fname in manifest_groups:
+        for e in grp:
+            if e["status"] == 1:  # ADDED inherits this snapshot/sequence
+                e["snapshot_id"] = version
+                e["sequence_number"] = seq
+                e["file_sequence_number"] = seq
+        manifest_path = os.path.join(meta_dir, fname)
+        write_avro_file(manifest_path, entry_schema, grp)
+        live = [e for e in grp if e["status"] != 2]
+        mlist_rows.append(
             {
                 "manifest_path": "file://" + manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": min(
                     (e["sequence_number"] for e in live if e["sequence_number"]),
                     default=seq,
                 ),
                 "added_snapshot_id": version,
-                "added_files_count": sum(1 for e in entries if e["status"] == 1),
-                "existing_files_count": sum(1 for e in entries if e["status"] == 0),
-                "deleted_files_count": sum(1 for e in entries if e["status"] == 2),
+                "added_files_count": sum(1 for e in grp if e["status"] == 1),
+                "existing_files_count": sum(1 for e in grp if e["status"] == 0),
+                "deleted_files_count": sum(1 for e in grp if e["status"] == 2),
                 "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries if e["status"] == 1
+                    e["data_file"]["record_count"] for e in grp if e["status"] == 1
                 ),
                 "existing_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries if e["status"] == 0
+                    e["data_file"]["record_count"] for e in grp if e["status"] == 0
                 ),
                 "deleted_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries if e["status"] == 2
+                    e["data_file"]["record_count"] for e in grp if e["status"] == 2
                 ),
             }
-        ],
-    )
+        )
+    mlist_path = os.path.join(meta_dir, f"snap-{version}-manifest-list.avro")
+    write_avro_file(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
     snapshot = {
         "snapshot-id": version,
         "sequence-number": seq,
@@ -544,37 +596,128 @@ def write_iceberg_table(
     ), operation="append")
 
 
+def _carry(e: dict, *, status: int) -> dict:
+    return {
+        "status": status,
+        "snapshot_id": e.get("snapshot_id"),
+        "sequence_number": e.get("sequence_number"),
+        "file_sequence_number": e.get("file_sequence_number"),
+        "data_file": e["data_file"],
+    }
+
+
 def delete_partition(table_path: str, column: str, value) -> int:
     """Append a metadata-only partition DELETE snapshot: surviving
     files are carried as EXISTING entries (their original sequence
     numbers preserved), dropped files recorded as DELETED entries; the
     data files themselves are untouched, so time travel to the prior
-    snapshot still reads them. Returns the new snapshot id."""
+    snapshot still reads them. Existing position-delete files are
+    carried through unchanged. Returns the new snapshot id."""
     meta = _current_metadata(table_path)
     pnames = [f["name"] for f in _partition_fields(meta)]
     if column not in pnames:
         raise ValueError(f"{column!r} is not a partition column of {table_path}")
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    _, manifests = read_avro_file(
-        _local_path(snaps[sid]["manifest-list"], table_path)
+    data_e, del_e = _live_entries(meta, snaps[sid], table_path)
+    entries = [
+        _carry(
+            e,
+            status=2
+            if (e["data_file"].get("partition") or {}).get(column) == value
+            else 0,
+        )
+        for e in data_e
+    ]
+    return _write_snapshot(
+        table_path,
+        meta,
+        entries,
+        operation="delete",
+        delete_entries=[_carry(e, status=0) for e in del_e] or None,
     )
-    entries: list[dict] = []
-    col_idx = pnames.index(column)
-    for mf in manifests:
-        _, es = read_avro_file(_local_path(mf["manifest_path"], table_path))
-        for e in es:
-            if e["status"] == 2:
+
+
+def delete_rows(spark: SparkSession, table_path: str, predicate: str) -> int:
+    """Row-level DELETE via an Iceberg POSITION delete file (table spec
+    v2): scan the live data files with ``_metadata`` to resolve the
+    (file_path, pos) of every row matching ``predicate``, write them as
+    a sorted parquet position-delete file, and commit a snapshot whose
+    manifest list carries the data manifest (EXISTING), any prior
+    delete manifests' files (EXISTING) and the new delete file (ADDED,
+    manifest-list ``content=1``). Data files are untouched — time
+    travel to the prior snapshot reads the undeleted rows. Returns the
+    new snapshot id.
+
+    The position resolution is one distributed scan + filter (the same
+    job a real engine runs for copy-on-write planning); nothing is
+    collected to the driver. Rows already masked by earlier delete
+    files may be re-recorded — position-delete semantics make that
+    idempotent (the anti-join masks a position once)."""
+    meta = _current_metadata(table_path)
+    fields = _current_schema(meta)
+    pfields = _partition_fields(meta)
+    field_by_id = {f["id"]: f for f in fields}
+    pnames = [f["name"] for f in pfields]
+    ptypes = [_spark_type(field_by_id[f["source-id"]]["type"]) for f in pfields]
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    data_e, del_e = _live_entries(meta, snaps[sid], table_path)
+
+    groups: dict[tuple, list[str]] = {}
+    for e in data_e:
+        pv = tuple((e["data_file"].get("partition") or {}).get(n) for n in pnames)
+        groups.setdefault(pv, []).append(
+            _local_path(e["data_file"]["file_path"], table_path)
+        )
+    frames = []
+    for pv in sorted(groups, key=lambda t: tuple((v is None, str(v)) for v in t)):
+        part = spark.read.parquet(*sorted(groups[pv]))
+        for name, typ, val in zip(pnames, ptypes, pv):
+            if name not in part.columns:
+                part = part.withColumn(name, F.lit(val).cast(typ))
+        frames.append(
+            part.filter(F.expr(predicate)).select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+    matched = frames[0]
+    for fr in frames[1:]:
+        matched = matched.unionByName(fr)
+
+    version = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    del_dir = os.path.join(table_path, "data", f"deletes-{version}")
+    # Spec: position delete files are sorted by file_path then pos.
+    matched.sort("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(
+        del_dir
+    )
+    new_delete_entries: list[dict] = []
+    for root, _dirs, names in os.walk(del_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
                 continue
-            pv = (e["data_file"].get("partition") or {}).get(pnames[col_idx])
-            dropped = pv == value
-            entries.append(
+            full = os.path.join(root, name)
+            new_delete_entries.append(
                 {
-                    "status": 2 if dropped else 0,
-                    "snapshot_id": e.get("snapshot_id"),
-                    "sequence_number": e.get("sequence_number"),
-                    "file_sequence_number": e.get("file_sequence_number"),
-                    "data_file": e["data_file"],
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": {n: None for n in pnames},
+                        "record_count": _parquet_row_count(full),
+                        "file_size_in_bytes": os.path.getsize(full),
+                    },
                 }
             )
-    return _write_snapshot(table_path, meta, entries, operation="delete")
+    return _write_snapshot(
+        table_path,
+        meta,
+        [_carry(e, status=0) for e in data_e],
+        operation="delete",
+        delete_entries=[_carry(e, status=0) for e in del_e] + new_delete_entries,
+    )

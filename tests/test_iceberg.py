@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 from healthcare_etl_spark.sources.avro import read_avro_file, write_avro_file
 from healthcare_etl_spark.sources.iceberg import (
     delete_partition,
+    delete_rows,
     read_iceberg_table,
     write_iceberg_table,
 )
@@ -196,6 +197,63 @@ class TestIcebergRoundtrip:
             read_iceberg_table(spark, str(tmp_path / "nope"))
 
 
+class TestIcebergPositionDeletes:
+    def test_delete_rows_and_time_travel(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "pd1")
+        s1 = write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        s2 = delete_rows(spark, tbl, "n_nationkey % 3 = 0")
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("n_nationkey % 3 <> 0")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+        assert read_iceberg_table(spark, tbl, snapshot_id=s1).count() == nation.count()
+        assert s2 == 2
+
+    def test_stacked_delete_files(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "pd2")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        delete_rows(spark, tbl, "n_nationkey % 3 = 0")
+        delete_rows(spark, tbl, "n_regionkey = 2 and n_nationkey % 3 <> 0")
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("n_nationkey % 3 <> 0 and n_regionkey <> 2")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+
+    def test_partition_delete_carries_delete_files(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "pd3")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        delete_rows(spark, tbl, "n_nationkey % 3 = 0")
+        delete_partition(tbl, "n_regionkey", 0)
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("n_nationkey % 3 <> 0 and n_regionkey <> 0")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+
+    def test_unpartitioned_delete_rows(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "pd4")
+        write_iceberg_table(nation, tbl)
+        delete_rows(spark, tbl, "n_name like 'A%'")
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("n_name not like 'A%'")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+
+    def test_delete_file_is_sorted_parquet(self, spark, tmp_path, nation):
+        # Spec: position delete files sort by (file_path, pos).
+        import pyarrow.parquet as pq
+
+        tbl = str(tmp_path / "pd5")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        delete_rows(spark, tbl, "n_nationkey % 2 = 0")
+        dd = os.path.join(tbl, "data", "deletes-2")
+        files = [
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(dd)
+            for n in ns
+            if n.endswith(".parquet")
+        ]
+        assert len(files) == 1
+        t = pq.read_table(files[0]).to_pylist()
+        assert t == sorted(t, key=lambda x: (x["file_path"], x["pos"]))
+        assert all(set(r) == {"file_path", "pos"} for r in t)
+
+
 class TestIcebergScopeGuards:
     def _mangle_metadata(self, tbl: str, fn) -> None:
         hint = os.path.join(tbl, "metadata", "version-hint.text")
@@ -208,18 +266,19 @@ class TestIcebergScopeGuards:
         with open(mp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
 
-    def test_delete_manifest_raises(self, spark, tmp_path, nation):
+    def test_equality_delete_raises(self, spark, tmp_path, nation):
         tbl = str(tmp_path / "t8")
         write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
-        # Hand-mark the manifest list's manifest as a DELETE manifest
-        # (content=1): the reader must refuse rather than resurrect rows.
+        # Hand-mark a manifest entry's data_file as an EQUALITY delete
+        # file (content=2): the reader must refuse rather than
+        # resurrect deleted rows by ignoring it.
         meta_dir = os.path.join(tbl, "metadata")
-        mlist = [f for f in os.listdir(meta_dir) if f.endswith("manifest-list.avro")][0]
-        p = os.path.join(meta_dir, mlist)
+        mf = [f for f in os.listdir(meta_dir) if f.startswith("manifest-") and f.endswith(".avro")][0]
+        p = os.path.join(meta_dir, mf)
         schema, recs = read_avro_file(p)
-        recs[0]["content"] = 1
+        recs[0]["data_file"]["content"] = 2
         write_avro_file(p, schema, recs)
-        with pytest.raises(NotImplementedError, match="delete"):
+        with pytest.raises(NotImplementedError, match="EQUALITY"):
             read_iceberg_table(spark, tbl)
 
     def test_nonidentity_transform_raises(self, spark, tmp_path, nation):
