@@ -295,12 +295,13 @@ def pagerank(
 
 def bfs_hops(
     pairs: DataFrame,
-    seeds: DataFrame,
+    seeds: DataFrame | None = None,
     *,
     src: str = "doc_a",
     dst: str = "doc_b",
     seed_col: str = "node",
     max_iter: int = 20,
+    seed_filter=None,
 ) -> DataFrame:
     """Minimum hop count from a seed set over the symmetrized pair graph.
 
@@ -311,6 +312,16 @@ def bfs_hops(
     rounds, not O(edges x rounds). Same iteration discipline as
     ``connected_components``: edges checkpointed once, labels lineage
     truncated as it accumulates, one (empty?) action per round.
+
+    Seeds come either as a frame (``seeds``) or as ``seed_filter``, a
+    predicate over the node column applied to the node set of the
+    ALREADY-CHECKPOINTED edges. Prefer the filter when the seed set
+    derives from the pair graph itself (hash-probe centrality): passing
+    a seeds frame built from the raw ``pairs`` subtree executes the
+    whole pair pipeline a second time at the seed checkpoint — measured
+    1.4x end-to-end on q_harmonic_centrality (AB_RUNS.jsonl
+    r9-clean-bench-movers) once the band-frame checkpoint that used to
+    absorb the recompute was (correctly) removed.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -318,6 +329,10 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if seed_filter is not None:
+        seeds = edges.select(F.col("u").alias(seed_col)).distinct().filter(
+            seed_filter(F.col(seed_col))
+        )
     labels = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -534,12 +549,13 @@ def ktruss_edges(
 
 def bfs_hops_per_seed(
     pairs: DataFrame,
-    seeds: DataFrame,
+    seeds: DataFrame | None = None,
     *,
     src: str = "doc_a",
     dst: str = "doc_b",
     seed_col: str = "node",
     max_iter: int = 20,
+    seed_filter=None,
 ) -> DataFrame:
     """Per-seed hop distances over the symmetrized pair graph: returns
     (seed, node, hops) for every (seed, reachable node) pair within
@@ -561,6 +577,12 @@ def bfs_hops_per_seed(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if seed_filter is not None:
+        # Derive seeds from the checkpointed edges so the pair pipeline
+        # runs exactly once (see bfs_hops docstring).
+        seeds = edges.select(F.col("u").alias(seed_col)).distinct().filter(
+            seed_filter(F.col(seed_col))
+        )
     labels = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()

@@ -878,20 +878,17 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    nodes = (
-        pairs.select(F.col("doc_a").alias("node"))
-        .union(pairs.select(F.col("doc_b").alias("node")))
-        .distinct()
-    )
-    h = (
-        F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 5
-    )
-    seeds = nodes.filter(h == 0)
-    return bfs_hops(pairs, seeds, max_iter=20).select(
-        F.col("node").alias("doc_id"), "hops"
-    )
+    # seed_filter: seeds derive from the checkpointed edge set inside
+    # the BFS — the LSH pair pipeline executes once, not twice.
+    return bfs_hops(
+        pairs,
+        max_iter=20,
+        seed_filter=lambda node: (
+            F.conv(F.substring(F.md5(node.cast("string")), 1, 8), 16, 10).cast("long")
+            % 5
+        )
+        == 0,
+    ).select(F.col("node").alias("doc_id"), "hops")
 
 
 @register(

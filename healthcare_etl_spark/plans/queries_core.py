@@ -926,3 +926,55 @@ def q_iceberg_pos_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "q_iceberg_bucket_scan",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)          AS n_rows,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+       CAST(sum(CASE WHEN c_nationkey = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_nation7
+FROM customer
+""",
+    description=(
+        "Apache Iceberg BUCKET-transform scan on vanilla Spark "
+        "(sources.iceberg): materialize customer bucketed by "
+        "bucket[8](c_custkey) — the spec's Murmur3-based hash transform "
+        "(32-bit x86 Murmur3, seed 0, 8-byte little-endian integral "
+        "serialization; spec Appendix B vectors unit-tested) — then read "
+        "it back and aggregate; the oracle is the same aggregate over the "
+        "raw table, so the lossy-transform path (source column read from "
+        "data files, NOT reconstructed from metadata) is value-hash-"
+        "checked. Equality pruning on the SOURCE key maps through the "
+        "bucket function at the metadata plane (unit-tested on "
+        "inputFiles). 100 TB shape: bucket partitioning is the layout "
+        "that bounds per-partition file counts under high-cardinality "
+        "keys — identity would create one directory per key."
+    ),
+    tags=("sources", "extension"),
+)
+def q_iceberg_bucket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.iceberg import (
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_iceberg_bk_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
+    write_iceberg_table(cust, table, partition_by=[("c_custkey", "bucket[8]")])
+    back = read_iceberg_table(spark, table)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("c_custkey").alias("n_cust"),
+        F.sum((F.col("c_nationkey") == 7).cast("long")).alias("n_nation7"),
+    )

@@ -47,6 +47,8 @@ import json
 import os
 import re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -114,6 +116,146 @@ def _iceberg_type(spark_type: T.DataType) -> str:
     if isinstance(spark_type, T.DecimalType):
         return f"decimal({spark_type.precision},{spark_type.scale})"
     raise NotImplementedError(f"Spark type not supported: {spark_type!r}")
+
+
+# ------------------------------------------------------- partition transforms
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), the hash the Iceberg spec fixes for
+    bucket transforms (Appendix B). Public-domain algorithm (Appleby);
+    implemented here because neither mmh3 nor spark-avro ships in this
+    container and Spark's ``F.hash`` uses a different seed and integer
+    serialization (seed 42, native width) than Iceberg (seed 0, 8-byte
+    little-endian for all integral types)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_TRANSFORM_RE = re.compile(r"^(identity|bucket\[(\d+)\]|truncate\[(\d+)\])$")
+
+
+def _apply_transform(transform: str, value, iceberg_type: str):
+    """Spec semantics of the supported partition transforms. ``None``
+    maps to ``None`` under every transform (spec rule)."""
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    m = _TRANSFORM_RE.match(transform)
+    if not m:
+        raise NotImplementedError(
+            f"partition transform {transform!r} not supported "
+            "(identity/bucket[N]/truncate[W] only)"
+        )
+    if transform.startswith("bucket["):
+        n = int(m.group(2))
+        if iceberg_type in ("int", "long", "date", "timestamp", "timestamptz"):
+            data = int(value).to_bytes(8, "little", signed=True)
+        elif iceberg_type == "string":
+            data = str(value).encode("utf-8")
+        elif iceberg_type == "binary":
+            data = bytes(value)
+        else:
+            raise NotImplementedError(
+                f"bucket transform over {iceberg_type!r} not supported"
+            )
+        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+    w = int(m.group(3))
+    if iceberg_type in ("int", "long"):
+        v = int(value)
+        return v - (((v % w) + w) % w)
+    if iceberg_type == "string":
+        return str(value)[:w]
+    raise NotImplementedError(
+        f"truncate transform over {iceberg_type!r} not supported"
+    )
+
+
+def _transform_result_type(transform: str, iceberg_type: str) -> str:
+    """Iceberg result type of a transform (spec): bucket -> int,
+    truncate/identity -> source type."""
+    if transform.startswith("bucket["):
+        return "int"
+    return iceberg_type
+
+
+def _bucket_column(transform: str, iceberg_type: str):
+    """Spark column function computing ``bucket[N]`` per row as an
+    Arrow-batched pandas UDF — the engine-side path (a literal
+    value->bucket map would bound the writer by key cardinality).
+    Integral types vectorize the whole Murmur3 block mix in numpy
+    (8-byte LE input = exactly two uint32 blocks, no tail); strings
+    hash per UNIQUE value per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = int(_TRANSFORM_RE.match(transform).group(2))
+
+    if iceberg_type in ("int", "long", "date", "timestamp", "timestamptz"):
+
+        @pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            mask = s.notna()
+            v = s[mask].astype(np.int64).to_numpy().view(np.uint64)
+            k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            k2 = (v >> np.uint64(32)).astype(np.uint32)
+            h = np.zeros(len(v), np.uint32)
+            for k in (k1, k2):
+                k = k * np.uint32(0xCC9E2D51)
+                k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                k = k * np.uint32(0x1B873593)
+                h ^= k
+                h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                h = h * np.uint32(5) + np.uint32(0xE6546B64)
+            h ^= np.uint32(8)  # total byte length
+            h ^= h >> np.uint32(16)
+            h = h * np.uint32(0x85EBCA6B)
+            h ^= h >> np.uint32(13)
+            h = h * np.uint32(0xC2B2AE35)
+            h ^= h >> np.uint32(16)
+            out = pd.Series(np.full(len(s), np.nan), index=s.index, dtype="Float64")
+            out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+            return out.astype("Int32")
+
+        return _bucket
+
+    @pandas_udf("int")
+    def _bucket_str(s: pd.Series) -> pd.Series:
+        lut = {
+            u: _apply_transform(transform, u, iceberg_type)
+            for u in s.dropna().unique()
+        }
+        return s.map(lut).astype("Int32")
+
+    return _bucket_str
 
 
 # ------------------------------------------------------------ metadata IO
@@ -249,16 +391,19 @@ def read_iceberg_table(
     fields = _current_schema(meta)
     pfields = _partition_fields(meta)
     for pf in pfields:
-        if pf.get("transform") != "identity":
+        if not _TRANSFORM_RE.match(pf.get("transform", "")):
             raise NotImplementedError(
                 f"partition transform {pf.get('transform')!r} not supported "
-                "(identity only)"
+                "(identity/bucket[N]/truncate[W] only)"
             )
     field_by_id = {f["id"]: f for f in fields}
     pnames = [f["name"] for f in pfields]
     ptypes = [
         _spark_type(field_by_id[f["source-id"]]["type"]) for f in pfields
     ]
+    psources = [field_by_id[f["source-id"]]["name"] for f in pfields]
+    ptransforms = [f["transform"] for f in pfields]
+    psrc_types = [field_by_id[f["source-id"]]["type"] for f in pfields]
 
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
@@ -275,13 +420,22 @@ def read_iceberg_table(
 
     files, delete_files = _live_files(meta, snaps[sid], table_path)
     if partition_filter:
-        unknown = set(partition_filter) - set(pnames)
+        # Filter keys are SOURCE column names; each maps through its
+        # partition field's transform (identity passes through, bucket
+        # hashes, truncate truncates), so an equality predicate on the
+        # source column prunes bucket/truncate layouts too — exactly
+        # the metadata-plane pruning real Iceberg readers do.
+        unknown = set(partition_filter) - set(psources) - set(pnames)
         if unknown:
             raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+        wanted: list[tuple[int, object]] = []
+        for k, v in partition_filter.items():
+            idx = psources.index(k) if k in psources else pnames.index(k)
+            wanted.append(
+                (idx, _apply_transform(ptransforms[idx], v, psrc_types[idx]))
+            )
         files = [
-            (pv, p)
-            for pv, p in files
-            if all(pv[pnames.index(k)] == v for k, v in partition_filter.items())
+            (pv, p) for pv, p in files if all(pv[i] == tv for i, tv in wanted)
         ]
     if not files:
         return spark.createDataFrame([], schema)
@@ -301,9 +455,11 @@ def read_iceberg_table(
     # legal Iceberg state — the sort key mirrors the delta reader fix).
     for pv in sorted(groups, key=lambda t: tuple((v is None, str(v)) for v in t)):
         part = spark.read.parquet(*sorted(groups[pv]))
-        for name, typ, val in zip(pnames, ptypes, pv):
-            if name not in part.columns:
-                part = part.withColumn(name, F.lit(val).cast(typ))
+        for src, typ, tr, val in zip(psources, ptypes, ptransforms, pv):
+            # Identity values reconstruct from metadata; bucket/truncate
+            # are lossy, so their source columns live in the data files.
+            if tr == "identity" and src not in part.columns:
+                part = part.withColumn(src, F.lit(val).cast(typ))
         if delete_files:
             part = part.select(
                 *names_only,
@@ -343,7 +499,15 @@ def _manifest_entry_schema(pfields: list[dict], fields: list[dict]) -> dict:
     part_fields = [
         {
             "name": pf["name"],
-            "type": ["null", _ICEBERG_TO_AVRO[field_by_id[pf["source-id"]]["type"]]],
+            "type": [
+                "null",
+                _ICEBERG_TO_AVRO[
+                    _transform_result_type(
+                        pf.get("transform", "identity"),
+                        field_by_id[pf["source-id"]]["type"],
+                    )
+                ],
+            ],
             "default": None,
             "field-id": pf["field-id"],
         }
@@ -508,13 +672,27 @@ def write_iceberg_table(
     df: DataFrame,
     table_path: str,
     *,
-    partition_by: list[str] | None = None,
+    partition_by: list | None = None,
 ) -> int:
     """Write ``df`` as snapshot 1 of a new Iceberg format-version-2
     table (parquet data files + Avro manifest/manifest-list + metadata
-    JSON + version hint). Identity partitioning only. Returns the
-    snapshot id."""
-    partition_by = partition_by or []
+    JSON + version hint). ``partition_by`` entries are either a column
+    name (identity transform) or a ``(column, transform)`` pair with
+    transform ``bucket[N]`` / ``truncate[W]`` — for those, the derived
+    partition value is computed per the spec (Murmur3 bucket / width
+    truncate) and the SOURCE column stays in the data files (the
+    transforms are lossy, so readers cannot reconstruct it). Returns
+    the snapshot id. Bucket values are computed per row by an
+    Arrow-batched pandas UDF (vectorized numpy Murmur3 for integral
+    types — 8-byte LE input is exactly two uint32 blocks, no tail);
+    truncate folds into a plain codegen expression."""
+    specs: list[tuple[str, str]] = [
+        (p, "identity") if isinstance(p, str) else (p[0], p[1])
+        for p in (partition_by or [])
+    ]
+    for _c, tr in specs:
+        if not _TRANSFORM_RE.match(tr):
+            raise NotImplementedError(f"partition transform {tr!r} not supported")
     fields = [
         {
             "id": i + 1,
@@ -525,24 +703,51 @@ def write_iceberg_table(
         for i, f in enumerate(df.schema.fields)
     ]
     fid = {f["name"]: f["id"] for f in fields}
+    ftype = {f["name"]: f["type"] for f in fields}
+
+    def _pname(col: str, tr: str) -> str:
+        if tr == "identity":
+            return col
+        return f"{col}_bucket" if tr.startswith("bucket[") else f"{col}_trunc"
+
     pfields = [
         {
             "source-id": fid[c],
             "field-id": 1000 + i,
-            "name": c,
-            "transform": "identity",
+            "name": _pname(c, tr),
+            "transform": tr,
         }
-        for i, c in enumerate(partition_by)
+        for i, (c, tr) in enumerate(specs)
     ]
+    # Result type (what the partition DIRECTORY/manifest value is typed
+    # as): bucket -> int, truncate/identity -> source type.
     ptype = {
-        pf["name"]: next(f["type"] for f in fields if f["id"] == pf["source-id"])
-        for pf in pfields
+        _pname(c, tr): _transform_result_type(tr, ftype[c]) for c, tr in specs
     }
 
+    out = df
+    part_cols: list[str] = []
+    for c, tr in specs:
+        name = _pname(c, tr)
+        part_cols.append(name)
+        if tr == "identity":
+            continue
+        m = _TRANSFORM_RE.match(tr)
+        if tr.startswith("truncate["):
+            w = int(m.group(3))
+            if ftype[c] == "string":
+                out = out.withColumn(name, F.substring(F.col(c), 1, w))
+            else:
+                out = out.withColumn(
+                    name, F.col(c) - (((F.col(c) % w) + w) % w)
+                )
+        else:  # bucket[N]
+            out = out.withColumn(name, _bucket_column(tr, ftype[c])(F.col(c)))
+
     data_dir = os.path.join(table_path, "data")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     writer.parquet(data_dir)
 
     entries: list[dict] = []
@@ -552,7 +757,7 @@ def write_iceberg_table(
                 continue
             full = os.path.join(root, name)
             rel_pieces = os.path.relpath(full, data_dir).split(os.sep)[:-1]
-            pv: dict = {c: None for c in partition_by}
+            pv: dict = {p: None for p in part_cols}
             for piece in rel_pieces:
                 if "=" in piece:
                     k, v = piece.split("=", 1)
@@ -568,7 +773,7 @@ def write_iceberg_table(
                         "content": 0,
                         "file_path": "file://" + full,
                         "file_format": "PARQUET",
-                        "partition": {c: pv[c] for c in partition_by},
+                        "partition": {p: pv[p] for p in part_cols},
                         "record_count": _parquet_row_count(full),
                         "file_size_in_bytes": os.path.getsize(full),
                     },
@@ -660,6 +865,8 @@ def delete_rows(spark: SparkSession, table_path: str, predicate: str) -> int:
     field_by_id = {f["id"]: f for f in fields}
     pnames = [f["name"] for f in pfields]
     ptypes = [_spark_type(field_by_id[f["source-id"]]["type"]) for f in pfields]
+    psources = [field_by_id[f["source-id"]]["name"] for f in pfields]
+    ptransforms = [f["transform"] for f in pfields]
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     data_e, del_e = _live_entries(meta, snaps[sid], table_path)
@@ -673,9 +880,9 @@ def delete_rows(spark: SparkSession, table_path: str, predicate: str) -> int:
     frames = []
     for pv in sorted(groups, key=lambda t: tuple((v is None, str(v)) for v in t)):
         part = spark.read.parquet(*sorted(groups[pv]))
-        for name, typ, val in zip(pnames, ptypes, pv):
-            if name not in part.columns:
-                part = part.withColumn(name, F.lit(val).cast(typ))
+        for src, typ, tr, val in zip(psources, ptypes, ptransforms, pv):
+            if tr == "identity" and src not in part.columns:
+                part = part.withColumn(src, F.lit(val).cast(typ))
         frames.append(
             part.filter(F.expr(predicate)).select(
                 F.col("_metadata.file_path").alias("file_path"),

@@ -197,6 +197,68 @@ class TestIcebergRoundtrip:
             read_iceberg_table(spark, str(tmp_path / "nope"))
 
 
+class TestIcebergTransforms:
+    def test_murmur3_spec_vectors(self):
+        # Public Iceberg spec Appendix B test vectors.
+        from healthcare_etl_spark.sources.iceberg import _apply_transform, _murmur3_32
+
+        assert _murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+        assert _murmur3_32(b"iceberg") == 1210000089
+        d = _murmur3_32((17486).to_bytes(8, "little", signed=True))
+        assert d - 2**32 == -653330422  # date 2017-11-16 as signed int32
+        assert _apply_transform("truncate[10]", -1, "long") == -10  # spec example
+        assert _apply_transform("truncate[3]", "iceberg", "string") == "ice"
+        assert _apply_transform("bucket[16]", None, "long") is None
+
+    def test_bucket_partition_roundtrip_and_pruning(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "tr1")
+        write_iceberg_table(nation, tbl, partition_by=[("n_nationkey", "bucket[4]")])
+        back = read_iceberg_table(spark, tbl)
+        # Bucket is lossy: the source column must come from the data
+        # files themselves, values intact.
+        assert sorted(back.collect()) == sorted(nation.collect())
+        # Pruning by SOURCE value maps through the murmur bucket.
+        pruned = read_iceberg_table(
+            spark, tbl, partition_filter={"n_nationkey": 7}
+        )
+        full = read_iceberg_table(spark, tbl)
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        assert pruned.filter("n_nationkey = 7").count() == 1
+
+    def test_truncate_partition_roundtrip_and_pruning(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "tr2")
+        # Fixture names are NATION_0..NATION_24; truncate[8] splits them
+        # into 'NATION_0'..'NATION_9' prefix groups.
+        write_iceberg_table(nation, tbl, partition_by=[("n_name", "truncate[8]")])
+        back = read_iceberg_table(spark, tbl)
+        assert sorted(back.collect()) == sorted(nation.collect())
+        pruned = read_iceberg_table(spark, tbl, partition_filter={"n_name": "NATION_5"})
+        assert len(pruned.inputFiles()) < len(read_iceberg_table(spark, tbl).inputFiles())
+        assert pruned.filter("n_name = 'NATION_5'").count() == 1
+
+    def test_mixed_identity_and_transform(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "tr3")
+        write_iceberg_table(
+            nation,
+            tbl,
+            partition_by=["n_regionkey", ("n_nationkey", "bucket[2]")],
+        )
+        back = read_iceberg_table(spark, tbl)
+        assert sorted(back.collect()) == sorted(nation.collect())
+        # Fixture mapping: n_regionkey = n_nationkey % 5, so nation 9
+        # lives in region 4.
+        pruned = read_iceberg_table(
+            spark, tbl, partition_filter={"n_regionkey": 4, "n_nationkey": 9}
+        )
+        assert pruned.count() >= 1
+        assert pruned.filter("n_nationkey = 9").count() == 1
+
+    def test_unsupported_transform_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "tr4")
+        with pytest.raises(NotImplementedError, match="transform"):
+            write_iceberg_table(nation, tbl, partition_by=[("n_name", "days")])
+
+
 class TestIcebergPositionDeletes:
     def test_delete_rows_and_time_travel(self, spark, tmp_path, nation):
         tbl = str(tmp_path / "pd1")
@@ -285,10 +347,10 @@ class TestIcebergScopeGuards:
         tbl = str(tmp_path / "t9")
         write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
 
-        def bucketify(meta):
-            meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+        def daysify(meta):
+            meta["partition-specs"][0]["fields"][0]["transform"] = "days"
 
-        self._mangle_metadata(tbl, bucketify)
+        self._mangle_metadata(tbl, daysify)
         with pytest.raises(NotImplementedError, match="transform"):
             read_iceberg_table(spark, tbl)
 
