@@ -24,11 +24,19 @@ ship — the same way ``sources.delta`` implements delta.io PROTOCOL.md:
   ``_metadata.row_index`` — the same Spark-first shape as the Delta
   deletion-vector path; ``delete_rows`` writes them.
 
+Also implemented: ``bucket[N]`` / ``truncate[W]`` partition transforms
+(spec Murmur3, Appendix B vectors unit-tested) with source-value
+pruning mapped through the transform; FIELD-ID column resolution (read
+schemas carry ``parquet.field.id`` metadata and the parquet reader
+matches on it — the Iceberg contract that makes ``rename_column`` a
+metadata-only commit, old files resolving by id); ``append_rows``
+snapshots.
+
 Scope is honest, fail-loud (misreading is worse than raising):
 * EQUALITY delete files raise ``NotImplementedError`` — a reader that
   ignored them would silently resurrect deleted rows;
-* non-identity partition transforms (bucket/truncate/days/...) raise —
-  reconstructing them needs the transform implementations;
+* partition transforms beyond identity/bucket/truncate (days/hours/
+  void/...) raise;
 * non-parquet data files raise.
 
 All log/manifest handling is metadata-plane (bounded by file counts,
@@ -290,6 +298,10 @@ def _current_metadata(table_path: str) -> dict:
         raise NotImplementedError(
             f"Iceberg format-version {meta.get('format-version')!r} not supported"
         )
+    # Loaded-from version, so metadata-only commits (schema evolution)
+    # can number the next metadata file without colliding with
+    # snapshot-id-derived numbering. Stripped before writing.
+    meta["_loaded_version"] = version
     return meta
 
 
@@ -450,11 +462,34 @@ def read_iceberg_table(
         return F.regexp_replace(col, "^file:/+", "/")
 
     names_only = [f["name"] for f in fields]
+    # FIELD-ID column resolution (the Iceberg contract: columns resolve
+    # by id, never by name, so renames are metadata-only): the read
+    # schema carries each field's id as parquet.field.id metadata and
+    # the parquet reader is told to match on it. Identity-partition
+    # source columns are EXCLUDED from the read schema (their values
+    # reconstruct from the manifest partition struct; requesting them
+    # from files that lack them would yield all-null columns instead).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    identity_sources = {
+        src for src, tr in zip(psources, ptransforms) if tr == "identity"
+    }
+    read_schema = T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _spark_type(f["type"]),
+                True,
+                {"parquet.field.id": f["id"]},
+            )
+            for f in fields
+            if f["name"] not in identity_sources
+        ]
+    )
     frames: list[DataFrame] = []
     # None-safe deterministic group order (null partition values are
     # legal Iceberg state — the sort key mirrors the delta reader fix).
     for pv in sorted(groups, key=lambda t: tuple((v is None, str(v)) for v in t)):
-        part = spark.read.parquet(*sorted(groups[pv]))
+        part = spark.read.schema(read_schema).parquet(*sorted(groups[pv]))
         for src, typ, tr, val in zip(psources, ptypes, ptransforms, pv):
             # Identity values reconstruct from metadata; bucket/truncate
             # are lossy, so their source columns live in the data files.
@@ -661,11 +696,25 @@ def _write_snapshot(
     new_meta["current-snapshot-id"] = version
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = version
-    with open(_metadata_path(table_path, version), "w", encoding="utf-8") as fh:
-        json.dump(new_meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w", encoding="utf-8") as fh:
-        fh.write(str(version))
+    _write_metadata(table_path, new_meta)
     return version
+
+
+def _write_metadata(table_path: str, new_meta: dict) -> int:
+    """Persist a new metadata json (next file version after the one the
+    table was loaded from — schema-only commits advance it without a
+    new snapshot) and point version-hint at it."""
+    meta_version = new_meta.pop("_loaded_version", 0) + 1
+    # Snapshot commits may outrun schema-only commits' numbering; never
+    # overwrite an existing metadata file.
+    while os.path.exists(_metadata_path(table_path, meta_version)):
+        meta_version += 1
+    with open(_metadata_path(table_path, meta_version), "w", encoding="utf-8") as fh:
+        json.dump(new_meta, fh)
+    hint = os.path.join(table_path, _META_DIR, "version-hint.text")
+    with open(hint, "w", encoding="utf-8") as fh:
+        fh.write(str(meta_version))
+    return meta_version
 
 
 def write_iceberg_table(
@@ -725,10 +774,55 @@ def write_iceberg_table(
         _pname(c, tr): _transform_result_type(tr, ftype[c]) for c, tr in specs
     }
 
+    # Stamp parquet field IDs (StructField metadata key
+    # ``parquet.field.id``; Spark's parquet writer emits them when
+    # present) — the mechanism that makes FIELD-ID column resolution,
+    # and therefore schema evolution, work on read.
+    df = df.select(
+        *[
+            F.col(f.name).alias(f.name, metadata={"parquet.field.id": fid[f.name]})
+            for f in df.schema.fields
+        ]
+    )
+    out, part_cols = _with_partition_cols(df, specs, ftype, _pname)
+
+    data_dir = os.path.join(table_path, "data")
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_dir)
+
+    entries = _added_entries(data_dir, part_cols, ptype)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": table_path,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": len(fields),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": pfields}],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 + len(pfields) - 1 if pfields else 999,
+        "properties": {},
+        "snapshots": [],
+        "current-snapshot-id": -1,
+    }
+    os.makedirs(os.path.join(table_path, _META_DIR), exist_ok=True)
+    return _write_snapshot(table_path, meta, sorted(
+        entries, key=lambda e: e["data_file"]["file_path"]
+    ), operation="append")
+
+
+def _with_partition_cols(df: DataFrame, specs, ftype, pname_fn):
+    """Attach derived partition columns (truncate as a codegen
+    expression, bucket as the vectorized Murmur3 UDF); identity columns
+    partition as themselves."""
     out = df
     part_cols: list[str] = []
     for c, tr in specs:
-        name = _pname(c, tr)
+        name = pname_fn(c, tr)
         part_cols.append(name)
         if tr == "identity":
             continue
@@ -738,18 +832,16 @@ def write_iceberg_table(
             if ftype[c] == "string":
                 out = out.withColumn(name, F.substring(F.col(c), 1, w))
             else:
-                out = out.withColumn(
-                    name, F.col(c) - (((F.col(c) % w) + w) % w)
-                )
+                out = out.withColumn(name, F.col(c) - (((F.col(c) % w) + w) % w))
         else:  # bucket[N]
             out = out.withColumn(name, _bucket_column(tr, ftype[c])(F.col(c)))
+    return out, part_cols
 
-    data_dir = os.path.join(table_path, "data")
-    writer = out.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(data_dir)
 
+def _added_entries(data_dir: str, part_cols: list[str], ptype: dict) -> list[dict]:
+    """ADDED manifest entries for every parquet file under ``data_dir``,
+    partition values parsed from the hive directory layout and typed by
+    the transform RESULT type."""
     entries: list[dict] = []
     for root, _dirs, names in os.walk(data_dir):
         for name in sorted(names):
@@ -779,26 +871,7 @@ def write_iceberg_table(
                     },
                 }
             )
-    meta = {
-        "format-version": 2,
-        "table-uuid": "00000000-0000-0000-0000-000000000000",
-        "location": table_path,
-        "last-sequence-number": 0,
-        "last-updated-ms": 0,
-        "last-column-id": len(fields),
-        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": pfields}],
-        "default-spec-id": 0,
-        "last-partition-id": 1000 + len(pfields) - 1 if pfields else 999,
-        "properties": {},
-        "snapshots": [],
-        "current-snapshot-id": -1,
-    }
-    os.makedirs(os.path.join(table_path, _META_DIR), exist_ok=True)
-    return _write_snapshot(table_path, meta, sorted(
-        entries, key=lambda e: e["data_file"]["file_path"]
-    ), operation="append")
+    return sorted(entries, key=lambda e: e["data_file"]["file_path"])
 
 
 def _carry(e: dict, *, status: int) -> dict:
@@ -927,4 +1000,92 @@ def delete_rows(spark: SparkSession, table_path: str, predicate: str) -> int:
         [_carry(e, status=0) for e in data_e],
         operation="delete",
         delete_entries=[_carry(e, status=0) for e in del_e] + new_delete_entries,
+    )
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """Metadata-only column rename — the operation that makes field-id
+    resolution load-bearing: a NEW schema (same field ids, new name) is
+    committed with a bumped schema-id, no snapshot and no data-file
+    rewrite; existing parquet files keep the old physical name and the
+    reader resolves them by id. Returns the new metadata file version."""
+    meta = _current_metadata(table_path)
+    fields = _current_schema(meta)
+    if not any(f["name"] == old for f in fields):
+        raise ValueError(f"column {old!r} not in current schema")
+    if any(f["name"] == new for f in fields):
+        raise ValueError(f"column {new!r} already exists")
+    new_fields = [
+        {**f, "name": new} if f["name"] == old else dict(f) for f in fields
+    ]
+    new_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_meta = dict(meta)
+    new_meta["schemas"] = list(meta["schemas"]) + [
+        {"schema-id": new_sid, "type": "struct", "fields": new_fields}
+    ]
+    new_meta["current-schema-id"] = new_sid
+    return _write_metadata(table_path, new_meta)
+
+
+def append_rows(df: DataFrame, table_path: str) -> int:
+    """Append ``df`` as a new snapshot: new data files written under
+    the table's partition spec (identity / bucket / truncate recomputed
+    exactly as at create time), prior data and delete files carried as
+    EXISTING entries. Column matching is by CURRENT schema name —
+    after a ``rename_column``, append under the new name; the new
+    files' parquet field ids keep reads consistent across the rename
+    boundary. Returns the new snapshot id."""
+    meta = _current_metadata(table_path)
+    fields = _current_schema(meta)
+    pfields = _partition_fields(meta)
+    field_by_id = {f["id"]: f for f in fields}
+    missing = [f["name"] for f in fields if f["name"] not in df.columns]
+    if missing:
+        raise ValueError(f"append is missing columns: {missing}")
+    ftype = {f["name"]: f["type"] for f in fields}
+    df = df.select(
+        *[
+            F.col(f["name"]).alias(f["name"], metadata={"parquet.field.id": f["id"]})
+            for f in fields
+        ]
+    )
+    specs = [
+        (field_by_id[pf["source-id"]]["name"], pf["transform"]) for pf in pfields
+    ]
+    pname_by_spec = {
+        (field_by_id[pf["source-id"]]["name"], pf["transform"]): pf["name"]
+        for pf in pfields
+    }
+    out, part_cols = _with_partition_cols(
+        df, specs, ftype, lambda c, tr: pname_by_spec[(c, tr)]
+    )
+    # Identity partition fields whose name differs from the (possibly
+    # renamed) source column need the partition column materialized
+    # under the PARTITION FIELD name so the hive layout stays uniform.
+    for (c, tr), name in pname_by_spec.items():
+        if tr == "identity" and name != c:
+            out = out.withColumn(name, F.col(c)).drop(c)
+    ptype = {
+        pf["name"]: _transform_result_type(
+            pf["transform"], ftype[field_by_id[pf["source-id"]]["name"]]
+        )
+        for pf in pfields
+    }
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    data_e, del_e = _live_entries(meta, snaps[sid], table_path)
+
+    version = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    new_dir = os.path.join(table_path, "data", f"append-{version}")
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(new_dir)
+    new_entries = _added_entries(new_dir, part_cols, ptype)
+    return _write_snapshot(
+        table_path,
+        meta,
+        [_carry(e, status=0) for e in data_e] + new_entries,
+        operation="append",
+        delete_entries=[_carry(e, status=0) for e in del_e] or None,
     )

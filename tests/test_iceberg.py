@@ -14,9 +14,11 @@ from pyspark.sql import types as T
 
 from healthcare_etl_spark.sources.avro import read_avro_file, write_avro_file
 from healthcare_etl_spark.sources.iceberg import (
+    append_rows,
     delete_partition,
     delete_rows,
     read_iceberg_table,
+    rename_column,
     write_iceberg_table,
 )
 
@@ -314,6 +316,84 @@ class TestIcebergPositionDeletes:
         t = pq.read_table(files[0]).to_pylist()
         assert t == sorted(t, key=lambda x: (x["file_path"], x["pos"]))
         assert all(set(r) == {"file_path", "pos"} for r in t)
+
+
+class TestIcebergSchemaEvolution:
+    def test_rename_is_metadata_only(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "se1")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        before = {
+            f
+            for r, _d, ns in os.walk(os.path.join(tbl, "data"))
+            for f in ns
+        }
+        rename_column(tbl, "n_name", "nation_name")
+        after = {
+            f
+            for r, _d, ns in os.walk(os.path.join(tbl, "data"))
+            for f in ns
+        }
+        assert before == after  # no data files touched
+        back = read_iceberg_table(spark, tbl)
+        assert "nation_name" in back.columns and "n_name" not in back.columns
+        # Values resolve from the OLD physical column via field ids.
+        assert sorted(r["nation_name"] for r in back.collect()) == sorted(
+            r["n_name"] for r in nation.collect()
+        )
+
+    def test_append_rows_and_carry(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "se2")
+        s1 = write_iceberg_table(
+            nation.filter("n_nationkey < 20"), tbl, partition_by=["n_regionkey"]
+        )
+        s2 = append_rows(nation.filter("n_nationkey >= 20"), tbl)
+        cur = read_iceberg_table(spark, tbl)
+        assert sorted(cur.collect()) == sorted(nation.collect())
+        assert read_iceberg_table(spark, tbl, snapshot_id=s1).count() == 20
+        assert s2 == 2
+
+    def test_append_after_rename(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "se3")
+        write_iceberg_table(
+            nation.filter("n_nationkey < 20"), tbl, partition_by=["n_regionkey"]
+        )
+        rename_column(tbl, "n_name", "nation_name")
+        newer = nation.filter("n_nationkey >= 20").withColumnRenamed(
+            "n_name", "nation_name"
+        )
+        append_rows(newer, tbl)
+        cur = read_iceberg_table(spark, tbl)
+        # Old files (physical n_name) and new files (physical
+        # nation_name) both resolve into the renamed logical column.
+        assert cur.count() == nation.count()
+        assert sorted(r["nation_name"] for r in cur.collect()) == sorted(
+            r["n_name"] for r in nation.collect()
+        )
+
+    def test_append_respects_position_deletes(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "se4")
+        write_iceberg_table(
+            nation.filter("n_nationkey < 20"), tbl, partition_by=["n_regionkey"]
+        )
+        delete_rows(spark, tbl, "n_nationkey % 2 = 0")
+        append_rows(nation.filter("n_nationkey >= 20"), tbl)
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("(n_nationkey < 20 and n_nationkey % 2 <> 0) or n_nationkey >= 20")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+
+    def test_append_missing_column_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "se5")
+        write_iceberg_table(nation, tbl)
+        with pytest.raises(ValueError, match="missing"):
+            append_rows(nation.drop("n_name"), tbl)
+
+    def test_rename_guards(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "se6")
+        write_iceberg_table(nation, tbl)
+        with pytest.raises(ValueError, match="not in current schema"):
+            rename_column(tbl, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            rename_column(tbl, "n_name", "n_regionkey")
 
 
 class TestIcebergScopeGuards:
