@@ -977,3 +977,113 @@ def delete_rows(
     new_version = current_version + 1
     _write_commit(table_path, new_version, actions)
     return new_version
+
+
+def optimize_compact(spark: SparkSession, table_path: str) -> int:
+    """OPTIMIZE (bin-packing compaction): rewrite every live partition
+    group that has more than one file — or any file carrying a deletion
+    vector — into a single compacted file, and commit the swap with
+    ``dataChange=false`` adds/removes (the Delta contract for
+    compaction: readers see identical rows, streaming readers skip the
+    rewrite). Deletion vectors are APPLIED during the rewrite (masked
+    rows physically dropped), so compacted files carry no DV — exactly
+    what engine OPTIMIZE does. Old files stay on disk for time travel.
+    Returns the new version, or the current one if nothing needed
+    compaction.
+
+    Scale shape: the rewrite is per partition group (one distributed
+    masked scan + one write each); the commit is metadata. A production
+    OPTIMIZE adds a target file size and bin-packs within the group —
+    at fixture scale every multi-file group packs to one file, which is
+    the same code path."""
+    live, schema_string, partition_columns, _protocol, version, configuration = (
+        _replay(table_path)
+    )
+    if schema_string is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+    data_fields = [f for f in schema.fields if f.name not in partition_columns]
+    data_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+    )
+
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for path, add in sorted(live.items()):
+        pv = add.get("partitionValues", {})
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, []).append((path, add))
+
+    new_version = version + 1
+    actions: list[dict] = []
+    n_written = 0
+    for key, members in sorted(groups.items()):
+        needs = len(members) > 1 or any(a.get("deletionVector") for _p, a in members)
+        if not needs:
+            continue
+        frames = []
+        plain = []
+        for path, add in members:
+            full = os.path.join(table_path, path)
+            dv = add.get("deletionVector")
+            if dv:
+                positions = _load_dv(table_path, dv)
+                df = (
+                    spark.read.schema(data_schema)
+                    .parquet(full)
+                    .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                )
+                pos_df = spark.createDataFrame(
+                    [(int(p),) for p in positions],
+                    T.StructType([T.StructField("__dv_pos", T.LongType())]),
+                )
+                frames.append(
+                    df.join(F.broadcast(pos_df), "__dv_pos", "left_anti").drop(
+                        "__dv_pos"
+                    )
+                )
+            else:
+                plain.append(full)
+        if plain:
+            frames.append(spark.read.schema(data_schema).parquet(*plain))
+        merged = frames[0]
+        for fr in frames[1:]:
+            merged = merged.unionByName(fr)
+        out_dir = os.path.join(table_path, f"compact-{new_version}", str(n_written))
+        merged.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        pv = dict(key)
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table_path).replace(os.sep, "/")
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": pv,
+                            "size": os.path.getsize(full),
+                            "modificationTime": 0,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        for path, _add in members:
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+        n_written += 1
+    if not actions:
+        return version
+    _write_commit(table_path, new_version, actions)
+    return new_version

@@ -1116,3 +1116,78 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(NotImplementedError):
         read_delta_table(spark, table).count()
+
+
+def test_delta_optimize_compact(spark, tmp_path):
+    """OPTIMIZE bin-packing: multi-file partition groups rewrite to one
+    file each with dataChange=false adds/removes; rows identical; time
+    travel to the pre-OPTIMIZE version still sees the old layout."""
+    import json as _json
+    import os as _os
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        optimize_compact,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_opt")
+    # repartition(3) -> several files per partition dir
+    write_delta_table(nation.repartition(3), table, partition_by=["n_regionkey"])
+    before = read_delta_table(spark, table)
+    n_files_before = len(before.inputFiles())
+    v = optimize_compact(spark, table)
+    after = read_delta_table(spark, table)
+    assert sorted(after.collect()) == sorted(nation.collect())
+    assert len(after.inputFiles()) < n_files_before
+    assert len(after.inputFiles()) == 5  # one file per region
+    # dataChange=false on every action of the OPTIMIZE commit
+    commit = _os.path.join(table, "_delta_log", f"{v:020d}.json")
+    acts = [_json.loads(line) for line in open(commit)]
+    assert acts and all(
+        not (a.get("add") or a.get("remove"))["dataChange"] for a in acts
+    )
+    # pre-OPTIMIZE version still readable with the old file layout
+    old = read_delta_table(spark, table, version=v - 1)
+    assert sorted(old.collect()) == sorted(nation.collect())
+    assert len(old.inputFiles()) == n_files_before
+    # second OPTIMIZE is a no-op (already one file per group)
+    assert optimize_compact(spark, table) == v
+
+
+def test_delta_optimize_applies_deletion_vectors(spark, tmp_path):
+    """Compacting a DV'd file physically drops the masked rows and the
+    compacted add carries NO deletionVector — the engine-OPTIMIZE
+    contract (rewrite purges DVs)."""
+    import json as _json
+    import os as _os
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        delete_rows,
+        optimize_compact,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_opt_dv")
+    write_delta_table(nation, table, partition_by=["n_regionkey"])
+    delete_rows(spark, table, "n_nationkey % 3 = 0")
+    v = optimize_compact(spark, table)
+    after = read_delta_table(spark, table)
+    exp = nation.filter("n_nationkey % 3 <> 0")
+    assert sorted(after.collect()) == sorted(exp.collect())
+    commit = _os.path.join(table, "_delta_log", f"{v:020d}.json")
+    adds = [
+        _json.loads(line)["add"]
+        for line in open(commit)
+        if '"add"' in line
+    ]
+    assert adds and all("deletionVector" not in a for a in adds)
