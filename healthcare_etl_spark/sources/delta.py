@@ -333,7 +333,7 @@ def read_delta_table(
     # renames to the logical schema. 'id' mode (parquet field-id
     # matching) is not implemented and raises.
     mapping_mode = configuration.get("delta.columnMapping.mode", "none")
-    if mapping_mode not in ("none", "name"):
+    if mapping_mode not in ("none", "name", "id"):
         raise NotImplementedError(
             f"Delta columnMapping.mode={mapping_mode!r} not implemented"
         )
@@ -342,9 +342,28 @@ def read_delta_table(
         for f in schema.fields
     }
     data_fields = [f for f in schema.fields if f.name not in partition_columns]
-    data_schema = T.StructType(
-        [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
-    )
+    if mapping_mode == "id":
+        # ID mode: columns resolve by parquet FIELD ID, never by name
+        # (PROTOCOL.md) — the read schema carries delta.columnMapping.id
+        # as parquet.field.id metadata and the parquet reader matches on
+        # it (same mechanism as the Iceberg reader). The physical name
+        # in the schema is a display label only.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = T.StructType(
+            [
+                T.StructField(
+                    phys[f.name],
+                    f.dataType,
+                    f.nullable,
+                    {"parquet.field.id": (f.metadata or {})["delta.columnMapping.id"]},
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        data_schema = T.StructType(
+            [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+        )
     logical_select = [
         F.col(phys[f.name]).alias(f.name) if f.name not in partition_columns
         else F.col(f.name)
@@ -475,7 +494,7 @@ def write_delta_table(
     table_path: str,
     *,
     partition_by: list[str] | None = None,
-    column_mapping: bool = False,
+    column_mapping: bool | str = False,
 ) -> None:
     """Write ``df`` as version 0 of a new Delta table (data files +
     hand-built JSON commit). Fixture-grade writer: enough protocol for
@@ -483,11 +502,15 @@ def write_delta_table(
     the registered scan query and the round-trip tests; a production
     sink would add optimistic-concurrency commit semantics.
 
-    ``column_mapping=True`` writes a NAME-mode column-mapping table
-    (PROTOCOL.md): parquet files carry deterministic physical column
-    names, the schemaString fields carry delta.columnMapping.id /
-    physicalName metadata, configuration sets the mode, and the protocol
-    is the legacy column-mapping pair (2, 5)."""
+    ``column_mapping``: ``'name'`` (or ``True``) writes a NAME-mode
+    column-mapping table (PROTOCOL.md): parquet files carry
+    deterministic physical column names, the schemaString fields carry
+    delta.columnMapping.id / physicalName metadata, configuration sets
+    the mode, and the protocol is the legacy column-mapping pair
+    (2, 5). ``'id'`` writes ID mode: same physical layout plus
+    parquet FIELD IDS stamped into the data files (the reader then
+    resolves columns by delta.columnMapping.id, ignoring names — the
+    same parquet.field.id mechanism as the Iceberg reader)."""
     import uuid as _uuid
 
     partition_by = partition_by or []
@@ -495,7 +518,10 @@ def write_delta_table(
     configuration: dict = {}
     schema_json = df.schema.json()
     physical_partition_by = partition_by
-    if column_mapping:
+    mode = {True: "name", False: None}.get(column_mapping, column_mapping)
+    if mode not in (None, "name", "id"):
+        raise ValueError(f"column_mapping must be False/'name'/'id', got {mode!r}")
+    if mode:
         phys = {
             f.name: "col-"
             + str(_uuid.uuid5(_uuid.NAMESPACE_URL, f"hes-delta-col-{f.name}"))[:8]
@@ -515,11 +541,19 @@ def write_delta_table(
         ]
         schema_json = T.StructType(fields).json()
         df = df.select(
-            *[F.col(f.name).alias(phys[f.name]) for f in df.schema.fields]
+            *[
+                F.col(f.name).alias(
+                    phys[f.name],
+                    metadata=(
+                        {"parquet.field.id": i + 1} if mode == "id" else {}
+                    ),
+                )
+                for i, f in enumerate(df.schema.fields)
+            ]
         )
         physical_partition_by = [phys[c] for c in partition_by]
         configuration = {
-            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.mode": mode,
             "delta.columnMapping.maxColumnId": str(len(fields)),
         }
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}

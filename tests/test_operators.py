@@ -1103,19 +1103,31 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     after = read_delta_table(spark, table)
     assert after.filter("n_regionkey = 2").count() == 0
     assert after.count() == expected.filter("n_regionkey <> 2").count()
-    # unknown mapping mode must raise
+    # unknown mapping mode must raise (id mode is supported since r9,
+    # so the guard probe uses a genuinely unknown mode)
     commit = os.path.join(table, "_delta_log", f"{0:020d}.json")
     lines = open(commit).read().splitlines()
     for i, line in enumerate(lines):
         action = json.loads(line)
         if "metaData" in action:
-            action["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            action["metaData"]["configuration"]["delta.columnMapping.mode"] = "unknown"
             lines[i] = json.dumps(action)
     open(commit, "w").write("\n".join(lines) + "\n")
     # remove the later commit so version 0's metaData is current
     os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(NotImplementedError):
         read_delta_table(spark, table).count()
+    # a table CLAIMING id mode whose files carry no field ids fails at
+    # scan (fieldId.read with ignoreMissing=false) — fail-loud, never
+    # silently name-matched
+    for i, line in enumerate(lines):
+        action = json.loads(line)
+        if "metaData" in action:
+            action["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            lines[i] = json.dumps(action)
+    open(commit, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(Exception):
+        read_delta_table(spark, table).collect()
 
 
 def test_delta_optimize_compact(spark, tmp_path):
@@ -1191,3 +1203,60 @@ def test_delta_optimize_applies_deletion_vectors(spark, tmp_path):
         if '"add"' in line
     ]
     assert adds and all("deletionVector" not in a for a in adds)
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """ID-mode column mapping: columns resolve by parquet FIELD ID, not
+    name — proven adversarially by rewriting a data file with scrambled
+    column names (field ids preserved): the read still returns correct
+    values under the logical schema."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import read_delta_table, write_delta_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_idmode")
+    write_delta_table(nation, table, partition_by=["n_regionkey"], column_mapping="id")
+    back = read_delta_table(spark, table)
+    assert [f.name for f in back.schema.fields] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+    # Scramble physical names in one data file, keeping field ids — a
+    # name-matching reader now returns nulls/errors; an id-matching
+    # reader is unaffected.
+    some_file = None
+    for root, _dirs, names in _os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                some_file = _os.path.join(root, n)
+                break
+        if some_file:
+            break
+    t = _pq.read_table(some_file)
+    new_fields = []
+    for i, f in enumerate(t.schema):
+        md = dict(f.metadata or {})
+        assert b"PARQUET:field_id" in md, "spark must have stamped field ids"
+        new_fields.append(_pa.field(f"scrambled_{i}", f.type, f.nullable, md))
+    renamed = t.rename_columns([f.name for f in new_fields])
+    # rename_columns drops metadata; rebuild schema with ids
+    renamed = renamed.cast(_pa.schema(new_fields))
+    _pq.write_table(renamed, some_file)
+    # Drop Hadoop's checksum sidecar — the in-place rewrite invalidates
+    # it and ChecksumFileSystem would refuse the read for the wrong
+    # reason.
+    crc = _os.path.join(
+        _os.path.dirname(some_file), "." + _os.path.basename(some_file) + ".crc"
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    again = read_delta_table(spark, table)
+    assert sorted(again.collect()) == sorted(nation.collect())
