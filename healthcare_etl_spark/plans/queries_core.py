@@ -978,3 +978,66 @@ def q_iceberg_bucket_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("c_custkey").alias("n_cust"),
         F.sum((F.col("c_nationkey") == 7).cast("long")).alias("n_nation7"),
     )
+
+
+@register(
+    "q_iceberg_evolution_scan",
+    oracle="""
+WITH unioned AS (
+    SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
+)
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(nation_name)         AS first_name
+FROM unioned GROUP BY n_regionkey
+""",
+    description=(
+        "Apache Iceberg SCHEMA-EVOLUTION scan on vanilla Spark "
+        "(sources.iceberg): materialize half of nation, RENAME n_name -> "
+        "nation_name (a metadata-only commit — same field ids, zero data "
+        "files rewritten), append the other half under the new name, then "
+        "read the LATEST snapshot: old files (physical n_name) and new "
+        "files (physical nation_name) both resolve into the renamed "
+        "logical column via PARQUET FIELD IDS "
+        "(spark.sql.parquet.fieldId.read.enabled + parquet.field.id read "
+        "schemas — the Iceberg column-resolution contract). The oracle "
+        "aggregates the raw table under the renamed header, so the "
+        "id-based resolution across both physical generations is "
+        "value-hash-checked. 100 TB shape: renames stay O(metadata) no "
+        "matter the table size — exactly why id resolution exists."
+    ),
+    tags=("sources", "extension"),
+)
+def q_iceberg_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.iceberg import (
+        append_rows,
+        read_iceberg_table,
+        rename_column,
+        write_iceberg_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_iceberg_ev_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey < 13"), table, partition_by=["n_regionkey"]
+    )
+    rename_column(table, "n_name", "nation_name")
+    append_rows(
+        nation.filter("n_nationkey >= 13").withColumnRenamed("n_name", "nation_name"),
+        table,
+    )
+    back = read_iceberg_table(spark, table)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("nation_name").alias("first_name"),
+    )

@@ -32,10 +32,13 @@ Honest scope (unsupported features raise, never misread):
   file name) and path ('p') storage, CRC-verified file blobs, and the
   64-bit RoaringBitmapArray portable format parsed natively
   (``sources.roaring``, all three container types);
-- COLUMN MAPPING in 'name' mode (PROTOCOL.md "Column Mapping"): scans
-  use the fields' delta.columnMapping.physicalName, partitionValues are
-  keyed by physical name, the result carries the logical schema; 'id'
-  mode (parquet field-id matching) raises;
+- COLUMN MAPPING in 'name' AND 'id' mode (PROTOCOL.md "Column
+  Mapping"): name-mode scans use the fields'
+  delta.columnMapping.physicalName; id-mode scans resolve columns by
+  PARQUET FIELD ID (delta.columnMapping.id -> parquet.field.id read
+  schema — names in the files are ignored, proven by a
+  scrambled-names test); partitionValues are keyed by physical name,
+  the result carries the logical schema;
 - ``minReaderVersion`` must be 1, 2 (column mapping), or 3 with
   ``readerFeatures`` a subset of {v2Checkpoint, deletionVectors,
   columnMapping}; anything else (type widening, ...) raises.

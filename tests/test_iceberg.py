@@ -181,6 +181,18 @@ class TestIcebergRoundtrip:
         assert pruned.count() == nation.filter("n_regionkey = 2").count()
         assert pruned.select(F.count_distinct("n_regionkey")).first()[0] == 1
 
+    def test_data_column_pushdown_reaches_scan(self, spark, tmp_path, nation):
+        # A filter on a DATA column must reach the parquet scan as a
+        # pushed filter — the Iceberg plumbing (field-id schema, union
+        # of partition groups) must not break Spark's pushdown.
+        tbl = str(tmp_path / "t5b")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        df = read_iceberg_table(spark, tbl).filter(F.col("n_nationkey") > 10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "n_nationkey" in plan.split(
+            "PushedFilters"
+        )[1][:200]
+
     def test_version_hint_fallback(self, spark, tmp_path, nation):
         tbl = str(tmp_path / "t6")
         write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
