@@ -1124,3 +1124,78 @@ def optimize_compact(spark: SparkSession, table_path: str) -> int:
         return version
     _write_commit(table_path, new_version, actions)
     return new_version
+
+
+def append_delta_table(df: DataFrame, table_path: str) -> int:
+    """Append ``df`` to an existing Delta table as a new commit (add
+    actions only, dataChange=true): new data files land in an
+    ``append-<version>`` subdirectory under the table root, the
+    existing schema/partitioning is honored (column-mapping tables get
+    the logical->physical projection, id mode re-stamps parquet field
+    ids), and replay sees old + new files. Returns the new version —
+    the primitive under streaming lakehouse ingestion
+    (``streaming.incremental.run_delta_ingest``)."""
+    _live, schema_string, partition_columns, _protocol, version, configuration = (
+        _replay(table_path)
+    )
+    if schema_string is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    schema = T.StructType.fromJson(json.loads(schema_string))
+    mode = configuration.get("delta.columnMapping.mode", "none")
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"append is missing columns: {missing}")
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+    ids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in schema.fields
+    }
+    df = df.select(
+        *[
+            F.col(f.name).alias(
+                phys[f.name],
+                metadata=(
+                    {"parquet.field.id": ids[f.name]} if mode == "id" else {}
+                ),
+            )
+            for f in schema.fields
+        ]
+    )
+    new_version = version + 1
+    sub = f"append-{new_version}"
+    out_dir = os.path.join(table_path, sub)
+    physical_partition_by = [phys[c] for c in partition_columns]
+    writer = df.write.mode("overwrite")
+    if physical_partition_by:
+        writer = writer.partitionBy(*physical_partition_by)
+    writer.parquet(out_dir)
+    adds = []
+    for root, _dirs, names in os.walk(out_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            pv = {}
+            for piece in rel.split(os.sep)[1:-1]:
+                if "=" in piece:
+                    k, v = piece.split("=", 1)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(full),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    _write_commit(
+        table_path, new_version, sorted(adds, key=lambda a: a["add"]["path"])
+    )
+    return new_version

@@ -67,3 +67,70 @@ def run_incremental_ingest(
     )
     q.awaitTermination()
     return ingested["rows"]
+
+
+def run_delta_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    table_path: str,
+    *,
+    schema: str | None = None,
+    partition_by: list[str] | None = None,
+    transform=None,
+) -> int:
+    """Streaming LAKEHOUSE ingestion: drain unprocessed files from
+    ``source_dir`` into a Delta table at ``table_path`` (the in-repo
+    transaction-log writer — ``sources.delta``), one Delta commit per
+    micro-batch via ``foreachBatch``. First invocation creates the
+    table (version 0); later invocations append new commits; an
+    invocation with nothing new appends nothing. File-source offsets
+    live in the streaming checkpoint, the table's own history lives in
+    its _delta_log — the two bookkeeping layers real streaming-into-
+    lakehouse pipelines run on. Returns rows ingested this invocation.
+
+    At 100 TB: micro-batches are ordinary distributed jobs bounded by
+    maxFilesPerTrigger; each commit is metadata. A production sink
+    would add optimistic-concurrency retries on the commit number —
+    single-writer here, matching the fixture writer's scope."""
+    from healthcare_etl_spark.sources.delta import (
+        append_delta_table,
+        write_delta_table,
+    )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(spark.read.parquet(source_dir).schema)
+    stream = reader.parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    ingested = {"rows": 0}
+    import os as _os
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            ingested["rows"] += n
+            if _os.path.isdir(_os.path.join(table_path, "_delta_log")):
+                append_delta_table(batch_df, table_path)
+            else:
+                write_delta_table(
+                    batch_df, table_path, partition_by=partition_by or []
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ingested["rows"]

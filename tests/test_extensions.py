@@ -3392,3 +3392,80 @@ def test_nn_descent_converges_on_clustered_data(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, recall
+
+
+def test_delta_streaming_ingest_commits_per_batch(spark, sf_smoke, tmp_path):
+    """Streaming lakehouse ingestion: invocation 1 creates the Delta
+    table (version 0), invocation 2 with new files appends a commit,
+    invocation 3 with nothing new appends NOTHING (no empty commit);
+    the table read equals a batch read of everything, and time travel
+    to version 0 sees only the first drain."""
+    import os
+    import shutil
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import read_delta_table
+    from healthcare_etl_spark.streaming.incremental import run_delta_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "delta_ingest")
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    first = ev.filter("event_id < 500")
+    second = ev.filter("event_id >= 500")
+    first.coalesce(1).write.mode("overwrite").parquet(str(land / "f1"))
+    for p in (land / "f1").glob("part-*.parquet"):
+        shutil.move(str(p), str(land / "a.parquet"))
+    shutil.rmtree(land / "f1")
+
+    n1 = run_delta_ingest(spark, str(land), ckpt, table)
+    assert n1 == first.count()
+    assert sorted(
+        f for f in os.listdir(os.path.join(table, "_delta_log")) if f.endswith(".json")
+    ) == [f"{0:020d}.json"]
+
+    n2 = run_delta_ingest(spark, str(land), ckpt, table)
+    assert n2 == 0  # caught up -> no rows AND no new commit
+    assert len(os.listdir(os.path.join(table, "_delta_log"))) == 1
+
+    second.coalesce(1).write.mode("overwrite").parquet(str(land / "f2"))
+    for p in (land / "f2").glob("part-*.parquet"):
+        shutil.move(str(p), str(land / "b.parquet"))
+    shutil.rmtree(land / "f2")
+
+    n3 = run_delta_ingest(spark, str(land), ckpt, table)
+    assert n3 == second.count()
+
+    got = read_delta_table(spark, table).toPandas().sort_values("event_id").reset_index(drop=True)
+    want = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    v0 = read_delta_table(spark, table, version=0)
+    assert v0.count() == first.count()
+
+
+def test_delta_append_partitioned_and_id_mode(spark, sf_smoke, tmp_path):
+    """append_delta_table honors partitioning and column-mapping 'id'
+    mode (logical->physical projection + field-id restamp)."""
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.delta import (
+        append_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    nation = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    table = str(tmp_path / "delta_append_id")
+    write_delta_table(
+        nation.filter("n_nationkey < 13"),
+        table,
+        partition_by=["n_regionkey"],
+        column_mapping="id",
+    )
+    v = append_delta_table(nation.filter("n_nationkey >= 13"), table)
+    assert v == 1
+    back = read_delta_table(spark, table)
+    assert sorted(back.collect()) == sorted(nation.collect())
