@@ -3469,3 +3469,42 @@ def test_delta_append_partitioned_and_id_mode(spark, sf_smoke, tmp_path):
     assert v == 1
     back = read_delta_table(spark, table)
     assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_iceberg_streaming_ingest_snapshot_per_batch(spark, sf_smoke, tmp_path):
+    """Iceberg streaming ingestion: snapshot per drain, no empty
+    snapshots, union equals batch, time travel steps through runs."""
+    import shutil
+
+    from healthcare_etl_spark.sources import load_table
+    from healthcare_etl_spark.sources.iceberg import read_iceberg_table
+    from healthcare_etl_spark.streaming.incremental import run_iceberg_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "iceberg_ingest")
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    first = ev.filter("event_id < 500")
+    second = ev.filter("event_id >= 500")
+    first.coalesce(1).write.mode("overwrite").parquet(str(land / "f1"))
+    for p in (land / "f1").glob("part-*.parquet"):
+        shutil.move(str(p), str(land / "a.parquet"))
+    shutil.rmtree(land / "f1")
+
+    n1 = run_iceberg_ingest(spark, str(land), ckpt, table)
+    assert n1 == first.count()
+    assert run_iceberg_ingest(spark, str(land), ckpt, table) == 0
+
+    second.coalesce(1).write.mode("overwrite").parquet(str(land / "f2"))
+    for p in (land / "f2").glob("part-*.parquet"):
+        shutil.move(str(p), str(land / "b.parquet"))
+    shutil.rmtree(land / "f2")
+    n3 = run_iceberg_ingest(spark, str(land), ckpt, table)
+    assert n3 == second.count()
+
+    got = read_iceberg_table(spark, table).toPandas().sort_values("event_id").reset_index(drop=True)
+    want = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert read_iceberg_table(spark, table, snapshot_id=1).count() == first.count()
