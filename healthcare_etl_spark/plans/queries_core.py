@@ -1041,3 +1041,74 @@ def q_iceberg_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("nation_name").alias("first_name"),
     )
+
+
+@register(
+    "q_iceberg_eq_delete_scan",
+    oracle="""
+WITH alive AS (
+    SELECT * FROM nation
+    WHERE n_nationkey % 4 <> 1
+    UNION ALL
+    SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 4 = 1 AND n_nationkey < 13
+)
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name)              AS first_name
+FROM alive GROUP BY n_regionkey
+""",
+    description=(
+        "Apache Iceberg EQUALITY-DELETE scan on vanilla Spark "
+        "(sources.iceberg — the second v2 row-level delete kind, "
+        "completing full delete support): materialize nation, delete "
+        "every n_nationkey % 4 == 1 row by KEY (an equality delete file "
+        "recording just the key values + their field ids — no data scan "
+        "at write time), then APPEND replacement rows for the deleted "
+        "keys below 13 with '_v2' names: the re-appended rows SURVIVE "
+        "because equality deletes apply only to data files with a "
+        "strictly older sequence number (the spec's ordering semantic). "
+        "The oracle mirrors delete-then-reappend with set algebra, so "
+        "the null-safe key anti-join AND the sequence-number scoping "
+        "are value-hash-checked. 100 TB shape: the delete write is "
+        "O(keys); the read-time masking is one anti-join per equality "
+        "key set (broadcast for small key sets) — the cheap-ingest/"
+        "read-amplification trade streaming upserts run on."
+    ),
+    tags=("sources", "extension"),
+)
+def q_iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from healthcare_etl_spark.sources.iceberg import (
+        append_rows,
+        delete_rows_equality,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sf_tag = os.path.basename(str(sf_dir).rstrip("/"))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"healthcare_etl_spark_iceberg_eq_{os.getpid()}_{spark.sparkContext.applicationId}",
+        sf_tag,
+    )
+    write_iceberg_table(nation, table, partition_by=["n_regionkey"])
+    delete_rows_equality(
+        spark, table, nation.filter("n_nationkey % 4 = 1").select("n_nationkey")
+    )
+    append_rows(
+        nation.filter("n_nationkey % 4 = 1 and n_nationkey < 13").withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+        ),
+        table,
+    )
+    back = read_iceberg_table(spark, table)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -32,12 +32,17 @@ matches on it — the Iceberg contract that makes ``rename_column`` a
 metadata-only commit, old files resolving by id); ``append_rows``
 snapshots.
 
+* EQUALITY delete files (the other v2 row-level delete kind): delete
+  rows matching the equality columns (null-safe) in data files with a
+  STRICTLY OLDER data sequence number — rows appended after the delete
+  survive; one anti-join per distinct equality-id set;
+  ``delete_rows_equality`` writes them. Full v2 row-level delete
+  support: both delete-file kinds read AND written.
+
 Scope is honest, fail-loud (misreading is worse than raising):
-* EQUALITY delete files raise ``NotImplementedError`` — a reader that
-  ignored them would silently resurrect deleted rows;
 * partition transforms beyond identity/bucket/truncate (days/hours/
   void/...) raise;
-* non-parquet data files raise.
+* unknown data_file content codes and non-parquet data files raise.
 
 All log/manifest handling is metadata-plane (bounded by file counts,
 exactly like real Iceberg readers, which also replay manifests on the
@@ -340,14 +345,15 @@ def _local_path(p: str, table_path: str) -> str:
 
 def _live_entries(
     meta: dict, snapshot: dict, table_path: str
-) -> tuple[list[dict], list[dict]]:
-    """(data entries, position-delete entries) live at a snapshot,
-    replayed through manifest list -> manifests (DELETED entries
-    dropped). Fail-loud on equality deletes / non-parquet (misreading
-    is worse than raising)."""
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """(data entries, position-delete entries, equality-delete entries)
+    live at a snapshot, replayed through manifest list -> manifests
+    (DELETED entries dropped). Fail-loud on non-parquet and unknown
+    content codes (misreading is worse than raising)."""
     _, manifests = read_avro_file(_local_path(snapshot["manifest-list"], table_path))
     data: list[dict] = []
-    deletes: list[dict] = []
+    pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for mf in manifests:
         _, entries = read_avro_file(_local_path(mf["manifest_path"], table_path))
         for e in entries:
@@ -355,35 +361,16 @@ def _live_entries(
                 continue
             dfile = e["data_file"]
             content = dfile.get("content", 0)
-            if content == 2:
+            if content not in (0, 1, 2):
                 raise NotImplementedError(
-                    "Iceberg EQUALITY delete files not supported — refusing "
-                    "to read a table whose correct contents need them"
+                    f"Iceberg data_file content={content!r} not supported"
                 )
             if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
                 raise NotImplementedError(
                     f"data file format {dfile.get('file_format')!r} not supported"
                 )
-            (deletes if content == 1 else data).append(e)
-    return data, deletes
-
-
-def _live_files(
-    meta: dict, snapshot: dict, table_path: str
-) -> tuple[list[tuple[tuple, str]], list[str]]:
-    """(data files as [(partition tuple, local path)], position-delete
-    file local paths) live at a snapshot."""
-    pnames = [f["name"] for f in _partition_fields(meta)]
-    data_e, del_e = _live_entries(meta, snapshot, table_path)
-    data = [
-        (
-            tuple((e["data_file"].get("partition") or {}).get(n) for n in pnames),
-            _local_path(e["data_file"]["file_path"], table_path),
-        )
-        for e in data_e
-    ]
-    deletes = [_local_path(e["data_file"]["file_path"], table_path) for e in del_e]
-    return data, deletes
+            (data, pos_deletes, eq_deletes)[content].append(e)
+    return data, pos_deletes, eq_deletes
 
 
 def read_iceberg_table(
@@ -430,7 +417,21 @@ def read_iceberg_table(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not found in {table_path}")
 
-    files, delete_files = _live_files(meta, snaps[sid], table_path)
+    data_e, pos_del_e, eq_del_e = _live_entries(meta, snaps[sid], table_path)
+    # (partition tuple, data sequence number, local path) — the seq
+    # rides along because EQUALITY deletes apply only to data files
+    # with a STRICTLY OLDER sequence number (spec).
+    files = [
+        (
+            tuple((e["data_file"].get("partition") or {}).get(n) for n in pnames),
+            e.get("sequence_number") or 0,
+            _local_path(e["data_file"]["file_path"], table_path),
+        )
+        for e in data_e
+    ]
+    delete_files = [
+        _local_path(e["data_file"]["file_path"], table_path) for e in pos_del_e
+    ]
     if partition_filter:
         # Filter keys are SOURCE column names; each maps through its
         # partition field's transform (identity passes through, bucket
@@ -447,14 +448,18 @@ def read_iceberg_table(
                 (idx, _apply_transform(ptransforms[idx], v, psrc_types[idx]))
             )
         files = [
-            (pv, p) for pv, p in files if all(pv[i] == tv for i, tv in wanted)
+            (pv, sq, p) for pv, sq, p in files if all(pv[i] == tv for i, tv in wanted)
         ]
     if not files:
         return spark.createDataFrame([], schema)
 
+    # Group by (partition tuple, data seq): equality-delete masking
+    # needs each row to know its file's sequence number, attached as a
+    # per-group literal. Group count stays metadata-scale (partitions x
+    # snapshots at worst).
     groups: dict[tuple, list[str]] = {}
-    for pv, p in files:
-        groups.setdefault(pv, []).append(p)
+    for pv, sq, p in files:
+        groups.setdefault((pv, sq), []).append(p)
 
     # Scheme-insensitive path key: position-delete rows carry
     # 'file://...' URIs while _metadata.file_path reports 'file:///...'.
@@ -488,21 +493,24 @@ def read_iceberg_table(
     frames: list[DataFrame] = []
     # None-safe deterministic group order (null partition values are
     # legal Iceberg state — the sort key mirrors the delta reader fix).
-    for pv in sorted(groups, key=lambda t: tuple((v is None, str(v)) for v in t)):
-        part = spark.read.schema(read_schema).parquet(*sorted(groups[pv]))
+    for pv, sq in sorted(
+        groups, key=lambda t: (tuple((v is None, str(v)) for v in t[0]), t[1])
+    ):
+        part = spark.read.schema(read_schema).parquet(*sorted(groups[(pv, sq)]))
         for src, typ, tr, val in zip(psources, ptypes, ptransforms, pv):
             # Identity values reconstruct from metadata; bucket/truncate
             # are lossy, so their source columns live in the data files.
             if tr == "identity" and src not in part.columns:
                 part = part.withColumn(src, F.lit(val).cast(typ))
+        extra = []
         if delete_files:
-            part = part.select(
-                *names_only,
+            extra += [
                 _norm(F.col("_metadata.file_path")).alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
-            )
-        else:
-            part = part.select(*names_only)
+            ]
+        if eq_del_e:
+            extra.append(F.lit(sq).cast("long").alias("__seq"))
+        part = part.select(*names_only, *extra)
         frames.append(part)
     out = frames[0]
     for fr in frames[1:]:
@@ -521,6 +529,45 @@ def read_iceberg_table(
             F.col("pos").cast("long").alias("__ri"),
         )
         out = out.join(dels, ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
+    if eq_del_e:
+        # EQUALITY-delete masking (spec): a delete row removes every
+        # data row whose equality columns match (null matches null,
+        # hence <=>) in data files with a STRICTLY OLDER data sequence
+        # number — rows appended after the delete survive. One anti-
+        # join per distinct equality-id set; the seq comparison rides
+        # as an extra join condition (equi keys + range — SMJ/broadcast
+        # capable, never a Cartesian).
+        name_by_id = {f["id"]: f["name"] for f in fields}
+        by_ids: dict[tuple, list[dict]] = {}
+        for e in eq_del_e:
+            ids = tuple(e["data_file"].get("equality_ids") or ())
+            if not ids:
+                raise ValueError(
+                    "equality delete file without equality_ids: "
+                    f"{e['data_file'].get('file_path')}"
+                )
+            by_ids.setdefault(ids, []).append(e)
+        for ids, dele in sorted(by_ids.items()):
+            keys = [name_by_id[i] for i in ids]
+            dfs = []
+            for e in dele:
+                p = _local_path(e["data_file"]["file_path"], table_path)
+                dfs.append(
+                    spark.read.parquet(p).select(
+                        *[F.col(k).alias(f"__d_{k}") for k in keys],
+                        F.lit(e.get("sequence_number") or 0)
+                        .cast("long")
+                        .alias("__dseq"),
+                    )
+                )
+            dels = dfs[0]
+            for d in dfs[1:]:
+                dels = dels.unionByName(d)
+            cond = F.col("__dseq") > F.col("__seq")
+            for k in keys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+            out = out.join(dels, on=cond, how="left_anti")
+        out = out.drop("__seq")
     # .to() casts to the DECLARED schema including nullability — the
     # reconstructed partition literals are otherwise non-nullable.
     return out.to(schema)
@@ -573,6 +620,12 @@ def _manifest_entry_schema(pfields: list[dict], fields: list[dict]) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -897,7 +950,8 @@ def delete_partition(table_path: str, column: str, value) -> int:
         raise ValueError(f"{column!r} is not a partition column of {table_path}")
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    data_e, del_e = _live_entries(meta, snaps[sid], table_path)
+    data_e, pos_e, eq_e = _live_entries(meta, snaps[sid], table_path)
+    del_e = pos_e + eq_e
     entries = [
         _carry(
             e,
@@ -942,7 +996,8 @@ def delete_rows(spark: SparkSession, table_path: str, predicate: str) -> int:
     ptransforms = [f["transform"] for f in pfields]
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    data_e, del_e = _live_entries(meta, snaps[sid], table_path)
+    data_e, pos_e, eq_e = _live_entries(meta, snaps[sid], table_path)
+    del_e = pos_e + eq_e
 
     groups: dict[tuple, list[str]] = {}
     for e in data_e:
@@ -1073,7 +1128,8 @@ def append_rows(df: DataFrame, table_path: str) -> int:
     }
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    data_e, del_e = _live_entries(meta, snaps[sid], table_path)
+    data_e, pos_e, eq_e = _live_entries(meta, snaps[sid], table_path)
+    del_e = pos_e + eq_e
 
     version = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     new_dir = os.path.join(table_path, "data", f"append-{version}")
@@ -1088,4 +1144,77 @@ def append_rows(df: DataFrame, table_path: str) -> int:
         [_carry(e, status=0) for e in data_e] + new_entries,
         operation="append",
         delete_entries=[_carry(e, status=0) for e in del_e] or None,
+    )
+
+
+def delete_rows_equality(spark: SparkSession, table_path: str, keys_df: DataFrame) -> int:
+    """Row-level DELETE via an Iceberg EQUALITY delete file (table spec
+    v2): ``keys_df``'s columns name the equality columns (a subset of
+    the table schema); every current data row matching one of its rows
+    (null-safe) is masked on read. The delete file records the columns'
+    FIELD IDS (``equality_ids``) and commits at a sequence number
+    strictly above all current data files, so rows APPENDED AFTERWARD
+    with the same keys survive — the spec's ordering semantic, covered
+    by tests. Returns the new snapshot id.
+
+    Unlike ``delete_rows`` (position deletes) no data scan is needed at
+    all — writing the keys IS the delete; the cost moves to read-time
+    anti-joins, the classic equality-delete trade (cheap streaming
+    upsert/delete ingest, compaction later)."""
+    meta = _current_metadata(table_path)
+    fields = _current_schema(meta)
+    by_name = {f["name"]: f for f in fields}
+    unknown = [c for c in keys_df.columns if c not in by_name]
+    if unknown:
+        raise ValueError(f"equality columns not in schema: {unknown}")
+    ids = [by_name[c]["id"] for c in keys_df.columns]
+    pnames = [f["name"] for f in _partition_fields(meta)]
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    data_e, pos_e, eq_e = _live_entries(meta, snaps[sid], table_path)
+
+    version = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    del_dir = os.path.join(table_path, "data", f"eqdeletes-{version}")
+    (
+        keys_df.select(
+            *[
+                F.col(c).alias(c, metadata={"parquet.field.id": by_name[c]["id"]})
+                for c in keys_df.columns
+            ]
+        )
+        .sort(*keys_df.columns)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+    new_delete_entries: list[dict] = []
+    for root, _dirs, names in os.walk(del_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            new_delete_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": {n: None for n in pnames},
+                        "record_count": _parquet_row_count(full),
+                        "file_size_in_bytes": os.path.getsize(full),
+                        "equality_ids": ids,
+                    },
+                }
+            )
+    return _write_snapshot(
+        table_path,
+        meta,
+        [_carry(e, status=0) for e in data_e],
+        operation="delete",
+        delete_entries=[_carry(e, status=0) for e in pos_e + eq_e]
+        + new_delete_entries,
     )

@@ -17,6 +17,7 @@ from healthcare_etl_spark.sources.iceberg import (
     append_rows,
     delete_partition,
     delete_rows,
+    delete_rows_equality,
     read_iceberg_table,
     rename_column,
     write_iceberg_table,
@@ -330,6 +331,67 @@ class TestIcebergPositionDeletes:
         assert all(set(r) == {"file_path", "pos"} for r in t)
 
 
+class TestIcebergEqualityDeletes:
+    def test_equality_delete_and_time_travel(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "eq1")
+        s1 = write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        keys = spark.createDataFrame([(3,), (7,), (11,)], "n_nationkey int")
+        delete_rows_equality(spark, tbl, keys)
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("n_nationkey not in (3, 7, 11)")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+        assert read_iceberg_table(spark, tbl, snapshot_id=s1).count() == nation.count()
+
+    def test_rows_appended_after_delete_survive(self, spark, tmp_path, nation):
+        # THE equality-delete semantic: the delete applies only to data
+        # files with a strictly OLDER sequence number.
+        tbl = str(tmp_path / "eq2")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        delete_rows_equality(
+            spark, tbl, spark.createDataFrame([(3,), (7,)], "n_nationkey int")
+        )
+        newrows = nation.filter("n_nationkey in (3, 7)").withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+        )
+        append_rows(newrows, tbl)
+        cur = read_iceberg_table(spark, tbl)
+        assert cur.count() == nation.count()  # 2 deleted + 2 re-added
+        assert cur.filter("n_name like '%_v2'").count() == 2
+        assert cur.filter("n_nationkey = 3 and n_name not like '%_v2'").count() == 0
+
+    def test_multi_column_and_null_safe_keys(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, k string"
+        )
+        tbl = str(tmp_path / "eq3")
+        write_iceberg_table(df, tbl)
+        # (2, null) must match the row with the null key — null-safe
+        # equality, the spec rule.
+        keys = spark.createDataFrame([(2, None), (4, "b")], "id long, k string")
+        delete_rows_equality(spark, tbl, keys)
+        cur = read_iceberg_table(spark, tbl)
+        assert sorted(r["id"] for r in cur.collect()) == [1, 3]
+
+    def test_composes_with_position_deletes(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "eq4")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        delete_rows(spark, tbl, "n_nationkey % 2 = 0")
+        delete_rows_equality(
+            spark, tbl, spark.createDataFrame([(3,), (5,)], "n_nationkey int")
+        )
+        cur = read_iceberg_table(spark, tbl)
+        exp = nation.filter("n_nationkey % 2 <> 0 and n_nationkey not in (3, 5)")
+        assert sorted(cur.collect()) == sorted(exp.collect())
+
+    def test_unknown_equality_column_raises(self, spark, tmp_path, nation):
+        tbl = str(tmp_path / "eq5")
+        write_iceberg_table(nation, tbl)
+        with pytest.raises(ValueError, match="not in schema"):
+            delete_rows_equality(
+                spark, tbl, spark.createDataFrame([(1,)], "nope int")
+            )
+
+
 class TestIcebergSchemaEvolution:
     def test_rename_is_metadata_only(self, spark, tmp_path, nation):
         tbl = str(tmp_path / "se1")
@@ -420,19 +482,19 @@ class TestIcebergScopeGuards:
         with open(mp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
 
-    def test_equality_delete_raises(self, spark, tmp_path, nation):
+    def test_equality_delete_without_ids_raises(self, spark, tmp_path, nation):
         tbl = str(tmp_path / "t8")
         write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
         # Hand-mark a manifest entry's data_file as an EQUALITY delete
-        # file (content=2): the reader must refuse rather than
-        # resurrect deleted rows by ignoring it.
+        # file (content=2) without equality_ids: the reader must refuse
+        # rather than guess which columns the delete keys are.
         meta_dir = os.path.join(tbl, "metadata")
         mf = [f for f in os.listdir(meta_dir) if f.startswith("manifest-") and f.endswith(".avro")][0]
         p = os.path.join(meta_dir, mf)
         schema, recs = read_avro_file(p)
         recs[0]["data_file"]["content"] = 2
         write_avro_file(p, schema, recs)
-        with pytest.raises(NotImplementedError, match="EQUALITY"):
+        with pytest.raises(ValueError, match="equality_ids"):
             read_iceberg_table(spark, tbl)
 
     def test_nonidentity_transform_raises(self, spark, tmp_path, nation):
