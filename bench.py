@@ -224,6 +224,9 @@ HEADLINE = [
     "q_delta_dv_scan",
     "q_iceberg_scan",
     "q_iceberg_pos_delete_scan",
+    "q_iceberg_bucket_scan",
+    "q_iceberg_evolution_scan",
+    "q_iceberg_eq_delete_scan",
     "q_multimodal_bmp_stats",
 ]
 
