@@ -1082,15 +1082,13 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     return _write_metadata(table_path, new_meta)
 
 
-def append_rows(df: DataFrame, table_path: str) -> int:
-    """Append ``df`` as a new snapshot: new data files written under
-    the table's partition spec (identity / bucket / truncate recomputed
-    exactly as at create time), prior data and delete files carried as
-    EXISTING entries. Column matching is by CURRENT schema name —
-    after a ``rename_column``, append under the new name; the new
-    files' parquet field ids keep reads consistent across the rename
-    boundary. Returns the new snapshot id."""
-    meta = _current_metadata(table_path)
+def _write_spec_files(
+    meta: dict, df: DataFrame, table_path: str, subdir: str, *, compact: bool = False
+) -> list[dict]:
+    """Write ``df`` as new data files under the table's partition spec
+    (identity / bucket / truncate recomputed exactly as at create
+    time, parquet field ids stamped from the current schema) into
+    ``data/<subdir>``; returns the ADDED manifest entries."""
     fields = _current_schema(meta)
     pfields = _partition_fields(meta)
     field_by_id = {f["id"]: f for f in fields}
@@ -1126,24 +1124,79 @@ def append_rows(df: DataFrame, table_path: str) -> int:
         )
         for pf in pfields
     }
+    new_dir = os.path.join(table_path, "data", subdir)
+    if compact:
+        # Bin-pack: co-locate each partition value in one task so every
+        # group writes one file (unpartitioned tables collapse to one).
+        out = out.repartition(*part_cols) if part_cols else out.coalesce(1)
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(new_dir)
+    return _added_entries(new_dir, part_cols, ptype)
+
+
+def append_rows(df: DataFrame, table_path: str) -> int:
+    """Append ``df`` as a new snapshot: new data files written under
+    the table's partition spec (identity / bucket / truncate recomputed
+    exactly as at create time), prior data and delete files carried as
+    EXISTING entries. Column matching is by CURRENT schema name —
+    after a ``rename_column``, append under the new name; the new
+    files' parquet field ids keep reads consistent across the rename
+    boundary. Returns the new snapshot id."""
+    meta = _current_metadata(table_path)
     sid = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     data_e, pos_e, eq_e = _live_entries(meta, snaps[sid], table_path)
     del_e = pos_e + eq_e
 
     version = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
-    new_dir = os.path.join(table_path, "data", f"append-{version}")
-    writer = out.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(new_dir)
-    new_entries = _added_entries(new_dir, part_cols, ptype)
+    new_entries = _write_spec_files(meta, df, table_path, f"append-{version}")
     return _write_snapshot(
         table_path,
         meta,
         [_carry(e, status=0) for e in data_e] + new_entries,
         operation="append",
         delete_entries=[_carry(e, status=0) for e in del_e] or None,
+    )
+
+
+def optimize_compact(spark: SparkSession, table_path: str) -> int:
+    """OPTIMIZE / rewrite: materialize the fully-masked table (both
+    delete-file kinds applied), write it back as fresh data files under
+    the table's partition spec, and commit a REPLACE snapshot — old
+    data files DELETED, all delete files purged, rewritten files ADDED
+    at the new sequence number. Read amplification accrued by streaming
+    equality/position deletes drops to zero; old snapshots stay
+    time-travelable. Returns the new snapshot id. No-op (returns the
+    current snapshot id) when the table carries no delete files and no
+    multi-file partition group.
+
+    Scale shape: the rewrite is one distributed masked scan + one
+    partitioned write; the commit is metadata — the same contract as
+    ``sources.delta.optimize_compact``."""
+    meta = _current_metadata(table_path)
+    sid = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    data_e, pos_e, eq_e = _live_entries(meta, snaps[sid], table_path)
+    pnames = [f["name"] for f in _partition_fields(meta)]
+    pv_counts: dict[tuple, int] = {}
+    for e in data_e:
+        pv = tuple((e["data_file"].get("partition") or {}).get(n) for n in pnames)
+        pv_counts[pv] = pv_counts.get(pv, 0) + 1
+    if not (pos_e or eq_e) and all(c <= 1 for c in pv_counts.values()):
+        return sid
+    current = read_iceberg_table(spark, table_path)
+    version = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    new_entries = _write_spec_files(
+        meta, current, table_path, f"rewrite-{version}", compact=True
+    )
+    return _write_snapshot(
+        table_path,
+        meta,
+        [_carry(e, status=2) for e in data_e] + new_entries,
+        operation="replace",
+        delete_entries=[_carry(e, status=2) for e in pos_e + eq_e] or None,
     )
 
 

@@ -520,3 +520,55 @@ class TestIcebergScopeGuards:
         write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
         with pytest.raises(ValueError, match="non-partition"):
             read_iceberg_table(spark, tbl, partition_filter={"n_name": "FRANCE"})
+
+
+class TestIcebergOptimize:
+    def test_rewrite_purges_both_delete_kinds(self, spark, tmp_path, nation):
+        from healthcare_etl_spark.sources.iceberg import optimize_compact
+
+        tbl = str(tmp_path / "opt1")
+        write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        delete_rows(spark, tbl, "n_nationkey % 2 = 0")
+        delete_rows_equality(
+            spark, tbl, spark.createDataFrame([(3,), (5,)], "n_nationkey int")
+        )
+        before = read_iceberg_table(spark, tbl)
+        exp = sorted(before.collect())
+        v = optimize_compact(spark, tbl)
+        after = read_iceberg_table(spark, tbl)
+        assert sorted(after.collect()) == exp
+        # the rewritten snapshot carries NO delete files: its plan has no
+        # anti-join inputs and its manifests hold only content=0 entries
+        from healthcare_etl_spark.sources.iceberg import (
+            _current_metadata,
+            _live_entries,
+        )
+
+        meta = _current_metadata(tbl)
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        d, p, q = _live_entries(meta, snaps[v], tbl)
+        assert p == [] and q == []
+        assert all(e["data_file"]["content"] == 0 for e in d)
+        # pre-OPTIMIZE snapshot still time-travelable with deletes applied
+        tt = read_iceberg_table(spark, tbl, snapshot_id=v - 1)
+        assert sorted(tt.collect()) == exp
+
+    def test_noop_when_nothing_to_compact(self, spark, tmp_path, nation):
+        from healthcare_etl_spark.sources.iceberg import optimize_compact
+
+        tbl = str(tmp_path / "opt2")
+        s1 = write_iceberg_table(nation, tbl, partition_by=["n_regionkey"])
+        assert optimize_compact(spark, tbl) == s1  # single file per group, no deletes
+
+    def test_compacts_multifile_groups(self, spark, tmp_path, nation):
+        from healthcare_etl_spark.sources.iceberg import optimize_compact
+
+        tbl = str(tmp_path / "opt3")
+        write_iceberg_table(
+            nation.repartition(3), tbl, partition_by=["n_regionkey"]
+        )
+        n_before = len(read_iceberg_table(spark, tbl).inputFiles())
+        optimize_compact(spark, tbl)
+        after = read_iceberg_table(spark, tbl)
+        assert len(after.inputFiles()) < n_before
+        assert sorted(after.collect()) == sorted(nation.collect())
