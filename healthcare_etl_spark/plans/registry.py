@@ -137,10 +137,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_delta_scan",
     "q_multimodal_mp4_meta",
     # landed in r9 after the plan above was drafted: the Iceberg reader
-    # (new source class, mirrors r8's Delta marquee) and the Gopher
-    # rule battery — both first-time, swapped in for two events-module
-    # names so new-in-r9 code gets external rows first (higher risk).
+    # (new source class, mirrors r8's Delta marquee), its two deepest
+    # semantics (equality-delete sequence scoping; field-id schema
+    # evolution across rename+append), and the Gopher rule battery —
+    # all first-time, swapped in for four plain-SQL-shape names so
+    # new-in-r9 code gets external rows first (higher risk).
     "q_iceberg_scan",
+    "q_iceberg_eq_delete_scan",
+    "q_iceberg_evolution_scan",
     "q_gopher_rules_filter",
     # profiling module (never sampled)
     "q_sortedness_audit",
@@ -161,10 +165,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_orc_scan",
     # core SQL surface never sampled
     "q_window_analytics",
-    "q_percentile_disc",
     "q_full_outer_join",
     "q_null_safe_join",
-    "q_union_by_name",
     "q_null_group_keys",
     "q_pivot_wide",
     # multimodal codec paths never sampled
