@@ -351,7 +351,14 @@ def bfs_hops(
         )
         if new.isEmpty():
             break
-        labels = labels.union(new).localCheckpoint(eager=True)
+        # Labels are APPEND-ONLY: every constituent (seed labels + each
+        # round's `new`) is already an eagerly-checkpointed RDD, so the
+        # accumulator can stay a LAZY union of those checkpoints — no
+        # recompute is possible through it, and re-checkpointing the
+        # union each round re-materialized the entire accumulated label
+        # set every round (O(labels) per round, quadratic across the
+        # BFS; guide §1.2: don't compute things you throw away).
+        labels = labels.union(new)
         frontier = new
     return labels
 
@@ -601,6 +608,9 @@ def bfs_hops_per_seed(
         ).localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        labels = labels.union(new).localCheckpoint(eager=True)
+        # Append-only accumulator over already-checkpointed rounds: keep
+        # the union LAZY (see bfs_hops — re-checkpointing it was a full
+        # re-materialization of all settled labels every round).
+        labels = labels.union(new)
         frontier = new
     return labels

@@ -935,24 +935,40 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ppl_tertiles(docs: DataFrame) -> DataFrame:
     """(doc_id, nb, sq, tertile) — held-out bigram-LM scoring + tertile
     bucketing, shared by q_perplexity_filter and the v2 curation
-    pipeline. Docs with < 2 tokens have no bigrams and drop out."""
+    pipeline. Docs with < 2 tokens have no bigrams and drop out.
+
+    Bigrams are built the same way the dedup module builds shingles:
+    ``arrays_zip`` of the token array with its 1-shifted ``slice``
+    (bigram i = (t[i], t[i+1]); the zip null-pads, so the one w2-null
+    tail row per doc is filtered) — a NARROW codegen'd explode instead
+    of the old posexplode + window ``lead``, which forced a full
+    corpus shuffle by doc_id plus a per-doc sort before any LM work
+    (guide §2.4: remove shuffles outright). That window shuffle was
+    also materialized with an eager ``localCheckpoint`` at PLAN BUILD
+    time — the build-time-execution class r8/r9 eliminated elsewhere —
+    so dropping it makes plan construction job-free again; the three
+    consumers (c2/c1 LM tables, the scoring join) recompute only a
+    scan + narrow explode, and their own aggregates/joins dedupe at
+    their exchanges via ReuseExchange.
+    """
     from healthcare_etl_spark.operators.scale import bucketed_rank, ntile_from_rank
 
     toks = F.split("text", " ")
-    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    base = docs.select("doc_id", toks.alias("t"))
+    zipped = F.arrays_zip(
+        F.col("t").alias("w1"),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
+    )
     big = (
-        words.select(
-            "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=True)
+        base.select("doc_id", F.explode(zipped).alias("z"))
+        .filter(F.col("z.w2").isNotNull())
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
     )
     train_big = big.filter(F.col("doc_id") % 2 == 0)
-    vocab = words.filter(F.col("doc_id") % 2 == 0).agg(
-        F.count_distinct("w").cast("long").alias("v")
+    vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
     )
     c2 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
     c1 = train_big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cc"))
