@@ -1938,11 +1938,14 @@ LIMIT 30
         "(merge-based vs likelihood-based). The DP carries (cost, "
         "argmin path) as ONE sortable string lpad(cost,12,'0')||path, "
         "so per-(word,prefix) argmin is a plain MIN on both engines; "
-        "each of the 12 unrolled stages is a broadcast join of the "
-        "shrinking word-prefix table against the 200-piece vocab — "
-        "per-word work is independent, the whole E-step is "
-        "embarrassingly parallel at corpus scale. Ties break to the "
-        "lexicographically smaller segmentation identically."
+        "per-word work is independent (the whole E-step is "
+        "embarrassingly parallel at corpus scale), so the Spark side "
+        "runs the 12-position Viterbi recurrence INSIDE each row as a "
+        "higher-order ``aggregate`` over the positions with the "
+        "~200-piece cost table attached as one broadcast map — the "
+        "oracle mirrors the identical recurrence as 12 unrolled "
+        "per-prefix MIN stages. Ties break to the lexicographically "
+        "smaller segmentation identically."
     ),
     tags=("text", "extension", "tokenizer"),
 )
@@ -1990,50 +1993,51 @@ def q_unigram_tokenizer_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sq"),
         )
     ).localCheckpoint(eager=True)
-    states = {
-        0: kept.select(
-            "w",
-            "wc",
-            F.length("w").cast("long").alias("lw"),
-            F.lit("000000000000").alias("enc"),
-        ).localCheckpoint(eager=True)
-    }
-    for i in range(1, max_len + 1):
-        branches = []
-        for L in range(1, min(max_piece, i) + 1):
-            j = i - L
-            s = states[j].filter(F.col("lw") >= i)
-            b = s.join(
-                F.broadcast(vs),
-                F.col("piece") == F.expr(f"substr(w, {j + 1}, {L})"),
-            ).select(
-                "w",
-                "wc",
-                "lw",
-                F.concat(
-                    F.lpad(
-                        (
-                            F.expr("CAST(substr(enc, 1, 12) AS BIGINT)") + F.col("sq")
-                        ).cast("string"),
-                        12,
-                        "0",
-                    ),
-                    F.expr("substr(enc, 13)"),
-                    F.col("piece"),
-                    F.lit(" "),
-                ).alias("enc"),
-            )
-            branches.append(b)
-        un = branches[0]
-        for b in branches[1:]:
-            un = un.unionAll(b)
-        states[i] = (
-            un.groupBy("w", "wc", "lw").agg(F.min("enc").alias("enc"))
-        ).localCheckpoint(eager=True)
-    final = None
-    for i in range(1, max_len + 1):
-        part = states[i].filter(F.col("lw") == i).select("w", "wc", "enc")
-        final = part if final is None else final.unionAll(part)
+    # Per-word Viterbi DP in ONE narrow pass (guide §1.2: fix the
+    # distributed algorithm first). The old form ran the recurrence as
+    # 12 sequential DISTRIBUTED rounds — each a 4-way broadcast join +
+    # union + groupBy(min) + eager localCheckpoint over the (tiny,
+    # vocabulary-sized) state table, i.e. ~12 shuffles and 13
+    # materialization jobs whose cost was pure per-round overhead, not
+    # data. Each word's segmentation depends only on its own <=12
+    # characters and the ~200-piece cost table, so the whole recurrence
+    # runs inside the row: the cost table is folded into one broadcast
+    # MAP column and ``aggregate(sequence(1, lw), ...)`` carries the
+    # per-prefix best-encoding array, taking ``array_min`` over the
+    # <=4 candidate extensions exactly as each unrolled stage took
+    # MIN(enc) — identical strings, identical tie-breaks. The lambda
+    # runs interpreted (no codegen), but it replaces 12 rounds of job
+    # scheduling with <=48 string ops per word, embarrassingly parallel
+    # and shuffle-free; at 100 TB the state never leaves the word row.
+    costs = vs.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "sq"))).alias("m")
+    )
+    dp_enc = F.expr(
+        f"""
+        element_at(
+          aggregate(
+            sequence(1, CAST(lw AS INT)),
+            array('000000000000'),
+            (acc, i) -> concat(acc, array(array_min(filter(
+              transform(sequence(1, least({max_piece}, i)), L ->
+                CASE WHEN element_at(m, substr(w, i - L + 1, L)) IS NOT NULL THEN
+                  concat(
+                    lpad(CAST(CAST(substr(element_at(acc, i - L + 1), 1, 12) AS BIGINT)
+                              + element_at(m, substr(w, i - L + 1, L)) AS STRING),
+                         12, '0'),
+                    substr(element_at(acc, i - L + 1), 13),
+                    substr(w, i - L + 1, L), ' ')
+                END),
+              x -> x IS NOT NULL))))
+          ),
+          CAST(lw AS INT) + 1)
+        """
+    )
+    final = (
+        kept.crossJoin(F.broadcast(costs))
+        .select("w", "wc", F.length("w").cast("int").alias("lw"), "m")
+        .select("w", "wc", dp_enc.alias("enc"))
+    )
     toks = final.select(
         F.explode(F.split(F.trim(F.expr("substr(enc, 13)")), " ")).alias("piece"),
         "wc",
@@ -2123,42 +2127,50 @@ def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    tok = docs.select("doc_id", F.explode(toks).alias("w"))
-    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
-    dl = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
-    hits = tok.filter(F.col("w").isin(*_QL_TERMS))
-    cf = hits.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf"))
-    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    terms = spark.createDataFrame([(t,) for t in _QL_TERMS], "w string")
-    grid = (
-        dl.crossJoin(F.broadcast(terms))
-        .join(tf, ["doc_id", "w"], "left")
-        .join(F.broadcast(cf), "w")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "w",
-            F.coalesce("tf", F.lit(0)).alias("tf"),
-            "dl",
-            "cf",
-            "n_tokens",
-        )
+    # The query is 3 FIXED terms, so per-doc term frequencies are plain
+    # array ops on the token array — tf_t = size(filter(t, x -> x = w))
+    # — and the collection stats (cf per term, total token count) fold
+    # into ONE 1-row broadcast aggregate of those columns. The old form
+    # exploded the whole corpus into (doc_id, w) rows and ran two
+    # grouped aggregates plus a per-(doc, term) left join against the
+    # 3xdocs grid: three corpus-scale shuffles for what one narrow map
+    # + one scalar aggregate computes (guide §2.3 "aggregate before you
+    # shuffle", §2.4 "remove shuffles outright"). Per-term scores are
+    # still rounded at 6dp and summed in FIXED term order, and a term
+    # with zero collection frequency still yields NULL (the old inner
+    # join against cf dropped its rows), so results are bit-identical.
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(_QL_TERMS)],
     )
-    s = stable_round(
-        F.log(
-            (F.col("tf") + _QL_MU * (F.col("cf") * 1.0 / F.col("n_tokens")))
-            / (F.col("dl") + _QL_MU)
-        ),
-        6,
+    stats = base.agg(
+        F.sum("dl").cast("long").alias("n_tokens"),
+        *[
+            F.sum(f"tf_{i}").cast("long").alias(f"cf_{i}")
+            for i in range(len(_QL_TERMS))
+        ],
     )
-    scored = grid.select("doc_id", "w", s.alias("s"))
-    agg = scored.groupBy("doc_id").agg(
-        stable_round(
-            F.max(F.when(F.col("w") == "join", F.col("s")))
-            + F.max(F.when(F.col("w") == "hash", F.col("s")))
-            + F.max(F.when(F.col("w") == "filter", F.col("s"))),
+
+    def s(i: int):
+        raw = stable_round(
+            F.log(
+                (
+                    F.col(f"tf_{i}")
+                    + _QL_MU * (F.col(f"cf_{i}") * 1.0 / F.col("n_tokens"))
+                )
+                / (F.col("dl") + _QL_MU)
+            ),
             6,
-        ).alias("score")
+        )
+        return F.when(F.col(f"cf_{i}") > 0, raw)
+
+    agg = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        stable_round(s(0) + s(1) + s(2), 6).alias("score"),
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

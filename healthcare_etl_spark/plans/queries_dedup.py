@@ -607,9 +607,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    # The edge list is referenced THREE times (both wedge sides + the
+    # closing-edge probe). ReuseExchange only dedupes work BELOW an
+    # exchange, and the LSH pipeline's verify joins + exact-Jaccard
+    # filter sit ABOVE its last exchange — so without a top exchange the
+    # whole candidate-verify stage executed three times. One explicit
+    # repartition of the (8-byte, output-sized) edge list pins a shared
+    # exchange over the full pair pipeline: every consumer reads the
+    # same shuffle files (guide §2.4 — two operations keyed the same way
+    # share one exchange; the extra shuffle moves pairs, not the corpus).
     edges = pairs.select(
         F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "u", "v")
     e1 = edges.alias("e1")
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     wedges = e1.join(e2, F.col("e1.v") == F.col("b2")).select(

@@ -668,11 +668,21 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     tiled = _ppl_tertiles(docs)
+    # The perplexity-gate survivors feed TWO consumers (the prefix-filter
+    # dedup pipeline and the anti-join that applies its drops). The old
+    # eager localCheckpoint shared that subtree but EXECUTED it at plan
+    # build (under AQE the checkpoint finalizes and runs the gate's
+    # shuffles before any action — the build-time-execution class this
+    # repo eliminated in r8/r9). A doc_id repartition pins the same
+    # sharing point as a lazy exchange instead: the dedup operator's own
+    # doc_id repartition collapses into it (CollapseRepartition), so
+    # both consumers read one shuffle's files and plan build is job-free
+    # (guide §2.4 — share one exchange).
     kept1 = (
         docs.join(tiled.select("doc_id", "tertile"), "doc_id")
         .filter(F.col("tertile") <= 2)
         .select("doc_id", "text", "source")
-        .localCheckpoint(eager=True)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
     pairs = prefix_filter_jaccard_pairs(kept1, t_num=3, t_den=5)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
