@@ -1220,7 +1220,16 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for i in range(8):
+    # Convergence-checked peel (the connected_components discipline:
+    # one action per round, bounded lineage). Peeling is MONOTONE — once
+    # a round removes no edge, the keep set is stable and every later
+    # round is a no-op — so breaking on an unchanged edge count returns
+    # exactly what the fixed 8 rounds returned, while skipping the
+    # rounds that did nothing (guide §1.2: don't compute things you
+    # throw away). The count rides the same materialization the lazy
+    # checkpoint needs anyway, so each round still costs one action.
+    prev_n = None
+    for _i in range(8):
         keep = (
             e.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -1231,9 +1240,12 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 2 == 0:
-            e = e.localCheckpoint(eager=False)
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )

@@ -668,21 +668,23 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     tiled = _ppl_tertiles(docs)
-    # The perplexity-gate survivors feed TWO consumers (the prefix-filter
-    # dedup pipeline and the anti-join that applies its drops). The old
-    # eager localCheckpoint shared that subtree but EXECUTED it at plan
-    # build (under AQE the checkpoint finalizes and runs the gate's
-    # shuffles before any action — the build-time-execution class this
-    # repo eliminated in r8/r9). A doc_id repartition pins the same
-    # sharing point as a lazy exchange instead: the dedup operator's own
-    # doc_id repartition collapses into it (CollapseRepartition), so
-    # both consumers read one shuffle's files and plan build is job-free
-    # (guide §2.4 — share one exchange).
+    # The perplexity-gate survivors feed the prefix-filter pipeline
+    # (which references its shingle index from ~6 subtrees) plus the
+    # drops anti-join. Sharing forms were measured this round
+    # (interleaved code A/B + same-session reps, AB_RUNS.jsonl
+    # r9opt-*): a lazy repartition-pinned exchange did NOT get
+    # ReuseExchange across all consumers (8.9 s -> 22.9 s, the gate
+    # re-ran per consumer), and persist() was far worse still (28-70 s:
+    # the InMemoryRelation blocks AQE sharing inside the consumers).
+    # The eager checkpoint stands: the gate is an expensive
+    # multi-consumer stage boundary, and materializing it once is the
+    # local equivalent of the staging table a real pipeline writes
+    # here (guide §5; same adjudication as the dedup band-frame forms).
     kept1 = (
         docs.join(tiled.select("doc_id", "tertile"), "doc_id")
         .filter(F.col("tertile") <= 2)
         .select("doc_id", "text", "source")
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
     pairs = prefix_filter_jaccard_pairs(kept1, t_num=3, t_den=5)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()

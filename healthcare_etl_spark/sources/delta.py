@@ -942,24 +942,45 @@ def delete_rows(
     data_schema = T.StructType(
         [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
     )
-    actions: list[dict] = []
     for path in sorted(live):
-        add = live[path]
-        if add.get("deletionVector"):
+        if live[path].get("deletionVector"):
             raise NotImplementedError(
                 "fixture delete_rows does not merge with an existing DV"
             )
-        full = os.path.join(table_path, path)
-        df = (
-            spark.read.schema(data_schema)
-            .parquet(full)
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            .select(
-                "__ri",
-                *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
-            )
+    # Row-index discovery is ONE distributed scan over ALL live files
+    # (``_metadata.file_path`` attributes each matching row to its file)
+    # instead of one driver-sequenced job per file — the per-file loop
+    # was O(files) round trips of pure scheduling overhead and is the
+    # exact driver-side pattern guide §5 warns about; a real DV writer's
+    # touched-file pass is likewise one distributed job.
+    from urllib.parse import unquote, urlparse
+
+    rel_by_abs = {
+        os.path.abspath(os.path.join(table_path, p)): p for p in live
+    }
+    all_df = (
+        spark.read.schema(data_schema)
+        .parquet(*[os.path.join(table_path, p) for p in sorted(live)])
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .select(
+            "__ri",
+            "__fp",
+            *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
         )
-        hit = [r["__ri"] for r in df.filter(predicate).select("__ri").collect()]
+    )
+    hits_by_file: dict[str, list[int]] = {}
+    for r in all_df.filter(predicate).select("__fp", "__ri").collect():
+        abs_path = os.path.abspath(unquote(urlparse(r["__fp"]).path))
+        rel = rel_by_abs.get(abs_path)
+        if rel is None:  # pragma: no cover - metadata path outside the log
+            raise ValueError(f"matched row in unknown file: {r['__fp']}")
+        hits_by_file.setdefault(rel, []).append(r["__ri"])
+    actions: list[dict] = []
+    for path in sorted(live):
+        add = live[path]
+        full = os.path.join(table_path, path)
+        hit = hits_by_file.get(path, [])
         if not hit:
             continue
         data = serialize_rbm_array(hit)
