@@ -398,24 +398,32 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = docs.select("doc_id", "text", ((_doc_hash() % 10) == 0).alias("is_test"))
     toks = F.split("text", " ")
+    # 8-grams via arrays_zip of the token array with its 1..7-shifted
+    # slices (the dedup shingle idiom): gram i = (t[i], ..., t[i+7]),
+    # null-padded tails filtered on the last member — a NARROW codegen'd
+    # explode. The old posexplode + seven lead() windows shuffled and
+    # sorted the whole exploded corpus by doc_id before any gram existed
+    # (guide §2.4), and its eager localCheckpoint ran that job at plan
+    # build; the narrow form is cheap enough that the sketch build and
+    # the probe just recompute it (scan + explode, no shuffle).
     base = split.select(
-        "doc_id",
-        "is_test",
-        F.size(toks).alias("n_tok"),
-        F.posexplode(toks).alias("pos", "w"),
+        "doc_id", "is_test", toks.alias("t"), F.size(toks).alias("n_tok")
     ).filter(F.col("n_tok") >= 8)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, 8)]
+    zipped = F.arrays_zip(
+        F.col("t").alias("w0"),
+        *[
+            F.slice("t", j + 1, F.greatest(F.col("n_tok") - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, 8)
+        ],
+    )
     grams = (
-        base.select("doc_id", "is_test", *parts)
-        .filter(F.col("w7").isNotNull())
+        base.select("doc_id", "is_test", F.explode(zipped).alias("z"))
+        .filter(F.col("z.w7").isNotNull())
         .select(
             "doc_id",
             "is_test",
-            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, 8)]).alias("g"),
+            F.concat_ws(" ", *[f"z.w{j}" for j in range(8)]).alias("g"),
         )
-        # Both the sketch build and the probe consume this subtree.
-        .localCheckpoint(eager=True)
     )
     sketch = bloom_build(grams.filter(F.col("is_test")).select("g").distinct(), "g")
     train = grams.filter(~F.col("is_test")).select("doc_id", "g").distinct()
@@ -677,7 +685,8 @@ GROUP BY big.doc_id
         "step up from q_unigram_logprob toward real LM-perplexity "
         "filtering: token streams with improbable transitions score low "
         "even when every token is individually common. Bigrams come from "
-        "one per-doc lead window (no self-join); the frequency tables are "
+        "a narrow arrays_zip of the token array with its 1-shifted slice "
+        "(no self-join, no window shuffle); the frequency tables are "
         "key-partitioned hash aggs; the corpus total stays a lazy 1-row "
         "broadcast."
     ),
@@ -688,15 +697,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = F.split("text", " ")
-    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    base = docs.select("doc_id", toks.alias("t"))
+    zipped = F.arrays_zip(
+        F.col("t").alias("w1"),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
+    )
     big = (
-        words.select(
-            "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
+        base.select("doc_id", F.explode(zipped).alias("z"))
+        .filter(F.col("z.w2").isNotNull())
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
     )
     ufreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
     bfreq = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))

@@ -58,14 +58,19 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    base = docs.select(
-        "doc_id", F.size(toks).alias("n_tok"), F.posexplode(toks).alias("pos", "w")
+    # Narrow zip-shifted-slice bigrams (the dedup shingle idiom) instead
+    # of posexplode + a per-doc lead window — no ordering shuffle.
+    base = docs.select(toks.alias("t"), F.size(toks).alias("n_tok")).filter(
+        F.col("n_tok") >= 2
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    zipped = F.arrays_zip(
+        F.col("t").alias("w"),
+        F.slice("t", 2, F.greatest(F.col("n_tok") - 1, F.lit(0))).alias("w1"),
+    )
     bigrams = (
-        base.select("n_tok", "w", F.lead("w", 1).over(w).alias("w1"))
-        .filter((F.col("n_tok") >= 2) & F.col("w1").isNotNull())
-        .select(F.concat_ws(" ", "w", "w1").alias("bigram"))
+        base.select(F.explode(zipped).alias("z"))
+        .filter(F.col("z.w1").isNotNull())
+        .select(F.concat_ws(" ", "z.w", "z.w1").alias("bigram"))
     )
     return (
         bigrams.groupBy("bigram")
@@ -1256,15 +1261,19 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    t = F.split("text", " ")
+    # Adjacent-token pairs via the narrow zip-shifted-slice form — the
+    # old posexplode + per-doc lead window shuffled the exploded corpus
+    # before the first edge existed (guide §2.4).
+    zipped = F.arrays_zip(
+        t.alias("w"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
     adj = (
-        toks.select("w", F.lead("w").over(wdoc).alias("w2"))
-        .filter(F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
+        docs.select(F.explode(zipped).alias("z"))
+        .filter(F.col("z.w2").isNotNull() & (F.col("z.w") != F.col("z.w2")))
         .select(
-            F.least("w", "w2").alias("a"), F.greatest("w", "w2").alias("b")
+            F.least("z.w", "z.w2").alias("a"), F.greatest("z.w", "z.w2").alias("b")
         )
         .distinct()
     )
@@ -1349,12 +1358,16 @@ def q_ppmi_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    t = F.split("text", " ")
+    # Narrow zip-shifted-slice adjacency (no posexplode + lead window).
+    zipped = F.arrays_zip(
+        t.alias("w"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    adj = toks.select("w", F.lead("w").over(wdoc).alias("w2")).filter(
-        F.col("w2").isNotNull()
+    adj = (
+        docs.select(F.explode(zipped).alias("z"))
+        .filter(F.col("z.w2").isNotNull())
+        .select(F.col("z.w").alias("w"), F.col("z.w2").alias("w2"))
     )
     cooc = (
         adj.select(F.col("w"), F.col("w2").alias("c"))
