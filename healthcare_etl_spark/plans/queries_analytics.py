@@ -710,7 +710,10 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ufreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
     bfreq = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    total = words.agg(F.count(F.lit(1)).alias("n"))
+    # Total token count = sum of the unigram counts — fold it out of its
+    # own corpus pass (guide §1.2): one aggregate over the ufreq table
+    # instead of a second full explode of the corpus.
+    total = ufreq.agg(F.sum("cu").alias("n"))
     u1 = ufreq.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
     u2 = ufreq.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
     p = F.lit(0.9) * (F.col("cb") * 1.0 / F.col("cu1")) + F.lit(0.1) * (
