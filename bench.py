@@ -228,6 +228,10 @@ HEADLINE = [
     "q_iceberg_evolution_scan",
     "q_iceberg_eq_delete_scan",
     "q_multimodal_bmp_stats",
+    # round-10 addition (optimization round 2): the exact-gram
+    # decontamination twin of q_bloom_decontaminate — added so the
+    # build-time-checkpoint class this round eliminated stays measured
+    "q_decontaminate",
 ]
 
 

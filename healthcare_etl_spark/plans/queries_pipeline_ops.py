@@ -153,9 +153,10 @@ GROUP BY grams.doc_id
         "Train/test decontamination: hash-split documents 90/10, then flag every "
         "training doc sharing an 8-token n-gram with the held-out split (the "
         "standard benchmark-leak check before LLM training). N-grams are built "
-        "shuffle-free per doc with a single window (7 leads, one sort), the "
-        "held-out gram set is distinct-reduced before the equi-join, and at 100 TB "
-        "the gram join keys on a hash of the gram rather than the string itself"
+        "shuffle-free per doc with a narrow arrays_zip of the token array and its "
+        "shifted slices (no window, no per-doc sort), the held-out gram set is "
+        "distinct-reduced before the equi-join, and at 100 TB the gram join keys "
+        "on a hash of the gram rather than the string itself"
     ),
     tags=("text", "extension", "parity"),
 )
@@ -169,27 +170,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", ((_doc_hash() % 10) == 0).alias("is_test")
     )
     toks = F.split("text", " ")
+    # 8-grams via arrays_zip of the token array with its 1..7-shifted
+    # slices (the dedup shingle idiom, same form as q_bloom_decontaminate):
+    # gram i = (t[i], ..., t[i+7]), null-padded tails filtered on the last
+    # member — a NARROW codegen'd explode. The old posexplode + seven
+    # lead() windows shuffled and sorted the whole exploded corpus by
+    # doc_id before any gram existed, and its eager localCheckpoint ran
+    # that job at plan build; the narrow form is cheap enough that the
+    # held-out gram set and the train side just recompute it (scan +
+    # explode, no shuffle, no build-time job).
     base = split.select(
-        "doc_id",
-        "is_test",
-        F.size(toks).alias("n_tok"),
-        F.posexplode(toks).alias("pos", "w"),
+        "doc_id", "is_test", toks.alias("t"), F.size(toks).alias("n_tok")
     ).filter(F.col("n_tok") >= 8)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, 8)]
+    zipped = F.arrays_zip(
+        F.col("t").alias("w0"),
+        *[
+            F.slice("t", j + 1, F.greatest(F.col("n_tok") - j, F.lit(0))).alias(f"w{j}")
+            for j in range(1, 8)
+        ],
+    )
     grams = (
-        base.select("doc_id", "is_test", *parts)
-        .filter(F.col("w7").isNotNull())
+        base.select("doc_id", "is_test", F.explode(zipped).alias("z"))
+        .filter(F.col("z.w7").isNotNull())
         .select(
             "doc_id",
             "is_test",
-            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, 8)]).alias("g"),
+            F.concat_ws(" ", *[f"z.w{j}" for j in range(8)]).alias("g"),
         )
-        # Both branches (train grams + held-out gram set) consume this
-        # subtree; materialize once instead of running the tokenize/window
-        # pass twice (same trade as the dedup operators — on a real
-        # cluster this is a staging table / reliable checkpoint).
-        .localCheckpoint(eager=True)
     )
     test_grams = grams.filter(F.col("is_test")).select("g").distinct()
     return (

@@ -241,13 +241,17 @@ def test_q21_decorrelated_no_subquery_loop(spark, sf_smoke):
     assert "HashAggregate" in plan
 
 
-def test_decontaminate_single_gram_pass(spark, sf_smoke):
-    """Gram generation is checkpointed: the final plan consumes the
-    materialized grams instead of running the tokenize/window tree twice."""
+def test_decontaminate_narrow_grams_no_build_job(spark, sf_smoke):
+    """Gram generation is a narrow arrays_zip explode (r10): no window
+    shuffle, no plan-build-time checkpoint job — the lazy plan reads the
+    parquet scan directly in both branches."""
     df = get_registry()["q_decontaminate"].fn(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan  # both branches read the checkpointed RDD
+    assert "Window" not in plan
     assert "NestedLoop" not in plan
+    # no materialized-RDD scan: constructing the DataFrame ran no job
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
+    assert "Generate" in plan  # the narrow explode survived planning
 
 
 def test_driver_window_invariants():
