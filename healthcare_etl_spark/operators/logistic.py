@@ -58,13 +58,22 @@ def _solve3(a00, a01, a02, a11, a12, a22, b0, b1, b2):
     return d0 / det, d1 / det, d2 / det
 
 
-def logistic_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float, float]:
+def logistic_fit(
+    features: DataFrame, *, rounds: int = 4, weight: str | None = None
+) -> tuple[float, float, float]:
     """Run the IRLS rounds and return the fitted (b0, b1, b2).
 
     One moment aggregate per round; the 3-coefficient state crosses the
     driver as three rounded doubles (metadata, like k-means centroids).
     The feature frame is re-scanned per round — callers fitting over an
     expensive lineage should persist it first.
+
+    ``weight`` names an optional row-multiplicity column (sufficient-
+    statistics compression: when the features are discrete, fitting over
+    the distinct (x1, x2, y) grid with per-combo counts computes the
+    same weighted moments from a grid-sized frame instead of re-scanning
+    every row each round — the FP reassociation is absorbed by the same
+    6dp rounding that already absorbs partition-order nondeterminism).
     """
     beta = (0.0, 0.0, 0.0)
     for _ in range(rounds):
@@ -74,16 +83,18 @@ def logistic_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float,
         w = p * (F.lit(1.0) - p)
         z = eta + (F.col("y") - p) / w
         x1, x2 = F.col("x1"), F.col("x2")
+        cw = F.col(weight) if weight is not None else None
+        s = (lambda e: F.sum(e * cw)) if cw is not None else F.sum
         agg = features.agg(
-            stable_round(F.sum(w), 6).alias("a00"),
-            stable_round(F.sum(w * x1), 6).alias("a01"),
-            stable_round(F.sum(w * x2), 6).alias("a02"),
-            stable_round(F.sum(w * x1 * x1), 6).alias("a11"),
-            stable_round(F.sum(w * x1 * x2), 6).alias("a12"),
-            stable_round(F.sum(w * x2 * x2), 6).alias("a22"),
-            stable_round(F.sum(w * z), 6).alias("r0"),
-            stable_round(F.sum(w * z * x1), 6).alias("r1"),
-            stable_round(F.sum(w * z * x2), 6).alias("r2"),
+            stable_round(s(w), 6).alias("a00"),
+            stable_round(s(w * x1), 6).alias("a01"),
+            stable_round(s(w * x2), 6).alias("a02"),
+            stable_round(s(w * x1 * x1), 6).alias("a11"),
+            stable_round(s(w * x1 * x2), 6).alias("a12"),
+            stable_round(s(w * x2 * x2), 6).alias("a22"),
+            stable_round(s(w * z), 6).alias("r0"),
+            stable_round(s(w * z * x1), 6).alias("r1"),
+            stable_round(s(w * z * x2), 6).alias("r2"),
         )
         nb0, nb1, nb2 = _solve3(
             F.col("a00"), F.col("a01"), F.col("a02"),
@@ -99,29 +110,34 @@ def logistic_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float,
     return beta
 
 
-def logistic_irls(features: DataFrame, *, rounds: int = 4) -> DataFrame:
+def logistic_irls(
+    features: DataFrame, *, rounds: int = 4, weight: str | None = None
+) -> DataFrame:
     """Fit y ~ sigmoid(b0 + b1*x1 + b2*x2) by IRLS (see
     :func:`logistic_fit`) and return a 1-row DataFrame with the fitted
     coefficients, the final-model log-likelihood, and training accuracy
     at the 0.5 threshold. ``features`` must have columns ``x1``, ``x2``
-    (double) and ``y`` (0/1 integer)."""
-    beta = logistic_fit(features, rounds=rounds)
+    (double) and ``y`` (0/1 integer); ``weight`` optionally names a
+    row-multiplicity count (see :func:`logistic_fit`)."""
+    beta = logistic_fit(features, rounds=rounds, weight=weight)
     b0l, b1l, b2l = (F.lit(float(v)) for v in beta)
     eta = b0l + b1l * F.col("x1") + b2l * F.col("x2")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
     y = F.col("y")
+    cw = F.col(weight) if weight is not None else None
+    n = F.sum(cw) if cw is not None else F.count(F.lit(1))
+    ll = y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)
+    hit = F.when((p > 0.5).cast("int") == y, 1).otherwise(0)
     return features.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        n.cast("long").alias("n"),
         F.lit(float(beta[0])).alias("beta0"),
         F.lit(float(beta[1])).alias("beta1"),
         F.lit(float(beta[2])).alias("beta2"),
+        stable_round(F.sum(ll * cw) if cw is not None else F.sum(ll), 6).alias(
+            "log_likelihood"
+        ),
         stable_round(
-            F.sum(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)), 6
-        ).alias("log_likelihood"),
-        stable_round(
-            F.sum(F.when((p > 0.5).cast("int") == y, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
+            (F.sum(hit * cw) if cw is not None else F.sum(hit)) / n, 6
         ).alias("accuracy"),
     )
 
@@ -212,12 +228,16 @@ FROM scored
 """
 
 
-def poisson_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float, float]:
+def poisson_fit(
+    features: DataFrame, *, rounds: int = 4, weight: str | None = None
+) -> tuple[float, float, float]:
     """Poisson GLM (log link) by IRLS: y ~ Poisson(exp(b0 + b1*x1 +
     b2*x2)). Identical machinery to :func:`logistic_fit` with the
     Poisson working weight/response: w = mu, z = eta + (y - mu)/mu —
     one 6dp-rounded moment pass + Cramer 3x3 solve per round, the
-    3-coefficient state riding the driver as metadata."""
+    3-coefficient state riding the driver as metadata. ``weight``
+    optionally names a row-multiplicity count (see
+    :func:`logistic_fit`)."""
     beta = (0.0, 0.0, 0.0)
     for _ in range(rounds):
         b0l, b1l, b2l = (F.lit(float(v)) for v in beta)
@@ -226,16 +246,18 @@ def poisson_fit(features: DataFrame, *, rounds: int = 4) -> tuple[float, float, 
         w = mu
         z = eta + (F.col("y") - mu) / mu
         x1, x2 = F.col("x1"), F.col("x2")
+        cw = F.col(weight) if weight is not None else None
+        s = (lambda e: F.sum(e * cw)) if cw is not None else F.sum
         agg = features.agg(
-            stable_round(F.sum(w), 6).alias("a00"),
-            stable_round(F.sum(w * x1), 6).alias("a01"),
-            stable_round(F.sum(w * x2), 6).alias("a02"),
-            stable_round(F.sum(w * x1 * x1), 6).alias("a11"),
-            stable_round(F.sum(w * x1 * x2), 6).alias("a12"),
-            stable_round(F.sum(w * x2 * x2), 6).alias("a22"),
-            stable_round(F.sum(w * z), 6).alias("r0"),
-            stable_round(F.sum(w * z * x1), 6).alias("r1"),
-            stable_round(F.sum(w * z * x2), 6).alias("r2"),
+            stable_round(s(w), 6).alias("a00"),
+            stable_round(s(w * x1), 6).alias("a01"),
+            stable_round(s(w * x2), 6).alias("a02"),
+            stable_round(s(w * x1 * x1), 6).alias("a11"),
+            stable_round(s(w * x1 * x2), 6).alias("a12"),
+            stable_round(s(w * x2 * x2), 6).alias("a22"),
+            stable_round(s(w * z), 6).alias("r0"),
+            stable_round(s(w * z * x1), 6).alias("r1"),
+            stable_round(s(w * z * x2), 6).alias("r2"),
         )
         nb0, nb1, nb2 = _solve3(
             F.col("a00"), F.col("a01"), F.col("a02"),

@@ -920,15 +920,21 @@ def _register_logistic() -> None:
                 ).otherwise(0)
             ).alias("y"),
         )
-        # 4 IRLS rounds re-scan this users-sized frame; persist so the
-        # event-level shuffle is paid once, not five times.
-        features = features.persist()
+        # Sufficient-statistics compression (r10, guide §2.3): x1/x2 are
+        # ln(1+count) of small per-user counts, so the distinct
+        # (x1, x2, y) grid is tiny. The 4 IRLS moment passes and the
+        # final scoring aggregate all run weighted over the grid —
+        # at 100 TB the data is scanned once to build the grid instead
+        # of once per IRLS round.
+        grid = features.groupBy("x1", "x2", "y").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).persist()
         try:
-            return logistic_irls(features, rounds=4)
+            return logistic_irls(grid, rounds=4, weight="cnt")
         finally:
             # Lazy result: unpersist AFTER the plan is built is safe —
             # blocks are dropped when the caller's action completes.
-            features.unpersist()
+            grid.unpersist()
 
 
 _register_logistic()

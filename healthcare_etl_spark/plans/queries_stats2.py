@@ -1973,22 +1973,32 @@ def q_poisson_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("y"),
+    )
+    # Sufficient-statistics compression (r10, guide §2.3): x1/x2 are
+    # ln(1+count) of small per-user counts and y is a small purchase
+    # count, so the distinct (x1, x2, y) grid is tiny. All 4 IRLS moment
+    # passes and the final deviance/dispersion aggregate run weighted
+    # over the grid — one users-scale pass total instead of one per round.
+    feat = feat.groupBy("x1", "x2", "y").agg(
+        F.count(F.lit(1)).alias("cnt")
     ).persist()
     try:
-        b0, b1, b2 = poisson_fit(feat, rounds=4)
+        b0, b1, b2 = poisson_fit(feat, rounds=4, weight="cnt")
         mu = F.exp(F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2"))
         y = F.col("y")
+        cnt = F.col("cnt")
+        n = F.sum(cnt)
         dev_term = F.lit(2.0) * F.when(y == 0, mu).otherwise(
             y * F.log(y * 1.0 / mu) - (y - mu)
         )
         return feat.agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
+            n.cast("long").alias("n_users"),
             F.lit(float(b0)).alias("beta0"),
             F.lit(float(b1)).alias("beta1"),
             F.lit(float(b2)).alias("beta2"),
-            stable_round(F.sum(dev_term), 6).alias("deviance"),
+            stable_round(F.sum(dev_term * cnt), 6).alias("deviance"),
             stable_round(
-                F.sum((y - mu) * (y - mu) / mu) / (F.count(F.lit(1)) - 3), 6
+                F.sum((y - mu) * (y - mu) / mu * cnt) / (n - 3), 6
             ).alias("dispersion"),
         )
     finally:

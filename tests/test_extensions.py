@@ -2192,6 +2192,40 @@ def test_logistic_irls_recovers_decision_boundary(spark):
     assert row["log_likelihood"] < 0.0
 
 
+def test_weighted_irls_matches_rowlevel_fit(spark):
+    """Sufficient-statistics compression (r10): fitting over the distinct
+    (x1, x2, y) grid with per-combo counts must reproduce the row-level
+    fit — coefficients, log-likelihood, accuracy and n all ride through
+    the same 6dp rounding discipline."""
+    import pyspark.sql.functions as F
+
+    from healthcare_etl_spark.operators.logistic import logistic_irls, poisson_fit
+
+    # Discrete features with heavy duplication, like the ln(1+count)
+    # event features the GLM queries use.
+    rows = spark.range(0, 600).select(
+        F.log(F.lit(1.0) + (F.col("id") % 7)).alias("x1"),
+        F.log(F.lit(1.0) + (F.col("id") % 5)).alias("x2"),
+        ((F.col("id") % 3) == 0).cast("int").alias("y"),
+    )
+    grid = rows.groupBy("x1", "x2", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    flat = logistic_irls(rows, rounds=4).collect()[0]
+    comp = logistic_irls(grid, rounds=4, weight="cnt").collect()[0]
+    assert flat == comp, (flat, comp)
+
+    pois_rows = spark.range(0, 600).select(
+        F.log(F.lit(1.0) + (F.col("id") % 7)).alias("x1"),
+        F.log(F.lit(1.0) + (F.col("id") % 5)).alias("x2"),
+        (F.col("id") % 4).cast("long").alias("y"),
+    )
+    pois_grid = pois_rows.groupBy("x1", "x2", "y").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    assert poisson_fit(pois_rows, rounds=4) == poisson_fit(
+        pois_grid, rounds=4, weight="cnt"
+    )
+
+
 def test_isotonic_calibration_is_monotone(spark):
     """The isotonic curve must be non-decreasing in bin order and must
     preserve the weighted mean of the raw rates (PAVA invariants)."""
