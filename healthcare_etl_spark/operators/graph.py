@@ -340,13 +340,24 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = labels
+    prev_frontier = None
     for _ in range(max_iter):
         neighbors = (
             edges.join(frontier.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
             .distinct()
         )
-        new = neighbors.join(labels.select("node"), "node", "left_anti").localCheckpoint(
+        # Two-frontier anti-join (r10, guide §1.2/§2.3): in an undirected
+        # graph a neighbor of a distance-r node has distance r-1, r or
+        # r+1, so the only SETTLED nodes `neighbors` can contain are in
+        # the current or previous frontier — anti-joining against those
+        # two (frontier-sized) frames is exactly equivalent to anti-
+        # joining against the full accumulated label set, and shuffles
+        # O(frontier) instead of O(all labels) per round.
+        seen = (
+            frontier if prev_frontier is None else frontier.union(prev_frontier)
+        )
+        new = neighbors.join(seen.select("node"), "node", "left_anti").localCheckpoint(
             eager=True
         )
         if new.isEmpty():
@@ -359,6 +370,7 @@ def bfs_hops(
         # set every round (O(labels) per round, quadratic across the
         # BFS; guide §1.2: don't compute things you throw away).
         labels = labels.union(new)
+        prev_frontier = frontier
         frontier = new
     return labels
 
@@ -597,14 +609,25 @@ def bfs_hops_per_seed(
         .localCheckpoint(eager=True)
     )
     frontier = labels
+    prev_frontier = None
     for _ in range(max_iter):
         neighbors = (
             edges.join(frontier.withColumnRenamed("node", "u"), "u")
             .select("seed", F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
             .distinct()
         )
+        # Two-frontier anti-join (r10): per seed, a neighbor of a
+        # distance-r node has distance r-1, r or r+1, so the settled
+        # (seed, node) pairs reachable from this round's frontier all
+        # sit in the current or previous frontier — anti-joining those
+        # two is equivalent to anti-joining the whole label set and
+        # keeps the per-round shuffle O(frontier), not O(labels)
+        # (see bfs_hops).
+        seen = (
+            frontier if prev_frontier is None else frontier.union(prev_frontier)
+        )
         new = neighbors.join(
-            labels.select("seed", "node"), ["seed", "node"], "left_anti"
+            seen.select("seed", "node"), ["seed", "node"], "left_anti"
         ).localCheckpoint(eager=True)
         if new.isEmpty():
             break
@@ -612,5 +635,6 @@ def bfs_hops_per_seed(
         # the union LAZY (see bfs_hops — re-checkpointing it was a full
         # re-materialization of all settled labels every round).
         labels = labels.union(new)
+        prev_frontier = frontier
         frontier = new
     return labels

@@ -1279,6 +1279,27 @@ def test_bfs_hops_matches_reference_on_hand_graph(spark):
     assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
 
 
+def test_bfs_two_frontier_antijoin_on_cycles(spark):
+    """The r10 two-frontier anti-join must still label every node exactly
+    once on cycle graphs, where each frontier re-touches both the
+    previous frontier (odd cycle) and itself (even-cycle meet point)."""
+    from healthcare_etl_spark.operators.graph import bfs_hops, bfs_hops_per_seed
+
+    # odd cycle 0-1-2-3-4-0 and even cycle 10..15-10, one seed in each
+    cyc5 = [(i, (i + 1) % 5) for i in range(5)]
+    cyc6 = [(10 + i, 10 + (i + 1) % 6) for i in range(6)]
+    pairs = spark.createDataFrame(cyc5 + cyc6, ["doc_a", "doc_b"])
+    seeds = spark.createDataFrame([(0,), (10,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(pairs, seeds).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2,
+                   10: 0, 11: 1, 15: 1, 12: 2, 14: 2, 13: 3}
+    rows = bfs_hops_per_seed(pairs, seeds).collect()
+    per_seed = {(r["seed"], r["node"]): r["hops"] for r in rows}
+    # each (seed, node) labelled once, and the cross-component pairs absent
+    assert len(per_seed) == len(rows) == 11
+    assert per_seed[(0, 3)] == 2 and per_seed[(10, 13)] == 3
+
+
 def test_sign_bit_words_matches_python_reference(spark, sf_smoke):
     """Packed sign-bit words must equal a bit-by-bit Python fold."""
     from healthcare_etl_spark.functions.vectors import sign_bit_words
