@@ -118,9 +118,9 @@ def _shingle_text_rows(
     doc_id partitioning lets the callers' ``distinct`` and
     ``groupBy(doc_id)`` aggregates run with no further exchange.
     """
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    from healthcare_etl_spark.sources.readers import spread_count
+
+    df = df.repartition(spread_count(df), F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("t"), F.size(toks).alias("n_tok")

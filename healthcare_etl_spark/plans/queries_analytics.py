@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -393,9 +393,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.sketches import bloom_build, bloom_probe
     from healthcare_etl_spark.plans.queries_pipeline_ops import _doc_hash
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     split = docs.select("doc_id", "text", ((_doc_hash() % 10) == 0).alias("is_test"))
     toks = F.split("text", " ")
     # 8-grams via arrays_zip of the token array with its 1..7-shifted
@@ -693,9 +691,7 @@ GROUP BY big.doc_id
     tags=("text", "extension", "parity"),
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     words = docs.select("doc_id", F.explode(toks).alias("w"))
     base = docs.select("doc_id", toks.alias("t"))
@@ -756,9 +752,7 @@ GROUP BY tf.doc_id
     tags=("text", "extension", "parity"),
 )
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     n = tf.groupBy("doc_id").agg(
@@ -936,9 +930,7 @@ JOIN sz sb ON sb.source = source_b
     tags=("text", "extension", "parity"),
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Three consumers (sizes + both join sides): materialize the distinct
     # source-token set once instead of re-tokenizing per branch (staging
     # table / reliable checkpoint on a real cluster).

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 
 
 @register(
@@ -582,9 +582,7 @@ GROUP BY 1, 2
 def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
     counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
     vocab = counts.select("w").distinct()

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 
 
 @register(
@@ -162,9 +162,7 @@ GROUP BY source
     tags=("text", "extension", "corpus"),
 )
 def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
     counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
     vocab = counts.groupBy("w").agg(F.sum("n").alias("m"))
@@ -644,9 +642,7 @@ FROM m
     tags=("text", "extension", "corpus"),
 )
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
@@ -1507,9 +1503,7 @@ FROM err
     tags=("text", "extension", "sketch"),
 )
 def q_cms_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
     exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2174,9 +2168,7 @@ FROM m
     tags=("text", "extension", "corpus"),
 )
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
     first_occ = (
@@ -2508,9 +2500,7 @@ def _register_trigram_search() -> None:
         tags=("text", "extension", "search"),
     )
     def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        docs = spread(load_table(spark, sf_dir, "documents"))
         doc_grams = (
             docs.select(
                 "doc_id",

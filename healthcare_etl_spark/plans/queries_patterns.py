@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 from healthcare_etl_spark.plans.queries_dedup import _MD5H, _shingles_sql
 from healthcare_etl_spark.plans.queries_similarity import _COS
 
@@ -1059,9 +1059,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
     tags=("text", "extension", "curation", "scale-pattern"),
 )
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tiled = _ppl_tertiles(docs)
     return (
         tiled.join(docs.select("doc_id", "source"), "doc_id")

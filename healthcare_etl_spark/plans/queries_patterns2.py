@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 from healthcare_etl_spark.plans.queries_patterns import (
     _WOE_THRESH,
     _ppl_tertiles,
@@ -664,9 +664,7 @@ ORDER BY p.source
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tiled = _ppl_tertiles(docs)
     # The perplexity-gate survivors feed the prefix-filter pipeline
     # (which references its shingle index from ~6 subtrees) plus the

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from healthcare_etl_spark.functions.rounding import stable_round
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 
 
 def _doc_hash(col: str = "doc_id"):
@@ -163,9 +163,7 @@ GROUP BY grams.doc_id
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixture parquet is a single row group -> a bare scan is one task; spread
     # the raw docs before the tokenize/explode hot path (same idiom as dedup).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     split = docs.select(
         "doc_id", "text", ((_doc_hash() % 10) == 0).alias("is_test")
     )
@@ -235,9 +233,7 @@ FROM agg
     tags=("text", "extension", "parity"),
 )
 def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
@@ -434,9 +430,7 @@ GROUP BY doc_id
     tags=("text", "extension", "parity"),
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     total = words.agg(F.count(F.lit(1)).alias("n"))
@@ -566,9 +560,7 @@ GROUP BY doc_id
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.dedup import md5_hash31
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     base = docs.select(
         "doc_id",
@@ -654,9 +646,7 @@ GROUP BY doc_id
 def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.dedup import md5_hash31
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     base = docs.select(
         "doc_id",
@@ -920,9 +910,7 @@ JOIN (SELECT doc_id, sum(lw) AS slw FROM scored GROUP BY doc_id) s
     tags=("pipeline", "extension", "ml-prep", "text"),
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )

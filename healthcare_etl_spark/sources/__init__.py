@@ -2,6 +2,8 @@ from healthcare_etl_spark.sources.readers import (
     TABLE_NAMES,
     MissingInputError,
     load_table,
+    spread,
+    spread_count,
     read_csv,
     read_jdbc,
 )
@@ -23,6 +25,8 @@ __all__ = [
     "SyntheticDocsDataSource",
     "jdbc_config_from_env",
     "load_table",
+    "spread",
+    "spread_count",
     "materialize",
     "read_csv",
     "read_jdbc",

@@ -114,6 +114,42 @@ def _epoch_to_micros(spark: SparkSession, path: str, df: DataFrame):
     return F.col("ts") * F.lit(-unit)
 
 
+def spread_count(df: DataFrame, *, kb_per_task: int | None = None) -> int:
+    """Size-derived partition count for spreading a narrow fixture scan
+    ahead of a CPU-heavy explode/codec path.
+
+    The fixture parquet files are single row groups, so a bare scan is
+    one task and everything up to the first exchange runs serially —
+    hence the spread. But the old blanket ``defaultParallelism`` count
+    pinned 32 partitions onto kilobyte inputs, and the r9 scaling block
+    showed per-task overhead dominating (8 cores beat 32 across the
+    board at sf0.1). The count is now derived from the scan's input
+    bytes (~64 KiB of raw input per task by default, tunable via
+    ``SPARK_GRAFT_SPREAD_KB``), capped at ``defaultParallelism`` —
+    scale-adaptive in both directions: kilobyte fixtures get a handful
+    of tasks, and any input big enough to saturate the cluster hits the
+    cap (where a real multi-split table's scan would already be
+    parallel and the spread is only a co-partitioning choice).
+    """
+    import os
+
+    if kb_per_task is None:
+        kb_per_task = int(os.environ.get("SPARK_GRAFT_SPREAD_KB", "64"))
+    cap = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        from urllib.parse import urlparse
+
+        size = sum(os.path.getsize(urlparse(u).path) for u in df.inputFiles())
+    except Exception:  # pragma: no cover - non-local storage
+        return cap
+    return max(1, min(cap, (size + kb_per_task * 1024 - 1) // (kb_per_task * 1024)))
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a fixture scan to :func:`spread_count` tasks."""
+    return df.repartition(spread_count(df))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 

@@ -1260,3 +1260,23 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
         _os.remove(crc)
     again = read_delta_table(spark, table)
     assert sorted(again.collect()) == sorted(nation.collect())
+
+
+def test_spread_count_is_size_derived(spark, sf_smoke):
+    """spread_count derives the fixture-spread partition count from the
+    scan's input bytes (~64 KiB/task), clamped to [1, defaultParallelism]
+    — kilobyte fixtures must no longer be pinned to one partition per
+    core (r10 partition hygiene)."""
+    import os
+
+    from healthcare_etl_spark.sources import load_table, spread, spread_count
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n = spread_count(docs)
+    size = os.path.getsize(os.path.join(sf_smoke, "documents.parquet"))
+    expect = max(1, min(spark.sparkContext.defaultParallelism,
+                        (size + 64 * 1024 - 1) // (64 * 1024)))
+    assert n == expect
+    assert spread(docs).rdd.getNumPartitions() == n
+    # a frame with no file lineage falls back to a single partition
+    assert spread_count(spark.range(10)) == 1
