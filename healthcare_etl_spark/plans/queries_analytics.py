@@ -693,7 +693,10 @@ GROUP BY big.doc_id
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
-    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    # unigram frequencies need only the token stream (the old doc_id
+    # column was pruned by the optimizer but misread as a per-doc
+    # dependency — ADVICE r9)
+    words = docs.select(F.explode(toks).alias("w"))
     base = docs.select("doc_id", toks.alias("t"))
     zipped = F.arrays_zip(
         F.col("t").alias("w1"),

@@ -2179,9 +2179,14 @@ def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(F.col(f"cf_{i}") > 0, raw)
 
+    import functools
+
+    score = functools.reduce(
+        lambda a, b: a + b, (s(i) for i in range(len(_QL_TERMS)))
+    )
     agg = base.crossJoin(F.broadcast(stats)).select(
         "doc_id",
-        stable_round(s(0) + s(1) + s(2), 6).alias("score"),
+        stable_round(score, 6).alias("score"),
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

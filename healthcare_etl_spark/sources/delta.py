@@ -955,8 +955,11 @@ def delete_rows(
     # touched-file pass is likewise one distributed job.
     from urllib.parse import unquote, urlparse
 
+    # realpath on BOTH sides: Spark reports the filesystem-resolved path
+    # in _metadata.file_path, so a symlinked table_path would miss an
+    # abspath-keyed lookup (ADVICE r9).
     rel_by_abs = {
-        os.path.abspath(os.path.join(table_path, p)): p for p in live
+        os.path.realpath(os.path.join(table_path, p)): p for p in live
     }
     all_df = (
         spark.read.schema(data_schema)
@@ -971,7 +974,7 @@ def delete_rows(
     )
     hits_by_file: dict[str, list[int]] = {}
     for r in all_df.filter(predicate).select("__fp", "__ri").collect():
-        abs_path = os.path.abspath(unquote(urlparse(r["__fp"]).path))
+        abs_path = os.path.realpath(unquote(urlparse(r["__fp"]).path))
         rel = rel_by_abs.get(abs_path)
         if rel is None:  # pragma: no cover - metadata path outside the log
             raise ValueError(f"matched row in unknown file: {r['__fp']}")

@@ -34,11 +34,17 @@ def main() -> None:
     queries = get_queries()
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    import contextlib
+    import io
+
     for name in args.queries:
         df = queries[name](spark, args.sf_dir)
-        text = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only (ADVICE r9): explain("formatted") via stdout
+        # capture survives Spark Connect and PySpark minor upgrades.
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
         path = out_dir / f"{name}_{args.suffix}.txt"
         path.write_text(text, encoding="utf-8")
         print(f"wrote {path} ({len(text)} chars)")
