@@ -31,7 +31,7 @@ from healthcare_etl_spark.operators.multimodal import (
     sample_frames,
 )
 from healthcare_etl_spark.plans.registry import register
-from healthcare_etl_spark.sources import load_table
+from healthcare_etl_spark.sources import load_table, spread
 
 
 @register(
@@ -52,7 +52,7 @@ FROM media
     tags=("multimodal", "extension"),
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     media = attach_media(docs, id_col="doc_id", text_col="text")
     return media.select("media_id", "media_type", "n_bytes", "checksum")
 
@@ -84,7 +84,7 @@ FROM media GROUP BY media_type
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     media = attach_media(docs, id_col="doc_id", text_col="text")
     feats = decode_and_featurize(media, decode_stub=True)
     return feats.groupBy("media_type").agg(
@@ -117,7 +117,7 @@ FROM media GROUP BY media_type
     tags=("multimodal", "extension"),
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     media = attach_media(docs, id_col="doc_id", text_col="text")
     resized = resize_media(media, target_w=64, target_h=64)
     return resized.groupBy("media_type").agg(
@@ -160,7 +160,7 @@ FROM fr
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.functions.rounding import stable_round
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     media = attach_media(docs, id_col="doc_id", text_col="text")
     vids = media.filter(F.col("media_type") == "video")
     frames = sample_frames(vids, max_frames=4)
@@ -198,7 +198,7 @@ def q_multimodal_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_image_dims,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     return parse_image_dims(encode_png_media(docs))
 
 
@@ -229,7 +229,7 @@ FROM documents
 def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.multimodal import encode_wav_media, parse_wav_meta
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     return parse_wav_meta(encode_wav_media(docs))
 
 
@@ -260,7 +260,7 @@ FROM documents
 def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_spark.operators.multimodal import encode_mp4_media, parse_mp4_meta
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     return parse_mp4_meta(encode_mp4_media(docs))
 
 
@@ -316,7 +316,7 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     stats = decode_png_pixel_stats(encode_png_pixels(docs))
     npx = F.col("n_px")
     return stats.select(
@@ -376,7 +376,7 @@ def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_pcm,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     stats = decode_wav_sample_stats(encode_wav_pcm(docs))
     ns = F.col("n_samples")
     return stats.select(
@@ -439,7 +439,7 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     stats = decode_gif_index_stats(encode_gif_media(docs))
     return stats.select(
         "media_id",
@@ -503,7 +503,7 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_gray,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     stats = decode_jpeg_pixel_stats(encode_jpeg_gray(docs))
     return stats.select(
         "media_id",
@@ -577,7 +577,7 @@ def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_mjpeg_mp4,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     stats = decode_mp4_mjpeg_frames(encode_mjpeg_mp4(docs))
     return stats.select(
         "media_id",
@@ -685,7 +685,7 @@ def q_multimodal_featurize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_pcm,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     media = (
         encode_png_pixels(docs.filter(F.col("doc_id") % 4 == 0))
         .unionByName(encode_wav_pcm(docs.filter(F.col("doc_id") % 4 == 1)))
@@ -743,7 +743,7 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     resized = resize_media(
         encode_png_pixels(docs), target_w=5, target_h=4, decode_stub=False
     )
@@ -831,7 +831,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png_family,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     # materialize the (4-column, one-row-per-image) hash frame so the
     # band self-join does not re-execute the encode+decode kernels on
     # both sides (localCheckpoint: the grid_dbscan discipline)
@@ -945,7 +945,7 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_family,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     fps = decode_wav_fingerprint(encode_wav_family(docs)).localCheckpoint()
     bands = fps.select(
         "media_id",
@@ -1063,7 +1063,7 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_dedup_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     frame_hashes = decode_mp4_mjpeg_frame_hashes(encode_mjpeg_family(docs))
     return video_frame_dedup_pairs(frame_hashes)
 
@@ -1102,7 +1102,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     frames = sample_frames(encode_mjpeg_mp4(docs), decode_stub=False)
     return frames.select(
         "media_id",
@@ -1164,7 +1164,7 @@ def q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_bmp_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), kb_per_task=16)
     stats = decode_bmp_pixel_stats(encode_bmp_pixels(docs))
     npx = F.col("n_px")
     return stats.select(

@@ -145,9 +145,14 @@ def spread_count(df: DataFrame, *, kb_per_task: int | None = None) -> int:
     return max(1, min(cap, (size + kb_per_task * 1024 - 1) // (kb_per_task * 1024)))
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin-spread a fixture scan to :func:`spread_count` tasks."""
-    return df.repartition(spread_count(df))
+def spread(df: DataFrame, *, kb_per_task: int | None = None) -> DataFrame:
+    """Round-robin-spread a fixture scan to :func:`spread_count` tasks.
+
+    ``kb_per_task`` overrides the input-bytes-per-task budget — codec
+    paths (JPEG/MP4/WAV decode per row) do ~10x the CPU work per input
+    byte of a tokenize path and want smaller tasks.
+    """
+    return df.repartition(spread_count(df, kb_per_task=kb_per_task))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
