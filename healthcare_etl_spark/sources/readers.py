@@ -81,6 +81,64 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 # (one tiny sampling job per distinct file, not per query).
 _EPOCH_UNIT_CACHE: dict[str, int] = {}
 
+# Memo of INFERRED PARQUET SCHEMAS (metadata only — never rows; every
+# action still scans the files). Without it each load_table call re-reads
+# parquet footers (~100 ms per call on local fixtures, a listing+footer
+# job on object stores) — a query composing 20 table reads pays seconds
+# of pure metadata work at plan build. This is what a catalog/metastore
+# provides in production; keying on (path, mtime_ns, size, reader confs)
+# keeps it exactly as fresh as re-inference: any rewrite/append touches
+# the file or directory signature and misses the cache.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _local_file_sig(path: str) -> tuple[int, int] | None:
+    """(mtime_ns, size) for plain local paths; None for remote URIs."""
+    import os
+
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if "://" in p:
+        return None
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized.
+
+    The schema depends on the two parquet reader confs load_table
+    manages (NTZ inference, nanos-as-long), so they are part of the key;
+    a session where they differ re-infers rather than trusting a schema
+    inferred under other settings.
+    """
+    sig = _local_file_sig(path)
+    if sig is None:
+        return spark.read.parquet(path)
+
+    def conf(k: str) -> str:
+        try:
+            return str(spark.conf.get(k, "?"))
+        except Exception:  # pragma: no cover - conf read denied
+            return "?"
+
+    key = (
+        path,
+        *sig,
+        conf("spark.sql.parquet.inferTimestampNTZ.enabled"),
+        conf("spark.sql.legacy.parquet.nanosAsLong"),
+    )
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if len(_SCHEMA_CACHE) > 512:
+        _SCHEMA_CACHE.clear()
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
 
 def _epoch_to_micros(spark: SparkSession, path: str, df: DataFrame):
     """Column expression converting a raw BIGINT epoch ``ts`` to epoch µs,
@@ -176,7 +234,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{str(sf_dir).rstrip('/')}/{name}.parquet"
     _check_local_path(path, what=f"table {name!r}")
     if name != "events":
-        return _normalize_timestamps(spark.read.parquet(path))
+        return _normalize_timestamps(_read_parquet(spark, path))
 
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -184,7 +242,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:  # pragma: no cover - non-settable on some builds
         pass
     try:
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(_epoch_to_micros(spark, path, df)))
         return _normalize_timestamps(df)
