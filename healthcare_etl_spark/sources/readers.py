@@ -106,14 +106,27 @@ def _local_file_sig(path: str) -> tuple[int, int] | None:
     return (st.st_mtime_ns, st.st_size)
 
 
+# Memo of the lazy RELATION HANDLE itself (the unexecuted DataFrame):
+# building one costs a fresh file listing + a dozen Py4J round trips
+# (~34 ms even with the schema known). A DataFrame is an immutable
+# logical plan — handing the same handle back is semantically identical
+# to rebuilding it, and no rows are ever cached. Guarded by object
+# IDENTITY of the owning SparkSession (weakref), so a stopped or new
+# session can never receive a handle bound to an old one.
+_RELATION_CACHE: dict[tuple, tuple] = {}
+
+
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with the inferred schema memoized.
+    """``spark.read.parquet`` with inferred schema and relation handle
+    memoized per (file signature, reader confs, session identity).
 
     The schema depends on the two parquet reader confs load_table
     manages (NTZ inference, nanos-as-long), so they are part of the key;
     a session where they differ re-infers rather than trusting a schema
     inferred under other settings.
     """
+    import weakref
+
     sig = _local_file_sig(path)
     if sig is None:
         return spark.read.parquet(path)
@@ -130,13 +143,23 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         conf("spark.sql.parquet.inferTimestampNTZ.enabled"),
         conf("spark.sql.legacy.parquet.nanosAsLong"),
     )
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
     schema = _SCHEMA_CACHE.get(key)
     if schema is not None:
-        return spark.read.schema(schema).parquet(path)
-    df = spark.read.parquet(path)
-    if len(_SCHEMA_CACHE) > 512:
-        _SCHEMA_CACHE.clear()
-    _SCHEMA_CACHE[key] = df.schema
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_CACHE) > 512:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
+    if len(_RELATION_CACHE) > 512:
+        _RELATION_CACHE.clear()
+    try:
+        _RELATION_CACHE[key] = (weakref.ref(spark), df)
+    except TypeError:  # pragma: no cover - non-weakref-able session stub
+        pass
     return df
 
 
